@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One gate-checked query: a Spark DataFrame program plus (optionally) the
+  * equivalent ANSI SQL the driver runs in DuckDB over the same parquet
+  * tables. `oracle == None` means the driver records a weaker rows-only
+  * check (used for non-SQL-expressible ops: streaming, Word2Vec, ...).
+  */
+final case class QueryDef(
+    name: String,
+    query: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+trait QueryModule {
+  def defs: Seq[QueryDef]
+  final def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map(d => d.name -> d.query).toMap
+  final def oracleSql: Map[String, String] =
+    defs.flatMap(d => d.oracle.map(d.name -> _)).toMap
+}
+
+object Tables {
+  /** All queries read the driver-generated parquet tables rooted at `dir`. */
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's vectorized
+    * parquet reader rejects. Read nanos as a raw long and expose both the
+    * exact microsecond epoch (`ts_us`, what oracle-checked queries use via
+    * DuckDB's epoch_us) and a microsecond-truncated timestamp (`ts`).
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
+}

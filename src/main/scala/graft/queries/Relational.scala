@@ -1,0 +1,578 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Relational operator coverage (SURVEY.md §2.3-§2.7): the full join
+  * surface, aggregation forms (incl. cube/rollup/grouping sets), window
+  * functions, sorts/limits/top-k, and set operations — each expressed as a
+  * declarative DataFrame plan so Catalyst handles pushdown, partial
+  * aggregation and join-strategy selection.
+  *
+  * Determinism conventions shared with every oracle in this repo:
+  *  - money/quantity sums go through DECIMAL casts (order-independent exact
+  *    arithmetic; identical in Spark and DuckDB) and surface as DOUBLE;
+  *  - every query ends with a total ORDER BY on non-null keys;
+  *  - any LIMIT is preceded by a tie-broken total order;
+  *  - transcendental outputs (ln/exp/...) are rounded to 6 decimals because
+  *    libm implementations may differ across engines by ULPs.
+  */
+object Relational extends QueryModule {
+  import Tables.t
+
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(20, scale))).cast("double")
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- A1/P4/O1: scan → filter → hash agg (partial+final) → sort.
+    // Ref: sift reduceByKey counts (sift/models/links.py:29-32).
+    QueryDef("q1_pricing_summary", (s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(22, 6))).cast("double").as("sum_disc_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax")))
+            .cast(DecimalType(22, 6))).cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) * (CAST(1.0 AS DOUBLE) + l_tax) AS DECIMAL(22,6))) AS DOUBLE) AS sum_charge,
+        COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- J2: 3-way shuffle join + agg + tie-broken top-k (ref J2,
+    // sift/corpora/wikipedia.py:88-89). customer is broadcast-able: AQE /
+    // autoBroadcastJoinThreshold picks that at runtime.
+    QueryDef("q3_top_revenue", (s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val l = t(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(22, 6))).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), asc("o_orderdate"), asc("l_orderkey"))
+        .limit(10)
+    }, Some("""
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+        CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""")),
+
+    // ---- J1: left-outer join + COALESCE fallback (redirect-resolution
+    // pattern, sift/corpora/wikipedia.py:81-89).
+    QueryDef("j1_left_outer_coalesce", (s, d) => {
+      val rich = t(s, d, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("rk"), col("c_name").as("rich_name"))
+      t(s, d, "orders")
+        .join(rich, col("o_custkey") === col("rk"), "left_outer")
+        .select(col("o_orderkey"),
+          coalesce(col("rich_name"), lit("UNRESOLVED")).as("cust"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, COALESCE(r.rich_name, 'UNRESOLVED') AS cust
+      FROM orders LEFT JOIN
+        (SELECT c_custkey AS rk, c_name AS rich_name FROM customer
+         WHERE c_acctbal > 5000) r ON o_custkey = rk
+      ORDER BY o_orderkey""")),
+
+    // ---- left_semi (EXISTS).
+    QueryDef("j_semi_urgent", (s, d) => {
+      val urgent = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      t(s, d, "customer")
+        .join(urgent, col("c_custkey") === urgent("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""")),
+
+    // ---- left_anti (NOT EXISTS).
+    QueryDef("j_anti_no_orders", (s, d) => {
+      val o = t(s, d, "orders")
+      t(s, d, "customer")
+        .join(o, col("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""")),
+
+    // ---- full_outer join of two aggregates.
+    QueryDef("j_full_outer_nation", (s, d) => {
+      val c = t(s, d, "customer").groupBy(col("c_nationkey").as("ck"))
+        .agg(count(lit(1)).as("nc"))
+      val su = t(s, d, "supplier").groupBy(col("s_nationkey").as("sk"))
+        .agg(count(lit(1)).as("ns"))
+      c.join(su, col("ck") === col("sk"), "full_outer")
+        .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+          coalesce(col("nc"), lit(0L)).as("n_customers"),
+          coalesce(col("ns"), lit(0L)).as("n_suppliers"))
+        .orderBy("nationkey")
+    }, Some("""
+      WITH c AS (SELECT c_nationkey ck, COUNT(*) nc FROM customer GROUP BY 1),
+           s AS (SELECT s_nationkey sk, COUNT(*) ns FROM supplier GROUP BY 1)
+      SELECT COALESCE(ck, sk) AS nationkey,
+             COALESCE(nc, 0) AS n_customers, COALESCE(ns, 0) AS n_suppliers
+      FROM c FULL OUTER JOIN s ON ck = sk ORDER BY nationkey""")),
+
+    // ---- cross join (small × small grid).
+    QueryDef("j_cross_grid", (s, d) => {
+      val g = t(s, d, "orders").groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"))
+      t(s, d, "region").crossJoin(g)
+        .select("r_name", "o_orderstatus", "n_orders")
+        .orderBy("r_name", "o_orderstatus")
+    }, Some("""
+      SELECT r_name, o_orderstatus, n_orders
+      FROM region CROSS JOIN
+        (SELECT o_orderstatus, COUNT(*) n_orders FROM orders GROUP BY 1) g
+      ORDER BY r_name, o_orderstatus""")),
+
+    // ---- range (non-equi) join: event pairs per user within 5 minutes.
+    // Equi key (user_id) drives the shuffle; the time band is a post-join
+    // predicate, so this stays a hash join, not a nested-loop cross.
+    QueryDef("j_range_event_pairs", (s, d) => {
+      val e = Tables.events(s, d).select("user_id", "ts_us")
+      val a = e.as("a"); val b = e.as("b")
+      a.join(b, col("a.user_id") === col("b.user_id") &&
+          col("b.ts_us") > col("a.ts_us") &&
+          col("b.ts_us") <= col("a.ts_us") + lit(300000000L))
+        .groupBy(col("a.user_id").as("user_id"))
+        .agg(count(lit(1)).as("pairs"))
+        .orderBy("user_id")
+    }, Some("""
+      SELECT a.user_id AS user_id, COUNT(*) AS pairs
+      FROM events a JOIN events b ON a.user_id = b.user_id
+        AND epoch_us(b.ts) > epoch_us(a.ts)
+        AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000
+      GROUP BY 1 ORDER BY 1""")),
+
+    // ---- J6: transitive redirect resolution to fixpoint — iterated
+    // self-join in the driver loop (ref collapses a→b→c one hop at a time,
+    // sift/corpora/wikipedia.py:49-66; we iterate to convergence with a
+    // bounded loop; each hop halves the remaining chain length so 6 rounds
+    // cover chains up to 2^6 long).
+    QueryDef("j6_redirect_fixpoint", (s, d) => {
+      import s.implicits._
+      val chains = Seq(
+        "a" -> "b", "b" -> "c", "c" -> "d", "d" -> "final",
+        "p" -> "q", "solo" -> "target", "m" -> "n", "n" -> "final")
+      var r = chains.toDF("src", "dst")
+      for (_ <- 1 to 6) {
+        val nxt = r.as("l")
+          .join(r.select(col("src").as("s2"), col("dst").as("d2")).as("r"),
+            col("l.dst") === col("s2"), "left_outer")
+          .select(col("l.src").as("src"),
+            coalesce(col("d2"), col("l.dst")).as("dst"))
+        r = nxt.localCheckpoint(eager = true) // keep the loop's lineage flat
+      }
+      r.orderBy("src")
+    }, Some("""
+      WITH RECURSIVE pairs(src, dst) AS (
+        VALUES ('a','b'),('b','c'),('c','d'),('d','final'),
+               ('p','q'),('solo','target'),('m','n'),('n','final')),
+      chase(src, dst, depth) AS (
+        SELECT src, dst, 1 FROM pairs
+        UNION ALL
+        SELECT c.src, p.dst, c.depth + 1
+        FROM chase c JOIN pairs p ON c.dst = p.src WHERE c.depth < 10)
+      SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER
+          (PARTITION BY src ORDER BY depth DESC) rn FROM chase)
+      WHERE rn = 1 ORDER BY src""")),
+
+    // ---- J7+W1: broadcast vocab lookup with OOV default (ref
+    // sift/models/text.py:92-96: driver-broadcast dict; here a broadcast
+    // hash join that never shuffles the big exploded-words side).
+    QueryDef("j7_vocab_oov_broadcast", (s, d) => {
+      val words = t(s, d, "documents").select(
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as("w"))
+      val byCount = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val vocab = byCount.withColumn("rank",
+          row_number().over(Window.orderBy(desc("cnt"), asc("w"))) - 1)
+        .filter(col("rank") < 50).select("w", "rank")
+      words.join(broadcast(vocab), Seq("w"), "left_outer")
+        .select(coalesce(col("rank"), lit(50)).as("rank"))
+        .groupBy("rank").agg(count(lit(1)).as("n"))
+        .orderBy("rank")
+    }, Some("""
+      WITH words AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents),
+      vocab AS (
+        SELECT w, rank FROM (
+          SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) - 1 AS rank
+          FROM words GROUP BY w) WHERE rank < 50)
+      SELECT COALESCE(v.rank, 50) AS rank, COUNT(*) AS n
+      FROM words LEFT JOIN vocab v USING (w) GROUP BY 1 ORDER BY 1""")),
+
+    // ---- CUBE + GROUPING().
+    QueryDef("agg_cube", (s, d) => {
+      t(s, d, "customer")
+        .cube("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("bal"),
+          grouping(col("c_mktsegment")).cast("long").as("g_seg"),
+          grouping(col("c_nationkey")).cast("long").as("g_nat"))
+        .orderBy(asc_nulls_first("c_mktsegment"),
+          asc_nulls_first("c_nationkey"))
+    }, Some("""
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE) AS bal,
+        CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+        CAST(GROUPING(c_nationkey) AS BIGINT) AS g_nat
+      FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+      ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""")),
+
+    // ---- ROLLUP over a derived time hierarchy.
+    QueryDef("agg_rollup", (s, d) => {
+      t(s, d, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("oy"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .rollup("oy", "o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(asc_nulls_first("oy"), asc_nulls_first("o_orderstatus"))
+    }, Some("""
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS oy, o_orderstatus,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY ROLLUP (oy, o_orderstatus)
+      ORDER BY oy NULLS FIRST, o_orderstatus NULLS FIRST""")),
+
+    // ---- GROUPING SETS via the SQL entry point.
+    QueryDef("agg_grouping_sets", (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+    }, Some("""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                              (o_orderstatus, o_orderpriority))
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    // ---- exact COUNT(DISTINCT) (expand-based in Spark; two aggs here).
+    QueryDef("agg_count_distinct", (s, d) => {
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
+        COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
+      FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // ---- min/max/avg/variance written as explicit decimal-exact algebra
+    // so both engines produce bit-identical doubles.
+    QueryDef("agg_stats_variance", (s, d) => {
+      t(s, d, "lineitem").groupBy("l_linestatus")
+        .agg(
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          ((sum((col("l_extendedprice") * col("l_extendedprice"))
+              .cast(DecimalType(30, 4))).cast("double")
+            - sum(col("l_extendedprice").cast(DecimalType(20, 2)))
+              .cast("double")
+              * sum(col("l_extendedprice").cast(DecimalType(20, 2)))
+                .cast("double") / count(lit(1)))
+            / (count(lit(1)) - lit(1))).as("var_price"))
+        .orderBy("l_linestatus")
+    }, Some("""
+      SELECT l_linestatus,
+        MIN(l_extendedprice) AS min_price,
+        MAX(l_extendedprice) AS max_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        (CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
+          - CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE)
+            * CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) / COUNT(*))
+          / (COUNT(*) - 1) AS var_price
+      FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // ---- A2: two-level count map (ref groupByKey().mapValues(Counter),
+    // sift/models/links.py:61-69) — rewritten as two hash aggregations so
+    // map-side partial agg applies; emitted as a sorted entries array.
+    QueryDef("a2_countmap_entries", (s, d) => {
+      t(s, d, "documents").groupBy("lang", "source")
+        .agg(count(lit(1)).as("count"))
+        .groupBy("lang")
+        .agg(sort_array(collect_list(struct(col("source"), col("count"))))
+            .as("per_source"),
+          sum(col("count")).as("total"))
+        .orderBy("lang")
+    }, Some("""
+      WITH g AS (SELECT lang, source, COUNT(*) AS count FROM documents
+                 GROUP BY 1, 2)
+      SELECT lang,
+        list_sort(list(struct_pack(source := source, count := count)))
+          AS per_source,
+        CAST(SUM(count) AS BIGINT) AS total
+      FROM g GROUP BY lang ORDER BY lang""")),
+
+    // ---- A4: group-to-list with deterministic ordering.
+    QueryDef("a4_collect_sorted", (s, d) => {
+      t(s, d, "lineitem").groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_partkey"))).as("parts"))
+        .orderBy("l_orderkey")
+    }, Some("""
+      SELECT l_orderkey, list_sort(list(l_partkey)) AS parts
+      FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // ---- A5: distinct.
+    QueryDef("a5_distinct_pairs", (s, d) => {
+      t(s, d, "orders").select("o_orderstatus", "o_orderpriority")
+        .distinct().orderBy("o_orderstatus", "o_orderpriority")
+    }, Some("""
+      SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+      ORDER BY 1, 2""")),
+
+    // ---- A6: per-row distinct (ref first-seen set guard,
+    // sift/models/links.py:193-201), canonicalized by sort.
+    QueryDef("a6_doc_vocab", (s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+        array_sort(array_distinct(
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")))
+          .as("vocab"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+          AS vocab
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- A7: whole-corpus scalar stats.
+    QueryDef("a7_corpus_stats", (s, d) => {
+      t(s, d, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+    }, Some("""
+      SELECT COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      FROM documents""")),
+
+    // ---- A8: fold over an array column (higher-order aggregate).
+    QueryDef("a8_array_fold", (s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+        aggregate(
+          transform(split(col("text"), " "), w => length(w).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("sum_word_lens"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        CAST(list_reduce(
+          list_prepend(0, list_transform(string_split(text, ' '),
+                          w -> CAST(length(w) AS BIGINT))),
+          (acc, x) -> acc + x) AS BIGINT) AS sum_word_lens
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- A9: L2 normalization of embedding vectors (ref numpy norm,
+    // sift/models/text.py:196-199) as pure column expressions. The fold
+    // order of the sum-of-squares is left-to-right in both engines.
+    QueryDef("a9_l2_normalize", (s, d) => {
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val norm = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+      t(s, d, "embeddings").select(col("vec_id"),
+        transform(v, x => round(x / norm, 6)).as("unit"))
+        .orderBy("vec_id")
+    }, Some("""
+      SELECT vec_id,
+        list_transform(
+          list_transform(embedding, y -> CAST(y AS DOUBLE)),
+          x -> round(x / sqrt(list_reduce(
+            list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(embedding,
+                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+            (a, b) -> a + b)), 6)) AS unit
+      FROM embeddings ORDER BY vec_id""")),
+
+    // ---- ranking window functions.
+    QueryDef("w_rank_funcs", (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
+        lead(col("o_orderkey"), 1).over(w).as("next_ok"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_custkey,
+        CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+        CAST(RANK() OVER w AS BIGINT) AS rnk,
+        CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+        CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        LAG(o_orderkey, 1) OVER w AS prev_ok,
+        LEAD(o_orderkey, 1) OVER w AS next_ok
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_orderkey""")),
+
+    // ---- ROWS frames: running decimal-exact sum + sliding min.
+    QueryDef("w_frames_running", (s, d) => {
+      // l_linenumber is not unique within an order in this dataset; ROWS
+      // frames need a total order, so break ties on the value columns.
+      val w = Window.partitionBy("l_orderkey").orderBy(
+        col("l_linenumber"), col("l_extendedprice"), col("l_quantity"),
+        col("l_partkey"), col("l_suppkey"))
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity").cast(DecimalType(20, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("run_qty"),
+        min(col("l_extendedprice"))
+          .over(w.rowsBetween(-1, 1)).as("min3_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }, Some("""
+      SELECT l_orderkey, l_linenumber,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) OVER w AS DOUBLE)
+          AS run_qty,
+        MIN(l_extendedprice) OVER
+          (PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_extendedprice, l_quantity, l_partkey,
+                    l_suppkey
+           ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS min3_price
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_orderkey
+        ORDER BY l_linenumber, l_extendedprice, l_quantity, l_partkey,
+                 l_suppkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- RANGE frame over a numeric (day-offset) ordering column.
+    QueryDef("w_range_frame", (s, d) => {
+      val days = datediff(col("o_orderdate"),
+        lit("1995-01-01").cast("date")).cast("long")
+      val w = Window.partitionBy("o_custkey").orderBy(col("d"))
+        .rangeBetween(-90, 0)
+      t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          days.as("d"))
+        .withColumn("n_last_90d", count(lit(1)).over(w))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_custkey,
+        datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d,
+        COUNT(*) OVER (PARTITION BY o_custkey ORDER BY
+          datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+          RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS n_last_90d
+      FROM orders ORDER BY o_orderkey""")),
+
+    // ---- W1: global ordinal vocabulary rank + rank-band filter (ref
+    // zipWithIndex ranking, sift/models/text.py:135-147; single-partition
+    // window is fine at vocab cardinality — the 100 TB path is a two-phase
+    // partition-rank + offset merge, see graft.ops docs).
+    QueryDef("w1_vocab_rank_band", (s, d) => {
+      val words = t(s, d, "documents").select(
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as("w"))
+      words.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("cnt"), asc("w")))
+            .cast("long") - 1)
+        .filter(col("rank") >= 5 && col("rank") < 30)
+        .orderBy("rank")
+    }, Some("""
+      WITH words AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents),
+      ranked AS (
+        SELECT w, COUNT(*) AS cnt,
+          CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS BIGINT) - 1
+            AS rank
+        FROM words GROUP BY w)
+      SELECT w, cnt, rank FROM ranked
+      WHERE rank >= 5 AND rank < 30 ORDER BY rank""")),
+
+    // ---- O1/O3: tie-broken global top-k.
+    QueryDef("o1_topk_parts", (s, d) => {
+      t(s, d, "part")
+        .orderBy(desc("p_retailprice"), asc("p_partkey"))
+        .select("p_partkey", "p_name", "p_retailprice")
+        .limit(20)
+    }, Some("""
+      SELECT p_partkey, p_name, p_retailprice FROM part
+      ORDER BY p_retailprice DESC, p_partkey LIMIT 20""")),
+
+    // ---- O4: deterministic hash sampling (scales where random sampling
+    // can't be oracle-checked: same 1/16 slice on any engine).
+    QueryDef("o4_hash_sample", (s, d) => {
+      t(s, d, "orders")
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1)
+          === "0")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+      ORDER BY o_orderkey""")),
+
+    // ---- O5: explicit repartitioning (result-invariant; the oracle sees
+    // only the aggregate).
+    QueryDef("o5_repartition_agg", (s, d) => {
+      t(s, d, "lineitem").repartition(8, col("l_suppkey"))
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+        .orderBy("l_suppkey")
+    }, Some("""
+      SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // ---- set ops.
+    QueryDef("set_union", (s, d) => {
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .distinct().orderBy("k")
+    }, Some("""
+      SELECT c_nationkey AS k FROM customer
+      UNION SELECT s_nationkey FROM supplier ORDER BY k""")),
+
+    QueryDef("set_intersect", (s, d) => {
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .orderBy("k")
+    }, Some("""
+      SELECT c_nationkey AS k FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier ORDER BY k""")),
+
+    QueryDef("set_except", (s, d) => {
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .except(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .orderBy("k")
+    }, Some("""
+      SELECT c_nationkey AS k FROM customer
+      EXCEPT SELECT s_nationkey FROM supplier ORDER BY k"""))
+  )
+}
