@@ -256,8 +256,8 @@ object Functions extends QueryModule {
     // ---- S7: TSV sink + scan round-trip (sift/format.py:18-39).
     QueryDef("s7_tsv_roundtrip", (s, d) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_s7").toString
-      t(s, d, "nation").write.mode("overwrite").option("sep", "\t")
-        .csv(tmp)
+      t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").option("sep", "\t").csv(tmp)
       s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
         .option("sep", "\t").csv(tmp)
         .orderBy("n_nationkey")

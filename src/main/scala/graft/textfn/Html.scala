@@ -36,7 +36,7 @@ object Html {
     while (m.find()) {
       val href = if (m.group(2) != null) m.group(2) else m.group(3)
       m.appendReplacement(sb,
-        java.util.regex.Matcher.quoteReplacement(s"\u0001a href="$href"\u0002"))
+        java.util.regex.Matcher.quoteReplacement("\u0001a href=\"" + href + "\"\u0002"))
     }
     m.appendTail(sb)
     s = sb.toString

@@ -18,6 +18,9 @@ object WikiXml {
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    // coalesce adjacent CHARACTERS events so split text (entities, CDATA,
+    // parser buffer boundaries) doesn't truncate title/ns or break id parse
+    f.setProperty(XMLInputFactory.IS_COALESCING, true)
     f
   }
 

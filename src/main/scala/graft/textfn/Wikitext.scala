@@ -190,7 +190,9 @@ object Wikitext {
         text = sub(Headings, text, "$2")
         // first bolded phrase mentions the page's own entity
         text = Bold.matcher(text)
-          .replaceFirst(s"""<a href="$uri">$$1</a>""")
+          .replaceFirst(
+            java.util.regex.Matcher.quoteReplacement(s"""<a href="$uri">""") +
+              "$1</a>")
       }
       text = sub(Categories, text, "")
       text = sub(ExtUrl, text, """<a href="$2">$3</a>""")

@@ -61,9 +61,16 @@ def main(sf_dir: str, out_dir: str) -> int:
         oracles = json.load(f)
 
     results, n_pass, n_fail = {}, 0, 0
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+    dumped = set(d for d in os.listdir(out_dir)
+                 if os.path.isdir(os.path.join(out_dir, d)))
+    # every oracle key must have a dumped result — a Spark-side failure
+    # (Verify catches per-query exceptions) must surface as a FAIL here
+    names = sorted(dumped | set(oracles))
     for name in names:
+        if name not in dumped:
+            results[name] = "MISSING-DUMP (Spark query failed in Verify)"
+            n_fail += 1
+            continue
         try:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
