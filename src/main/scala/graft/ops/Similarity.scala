@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`ARRAY<FLOAT>`) — the ANN
+  * surface a training-data pipeline needs (north-star requirement; the
+  * reference has no vector search at all, its nearest concept is gensim
+  * `most_similar` on the driver, sift/models/embeddings.py).
+  *
+  * Design for scale:
+  *  - cosine is a pure higher-order expression (zip_with + aggregate in
+  *    doubles, fixed evaluation order → bit-reproducible, codegen'd);
+  *  - brute-force top-k broadcasts the (small) query set against the
+  *    corpus — one pass, no shuffle of the corpus;
+  *  - IVF: corpus pre-partitioned into cells; a query probes only the
+  *    `nprobe` nearest centroids — the join key is the cell id, so the
+  *    corpus-side work is a partition-pruned fraction of the data;
+  *  - hyperplane LSH: 16-bit signed-random-projection bucket per vector —
+  *    candidates share a bucket; deterministic hash-derived hyperplanes
+  *    (md5, see [[Hashing]]) keep it oracle-verifiable.
+  */
+object Similarity {
+  import Hashing._
+
+  /** Sequential-order double-precision cosine between two float arrays. */
+  def cosineSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (p, q) -> cast(p as double) * cast(q as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+    s"(${dot(a, b)}) / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  /** Brute-force exact top-k cosine neighbors for each query vector.
+    * `queries`/`corpus`: (vec_id, embedding). Self-matches excluded.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr(cosineSql("qe", "ce")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** IVF cell centroids: elementwise mean per cell, computed relationally
+    * (posexplode → avg per (cell, dim) → reassemble ordered). One shuffle
+    * on (cell, dim); centroid count = cells × dim, tiny → broadcast-able.
+    */
+  def centroids(corpus: DataFrame, cellCol: String): DataFrame =
+    corpus.select(col(cellCol).as("cell"),
+      posexplode(col("embedding")).as(Seq("j", "x")))
+      .groupBy("cell", "j")
+      .agg(avg(col("x").cast("double")).as("m"))
+      .groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(j, m))), s -> s.m)")
+        .as("centroid"))
+
+  /** IVF probe search: route each query to its `nprobe` nearest centroids,
+    * then brute-force only within those cells. Exact within the probed
+    * fraction; recall governed by nprobe (classic IVF trade-off).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, cellCol: String,
+      nprobe: Int, k: Int): DataFrame = {
+    val cents = centroids(corpus, cellCol)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(desc("ccos"), asc("cell"))
+    val probed = q.join(broadcast(cents))
+      .select(col("query_id"), col("qe"), col("cell"),
+        expr(cosineSql("qe", "centroid")).as("ccos"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select("query_id", "qe", "cell")
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col(cellCol).as("cell"), col("embedding").as("ce"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    probed.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr(cosineSql("qe", "ce")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Signed-random-projection (hyperplane) LSH bucket id: bit p of the
+    * bucket = sign of ⟨v, w_p⟩ where w_p[j] = (md5Long(p ‖ ',' ‖ j) mod
+    * 2001 − 1000) / 1000 — deterministic pseudo-random weights both
+    * engines can recompute.
+    */
+  def hyperplaneBucketSql(vec: String, nPlanes: Int): String = {
+    val proj = s"aggregate(zip_with($vec, sequence(0, size($vec) - 1), " +
+      s"(x, j) -> cast(x as double) * ((${md5LongSql("concat(cast(p as string), ',', cast(j as string))")} % 2001) - 1000) / 1000.0), " +
+      s"cast(0.0 as double), (acc, v) -> acc + v)"
+    s"aggregate(transform(sequence(0, ${nPlanes - 1}), p -> " +
+      s"case when ($proj) >= 0 then shiftleft(cast(1 as bigint), p) else cast(0 as bigint) end), " +
+      s"cast(0 as bigint), (acc, v) -> acc + v)"
+  }
+
+  /** LSH-bucketed ANN: bucket every vector, search only within the query's
+    * bucket. Output may have < k rows per query (recall/bucket trade-off).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, nPlanes: Int,
+      k: Int): DataFrame = {
+    val bucket = (df: DataFrame) =>
+      df.withColumn("bucket", expr(hyperplaneBucketSql("embedding", nPlanes)))
+    val q = bucket(queries).select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("bucket"))
+    val c = bucket(corpus).select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), col("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr(cosineSql("qe", "ce")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos ≥ threshold).
+    * Exact all-pairs — the ground-truth / small-side formulation; at corpus
+    * scale route through [[lshTopK]] or [[ivfTopK]] candidates instead.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        expr(cosineSql("ea", "eb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus text-analysis operators (LLM-pipeline north star): token
+  * counting, quality scoring, language identification and document
+  * fingerprinting. All pure column expressions over `documents(doc_id,
+  * text, …)` — per-row, no shuffle, fully codegen'd, so they stream at
+  * scan speed over 100 TB.
+  */
+object TextAnalysis {
+  import Hashing._
+
+  /** Stopword profiles for the n-gram/stopword language-ID heuristic.
+    * Shared verbatim with the generated DuckDB oracle SQL so both engines
+    * score identically. Kept deliberately small and disjoint-ish; accuracy
+    * is a unit-test concern (see LangIdSpec), determinism a gate concern.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ich", "mit",
+      "ein", "zu", "den", "von"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was",
+      "for", "on", "with"),
+    "es" -> Seq("el", "que", "los", "se", "del", "las", "por", "una", "es",
+      "para", "como", "pero"),
+    "fr" -> Seq("le", "les", "des", "une", "est", "dans", "qui", "pas",
+      "pour", "sur", "au", "ce"))
+
+  /** (doc_id, n_tokens, n_distinct, avg_token_len) */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(tokensSql).as("tokens"))
+      .select(col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        size(array_distinct(col("tokens"))).cast("long").as("n_distinct"),
+        round(expr("aggregate(tokens, cast(0 as bigint), (a, t) -> a + length(t))")
+          .cast("double") / greatest(size(col("tokens")), lit(1)), 6)
+          .as("avg_token_len"))
+
+  /** Heuristic quality signals: ratios of alphabetic / digit / punctuation
+    * / whitespace characters, stopword ratio, type-token ratio, and a
+    * composite boolean gate (the shape of Gopher/C4-style quality rules).
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val n = greatest(length(col("text")), lit(1)).cast("double")
+    def ratio(pattern: String): Column =
+      round((length(col("text")) -
+        length(regexp_replace(col("text"), pattern, ""))).cast("double") / n, 6)
+    val enStops = langProfiles.toMap.apply("en")
+    docs.select(col("doc_id"), col("text"), expr(tokensSql).as("tokens"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        ratio("[a-zA-Z]").as("alpha_ratio"),
+        ratio("[0-9]").as("digit_ratio"),
+        ratio("[.,;:!?'\"()-]").as("punct_ratio"),
+        round(size(filter(col("tokens"),
+          t => t.isin(enStops: _*))).cast("double") /
+          greatest(size(col("tokens")), lit(1)), 6).as("stopword_ratio"),
+        round(size(array_distinct(col("tokens"))).cast("double") /
+          greatest(size(col("tokens")), lit(1)), 6).as("type_token_ratio"))
+      .withColumn("passes_quality",
+        col("n_tokens") >= 10 && col("alpha_ratio") >= 0.6 &&
+          col("stopword_ratio") >= 0.01)
+  }
+
+  /** Language ID: score = #tokens in each profile; argmax, ties broken by
+    * language code; docs with zero stopword hits → 'und' (undetermined).
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), expr(tokensSql).as("tokens"))
+      .select(col("doc_id") +: langProfiles.map { case (lang, words) =>
+        size(filter(col("tokens"), t => t.isin(words: _*))).as(s"s_$lang")
+      }: _*)
+    val mx = greatest(langProfiles.map(p => col(s"s_${p._1}")): _*)
+    // argmax with ties broken by language code order (profiles are sorted)
+    val pick = langProfiles.foldRight(lit("und")) { case ((lang, _), els) =>
+      when(col(s"s_$lang") === mx, lit(lang)).otherwise(els)
+    }
+    scored.select(col("doc_id"),
+      when(mx === 0, lit("und")).otherwise(pick).as("lang_pred"))
+  }
+
+  /** Document fingerprints: a 128-bit content hash of the normalized token
+    * stream (exact-dedup key) plus the engine's 60-bit polynomial rolling
+    * hash (graft.textfn.Text.polyHash) evaluated as a pure fold expression
+    * — both reproducible in ANSI SQL.
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat_ws(" ", expr(tokensSql)).as("norm"))
+      .select(col("doc_id"),
+        md5(col("norm")).as("fp_md5"),
+        expr("aggregate(split(norm, ''), cast(0 as bigint), " +
+          "(acc, c) -> (acc * 131 + ascii(c)) % 1000000007)").as("fp_poly"))
+}
