@@ -115,14 +115,18 @@ object Dedup {
     verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
   }
 
-  /** Ground-truth all-pairs n-gram Jaccard ≥ threshold. Relational: never
-    * builds the n² pair space — only pairs sharing ≥1 shingle survive the
-    * equi-join. `maxShingleDf` drops ubiquitous shingles (skew control;
-    * pairs whose overlap is only stop-shingles can't reach a high
-    * threshold anyway — callers set it ≫ expected dup-group size).
+  /** All-pairs n-gram Jaccard ≥ threshold. Relational: never builds the n²
+    * pair space — only pairs sharing ≥1 shingle survive the equi-join.
+    * `maxShingleDf` drops ubiquitous shingles (skew control: a shingle
+    * shared by f docs contributes f² join rows, so an uncapped hot shingle
+    * makes the self-join quadratic at scale — hence a finite default).
+    * Jaccard is computed over the *filtered* shingle universe — both the
+    * intersection and the union count only shingles with df ≤ cap, so
+    * numerator and denominator are consistent (true near-dups whose shared
+    * shingles happen to be hot are not biased low).
     */
   def jaccardAllPairs(docs: DataFrame, shingleN: Int, threshold: Double,
-      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+      maxShingleDf: Long = 10000L): DataFrame = {
     val sh = shingled(docs, shingleN)
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val kept =
@@ -132,7 +136,7 @@ object Dedup {
           .filter(col("df") > maxShingleDf).select("sh")
         ex.join(broadcast(hot), Seq("sh"), "left_anti")
       }
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = kept.as("a")
       .join(kept.as("b"), col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -170,11 +174,16 @@ object Dedup {
         .as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (< 8):
-    * pigeonhole on the 4 bytes of the 32-bit hash — distance ≤ 3 ⟹ at
-    * least one byte equal — then verify with bit_count(xor).
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming: pigeonhole
+    * on the 4 bytes of the 32-bit hash — distance ≤ 3 ⟹ at least one byte
+    * equal (4 bands guarantee recall only up to 3 differing bits) — then
+    * verify with bit_count(xor). For larger Hamming radii use a 64-bit
+    * SimHash with maxHamming+1 bands so the pigeonhole bound holds.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-byte pigeonhole guarantees recall only for Hamming <= 3 " +
+        s"(got $maxHamming); use more/wider bands for larger radii")
     val sh = simhash(docs)
     val byByte = sh.select(col("doc_id"), col("simhash"),
       explode(expr("sequence(0, 3)")).as("p"))

@@ -91,6 +91,10 @@ object TextAnalysis {
       concat_ws(" ", expr(tokensSql)).as("norm"))
       .select(col("doc_id"),
         md5(col("norm")).as("fp_md5"),
-        expr("aggregate(split(norm, ''), cast(0 as bigint), " +
+        // split(norm, '') appends a trailing '' element (ascii('')=0 would
+        // add a spurious *131 fold step); filter it so this equals
+        // graft.textfn.Text.polyHash exactly.
+        expr("aggregate(filter(split(norm, ''), c -> c <> ''), " +
+          "cast(0 as bigint), " +
           "(acc, c) -> (acc * 131 + ascii(c)) % 1000000007)").as("fp_poly"))
 }

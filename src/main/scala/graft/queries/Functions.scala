@@ -213,20 +213,22 @@ object Functions extends QueryModule {
         CAST(c_acctbal IS NOT DISTINCT FROM c_acctbal AS BIGINT) AS selfeq
       FROM customer ORDER BY c_custkey""")),
 
-    // ---- array function battery over tokenized text.
+    // ---- array function battery over tokenized text. Array-typed results
+    // are JSON-serialized at the query boundary (the gate's compare handles
+    // scalar columns only).
     QueryDef("f_array_battery", (s, d) => {
       val words = expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
       t(s, d, "documents").select(
         col("doc_id"),
         size(words).cast("long").as("n_words"),
-        slice(words, 1, 5).as("first5"),
+        to_json(slice(words, 1, 5)).as("first5"),
         array_contains(words, "spark").cast("long").as("has_spark"),
         coalesce(nullif(array_position(words, "the"), lit(0L)), lit(0L))
           .as("pos_the"),
         get(words, lit(2)).as("third"), // 0-based get: 3rd token, null-safe
         array_join(slice(words, 1, 5), " ").as("joined5"),
-        array_sort(array_distinct(words)).as("uniq"),
-        filter(words, w => length(w) > 4).as("long_words"))
+        to_json(array_sort(array_distinct(words))).as("uniq"),
+        to_json(filter(words, w => length(w) > 4)).as("long_words"))
         .orderBy("doc_id")
     }, Some("""
       WITH w AS (SELECT doc_id,
@@ -234,13 +236,14 @@ object Functions extends QueryModule {
                  FROM documents)
       SELECT doc_id,
         CAST(len(words) AS BIGINT) AS n_words,
-        words[1:5] AS first5,
+        to_json(words[1:5])::VARCHAR AS first5,
         CAST(list_contains(words, 'spark') AS BIGINT) AS has_spark,
         CAST(COALESCE(list_position(words, 'the'), 0) AS BIGINT) AS pos_the,
         words[3] AS third,
         array_to_string(words[1:5], ' ') AS joined5,
-        list_sort(list_distinct(words)) AS uniq,
-        list_filter(words, x -> length(x) > 4) AS long_words
+        to_json(list_sort(list_distinct(words)))::VARCHAR AS uniq,
+        to_json(list_filter(words, x -> length(x) > 4))::VARCHAR
+          AS long_words
       FROM w ORDER BY doc_id""")),
 
     // ---- S1/S6: gzip JSON-lines sink + schema'd scan round-trip (the

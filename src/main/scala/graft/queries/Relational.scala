@@ -207,14 +207,16 @@ object Relational extends QueryModule {
 
     // ---- J7+W1: broadcast vocab lookup with OOV default (ref
     // sift/models/text.py:92-96: driver-broadcast dict; here a broadcast
-    // hash join that never shuffles the big exploded-words side).
+    // hash join that never shuffles the big exploded-words side). The
+    // global vocab rank uses the two-phase ordinal (graft.ops.Rank) — no
+    // single-partition window anywhere in the plan.
     QueryDef("j7_vocab_oov_broadcast", (s, d) => {
       val words = t(s, d, "documents").select(
         explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
           .as("w"))
       val byCount = words.groupBy("w").agg(count(lit(1)).as("cnt"))
-      val vocab = byCount.withColumn("rank",
-          row_number().over(Window.orderBy(desc("cnt"), asc("w"))) - 1)
+      val vocab = graft.ops.Rank
+        .globalOrdinal(byCount, Seq(desc("cnt"), asc("w")), "rank")
         .filter(col("rank") < 50).select("w", "rank")
       words.join(broadcast(vocab), Seq("w"), "left_outer")
         .select(coalesce(col("rank"), lit(50)).as("rank"))
@@ -320,20 +322,23 @@ object Relational extends QueryModule {
 
     // ---- A2: two-level count map (ref groupByKey().mapValues(Counter),
     // sift/models/links.py:61-69) — rewritten as two hash aggregations so
-    // map-side partial agg applies; emitted as a sorted entries array.
+    // map-side partial agg applies; emitted as a sorted entries array,
+    // JSON-serialized at the query boundary (the gate's compare handles
+    // scalar columns only — nested arrays are an internal representation).
     QueryDef("a2_countmap_entries", (s, d) => {
       t(s, d, "documents").groupBy("lang", "source")
         .agg(count(lit(1)).as("count"))
         .groupBy("lang")
-        .agg(sort_array(collect_list(struct(col("source"), col("count"))))
-            .as("per_source"),
+        .agg(to_json(sort_array(collect_list(
+            struct(col("source"), col("count"))))).as("per_source"),
           sum(col("count")).as("total"))
         .orderBy("lang")
     }, Some("""
       WITH g AS (SELECT lang, source, COUNT(*) AS count FROM documents
                  GROUP BY 1, 2)
       SELECT lang,
-        list_sort(list(struct_pack(source := source, count := count)))
+        to_json(list_sort(list(struct_pack(source := source,
+                                           count := count))))::VARCHAR
           AS per_source,
         CAST(SUM(count) AS BIGINT) AS total
       FROM g GROUP BY lang ORDER BY lang""")),
@@ -341,10 +346,12 @@ object Relational extends QueryModule {
     // ---- A4: group-to-list with deterministic ordering.
     QueryDef("a4_collect_sorted", (s, d) => {
       t(s, d, "lineitem").groupBy("l_orderkey")
-        .agg(sort_array(collect_list(col("l_partkey"))).as("parts"))
+        .agg(to_json(sort_array(collect_list(col("l_partkey"))))
+          .as("parts"))
         .orderBy("l_orderkey")
     }, Some("""
-      SELECT l_orderkey, list_sort(list(l_partkey)) AS parts
+      SELECT l_orderkey, to_json(list_sort(list(l_partkey)))::VARCHAR
+        AS parts
       FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
     // ---- A5: distinct.
@@ -359,13 +366,14 @@ object Relational extends QueryModule {
     // sift/models/links.py:193-201), canonicalized by sort.
     QueryDef("a6_doc_vocab", (s, d) => {
       t(s, d, "documents").select(col("doc_id"),
-        array_sort(array_distinct(
-          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")))
+        to_json(array_sort(array_distinct(
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))))
           .as("vocab"))
         .orderBy("doc_id")
     }, Some("""
       SELECT doc_id,
-        list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+        to_json(list_sort(list_distinct(
+          regexp_extract_all(lower(text), '[a-z0-9]+'))))::VARCHAR
           AS vocab
       FROM documents ORDER BY doc_id""")),
 
@@ -400,22 +408,27 @@ object Relational extends QueryModule {
 
     // ---- A9: L2 normalization of embedding vectors (ref numpy norm,
     // sift/models/text.py:196-199) as pure column expressions. The fold
-    // order of the sum-of-squares is left-to-right in both engines.
+    // order of the sum-of-squares is left-to-right in both engines, so the
+    // doubles are bit-identical; components surface as fixed-point
+    // DECIMAL(10,6) strings inside JSON (deterministic representation —
+    // raw double→string shortest-repr formatting differs across engines).
     QueryDef("a9_l2_normalize", (s, d) => {
       val v = transform(col("embedding"), x => x.cast("double"))
       val norm = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
       t(s, d, "embeddings").select(col("vec_id"),
-        transform(v, x => round(x / norm, 6)).as("unit"))
+        to_json(transform(v, x =>
+          (x / norm).cast(DecimalType(10, 6)).cast("string"))).as("unit"))
         .orderBy("vec_id")
     }, Some("""
       SELECT vec_id,
-        list_transform(
+        to_json(list_transform(
           list_transform(embedding, y -> CAST(y AS DOUBLE)),
-          x -> round(x / sqrt(list_reduce(
+          x -> CAST(CAST(x / sqrt(list_reduce(
             list_prepend(CAST(0.0 AS DOUBLE),
               list_transform(embedding,
                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
-            (a, b) -> a + b)), 6)) AS unit
+            (a, b) -> a + b)) AS DECIMAL(10,6)) AS VARCHAR)))::VARCHAR
+          AS unit
       FROM embeddings ORDER BY vec_id""")),
 
     // ---- ranking window functions.
@@ -493,18 +506,18 @@ object Relational extends QueryModule {
       FROM orders ORDER BY o_orderkey""")),
 
     // ---- W1: global ordinal vocabulary rank + rank-band filter (ref
-    // zipWithIndex ranking, sift/models/text.py:135-147; single-partition
-    // window is fine at vocab cardinality — the 100 TB path is a two-phase
-    // partition-rank + offset merge, see graft.ops docs).
+    // zipWithIndex ranking, sift/models/text.py:135-147) via the two-phase
+    // partition-rank + broadcast-offset merge in graft.ops.Rank — scales
+    // past the single-partition-window vocab-cardinality limit.
     QueryDef("w1_vocab_rank_band", (s, d) => {
       val words = t(s, d, "documents").select(
         explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
           .as("w"))
-      words.groupBy("w").agg(count(lit(1)).as("cnt"))
-        .withColumn("rank",
-          row_number().over(Window.orderBy(desc("cnt"), asc("w")))
-            .cast("long") - 1)
+      val byCount = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+      graft.ops.Rank
+        .globalOrdinal(byCount, Seq(desc("cnt"), asc("w")), "rank")
         .filter(col("rank") >= 5 && col("rank") < 30)
+        .select("w", "cnt", "rank")
         .orderBy("rank")
     }, Some("""
       WITH words AS (
