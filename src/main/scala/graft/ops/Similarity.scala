@@ -50,15 +50,29 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Coarse quantizer for IVF: assign every vector a cell id via the
+    * hyperplane LSH bucket (deterministic, no training pass needed — the
+    * signed-random-projection partition IS a valid IVF cell structure).
+    * 2^nPlanes cells; [[ivfTopK]] consumes the resulting `cell` column.
+    */
+  def assignCells(df: DataFrame, nPlanes: Int): DataFrame =
+    df.withColumn("cell", expr(hyperplaneBucketSql("embedding", nPlanes)))
+
   /** IVF cell centroids: elementwise mean per cell, computed relationally
-    * (posexplode → avg per (cell, dim) → reassemble ordered). One shuffle
+    * (posexplode → mean per (cell, dim) → reassemble ordered). One shuffle
     * on (cell, dim); centroid count = cells × dim, tiny → broadcast-able.
+    * The per-dimension sum goes through DECIMAL so it is order-independent
+    * and exact — a plain double `avg` varies in the low bits with shuffle
+    * order, which would make probe selection (and the oracle compare)
+    * nondeterministic.
     */
   def centroids(corpus: DataFrame, cellCol: String): DataFrame =
     corpus.select(col(cellCol).as("cell"),
       posexplode(col("embedding")).as(Seq("j", "x")))
       .groupBy("cell", "j")
-      .agg(avg(col("x").cast("double")).as("m"))
+      .agg((sum(col("x").cast("double")
+        .cast(org.apache.spark.sql.types.DecimalType(25, 10)))
+        .cast("double") / count(lit(1))).as("m"))
       .groupBy("cell")
       .agg(expr("transform(array_sort(collect_list(struct(j, m))), s -> s.m)")
         .as("centroid"))

@@ -1,0 +1,486 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextAnalysis, Hashing}
+
+/** Gate coverage for the LLM-data-pipeline operator layer (`graft.ops`):
+  * deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity
+  * search (brute-force / LSH-bucketed / IVF ANN, cosine near-dup pairs),
+  * text analysis (token stats, quality, language-ID, fingerprints) and the
+  * TF-IDF model — each paired with a full DuckDB replica of the pipeline,
+  * built from the same deterministic md5-based hash family
+  * ([[graft.ops.Hashing]]), so signatures, band keys, SimHash bits and
+  * cosines hash-match across engines bit-for-bit.
+  *
+  * Output conventions: scalar columns only (arrays → `to_json`, weights →
+  * fixed-point DECIMAL strings), total ORDER BY, BIGINT casts on counts.
+  */
+object Pipeline extends QueryModule {
+  import Tables.t
+  import Hashing.{duckMd5Long, tokensSql}
+
+  // --- DuckDB twins of the engine's hash/vector primitives -------------
+
+  /** DuckDB shingle CTEs (3-gram, distinct, docs with >= 3 tokens) —
+    * mirrors [[Dedup.shingled]].
+    */
+  private val duckShingleCtes =
+    """toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |           FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(toks) - 1),
+      |           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+      |       FROM toks WHERE len(toks) >= 3)""".stripMargin
+
+  /** DuckDB twin of [[Similarity.cosineSql]]: sequential left-fold dot
+    * products in doubles — bit-identical to Spark's `aggregate(zip_with)`.
+    */
+  private def duckCos(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, len($a) + 1), " +
+        s"kk -> CAST($x[kk] AS DOUBLE) * CAST($y[kk] AS DOUBLE))), " +
+        s"(acc, v) -> acc + v)"
+    s"((${dot(a, b)}) / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  /** DuckDB twin of [[Similarity.hyperplaneBucketSql]]. */
+  private def duckBucket(vec: String, nPlanes: Int): String = {
+    val proj = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(0, len($vec)), " +
+      s"jj -> CAST($vec[jj + 1] AS DOUBLE) * " +
+      s"((${duckMd5Long("CAST(pp AS VARCHAR) || ',' || CAST(jj AS VARCHAR)")} % 2001) - 1000) / 1000.0)), " +
+      s"(acc, v) -> acc + v)"
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(0, $nPlanes), pp -> " +
+      s"CASE WHEN ($proj) >= 0 THEN (CAST(1 AS BIGINT) << pp) " +
+      s"ELSE CAST(0 AS BIGINT) END)), (acc, v) -> acc + v)"
+  }
+
+  /** DuckDB SimHash CTEs (→ table `shh(doc_id, simhash)`) — mirrors
+    * [[Dedup.simhash]].
+    */
+  private val duckSimhashCtes =
+    s"""tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+       |          FROM documents),
+       |tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+       |th AS (SELECT doc_id, cnt, ${duckMd5Long("tok")} AS h FROM tc),
+       |votes AS (SELECT doc_id, b,
+       |            CAST(SUM((((h >> b) % 2) * 2 - 1) * cnt) AS BIGINT) AS votes
+       |          FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bb
+       |          GROUP BY 1, 2),
+       |shh AS (SELECT doc_id,
+       |          CAST(SUM(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << b)
+       |                        ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+       |        FROM votes GROUP BY doc_id)""".stripMargin
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+  private def emb(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // =================== deduplication =================================
+
+    // ---- Exact dedup over a corpus with planted duplicates (the base
+    // table has none): one 128-bit-fingerprint hash aggregate.
+    QueryDef("d_exact_dedup", (s, d) => {
+      val base = docs(s, d).select("doc_id", "text")
+      val aug = base.unionByName(
+        base.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.exact(aug).orderBy("fp")
+    }, Some("""
+      WITH aug AS (SELECT doc_id, text FROM documents
+                   UNION ALL
+                   SELECT doc_id + 100000, text FROM documents
+                   WHERE doc_id < 50)
+      SELECT md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp,
+             MIN(doc_id) AS keep_doc, CAST(COUNT(*) AS BIGINT) AS n_dups
+      FROM aug GROUP BY fp ORDER BY fp""")),
+
+    // ---- MinHash signatures (k=8 over 3-gram shingles): per-row
+    // expression, embarrassingly parallel.
+    QueryDef("d_minhash_sig", (s, d) => {
+      Dedup.minhashSignatures(Dedup.shingled(docs(s, d), 3), 8)
+        .select(col("doc_id"), to_json(col("sig")).as("sig"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH $duckShingleCtes
+      SELECT doc_id, to_json(list_transform(range(0, 8), i ->
+        list_min(list_transform(shingles, s ->
+          ${duckMd5Long("CAST(i AS VARCHAR) || ':' || s")}))))::VARCHAR AS sig
+      FROM sh ORDER BY doc_id""")),
+
+    // ---- Full MinHash-LSH near-dup pipeline (k=8, 4 bands × 2 rows,
+    // exact-Jaccard verify at 0.5): candidates only ever meet inside an
+    // LSH band bucket — the O(n²) pair space is never materialized.
+    QueryDef("d_lsh_neardup", (s, d) => {
+      Dedup.minhashLsh(docs(s, d), 3, 8, 4, 0.5)
+        .orderBy("doc_a", "doc_b")
+    }, Some(s"""
+      WITH $duckShingleCtes,
+      sig AS (SELECT doc_id, list_transform(range(0, 8), i ->
+                list_min(list_transform(shingles, s ->
+                  ${duckMd5Long("CAST(i AS VARCHAR) || ':' || s")}))) AS sig
+              FROM sh),
+      banded AS (SELECT doc_id, bb.b AS band,
+                   md5(array_to_string(list_transform(
+                     sig[bb.b * 2 + 1 : bb.b * 2 + 2],
+                     x -> CAST(x AS VARCHAR)), ',')) AS bkey
+                 FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb),
+      cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.bkey = b.bkey
+                 AND a.doc_id < b.doc_id),
+      ex AS (SELECT doc_id, unnest(shingles) AS shg FROM sh),
+      sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+      inter AS (SELECT doc_a, doc_b, COUNT(*) AS inter
+                FROM cands
+                JOIN ex ea ON doc_a = ea.doc_id
+                JOIN ex eb ON doc_b = eb.doc_id AND ea.shg = eb.shg
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+      ORDER BY doc_a, doc_b""")),
+
+    // ---- All-pairs n-gram Jaccard with the df skew cap (filtered-universe
+    // semantics: intersection AND sizes over df-capped shingles).
+    QueryDef("d_jaccard_pairs", (s, d) => {
+      Dedup.jaccardAllPairs(docs(s, d), 3, 0.5, maxShingleDf = 50)
+        .orderBy("doc_a", "doc_b")
+    }, Some(s"""
+      WITH $duckShingleCtes,
+      ex AS (SELECT doc_id, unnest(shingles) AS shg FROM sh),
+      hot AS (SELECT shg FROM ex GROUP BY shg HAVING COUNT(*) > 50),
+      kept AS (SELECT ex.doc_id, ex.shg FROM ex
+               LEFT JOIN hot ON ex.shg = hot.shg WHERE hot.shg IS NULL),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS inter
+                FROM kept a JOIN kept b
+                  ON a.shg = b.shg AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+      ORDER BY doc_a, doc_b""")),
+
+    // ---- 32-bit SimHash per document (relational bit-vote).
+    QueryDef("d_simhash", (s, d) => {
+      Dedup.simhash(docs(s, d)).orderBy("doc_id")
+    }, Some(s"""
+      WITH $duckSimhashCtes
+      SELECT doc_id, simhash FROM shh ORDER BY doc_id""")),
+
+    // ---- SimHash near-dup pairs (byte pigeonhole, Hamming <= 3).
+    QueryDef("d_simhash_pairs", (s, d) => {
+      Dedup.simhashPairs(docs(s, d), 3)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("doc_a", "doc_b")
+    }, Some(s"""
+      WITH $duckSimhashCtes,
+      byb AS (SELECT doc_id, simhash, pp.p AS p,
+                ((simhash >> (pp.p * 8)) % 256) AS byte
+              FROM shh CROSS JOIN (SELECT unnest(range(0, 4)) AS p) pp),
+      pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                         AS hamming
+                FROM byb a JOIN byb b
+                  ON a.p = b.p AND a.byte = b.byte AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, hamming FROM pairs
+      WHERE hamming <= 3 ORDER BY doc_a, doc_b""")),
+
+    // =================== similarity search =============================
+
+    // ---- Brute-force exact top-k cosine ANN (small query set broadcast
+    // against the corpus; the corpus never shuffles).
+    QueryDef("sim_topk_bruteforce", (s, d) => {
+      val e = emb(s, d)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }, Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+      scored AS (SELECT query_id, neighbor_id, ${duckCos("qe", "ce")} AS cos
+                 FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+      ranked AS (SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS rank
+                 FROM scored)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+             round(cos, 6) AS cos
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- Hyperplane-LSH bucketed ANN (8 deterministic hash-derived
+    // planes; candidates restricted to the query's bucket).
+    QueryDef("sim_lsh_topk", (s, d) => {
+      val e = emb(s, d)
+      Similarity.lshTopK(e.filter(col("vec_id") < 10), e, 8, 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }, Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+                   ${duckBucket("embedding", 8)} AS bucket
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS ce,
+              ${duckBucket("embedding", 8)} AS bucket
+            FROM embeddings),
+      scored AS (SELECT query_id, neighbor_id, ${duckCos("qe", "ce")} AS cos
+                 FROM q JOIN c USING (bucket)
+                 WHERE query_id <> neighbor_id),
+      ranked AS (SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS rank
+                 FROM scored)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+             round(cos, 6) AS cos
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- IVF probe search, end-to-end: hyperplane coarse quantizer (16
+    // cells) → decimal-exact centroids → probe 2 nearest cells → exact
+    // rank within the probed fraction.
+    QueryDef("sim_ivf_topk", (s, d) => {
+      val e = emb(s, d)
+      val corpus = Similarity.assignCells(e, 4)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 10), corpus, "cell", 2, 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }, Some(s"""
+      WITH c0 AS (SELECT vec_id, embedding,
+                    ${duckBucket("embedding", 4)} AS cell
+                  FROM embeddings),
+      dims AS (SELECT cell, unnest(range(0, len(embedding))) AS j,
+                 unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                   AS x
+               FROM c0),
+      cm AS (SELECT cell, j,
+               CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*)
+                 AS m
+             FROM dims GROUP BY 1, 2),
+      cents AS (SELECT cell, list(m ORDER BY j) AS centroid
+                FROM cm GROUP BY cell),
+      pc AS (SELECT query_id, qe, cell, ${duckCos("qe", "centroid")} AS ccos
+             FROM (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < 10) q
+             CROSS JOIN cents),
+      probed AS (SELECT query_id, qe, cell FROM (
+                   SELECT query_id, qe, cell,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY ccos DESC, cell) AS pr
+                   FROM pc)
+                 WHERE pr <= 2),
+      scored AS (SELECT p.query_id, c0.vec_id AS neighbor_id,
+                   ${duckCos("qe", "embedding")} AS cos
+                 FROM probed p JOIN c0 ON p.cell = c0.cell
+                 WHERE p.query_id <> c0.vec_id),
+      ranked AS (SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS rank
+                 FROM scored)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+             round(cos, 6) AS cos
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- Embedding-cosine near-duplicate pairs (exact all-pairs — the
+    // ground-truth formulation; documented scale path is LSH/IVF).
+    QueryDef("sim_neardup_pairs", (s, d) => {
+      Similarity.cosineNearDupPairs(emb(s, d), 0.45)
+        .orderBy("vec_a", "vec_b")
+    }, Some(s"""
+      WITH a AS (SELECT vec_id AS vec_a, embedding AS ea FROM embeddings),
+      b AS (SELECT vec_id AS vec_b, embedding AS eb FROM embeddings),
+      scored AS (SELECT vec_a, vec_b, ${duckCos("ea", "eb")} AS cos
+                 FROM a JOIN b ON vec_a < vec_b)
+      SELECT vec_a, vec_b, round(cos, 6) AS cos
+      FROM scored WHERE cos >= 0.45 ORDER BY vec_a, vec_b""")),
+
+    // =================== text analysis =================================
+
+    QueryDef("t_token_stats", (s, d) => {
+      TextAnalysis.tokenStats(docs(s, d)).orderBy("doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                 FROM documents)
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(toks, tt -> CAST(length(tt) AS BIGINT))),
+            (a, b) -> a + b) AS DOUBLE) / greatest(len(toks), 1), 6)
+          AS avg_token_len
+      FROM w ORDER BY doc_id""")),
+
+    QueryDef("t_quality_score", (s, d) => {
+      TextAnalysis.qualityScore(docs(s, d))
+        .withColumn("passes_quality", col("passes_quality").cast("long"))
+        .orderBy("doc_id")
+    }, Some {
+      val enStops = TextAnalysis.langProfiles.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""
+      WITH w AS (SELECT doc_id, text,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+                   CAST(greatest(length(text), 1) AS DOUBLE) AS n
+                 FROM documents)
+      SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        round((length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) / n, 6) AS alpha_ratio,
+        round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / n, 6) AS digit_ratio,
+        round((length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g'))) / n, 6) AS punct_ratio,
+        round(CAST(len(list_filter(toks, tt -> list_contains($enStops, tt))) AS DOUBLE)
+              / greatest(len(toks), 1), 6) AS stopword_ratio,
+        round(CAST(len(list_distinct(toks)) AS DOUBLE)
+              / greatest(len(toks), 1), 6) AS type_token_ratio,
+        CAST(len(toks) >= 10
+             AND (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) / n >= 0.6
+             AND CAST(len(list_filter(toks, tt -> list_contains($enStops, tt))) AS DOUBLE)
+                 / greatest(len(toks), 1) >= 0.01 AS BIGINT) AS passes_quality
+      FROM w ORDER BY doc_id"""
+    }),
+
+    QueryDef("t_lang_id", (s, d) => {
+      TextAnalysis.langId(docs(s, d)).orderBy("doc_id")
+    }, Some {
+      val scores = TextAnalysis.langProfiles.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(toks, tt -> list_contains($lst, tt))) AS s_$lang"
+      }.mkString(",\n          ")
+      val mx = TextAnalysis.langProfiles
+        .map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
+      val pick = TextAnalysis.langProfiles
+        .map(p => s"WHEN s_${p._1} = $mx THEN '${p._1}'")
+        .mkString(" ")
+      s"""
+      WITH w AS (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                 FROM documents),
+      scored AS (SELECT doc_id,
+          $scores
+        FROM w)
+      SELECT doc_id,
+        CASE WHEN $mx = 0 THEN 'und' $pick ELSE 'und' END AS lang_pred
+      FROM scored ORDER BY doc_id"""
+    }),
+
+    QueryDef("t_fingerprints", (s, d) => {
+      TextAnalysis.fingerprints(docs(s, d)).orderBy("doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id,
+                   array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ') AS norm
+                 FROM documents)
+      SELECT doc_id, md5(norm) AS fp_md5,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, length(norm) + 1),
+            i -> CAST(ascii(substring(norm, i, 1)) AS BIGINT))),
+          (acc, c) -> (acc * 131 + c) % 1000000007) AS fp_poly
+      FROM w ORDER BY doc_id""")),
+
+    // =================== models: TF-IDF (F12/F13/M2, ref
+    // sift/models/text.py:110-206) =====================================
+
+    // ---- idf = ln(N / df) over the token vocabulary.
+    QueryDef("m2_term_idfs", (s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(expr(tokensSql)).as("tok"))
+      val dfreq = toks.distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      dfreq.crossJoin(nDocs)
+        .select(col("tok"), col("df"),
+          round(log(col("n_docs").cast("double") / col("df")), 6).as("idf"))
+        .orderBy("tok")
+    }, Some("""
+      WITH tk AS (SELECT DISTINCT doc_id, tok FROM (
+                    SELECT doc_id,
+                      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                    FROM documents)),
+      dfq AS (SELECT tok, COUNT(*) AS df FROM tk GROUP BY tok),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      SELECT tok, df, round(ln(CAST(n_docs AS DOUBLE) / df), 6) AS idf
+      FROM dfq CROSS JOIN n ORDER BY tok""")),
+
+    // ---- per-document tf-idf vectors: weight = sqrt(tf) × idf, entries
+    // sorted by token, L2-normalized with a deterministic sequential fold,
+    // components as fixed-point strings inside JSON.
+    QueryDef("m2_tfidf_vectors", (s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(expr(tokensSql)).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+      val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      val idf = dfreq.crossJoin(nDocs).select(col("tok"),
+        round(log(col("n_docs").cast("double") / col("df")), 6).as("idf"))
+      val w = tf.join(idf, "tok").select(col("doc_id"), col("tok"),
+        (sqrt(col("tf").cast("double")) * col("idf")).as("wt"))
+      val normSql =
+        "sqrt(aggregate(es, cast(0.0 as double), (a, e) -> a + e.wt * e.wt))"
+      w.groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("tok"), col("wt"))))
+          .as("es"))
+        .select(col("doc_id"), to_json(expr(
+          s"transform(es, e -> struct(e.tok as tok, " +
+            s"cast(cast(case when $normSql > 0 then e.wt / $normSql " +
+            s"else cast(0.0 as double) end as decimal(10,6)) as string) as w))"))
+          .as("vec"))
+        .orderBy("doc_id")
+    }, Some {
+      val norm = "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(es, e2 -> e2.wt * e2.wt)), (a, b) -> a + b))"
+      s"""
+      WITH tk AS (SELECT doc_id,
+                    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                  FROM documents),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+      dfq AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM tk)
+              GROUP BY tok),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      idf AS (SELECT tok, round(ln(CAST(n_docs AS DOUBLE) / df), 6) AS idf
+              FROM dfq CROSS JOIN n),
+      w AS (SELECT doc_id, tf.tok AS tok, sqrt(CAST(tf AS DOUBLE)) * idf AS wt
+            FROM tf JOIN idf ON tf.tok = idf.tok),
+      ess AS (SELECT doc_id,
+                list_sort(list(struct_pack(tok := tok, wt := wt))) AS es
+              FROM w GROUP BY doc_id)
+      SELECT doc_id, to_json(list_transform(es, e ->
+          struct_pack(tok := e.tok,
+            w := CAST(CAST(CASE WHEN $norm > 0 THEN e.wt / $norm
+                           ELSE CAST(0.0 AS DOUBLE) END
+                      AS DECIMAL(10,6)) AS VARCHAR))))::VARCHAR AS vec
+      FROM ess ORDER BY doc_id"""
+    }),
+
+    // ---- A3: group-to-map (ref groupByKey().mapValues(dict),
+    // sift/models/links.py:124-127) via map_from_entries over sorted
+    // entries, JSON-serialized.
+    QueryDef("a3_countmap_map", (s, d) => {
+      docs(s, d).groupBy("lang", "source")
+        .agg(count(lit(1)).as("count"))
+        .groupBy("lang")
+        .agg(to_json(map_from_entries(sort_array(collect_list(
+            struct(col("source"), col("count")))))).as("counts"),
+          sum(col("count")).as("total"))
+        .orderBy("lang")
+    }, Some("""
+      WITH g AS (SELECT lang, source, COUNT(*) AS count FROM documents
+                 GROUP BY 1, 2)
+      SELECT lang,
+        to_json(map_from_entries(list_sort(list(struct_pack(
+          k := source, v := count)))))::VARCHAR AS counts,
+        CAST(SUM(count) AS BIGINT) AS total
+      FROM g GROUP BY lang ORDER BY lang"""))
+  )
+}
