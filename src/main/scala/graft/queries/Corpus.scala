@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{Wiki, WarcSource}
+import graft.ops.Mentions
+
+/** Corpus-ingestion coverage (SURVEY.md §2.1 S2-S4, §2.8 F5-F11, §2.5 W2):
+  * the wiki-dump and WARC front doors and the sentence-window mention
+  * operator, exercised over the repo's hand-authored fixtures
+  * (FIXTURES.md §A2/§A4) and verified against frozen golden rows (VALUES
+  * oracles — the parsers are deterministic pure functions, so goldens are
+  * exact).
+  */
+object Corpus extends QueryModule {
+
+  val FixtureWiki = "/root/repo/fixtures/wiki.xml"
+  val FixtureWarc = "/root/repo/fixtures/sample.warc"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- S2+S3: record-delimited dump scan + StAX page parse.
+    QueryDef("s2_wiki_pages", (s, d) => {
+      Wiki.pages(s, FixtureWiki)
+        .select(col("uri"), col("ns"), col("pid"),
+          col("redirect"),
+          coalesce(length(col("content")), lit(-1)).cast("long")
+            .as("n_content"))
+        .orderBy("uri")
+    }, Some("""
+      SELECT * FROM (VALUES
+      ('en.wikipedia.org/wiki/Anarchism', '0', CAST(12 AS BIGINT), NULL, CAST(557 AS BIGINT)),
+      ('en.wikipedia.org/wiki/Anarchist', '0', CAST(13 AS BIGINT), 'Anarchism', CAST(-1 AS BIGINT)),
+      ('en.wikipedia.org/wiki/Anarcho-communism', '0', CAST(14 AS BIGINT), 'Anarchist', CAST(-1 AS BIGINT)),
+      ('en.wikipedia.org/wiki/Category:Political_ideologies', '14', CAST(30 AS BIGINT), NULL, CAST(19 AS BIGINT)),
+      ('en.wikipedia.org/wiki/Political_philosophy', '0', CAST(20 AS BIGINT), NULL, CAST(183 AS BIGINT))
+      ) AS t(uri, ns, pid, redirect, n_content) ORDER BY uri""")),
+
+    // ---- F5-F10 + J1/J6/J2/A4: full wiki front door → documents.
+    QueryDef("s3_wiki_documents", (s, d) => {
+      Wiki.documents(s, FixtureWiki)
+        .select(col("doc_id"), col("text"), to_json(col("links")).as("links"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT * FROM (VALUES
+      ('en.wikipedia.org/wiki/Anarchism', 'Anarchism is a political philosophy that rejects hierarchies. It overlaps with libertarian socialism. ' || chr(10) || '' || chr(10) || 'History' || chr(10) || 'Early forms appear in Taoist texts. Tolstoy & Godwin wrote about peace. See  the archive for the letter A and the formula  aside.' || chr(10) || '' || chr(10) || 'The anarchist black flag.', '[{"target":"en.wikipedia.org/wiki/Anarchism","start":0,"stop":9},{"target":"en.wikipedia.org/wiki/Political_philosophy","start":15,"stop":35},{"target":"en.wikipedia.org/wiki/Hierarchy","start":49,"stop":60},{"target":"en.wikipedia.org/wiki/Libertarian_socialism","start":79,"stop":100},{"target":"en.wikipedia.org/wiki/Taoism","start":134,"stop":140},{"target":"example.org/archive","start":188,"stop":200}]'),
+      ('en.wikipedia.org/wiki/Political_philosophy', 'Political philosophy studies government and law. Its modern history includes anarchist thought and Anarcho-communism variants. A stub note follows.', '[{"target":"en.wikipedia.org/wiki/Political_philosophy","start":0,"stop":20},{"target":"en.wikipedia.org/wiki/Government","start":29,"stop":39},{"target":"en.wikipedia.org/wiki/Anarchism","start":77,"stop":94},{"target":"en.wikipedia.org/wiki/Anarchism","start":99,"stop":116}]')
+      ) AS t(doc_id, text, links) ORDER BY doc_id""")),
+
+    // ---- S4+F11: WARC scan → HTTP-200 filter → HTML → anchored text.
+    QueryDef("s4_warc_documents", (s, d) => {
+      WarcSource.documents(s, FixtureWarc)
+        .select(col("doc_id"), col("text"), to_json(col("links")).as("links"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT * FROM (VALUES
+      ('http://example.org/page1', 'Clusters' || chr(10) || 'Example page about Apache Spark clusters.' || chr(10) || 'It also covers Flink briefly.', '[{"target":"http://example.org/spark","start":28,"stop":40},{"target":"http://example.org/flink","start":66,"stop":71}]'),
+      ('http://example.org/page3', 'Une page en texte brut sans liens.', '[]')
+      ) AS t(doc_id, text, links) ORDER BY doc_id""")),
+
+    // ---- W2: sentence-window mention contexts over the wiki documents.
+    QueryDef("w2_entity_mentions", (s, d) => {
+      Mentions.mentionContexts(Wiki.documents(s, FixtureWiki))
+        .select(col("target"), col("source"), col("text"),
+          col("start").cast("long").as("start"),
+          col("stop").cast("long").as("stop"))
+        .orderBy("source", "start", "target")
+    }, Some("""
+      SELECT * FROM (VALUES
+      ('en.wikipedia.org/wiki/Anarchism', 'en.wikipedia.org/wiki/Anarchism', 'Anarchism is a political philosophy that rejects hierarchies.', CAST(0 AS BIGINT), CAST(9 AS BIGINT)),
+      ('example.org/archive', 'en.wikipedia.org/wiki/Anarchism', 'See  the archive for the letter A and the formula  aside.', CAST(4 AS BIGINT), CAST(16 AS BIGINT)),
+      ('en.wikipedia.org/wiki/Political_philosophy', 'en.wikipedia.org/wiki/Anarchism', 'Anarchism is a political philosophy that rejects hierarchies.', CAST(15 AS BIGINT), CAST(35 AS BIGINT)),
+      ('en.wikipedia.org/wiki/Libertarian_socialism', 'en.wikipedia.org/wiki/Anarchism', 'It overlaps with libertarian socialism.', CAST(17 AS BIGINT), CAST(38 AS BIGINT)),
+      ('en.wikipedia.org/wiki/Taoism', 'en.wikipedia.org/wiki/Anarchism', 'Early forms appear in Taoist texts.', CAST(22 AS BIGINT), CAST(28 AS BIGINT)),
+      ('en.wikipedia.org/wiki/Hierarchy', 'en.wikipedia.org/wiki/Anarchism', 'Anarchism is a political philosophy that rejects hierarchies.', CAST(49 AS BIGINT), CAST(60 AS BIGINT)),
+      ('en.wikipedia.org/wiki/Political_philosophy', 'en.wikipedia.org/wiki/Political_philosophy', 'Political philosophy studies government and law.', CAST(0 AS BIGINT), CAST(20 AS BIGINT)),
+      ('en.wikipedia.org/wiki/Anarchism', 'en.wikipedia.org/wiki/Political_philosophy', 'Its modern history includes anarchist thought and Anarcho-communism variants.', CAST(28 AS BIGINT), CAST(45 AS BIGINT)),
+      ('en.wikipedia.org/wiki/Government', 'en.wikipedia.org/wiki/Political_philosophy', 'Political philosophy studies government and law.', CAST(29 AS BIGINT), CAST(39 AS BIGINT)),
+      ('en.wikipedia.org/wiki/Anarchism', 'en.wikipedia.org/wiki/Political_philosophy', 'Its modern history includes anarchist thought and Anarcho-communism variants.', CAST(50 AS BIGINT), CAST(67 AS BIGINT))
+      ) AS t(target, source, text, start, stop)
+      ORDER BY source, start, target"""))
+  )
+}

@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.textfn.{WikiXml, Wikitext}
+
+/** Wikipedia-dump ingestion, the reference's front door (ref
+  * sift/corpora/wikipedia.py:10-91 WikipediaCorpus / WikipediaRedirects /
+  * WikipediaArticles):
+  *
+  *   S2 record-delimited XML scan → S3 page parse → redirect extraction
+  *   (+ transitive collapse) → markup removal/link extraction →
+  *   link-target redirect resolution (J1 left-outer + coalesce) →
+  *   regroup + re-attach text (J2) → `documents(doc_id, text, links)`.
+  *
+  * Scale notes: the scan is the built-in `text` source with a custom
+  * `lineSep` (splittable, parallel over dump parts); page/markup parsing
+  * is record-local typed map (no shuffle); the redirect join is a plain
+  * equi-join the optimizer may broadcast (the ref hand-chose a shuffle
+  * join for the same reason AQE decides at runtime, wikipedia.py:81-82).
+  */
+object Wiki {
+
+  final case class PageRow(uri: String, ns: String, pid: Long,
+      redirect: Option[String], content: Option[String])
+  final case class LinkRow(target: String, start: Int, stop: Int)
+  final case class DocRow(doc_id: String, text: String, links: Seq[LinkRow])
+
+  /** S2+S3: split the dump on the `</page>` record delimiter (ref
+    * wikipedia.py:14-20), re-close each fragment, parse with StAX.
+    */
+  def pages(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    s.read.option("lineSep", "\n  </page>\n").textFile(path)
+      .flatMap { chunk =>
+        val i = chunk.indexOf("<page")
+        if (i < 0) None
+        else WikiXml.parsePage(chunk.substring(i) + "\n  </page>")
+          .map(p => PageRow(p.uri, p.ns, p.pageId, p.redirect, p.content))
+      }
+      .toDF()
+  }
+
+  /** Redirect pairs (source uri → target uri), transitively collapsed so
+    * chains a→b→c resolve straight to c (ref applies one hop,
+    * wikipedia.py:49-66; we iterate a bounded driver loop — each hop
+    * halves remaining chain length, so `hops` rounds cover 2^hops).
+    */
+  def redirects(s: SparkSession, pagesDf: DataFrame, hops: Int = 3): DataFrame = {
+    val normUdf = udf((t: String) => Wikitext.WikiPrefix +
+      Wikitext.normaliseWikilink(t))
+    var r = pagesDf.filter(col("redirect").isNotNull)
+      .select(col("uri").as("source"), normUdf(col("redirect")).as("target"))
+    for (_ <- 1 to hops) {
+      val next = r.as("l")
+        .join(r.select(col("source").as("s2"), col("target").as("t2")).as("r"),
+          col("l.target") === col("s2"), "left_outer")
+        .select(col("l.source").as("source"),
+          coalesce(col("t2"), col("l.target")).as("target"))
+      r = next.localCheckpoint(eager = true) // keep loop lineage flat
+    }
+    // self-redirect cycles degenerate to source==target; drop them
+    r.filter(col("source") =!= col("target"))
+  }
+
+  /** Markup-cleaned articles with redirect-resolved links (ns 0, not a
+    * redirect, non-empty content — ref wikipedia.py:72).
+    */
+  def articles(s: SparkSession, pagesDf: DataFrame,
+      redirectsDf: DataFrame): DataFrame = {
+    import s.implicits._
+    val parsed = pagesDf
+      .filter(col("ns") === "0" && col("redirect").isNull &&
+        col("content").isNotNull && length(col("content")) > 0)
+      .select("uri", "content").as[(String, String)]
+      .map { case (uri, content) =>
+        val p = Wikitext.parse(uri, content)
+        DocRow(uri, p.text, p.links.map(l => LinkRow(l.target, l.start, l.stop)))
+      }
+      .toDF()
+
+    // J1: resolve link targets through redirects; keep document order of
+    // links via their position; J2: re-attach grouped links to text by key
+    // instead of carrying the full text through the links shuffle.
+    val ex = parsed
+      .select(col("doc_id"), posexplode(col("links")).as(Seq("pos", "l")))
+    val resolved = ex
+      .join(redirectsDf.select(col("source").as("rsrc"),
+        col("target").as("rtgt")), col("l.target") === col("rsrc"),
+        "left_outer")
+      .select(col("doc_id"), col("pos"),
+        struct(coalesce(col("rtgt"), col("l.target")).as("target"),
+          col("l.start").as("start"), col("l.stop").as("stop")).as("l"))
+    val grouped = resolved.groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, l))), x -> x.l)")
+        .as("links"))
+    parsed.select("doc_id", "text")
+      .join(grouped, Seq("doc_id"), "left_outer")
+      .withColumn("links", coalesce(col("links"), expr(
+        "cast(array() as array<struct<target:string,start:int,stop:int>>)")))
+  }
+
+  /** Full front door: dump path → documents(doc_id, text, links). */
+  def documents(s: SparkSession, path: String): DataFrame = {
+    val p = pages(s, path)
+    articles(s, p, redirects(s, p))
+  }
+}

@@ -21,6 +21,8 @@ object Html {
   private val AnchorOpen = Pattern.compile(
     "(?is)<a\\b[^>]*?href\\s*=\\s*(\"([^\"]*)\"|'([^']*)')[^>]*>")
   private val AnyTag = Pattern.compile("(?s)<[^>]+>")
+  private val BlockEnd = Pattern.compile(
+    "(?i)(</(p|div|h[1-6]|li|ul|ol|table|tr|td|th|section|article|header|footer|blockquote)\\s*>|<br\\s*/?>)")
   private val Ws = Pattern.compile("[ \\t\\x0B\\f\\r]+")
 
   /** Normalize an HTML fragment to text in which the only remaining markup
@@ -41,6 +43,7 @@ object Html {
     m.appendTail(sb)
     s = sb.toString
     s = s.replaceAll("(?i)</a\\s*>", "\u0001/a\u0002")
+    s = BlockEnd.matcher(s).replaceAll("\n") // block boundaries → newline
     s = AnyTag.matcher(s).replaceAll("") // unwrap everything else
     s = s.replace('\u0001', '<').replace('\u0002', '>')
     s = Ws.matcher(s).replaceAll(" ")

@@ -63,19 +63,16 @@ object Wikitext {
   def stripTemplates(s: String): String = {
     val out = new java.lang.StringBuilder(s.length)
     var i = 0
-    var depth = 0
+    var depth = 0 // count of unmatched '{' inside a template region
     while (i < s.length) {
       if (depth == 0 && i + 1 < s.length &&
           s.charAt(i) == '{' && s.charAt(i + 1) == '{') {
-        depth = 1; i += 2
+        depth = 2; i += 2 // both braces of the opening '{{' are unmatched
       } else if (depth > 0) {
         val c = s.charAt(i)
         if (c == '{') depth += 1
         else if (c == '}') depth -= 1
         i += 1
-        // a lone closing pair may leave depth at -1 on broken markup;
-        // clamp so we re-enter copy mode rather than eating the document
-        if (depth < 0) depth = 0
       } else {
         out.append(s.charAt(i)); i += 1
       }
