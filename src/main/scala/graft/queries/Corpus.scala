@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.{Wiki, WarcSource}
+import graft.sources.{Wiki, WarcSource, Wikidata}
 import graft.ops.Mentions
 
 /** Corpus-ingestion coverage (SURVEY.md §2.1 S2-S4, §2.8 F5-F11, §2.5 W2):
@@ -16,6 +16,7 @@ object Corpus extends QueryModule {
 
   val FixtureWiki = "/root/repo/fixtures/wiki.xml"
   val FixtureWarc = "/root/repo/fixtures/sample.warc"
+  val FixtureWikidata = "/root/repo/fixtures/wikidata.json"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -78,6 +79,39 @@ object Corpus extends QueryModule {
       ('en.wikipedia.org/wiki/Government', 'en.wikipedia.org/wiki/Political_philosophy', 'Political philosophy studies government and law.', CAST(29 AS BIGINT), CAST(39 AS BIGINT)),
       ('en.wikipedia.org/wiki/Anarchism', 'en.wikipedia.org/wiki/Political_philosophy', 'Its modern history includes anarchist thought and Anarcho-communism variants.', CAST(50 AS BIGINT), CAST(67 AS BIGINT))
       ) AS t(target, source, text, start, stop)
-      ORDER BY source, start, target"""))
+      ORDER BY source, start, target""")),
+
+    // ---- S5+F15: wikidata JSON-array scan + null-safe nested paths.
+    QueryDef("s5_wikidata_items", (s, d) => {
+      Wikidata.items(s, FixtureWikidata)
+        .select(col("id"),
+          col("labels").getItem("en").getField("value").as("en_label"),
+          col("sitelinks").getItem("enwiki").getField("title")
+            .as("enwiki_title"),
+          coalesce(size(map_keys(col("claims"))).cast("long"), lit(0L))
+            .as("n_claims"))
+        .orderBy("id")
+    }, Some("""
+      SELECT * FROM (VALUES
+      ('P144', 'based on', NULL, CAST(0 AS BIGINT)),
+      ('P31', 'instance of', NULL, CAST(0 AS BIGINT)),
+      ('P569', 'date of birth', NULL, CAST(0 AS BIGINT)),
+      ('P777', 'unused predicate', NULL, CAST(0 AS BIGINT)),
+      ('P856', 'official website', NULL, CAST(0 AS BIGINT)),
+      ('Q42', 'Douglas Adams', 'Douglas Adams', CAST(4 AS BIGINT)),
+      ('Q5', 'human', NULL, CAST(0 AS BIGINT)),
+      ('Q77', NULL, 'Seventy Seven', CAST(2 AS BIGINT))
+      ) AS t(id, en_label, enwiki_title, n_claims) ORDER BY id""")),
+
+    // ---- F14+J4+J5: claim traversal + predicate/value label joins.
+    QueryDef("s5_wikidata_relations", (s, d) => {
+      Wikidata.relations(s, FixtureWikidata)
+        .select(col("eid"), to_json(col("relations")).as("relations"))
+        .orderBy("eid")
+    }, Some("""
+      SELECT * FROM (VALUES
+      ('Douglas Adams', '[{"predicate":"date of birth","value":"+1952-03-11T00:00:00Z"},{"predicate":"instance of","value":"human"},{"predicate":"official website","value":"http://douglasadams.com"}]'),
+      ('Seventy Seven', '[{"predicate":"based on","value":"plain string value"},{"predicate":"instance of","value":"999999"},{"predicate":"instance of","value":"human"}]')
+      ) AS t(eid, relations) ORDER BY eid"""))
   )
 }
