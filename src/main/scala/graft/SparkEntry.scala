@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   /** All query modules; each covers one band of SURVEY.md §2. */
-  val modules: Seq[QueryModule] = Seq(Relational, Functions, Pipeline, Corpus)
+  val modules: Seq[QueryModule] =
+    Seq(Relational, Functions, Pipeline, Corpus, StreamML)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.feature.Word2Vec
+
+/** Streaming (§2.9) and ML (M1) coverage. The streaming query's oracle is
+  * the equivalent batch aggregation (a bounded file source processed in
+  * one micro-batch drops nothing, so stream ≡ batch); Word2Vec embeddings
+  * themselves are not bit-reproducible across engines, so the oracle
+  * checks the model's *structural* contract — vocabulary = tokens with
+  * corpus count ≥ minCount, fixed dimensionality (ref
+  * sift/models/embeddings.py:36-42 trains gensim on the driver; here
+  * training is distributed ml.feature.Word2Vec).
+  */
+object StreamML extends QueryModule {
+  import Tables.t
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- §2.9: watermark + tumbling event-time window + streaming dedup.
+    QueryDef("st_window_counts", (s, d) => {
+      graft.streaming.Events.windowCounts(s, d)
+    }, Some("""
+      SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS wstart,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- M1: distributed skip-gram embeddings; structural oracle.
+    QueryDef("m1_word2vec_vocab", (s, d) => {
+      val toks = t(s, d, "documents")
+        .select(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+          .as("tokens"))
+      val model = new Word2Vec()
+        .setInputCol("tokens").setOutputCol("vec")
+        .setVectorSize(16).setMinCount(5).setSeed(42L)
+        .setMaxIter(1).setNumPartitions(1)
+        .fit(toks)
+      model.getVectors
+        .select(col("word"),
+          size(org.apache.spark.ml.functions.vector_to_array(col("vector")))
+            .cast("long").as("dim"))
+        .orderBy("word")
+    }, Some("""
+      WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   AS word
+                 FROM documents)
+      SELECT word, CAST(16 AS BIGINT) AS dim
+      FROM w GROUP BY word HAVING COUNT(*) >= 5 ORDER BY word"""))
+  )
+}

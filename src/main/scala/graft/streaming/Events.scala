@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming surface over the `events` table (SURVEY.md §2.9 —
+  * absent in the reference; declared engine capability): file-source
+  * `readStream`, event-time watermark, tumbling window, streaming dedup.
+  *
+  * The events parquet stores TIMESTAMP(NANOS); the stream reads nanos as
+  * raw longs (legacy conf) and exposes a microsecond event-time column,
+  * mirroring [[graft.queries.Tables.events]].
+  */
+object Events {
+
+  val schemaDdl: String = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+    "event_type STRING, value DOUBLE, props STRING"
+
+  /** Event stream with event-time column `t` and a 10-minute watermark.
+    * The file source requires a directory; the single events.parquet file
+    * is linked into a scratch dir (in production the dump IS a directory
+    * of parts and this indirection disappears).
+    */
+  def stream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val scratch = Files.createTempDirectory("graft_events_stream")
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      scratch.resolve("events.parquet"))
+    s.readStream.schema(schemaDdl).parquet(scratch.toString)
+      .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("t", "10 minutes")
+  }
+
+  /** Tumbling-window counts by event type with streaming dedup on
+    * event_id — the canonical watermark+window+dropDuplicates smoke. Runs
+    * the stream to completion against the (bounded) file source and
+    * returns the final result as a batch frame.
+    */
+  def windowCounts(s: SparkSession, dir: String): DataFrame = {
+    val sinkName = "st_window_counts_mem"
+    val q = stream(s, dir)
+      .dropDuplicates("event_id")
+      .groupBy(window(col("t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sinkName)
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+      .orderBy("wstart", "event_type")
+  }
+}
