@@ -15,7 +15,8 @@ object TextAnalysis {
   /** Stopword profiles for the n-gram/stopword language-ID heuristic.
     * Shared verbatim with the generated DuckDB oracle SQL so both engines
     * score identically. Kept deliberately small and disjoint-ish; accuracy
-    * is a unit-test concern (see LangIdSpec), determinism a gate concern.
+    * is a unit-test concern (SparkOpsSpec "langId picks the profile
+    * language"), determinism a gate concern.
     */
   val langProfiles: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ich", "mit",

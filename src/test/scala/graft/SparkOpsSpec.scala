@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Rank, Similarity, TextAnalysis}
+
+/** One shared local session for every Spark-backed suite; never stopped —
+  * the forked test JVM exits after the run.
+  */
+object SharedSpark {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+class SparkOpsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.session
+  import scala.jdk.CollectionConverters._
+
+  private def docsDf(rows: (Long, String)*) = {
+    val s = spark; import s.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("Rank.globalOrdinal equals a single-partition row_number") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(1)
+    val df = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(1000)))
+      .zipWithIndex.map { case ((c, tie), i) => (s"k$i", c * 13 + tie % 7) }
+      .toDF("k", "cnt")
+    val expected = df.withColumn("rank",
+      row_number().over(Window.orderBy(desc("cnt"), asc("k")))
+        .cast("long") - 1)
+      .select("k", "rank").as[(String, Long)].collect().toMap
+    val got = Rank.globalOrdinal(df, Seq(desc("cnt"), asc("k")), "rank", 8)
+      .select("k", "rank").as[(String, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("Dedup.exact groups token-identical documents") {
+    val out = Dedup.exact(docsDf(
+      1L -> "Spark is fast", 2L -> "spark IS fast!", 3L -> "different doc"))
+      .collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getAs[Long]("n_dups") == 2L).get
+    assert(dup.getAs[Long]("keep_doc") == 1L)
+  }
+
+  test("minhashLsh finds a planted near-duplicate and skips unrelated docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val out = Dedup.minhashLsh(docsDf(
+      1L -> base,
+      2L -> (base + " extra"),
+      3L -> "completely unrelated words about something else entirely"),
+      3, 8, 4, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((1L, 2L)))
+  }
+
+  test("jaccardAllPairs agrees with hand-computed Jaccard") {
+    // doc1: shingles {a b c, b c d}; doc2: {a b c, b c e}; inter=1 union=3
+    val out = Dedup.jaccardAllPairs(docsDf(
+      1L -> "a b c d", 2L -> "a b c e"), 3, 0.1)
+      .collect()
+    assert(out.length == 1)
+    assert(math.abs(out.head.getAs[Double]("jaccard") - 1.0 / 3) < 1e-12)
+  }
+
+  test("simhashPairs respects the pigeonhole recall bound") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docsDf(1L -> "x"), 7)
+    }
+    // identical docs: Hamming 0 pair always found
+    val out = Dedup.simhashPairs(docsDf(
+      1L -> "same words here", 2L -> "same words here"), 3).collect()
+    assert(out.length == 1 && out.head.getAs[Int]("hamming") == 0)
+  }
+
+  test("bruteForceTopK ranks an exact duplicate vector first") {
+    val s = spark; import s.implicits._
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.001f, 0.0f)), // near-twin of 1
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(e.filter(col("vec_id") === 1), e, 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(top.head == 2L)
+  }
+
+  test("langId picks the profile language, und on no hits") {
+    val s = spark; import s.implicits._
+    val out = TextAnalysis.langId(Seq(
+      (1L, "the cat and the dog sat on the mat with it"),
+      (2L, "der Hund und die Katze sind nicht mit mir"),
+      (3L, "el perro que corre por las calles es para todos"),
+      (4L, "le chat est dans les jardins qui sont pour nous"),
+      (5L, "zzz qqq xxx")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr",
+      5L -> "und"))
+  }
+
+  test("streaming window counts equal the batch aggregation (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.Events.windowCounts(spark, dir)
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+    val batch = graft.queries.Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+    assert(streamed.toSet == batch.toSet)
+    assert(streamed.nonEmpty)
+  }
+}
