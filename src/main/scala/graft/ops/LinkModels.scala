@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's link-derived model family (sift/models/links.py) over
+  * `documents(doc_id, text, links ARRAY<STRUCT<target, start, stop>>)` —
+  * all declarative column expressions and hash aggregations (the ref's
+  * `groupByKey().mapValues(Counter/dict/list)` forms become partial-
+  * aggregating two-level groupBys; anchor slicing is `substring`, never a
+  * UDF).
+  */
+object LinkModels {
+
+  /** P3/F1/F2: strip `#fragment` then `scheme://`. */
+  def normTarget(c: Column): Column =
+    regexp_replace(substring_index(c, "#", 1),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+
+  private def links(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"), explode(col("links")).as("l"))
+      .select(col("doc_id"), col("text"),
+        normTarget(col("l.target")).as("target"),
+        col("l.start").as("start"), col("l.stop").as("stop"))
+
+  /** EntityCounts (links.py:13-38): inlink counts above a floor. */
+  def entityCounts(docs: DataFrame, minCount: Long = 1): DataFrame =
+    links(docs).groupBy("target").agg(count(lit(1)).as("count"))
+      .filter(col("count") > minCount)
+
+  /** Anchor text of each link (trimmed span substring, links.py:53). */
+  private def anchored(docs: DataFrame): DataFrame =
+    links(docs).withColumn("anchor",
+      trim(expr("substring(text, start + 1, stop - start)")))
+      .filter(length(col("anchor")) > 0 && length(col("target")) > 0)
+
+  /** EntityNameCounts (links.py:41-77): anchor → {target: n} + total,
+    * as sorted entries (deterministic where the ref dict was not).
+    */
+  def entityNameCounts(docs: DataFrame): DataFrame =
+    anchored(docs)
+      .groupBy("anchor", "target").agg(count(lit(1)).as("n"))
+      .groupBy("anchor")
+      .agg(sort_array(collect_list(struct(col("target"), col("n"))))
+        .as("counts"), sum(col("n")).as("total"))
+
+  /** NamePartCounts (links.py:79-134): for each anchor n-gram (n in
+    * [1, maxNgram]) count occurrences at span positions B(egin)/E(nd)/
+    * I(nside); 'O' counts are corpus n-gram frequencies (> 1) outside any
+    * anchor context. Terms kept only when they occur both inside anchors
+    * and in open text ('O' present, >= 2 position kinds) — single-part
+    * anchors contribute B and E for the same n-gram, as in the ref.
+    */
+  def namePartCounts(docs: DataFrame, maxNgram: Int = 2): DataFrame = {
+    def toks(c: String) =
+      s"regexp_extract_all(lower($c), '[a-z0-9]+', 0)"
+    // sequence(1, 0) would DESCEND; guard short token lists with an
+    // explicit empty array.
+    def ngr(n: Int, src: String) =
+      s"case when size($src) >= $n then " +
+        s"transform(sequence(1, size($src) - ${n - 1}), " +
+        s"i -> concat_ws(' ', slice($src, i, $n))) " +
+        s"else cast(array() as array<string>) end"
+
+    val anchors = anchored(docs).select(expr(toks("anchor")).as("at"))
+      .filter(size(col("at")) > 0)
+    val partEntries = (1 to maxNgram).map { n =>
+      anchors.select(expr(ngr(n, "at")).as("ng"))
+        .filter(size(col("ng")) > 0)
+        .select(explode(expr(
+          "concat(array(struct(ng[0] as term, 'B' as pos)), " +
+            "array(struct(element_at(ng, -1) as term, 'E' as pos)), " +
+            "transform(slice(ng, 2, greatest(size(ng) - 2, 0)), " +
+            "t -> struct(t as term, 'I' as pos)))")).as("e"))
+        .select(col("e.term").as("term"), col("e.pos").as("pos"))
+    }.reduce(_ unionByName _)
+    val partCounts = partEntries.groupBy("term", "pos")
+      .agg(count(lit(1)).as("n"))
+
+    val textToks = docs.select(expr(toks("text")).as("tt"))
+    val oCounts = (1 to maxNgram).map { n =>
+      textToks.select(explode(expr(ngr(n, "tt"))).as("term"))
+    }.reduce(_ unionByName _)
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("term"), lit("O").as("pos"), col("n"))
+
+    partCounts.select("term", "pos", "n").unionByName(oCounts)
+      .groupBy("term")
+      .agg(sort_array(collect_list(struct(col("pos"), col("n"))))
+        .as("counts"))
+      .filter(expr("exists(counts, c -> c.pos = 'O')") &&
+        size(col("counts")) > 1)
+  }
+
+  /** EntityInlinks (links.py:136-152): per-entity inlink source list
+    * (sorted; the ref's list order is shuffle-dependent).
+    */
+  def entityInlinks(docs: DataFrame): DataFrame =
+    links(docs).select("doc_id", "target").distinct()
+      .groupBy("target")
+      .agg(sort_array(collect_list(col("doc_id"))).as("inlinks"))
+
+  /** EntityComentions (links.py:191-213): first-seen-order unique link
+    * targets per document, empty documents dropped.
+    */
+  def entityComentions(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(transform(col("links"),
+        l => normTarget(l.getField("target")))).as("entities"))
+      .filter(size(col("entities")) > 0)
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.{Wiki, WarcSource, Wikidata}
-import graft.ops.Mentions
+import graft.ops.{Mentions, LinkModels}
 
 /** Corpus-ingestion coverage (SURVEY.md §2.1 S2-S4, §2.8 F5-F11, §2.5 W2):
   * the wiki-dump and WARC front doors and the sentence-window mention
@@ -112,6 +112,79 @@ object Corpus extends QueryModule {
       SELECT * FROM (VALUES
       ('Douglas Adams', '[{"predicate":"date of birth","value":"+1952-03-11T00:00:00Z"},{"predicate":"instance of","value":"human"},{"predicate":"official website","value":"http://douglasadams.com"}]'),
       ('Seventy Seven', '[{"predicate":"based on","value":"plain string value"},{"predicate":"instance of","value":"999999"},{"predicate":"instance of","value":"human"}]')
-      ) AS t(eid, relations) ORDER BY eid"""))
+      ) AS t(eid, relations) ORDER BY eid""")),
+
+    // ---- link-model family (ref sift/models/links.py) over the wiki
+    // fixture documents.
+    QueryDef("m_entity_counts", (s, d) => {
+      LinkModels.entityCounts(Wiki.documents(s, FixtureWiki), minCount = 0)
+        .orderBy("target")
+    }, Some("""
+      SELECT * FROM (VALUES
+      ('en.wikipedia.org/wiki/Anarchism', CAST(3 AS BIGINT)),
+      ('en.wikipedia.org/wiki/Government', CAST(1 AS BIGINT)),
+      ('en.wikipedia.org/wiki/Hierarchy', CAST(1 AS BIGINT)),
+      ('en.wikipedia.org/wiki/Libertarian_socialism', CAST(1 AS BIGINT)),
+      ('en.wikipedia.org/wiki/Political_philosophy', CAST(2 AS BIGINT)),
+      ('en.wikipedia.org/wiki/Taoism', CAST(1 AS BIGINT)),
+      ('example.org/archive', CAST(1 AS BIGINT))
+      ) AS t(target, count) ORDER BY target""")),
+
+    QueryDef("m_entity_name_counts", (s, d) => {
+      LinkModels.entityNameCounts(Wiki.documents(s, FixtureWiki))
+        .select(col("anchor"), to_json(col("counts")).as("counts"),
+          col("total"))
+        .orderBy("anchor")
+    }, Some("""
+      SELECT * FROM (VALUES
+      ('Anarchism', '[{"target":"en.wikipedia.org/wiki/Anarchism","n":1}]', CAST(1 AS BIGINT)),
+      ('Anarcho-communism', '[{"target":"en.wikipedia.org/wiki/Anarchism","n":1}]', CAST(1 AS BIGINT)),
+      ('Political philosophy', '[{"target":"en.wikipedia.org/wiki/Political_philosophy","n":1}]', CAST(1 AS BIGINT)),
+      ('Taoist', '[{"target":"en.wikipedia.org/wiki/Taoism","n":1}]', CAST(1 AS BIGINT)),
+      ('anarchist thought', '[{"target":"en.wikipedia.org/wiki/Anarchism","n":1}]', CAST(1 AS BIGINT)),
+      ('government', '[{"target":"en.wikipedia.org/wiki/Government","n":1}]', CAST(1 AS BIGINT)),
+      ('hierarchies', '[{"target":"en.wikipedia.org/wiki/Hierarchy","n":1}]', CAST(1 AS BIGINT)),
+      ('libertarian socialism', '[{"target":"en.wikipedia.org/wiki/Libertarian_socialism","n":1}]', CAST(1 AS BIGINT)),
+      ('political philosophy', '[{"target":"en.wikipedia.org/wiki/Political_philosophy","n":1}]', CAST(1 AS BIGINT)),
+      ('the archive', '[{"target":"example.org/archive","n":1}]', CAST(1 AS BIGINT))
+      ) AS t(anchor, counts, total) ORDER BY anchor""")),
+
+    QueryDef("m_name_part_counts", (s, d) => {
+      LinkModels.namePartCounts(Wiki.documents(s, FixtureWiki))
+        .select(col("term"), to_json(col("counts")).as("counts"))
+        .orderBy("term")
+    }, Some("""
+      SELECT * FROM (VALUES
+      ('anarchist', '[{"pos":"B","n":1},{"pos":"O","n":2}]'),
+      ('philosophy', '[{"pos":"E","n":2},{"pos":"O","n":2}]'),
+      ('political', '[{"pos":"B","n":2},{"pos":"O","n":2}]'),
+      ('political philosophy', '[{"pos":"B","n":2},{"pos":"E","n":2},{"pos":"O","n":2}]'),
+      ('the', '[{"pos":"B","n":1},{"pos":"O","n":4}]')
+      ) AS t(term, counts) ORDER BY term""")),
+
+    QueryDef("m_entity_inlinks", (s, d) => {
+      LinkModels.entityInlinks(Wiki.documents(s, FixtureWiki))
+        .select(col("target"), to_json(col("inlinks")).as("inlinks"))
+        .orderBy("target")
+    }, Some("""
+      SELECT * FROM (VALUES
+      ('en.wikipedia.org/wiki/Anarchism', '["en.wikipedia.org/wiki/Anarchism","en.wikipedia.org/wiki/Political_philosophy"]'),
+      ('en.wikipedia.org/wiki/Government', '["en.wikipedia.org/wiki/Political_philosophy"]'),
+      ('en.wikipedia.org/wiki/Hierarchy', '["en.wikipedia.org/wiki/Anarchism"]'),
+      ('en.wikipedia.org/wiki/Libertarian_socialism', '["en.wikipedia.org/wiki/Anarchism"]'),
+      ('en.wikipedia.org/wiki/Political_philosophy', '["en.wikipedia.org/wiki/Anarchism","en.wikipedia.org/wiki/Political_philosophy"]'),
+      ('en.wikipedia.org/wiki/Taoism', '["en.wikipedia.org/wiki/Anarchism"]'),
+      ('example.org/archive', '["en.wikipedia.org/wiki/Anarchism"]')
+      ) AS t(target, inlinks) ORDER BY target""")),
+
+    QueryDef("m_entity_comentions", (s, d) => {
+      LinkModels.entityComentions(Wiki.documents(s, FixtureWiki))
+        .select(col("doc_id"), to_json(col("entities")).as("entities"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT * FROM (VALUES
+      ('en.wikipedia.org/wiki/Anarchism', '["en.wikipedia.org/wiki/Anarchism","en.wikipedia.org/wiki/Political_philosophy","en.wikipedia.org/wiki/Hierarchy","en.wikipedia.org/wiki/Libertarian_socialism","en.wikipedia.org/wiki/Taoism","example.org/archive"]'),
+      ('en.wikipedia.org/wiki/Political_philosophy', '["en.wikipedia.org/wiki/Political_philosophy","en.wikipedia.org/wiki/Government","en.wikipedia.org/wiki/Anarchism"]')
+      ) AS t(doc_id, entities) ORDER BY doc_id"""))
   )
 }
