@@ -29,18 +29,17 @@ object Rank {
       .withColumn("__pid", spark_partition_id())
       .withColumn("__lrank", row_number().over(
         Window.partitionBy("__pid").orderBy(sortCols: _*)))
-    // Offsets: one row per partition. partitionBy(lit(0)) keeps the tiny
-    // window off the "no partition defined" path — it IS a single-task
-    // window, over exactly `numPartitions` rows, which is the point of the
-    // two-phase scheme: only partition COUNTS go through one task, never
-    // the data.
-    val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__n"))
-      .withColumn("__offset",
-        coalesce(
-          sum("__n").over(Window.partitionBy(lit(0)).orderBy("__pid")
-            .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select("__pid", "__offset")
+    // Offsets: one row per partition; offset(p) = Σ counts of partitions
+    // before p. Computed with a triangular self-join over the
+    // numPartitions-row count table (O(P²) rows — trivial) instead of an
+    // unpartitioned running-sum window, so NO operator in the plan ever
+    // funnels data through a single task.
+    val counts = local.groupBy("__pid").agg(count(lit(1)).as("__n"))
+    val offsets = counts.as("a")
+      .join(counts.select(col("__pid").as("__p2"), col("__n").as("__n2"))
+        .as("b"), col("__p2") < col("__pid"), "left_outer")
+      .groupBy("__pid")
+      .agg(coalesce(sum("__n2"), lit(0L)).as("__offset"))
     local.join(broadcast(offsets), "__pid")
       .withColumn(out, (col("__offset") + col("__lrank") - 1).cast("long"))
       .drop("__pid", "__lrank", "__offset")
