@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Similarity, TextAnalysis, Hashing}
+import graft.ops.{Dedup, Similarity, TextAnalysis, Hashing, Multimodal}
 
 /** Gate coverage for the LLM-data-pipeline operator layer (`graft.ops`):
   * deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity
@@ -79,6 +79,18 @@ object Pipeline extends QueryModule {
     t(s, d, "documents")
   private def emb(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
+
+  /** Synthetic media table derived from documents: the text bytes stand
+    * in for encoded media payloads (BINARY column + typed metadata — the
+    * multimodal schema contract; see [[graft.ops.Multimodal]]).
+    */
+  private def media(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      expr("element_at(array('image','audio','video'), " +
+        "cast(doc_id % 3 as int) + 1)").as("media_type"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      struct(lit(640).as("width"), lit(480).as("height"),
+        (col("n_chars") * 40L).as("duration_ms")).as("meta"))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -388,6 +400,44 @@ object Pipeline extends QueryModule {
             i -> CAST(ascii(substring(norm, i, 1)) AS BIGINT))),
           (acc, c) -> (acc * 131 + c) % 1000000007) AS fp_poly
       FROM w ORDER BY doc_id""")),
+
+    // =================== multimodal columns ============================
+
+    // ---- opaque-binary media features: byte stats + content hash + an
+    // 8-dim hash-derived pseudo-embedding (the featurizer output shape),
+    // all codegen'd column expressions over the BINARY column.
+    QueryDef("mm_byte_features", (s, d) => {
+      Multimodal.byteFeatures(media(s, d))
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          col("content_md5"),
+          to_json(expr("transform(pseudo_embedding, " +
+            "x -> cast(cast(x as decimal(10,6)) as string))"))
+            .as("pseudo_embedding"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH m AS (SELECT doc_id,
+                   ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]
+                     AS media_type,
+                   text, md5(text) AS content_md5
+                 FROM documents)
+      SELECT doc_id, media_type,
+        CAST(strlen(text) AS BIGINT) AS n_bytes, content_md5,
+        to_json(list_transform(range(0, 8), i ->
+          CAST(CAST((${duckMd5Long("content_md5 || ':' || CAST(i AS VARCHAR)")} % 2000001 - 1000000) / 1000000.0
+               AS DECIMAL(10,6)) AS VARCHAR)))::VARCHAR AS pseudo_embedding
+      FROM m ORDER BY doc_id""")),
+
+    // ---- video frame-sampling plan: one row per sampled frame (pure
+    // sequence+explode; the decode then fans out one frame per row).
+    QueryDef("mm_frame_sample", (s, d) => {
+      Multimodal.sampleFrames(media(s, d), 2500L)
+        .orderBy("doc_id", "frame_ms")
+    }, Some("""
+      SELECT doc_id, duration_ms, unnest(range(0, greatest(duration_ms, 1),
+               2500)) AS frame_ms
+      FROM (SELECT doc_id, n_chars * 40 AS duration_ms FROM documents
+            WHERE doc_id % 3 = 2)
+      ORDER BY doc_id, frame_ms""")),
 
     // =================== models: TF-IDF (F12/F13/M2, ref
     // sift/models/text.py:110-206) =====================================

@@ -123,3 +123,36 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 }
+
+class MultimodalSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = SharedSpark.session
+  import graft.ops.Multimodal
+
+  private def mediaDf = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, "image", "fake-jpeg-bytes".getBytes("UTF-8")),
+      (2L, "audio", "fake-wav-bytes".getBytes("UTF-8")),
+      (3L, "video", "fake-mp4-bytes".getBytes("UTF-8")))
+      .toDF("doc_id", "media_type", "bytes")
+  }
+
+  test("decode stub is deterministic with per-modality batch shape") {
+    val a = Multimodal.decodedStats(mediaDf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getFloat(2))).toSet
+    val b = Multimodal.decodedStats(mediaDf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getFloat(2))).toSet
+    assert(a == b)
+    val dims = a.map(t => t._1 -> t._2).toMap
+    assert(dims == Map(1L -> 64, 2L -> 128, 3L -> 32))
+  }
+
+  test("byteFeatures hashes bytes and emits a fixed-dim pseudo-embedding") {
+    val out = Multimodal.byteFeatures(mediaDf).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getSeq[Double](r.fieldIndex("pseudo_embedding")).length == 8)
+      assert(r.getAs[String]("content_md5").length == 32)
+    }
+  }
+}
