@@ -92,4 +92,40 @@ object Mentions {
       .flatMap(d => extract(d, window, strict, normUrl))
       .toDF()
   }
+
+  /** IndexMappedMentions (ref sift/models/text.py:90-108): mention text →
+    * vocabulary-rank sequence with an OOV default of `vocabSize - 1`,
+    * token span rebased to token indexes (pre-count, pre+in-count).
+    *
+    * `vocab(w, rank)` is broadcast into the join (the ref shipped a
+    * driver-collected dict; the broadcast hash join is the same data
+    * movement without the driver funnel). Token order inside the mention
+    * is preserved by position, so the regrouped sequence is exact.
+    */
+  def indexMapped(mentions: DataFrame, vocab: DataFrame,
+      vocabSize: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val toks = "regexp_extract_all(lower(%s), '[a-z0-9]+', 0)"
+    val withParts = mentions.select(col("target"), col("source"),
+      col("text"), col("start"), col("stop"),
+      expr(toks.format("substring(text, 1, start)")).as("pre"),
+      expr(toks.format("substring(text, start + 1, stop - start)"))
+        .as("ins"),
+      expr(toks.format("substring(text, stop + 1)")).as("post"))
+    val exploded = withParts
+      .select(col("target"), col("source"), col("start"), col("stop"),
+        size(col("pre")).as("n_pre"), size(col("ins")).as("n_ins"),
+        posexplode(concat(col("pre"), col("ins"), col("post")))
+          .as(Seq("idx", "w")))
+    exploded
+      .join(broadcast(vocab.select(col("w"), col("rank"))), Seq("w"),
+        "left_outer")
+      .withColumn("id", coalesce(col("rank"), lit(vocabSize - 1)))
+      .groupBy("target", "source", "start", "stop", "n_pre", "n_ins")
+      .agg(expr("transform(array_sort(collect_list(struct(idx, id))), " +
+        "x -> x.id)").as("sequence"))
+      .select(col("target"), col("source"), col("sequence"),
+        col("n_pre").cast("long").as("seq_start"),
+        (col("n_pre") + col("n_ins")).cast("long").as("seq_stop"))
+  }
 }

@@ -148,13 +148,27 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos ≥ threshold).
     * Exact all-pairs — the ground-truth / small-side formulation; at corpus
     * scale route through [[lshTopK]] or [[ivfTopK]] candidates instead.
+    *
+    * Vectors are L2-normalized ONCE up front, so the O(n²) pair stage does
+    * a single dot product instead of three — the norm work amortizes over
+    * n, not n².
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    def dot(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (p, q) -> p * q), " +
+        s"cast(0.0 as double), (acc, v) -> acc + v)"
+    val unit = corpus
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("vd"))
+      .select(col("vec_id"), col("vd"),
+        expr(s"sqrt(${dot("vd", "vd")})").as("n"))
+      .select(col("vec_id"),
+        expr("transform(vd, x -> x / n)").as("u"))
+    val a = unit.select(col("vec_id").as("vec_a"), col("u").as("ua"))
+    val b = unit.select(col("vec_id").as("vec_b"), col("u").as("ub"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        expr(cosineSql("ea", "eb")).as("cos"))
+        expr(dot("ua", "ub")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
   }

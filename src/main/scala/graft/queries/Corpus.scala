@@ -185,6 +185,37 @@ object Corpus extends QueryModule {
       SELECT * FROM (VALUES
       ('en.wikipedia.org/wiki/Anarchism', '["en.wikipedia.org/wiki/Anarchism","en.wikipedia.org/wiki/Political_philosophy","en.wikipedia.org/wiki/Hierarchy","en.wikipedia.org/wiki/Libertarian_socialism","en.wikipedia.org/wiki/Taoism","example.org/archive"]'),
       ('en.wikipedia.org/wiki/Political_philosophy', '["en.wikipedia.org/wiki/Political_philosophy","en.wikipedia.org/wiki/Government","en.wikipedia.org/wiki/Anarchism"]')
-      ) AS t(doc_id, entities) ORDER BY doc_id"""))
+      ) AS t(doc_id, entities) ORDER BY doc_id""")),
+
+    // ---- IndexMappedMentions (ref text.py:90-108): mention text mapped
+    // to vocab-rank sequences with OOV default, span in token indexes.
+    QueryDef("m_indexed_mentions", (s, d) => {
+      val docs = Wiki.documents(s, FixtureWiki)
+      val words = docs.select(
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as("w"))
+      val vocab = graft.ops.Rank.globalOrdinal(
+        words.groupBy("w").agg(count(lit(1)).as("cnt")),
+        Seq(desc("cnt"), asc("w")), "rank", 8)
+      val vocabSize = vocab.count()
+      Mentions.indexMapped(Mentions.mentionContexts(docs), vocab, vocabSize)
+        .select(col("target"), col("source"),
+          to_json(col("sequence")).as("sequence"),
+          col("seq_start"), col("seq_stop"))
+        .orderBy("source", "seq_start", "target", "sequence")
+    }, Some("""
+      SELECT * FROM (VALUES
+      ('en.wikipedia.org/wiki/Anarchism', 'en.wikipedia.org/wiki/Anarchism', '[8,26,1,6,5,43,36,23]', CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+      ('example.org/archive', 'en.wikipedia.org/wiki/Anarchism', '[37,0,11,18,0,30,1,2,0,20,12]', CAST(1 AS BIGINT), CAST(3 AS BIGINT)),
+      ('en.wikipedia.org/wiki/Libertarian_socialism', 'en.wikipedia.org/wiki/Anarchism', '[27,34,47,31,38]', CAST(3 AS BIGINT), CAST(5 AS BIGINT)),
+      ('en.wikipedia.org/wiki/Political_philosophy', 'en.wikipedia.org/wiki/Anarchism', '[8,26,1,6,5,43,36,23]', CAST(3 AS BIGINT), CAST(5 AS BIGINT)),
+      ('en.wikipedia.org/wiki/Taoism', 'en.wikipedia.org/wiki/Anarchism', '[15,19,10,24,41,42]', CAST(4 AS BIGINT), CAST(5 AS BIGINT)),
+      ('en.wikipedia.org/wiki/Hierarchy', 'en.wikipedia.org/wiki/Anarchism', '[8,26,1,6,5,43,36,23]', CAST(7 AS BIGINT), CAST(8 AS BIGINT)),
+      ('en.wikipedia.org/wiki/Political_philosophy', 'en.wikipedia.org/wiki/Political_philosophy', '[6,5,40,22,2,29]', CAST(0 AS BIGINT), CAST(2 AS BIGINT)),
+      ('en.wikipedia.org/wiki/Government', 'en.wikipedia.org/wiki/Political_philosophy', '[6,5,40,22,2,29]', CAST(3 AS BIGINT), CAST(4 AS BIGINT)),
+      ('en.wikipedia.org/wiki/Anarchism', 'en.wikipedia.org/wiki/Political_philosophy', '[28,32,4,25,3,44,2,9,14,46]', CAST(4 AS BIGINT), CAST(6 AS BIGINT)),
+      ('en.wikipedia.org/wiki/Anarchism', 'en.wikipedia.org/wiki/Political_philosophy', '[28,32,4,25,3,44,2,9,14,46]', CAST(7 AS BIGINT), CAST(9 AS BIGINT))
+      ) AS t(target, source, sequence, seq_start, seq_stop)
+      ORDER BY source, seq_start, target, sequence"""))
   )
 }

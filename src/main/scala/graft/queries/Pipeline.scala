@@ -310,13 +310,25 @@ object Pipeline extends QueryModule {
     QueryDef("sim_neardup_pairs", (s, d) => {
       Similarity.cosineNearDupPairs(emb(s, d), 0.45)
         .orderBy("vec_a", "vec_b")
-    }, Some(s"""
-      WITH a AS (SELECT vec_id AS vec_a, embedding AS ea FROM embeddings),
-      b AS (SELECT vec_id AS vec_b, embedding AS eb FROM embeddings),
-      scored AS (SELECT vec_a, vec_b, ${duckCos("ea", "eb")} AS cos
-                 FROM a JOIN b ON vec_a < vec_b)
+    }, Some {
+      // mirrors the engine exactly: unit-normalize each vector once,
+      // single dot per pair (same fold order → bit-identical doubles)
+      def dot(x: String, y: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(range(1, len($x) + 1), " +
+          s"kk -> $x[kk] * $y[kk])), (acc, v) -> acc + v)"
+      s"""
+      WITH vd AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+                  FROM embeddings),
+      nn AS (SELECT vec_id, vd, sqrt(${dot("vd", "vd")}) AS n FROM vd),
+      unit AS (SELECT vec_id, list_transform(vd, x -> x / n) AS u FROM nn),
+      scored AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ${dot("a.u", "b.u")} AS cos
+                 FROM unit a JOIN unit b ON a.vec_id < b.vec_id)
       SELECT vec_a, vec_b, round(cos, 6) AS cos
-      FROM scored WHERE cos >= 0.45 ORDER BY vec_a, vec_b""")),
+      FROM scored WHERE cos >= 0.45 ORDER BY vec_a, vec_b"""
+    }),
 
     // =================== text analysis =================================
 
