@@ -24,17 +24,28 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
   import Hashing._
 
-  /** Sequential-order double-precision cosine between two float arrays. */
+  /** Sequential-order double-precision cosine between two float/double
+    * arrays, via the codegen'd [[graft.functions.DotProduct]] expression
+    * (identical fold order to the `aggregate(zip_with(...))` formulation,
+    * so oracles match bit-for-bit). Callers must [[ensureRegistered]].
+    */
   def cosineSql(a: String, b: String): String = {
     def dot(x: String, y: String) =
-      s"aggregate(zip_with($x, $y, (p, q) -> cast(p as double) * cast(q as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+      s"graft_dot(cast($x as array<double>), cast($y as array<double>))"
     s"(${dot(a, b)}) / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  /** Register the `graft_dot` SQL function in this frame's session. */
+  private def ensureRegistered(df: DataFrame): DataFrame = {
+    graft.functions.DotProduct.register(df.sparkSession)
+    df
   }
 
   /** Brute-force exact top-k cosine neighbors for each query vector.
     * `queries`/`corpus`: (vec_id, embedding). Self-matches excluded.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    ensureRegistered(queries)
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qe"))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
@@ -83,6 +94,7 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, cellCol: String,
       nprobe: Int, k: Int): DataFrame = {
+    ensureRegistered(queries)
     val cents = centroids(corpus, cellCol)
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qe"))
@@ -127,6 +139,7 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, nPlanes: Int,
       k: Int): DataFrame = {
+    ensureRegistered(queries)
     val bucket = (df: DataFrame) =>
       df.withColumn("bucket", expr(hyperplaneBucketSql("embedding", nPlanes)))
     val q = bucket(queries).select(col("vec_id").as("query_id"),
@@ -154,9 +167,8 @@ object Similarity {
     * n, not n².
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    def dot(x: String, y: String) =
-      s"aggregate(zip_with($x, $y, (p, q) -> p * q), " +
-        s"cast(0.0 as double), (acc, v) -> acc + v)"
+    ensureRegistered(corpus)
+    def dot(x: String, y: String) = s"graft_dot($x, $y)"
     val unit = corpus
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("vd"))

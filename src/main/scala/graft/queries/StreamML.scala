@@ -25,6 +25,29 @@ object StreamML extends QueryModule {
              event_type, COUNT(*) AS n
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- §2.9: per-user session windows (30-min gap). The oracle is
+    // gap-based sessionization in SQL — identical semantics when the
+    // bounded source processes in one micro-batch.
+    QueryDef("st_session_counts", (s, d) => {
+      graft.streaming.Events.sessionCounts(s, d)
+    }, Some("""
+      WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, user_id FROM events),
+      gaps AS (SELECT t, user_id,
+                 -- Spark sessions are [start, last+gap): an event at
+                 -- exactly last+gap opens a NEW session, hence >=
+                 CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                        >= INTERVAL 30 MINUTE OR
+                      LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                      THEN 1 ELSE 0 END AS new_sess
+               FROM e),
+      sess AS (SELECT t, user_id,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sess_id
+               FROM gaps)
+      SELECT MIN(t) AS sstart, user_id, COUNT(*) AS n
+      FROM sess GROUP BY user_id, sess_id ORDER BY sstart, user_id""")),
+
     // ---- M1: distributed skip-gram embeddings; structural oracle.
     QueryDef("m1_word2vec_vocab", (s, d) => {
       val toks = t(s, d, "documents")

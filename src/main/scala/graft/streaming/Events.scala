@@ -32,24 +32,41 @@ object Events {
       .withWatermark("t", "10 minutes")
   }
 
+  private def runToCompletion(df: DataFrame, sinkName: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(sinkName)
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    df.sparkSession.table(sinkName)
+  }
+
   /** Tumbling-window counts by event type with streaming dedup on
     * event_id — the canonical watermark+window+dropDuplicates smoke. Runs
     * the stream to completion against the (bounded) file source and
     * returns the final result as a batch frame.
     */
-  def windowCounts(s: SparkSession, dir: String): DataFrame = {
-    val sinkName = "st_window_counts_mem"
-    val q = stream(s, dir)
-      .dropDuplicates("event_id")
-      .groupBy(window(col("t"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode("complete").start()
-    try {
-      q.processAllAvailable()
-    } finally q.stop()
-    s.table(sinkName)
+  def windowCounts(s: SparkSession, dir: String): DataFrame =
+    runToCompletion(
+      stream(s, dir)
+        .dropDuplicates("event_id")
+        .groupBy(window(col("t"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n")),
+      "st_window_counts_mem")
       .select(col("window.start").as("wstart"), col("event_type"), col("n"))
       .orderBy("wstart", "event_type")
-  }
+
+  /** Per-user session windows (30-minute inactivity gap): session count
+    * and length. Equivalent batch semantics: gap-based sessionization —
+    * a new session starts when the previous event is > gap behind.
+    */
+  def sessionCounts(s: SparkSession, dir: String): DataFrame =
+    runToCompletion(
+      stream(s, dir)
+        .groupBy(session_window(col("t"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n")),
+      "st_session_counts_mem")
+      .select(col("session_window.start").as("sstart"), col("user_id"),
+        col("n"))
+      .orderBy("sstart", "user_id")
 }

@@ -156,3 +156,36 @@ class MultimodalSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+class DotProductSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = SharedSpark.session
+
+  test("graft_dot equals the zip_with/aggregate fold bit-for-bit") {
+    val s = spark; import s.implicits._
+    graft.functions.DotProduct.register(s)
+    val rnd = new scala.util.Random(11)
+    val df = Seq.fill(200)((
+      Array.fill(64)(rnd.nextFloat()), Array.fill(64)(rnd.nextFloat())))
+      .toDF("a", "b")
+    val both = df.selectExpr(
+      "graft_dot(cast(a as array<double>), cast(b as array<double>)) AS fast",
+      "aggregate(zip_with(a, b, (p, q) -> cast(p as double) * cast(q as double)), " +
+        "cast(0.0 as double), (acc, v) -> acc + v) AS ref")
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("graft_dot handles empty and length-mismatched arrays") {
+    val s = spark
+    graft.functions.DotProduct.register(s)
+    val out = s.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d)) AS a, " +
+        "graft_dot(cast(array() as array<double>), " +
+        "cast(array() as array<double>)) AS b").head()
+    assert(out.getDouble(0) == 3.0)
+    assert(out.getDouble(1) == 0.0)
+  }
+}
