@@ -110,7 +110,11 @@ object Dedup {
   def minhashLsh(docs: DataFrame, shingleN: Int, k: Int, bands: Int,
       threshold: Double): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
+    // the shingle table feeds signatures AND both sides of the verify
+    // join — persist it so the tokenize+shingle+hash subtree runs once,
+    // not three times (MEMORY_AND_DISK: spills rather than OOMs at scale)
     val sh = shingled(docs, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(minhashSignatures(sh, k), bands, k / bands)
     verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
   }
@@ -129,13 +133,16 @@ object Dedup {
       maxShingleDf: Long = 10000L): DataFrame = {
     val sh = shingled(docs, shingleN)
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val kept =
+    val kept = {
       if (maxShingleDf == Long.MaxValue) ex
       else {
         val hot = ex.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxShingleDf).select("sh")
         ex.join(broadcast(hot), Seq("sh"), "left_anti")
       }
+      // consumed by both self-join sides and the size table: persist so
+      // the exploded shingle set is computed once, not three times
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = kept.as("a")
       .join(kept.as("b"), col("a.sh") === col("b.sh") &&
