@@ -53,6 +53,9 @@ object StreamML extends QueryModule {
       val toks = t(s, d, "documents")
         .select(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
           .as("tokens"))
+      // numPartitions=1 pins the gate output deterministic; production
+      // training raises it (partitioned skip-gram trades exactness of
+      // the seed-reproducibility for parallelism).
       val model = new Word2Vec()
         .setInputCol("tokens").setOutputCol("vec")
         .setVectorSize(16).setMinCount(5).setSeed(42L)

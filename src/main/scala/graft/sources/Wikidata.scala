@@ -86,10 +86,14 @@ object Wikidata {
       .join(broadcast(predicateLabels), Seq("pid"))
 
     // J5: value labels for item-valued statements, raw value fallback.
+    // No broadcast hint here: the entity-label table is the FULL item set
+    // (~10⁸ rows on real Wikidata) — this must stay a shuffle join unless
+    // AQE proves it small; only the predicate table (10⁴ properties) is
+    // safely broadcast above.
     val valKey = when(col("datatype") === "wikibase-item",
       col("value").cast("long"))
     labeled.withColumn("vk", valKey)
-      .join(broadcast(entityLabels), col("vk") === col("num"), "left_outer")
+      .join(entityLabels, col("vk") === col("num"), "left_outer")
       .select(col("eid"),
         struct(col("plabel").as("predicate"),
           coalesce(col("vlabel"), col("value")).as("value")).as("rel"))
