@@ -57,12 +57,14 @@ object Dedup {
     * h_i(s) = md5Long(i ‖ ':' ‖ s). Pure per-row expression — embarrassingly
     * parallel, no shuffle.
     */
-  def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    Hashing.ensureRegistered(sh)
     sh.select(col("doc_id"), expr(
       s"transform(sequence(0, ${k - 1}), i -> " +
         s"aggregate(shingles, 9223372036854775807L, (acc, s) -> " +
         s"least(acc, ${md5LongSql("concat(cast(i as string), ':', s)")})))")
       .as("sig"))
+  }
 
   /** LSH candidate pairs: band the signature (`bands` × `rows` = k), hash
     * each band, self-join on (band, bandKey). Output (doc_a < doc_b),
@@ -164,6 +166,7 @@ object Dedup {
     * uniform.
     */
   def simhash(docs: DataFrame): DataFrame = {
+    Hashing.ensureRegistered(docs)
     val tokCnt = tokenized(docs)
       .select(col("doc_id"), explode(col("tokens")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))

@@ -17,13 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object Hashing {
 
-  /** 60-bit hash of a string column (non-negative, fits BIGINT exactly). */
+  /** 60-bit hash of a string column (non-negative, fits BIGINT exactly).
+    * Backed by the codegen'd [[graft.functions.Md5Long]] expression —
+    * callers must register it first ([[ensureRegistered]]).
+    */
   def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    call_function("graft_md5long", c)
 
   /** SQL-expression form usable inside higher-order function lambdas. */
   def md5LongSql(inner: String): String =
-    s"cast(conv(substring(md5($inner),1,15),16,10) as bigint)"
+    s"graft_md5long($inner)"
+
+  /** Register the engine's custom SQL functions in `df`'s session. */
+  def ensureRegistered(df: org.apache.spark.sql.DataFrame): Unit =
+    graft.functions.GraftFunctions.registerAll(df.sparkSession)
 
   /** DuckDB twin of [[md5LongSql]] (for generated oracle SQL). */
   def duckMd5Long(inner: String): String =

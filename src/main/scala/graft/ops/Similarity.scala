@@ -35,9 +35,9 @@ object Similarity {
     s"(${dot(a, b)}) / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   }
 
-  /** Register the `graft_dot` SQL function in this frame's session. */
+  /** Register the engine's SQL functions in this frame's session. */
   private def ensureRegistered(df: DataFrame): DataFrame = {
-    graft.functions.DotProduct.register(df.sparkSession)
+    graft.functions.GraftFunctions.registerAll(df.sparkSession)
     df
   }
 
@@ -67,7 +67,8 @@ object Similarity {
     * 2^nPlanes cells; [[ivfTopK]] consumes the resulting `cell` column.
     */
   def assignCells(df: DataFrame, nPlanes: Int): DataFrame =
-    df.withColumn("cell", expr(hyperplaneBucketSql("embedding", nPlanes)))
+    ensureRegistered(df)
+      .withColumn("cell", expr(hyperplaneBucketSql("embedding", nPlanes)))
 
   /** IVF cell centroids: elementwise mean per cell, computed relationally
     * (posexplode → mean per (cell, dim) → reassemble ordered). One shuffle

@@ -189,3 +189,20 @@ class DotProductSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out.getDouble(1) == 0.0)
   }
 }
+
+class Md5LongSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = SharedSpark.session
+
+  test("graft_md5long equals the conv(substring(md5)) form bit-for-bit") {
+    val s = spark; import s.implicits._
+    graft.functions.GraftFunctions.registerAll(s)
+    val rnd = new scala.util.Random(23)
+    val strs = Seq.fill(500)(rnd.alphanumeric.take(rnd.nextInt(40)).mkString) :+
+      "" :+ "0:shingle text here" :+ "ünïcödé ∑ text"
+    val rows = strs.toDF("x").selectExpr(
+      "graft_md5long(x) AS fast",
+      "cast(conv(substring(md5(x),1,15),16,10) as bigint) AS ref")
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+}
