@@ -48,6 +48,14 @@ object StreamML extends QueryModule {
       SELECT MIN(t) AS sstart, user_id, COUNT(*) AS n
       FROM sess GROUP BY user_id, sess_id ORDER BY sstart, user_id""")),
 
+    // ---- §2.9: custom keyed state (flatMapGroupsWithState) — running
+    // per-user counts; final state equals the batch aggregation.
+    QueryDef("st_stateful_counts", (s, d) => {
+      graft.streaming.Events.statefulUserCounts(s, d)
+    }, Some("""
+      SELECT user_id, COUNT(*) AS n FROM events
+      GROUP BY user_id ORDER BY user_id""")),
+
     // ---- M1: distributed skip-gram embeddings; structural oracle.
     QueryDef("m1_word2vec_vocab", (s, d) => {
       val toks = t(s, d, "documents")

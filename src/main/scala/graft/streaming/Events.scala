@@ -32,9 +32,10 @@ object Events {
       .withWatermark("t", "10 minutes")
   }
 
-  private def runToCompletion(df: DataFrame, sinkName: String): DataFrame = {
+  private def runToCompletion(df: DataFrame, sinkName: String,
+      mode: String = "complete"): DataFrame = {
     val q = df.writeStream.format("memory").queryName(sinkName)
-      .outputMode("complete").start()
+      .outputMode(mode).start()
     try {
       q.processAllAvailable()
     } finally q.stop()
@@ -55,6 +56,31 @@ object Events {
       "st_window_counts_mem")
       .select(col("window.start").as("wstart"), col("event_type"), col("n"))
       .orderBy("wstart", "event_type")
+
+  /** Custom keyed state via flatMapGroupsWithState (the §2.9 mapping for
+    * the ref's incremental-model use cases): a running per-user event
+    * count held in explicit GroupState. Each micro-batch folds its events
+    * into the state and emits the updated total; on the bounded source
+    * (one batch) the final emission per user equals the batch count.
+    */
+  def statefulUserCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val updated = stream(s, dir)
+      .select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, events: Iterator[Long], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + events.size
+          state.update(n)
+          Iterator.single((uid, n))
+      }
+      .toDF("user_id", "n")
+    runToCompletion(updated, "st_stateful_counts_mem", mode = "update")
+      .groupBy("user_id").agg(max("n").as("n")) // last emission per user
+      .orderBy("user_id")
+  }
 
   /** Per-user session windows (30-minute inactivity gap): session count
     * and length. Equivalent batch semantics: gap-based sessionization —
