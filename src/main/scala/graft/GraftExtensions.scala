@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.{DotProduct, Md5Long}
+
+/** Spark extensions entry point: register the engine's custom Catalyst
+  * expressions cluster-wide via
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (no per-session
+  * registration call needed). The operator library also self-registers
+  * lazily (graft.functions.GraftFunctions.registerAll), so either path
+  * works; this one survives into pure-SQL contexts (thrift server,
+  * spark-sql shell).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      exprs => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_md5long"),
+      new ExpressionInfo(classOf[Md5Long].getName, "graft_md5long"),
+      exprs => Md5Long(exprs.head)))
+  }
+}

@@ -206,3 +206,22 @@ class Md5LongSpec extends org.scalatest.funsuite.AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 }
+
+class GraftExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("GraftExtensions injects both functions into a fresh extensions set") {
+    // the shared test JVM already holds a live session, so a full
+    // builder-with-config round-trip isn't possible here; exercise the
+    // injection callback against a real SparkSessionExtensions and the
+    // injected builders directly (the registry path itself is covered by
+    // DotProductSpec / Md5LongSpec via GraftFunctions.registerAll).
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(e) // must not throw
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val dot = graft.functions.DotProduct(
+      Literal.create(Array(2.0, 3.0)), Literal.create(Array(4.0, 5.0)))
+    assert(dot.eval(null) == 23.0)
+    val h = graft.functions.Md5Long(Literal.create("abc"))
+    assert(h.eval(null) ==
+      java.lang.Long.parseUnsignedLong("900150983cd24fb", 16))
+  }
+}
