@@ -225,3 +225,39 @@ class GraftExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       java.lang.Long.parseUnsignedLong("900150983cd24fb", 16))
   }
 }
+
+class WatermarkSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = SharedSpark.session
+
+  test("append-mode watermark finalizes windows and drops late data") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    def ts(hm: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $hm:00")
+
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[java.sql.Timestamp]
+    val counts = input.toDF().withColumnRenamed("value", "t")
+      .withWatermark("t", "10 minutes")
+      .groupBy(window(col("t"), "10 minutes")).count()
+    val q = counts.writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    try {
+      input.addData(ts("10:00"), ts("10:05")) // window [10:00, 10:10)
+      q.processAllAvailable()
+      input.addData(ts("10:30")) // watermark -> 10:20, closes first window
+      q.processAllAvailable()
+      input.addData(ts("10:01")) // LATE: behind watermark, must be dropped
+      q.processAllAvailable()
+      input.addData(ts("10:50")) // watermark -> 10:40, closes [10:30, 10:40)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = s.table("wm_test")
+      .select(col("window.start").cast("string"), col("count"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out("2026-01-01 10:00:00") == 2L) // late 10:01 NOT counted
+    assert(out("2026-01-01 10:30:00") == 1L)
+    assert(!out.contains("2026-01-01 10:50:00")) // still open at stop
+  }
+}
