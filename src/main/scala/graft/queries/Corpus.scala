@@ -216,6 +216,39 @@ object Corpus extends QueryModule {
       ('en.wikipedia.org/wiki/Anarchism', 'en.wikipedia.org/wiki/Political_philosophy', '[28,32,4,25,3,44,2,9,14,46]', CAST(4 AS BIGINT), CAST(6 AS BIGINT)),
       ('en.wikipedia.org/wiki/Anarchism', 'en.wikipedia.org/wiki/Political_philosophy', '[28,32,4,25,3,44,2,9,14,46]', CAST(7 AS BIGINT), CAST(9 AS BIGINT))
       ) AS t(target, source, sequence, seq_start, seq_stop)
-      ORDER BY source, seq_start, target, sequence"""))
+      ORDER BY source, seq_start, target, sequence""")),
+
+    // ---- MapRedirects (ref redirects.py:10-52): cross-KB redirect
+    // composition + one transitive hop, over literal KB pairs covering
+    // both composition directions and the chain collapse.
+    QueryDef("m_map_redirects", (s, d) => {
+      import s.implicits._
+      val from = Seq("a" -> "b", "x" -> "y").toDF("source", "target")
+      val to = Seq("a" -> "c", "q" -> "r", "y" -> "z")
+        .toDF("source", "target")
+      graft.ops.Redirects.mapRedirects(from, to)
+        .orderBy("source", "target")
+    }, Some("""
+      SELECT * FROM (VALUES
+      ('a', 'c'), ('b', 'c'), ('q', 'r'), ('x', 'z'), ('y', 'z')
+      ) AS t(source, target) ORDER BY source, target""")),
+
+    // ---- RedirectDocuments (ref redirects.py:77-105): rewrite corpus
+    // link targets through a redirect set with identity fallback.
+    QueryDef("m_redirect_documents", (s, d) => {
+      import s.implicits._
+      val extra = Seq(
+        "en.wikipedia.org/wiki/Taoism" -> "en.wikipedia.org/wiki/Taoism_(updated)",
+        "en.wikipedia.org/wiki/Government" -> "en.wikipedia.org/wiki/State")
+        .toDF("source", "target")
+      graft.ops.Redirects
+        .redirectDocuments(Wiki.documents(s, FixtureWiki), extra)
+        .select(col("doc_id"), to_json(col("links")).as("links"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT * FROM (VALUES
+      ('en.wikipedia.org/wiki/Anarchism', '[{"target":"en.wikipedia.org/wiki/Anarchism","start":0,"stop":9},{"target":"en.wikipedia.org/wiki/Political_philosophy","start":15,"stop":35},{"target":"en.wikipedia.org/wiki/Hierarchy","start":49,"stop":60},{"target":"en.wikipedia.org/wiki/Libertarian_socialism","start":79,"stop":100},{"target":"en.wikipedia.org/wiki/Taoism_(updated)","start":134,"stop":140},{"target":"example.org/archive","start":188,"stop":200}]'),
+      ('en.wikipedia.org/wiki/Political_philosophy', '[{"target":"en.wikipedia.org/wiki/Political_philosophy","start":0,"stop":20},{"target":"en.wikipedia.org/wiki/State","start":29,"stop":39},{"target":"en.wikipedia.org/wiki/Anarchism","start":77,"stop":94},{"target":"en.wikipedia.org/wiki/Anarchism","start":99,"stop":116}]')
+      ) AS t(doc_id, links) ORDER BY doc_id"""))
   )
 }

@@ -79,25 +79,9 @@ object Wiki {
       }
       .toDF()
 
-    // J1: resolve link targets through redirects; keep document order of
-    // links via their position; J2: re-attach grouped links to text by key
-    // instead of carrying the full text through the links shuffle.
-    val ex = parsed
-      .select(col("doc_id"), posexplode(col("links")).as(Seq("pos", "l")))
-    val resolved = ex
-      .join(redirectsDf.select(col("source").as("rsrc"),
-        col("target").as("rtgt")), col("l.target") === col("rsrc"),
-        "left_outer")
-      .select(col("doc_id"), col("pos"),
-        struct(coalesce(col("rtgt"), col("l.target")).as("target"),
-          col("l.start").as("start"), col("l.stop").as("stop")).as("l"))
-    val grouped = resolved.groupBy("doc_id")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, l))), x -> x.l)")
-        .as("links"))
-    parsed.select("doc_id", "text")
-      .join(grouped, Seq("doc_id"), "left_outer")
-      .withColumn("links", coalesce(col("links"), expr(
-        "cast(array() as array<struct<target:string,start:int,stop:int>>)")))
+    // J1+J2: resolve link targets through redirects and re-attach by key
+    // — the shared corpus-level operator (graft.ops.Redirects).
+    graft.ops.Redirects.redirectDocuments(parsed, redirectsDf)
   }
 
   /** Full front door: dump path → documents(doc_id, text, links). */
