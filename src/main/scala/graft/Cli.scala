@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.{Wiki, WarcSource, Wikidata, Sinks}
+import graft.ops.{LinkModels, Mentions, TextAnalysis, Dedup}
+
+/** Pipeline CLI — the working equivalent of the reference's `sift build`
+  * entry point (ref sift/build.py:30-86, whose CLI path was bit-rotted;
+  * SURVEY.md §0 defect #5):
+  *
+  *   graft.Cli <command> <input> <output> [format]
+  *
+  * commands:
+  *   wiki-docs           wiki dump xml   → documents(doc_id, text, links)
+  *   wiki-redirects      wiki dump xml   → (source, target)
+  *   warc-docs           WARC archive    → documents
+  *   wikidata-relations  wikidata dump   → (eid, relations)
+  *   entity-counts       documents parquet → inlink counts
+  *   entity-mentions     documents parquet → sentence-window mentions
+  *   lang-id             documents parquet → (doc_id, lang_pred)
+  *   exact-dedup         documents parquet → fingerprint groups
+  *
+  * format: json (gzip JSON-lines, default) | tsv | resp | parquet.
+  * Run via `spark-submit --class graft.Cli` on a cluster or sbt locally.
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: graft.Cli <command> <input> <output> [json|tsv|resp|parquet]")
+    val Array(command, input, output) = args.take(3)
+    val format = args.lift(3).getOrElse("json")
+    val spark = SparkSession.builder()
+      .appName(s"graft-$command")
+      // spark-submit injects spark.master; default to local for dev runs
+      .config("spark.master", sys.props.getOrElse("spark.master", "local[*]"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def docs: DataFrame = spark.read.parquet(input)
+    val result: DataFrame = command match {
+      case "wiki-docs" => Wiki.documents(spark, input)
+      case "wiki-redirects" =>
+        Wiki.redirects(spark, Wiki.pages(spark, input))
+      case "warc-docs" => WarcSource.documents(spark, input)
+      case "wikidata-relations" => Wikidata.relations(spark, input)
+      case "entity-counts" => LinkModels.entityCounts(docs)
+      case "entity-mentions" => Mentions.mentionContexts(docs)
+      case "lang-id" => TextAnalysis.langId(docs)
+      case "exact-dedup" => Dedup.exact(docs)
+      case other => throw new IllegalArgumentException(
+        s"unknown command '$other'")
+    }
+    Sinks.write(result, output, format)
+    spark.stop()
+  }
+}
