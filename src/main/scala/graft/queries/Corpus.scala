@@ -18,6 +18,47 @@ object Corpus extends QueryModule {
   val FixtureWarc = "/root/repo/fixtures/sample.warc"
   val FixtureWikidata = "/root/repo/fixtures/wikidata.json"
 
+  /** DuckDB CTE: the two fixture documents' exact texts (same literals
+    * the `s3_wiki_documents` golden asserts — verified output of the wiki
+    * front door, re-used here as oracle INPUT so the downstream model
+    * math is computed independently end-to-end in DuckDB).
+    */
+  private val duckFixtureDocs =
+    """docs(doc_id, text) AS (VALUES
+      |('en.wikipedia.org/wiki/Anarchism', 'Anarchism is a political philosophy that rejects hierarchies. It overlaps with libertarian socialism. ' || chr(10) || '' || chr(10) || 'History' || chr(10) || 'Early forms appear in Taoist texts. Tolstoy & Godwin wrote about peace. See  the archive for the letter A and the formula  aside.' || chr(10) || '' || chr(10) || 'The anarchist black flag.'),
+      |('en.wikipedia.org/wiki/Political_philosophy', 'Political philosophy studies government and law. Its modern history includes anarchist thought and Anarcho-communism variants. A stub note follows.'))"""
+      .stripMargin
+
+  /** DuckDB CTE: the ten fixture mention contexts — exactly the
+    * golden-verified `w2_entity_mentions` rows, as oracle INPUT for the
+    * mention-derived models (mention extraction itself is a pure Scala
+    * function gated by the `w2` golden; everything downstream of it is
+    * recomputed in SQL here, not frozen).
+    */
+  private val duckFixtureMentions =
+    """mentions(target, source, text, start, stop) AS (VALUES
+      |('en.wikipedia.org/wiki/Anarchism', 'en.wikipedia.org/wiki/Anarchism', 'Anarchism is a political philosophy that rejects hierarchies.', 0, 9),
+      |('example.org/archive', 'en.wikipedia.org/wiki/Anarchism', 'See  the archive for the letter A and the formula  aside.', 4, 16),
+      |('en.wikipedia.org/wiki/Political_philosophy', 'en.wikipedia.org/wiki/Anarchism', 'Anarchism is a political philosophy that rejects hierarchies.', 15, 35),
+      |('en.wikipedia.org/wiki/Libertarian_socialism', 'en.wikipedia.org/wiki/Anarchism', 'It overlaps with libertarian socialism.', 17, 38),
+      |('en.wikipedia.org/wiki/Taoism', 'en.wikipedia.org/wiki/Anarchism', 'Early forms appear in Taoist texts.', 22, 28),
+      |('en.wikipedia.org/wiki/Hierarchy', 'en.wikipedia.org/wiki/Anarchism', 'Anarchism is a political philosophy that rejects hierarchies.', 49, 60),
+      |('en.wikipedia.org/wiki/Political_philosophy', 'en.wikipedia.org/wiki/Political_philosophy', 'Political philosophy studies government and law.', 0, 20),
+      |('en.wikipedia.org/wiki/Anarchism', 'en.wikipedia.org/wiki/Political_philosophy', 'Its modern history includes anarchist thought and Anarcho-communism variants.', 28, 45),
+      |('en.wikipedia.org/wiki/Government', 'en.wikipedia.org/wiki/Political_philosophy', 'Political philosophy studies government and law.', 29, 39),
+      |('en.wikipedia.org/wiki/Anarchism', 'en.wikipedia.org/wiki/Political_philosophy', 'Its modern history includes anarchist thought and Anarcho-communism variants.', 50, 67))"""
+      .stripMargin
+
+  /** DuckDB twin of the entity skip-gram training sentence (ref
+    * embeddings.py:52: pre-context tokens ⧺ raw target ⧺ post-context
+    * tokens, anchor span excluded).
+    */
+  private val duckSkipgramToks =
+    "list_concat(list_concat(" +
+      "regexp_extract_all(lower(substr(text, 1, start)), '[a-z0-9]+'), " +
+      "[target]), " +
+      "regexp_extract_all(lower(substr(text, stop + 1)), '[a-z0-9]+'))"
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- S2+S3: record-delimited dump scan + StAX page parse.
@@ -249,6 +290,119 @@ object Corpus extends QueryModule {
       SELECT * FROM (VALUES
       ('en.wikipedia.org/wiki/Anarchism', '[{"target":"en.wikipedia.org/wiki/Anarchism","start":0,"stop":9},{"target":"en.wikipedia.org/wiki/Political_philosophy","start":15,"stop":35},{"target":"en.wikipedia.org/wiki/Hierarchy","start":49,"stop":60},{"target":"en.wikipedia.org/wiki/Libertarian_socialism","start":79,"stop":100},{"target":"en.wikipedia.org/wiki/Taoism_(updated)","start":134,"stop":140},{"target":"example.org/archive","start":188,"stop":200}]'),
       ('en.wikipedia.org/wiki/Political_philosophy', '[{"target":"en.wikipedia.org/wiki/Political_philosophy","start":0,"stop":20},{"target":"en.wikipedia.org/wiki/State","start":29,"stop":39},{"target":"en.wikipedia.org/wiki/Anarchism","start":77,"stop":94},{"target":"en.wikipedia.org/wiki/Anarchism","start":99,"stop":116}]')
-      ) AS t(doc_id, links) ORDER BY doc_id"""))
+      ) AS t(doc_id, links) ORDER BY doc_id""")),
+
+    // ---- EntityMentionTermFrequency (ref text.py:170-206, fixing ref
+    // defect #4): per-entity tf-idf over mention contexts — the
+    // reference's flagship entity-representation model. The oracle
+    // recomputes idf from the raw document texts and tf from the
+    // golden-verified mention rows, entirely in SQL.
+    QueryDef("m_entity_mention_tfidf", (s, d) => {
+      val docs = Wiki.documents(s, FixtureWiki)
+      val mentions = Mentions.mentionContexts(docs)
+      // minDf=0 keeps the whole 2-document fixture vocabulary (the ref's
+      // web-scale default floor of 2 would empty it)
+      val idfs = graft.ops.TextModels.termIdfs(docs, minDf = 0)
+      graft.ops.TextModels.entityMentionTermFrequency(mentions, idfs)
+        .orderBy("target")
+    }, Some {
+      val norm = "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(es, e2 -> e2.wt * e2.wt)), (a, b) -> a + b))"
+      s"""
+      WITH $duckFixtureDocs,
+      $duckFixtureMentions,
+      tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+             FROM docs),
+      dfq AS (SELECT tok, COUNT(*) AS df
+              FROM (SELECT DISTINCT doc_id, tok FROM tk) GROUP BY tok),
+      n AS (SELECT COUNT(*) AS n_docs FROM docs),
+      idf AS (SELECT tok, round(ln(CAST(n_docs AS DOUBLE) / df), 6) AS idf
+              FROM dfq CROSS JOIN n),
+      mt AS (SELECT target, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+             FROM mentions),
+      tf AS (SELECT target, tok, COUNT(*) AS tf FROM mt GROUP BY 1, 2),
+      w AS (SELECT target, tf.tok AS tok,
+              sqrt(CAST(tf AS DOUBLE)) * idf AS wt
+            FROM tf JOIN idf ON tf.tok = idf.tok),
+      ess AS (SELECT target,
+                list_sort(list(struct_pack(tok := tok, wt := wt))) AS es
+              FROM w GROUP BY target)
+      SELECT target, to_json(list_transform(es, e ->
+          struct_pack(tok := e.tok,
+            w := CAST(CAST(CASE WHEN $norm > 0 THEN e.wt / $norm
+                           ELSE CAST(0.0 AS DOUBLE) END
+                      AS DECIMAL(10,6)) AS VARCHAR))))::VARCHAR AS counts
+      FROM ess ORDER BY target"""
+    }),
+
+    // ---- Entity skip-gram training corpus (ref embeddings.py:44-55):
+    // pre-context ⧺ entity token ⧺ post-context per prefix-filtered
+    // mention; the oracle rebuilds every sentence from the golden mention
+    // rows.
+    QueryDef("m_entity_skipgram_corpus", (s, d) => {
+      val mentions = Mentions.mentionContexts(Wiki.documents(s, FixtureWiki))
+      graft.ops.TextModels
+        .entityTrainingSentences(mentions, "en.wikipedia.org/wiki/")
+        .select(col("target"), to_json(col("sentence")).as("sentence"))
+        .orderBy("target", "sentence")
+    }, Some(s"""
+      WITH $duckFixtureMentions
+      SELECT target, to_json($duckSkipgramToks)::VARCHAR AS sentence
+      FROM mentions
+      WHERE starts_with(target, 'en.wikipedia.org/wiki/')
+      ORDER BY target, sentence""")),
+
+    // ---- M1 full pipeline: skip-gram embeddings over the entity
+    // training corpus with PER-CLASS minimum counts (ref
+    // embeddings.py:36-42: entity floor ≪ word floor). The embedding
+    // values are engine-specific (distributed ml.Word2Vec vs driver-side
+    // gensim); the oracle asserts the exact trained vocabulary — every
+    // class floor applied — and the dimensionality contract.
+    QueryDef("m1_entity_skipgram_vocab", (s, d) => {
+      val prefix = "en.wikipedia.org/wiki/"
+      val mentions = Mentions.mentionContexts(Wiki.documents(s, FixtureWiki))
+      val sentences = graft.ops.TextModels
+        .entityTrainingSentences(mentions, prefix)
+      // fixture-scale floors (ref defaults 500/10 assume web scale)
+      val filtered = graft.ops.TextModels
+        .classMinCountFilter(sentences, prefix,
+          minWordCount = 2, minEntityCount = 1)
+      val model = new org.apache.spark.ml.feature.Word2Vec()
+        .setInputCol("sentence").setOutputCol("vec")
+        .setVectorSize(16).setMinCount(1).setSeed(42L)
+        .setMaxIter(1).setNumPartitions(1)
+        .fit(filtered)
+      model.getVectors
+        .select(col("word"),
+          size(org.apache.spark.ml.functions.vector_to_array(col("vector")))
+            .cast("long").as("dim"))
+        .orderBy("word")
+    }, Some(s"""
+      WITH $duckFixtureMentions,
+      sent AS (SELECT $duckSkipgramToks AS toks FROM mentions
+               WHERE starts_with(target, 'en.wikipedia.org/wiki/')),
+      tok AS (SELECT unnest(toks) AS word FROM sent),
+      cnt AS (SELECT word, COUNT(*) AS c FROM tok GROUP BY word)
+      SELECT word, CAST(16 AS BIGINT) AS dim FROM cnt
+      WHERE (starts_with(word, 'en.wikipedia.org/wiki/') AND c >= 1)
+         OR (NOT starts_with(word, 'en.wikipedia.org/wiki/') AND c >= 2)
+      ORDER BY word""")),
+
+    // ---- MappedEntityComentions (ref links.py:217-222, defect #2
+    // intent): comention lists through the entity-vocab rank (count-desc,
+    // uri tie-break), OOV dropped — maxRank=6 drops the rank-6 entity
+    // ('example.org/archive'), exercising the OOV path.
+    QueryDef("m_mapped_comentions", (s, d) => {
+      val docs = Wiki.documents(s, FixtureWiki)
+      val vocab = LinkModels.entityVocab(docs, minCount = 0, maxRank = 6,
+        numPartitions = 8)
+      LinkModels.mappedEntityComentions(docs, vocab)
+        .select(col("doc_id"), to_json(col("entities")).as("entities"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT * FROM (VALUES
+      ('en.wikipedia.org/wiki/Anarchism', '[0,1,3,4,5]'),
+      ('en.wikipedia.org/wiki/Political_philosophy', '[1,2,0]')
+      ) AS t(doc_id, entities) ORDER BY doc_id"""))
   )
 }
