@@ -18,6 +18,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -38,7 +39,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The JSON line goes out BEFORE any teardown logging and is also
+    // written to bench.json — the harness tail-captures stdout and has
+    // truncated the epilogue before (BENCH_r03 lost its totals).
+    println(line)
+    Console.flush()
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -34,6 +34,7 @@ object Cli {
       // spark-submit injects spark.master; default to local for dev runs
       .config("spark.master", sys.props.getOrElse("spark.master", "local[*]"))
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -288,6 +288,46 @@ object Functions extends QueryModule {
           || chr(13) || chr(10)
           || '$' || CAST(length(n_name) AS VARCHAR)
           || chr(13) || chr(10) || n_name || chr(13) || chr(10) AS resp
-      FROM nation ORDER BY n_nationkey"""))
+      FROM nation ORDER BY n_nationkey""")),
+
+    // ---- S8 + msgpack serializer (ref format.py:60-70: value =
+    // base64(msgpack.dumps(str)) — the binary serializer path with the
+    // ref's own base64 escape). Document texts span the fixstr/str8/str16
+    // headers; both engines frame the UTF-8 byte length big-endian.
+    QueryDef("s8_resp_msgpack", (s, d) => {
+      val docs = t(s, d, "documents")
+      val key = concat(lit("doc:"), col("doc_id").cast("string"))
+      val value = graft.sources.Sinks.serializeValue(docs, "text", "msgpack")
+      docs.select(col("doc_id"),
+        concat(lit("*3\r\n$3\r\nSET\r\n$"),
+          length(key).cast("string"), lit("\r\n"), key,
+          lit("\r\n$"), length(value).cast("string"), lit("\r\n"), value,
+          lit("\r\n")).as("resp"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH m AS (SELECT doc_id, encode(text) AS b FROM documents),
+      mp AS (SELECT doc_id,
+        (CASE WHEN octet_length(b) < 32
+                THEN from_hex(lpad(to_hex(160 + octet_length(b)), 2, '0'))
+              WHEN octet_length(b) < 256
+                THEN from_hex('D9') ||
+                     from_hex(lpad(to_hex(octet_length(b)), 2, '0'))
+              WHEN octet_length(b) < 65536
+                THEN from_hex('DA') ||
+                     from_hex(lpad(to_hex(octet_length(b)), 4, '0'))
+              ELSE from_hex('DB') ||
+                   from_hex(lpad(to_hex(octet_length(b)), 8, '0'))
+         END) || b AS mpb
+        FROM m),
+      v AS (SELECT doc_id, base64(mpb) AS value FROM mp)
+      SELECT doc_id,
+        '*3' || chr(13) || chr(10) || '$3' || chr(13) || chr(10) || 'SET'
+          || chr(13) || chr(10)
+          || '$' || CAST(length('doc:' || CAST(doc_id AS VARCHAR)) AS VARCHAR)
+          || chr(13) || chr(10) || 'doc:' || CAST(doc_id AS VARCHAR)
+          || chr(13) || chr(10)
+          || '$' || CAST(length(value) AS VARCHAR)
+          || chr(13) || chr(10) || value || chr(13) || chr(10) AS resp
+      FROM v ORDER BY doc_id"""))
   )
 }

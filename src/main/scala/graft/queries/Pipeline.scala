@@ -46,11 +46,12 @@ object Pipeline extends QueryModule {
   }
 
   /** DuckDB twin of [[Similarity.hyperplaneBucketSql]]. */
-  private def duckBucket(vec: String, nPlanes: Int): String = {
+  private def duckBucket(vec: String, nPlanes: Int,
+      planeOffset: String = "0"): String = {
     val proj = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(range(0, len($vec)), " +
       s"jj -> CAST($vec[jj + 1] AS DOUBLE) * " +
-      s"((${duckMd5Long("CAST(pp AS VARCHAR) || ',' || CAST(jj AS VARCHAR)")} % 2001) - 1000) / 1000.0)), " +
+      s"((${duckMd5Long(s"CAST(($planeOffset) + pp AS VARCHAR) || ',' || CAST(jj AS VARCHAR)")} % 2001) - 1000) / 1000.0)), " +
       s"(acc, v) -> acc + v)"
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(0, $nPlanes), pp -> " +
@@ -305,14 +306,21 @@ object Pipeline extends QueryModule {
              round(cos, 6) AS cos
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
 
-    // ---- Embedding-cosine near-duplicate pairs (exact all-pairs — the
-    // ground-truth formulation; documented scale path is LSH/IVF).
+    // ---- Embedding-cosine near-duplicate pairs — PRODUCTION path:
+    // multi-table hyperplane-LSH candidates (4 planes × 16 tables) +
+    // exact-cosine verify. Candidates only ever meet inside a bucket
+    // equi-join; the O(n²) pair space is never materialized. The oracle
+    // replicates the identical banded computation; recall vs the
+    // all-pairs ground truth is graded separately (NearDupRecallSpec:
+    // 14/14 on this corpus, ≈95.7% analytic at cos 0.45).
     QueryDef("sim_neardup_pairs", (s, d) => {
-      Similarity.cosineNearDupPairs(emb(s, d), 0.45)
+      Similarity.cosineNearDupPairsLsh(emb(s, d), 0.45,
+          planesPerTable = 4, nTables = 16)
         .orderBy("vec_a", "vec_b")
     }, Some {
       // mirrors the engine exactly: unit-normalize each vector once,
-      // single dot per pair (same fold order → bit-identical doubles)
+      // same hash-derived hyperplane family per table, single dot per
+      // surviving pair (same fold order → bit-identical doubles)
       def dot(x: String, y: String) =
         s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
           s"list_transform(range(1, len($x) + 1), " +
@@ -323,9 +331,17 @@ object Pipeline extends QueryModule {
                   FROM embeddings),
       nn AS (SELECT vec_id, vd, sqrt(${dot("vd", "vd")}) AS n FROM vd),
       unit AS (SELECT vec_id, list_transform(vd, x -> x / n) AS u FROM nn),
-      scored AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   ${dot("a.u", "b.u")} AS cos
-                 FROM unit a JOIN unit b ON a.vec_id < b.vec_id)
+      bk AS (SELECT vec_id, tt.t AS tbl,
+               ${duckBucket("u", 4, "tt.t * 4")} AS bkey
+             FROM unit CROSS JOIN (SELECT unnest(range(0, 16)) AS t) tt),
+      cands AS (SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+                FROM bk a JOIN bk b2
+                  ON a.tbl = b2.tbl AND a.bkey = b2.bkey
+                 AND a.vec_id < b2.vec_id),
+      scored AS (SELECT vec_a, vec_b, ${dot("a.u", "b.u")} AS cos
+                 FROM cands
+                 JOIN unit a ON vec_a = a.vec_id
+                 JOIN unit b ON vec_b = b.vec_id)
       SELECT vec_a, vec_b, round(cos, 6) AS cos
       FROM scored WHERE cos >= 0.45 ORDER BY vec_a, vec_b"""
     }),

@@ -48,6 +48,29 @@ object StreamML extends QueryModule {
       SELECT MIN(t) AS sstart, user_id, COUNT(*) AS n
       FROM sess GROUP BY user_id, sess_id ORDER BY sstart, user_id""")),
 
+    // ---- §2.9: append-mode watermark late-data drop, observed across
+    // two file-source triggers (on-time file, then a file holding only
+    // the oldest window's rows). Oracle: counts from on-time rows only,
+    // restricted to windows finalized by the watermark (end ≤ max(t) −
+    // 10 min, at Spark's millisecond watermark precision); the late
+    // window itself must be absent.
+    QueryDef("st_late_data", (s, d) => {
+      graft.streaming.Events.lateDataWindowCounts(s, d)
+    }, Some("""
+      WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type,
+                   time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
+                     AS wstart
+                 FROM events),
+      w0 AS (SELECT min(wstart) AS w0 FROM e),
+      b0 AS (SELECT * FROM e WHERE wstart > (SELECT w0 FROM w0)),
+      wm AS (SELECT date_trunc('milliseconds', max(t))
+                    - INTERVAL 10 MINUTE AS wm
+             FROM b0)
+      SELECT wstart, event_type, COUNT(*) AS n
+      FROM b0
+      WHERE wstart + INTERVAL 1 HOUR <= (SELECT wm FROM wm)
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- §2.9: custom keyed state (flatMapGroupsWithState) — running
     // per-user counts; final state equals the batch aggregation.
     QueryDef("st_stateful_counts", (s, d) => {

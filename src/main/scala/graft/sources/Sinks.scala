@@ -26,16 +26,75 @@ object Sinks {
       .write.mode("overwrite").option("sep", "\t").csv(path)
   }
 
+  /** msgpack `str`-family framing of a string column's UTF-8 bytes
+    * (public MessagePack spec: fixstr `0xA0|len` for len < 32, `0xD9` +
+    * u8 len, `0xDA` + u16 BE len, `0xDB` + u32 BE len, then the raw
+    * bytes). This is exactly what the ref's msgpack serializer produces
+    * for its `field` mode (format.py:60-70: `msgpack.dumps(unicode(...))`
+    * packs a str); pure codegen'd column expressions, no UDF.
+    */
+  def msgpackStr(c: Column): Column = {
+    val b = encode(c.cast("string"), "UTF-8")
+    val n = length(b) // byte length
+    val header =
+      when(n < 32, unhex(lpad(hex(n + lit(160)), 2, "0")))
+        .when(n < 256, concat(unhex(lit("D9")), unhex(lpad(hex(n), 2, "0"))))
+        .when(n < 65536,
+          concat(unhex(lit("DA")), unhex(lpad(hex(n), 4, "0"))))
+        .otherwise(concat(unhex(lit("DB")), unhex(lpad(hex(n), 8, "0"))))
+    concat(header, b)
+  }
+
+  /** Value serializers for the RESP sink (ref format.py:51-65):
+    *  - `raw`     — the column's string form, unescaped (the ref requires
+    *                a target field for raw; a Column IS that field);
+    *  - `json`    — `to_json` for complex columns, a JSON-quoted scalar
+    *                otherwise (json.dumps semantics);
+    *  - `msgpack` — msgpack bytes, base64-escaped exactly as the ref does
+    *                (`base64.b64encode(msgpack.dumps(o))`). Complex
+    *                columns pack their canonical-JSON string; native
+    *                map/array packing is documented out of scope.
+    * `pickle` is Python-object-specific and deliberately unsupported.
+    */
+  def serializeValue(df: DataFrame, valueCol: String,
+      serializer: String): Column = {
+    import org.apache.spark.sql.types.{StructType, ArrayType, MapType}
+    val complex = df.schema(valueCol).dataType match {
+      case _: StructType | _: ArrayType | _: MapType => true
+      case _ => false
+    }
+    // json.dumps of a scalar: wrap in a 1-field struct and strip the
+    // {"v": … } envelope — inherits Spark's exact JSON string escaping.
+    def jsonForm: Column =
+      if (complex) to_json(col(valueCol))
+      else {
+        val wrapped = to_json(struct(col(valueCol).as("v")))
+        when(col(valueCol).isNull, lit("null"))
+          .otherwise(wrapped.substr(lit(6), length(wrapped) - 6))
+      }
+    serializer match {
+      case "raw" => col(valueCol).cast("string")
+      case "json" => jsonForm
+      case "msgpack" =>
+        // Spark's base64 is the MIME variant (76-char lines, CRLF);
+        // the ref's base64.b64encode is unchunked — strip the breaks
+        regexp_replace(
+          base64(msgpackStr(if (complex) to_json(col(valueCol))
+            else col(valueCol).cast("string"))),
+          "[\\r\\n]", "")
+      case other => throw new IllegalArgumentException(
+        s"unknown serializer '$other' (raw|json|msgpack)")
+    }
+  }
+
   /** S8/F17: RESP `SET <prefix><key> <value>` command stream (ref
-    * format.py:66-77); binary-unsafe values go through base64 when
-    * `binaryValue` is set, mirroring the ref's serializer escape.
+    * format.py:66-77) with the serializer family above applied to the
+    * value column.
     */
   def resp(df: DataFrame, path: String, prefix: String, keyCol: String,
-      valueCol: String, binaryValue: Boolean = false): Unit = {
+      valueCol: String, serializer: String = "raw"): Unit = {
     val key = concat(lit(prefix), col(keyCol).cast("string"))
-    val value: Column =
-      if (binaryValue) base64(encode(col(valueCol).cast("string"), "UTF-8"))
-      else col(valueCol).cast("string")
+    val value = serializeValue(df, valueCol, serializer)
     df.select(concat(lit("*3\r\n$3\r\nSET\r\n$"),
         length(key).cast("string"), lit("\r\n"), key,
         lit("\r\n$"), length(value).cast("string"), lit("\r\n"), value,

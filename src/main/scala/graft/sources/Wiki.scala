@@ -47,10 +47,15 @@ object Wiki {
     * halves remaining chain length, so `hops` rounds cover 2^hops).
     */
   def redirects(s: SparkSession, pagesDf: DataFrame, hops: Int = 3): DataFrame = {
-    val normUdf = udf((t: String) => Wikitext.WikiPrefix +
-      Wikitext.normaliseWikilink(t))
+    // column-expression twin of Wikitext.normaliseWikilink (spaces →
+    // underscores, strip one underscore each end, trim, uppercase the
+    // first character) — keeps the join path expression-pure / codegen'd
+    val u = trim(regexp_replace(
+      translate(col("redirect"), " ", "_"), "^_|_$", ""))
+    val norm = concat(lit(Wikitext.WikiPrefix),
+      upper(substring(u, 1, 1)), substring(u, 2, Int.MaxValue))
     var r = pagesDf.filter(col("redirect").isNotNull)
-      .select(col("uri").as("source"), normUdf(col("redirect")).as("target"))
+      .select(col("uri").as("source"), norm.as("target"))
     for (_ <- 1 to hops) {
       val next = r.as("l")
         .join(r.select(col("source").as("s2"), col("target").as("t2")).as("r"),

@@ -17,20 +17,17 @@ object Events {
     "event_type STRING, value DOUBLE, props STRING"
 
   /** Event stream with event-time column `t` and a 10-minute watermark.
-    * The file source requires a directory; the single events.parquet file
-    * is linked into a scratch dir (in production the dump IS a directory
-    * of parts and this indirection disappears).
+    * Reads the source in place via a brace-glob (`{events}.parquet`) so
+    * the file source resolves `dir` as its base directory — no scratch
+    * copies, no per-call side effects. Works unchanged when the dump is a
+    * directory of parts. Requires `spark.sql.legacy.parquet.nanosAsLong`
+    * in the session builder (all engine entry points set it): the table
+    * stores TIMESTAMP(NANOS).
     */
-  def stream(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val scratch = Files.createTempDirectory("graft_events_stream")
-    Files.copy(Paths.get(s"$dir/events.parquet"),
-      scratch.resolve("events.parquet"))
-    s.readStream.schema(schemaDdl).parquet(scratch.toString)
+  def stream(s: SparkSession, dir: String): DataFrame =
+    s.readStream.schema(schemaDdl).parquet(s"$dir/{events}.parquet")
       .withColumn("t", timestamp_micros(expr("ts div 1000")))
       .withWatermark("t", "10 minutes")
-  }
 
   private def runToCompletion(df: DataFrame, sinkName: String,
       mode: String = "complete"): DataFrame = {
@@ -80,6 +77,69 @@ object Events {
     runToCompletion(updated, "st_stateful_counts_mem", mode = "update")
       .groupBy("user_id").agg(max("n").as("n")) // last emission per user
       .orderBy("user_id")
+  }
+
+  /** Append-mode late-data drop (the watermark semantics the other gates
+    * can't observe in a single micro-batch): the events table is split
+    * into three files streamed one per trigger — the body (every 1-hour
+    * window strictly between the oldest and the newest), the newest
+    * window's rows (which advance the watermark to max(t) − 10 min), and
+    * finally the OLDEST window's rows. Since Spark 3.4 late-event
+    * FILTERING uses the previous batch's watermark while state EVICTION
+    * uses the current one (SPARK-24634) — so the late file must arrive
+    * two triggers after the body for its rows to face the advanced
+    * watermark. They do here, their window sits far below it, and append
+    * mode DROPS them: the output holds exactly the windows finalized by
+    * the watermark (window.end ≤ watermark) with the late window ABSENT.
+    *
+    * The split is rebuilt idempotently into one fixed scratch dir per
+    * source dir (overwrite, no per-call temp leak); mtimes are pinned
+    * 60 s apart so the file source's oldest-first ordering is
+    * deterministic. This staging exists only to make a bounded gate
+    * exhibit multi-trigger behavior — a live stream needs none of it.
+    */
+  def lateDataWindowCounts(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val ev = graft.queries.Tables.events(s, dir)
+      .select(col("ts_us"), col("event_type"),
+        date_trunc("hour", col("ts")).as("wstart"))
+    val bounds = ev.agg(min(col("wstart")), max(col("wstart"))).head()
+    val (w0, wMax) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+    val root = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_late_stream_" +
+        java.lang.Integer.toHexString(dir.hashCode))
+    val data = root.resolve("data")
+    def stage(df: DataFrame, part: String, mtimeMs: Long): Unit = {
+      val tmp = root.resolve(s"stage_$part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val f = try listing.filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      finally listing.close()
+      Files.createDirectories(data)
+      Files.move(f, data.resolve(s"$part.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(data.resolve(s"$part.parquet"),
+        FileTime.fromMillis(mtimeMs))
+    }
+    val now = System.currentTimeMillis()
+    val cols = Seq(col("ts_us"), col("event_type"))
+    stage(ev.filter(col("wstart") > w0 && col("wstart") < wMax)
+      .select(cols: _*), "00_body", now - 180000)
+    stage(ev.filter(col("wstart") === wMax).select(cols: _*), "01_head",
+      now - 120000)
+    stage(ev.filter(col("wstart") === w0).select(cols: _*), "02_late",
+      now - 60000)
+    val counts = s.readStream.schema("ts_us BIGINT, event_type STRING")
+      .option("maxFilesPerTrigger", 1).parquet(data.toString)
+      .withColumn("t", timestamp_micros(col("ts_us")))
+      .withWatermark("t", "10 minutes")
+      .groupBy(window(col("t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToCompletion(counts, "st_late_data_mem", mode = "append")
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+      .orderBy("wstart", "event_type")
   }
 
   /** Per-user session windows (30-minute inactivity gap): session count

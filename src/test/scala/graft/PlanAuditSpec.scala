@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{Relational, Functions, Pipeline}
+
+/** Scale-killer tripwire over every table-backed gate query's physical
+  * plan (promotion of tools/ExplainAudit from print-for-humans to a
+  * failing assertion): re-introducing an O(n²) nested-loop join, a
+  * cartesian product, or an unpartitioned single-task exchange breaks the
+  * suite. Allow-lists name the queries where the pattern is a deliberate
+  * 1-row-scalar broadcast (idf's N, corpus stats) — each entry documents
+  * why it is not a scale risk.
+  *
+  * Plans are built (never executed) against sf0.001; the physical
+  * patterns audited here are data-size-independent.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.session
+  private val d = "/root/testdata/sf0.001"
+
+  // Nested-loop joins whose build side is provably tiny — O(n·k) with a
+  // bounded k, not O(n²):
+  //  - m2_* / tfidf: a 1-row scalar aggregate (corpus count N) broadcast
+  //    into the idf computation;
+  //  - j_cross_grid: the deliberate CROSS JOIN coverage query over two
+  //    dimension grids (|region| × |orderstatus|);
+  //  - j7 / w1: Rank.globalOrdinal's triangular offset join over the
+  //    ≤ numPartitions-row per-partition count table;
+  //  - sim_topk_bruteforce: the broadcast query set against the corpus
+  //    (non-equi self-exclusion; the corpus side never shuffles);
+  //  - sim_ivf_topk: the broadcast centroid table (cells × dims rows)
+  //    against the query set, plus the same rank-offset pattern.
+  private val allowNestedLoop = Set(
+    "m2_term_idfs", "m2_tfidf_vectors", "m_entity_mention_tfidf",
+    "j_cross_grid", "j7_vocab_oov_broadcast", "w1_vocab_rank_band",
+    "sim_topk_bruteforce", "sim_ivf_topk")
+
+  // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
+  // final combine of partial aggregates over ≤ #partitions rows) or a
+  // deliberately scalar output.
+  private val allowSinglePartition = Set(
+    "a7_corpus_stats", "m2_term_idfs", "m2_tfidf_vectors",
+    "m_entity_mention_tfidf")
+
+  private val modules = Seq(Relational, Functions, Pipeline)
+
+  for (m <- modules; q <- m.defs) {
+    test(s"plan audit: ${q.name}") {
+      val plan = q.query(spark, d).queryExecution.executedPlan.toString
+      if (!allowNestedLoop(q.name)) {
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"nested-loop join in ${q.name}:\n$plan")
+        assert(!plan.contains("CartesianProduct"),
+          s"cartesian product in ${q.name}:\n$plan")
+      }
+      if (!allowSinglePartition(q.name)) {
+        assert(!plan.contains("Exchange SinglePartition"),
+          s"single-partition exchange in ${q.name}:\n$plan")
+      }
+    }
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.Sinks
+
+/** msgpack str-family framing against hand-computed spec bytes
+  * (MessagePack spec: fixstr/str8/str16/str32 headers, big-endian
+  * lengths), and the serializer family's json.dumps semantics.
+  */
+class SinksSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.session
+
+  private def pack(s: String): Array[Byte] = {
+    val sp = spark; import sp.implicits._
+    Seq(s).toDF("v").select(Sinks.msgpackStr(col("v")).as("b"))
+      .head().getAs[Array[Byte]]("b")
+  }
+
+  test("msgpack fixstr: header 0xA0|len") {
+    val b = pack("abc")
+    assert(b(0) == 0xA3.toByte)
+    assert(new String(b.drop(1), "UTF-8") == "abc")
+  }
+
+  test("msgpack str8/str16/str32: marker + big-endian byte length") {
+    val s8 = "x" * 200
+    val b8 = pack(s8)
+    assert(b8(0) == 0xD9.toByte && (b8(1) & 0xFF) == 200)
+    assert(b8.length == 2 + 200)
+
+    val s16 = "y" * 40000
+    val b16 = pack(s16)
+    assert(b16(0) == 0xDA.toByte)
+    assert(((b16(1) & 0xFF) << 8 | (b16(2) & 0xFF)) == 40000)
+
+    val s32 = "z" * 70000
+    val b32 = pack(s32)
+    assert(b32(0) == 0xDB.toByte)
+    val n = ((b32(1) & 0xFF) << 24) | ((b32(2) & 0xFF) << 16) |
+      ((b32(3) & 0xFF) << 8) | (b32(4) & 0xFF)
+    assert(n == 70000 && b32.length == 5 + 70000)
+  }
+
+  test("msgpack length is UTF-8 BYTE length, not char count") {
+    val b = pack("é") // 2 bytes in UTF-8
+    assert(b(0) == 0xA2.toByte && b.length == 3)
+  }
+
+  test("json serializer quotes scalars and escapes like json.dumps") {
+    val sp = spark; import sp.implicits._
+    val df = Seq("say \"hi\"").toDF("v")
+    val out = df.select(Sinks.serializeValue(df, "v", "json").as("j"))
+      .head().getString(0)
+    assert(out == "\"say \\\"hi\\\"\"")
+  }
+}
