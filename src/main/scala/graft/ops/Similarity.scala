@@ -67,8 +67,10 @@ object Similarity {
     * 2^nPlanes cells; [[ivfTopK]] consumes the resulting `cell` column.
     */
   def assignCells(df: DataFrame, nPlanes: Int): DataFrame =
-    ensureRegistered(df)
-      .withColumn("cell", expr(hyperplaneBucketSql("embedding", nPlanes)))
+    withBucketArray(ensureRegistered(df), "embedding", nPlanes, 1,
+        "__buckets")
+      .withColumn("cell", element_at(col("__buckets"), 1))
+      .drop("__buckets")
 
   /** IVF cell centroids: elementwise mean per cell, computed relationally
     * (posexplode → mean per (cell, dim) → reassemble ordered). One shuffle
@@ -121,10 +123,53 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** md5-derived hyperplane weight for global plane index `p`, dimension
+    * `j`: (md5Long("p,j") mod 2001 − 1000) / 1000 — the identical value
+    * [[hyperplaneBucketSql]] (and the DuckDB oracle) derives per row.
+    * The weights are CONSTANTS, so the engine computes them once on the
+    * driver and inlines them as a plan literal; hashing per row per
+    * dimension was the one bench regression of the banded near-dup.
+    */
+  def planeWeight(p: Int, j: Int): Double = {
+    val h = graft.functions.Md5Long.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"$p,$j"))
+    ((h % 2001) - 1000) / 1000.0
+  }
+
+  /** Adds `outCol ARRAY<BIGINT>`: the vector's bucket id in each of
+    * `nTables` independent hyperplane tables (table t draws global
+    * planes [t·b, (t+1)·b)). Weights ride along as one typed literal;
+    * per row a bucket costs b·dims fused multiply-adds inside
+    * whole-stage codegen — no hashing. Fold order over dimensions is
+    * identical to [[hyperplaneBucketSql]], so bucket ids are
+    * bit-identical to the md5-per-row form and to the DuckDB twin
+    * (PlaneLiteralSpec asserts this). Assumes fixed dimensionality
+    * (the embedding-column contract).
+    */
+  def withBucketArray(df: DataFrame, vecCol: String, nPlanes: Int,
+      nTables: Int, outCol: String): DataFrame = {
+    val dims = df.select(size(col(vecCol))).head.getInt(0)
+    val w = Array.tabulate(nTables, nPlanes, dims)(
+      (t, p, j) => planeWeight(t * nPlanes + p, j))
+    df.withColumn("__planes", typedlit(w))
+      .withColumn(outCol, expr(
+        s"transform(sequence(0, ${nTables - 1}), tt -> " +
+          s"aggregate(transform(sequence(0, ${nPlanes - 1}), p -> " +
+          s"case when aggregate(zip_with($vecCol, __planes[tt][p], " +
+          s"(x, w) -> cast(x as double) * w), cast(0.0 as double), " +
+          s"(acc, v) -> acc + v) >= 0 " +
+          s"then shiftleft(cast(1 as bigint), p) " +
+          s"else cast(0 as bigint) end), " +
+          s"cast(0 as bigint), (acc, v) -> acc + v))"))
+      .drop("__planes")
+  }
+
   /** Signed-random-projection (hyperplane) LSH bucket id: bit p of the
     * bucket = sign of ⟨v, w_p⟩ where w_p[j] = (md5Long(p ‖ ',' ‖ j) mod
     * 2001 − 1000) / 1000 — deterministic pseudo-random weights both
-    * engines can recompute.
+    * engines can recompute. This md5-per-row form is the oracle-twin
+    * reference; the hot path inlines the same weights as literals
+    * ([[withBucketArray]]).
     */
   def hyperplaneBucketSql(vec: String, nPlanes: Int,
       planeOffset: String = "0"): String = {
@@ -143,7 +188,8 @@ object Similarity {
       k: Int): DataFrame = {
     ensureRegistered(queries)
     val bucket = (df: DataFrame) =>
-      df.withColumn("bucket", expr(hyperplaneBucketSql("embedding", nPlanes)))
+      withBucketArray(df, "embedding", nPlanes, 1, "__buckets")
+        .withColumn("bucket", element_at(col("__buckets"), 1))
     val q = bucket(queries).select(col("vec_id").as("query_id"),
       col("embedding").as("qe"), col("bucket"))
     val c = bucket(corpus).select(col("vec_id").as("neighbor_id"),
@@ -205,10 +251,10 @@ object Similarity {
     def dot(x: String, y: String) = s"graft_dot($x, $y)"
     val unit = unitVectors(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bucketArr = s"transform(sequence(0, ${nTables - 1}), tt -> " +
-      s"${hyperplaneBucketSql("u", planesPerTable, s"tt * $planesPerTable")})"
-    val banded = unit.select(col("vec_id"),
-      posexplode(expr(bucketArr)).as(Seq("tbl", "bkey")))
+    val banded = withBucketArray(unit, "u", planesPerTable, nTables,
+        "__buckets")
+      .select(col("vec_id"), posexplode(col("__buckets"))
+        .as(Seq("tbl", "bkey")))
     val cands = banded.select(col("vec_id").as("vec_a"), col("tbl"),
         col("bkey"))
       .join(banded.select(col("vec_id").as("vec_b"), col("tbl"),
