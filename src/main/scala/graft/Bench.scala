@@ -9,6 +9,13 @@ import org.apache.spark.sql.SparkSession
   * parquet footer cache), then each query measured with a `noop`-format
   * write — unlike `count()`, the noop sink materializes every output
   * column, so Catalyst can't prune the projections being measured.
+  *
+  * Calibration (sf0.1 f_math_battery, 600k × 14 cols): `count()` 0.13 s
+  * (prunes every projection — what the round-2 bench measured),
+  * unsorted noop 0.80 s (the operator's true materialized cost), noop
+  * behind the gate's determinism ORDER BY 2.85 s. The round-2→3 battery
+  * "regressions" are exactly this methodology gap plus the oracle-only
+  * global sort, not plan defects.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

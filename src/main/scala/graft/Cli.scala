@@ -17,6 +17,9 @@ import graft.ops.{LinkModels, Mentions, TextAnalysis, Dedup}
   *   wikidata-relations  wikidata dump   → (eid, relations)
   *   entity-counts       documents parquet → inlink counts
   *   entity-mentions     documents parquet → sentence-window mentions
+  *   mention-tfidf       documents parquet → per-entity mention tf-idf
+  *   skipgram-corpus     documents parquet → entity training sentences
+  *   mapped-comentions   documents parquet → rank-mapped comentions
   *   lang-id             documents parquet → (doc_id, lang_pred)
   *   exact-dedup         documents parquet → fingerprint groups
   *
@@ -47,6 +50,16 @@ object Cli {
       case "wikidata-relations" => Wikidata.relations(spark, input)
       case "entity-counts" => LinkModels.entityCounts(docs)
       case "entity-mentions" => Mentions.mentionContexts(docs)
+      case "mention-tfidf" =>
+        val d = docs
+        graft.ops.TextModels.entityMentionTermFrequency(
+          Mentions.mentionContexts(d), graft.ops.TextModels.termIdfs(d))
+      case "skipgram-corpus" =>
+        graft.ops.TextModels.entityTrainingSentences(
+          Mentions.mentionContexts(docs), graft.textfn.Wikitext.WikiPrefix)
+      case "mapped-comentions" =>
+        val d = docs
+        LinkModels.mappedEntityComentions(d, LinkModels.entityVocab(d))
       case "lang-id" => TextAnalysis.langId(docs)
       case "exact-dedup" => Dedup.exact(docs)
       case other => throw new IllegalArgumentException(
