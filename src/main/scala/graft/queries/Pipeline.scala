@@ -467,6 +467,34 @@ object Pipeline extends QueryModule {
             WHERE doc_id % 3 = 2)
       ORDER BY doc_id, frame_ms""")),
 
+    // ---- REAL codec boundary: wrap each document's UTF-8 bytes as a
+    // genuine mono PCM-u8 WAV container (engine-built RIFF framing),
+    // decode it with the pure-JVM WAV parser inside the distributed
+    // typed map, and emit per-doc sample count + mean. The oracle never
+    // sees the container: it derives the expected samples straight from
+    // the raw payload bytes ((b − 128)/128, sequential fold) — so parse
+    // + decode are verified end-to-end from first principles.
+    QueryDef("mm_wav_decode", (s, d) => {
+      val wavs = docs(s, d).select(col("doc_id"),
+        lit("audio").as("media_type"),
+        Multimodal.wavU8(encode(col("text"), "UTF-8")).as("bytes"))
+      Multimodal.decodedStats(wavs)
+        .select(col("doc_id"), col("dim").cast("long").as("dim"),
+          round(col("mean_value"), 6).as("mean_value"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH m AS (SELECT doc_id, encode(text) AS b FROM documents),
+      hx AS (SELECT doc_id, hex(b) AS h, octet_length(b) AS n FROM m),
+      sm AS (SELECT doc_id, n,
+               list_transform(range(0, n), i ->
+                 (CAST(('0x' || substring(h, i * 2 + 1, 2)) AS INT) - 128)
+                   / 128.0) AS samples
+             FROM hx)
+      SELECT doc_id, CAST(n AS BIGINT) AS dim,
+        round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), samples),
+          (a, v) -> a + v) / greatest(n, 1), 6) AS mean_value
+      FROM sm ORDER BY doc_id""")),
+
     // =================== models: TF-IDF (F12/F13/M2, ref
     // sift/models/text.py:110-206) =====================================
 

@@ -29,14 +29,27 @@ object Events {
       .withColumn("t", timestamp_micros(expr("ts div 1000")))
       .withWatermark("t", "10 minutes")
 
+  /** Runs a bounded stream to completion against a memory sink. The
+    * state-partition count is a stream-lifetime property baked into the
+    * checkpoint at start(): production streams size it to state volume;
+    * these gate streams carry tiny state, where the per-partition store
+    * commit (~100 ms each, × partitions × stateful ops × triggers)
+    * dominates wall clock — so the width is scoped down around the run
+    * and the session's shuffle width restored after.
+    */
   private def runToCompletion(df: DataFrame, sinkName: String,
-      mode: String = "complete"): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(sinkName)
-      .outputMode(mode).start()
+      mode: String = "complete", stateParts: Int = 8): DataFrame = {
+    val s = df.sparkSession
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
     try {
-      q.processAllAvailable()
-    } finally q.stop()
-    df.sparkSession.table(sinkName)
+      val q = df.writeStream.format("memory").queryName(sinkName)
+        .outputMode(mode).start()
+      try {
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table(sinkName)
   }
 
   /** Tumbling-window counts by event type with streaming dedup on

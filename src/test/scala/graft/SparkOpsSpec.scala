@@ -139,13 +139,48 @@ class MultimodalSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 
   test("decode stub is deterministic with per-modality batch shape") {
+    // non-parseable payloads fall back to the stub
     val a = Multimodal.decodedStats(mediaDf).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getFloat(2))).toSet
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
     val b = Multimodal.decodedStats(mediaDf).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getFloat(2))).toSet
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
     assert(a == b)
     val dims = a.map(t => t._1 -> t._2).toMap
     assert(dims == Map(1L -> 64, 2L -> 128, 3L -> 32))
+  }
+
+  test("PPM decoder parses real P6 bytes (header, comments, maxval scale)") {
+    val header = "P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII")
+    val pixels = Array[Byte](0, 127.toByte, 255.toByte, 64, 128.toByte, 192.toByte)
+    val Some((w, h, px)) = Multimodal.Decode.ppm(header ++ pixels)
+    assert(w == 2 && h == 1 && px.length == 6)
+    assert(px(0) == 0f && px(2) == 1f)
+    assert(math.abs(px(1) - 127f / 255f) < 1e-6)
+    assert(Multimodal.Decode.ppm("P5 junk".getBytes).isEmpty)
+  }
+
+  test("WAV decoder parses PCM u8 and s16le chunk lists") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    // u8: build the container with the engine's own wavU8 framing
+    val payload = Array[Byte](0, 128.toByte, 255.toByte)
+    val wavBytes = Seq(Tuple1(payload)).toDF("p")
+      .select(Multimodal.wavU8(col("p")).as("w"))
+      .head().getAs[Array[Byte]]("w")
+    val Some((rate, ch, samples)) = Multimodal.Decode.wav(wavBytes)
+    assert(rate == 8000 && ch == 1)
+    assert(samples.toSeq == Seq(-1.0f, 0.0f, 127f / 128f))
+    // s16le: hand-built 44-byte header + two samples (-32768, 16384)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val s16 = "RIFF".getBytes ++ le32(40) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ Array[Byte](1, 0, 1, 0) ++
+      le32(16000) ++ le32(32000) ++ Array[Byte](2, 0, 16, 0) ++
+      "data".getBytes ++ le32(4) ++
+      Array[Byte](0x00, 0x80.toByte, 0x00, 0x40)
+    val Some((r2, _, s2)) = Multimodal.Decode.wav(s16)
+    assert(r2 == 16000 && s2.toSeq == Seq(-1.0f, 0.5f))
+    assert(Multimodal.Decode.wav("nope".getBytes).isEmpty)
   }
 
   test("byteFeatures hashes bytes and emits a fixed-dim pseudo-embedding") {
