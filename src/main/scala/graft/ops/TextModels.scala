@@ -26,7 +26,10 @@ object TextModels {
     */
   def termIdfs(docs: DataFrame, minDf: Long = 2): DataFrame = {
     val tk = docs.select(col("doc_id"), explode(expr(toks("text"))).as("tok"))
-    val dfreq = tk.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    // df via the (doc, tok) partial-aggregate: the distinct-shuffle over
+    // the raw token explode collapses map-side before it moves
+    val dfreq = tk.groupBy("doc_id", "tok").agg(count(lit(1)))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
       .filter(col("df") > minDf)
     val n = docs.agg(count(lit(1)).as("n_docs"))
     dfreq.crossJoin(n) // 1-row broadcast, not a real cross product
@@ -57,15 +60,16 @@ object TextModels {
     val w = tf.join(idfs, "tok")
       .select(col("target"), col("tok"),
         (sqrt(col("tf").cast("double")) * col("idf")).as("wt"))
+    // the norm fold lives in its own projection — lambdas get no CSE,
+    // inlining it would re-fold the entry list per element
     val grouped = w.groupBy("target")
       .agg(sort_array(collect_list(struct(col("tok"), col("wt"))))
         .as("es"))
-    val normSql =
-      "sqrt(aggregate(es, cast(0.0 as double), (a, e) -> a + e.wt * e.wt))"
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(es, cast(0.0 as double), (a, e) -> a + e.wt * e.wt))"))
     val wOut =
       if (normalize)
-        s"case when $normSql > 0 then e.wt / $normSql " +
-          "else cast(0.0 as double) end"
+        "case when nrm > 0 then e.wt / nrm else cast(0.0 as double) end"
       else "e.wt"
     grouped.select(col("target"), to_json(expr(
       s"transform(es, e -> struct(e.tok as tok, " +

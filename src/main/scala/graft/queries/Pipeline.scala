@@ -500,9 +500,12 @@ object Pipeline extends QueryModule {
 
     // ---- idf = ln(N / df) over the token vocabulary.
     QueryDef("m2_term_idfs", (s, d) => {
+      // df comes out of the (doc, tok) partial-aggregate — the second
+      // shuffle runs over the already-aggregated tf table, not the raw
+      // token explode (no separate distinct pass)
       val toks = docs(s, d)
         .select(col("doc_id"), explode(expr(tokensSql)).as("tok"))
-      val dfreq = toks.distinct()
+      val dfreq = toks.groupBy("doc_id", "tok").agg(count(lit(1)))
         .groupBy("tok").agg(count(lit(1)).as("df"))
       val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
       dfreq.crossJoin(nDocs)
@@ -526,21 +529,24 @@ object Pipeline extends QueryModule {
       val toks = docs(s, d)
         .select(col("doc_id"), explode(expr(tokensSql)).as("tok"))
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val dfreq = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+      // df from the tf aggregate — one token-explode scan feeds both
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
       val idf = dfreq.crossJoin(nDocs).select(col("tok"),
         round(log(col("n_docs").cast("double") / col("df")), 6).as("idf"))
       val w = tf.join(idf, "tok").select(col("doc_id"), col("tok"),
         (sqrt(col("tf").cast("double")) * col("idf")).as("wt"))
-      val normSql =
-        "sqrt(aggregate(es, cast(0.0 as double), (a, e) -> a + e.wt * e.wt))"
+      // the norm fold is hoisted into its own projection — lambdas get
+      // no CSE, inlining it would re-fold the entries per element
       w.groupBy("doc_id")
         .agg(sort_array(collect_list(struct(col("tok"), col("wt"))))
           .as("es"))
+        .withColumn("nrm", expr(
+          "sqrt(aggregate(es, cast(0.0 as double), (a, e) -> a + e.wt * e.wt))"))
         .select(col("doc_id"), to_json(expr(
-          s"transform(es, e -> struct(e.tok as tok, " +
-            s"cast(cast(case when $normSql > 0 then e.wt / $normSql " +
-            s"else cast(0.0 as double) end as decimal(10,6)) as string) as w))"))
+          "transform(es, e -> struct(e.tok as tok, " +
+            "cast(cast(case when nrm > 0 then e.wt / nrm " +
+            "else cast(0.0 as double) end as decimal(10,6)) as string) as w))"))
           .as("vec"))
         .orderBy("doc_id")
     }, Some {

@@ -413,11 +413,18 @@ object Relational extends QueryModule {
     // DECIMAL(10,6) strings inside JSON (deterministic representation —
     // raw double→string shortest-repr formatting differs across engines).
     QueryDef("a9_l2_normalize", (s, d) => {
+      // norm hoisted into its own projection: lambdas get no common-
+      // subexpression elimination, so inlining it would re-fold the
+      // whole vector per element (O(d²) per row)
       val v = transform(col("embedding"), x => x.cast("double"))
-      val norm = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
-      t(s, d, "embeddings").select(col("vec_id"),
-        to_json(transform(v, x =>
-          (x / norm).cast(DecimalType(10, 6)).cast("string"))).as("unit"))
+      t(s, d, "embeddings")
+        .select(col("vec_id"), v.as("vd"))
+        .select(col("vec_id"), col("vd"),
+          sqrt(aggregate(col("vd"), lit(0.0), (a, x) => a + x * x)).as("n"))
+        .select(col("vec_id"),
+          to_json(transform(col("vd"), x =>
+            (x / col("n")).cast(DecimalType(10, 6)).cast("string")))
+            .as("unit"))
         .orderBy("vec_id")
     }, Some("""
       SELECT vec_id,
