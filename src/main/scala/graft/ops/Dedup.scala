@@ -54,15 +54,22 @@ object Dedup {
       .agg(min("doc_id").as("keep_doc"), count(lit(1)).as("n_dups"))
 
   /** MinHash signatures: sig[i] = min over shingles of h_i(shingle), with
-    * h_i(s) = md5Long(i ‖ ':' ‖ s). Pure per-row expression — embarrassingly
+    * h_i(s) = hashFn(i ‖ ':' ‖ s). Pure per-row expression — embarrassingly
     * parallel, no shuffle.
+    *
+    * `hashFn` defaults to the cross-engine md5 verification family; at
+    * production scale pass `s => s"xxhash64($s)"` — Spark's codegen'd
+    * 64-bit hash, ~10× cheaper per call, same uniformity (the signature
+    * semantics only need a uniform hash family). `DedupHashFamilySpec`
+    * exercises the swap.
     */
-  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
+  def minhashSignatures(sh: DataFrame, k: Int,
+      hashFn: String => String = md5LongSql): DataFrame = {
     Hashing.ensureRegistered(sh)
     sh.select(col("doc_id"), expr(
       s"transform(sequence(0, ${k - 1}), i -> " +
         s"aggregate(shingles, 9223372036854775807L, (acc, s) -> " +
-        s"least(acc, ${md5LongSql("concat(cast(i as string), ':', s)")})))")
+        s"least(acc, ${hashFn("concat(cast(i as string), ':', s)")})))")
       .as("sig"))
   }
 

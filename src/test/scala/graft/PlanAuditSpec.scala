@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.queries.{Relational, Functions, Pipeline}
+import graft.queries.{Relational, Functions, Pipeline, Corpus}
 
 /** Scale-killer tripwire over every table-backed gate query's physical
   * plan (promotion of tools/ExplainAudit from print-for-humans to a
@@ -24,8 +24,9 @@ class PlanAuditSpec extends AnyFunSuite {
   //    into the idf computation;
   //  - j_cross_grid: the deliberate CROSS JOIN coverage query over two
   //    dimension grids (|region| × |orderstatus|);
-  //  - j7 / w1: Rank.globalOrdinal's triangular offset join over the
-  //    ≤ numPartitions-row per-partition count table;
+  //  - j7 / w1 / m_mapped_comentions: Rank.globalOrdinal's triangular
+  //    offset join over the ≤ numPartitions-row per-partition count
+  //    table;
   //  - sim_topk_bruteforce: the broadcast query set against the corpus
   //    (non-equi self-exclusion; the corpus side never shuffles);
   //  - sim_ivf_topk: the broadcast centroid table (cells × dims rows)
@@ -33,7 +34,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val allowNestedLoop = Set(
     "m2_term_idfs", "m2_tfidf_vectors", "m_entity_mention_tfidf",
     "j_cross_grid", "j7_vocab_oov_broadcast", "w1_vocab_rank_band",
-    "sim_topk_bruteforce", "sim_ivf_topk")
+    "m_mapped_comentions", "sim_topk_bruteforce", "sim_ivf_topk")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -42,9 +43,15 @@ class PlanAuditSpec extends AnyFunSuite {
     "a7_corpus_stats", "m2_term_idfs", "m2_tfidf_vectors",
     "m_entity_mention_tfidf")
 
-  private val modules = Seq(Relational, Functions, Pipeline)
+  // Corpus queries that do real work at plan-BUILD time (Word2Vec
+  // training, a vocab count action) — skipped here, not because their
+  // plans are exempt but because building them is not plan-only.
+  private val skipBuildExecutes = Set(
+    "m1_entity_skipgram_vocab", "m_indexed_mentions")
 
-  for (m <- modules; q <- m.defs) {
+  private val modules = Seq(Relational, Functions, Pipeline, Corpus)
+
+  for (m <- modules; q <- m.defs if !skipBuildExecutes(q.name)) {
     test(s"plan audit: ${q.name}") {
       val plan = q.query(spark, d).queryExecution.executedPlan.toString
       if (!allowNestedLoop(q.name)) {
