@@ -23,10 +23,17 @@ object LinkModels {
         normTarget(col("l.target")).as("target"),
         col("l.start").as("start"), col("l.stop").as("stop"))
 
-  /** EntityCounts (links.py:13-38): inlink counts above a floor. */
-  def entityCounts(docs: DataFrame, minCount: Long = 1): DataFrame =
-    links(docs).groupBy("target").agg(count(lit(1)).as("count"))
+  /** EntityCounts (links.py:13-38): inlink counts above a floor;
+    * `filterTarget` keeps only targets under a prefix (the ref's
+    * `filter_target` constructor option, links.py:15-28).
+    */
+  def entityCounts(docs: DataFrame, minCount: Long = 1,
+      filterTarget: Option[String] = None): DataFrame = {
+    val l = filterTarget.foldLeft(links(docs))(
+      (df, p) => df.filter(col("target").startsWith(p)))
+    l.groupBy("target").agg(count(lit(1)).as("count"))
       .filter(col("count") > minCount)
+  }
 
   /** Anchor text of each link (trimmed span substring, links.py:53). */
   private def anchored(docs: DataFrame): DataFrame =
@@ -36,13 +43,23 @@ object LinkModels {
 
   /** EntityNameCounts (links.py:41-77): anchor → {target: n} + total,
     * as sorted entries (deterministic where the ref dict was not).
+    * `lowercase` and `filterTarget` mirror the ref's constructor options
+    * (links.py:43-65).
     */
-  def entityNameCounts(docs: DataFrame): DataFrame =
-    anchored(docs)
+  def entityNameCounts(docs: DataFrame, lowercase: Boolean = false,
+      filterTarget: Option[String] = None): DataFrame = {
+    val base = anchored(docs)
+    val filtered = filterTarget.foldLeft(base)(
+      (df, p) => df.filter(col("target").startsWith(p)))
+    val cased =
+      if (lowercase) filtered.withColumn("anchor", lower(col("anchor")))
+      else filtered
+    cased
       .groupBy("anchor", "target").agg(count(lit(1)).as("n"))
       .groupBy("anchor")
       .agg(sort_array(collect_list(struct(col("target"), col("n"))))
         .as("counts"), sum(col("n")).as("total"))
+  }
 
   /** NamePartCounts (links.py:79-134): for each anchor n-gram (n in
     * [1, maxNgram]) count occurrences at span positions B(egin)/E(nd)/

@@ -495,6 +495,46 @@ object Pipeline extends QueryModule {
           (a, v) -> a + v) / greatest(n, 1), 6) AS mean_value
       FROM sm ORDER BY doc_id""")),
 
+    // ---- EntityMentionTermFrequency at TABLE scale: the same operator
+    // the fixture gate proves (ops/TextModels), here fed a corpus-wide
+    // mention frame (every document is a mention of its `source` — the
+    // degenerate-but-scaled shape) so the tf → idf-join → per-entity
+    // normalize pipeline runs over all rows with a full DuckDB oracle.
+    QueryDef("m_mention_tfidf_scaled", (s, d) => {
+      val dd = docs(s, d)
+      val mentions = dd.select(col("source").as("target"), col("text"))
+      val idfs = graft.ops.TextModels.termIdfs(dd, minDf = 0)
+      graft.ops.TextModels.entityMentionTermFrequency(mentions, idfs)
+        .orderBy("target")
+    }, Some {
+      val norm = "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(es, e2 -> e2.wt * e2.wt)), (a, b) -> a + b))"
+      s"""
+      WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+             FROM documents),
+      dfq AS (SELECT tok, COUNT(*) AS df
+              FROM (SELECT DISTINCT doc_id, tok FROM tk) GROUP BY tok),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      idf AS (SELECT tok, round(ln(CAST(n_docs AS DOUBLE) / df), 6) AS idf
+              FROM dfq CROSS JOIN n),
+      mt AS (SELECT source AS target,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+             FROM documents),
+      tf AS (SELECT target, tok, COUNT(*) AS tf FROM mt GROUP BY 1, 2),
+      w AS (SELECT target, tf.tok AS tok,
+              sqrt(CAST(tf AS DOUBLE)) * idf AS wt
+            FROM tf JOIN idf ON tf.tok = idf.tok),
+      ess AS (SELECT target,
+                list_sort(list(struct_pack(tok := tok, wt := wt))) AS es
+              FROM w GROUP BY target)
+      SELECT target, to_json(list_transform(es, e ->
+          struct_pack(tok := e.tok,
+            w := CAST(CAST(CASE WHEN $norm > 0 THEN e.wt / $norm
+                           ELSE CAST(0.0 AS DOUBLE) END
+                      AS DECIMAL(10,6)) AS VARCHAR))))::VARCHAR AS counts
+      FROM ess ORDER BY target"""
+    }),
+
     // =================== models: TF-IDF (F12/F13/M2, ref
     // sift/models/text.py:110-206) =====================================
 

@@ -33,6 +33,7 @@ class PlanAuditSpec extends AnyFunSuite {
   //    against the query set, plus the same rank-offset pattern.
   private val allowNestedLoop = Set(
     "m2_term_idfs", "m2_tfidf_vectors", "m_entity_mention_tfidf",
+    "m_mention_tfidf_scaled",
     "j_cross_grid", "j7_vocab_oov_broadcast", "w1_vocab_rank_band",
     "m_mapped_comentions", "sim_topk_bruteforce", "sim_ivf_topk")
 
@@ -41,7 +42,7 @@ class PlanAuditSpec extends AnyFunSuite {
   // deliberately scalar output.
   private val allowSinglePartition = Set(
     "a7_corpus_stats", "m2_term_idfs", "m2_tfidf_vectors",
-    "m_entity_mention_tfidf")
+    "m_entity_mention_tfidf", "m_mention_tfidf_scaled")
 
   // Corpus queries that do real work at plan-BUILD time (Word2Vec
   // training, a vocab count action) — skipped here, not because their
