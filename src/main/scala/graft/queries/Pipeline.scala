@@ -535,6 +535,41 @@ object Pipeline extends QueryModule {
       FROM ess ORDER BY target"""
     }),
 
+    // ---- Entity skip-gram corpus + per-class min-count filter at TABLE
+    // scale: every document becomes a training sentence for its `source`
+    // entity (entity token ⧺ text tokens); the two-pass count + broadcast
+    // token filter then enforces entity floor 1 vs word floor 100 over
+    // the whole corpus. Oracle rebuilds the filtered sentences in SQL.
+    QueryDef("m_skipgram_filter_scaled", (s, d) => {
+      val mentions = docs(s, d).select(col("source").as("target"),
+        col("doc_id").cast("string").as("source"),
+        lit(0).as("start"), lit(0).as("stop"), col("text"))
+      val sentences = graft.ops.TextModels
+        .entityTrainingSentences(mentions, "src")
+      graft.ops.TextModels
+        .classMinCountFilter(sentences, "src",
+          minWordCount = 100, minEntityCount = 1)
+        .select(col("target"), to_json(col("sentence")).as("sentence"))
+        .orderBy("target", "sentence")
+    }, Some("""
+      WITH sent AS (SELECT source AS target, doc_id,
+               list_concat([source],
+                 regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
+             FROM documents),
+      cnt AS (SELECT w, COUNT(*) AS c
+              FROM (SELECT unnest(toks) AS w FROM sent) GROUP BY w),
+      allowed AS (SELECT w FROM cnt
+                  WHERE (starts_with(w, 'src') AND c >= 1)
+                     OR (NOT starts_with(w, 'src') AND c >= 100)),
+      tw AS (SELECT target, doc_id, unnest(range(0, len(toks))) AS i,
+               toks FROM sent),
+      kept AS (SELECT target, doc_id, i, toks[i + 1] AS w FROM tw
+               JOIN allowed ON toks[i + 1] = allowed.w),
+      outp AS (SELECT target, doc_id, list(w ORDER BY i) AS sentence
+               FROM kept GROUP BY 1, 2)
+      SELECT target, to_json(sentence)::VARCHAR AS sentence
+      FROM outp ORDER BY target, sentence""")),
+
     // =================== models: TF-IDF (F12/F13/M2, ref
     // sift/models/text.py:110-206) =====================================
 
