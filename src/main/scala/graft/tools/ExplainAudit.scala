@@ -19,7 +19,8 @@ object ExplainAudit {
     val d = "/root/testdata/sf0.01"
     val names = if (args.nonEmpty) args.toSeq
       else Seq("p1_project_filter", "q3_top_revenue", "o1_topk_parts",
-        "w1_vocab_rank_band", "d_lsh_neardup")
+        "w1_vocab_rank_band", "d_lsh_neardup", "sim_neardup_pairs",
+        "m_mention_tfidf_scaled", "m_skipgram_filter_scaled")
     for (n <- names) {
       println(s"########## $n")
       println(graft.SparkEntry.queries(n)(spark, d)
