@@ -91,6 +91,51 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(j, m))), s -> s.m)")
         .as("centroid"))
 
+  /** Assign every corpus vector to its nearest centroid by cosine
+    * (ties break on the smaller cell id — cosines are bit-identical
+    * across engines, so ties resolve identically). Centroids broadcast;
+    * the corpus is touched once per call.
+    */
+  private def assignByCosine(corpus: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cell"))
+    corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        expr(cosineSql("embedding", "centroid")).as("ccos"))
+      .withColumn("pr", row_number().over(w)).filter(col("pr") === 1)
+      .select("vec_id", "embedding", "cell")
+  }
+
+  /** TRAINED coarse quantizer for IVF: deterministic spherical k-means.
+    * Seeds = the `k` vectors with the smallest md5Long(vec_id) (cell id
+    * = seed rank), then `iters` Lloyd rounds of cosine assignment +
+    * decimal-exact elementwise means — every step is reproducible in
+    * SQL, so the whole training loop is oracle-checkable, unlike any
+    * RNG-seeded k-means. Returns the corpus with its final `cell`
+    * column ([[ivfTopK]] consumes it directly).
+    *
+    * Scale shape per round: one broadcast join against k centroids +
+    * one (cell, dim) hash aggregate; nothing quadratic, nothing on the
+    * driver. (At production scale checkpoint between rounds to keep
+    * lineage flat; the gate runs a fixed small `iters`.)
+    */
+  def kmeansCells(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    ensureRegistered(corpus)
+    val seeds = corpus
+      .select(col("vec_id"), col("embedding"),
+        expr(md5LongSql("cast(vec_id as string)")).as("h"))
+      .orderBy(asc("h"), asc("vec_id")).limit(k)
+    var cent = seeds
+      .withColumn("cell",
+        (row_number().over(Window.orderBy(asc("h"), asc("vec_id"))) - 1)
+          .cast("long"))
+      .select(col("cell"),
+        expr("transform(embedding, x -> cast(x as double))").as("centroid"))
+    for (_ <- 1 to iters)
+      cent = centroids(assignByCosine(corpus, cent), "cell")
+    assignByCosine(corpus, cent)
+  }
+
   /** IVF probe search: route each query to its `nprobe` nearest centroids,
     * then brute-force only within those cells. Exact within the probed
     * fraction; recall governed by nprobe (classic IVF trade-off).

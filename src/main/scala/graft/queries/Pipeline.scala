@@ -306,6 +306,77 @@ object Pipeline extends QueryModule {
              round(cos, 6) AS cos
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- IVF with a TRAINED coarse quantizer: deterministic spherical
+    // k-means (md5-seeded init, cosine assignment with cell-id
+    // tie-break, decimal-exact means, 2 Lloyd rounds) → probe search.
+    // The oracle replays the entire training loop in SQL — a
+    // k-means whose every iteration hash-matches across engines.
+    QueryDef("sim_ivf_kmeans_topk", (s, d) => {
+      val e = emb(s, d)
+      val corpus = Similarity.kmeansCells(e, 8, 2)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 10), corpus, "cell", 2, 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }, Some {
+      // decimal-exact elementwise mean per cell (mirrors
+      // Similarity.centroids) from an assignment CTE
+      def meanCte(asg: String, out: String) =
+        s"""d_$out AS (SELECT cell, unnest(range(0, len(e))) AS j,
+           |         unnest(e) AS x FROM $asg),
+           |m_$out AS (SELECT cell, j,
+           |         CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE)
+           |           / COUNT(*) AS m
+           |       FROM d_$out GROUP BY 1, 2),
+           |$out AS (SELECT cell, list(m ORDER BY j) AS centroid
+           |       FROM m_$out GROUP BY cell)""".stripMargin
+      // nearest-centroid assignment (cosine desc, cell asc tie-break)
+      def asgCte(cent: String, out: String) =
+        s"""$out AS (SELECT vec_id, e, cell FROM (
+           |    SELECT c0.vec_id, c0.e, $cent.cell,
+           |      ${duckCos("e", "centroid")} AS ccos,
+           |      ROW_NUMBER() OVER (PARTITION BY c0.vec_id
+           |        ORDER BY ${duckCos("e", "centroid")} DESC, $cent.cell)
+           |        AS pr
+           |    FROM c0 CROSS JOIN $cent) WHERE pr = 1)""".stripMargin
+      s"""
+      WITH c0 AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                  FROM embeddings),
+      seeds AS (SELECT vec_id, e,
+                  ${duckMd5Long("CAST(vec_id AS VARCHAR)")} AS h
+                FROM c0 ORDER BY h, vec_id LIMIT 8),
+      cent0 AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell,
+                  e AS centroid
+                FROM seeds),
+      ${asgCte("cent0", "asg1")},
+      ${meanCte("asg1", "cent1")},
+      ${asgCte("cent1", "asg2")},
+      ${meanCte("asg2", "cent2")},
+      ${asgCte("cent2", "asgf")},
+      ${meanCte("asgf", "cents")},
+      pc AS (SELECT query_id, qe, cell, ${duckCos("qe", "centroid")} AS ccos
+             FROM (SELECT vec_id AS query_id, e AS qe
+                   FROM c0 WHERE vec_id < 10) q
+             CROSS JOIN cents),
+      probed AS (SELECT query_id, qe, cell FROM (
+                   SELECT query_id, qe, cell,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY ccos DESC, cell) AS pr
+                   FROM pc)
+                 WHERE pr <= 2),
+      scored AS (SELECT p.query_id, asgf.vec_id AS neighbor_id,
+                   ${duckCos("qe", "asgf.e")} AS cos
+                 FROM probed p JOIN asgf ON p.cell = asgf.cell
+                 WHERE p.query_id <> asgf.vec_id),
+      ranked AS (SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS rank
+                 FROM scored)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+             round(cos, 6) AS cos
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+    }),
+
     // ---- Embedding-cosine near-duplicate pairs — PRODUCTION path:
     // multi-table hyperplane-LSH candidates (4 planes × 16 tables) +
     // exact-cosine verify. Candidates only ever meet inside a bucket

@@ -29,20 +29,23 @@ class PlanAuditSpec extends AnyFunSuite {
   //    table;
   //  - sim_topk_bruteforce: the broadcast query set against the corpus
   //    (non-equi self-exclusion; the corpus side never shuffles);
-  //  - sim_ivf_topk: the broadcast centroid table (cells × dims rows)
-  //    against the query set, plus the same rank-offset pattern.
+  //  - sim_ivf_topk / sim_ivf_kmeans_topk: the broadcast centroid table
+  //    (k × dims rows) against the corpus/query set — and for k-means,
+  //    the k-row seed-ranking window collapses to a single partition.
   private val allowNestedLoop = Set(
     "m2_term_idfs", "m2_tfidf_vectors", "m_entity_mention_tfidf",
     "m_mention_tfidf_scaled",
     "j_cross_grid", "j7_vocab_oov_broadcast", "w1_vocab_rank_band",
-    "m_mapped_comentions", "sim_topk_bruteforce", "sim_ivf_topk")
+    "m_mapped_comentions", "sim_topk_bruteforce", "sim_ivf_topk",
+    "sim_ivf_kmeans_topk")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
   // deliberately scalar output.
   private val allowSinglePartition = Set(
     "a7_corpus_stats", "m2_term_idfs", "m2_tfidf_vectors",
-    "m_entity_mention_tfidf", "m_mention_tfidf_scaled")
+    "m_entity_mention_tfidf", "m_mention_tfidf_scaled",
+    "sim_ivf_kmeans_topk")
 
   // Corpus queries that do real work at plan-BUILD time (Word2Vec
   // training, a vocab count action) — skipped here, not because their
