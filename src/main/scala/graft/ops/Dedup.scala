@@ -214,4 +214,36 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Near-duplicate CLUSTERS from a pair list — the production shape of
+    * dedup output (a pair list alone doesn't say which copy to keep):
+    * iterative min-label propagation over the undirected pair graph,
+    * `hops` rounds covering components of diameter ≤ `hops`. Returns
+    * (cluster, doc_id) with cluster = the smallest member id — the
+    * canonical representative each member dedupes to.
+    *
+    * Each round is one equi-join + one min-aggregate, both on uniform
+    * id keys; near-dup components are tiny by nature (duplicates of one
+    * source), so a small fixed `hops` is the 100 TB-honest choice —
+    * pathological long chains would need pointer-doubling, which this
+    * deliberately trades away for oracle-replayable simplicity. The
+    * lineage is flattened per round exactly like the redirect fixpoint
+    * (Wiki.redirects).
+    */
+  def clusters(pairs: DataFrame, hops: Int = 4): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(
+        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+    for (_ <- 1 to hops) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .select(col("src").as("doc_id"), col("cluster"))
+      labels = labels.unionByName(viaNeighbor)
+        .groupBy("doc_id").agg(min("cluster").as("cluster"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("cluster"), col("doc_id"))
+  }
 }

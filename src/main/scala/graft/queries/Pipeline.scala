@@ -188,6 +188,82 @@ object Pipeline extends QueryModule {
       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
       ORDER BY doc_a, doc_b""")),
 
+    // ---- Near-dup CLUSTERS: the LSH pair list collapsed to connected
+    // components by min-label propagation (4 rounds, oracle-unrolled) —
+    // (cluster = canonical keeper id, doc_id = member to dedupe).
+    QueryDef("d_neardup_clusters", (s, d) => {
+      Dedup.clusters(Dedup.minhashLsh(docs(s, d), 3, 8, 4, 0.5), 4)
+        .orderBy("cluster", "doc_id")
+    }, Some {
+      val rounds = (1 to 4).map { i =>
+        s"""l$i AS (SELECT doc_id, MIN(cluster) AS cluster FROM (
+           |    SELECT doc_id, cluster FROM l${i - 1}
+           |    UNION ALL
+           |    SELECT e.src AS doc_id, l.cluster
+           |    FROM edges e JOIN l${i - 1} l ON e.dst = l.doc_id)
+           |  GROUP BY doc_id)""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      WITH $duckShingleCtes,
+      sig AS (SELECT doc_id, list_transform(range(0, 8), i ->
+                list_min(list_transform(shingles, s ->
+                  ${duckMd5Long("CAST(i AS VARCHAR) || ':' || s")}))) AS sig
+              FROM sh),
+      banded AS (SELECT doc_id, bb.b AS band,
+                   md5(array_to_string(list_transform(
+                     sig[bb.b * 2 + 1 : bb.b * 2 + 2],
+                     x -> CAST(x AS VARCHAR)), ',')) AS bkey
+                 FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb),
+      cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.bkey = b.bkey
+                 AND a.doc_id < b.doc_id),
+      ex AS (SELECT doc_id, unnest(shingles) AS shg FROM sh),
+      sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+      inter AS (SELECT doc_a, doc_b, COUNT(*) AS inter
+                FROM cands
+                JOIN ex ea ON doc_a = ea.doc_id
+                JOIN ex eb ON doc_b = eb.doc_id AND ea.shg = eb.shg
+                GROUP BY 1, 2),
+      pairs AS (SELECT doc_a, doc_b FROM inter
+                JOIN sizes sa ON doc_a = sa.doc_id
+                JOIN sizes sb ON doc_b = sb.doc_id
+                WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_b AS src, doc_a AS dst FROM pairs),
+      l0 AS (SELECT DISTINCT src AS doc_id, src AS cluster FROM edges),
+      $rounds
+      SELECT cluster, doc_id FROM l4 ORDER BY cluster, doc_id"""
+    }),
+
+    // ---- Deterministic stratified downsampling (hash-bucketed, the
+    // reproducible analogue of stat.sampleBy): keep 10% of 'en', 50% of
+    // 'de', everything else.
+    QueryDef("o6_stratified_sample", (s, d) => {
+      graft.ops.Sampling.stratifiedSample(docs(s, d), "doc_id", "lang",
+          Seq("en" -> 10, "de" -> 50), defaultRate = 100)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }, Some(s"""
+      SELECT doc_id, lang FROM documents
+      WHERE (${duckMd5Long("'sample:' || CAST(doc_id AS VARCHAR)")} % 100) <
+        CASE WHEN lang = 'en' THEN 10 WHEN lang = 'de' THEN 50 ELSE 100 END
+      ORDER BY doc_id""")),
+
+    // ---- Deterministic train/valid/test split (80/10/10 by salted
+    // content hash — same row, same split, on every engine forever).
+    QueryDef("o7_hash_split", (s, d) => {
+      graft.ops.Sampling.hashSplit(docs(s, d), "doc_id", 80, 10)
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split")
+    }, Some(s"""
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+        FROM (SELECT ${duckMd5Long("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS b
+              FROM documents))
+      GROUP BY split ORDER BY split""")),
+
     // ---- 32-bit SimHash per document (relational bit-vote).
     QueryDef("d_simhash", (s, d) => {
       Dedup.simhash(docs(s, d)).orderBy("doc_id")
