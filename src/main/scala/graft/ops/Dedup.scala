@@ -231,9 +231,13 @@ object Dedup {
     * (Wiki.redirects).
     */
   def clusters(pairs: DataFrame, hops: Int = 4): DataFrame = {
+    // pin the edge list once — it is referenced in every propagation
+    // round, and without this the upstream pair pipeline (LSH join +
+    // verify) would re-execute per round
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(
         pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
     for (_ <- 1 to hops) {

@@ -102,6 +102,25 @@ object Sinks {
       .write.mode("overwrite").text(path)
   }
 
+  /** Streaming RESP sink (the S8 streaming-era extension): each
+    * micro-batch lands as its own RESP command file under
+    * `path/batch_<id>` via foreachBatch — idempotent per batch id, so
+    * replays overwrite rather than duplicate. Returns the started query;
+    * the caller owns its lifecycle.
+    */
+  def respStream(df: DataFrame, path: String, prefix: String,
+      keyCol: String, valueCol: String, serializer: String = "raw",
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = df.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        resp(batch, s"$path/batch_$id", prefix, keyCol, valueCol,
+          serializer)
+      }
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
   def write(df: DataFrame, path: String, format: String): Unit =
     format match {
       case "json" => json(df, path)

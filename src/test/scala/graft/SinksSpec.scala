@@ -47,6 +47,30 @@ class SinksSpec extends AnyFunSuite {
     assert(b(0) == 0xA2.toByte && b.length == 3)
   }
 
+  test("respStream writes one RESP command file per micro-batch") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_resp_stream").toString
+    val q = Sinks.respStream(input.toDF().toDF("k", "v"), out,
+      "t:", "k", "v")
+    try {
+      input.addData((1L, "alpha"), (2L, "beta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val files = new java.io.File(out, "batch_0").listFiles()
+      .filter(_.getName.endsWith(".txt")).toSeq
+    assert(files.nonEmpty)
+    val joined = files.map(f => {
+      val src = scala.io.Source.fromFile(f)
+      try src.mkString finally src.close()
+    }).mkString
+    assert(joined.contains("*3\r\n$3\r\nSET\r\n"))
+    assert(joined.contains("t:1") && joined.contains("alpha"))
+  }
+
   test("json serializer quotes scalars and escapes like json.dumps") {
     val sp = spark; import sp.implicits._
     val df = Seq("say \"hi\"").toDF("v")
