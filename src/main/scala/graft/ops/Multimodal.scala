@@ -58,8 +58,11 @@ object Multimodal {
       val w = int(); val h = int(); val maxv = int()
       if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
       i += 1 // exactly one whitespace byte after maxval (spec)
-      val n = w * h * 3
-      if (bytes.length < i + n) return None
+      // pixel count in Long: crafted w×h headers overflow Int and would
+      // either crash allocation or silently pass the bounds check
+      val nL = w.toLong * h * 3
+      if (nL > bytes.length.toLong - i) return None
+      val n = nL.toInt
       val out = new Array[Float](n)
       var k = 0
       while (k < n) { out(k) = (bytes(i + k) & 0xff).toFloat / maxv; k += 1 }
@@ -80,13 +83,20 @@ object Multimodal {
       var o = 12; var fmt = -1; var channels = 0; var rate = 0; var bits = 0
       var data: Option[(Int, Int)] = None
       while (o + 8 <= bytes.length) {
-        val id = tag(o); val sz = u32(o + 4).toInt
+        val id = tag(o)
+        // chunk size stays UNSIGNED (Long): a crafted 0xFFFFFFF8 size
+        // cast to Int would advance by <= 0 and spin the task forever
+        val sz = u32(o + 4)
         if (id == "fmt ") {
+          if (o + 24 > bytes.length) return None // truncated fmt chunk
           fmt = u16(o + 8); channels = u16(o + 10)
           rate = u32(o + 12).toInt; bits = u16(o + 22)
         } else if (id == "data")
-          data = Some((o + 8, math.min(sz, bytes.length - o - 8)))
-        o += 8 + sz + (sz & 1)
+          data = Some((o + 8,
+            math.min(sz, (bytes.length - o - 8).toLong).toInt))
+        val next = o.toLong + 8 + sz + (sz & 1)
+        if (next > bytes.length) o = bytes.length // malformed size: stop
+        else o = next.toInt
       }
       if (fmt != 1 || data.isEmpty || (bits != 8 && bits != 16)) return None
       val (off, len) = data.get

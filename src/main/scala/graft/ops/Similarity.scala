@@ -193,7 +193,11 @@ object Similarity {
     */
   def withBucketArray(df: DataFrame, vecCol: String, nPlanes: Int,
       nTables: Int, outCol: String): DataFrame = {
-    val dims = df.select(size(col(vecCol))).head.getInt(0)
+    // dims inference is one tiny first-row job at plan-construction time
+    // (the price of literal weights); an empty frame gets dims = 0 and
+    // degenerates to bucket 0 over no rows instead of crashing
+    val dims = df.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
     val w = Array.tabulate(nTables, nPlanes, dims)(
       (t, p, j) => planeWeight(t * nPlanes + p, j))
     df.withColumn("__planes", typedlit(w))
@@ -294,6 +298,10 @@ object Similarity {
       planesPerTable: Int = 4, nTables: Int = 16): DataFrame = {
     ensureRegistered(corpus)
     def dot(x: String, y: String) = s"graft_dot($x, $y)"
+    // persisted across the three consumers (bucket pass + both verify
+    // joins); lifecycle note: the cache lives until LRU eviction or
+    // session end — a long-lived session issuing many near-dup jobs
+    // should spark.catalog.clearCache() between them
     val unit = unitVectors(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withBucketArray(unit, "u", planesPerTable, nTables,

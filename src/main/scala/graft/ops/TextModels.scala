@@ -106,8 +106,10 @@ object TextModels {
     * sentences are dropped.
     *
     * Two distributed passes: a token-count aggregate, then a
-    * posexplode → broadcast-join → regroup that preserves token order by
-    * position — the same scale-safe shape as [[Mentions.indexMapped]].
+    * posexplode → join-on-token → regroup that preserves token order by
+    * position — the same scale-safe shape as [[Mentions.indexMapped]]
+    * (join strategy left to AQE: the above-floor vocabulary broadcasts
+    * when small, shuffles when web-scale).
     */
   def classMinCountFilter(sentences: DataFrame, entityPrefix: String,
       minWordCount: Long, minEntityCount: Long): DataFrame = {
@@ -118,10 +120,13 @@ object TextModels {
       (col("w").startsWith(entityPrefix) && col("cnt") >= minEntityCount) ||
         (!col("w").startsWith(entityPrefix) && col("cnt") >= minWordCount))
       .select("w")
+    // no broadcast hint: the above-floor vocabulary can be huge at web
+    // scale — AQE broadcasts it only when it actually fits (contrast
+    // mappedEntityComentions, whose vocab is bounded by maxRank)
     sentences
       .select(col("target"), col("source"), col("start"), col("stop"),
         posexplode(col("sentence")).as(Seq("pos", "w")))
-      .join(broadcast(allowed), Seq("w"))
+      .join(allowed, Seq("w"))
       .groupBy("target", "source", "start", "stop")
       .agg(expr("transform(array_sort(collect_list(struct(pos, w))), " +
         "x -> x.w)").as("sentence"))

@@ -269,24 +269,27 @@ object Functions extends QueryModule {
     // ---- S8/F17: Redis RESP protocol encoding as a column expression
     // (sift/format.py:66-77) — key = prefix + id, value = payload field.
     QueryDef("s8_resp_encode", (s, d) => {
+      // RESP lengths are UTF-8 BYTE counts (protocol requirement)
       val key = concat(lit("nation:"), col("n_nationkey").cast("string"))
       val value = col("n_name")
+      def blen(c: org.apache.spark.sql.Column) =
+        length(encode(c, "UTF-8")).cast("string")
       t(s, d, "nation").select(
         col("n_nationkey"),
         concat(lit("*3\r\n$3\r\nSET\r\n$"),
-          length(key).cast("string"), lit("\r\n"), key,
-          lit("\r\n$"), length(value).cast("string"), lit("\r\n"), value,
+          blen(key), lit("\r\n"), key,
+          lit("\r\n$"), blen(value), lit("\r\n"), value,
           lit("\r\n")).as("resp"))
         .orderBy("n_nationkey")
     }, Some("""
       SELECT n_nationkey,
         '*3' || chr(13) || chr(10) || '$3' || chr(13) || chr(10) || 'SET'
           || chr(13) || chr(10)
-          || '$' || CAST(length('nation:' || CAST(n_nationkey AS VARCHAR))
+          || '$' || CAST(octet_length(encode('nation:' || CAST(n_nationkey AS VARCHAR)))
                          AS VARCHAR)
           || chr(13) || chr(10) || 'nation:' || CAST(n_nationkey AS VARCHAR)
           || chr(13) || chr(10)
-          || '$' || CAST(length(n_name) AS VARCHAR)
+          || '$' || CAST(octet_length(encode(n_name)) AS VARCHAR)
           || chr(13) || chr(10) || n_name || chr(13) || chr(10) AS resp
       FROM nation ORDER BY n_nationkey""")),
 
@@ -298,10 +301,12 @@ object Functions extends QueryModule {
       val docs = t(s, d, "documents")
       val key = concat(lit("doc:"), col("doc_id").cast("string"))
       val value = graft.sources.Sinks.serializeValue(docs, "text", "msgpack")
+      def blen(c: org.apache.spark.sql.Column) =
+        length(encode(c, "UTF-8")).cast("string")
       docs.select(col("doc_id"),
         concat(lit("*3\r\n$3\r\nSET\r\n$"),
-          length(key).cast("string"), lit("\r\n"), key,
-          lit("\r\n$"), length(value).cast("string"), lit("\r\n"), value,
+          blen(key), lit("\r\n"), key,
+          lit("\r\n$"), blen(value), lit("\r\n"), value,
           lit("\r\n")).as("resp"))
         .orderBy("doc_id")
     }, Some("""

@@ -95,9 +95,13 @@ object Sinks {
       valueCol: String, serializer: String = "raw"): Unit = {
     val key = concat(lit(prefix), col(keyCol).cast("string"))
     val value = serializeValue(df, valueCol, serializer)
+    // RESP bulk-string lengths are BYTE counts — the sink writes UTF-8,
+    // so a char-count length would corrupt the stream at the first
+    // non-ASCII key or value
+    def blen(c: Column): Column = length(encode(c, "UTF-8")).cast("string")
     df.select(concat(lit("*3\r\n$3\r\nSET\r\n$"),
-        length(key).cast("string"), lit("\r\n"), key,
-        lit("\r\n$"), length(value).cast("string"), lit("\r\n"), value,
+        blen(key), lit("\r\n"), key,
+        lit("\r\n$"), blen(value), lit("\r\n"), value,
         lit("\r\n")).as("resp"))
       .write.mode("overwrite").text(path)
   }

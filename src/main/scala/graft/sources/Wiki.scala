@@ -49,11 +49,19 @@ object Wiki {
   def redirects(s: SparkSession, pagesDf: DataFrame, hops: Int = 3): DataFrame = {
     // column-expression twin of Wikitext.normaliseWikilink (spaces →
     // underscores, strip one underscore each end, trim, uppercase the
-    // first character) — keeps the join path expression-pure / codegen'd
+    // first character) — keeps the join path expression-pure / codegen'd.
+    // The uppercase is guarded to match Character.toUpperCase semantics:
+    // only a first char that IS lowercase and whose uppercase stays one
+    // char is folded — SQL upper() would expand 'ß' → "SS" and touch
+    // titlecase chars, which the Scala per-char original never does.
     val u = trim(regexp_replace(
       translate(col("redirect"), " ", "_"), "^_|_$", ""))
+    val first = substring(u, 1, 1)
     val norm = concat(lit(Wikitext.WikiPrefix),
-      upper(substring(u, 1, 1)), substring(u, 2, Int.MaxValue))
+      when(lower(first) === first && upper(first) =!= first &&
+          length(upper(first)) === 1,
+        concat(upper(first), substring(u, 2, Int.MaxValue)))
+        .otherwise(u))
     var r = pagesDf.filter(col("redirect").isNotNull)
       .select(col("uri").as("source"), norm.as("target"))
     for (_ <- 1 to hops) {

@@ -119,9 +119,15 @@ object Events {
         date_trunc("hour", col("ts")).as("wstart"))
     val bounds = ev.agg(min(col("wstart")), max(col("wstart"))).head()
     val (w0, wMax) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+    // collision-resistant per-source key (hashCode would alias distinct
+    // dirs); single-writer per source dir is assumed — the gate runner
+    // is sequential, and concurrent writers over one scratch dir would
+    // race the stream's file listing
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8)
+      .map(b => f"${b & 0xff}%02x").mkString
     val root = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_late_stream_" +
-        java.lang.Integer.toHexString(dir.hashCode))
+      s"graft_late_stream_$dirKey")
     val data = root.resolve("data")
     def stage(df: DataFrame, part: String, mtimeMs: Long): Unit = {
       val tmp = root.resolve(s"stage_$part")

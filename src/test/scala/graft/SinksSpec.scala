@@ -47,6 +47,20 @@ class SinksSpec extends AnyFunSuite {
     assert(b(0) == 0xA2.toByte && b.length == 3)
   }
 
+  test("RESP bulk-string lengths are UTF-8 byte counts, not chars") {
+    val s = spark; import s.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_resp_utf8").toString
+    Sinks.resp(Seq((1L, "café")).toDF("k", "v"), out, "t:", "k", "v")
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".txt"))
+    val bytes = files.flatMap(f =>
+      java.nio.file.Files.readAllBytes(f.toPath)).toArray
+    val text = new String(bytes, "UTF-8")
+    // "café" is 4 chars but 5 UTF-8 bytes — the $ length must say 5
+    assert(text.contains("$5\r\ncafé\r\n"), text)
+  }
+
   test("respStream writes one RESP command file per micro-batch") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -183,6 +183,29 @@ class MultimodalSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Multimodal.Decode.wav("nope".getBytes).isEmpty)
   }
 
+  test("decoders reject malformed bytes instead of hanging or throwing") {
+    // WAV chunk with size 0xFFFFFFF8 — a signed-Int parse would advance
+    // by 0 and spin forever
+    val evil = "RIFF".getBytes ++ Array[Byte](36, 0, 0, 0) ++
+      "WAVE".getBytes ++ "junk".getBytes ++
+      Array[Byte](0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte) ++
+      Array.fill[Byte](16)(0)
+    assert(Multimodal.Decode.wav(evil).isEmpty)
+    // truncated right after the fmt chunk header
+    val trunc = "RIFF".getBytes ++ Array[Byte](36, 0, 0, 0) ++
+      "WAVE".getBytes ++ "fmt ".getBytes ++ Array[Byte](16, 0, 0, 0)
+    assert(Multimodal.Decode.wav(trunc).isEmpty)
+    // PPM with w*h*3 overflowing Int
+    val big = "P6\n999999999 999999999\n255\n".getBytes ++
+      Array.fill[Byte](16)(1)
+    assert(Multimodal.Decode.ppm(big).isEmpty)
+    // the typed-map operator falls back to the stub on all of them
+    val s = spark; import s.implicits._
+    val bad = Seq((1L, "audio", evil), (2L, "image", big))
+      .toDF("doc_id", "media_type", "bytes")
+    assert(Multimodal.decodedStats(bad).collect().length == 2)
+  }
+
   test("byteFeatures hashes bytes and emits a fixed-dim pseudo-embedding") {
     val out = Multimodal.byteFeatures(mediaDf).collect()
     assert(out.length == 3)
