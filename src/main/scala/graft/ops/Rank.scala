@@ -44,4 +44,30 @@ object Rank {
       .withColumn(out, (col("__offset") + col("__lrank") - 1).cast("long"))
       .drop("__pid", "__lrank", "__offset")
   }
+
+  /** Scalable INCLUSIVE global running sum of `valueCol` under the total
+    * order `sortCols` — the same two-phase shape as [[globalOrdinal]]
+    * (range-partition, partition-local window, broadcast per-partition
+    * offsets) generalized from counting rows to summing a value; no
+    * operator funnels the data through one task.
+    */
+  def globalRunningSum(df: DataFrame, sortCols: Seq[Column],
+      valueCol: String, out: String, numPartitions: Int = 32): DataFrame = {
+    val local = df
+      .repartitionByRange(numPartitions, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lsum", sum(col(valueCol)).over(
+        Window.partitionBy("__pid").orderBy(sortCols: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = local.groupBy("__pid")
+      .agg(sum(col(valueCol)).as("__t"))
+    val offsets = totals.as("a")
+      .join(totals.select(col("__pid").as("__p2"), col("__t").as("__t2"))
+        .as("b"), col("__p2") < col("__pid"), "left_outer")
+      .groupBy("__pid")
+      .agg(coalesce(sum("__t2"), lit(0L)).as("__offset"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(out, (col("__offset") + col("__lsum")).cast("long"))
+      .drop("__pid", "__lsum", "__offset")
+  }
 }

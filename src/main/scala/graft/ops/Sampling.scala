@@ -34,6 +34,23 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), salt, 100) < rate)
   }
 
+  /** Training-corpus sequence sharding: assign each document to a shard
+    * of ~`tokensPerShard` cumulative tokens under the total order
+    * `orderCol` — the corpus-construction step that turns a document
+    * table into bounded training chunks. shard = ⌊(running_sum − n) /
+    * budget⌋, i.e. a document lands in the shard its FIRST token falls
+    * into (documents may straddle a boundary; packing that splits them
+    * is a tokenizer-side concern). The running sum is the two-phase
+    * [[Rank.globalRunningSum]] — no single-task window.
+    */
+  def tokenShards(df: DataFrame, orderCol: String, nTokensCol: String,
+      tokensPerShard: Long): DataFrame =
+    Rank.globalRunningSum(df, Seq(col(orderCol).asc), nTokensCol, "__cum")
+      .withColumn("shard",
+        floor((col("__cum") - col(nTokensCol)) / tokensPerShard)
+          .cast("long"))
+      .drop("__cum")
+
   /** Deterministic train/validation/test split: bucket < trainPct →
     * 'train', < trainPct+validPct → 'valid', else 'test'. Independent
     * of any sampling decision through its own salt.

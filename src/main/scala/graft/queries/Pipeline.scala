@@ -250,6 +250,29 @@ object Pipeline extends QueryModule {
         CASE WHEN lang = 'en' THEN 10 WHEN lang = 'de' THEN 50 ELSE 100 END
       ORDER BY doc_id""")),
 
+    // ---- Sequence sharding for corpus construction: documents →
+    // ~16k-token shards under doc_id order via the two-phase global
+    // running sum (no single-task window anywhere in the plan).
+    QueryDef("o8_token_shards", (s, d) => {
+      val withTokens = docs(s, d).select(col("doc_id"),
+        size(expr(tokensSql)).cast("long").as("n_tokens"))
+      graft.ops.Sampling.tokenShards(withTokens, "doc_id", "n_tokens",
+          16384L)
+        .select(col("doc_id"), col("n_tokens"), col("shard"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                        AS BIGINT) AS n_tokens
+                 FROM documents),
+      c AS (SELECT doc_id, n_tokens,
+              SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM w)
+      SELECT doc_id, n_tokens,
+        CAST(floor((cum - n_tokens) / 16384.0) AS BIGINT) AS shard
+      FROM c ORDER BY doc_id""")),
+
     // ---- Deterministic train/valid/test split (80/10/10 by salted
     // content hash — same row, same split, on every engine forever).
     QueryDef("o7_hash_split", (s, d) => {

@@ -24,9 +24,9 @@ class PlanAuditSpec extends AnyFunSuite {
   //    into the idf computation;
   //  - j_cross_grid: the deliberate CROSS JOIN coverage query over two
   //    dimension grids (|region| × |orderstatus|);
-  //  - j7 / w1 / m_mapped_comentions: Rank.globalOrdinal's triangular
-  //    offset join over the ≤ numPartitions-row per-partition count
-  //    table;
+  //  - j7 / w1 / m_mapped_comentions / o8_token_shards: the two-phase
+  //    rank/running-sum triangular offset join over the
+  //    ≤ numPartitions-row per-partition totals table;
   //  - sim_topk_bruteforce: the broadcast query set against the corpus
   //    (non-equi self-exclusion; the corpus side never shuffles);
   //  - sim_ivf_topk / sim_ivf_kmeans_topk: the broadcast centroid table
@@ -36,8 +36,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "m2_term_idfs", "m2_tfidf_vectors", "m_entity_mention_tfidf",
     "m_mention_tfidf_scaled",
     "j_cross_grid", "j7_vocab_oov_broadcast", "w1_vocab_rank_band",
-    "m_mapped_comentions", "sim_topk_bruteforce", "sim_ivf_topk",
-    "sim_ivf_kmeans_topk")
+    "m_mapped_comentions", "o8_token_shards", "sim_topk_bruteforce",
+    "sim_ivf_topk", "sim_ivf_kmeans_topk")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
