@@ -648,9 +648,14 @@ object Pipeline extends QueryModule {
       val wavs = docs(s, d).select(col("doc_id"),
         lit("audio").as("media_type"),
         Multimodal.wavU8(encode(col("text"), "UTF-8")).as("bytes"))
+      // decimal cast, not round(): sample means are dyadic rationals
+      // (k/128·n), so exact .xxxxxx5 ties are COMMON — both engines'
+      // decimal casts break ties half-away-from-zero, their round()s
+      // don't agree
       Multimodal.decodedStats(wavs)
         .select(col("doc_id"), col("dim").cast("long").as("dim"),
-          round(col("mean_value"), 6).as("mean_value"))
+          col("mean_value").cast("decimal(20,6)").cast("string")
+            .as("mean_value"))
         .orderBy("doc_id")
     }, Some("""
       WITH m AS (SELECT doc_id, encode(text) AS b FROM documents),
@@ -661,8 +666,9 @@ object Pipeline extends QueryModule {
                    / 128.0) AS samples
              FROM hx)
       SELECT doc_id, CAST(n AS BIGINT) AS dim,
-        round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), samples),
-          (a, v) -> a + v) / greatest(n, 1), 6) AS mean_value
+        CAST(CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), samples),
+          (a, v) -> a + v) / greatest(n, 1) AS DECIMAL(20,6)) AS VARCHAR)
+          AS mean_value
       FROM sm ORDER BY doc_id""")),
 
     // ---- EntityMentionTermFrequency at TABLE scale: the same operator

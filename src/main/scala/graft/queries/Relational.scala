@@ -301,23 +301,29 @@ object Relational extends QueryModule {
           min(col("l_extendedprice")).as("min_price"),
           max(col("l_extendedprice")).as("max_price"),
           (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          // the 17+-digit x² decimal sum is not exactly representable in
+          // a double, and the two engines' decimal→double casts can land
+          // one ulp apart — a DECIMAL(30,2)-string output absorbs that
           ((sum((col("l_extendedprice") * col("l_extendedprice"))
               .cast(DecimalType(30, 4))).cast("double")
             - sum(col("l_extendedprice").cast(DecimalType(20, 2)))
               .cast("double")
               * sum(col("l_extendedprice").cast(DecimalType(20, 2)))
                 .cast("double") / count(lit(1)))
-            / (count(lit(1)) - lit(1))).as("var_price"))
+            / (count(lit(1)) - lit(1)))
+            .cast(DecimalType(30, 2)).cast("string").as("var_price"))
         .orderBy("l_linestatus")
     }, Some("""
       SELECT l_linestatus,
         MIN(l_extendedprice) AS min_price,
         MAX(l_extendedprice) AS max_price,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-        (CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
-          - CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE)
-            * CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) / COUNT(*))
-          / (COUNT(*) - 1) AS var_price
+        CAST(CAST(
+          (CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
+            - CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE)
+              * CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) / COUNT(*))
+            / (COUNT(*) - 1)
+          AS DECIMAL(30,2)) AS VARCHAR) AS var_price
       FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
     // ---- A2: two-level count map (ref groupByKey().mapValues(Counter),
