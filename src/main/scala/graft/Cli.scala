@@ -22,6 +22,10 @@ import graft.ops.{LinkModels, Mentions, TextAnalysis, Dedup}
   *   mapped-comentions   documents parquet → rank-mapped comentions
   *   lang-id             documents parquet → (doc_id, lang_pred)
   *   exact-dedup         documents parquet → fingerprint groups
+  *   neardup-clusters    documents parquet → (cluster keeper, member)
+  *   stratified-sample   documents parquet → hash-stratified sample
+  *   hash-split          documents parquet → rows + train/valid/test
+  *   token-shards        documents parquet → rows + ~16k-token shard id
   *
   * format: json (gzip JSON-lines, default) | tsv | resp | parquet.
   * Run via `spark-submit --class graft.Cli` on a cluster or sbt locally.
@@ -62,6 +66,19 @@ object Cli {
         LinkModels.mappedEntityComentions(d, LinkModels.entityVocab(d))
       case "lang-id" => TextAnalysis.langId(docs)
       case "exact-dedup" => Dedup.exact(docs)
+      case "neardup-clusters" =>
+        Dedup.clusters(Dedup.minhashLsh(docs, 3, 8, 4, 0.5))
+      case "stratified-sample" =>
+        graft.ops.Sampling.stratifiedSample(docs, "doc_id", "lang",
+          Seq("en" -> 10), defaultRate = 100)
+      case "hash-split" =>
+        graft.ops.Sampling.hashSplit(docs, "doc_id", 80, 10)
+      case "token-shards" =>
+        import org.apache.spark.sql.functions._
+        graft.ops.Sampling.tokenShards(
+          docs.withColumn("n_tokens",
+            size(expr(graft.ops.Hashing.tokensSql)).cast("long")),
+          "doc_id", "n_tokens", 16384L)
       case other => throw new IllegalArgumentException(
         s"unknown command '$other'")
     }
