@@ -28,6 +28,57 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "des", "une", "est", "dans", "qui", "pas",
       "pour", "sur", "au", "ce"))
 
+  /** Sensitive-pattern redaction (standard corpus-scrubbing pass):
+    * emails, then URLs, then long digit runs (ids/phones), each replaced
+    * by a typed placeholder — order matters (an email would otherwise be
+    * half-eaten by the URL rule). Patterns restricted to a regex subset
+    * with identical semantics in Java regex and RE2, so the DuckDB
+    * oracle applies the same passes verbatim. Pure per-row codegen'd
+    * expressions — scan speed.
+    */
+  val redactRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^\\s]+" -> "<URL>",
+    "[0-9]{7,}" -> "<NUM>")
+
+  /** (doc_id, redacted, n_redactions) */
+  def redact(docs: DataFrame): DataFrame = {
+    val scrubbed = redactRules.foldLeft(col("text")) {
+      case (c, (p, r)) => regexp_replace(c, p, r)
+    }
+    docs.select(col("doc_id"), scrubbed.as("redacted"))
+      .withColumn("n_redactions",
+        (size(split(col("redacted"), "<EMAIL>|<URL>|<NUM>")) - 1)
+          .cast("long"))
+  }
+
+  /** Repetition signal (the Gopher-family repetition filter): token
+    * mass of the single most frequent `n`-gram relative to the document
+    * (count × n / n_tokens — may exceed 1 for overlapping repeats; it is
+    * a relative filter signal, not a probability). Highly
+    * templated/looping documents score high and get filtered before
+    * training. Documents shorter than `n` tokens are dropped (no
+    * n-grams). One explode + two cascaded aggregates — the same scale
+    * shape as the shingle pipeline. Output as a DECIMAL(10,6) string
+    * (the small-denominator rationals here hit round() ties).
+    */
+  def repetitionScore(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), expr(tokensSql).as("tokens"))
+      .select(col("doc_id"), size(col("tokens")).as("n_tokens"),
+        explode(expr(
+          s"case when size(tokens) >= $n then " +
+            s"transform(sequence(1, size(tokens) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(tokens, i, $n))) " +
+            s"else cast(array() as array<string>) end")).as("g"))
+      .groupBy("doc_id", "n_tokens", "g")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_tokens")
+      .agg(max(col("c")).as("top_c"))
+      .select(col("doc_id"),
+        (col("top_c").cast("double") * n /
+          greatest(col("n_tokens"), lit(1)).cast("double"))
+          .cast("decimal(10,6)").cast("string").as("top_ngram_ratio"))
+
   /** (doc_id, n_tokens, n_distinct, avg_token_len) */
   def tokenStats(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), expr(tokensSql).as("tokens"))

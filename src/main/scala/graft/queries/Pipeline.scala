@@ -586,6 +586,47 @@ object Pipeline extends QueryModule {
       FROM scored ORDER BY doc_id"""
     }),
 
+    // ---- Sensitive-pattern redaction (corpus scrubbing): same regex
+    // passes, same order, in both engines (Java-regex/RE2-portable
+    // subset; DuckDB needs the 'g' flag for replace-all).
+    QueryDef("t_redact", (s, d) => {
+      TextAnalysis.redact(docs(s, d)).orderBy("doc_id")
+    }, Some {
+      // DuckDB string literals don't treat backslash as an escape, so
+      // the Java-regex pattern text embeds verbatim
+      val scrubbed = TextAnalysis.redactRules.foldLeft("text") {
+        case (c, (p, r)) =>
+          s"regexp_replace($c, '${p.replace("'", "''")}', '$r', 'g')"
+      }
+      s"""
+      SELECT doc_id, $scrubbed AS redacted,
+        CAST(len(regexp_split_to_array($scrubbed, '<EMAIL>|<URL>|<NUM>'))
+             - 1 AS BIGINT) AS n_redactions
+      FROM documents ORDER BY doc_id"""
+    }),
+
+    // ---- Repetition filter signal (Gopher-family): top 3-gram token
+    // mass per document.
+    QueryDef("t_repetition", (s, d) => {
+      TextAnalysis.repetitionScore(docs(s, d), 3).orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (SELECT doc_id,
+                      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                    FROM documents),
+      g AS (SELECT doc_id, len(toks) AS n_tokens,
+              unnest(list_transform(range(1, len(toks) - 1),
+                i -> array_to_string(toks[i:i+2], ' '))) AS g
+            FROM toks WHERE len(toks) >= 3),
+      c AS (SELECT doc_id, n_tokens, g, COUNT(*) AS c
+            FROM g GROUP BY 1, 2, 3),
+      t AS (SELECT doc_id, n_tokens, MAX(c) AS top_c
+            FROM c GROUP BY 1, 2)
+      SELECT doc_id,
+        CAST(CAST(CAST(top_c AS DOUBLE) * 3 /
+               CAST(greatest(n_tokens, 1) AS DOUBLE)
+             AS DECIMAL(10,6)) AS VARCHAR) AS top_ngram_ratio
+      FROM t ORDER BY doc_id""")),
+
     QueryDef("t_fingerprints", (s, d) => {
       TextAnalysis.fingerprints(docs(s, d)).orderBy("doc_id")
     }, Some("""
