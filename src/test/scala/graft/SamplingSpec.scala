@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Sampling
+
+/** Invariants of the deterministic sampling/splitting family. */
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.session
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("hashSplit is exhaustive, disjoint, and repartition-stable") {
+    val split = Sampling.hashSplit(docs, "doc_id", 80, 10)
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == docs.count())
+    assert(Set("train", "valid", "test").subsetOf(counts.keySet))
+    // roughly 80/10/10 on 500 docs
+    assert(counts("train") > 350 && counts("train") < 450)
+    // identical assignment under a different physical partitioning
+    val again = Sampling.hashSplit(docs.repartition(17), "doc_id", 80, 10)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == first)
+  }
+
+  test("stratifiedSample keeps listed strata at their rate only") {
+    val out = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Seq("en" -> 0), defaultRate = 100)
+    assert(out.filter(col("lang") === "en").count() == 0)
+    assert(out.count() == docs.filter(col("lang") =!= "en").count())
+  }
+
+  test("tokenShards: cumulative budget respected, shard ids monotone") {
+    val s = spark; import s.implicits._
+    val df = (1L to 100L).map(i => (i, 10L)).toDF("doc_id", "n_tokens")
+    val shards = Sampling.tokenShards(df, "doc_id", "n_tokens", 100L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // 10 docs x 10 tokens fill each 100-token shard exactly
+    assert(shards.take(10).forall(_._2 == 0L))
+    assert(shards(10)._2 == 1L && shards.last._2 == 9L)
+    assert(shards.map(_._2).sliding(2).forall(p => p(0) <= p(1)))
+  }
+}
