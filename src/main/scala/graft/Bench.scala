@@ -43,19 +43,26 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(n => once(n, SparkEntry.queries(n))) // warmup, untimed
     val results = names.map(n => n -> once(n, SparkEntry.queries(n)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The JSON line goes out BEFORE any teardown logging and is also
-    // written to bench.json — the harness tail-captures stdout and has
-    // truncated the epilogue before (BENCH_r03 lost its totals).
-    println(line)
+    def json(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // The harness tail-captures a fixed window of stdout and has cut the
+    // HEAD of the (long) JSON line two rounds running (BENCH_r03/r04
+    // parsed: null) even when printed first. Defense: a COMPACT line
+    // (3-decimal values, ~2.5 KB) printed both first AND last — whichever
+    // end of the capture window survives holds a complete parseable line
+    // — plus full precision in bench.json.
+    val compact = json(v => f"$v%.3f")
+    println(compact)
     Console.flush()
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench.json"), line + "\n")
+      java.nio.file.Paths.get("bench.json"), json(_.toString) + "\n")
     catch { case _: Throwable => () }
     spark.stop()
+    println(compact)
+    Console.flush()
   }
 }

@@ -224,11 +224,17 @@ object Dedup {
     *
     * Each round is one equi-join + one min-aggregate, both on uniform
     * id keys; near-dup components are tiny by nature (duplicates of one
-    * source), so a small fixed `hops` is the 100 TB-honest choice —
+    * source), so a small `hops` ceiling is the 100 TB-honest choice —
     * pathological long chains would need pointer-doubling, which this
     * deliberately trades away for oracle-replayable simplicity. The
     * lineage is flattened per round exactly like the redirect fixpoint
     * (Wiki.redirects).
+    *
+    * Convergence is DETECTED, not assumed: each round counts labels that
+    * changed (the rounds are eager localCheckpoints already, so the count
+    * reads checkpointed data); if a round still changes labels after the
+    * ceiling, the call fails rather than silently returning a split
+    * component. Early convergence short-circuits the remaining rounds.
     */
   def clusters(pairs: DataFrame, hops: Int = 4): DataFrame = {
     // pin the edge list once — it is referenced in every propagation
@@ -240,14 +246,26 @@ object Dedup {
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
-    for (_ <- 1 to hops) {
+      .localCheckpoint(true)
+    var changed = -1L
+    var round = 0
+    while (changed != 0L && round < hops) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
         .select(col("src").as("doc_id"), col("cluster"))
-      labels = labels.unionByName(viaNeighbor)
+      val next = labels.unionByName(viaNeighbor)
         .groupBy("doc_id").agg(min("cluster").as("cluster"))
         .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.cluster") =!= col("o.cluster")).count()
+      labels = next
+      round += 1
     }
+    require(changed == 0L,
+      s"min-label propagation did not converge within $hops rounds " +
+        s"($changed labels still changing — a component has diameter > " +
+        s"$hops); raise hops")
     labels.select(col("cluster"), col("doc_id"))
   }
 }

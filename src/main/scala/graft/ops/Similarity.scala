@@ -188,8 +188,9 @@ object Similarity {
     * whole-stage codegen — no hashing. Fold order over dimensions is
     * identical to [[hyperplaneBucketSql]], so bucket ids are
     * bit-identical to the md5-per-row form and to the DuckDB twin
-    * (PlaneLiteralSpec asserts this). Assumes fixed dimensionality
-    * (the embedding-column contract).
+    * (PlaneLiteralSpec asserts the bit-identity). Fixed dimensionality is
+    * the embedding-column contract — a ragged row raises instead of
+    * silently zero-folding its tail.
     */
   def withBucketArray(df: DataFrame, vecCol: String, nPlanes: Int,
       nTables: Int, outCol: String): DataFrame = {
@@ -202,14 +203,23 @@ object Similarity {
       (t, p, j) => planeWeight(t * nPlanes + p, j))
     df.withColumn("__planes", typedlit(w))
       .withColumn(outCol, expr(
-        s"transform(sequence(0, ${nTables - 1}), tt -> " +
+        // a ragged corpus fails loudly: a row longer than the inferred
+        // dims would otherwise zip_with null weights and silently fold
+        // the extra dimensions to 0-bits, desyncing from the per-row-size
+        // md5 form and the oracle
+        s"case when size($vecCol) != $dims then " +
+          s"raise_error(concat('ragged embedding column $vecCol: " +
+          s"expected $dims dims, got ', cast(size($vecCol) as string))) " +
+          s"else " +
+          s"transform(sequence(0, ${nTables - 1}), tt -> " +
           s"aggregate(transform(sequence(0, ${nPlanes - 1}), p -> " +
           s"case when aggregate(zip_with($vecCol, __planes[tt][p], " +
           s"(x, w) -> cast(x as double) * w), cast(0.0 as double), " +
           s"(acc, v) -> acc + v) >= 0 " +
           s"then shiftleft(cast(1 as bigint), p) " +
           s"else cast(0 as bigint) end), " +
-          s"cast(0 as bigint), (acc, v) -> acc + v))"))
+          s"cast(0 as bigint), (acc, v) -> acc + v)) " +
+          s"end"))
       .drop("__planes")
   }
 
@@ -222,8 +232,12 @@ object Similarity {
     */
   def hyperplaneBucketSql(vec: String, nPlanes: Int,
       planeOffset: String = "0"): String = {
+    // the weight is parenthesized so it rounds to a double BEFORE the
+    // multiply — identical to the precomputed [[planeWeight]] literal and
+    // the DuckDB twin (left-assoc (x*(m-1000))/1000.0 could differ by an
+    // ulp and flip a bucket bit on a projection straddling 0)
     val proj = s"aggregate(zip_with($vec, sequence(0, size($vec) - 1), " +
-      s"(x, j) -> cast(x as double) * ((${md5LongSql(s"concat(cast(($planeOffset) + p as string), ',', cast(j as string))")} % 2001) - 1000) / 1000.0), " +
+      s"(x, j) -> cast(x as double) * (((${md5LongSql(s"concat(cast(($planeOffset) + p as string), ',', cast(j as string))")} % 2001) - 1000) / 1000.0)), " +
       s"cast(0.0 as double), (acc, v) -> acc + v)"
     s"aggregate(transform(sequence(0, ${nPlanes - 1}), p -> " +
       s"case when ($proj) >= 0 then shiftleft(cast(1 as bigint), p) else cast(0 as bigint) end), " +

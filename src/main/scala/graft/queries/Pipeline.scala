@@ -48,10 +48,13 @@ object Pipeline extends QueryModule {
   /** DuckDB twin of [[Similarity.hyperplaneBucketSql]]. */
   private def duckBucket(vec: String, nPlanes: Int,
       planeOffset: String = "0"): String = {
+    // weight parenthesized to round before the multiply — matches
+    // Similarity.planeWeight / hyperplaneBucketSql exactly (not the
+    // left-assoc (x*(m-1000))/1000.0, which can differ by one ulp)
     val proj = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(range(0, len($vec)), " +
       s"jj -> CAST($vec[jj + 1] AS DOUBLE) * " +
-      s"((${duckMd5Long(s"CAST(($planeOffset) + pp AS VARCHAR) || ',' || CAST(jj AS VARCHAR)")} % 2001) - 1000) / 1000.0)), " +
+      s"(((${duckMd5Long(s"CAST(($planeOffset) + pp AS VARCHAR) || ',' || CAST(jj AS VARCHAR)")} % 2001) - 1000) / 1000.0))), " +
       s"(acc, v) -> acc + v)"
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(0, $nPlanes), pp -> " +

@@ -54,8 +54,13 @@ object Wiki {
     // only a first char that IS lowercase and whose uppercase stays one
     // char is folded — SQL upper() would expand 'ß' → "SS" and touch
     // titlecase chars, which the Scala per-char original never does.
-    val u = trim(regexp_replace(
-      translate(col("redirect"), " ", "_"), "^_|_$", ""))
+    // String.trim strips ALL chars <= U+0020 (tabs, newlines, controls),
+    // while SQL trim() strips only spaces — a regexp trim of [\x00-\x20]
+    // keeps redirect titles containing stray control chars normalizing
+    // identically to the parser-side Scala path (so their joins hit).
+    val u = regexp_replace(
+      regexp_replace(translate(col("redirect"), " ", "_"), "^_|_$", ""),
+      "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
     val first = substring(u, 1, 1)
     val norm = concat(lit(Wikitext.WikiPrefix),
       when(lower(first) === first && upper(first) =!= first &&

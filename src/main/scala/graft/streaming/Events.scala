@@ -34,22 +34,27 @@ object Events {
     * checkpoint at start(): production streams size it to state volume;
     * these gate streams carry tiny state, where the per-partition store
     * commit (~100 ms each, × partitions × stateful ops × triggers)
-    * dominates wall clock — so the width is scoped down around the run
-    * and the session's shuffle width restored after.
+    * dominates wall clock — so the width is narrowed. The override lives
+    * on a cloned session (`newSession()` shares the SparkContext but has
+    * isolated SQL conf), so concurrent queries on the caller's session
+    * never see the narrowed width; the stream is BUILT on the clone via
+    * `build` so its plan resolves under the scoped conf.
     */
-  private def runToCompletion(df: DataFrame, sinkName: String,
+  private def runToCompletion(s: SparkSession,
+      build: SparkSession => DataFrame, sinkName: String,
       mode: String = "complete", stateParts: Int = 8): DataFrame = {
-    val s = df.sparkSession
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
-    try {
-      val q = df.writeStream.format("memory").queryName(sinkName)
-        .outputMode(mode).start()
-      try {
-        q.processAllAvailable()
-      } finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    s.table(sinkName)
+    val iso = s.newSession()
+    // carry the caller's runtime SQL conf over to the clone (newSession
+    // starts from the builder defaults, not runtime .set()s); static
+    // entries reject set() — skip them
+    s.conf.getAll.foreach { case (k, v) =>
+      try iso.conf.set(k, v) catch { case _: Exception => () }
+    }
+    iso.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+    val q = build(iso).writeStream.format("memory").queryName(sinkName)
+      .outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    iso.table(sinkName)
   }
 
   /** Tumbling-window counts by event type with streaming dedup on
@@ -58,8 +63,8 @@ object Events {
     * returns the final result as a batch frame.
     */
   def windowCounts(s: SparkSession, dir: String): DataFrame =
-    runToCompletion(
-      stream(s, dir)
+    runToCompletion(s, ss =>
+      stream(ss, dir)
         .dropDuplicates("event_id")
         .groupBy(window(col("t"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n")),
@@ -74,20 +79,22 @@ object Events {
     * (one batch) the final emission per user equals the batch count.
     */
   def statefulUserCounts(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
-    val updated = stream(s, dir)
-      .select(col("user_id")).as[Long]
-      .groupByKey(identity)
-      .flatMapGroupsWithState[Long, (Long, Long)](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, events: Iterator[Long], state: GroupState[Long]) =>
-          val n = state.getOption.getOrElse(0L) + events.size
-          state.update(n)
-          Iterator.single((uid, n))
-      }
-      .toDF("user_id", "n")
-    runToCompletion(updated, "st_stateful_counts_mem", mode = "update")
+    def updated(ss: SparkSession): DataFrame = {
+      import ss.implicits._
+      stream(ss, dir)
+        .select(col("user_id")).as[Long]
+        .groupByKey(identity)
+        .flatMapGroupsWithState[Long, (Long, Long)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+          (uid: Long, events: Iterator[Long], state: GroupState[Long]) =>
+            val n = state.getOption.getOrElse(0L) + events.size
+            state.update(n)
+            Iterator.single((uid, n))
+        }
+        .toDF("user_id", "n")
+    }
+    runToCompletion(s, updated, "st_stateful_counts_mem", mode = "update")
       .groupBy("user_id").agg(max("n").as("n")) // last emission per user
       .orderBy("user_id")
   }
@@ -150,13 +157,14 @@ object Events {
       now - 120000)
     stage(ev.filter(col("wstart") === w0).select(cols: _*), "02_late",
       now - 60000)
-    val counts = s.readStream.schema("ts_us BIGINT, event_type STRING")
-      .option("maxFilesPerTrigger", 1).parquet(data.toString)
-      .withColumn("t", timestamp_micros(col("ts_us")))
-      .withWatermark("t", "10 minutes")
-      .groupBy(window(col("t"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-    runToCompletion(counts, "st_late_data_mem", mode = "append")
+    def counts(ss: SparkSession): DataFrame =
+      ss.readStream.schema("ts_us BIGINT, event_type STRING")
+        .option("maxFilesPerTrigger", 1).parquet(data.toString)
+        .withColumn("t", timestamp_micros(col("ts_us")))
+        .withWatermark("t", "10 minutes")
+        .groupBy(window(col("t"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    runToCompletion(s, counts, "st_late_data_mem", mode = "append")
       .select(col("window.start").as("wstart"), col("event_type"), col("n"))
       .orderBy("wstart", "event_type")
   }
@@ -166,8 +174,8 @@ object Events {
     * a new session starts when the previous event is > gap behind.
     */
   def sessionCounts(s: SparkSession, dir: String): DataFrame =
-    runToCompletion(
-      stream(s, dir)
+    runToCompletion(s, ss =>
+      stream(ss, dir)
         .groupBy(session_window(col("t"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n")),
       "st_session_counts_mem")

@@ -36,21 +36,6 @@ class NearDupRecallSpec extends AnyFunSuite {
       s"recall $recall (${found.size}/${truth.size}) below bound $bound")
   }
 
-  test("literal-weight buckets are bit-identical to the md5-per-row form") {
-    import org.apache.spark.sql.functions._
-    val corpus = spark.read.parquet(emb)
-    graft.functions.GraftFunctions.registerAll(spark)
-    val b = 4; val l = 3
-    val sqlForm = corpus.select(col("vec_id"), expr(
-      s"transform(sequence(0, ${l - 1}), tt -> " +
-        Similarity.hyperplaneBucketSql("embedding", b, s"tt * $b") + ")")
-      .as("bk"))
-    val litForm = Similarity.withBucketArray(corpus, "embedding", b, l, "bk")
-      .select(col("vec_id"), col("bk"))
-    assert(sqlForm.exceptAll(litForm).isEmpty &&
-      litForm.exceptAll(sqlForm).isEmpty)
-  }
-
   test("banded LSH near-dup plan has no nested-loop join") {
     val corpus = spark.read.parquet(emb)
     val plan = Similarity.cosineNearDupPairsLsh(corpus, threshold)
