@@ -215,57 +215,139 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Near-duplicate CLUSTERS from a pair list — the production shape of
-    * dedup output (a pair list alone doesn't say which copy to keep):
-    * iterative min-label propagation over the undirected pair graph,
-    * `hops` rounds covering components of diameter ≤ `hops`. Returns
-    * (cluster, doc_id) with cluster = the smallest member id — the
-    * canonical representative each member dedupes to.
-    *
-    * Each round is one equi-join + one min-aggregate, both on uniform
-    * id keys; near-dup components are tiny by nature (duplicates of one
-    * source), so a small `hops` ceiling is the 100 TB-honest choice —
-    * pathological long chains would need pointer-doubling, which this
-    * deliberately trades away for oracle-replayable simplicity. The
-    * lineage is flattened per round exactly like the redirect fixpoint
-    * (Wiki.redirects).
-    *
-    * Convergence is DETECTED, not assumed: each round counts labels that
-    * changed (the rounds are eager localCheckpoints already, so the count
-    * reads checkpointed data); if a round still changes labels after the
-    * ceiling, the call fails rather than silently returning a split
-    * component. Early convergence short-circuits the remaining rounds.
+  /** Undirected edge list (both directions) from a near-dup pair list,
+    * pinned once — it is referenced in every propagation round, and
+    * without the checkpoint the upstream pair pipeline (LSH join +
+    * verify) would re-execute per round.
     */
-  def clusters(pairs: DataFrame, hops: Int = 4): DataFrame = {
-    // pin the edge list once — it is referenced in every propagation
-    // round, and without this the upstream pair pipeline (LSH join +
-    // verify) would re-execute per round
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+  private def pinnedEdges(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(
         pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
+
+  /** One materialization job per round: the stepped label frame carries a
+    * `chg` flag and is LAZILY local-checkpointed, so the `sum(chg)`
+    * aggregate both materializes the checkpoint (truncating lineage for
+    * the next round) and reports how many labels moved — the convergence
+    * count rides the propagation job instead of costing a second
+    * join+count job per round.
+    */
+  private def stepAndCount(stepped: DataFrame): (DataFrame, Long) = {
+    val next = stepped
+      .withColumn("chg", when(col("cluster") =!= col("old"), 1L)
+        .otherwise(0L))
+      .select("doc_id", "cluster", "chg")
+      .localCheckpoint(false)
+    // coalesce: sum over an empty label table (no pairs at all) is null
+    val changed = next.agg(coalesce(sum("chg"), lit(0L))).head().getLong(0)
+    (next.select("doc_id", "cluster"), changed)
+  }
+
+  /** Min-label HOP over the pair graph: every node takes the smallest
+    * label among itself and its neighbors; the previous label rides along
+    * as `old` (via the self rows — min ignores the neighbor rows' nulls)
+    * so the caller can count changes without a join back.
+    */
+  private def minLabelHop(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val viaNeighbor = edges
+      .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+      .select(col("src").as("doc_id"), col("cluster"),
+        lit(null).cast(labels.schema("cluster").dataType).as("old"))
+    labels.select(col("doc_id"), col("cluster"), col("cluster").as("old"))
+      .unionByName(viaNeighbor)
+      .groupBy("doc_id")
+      .agg(min("cluster").as("cluster"), min("old").as("old"))
+  }
+
+  /** Near-duplicate CLUSTERS from a pair list — the production shape of
+    * dedup output (a pair list alone doesn't say which copy to keep):
+    * POINTER-DOUBLING min-label propagation over the undirected pair
+    * graph, run to detected convergence. Returns (cluster, doc_id) with
+    * cluster = the smallest member id — the canonical representative each
+    * member dedupes to.
+    *
+    * Each round is (1) a min-label hop (neighbor equi-join + min
+    * aggregate) and (2) a SHORTCUT — label ← label(label), the label
+    * table joined to itself on the label key — which halves the remaining
+    * distance to the component minimum, so a component of diameter d
+    * converges in O(log d) rounds instead of O(d). A 100 TB corpus WILL
+    * contain boilerplate families whose duplicate-graph diameter defeats
+    * any fixed hop count; this is the production path for them (the
+    * fixed-hop form survives as [[clustersFixedHop]], the
+    * oracle-replayable twin). All joins/aggregates key on uniform doc
+    * ids; per round the only actions are one materialization job whose
+    * aggregate doubles as the convergence count ([[stepAndCount]]).
+    *
+    * `maxRounds` is a bug guard, not a tuning knob: 64 rounds cover any
+    * component addressable by a 64-bit id space (diameter ≤ 2⁶⁴ needs
+    * ≤ log₂ + 1 rounds); hitting it means the iteration is broken, so the
+    * guard fails loudly rather than returning a split component.
+    */
+  def clusters(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val edges = pinnedEdges(pairs)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
       .localCheckpoint(true)
     var changed = -1L
     var round = 0
-    while (changed != 0L && round < hops) {
-      val viaNeighbor = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
-        .select(col("src").as("doc_id"), col("cluster"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy("doc_id").agg(min("cluster").as("cluster"))
-        .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.cluster") =!= col("o.cluster")).count()
+    while (changed != 0L && round < maxRounds) {
+      val hop = minLabelHop(edges, labels)
+      // shortcut: follow the (fresher) hop labels one more step — the
+      // mapping side is the hop result keyed by ITS doc_id, so a node
+      // whose label points at node m adopts m's own new label. Left
+      // join: a label is always some member's id, but the min-aggregate
+      // ordering makes that membership row live in the same frame being
+      // joined — coalesce keeps the hop label if the mapping row is
+      // (transiently) absent rather than nulling the cluster.
+      val shortcut = hop
+        .join(hop.select(col("doc_id").as("cluster"),
+          col("cluster").as("cc")), Seq("cluster"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("cc"), col("cluster")))
+            .as("cluster"),
+          col("old"))
+      val (next, c) = stepAndCount(shortcut)
       labels = next
+      changed = c
+      round += 1
+    }
+    require(changed == 0L,
+      s"pointer-doubling label propagation did not converge within " +
+        s"$maxRounds rounds ($changed labels still changing) — this " +
+        s"indicates a defect in the iteration, not a data property")
+    labels.select(col("cluster"), col("doc_id"))
+  }
+
+  /** Fixed-hop min-label propagation — the ORACLE TWIN of [[clusters]]:
+    * `hops` plain propagation rounds (no shortcut), exactly the form a
+    * SQL oracle unrolls as CTEs, covering components of diameter ≤
+    * `hops`. Production callers use [[clusters]]; this form exists for
+    * cross-engine replay and for corpora whose components are known
+    * tiny.
+    *
+    * Convergence is DETECTED, not assumed: the loop allows `hops`
+    * label-changing rounds plus one zero-change detection round; if
+    * labels still move after that, a component has diameter ≥ `hops` and
+    * the call fails rather than silently returning a split component.
+    */
+  def clustersFixedHop(pairs: DataFrame, hops: Int = 4): DataFrame = {
+    val edges = pinnedEdges(pairs)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = -1L
+    var round = 0
+    while (changed != 0L && round < hops + 1) {
+      val (next, c) = stepAndCount(minLabelHop(edges, labels))
+      labels = next
+      changed = c
       round += 1
     }
     require(changed == 0L,
       s"min-label propagation did not converge within $hops rounds " +
-        s"($changed labels still changing — a component has diameter > " +
-        s"$hops); raise hops")
+        s"($changed labels still changing — a component has diameter >= " +
+        s"$hops); use clusters() (pointer-doubling) or raise hops")
     labels.select(col("cluster"), col("doc_id"))
   }
 }

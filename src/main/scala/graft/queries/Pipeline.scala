@@ -192,10 +192,14 @@ object Pipeline extends QueryModule {
       ORDER BY doc_a, doc_b""")),
 
     // ---- Near-dup CLUSTERS: the LSH pair list collapsed to connected
-    // components by min-label propagation (4 rounds, oracle-unrolled) —
-    // (cluster = canonical keeper id, doc_id = member to dedupe).
+    // components — (cluster = canonical keeper id, doc_id = member to
+    // dedupe). The ENGINE runs the production pointer-doubling path
+    // (O(log diameter) rounds, detected convergence); the oracle unrolls
+    // 4 plain min-label rounds, which fully converge on this corpus
+    // (components here have diameter <= 3) — both therefore compute the
+    // same fixpoint: every member labeled with its component minimum.
     QueryDef("d_neardup_clusters", (s, d) => {
-      Dedup.clusters(Dedup.minhashLsh(docs(s, d), 3, 8, 4, 0.5), 4)
+      Dedup.clusters(Dedup.minhashLsh(docs(s, d), 3, 8, 4, 0.5))
         .orderBy("cluster", "doc_id")
     }, Some {
       val rounds = (1 to 4).map { i =>
