@@ -50,12 +50,17 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
     // The harness tail-captures a fixed window of stdout and has cut the
-    // HEAD of the (long) JSON line two rounds running (BENCH_r03/r04
-    // parsed: null) even when printed first. Defense: a COMPACT line
-    // (3-decimal values, ~2.5 KB) printed both first AND last — whichever
-    // end of the capture window survives holds a complete parseable line
-    // — plus full precision in bench.json.
-    val compact = json(v => f"$v%.3f")
+    // HEAD of the (long) JSON line three rounds running (BENCH_r03..r05
+    // parsed: null) even when printed first AND last — sbt's own trailing
+    // "[success]" lines eat into the window, beheading the ~2.5 KB
+    // per-query line. Defense in depth: the compact per-query line printed
+    // first and late, full precision in bench.json, and — the actual fix —
+    // a sub-100-byte TOTAL-ONLY line as the very last stdout line, small
+    // enough to survive any capture window. Locale.ROOT formatting: the
+    // default locale could render 1.234 as "1,234" and break the JSON.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val compact = json(f3)
     println(compact)
     Console.flush()
     try java.nio.file.Files.writeString(
@@ -63,6 +68,8 @@ object Bench {
     catch { case _: Throwable => () }
     spark.stop()
     println(compact)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}""")
     Console.flush()
   }
 }

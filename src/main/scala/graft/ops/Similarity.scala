@@ -66,9 +66,9 @@ object Similarity {
     * signed-random-projection partition IS a valid IVF cell structure).
     * 2^nPlanes cells; [[ivfTopK]] consumes the resulting `cell` column.
     */
-  def assignCells(df: DataFrame, nPlanes: Int): DataFrame =
+  def assignCells(df: DataFrame, nPlanes: Int, dims: Int = -1): DataFrame =
     withBucketArray(ensureRegistered(df), "embedding", nPlanes, 1,
-        "__buckets")
+        "__buckets", dims)
       .withColumn("cell", element_at(col("__buckets"), 1))
       .drop("__buckets")
 
@@ -193,23 +193,31 @@ object Similarity {
     * silently zero-folding its tail.
     */
   def withBucketArray(df: DataFrame, vecCol: String, nPlanes: Int,
-      nTables: Int, outCol: String): DataFrame = {
-    // dims inference is one tiny first-row job at plan-construction time
-    // (the price of literal weights); an empty frame gets dims = 0 and
-    // degenerates to bucket 0 over no rows instead of crashing
-    val dims = df.select(size(col(vecCol))).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
-    val w = Array.tabulate(nTables, nPlanes, dims)(
+      nTables: Int, outCol: String, dims: Int = -1): DataFrame = {
+    // The embedding-column contract is FIXED dimensionality, so callers
+    // pass `dims` explicitly — plan construction then triggers zero Spark
+    // jobs. dims < 0 falls back to inference from an arbitrary first row
+    // (one tiny job; if that row is itself the anomaly, every healthy row
+    // raises with a misleading 'expected' count — which is why the
+    // explicit form is the production path). An empty frame infers
+    // dims = 0 and degenerates to bucket 0 over no rows instead of
+    // crashing.
+    val nd = if (dims >= 0) dims else
+      df.select(size(col(vecCol))).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(0)
+    val w = Array.tabulate(nTables, nPlanes, nd)(
       (t, p, j) => planeWeight(t * nPlanes + p, j))
     df.withColumn("__planes", typedlit(w))
       .withColumn(outCol, expr(
-        // a ragged corpus fails loudly: a row longer than the inferred
-        // dims would otherwise zip_with null weights and silently fold
-        // the extra dimensions to 0-bits, desyncing from the per-row-size
-        // md5 form and the oracle
-        s"case when size($vecCol) != $dims then " +
-          s"raise_error(concat('ragged embedding column $vecCol: " +
-          s"expected $dims dims, got ', cast(size($vecCol) as string))) " +
+        // a ragged or null row fails loudly: a row longer than the
+        // declared dims would otherwise zip_with null weights and
+        // silently fold the extra dimensions to 0-bits (and a null vector
+        // would silently yield a null bucket), desyncing from the
+        // per-row-size md5 form and the oracle
+        s"case when $vecCol is null or size($vecCol) != $nd then " +
+          s"raise_error(concat('ragged or null embedding column $vecCol: " +
+          s"expected $nd dims, got ', " +
+          s"coalesce(cast(size($vecCol) as string), 'null'))) " +
           s"else " +
           s"transform(sequence(0, ${nTables - 1}), tt -> " +
           s"aggregate(transform(sequence(0, ${nPlanes - 1}), p -> " +
@@ -248,10 +256,10 @@ object Similarity {
     * bucket. Output may have < k rows per query (recall/bucket trade-off).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, nPlanes: Int,
-      k: Int): DataFrame = {
+      k: Int, dims: Int = -1): DataFrame = {
     ensureRegistered(queries)
     val bucket = (df: DataFrame) =>
-      withBucketArray(df, "embedding", nPlanes, 1, "__buckets")
+      withBucketArray(df, "embedding", nPlanes, 1, "__buckets", dims)
         .withColumn("bucket", element_at(col("__buckets"), 1))
     val q = bucket(queries).select(col("vec_id").as("query_id"),
       col("embedding").as("qe"), col("bucket"))
@@ -305,30 +313,68 @@ object Similarity {
     * Scale shape: one pass computes all L bucket ids per row (no
     * re-reads), candidates meet in a bucket-key equi-join, pairs dedup in
     * a hash aggregate, and verification joins the (vec_id → u) table
-    * twice on its key. The unit-vector subtree is persisted across its
-    * three consumers.
+    * twice on its key. Oversized buckets are capped at `maxBucket`
+    * members (skew defense — see [[cosineNearDupPairsLshPlan]]). The
+    * result is materialized eagerly and the persisted intermediates
+    * dropped before returning, so repeated calls on a long-lived session
+    * leave no cache residue; audit the lazy plan via
+    * [[cosineNearDupPairsLshPlan]].
     */
   def cosineNearDupPairsLsh(corpus: DataFrame, threshold: Double,
-      planesPerTable: Int = 4, nTables: Int = 16): DataFrame = {
+      planesPerTable: Int = 4, nTables: Int = 16,
+      maxBucket: Int = 1024, dims: Int = -1): DataFrame = {
+    val (result, cleanup) = cosineNearDupPairsLshPlan(corpus, threshold,
+      planesPerTable, nTables, maxBucket, dims)
+    // materialize eagerly (truncating lineage) so the persisted
+    // intermediates can be dropped HERE instead of lingering until
+    // session end / LRU eviction — a long-lived session issuing many
+    // near-dup jobs must not accumulate MEMORY_AND_DISK residue
+    val out = result.localCheckpoint(true)
+    cleanup()
+    out
+  }
+
+  /** The LAZY plan behind [[cosineNearDupPairsLsh]], exposed for plan
+    * audits (the public operator returns a checkpointed frame whose plan
+    * is a block scan). Returns (result, cleanup): the caller must invoke
+    * `cleanup()` once the result has materialized, which unpersists the
+    * unit-vector and bucket intermediates and logs any bucket-cap drops.
+    */
+  def cosineNearDupPairsLshPlan(corpus: DataFrame, threshold: Double,
+      planesPerTable: Int = 4, nTables: Int = 16,
+      maxBucket: Int = 1024, dims: Int = -1): (DataFrame, () => Unit) = {
     ensureRegistered(corpus)
     def dot(x: String, y: String) = s"graft_dot($x, $y)"
-    // persisted across the three consumers (bucket pass + both verify
-    // joins); lifecycle note: the cache lives until LRU eviction or
-    // session end — a long-lived session issuing many near-dup jobs
-    // should spark.catalog.clearCache() between them
-    val unit = unitVectors(corpus)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = withBucketArray(unit, "u", planesPerTable, nTables,
-        "__buckets")
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // persisted across its consumers (bucket pass + both verify joins)
+    val unit = unitVectors(corpus).persist(mad)
+    val bandedAll = withBucketArray(unit, "u", planesPerTable, nTables,
+        "__buckets", dims)
       .select(col("vec_id"), posexplode(col("__buckets"))
         .as(Seq("tbl", "bkey")))
+      .persist(mad) // consumed by the self-join (×2) and the cap logging
+    // BUCKET-SIZE CAP — the skew defense: a degenerate corpus (many
+    // near-identical vectors) concentrates one (tbl, bkey) bucket into a
+    // quadratic hot spot. Each bucket keeps its `maxBucket` smallest
+    // vec_ids (deterministic, so the oracle can replay it), bounding any
+    // bucket's pair contribution at maxBucket²/2; overflow rows are
+    // DROPPED from candidate generation and counted by `droppedRows`
+    // below — no silent caps. A healthy corpus (exact-dedup upstream
+    // removes identical payloads) never approaches the cap; the gate
+    // corpora sit orders of magnitude under it, so the oracle SQL needs
+    // no cap clause.
+    val bw = Window.partitionBy("tbl", "bkey").orderBy(asc("vec_id"))
+    val banded = bandedAll
+      .withColumn("__bn", row_number().over(bw))
+      .filter(col("__bn") <= maxBucket)
+      .select("vec_id", "tbl", "bkey")
     val cands = banded.select(col("vec_id").as("vec_a"), col("tbl"),
         col("bkey"))
       .join(banded.select(col("vec_id").as("vec_b"), col("tbl"),
         col("bkey")), Seq("tbl", "bkey"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
-    cands
+    val result = cands
       .join(unit.select(col("vec_id").as("vec_a"), col("u").as("ua")),
         Seq("vec_a"))
       .join(unit.select(col("vec_id").as("vec_b"), col("u").as("ub")),
@@ -337,6 +383,24 @@ object Similarity {
         expr(dot("ua", "ub")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+    val cleanup = () => {
+      // one tiny aggregate over the (persisted, bucket-count-sized)
+      // intermediate: how many bucket memberships the cap discarded
+      val droppedRows = bandedAll.groupBy("tbl", "bkey")
+        .agg(count(lit(1)).as("cnt"))
+        .agg(coalesce(sum(greatest(col("cnt") - maxBucket, lit(0L))),
+          lit(0L)))
+        .head().getLong(0)
+      if (droppedRows > 0)
+        System.err.println(s"[similarity] bucket cap $maxBucket dropped " +
+          s"$droppedRows bucket memberships from near-dup candidate " +
+          s"generation (degenerate bucket skew — run exact dedup " +
+          s"upstream, or raise maxBucket)")
+      bandedAll.unpersist()
+      unit.unpersist()
+      ()
+    }
+    (result, cleanup)
   }
 
   /** Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos ≥ threshold).

@@ -83,6 +83,10 @@ object Pipeline extends QueryModule {
     t(s, d, "documents")
   private def emb(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
+  /** Fixed dimensionality of the embeddings table (the embedding-column
+    * contract) — passed explicitly so ANN plan construction triggers no
+    * dims-inference job (PlanAuditSpec asserts this). */
+  private val embDims = 64
 
   /** Synthetic media table derived from documents: the text bytes stand
     * in for encoded media payloads (BINARY column + typed metadata — the
@@ -346,7 +350,7 @@ object Pipeline extends QueryModule {
     // planes; candidates restricted to the query's bucket).
     QueryDef("sim_lsh_topk", (s, d) => {
       val e = emb(s, d)
-      Similarity.lshTopK(e.filter(col("vec_id") < 10), e, 8, 5)
+      Similarity.lshTopK(e.filter(col("vec_id") < 10), e, 8, 5, embDims)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }, Some(s"""
@@ -372,7 +376,7 @@ object Pipeline extends QueryModule {
     // rank within the probed fraction.
     QueryDef("sim_ivf_topk", (s, d) => {
       val e = emb(s, d)
-      val corpus = Similarity.assignCells(e, 4)
+      val corpus = Similarity.assignCells(e, 4, embDims)
       Similarity.ivfTopK(e.filter(col("vec_id") < 10), corpus, "cell", 2, 5)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
@@ -492,7 +496,7 @@ object Pipeline extends QueryModule {
     // 14/14 on this corpus, ≈95.7% analytic at cos 0.45).
     QueryDef("sim_neardup_pairs", (s, d) => {
       Similarity.cosineNearDupPairsLsh(emb(s, d), 0.45,
-          planesPerTable = 4, nTables = 16)
+          planesPerTable = 4, nTables = 16, dims = embDims)
         .orderBy("vec_a", "vec_b")
     }, Some {
       // mirrors the engine exactly: unit-normalize each vector once,

@@ -46,9 +46,17 @@ object Events {
     val iso = s.newSession()
     // carry the caller's runtime SQL conf over to the clone (newSession
     // starts from the builder defaults, not runtime .set()s); static
-    // entries reject set() — skip them
+    // entries reject set() with CANNOT_MODIFY_CONFIG — only that case is
+    // skippable by design; any other copy failure is logged so the clone
+    // diverging from the caller's session never happens silently
     s.conf.getAll.foreach { case (k, v) =>
-      try iso.conf.set(k, v) catch { case _: Exception => () }
+      try iso.conf.set(k, v)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => () // static conf
+        case e: Exception =>
+          System.err.println(s"[streaming] conf '$k' not copied to " +
+            s"isolated session: ${e.getMessage}")
+      }
     }
     iso.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
     val q = build(iso).writeStream.format("memory").queryName(sinkName)

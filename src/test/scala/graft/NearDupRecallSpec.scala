@@ -37,10 +37,38 @@ class NearDupRecallSpec extends AnyFunSuite {
   }
 
   test("banded LSH near-dup plan has no nested-loop join") {
+    // the public operator returns a checkpointed frame (block-scan plan);
+    // audit the lazy plan it materializes
     val corpus = spark.read.parquet(emb)
-    val plan = Similarity.cosineNearDupPairsLsh(corpus, threshold)
-      .queryExecution.executedPlan.toString
+    val (lazyPlan, cleanup) =
+      Similarity.cosineNearDupPairsLshPlan(corpus, threshold, dims = 64)
+    val plan = lazyPlan.queryExecution.executedPlan.toString
+    cleanup()
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("bucket cap bounds a degenerate identical-vector corpus") {
+    // 10k IDENTICAL vectors: every table concentrates every row into one
+    // bucket — uncapped, candidate generation materializes ~50M pairs.
+    // The cap keeps each bucket's smallest `maxBucket` vec_ids (the same
+    // set in every table, so pairs dedup across tables), bounding the
+    // blow-up at C(maxBucket, 2) while completing promptly.
+    val s = spark; import s.implicits._
+    val vec = Seq(1.0f, 0.5f, -0.25f, 0.125f)
+    val degenerate = (0L until 10000L).map(i => (i, vec))
+      .toDF("vec_id", "embedding")
+    val cap = 64
+    val got = Similarity.cosineNearDupPairsLsh(degenerate, 0.9,
+      planesPerTable = 4, nTables = 2, maxBucket = cap, dims = 4)
+    assert(got.count() == cap.toLong * (cap - 1) / 2)
+  }
+
+  test("near-dup operator leaves no persisted-Dataset residue") {
+    spark.catalog.clearCache()
+    val corpus = spark.read.parquet(emb)
+    Similarity.cosineNearDupPairsLsh(corpus, threshold, dims = 64).count()
+    assert(org.apache.spark.sql.GraftCacheProbe.cacheIsEmpty(spark),
+      "cosineNearDupPairsLsh left persisted datasets behind")
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.queries.{Relational, Functions, Pipeline, Corpus}
 
 /** Scale-killer tripwire over every table-backed gate query's physical
@@ -47,13 +48,58 @@ class PlanAuditSpec extends AnyFunSuite {
     "m_entity_mention_tfidf", "m_mention_tfidf_scaled",
     "sim_ivf_kmeans_topk")
 
-  // Corpus queries that do real work at plan-BUILD time (Word2Vec
-  // training, a vocab count action) — skipped here, not because their
-  // plans are exempt but because building them is not plan-only.
+  // Queries that do real work at plan-BUILD time (Word2Vec training, a
+  // vocab count action, the eagerly-materialized near-dup operator) —
+  // skipped here, not because their plans are exempt but because
+  // building them is not plan-only. sim_neardup_pairs' lazy plan is
+  // audited directly in NearDupRecallSpec via cosineNearDupPairsLshPlan.
   private val skipBuildExecutes = Set(
-    "m1_entity_skipgram_vocab", "m_indexed_mentions")
+    "m1_entity_skipgram_vocab", "m_indexed_mentions", "sim_neardup_pairs")
 
   private val modules = Seq(Relational, Functions, Pipeline, Corpus)
+
+  test("ANN plan construction triggers zero Spark jobs (explicit dims)") {
+    // the dims-inference fallback costs a first-row job per call at
+    // plan-construction time; the gates pass dims explicitly, so building
+    // an ANN plan must submit NO job (composed over an expensive upstream
+    // pipeline, an inference job would partially execute it per call)
+    // reading the table costs a one-off parquet schema-inference job —
+    // that belongs to the scan, not the operator; resolve it BEFORE
+    // attaching the counter so only the ANN construction is measured
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+    e.schema
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    def jobsDuring(body: => Unit): Int = {
+      counter.set(0)
+      body
+      Thread.sleep(1000) // listener delivery is async; let the bus drain
+      counter.get()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val explicitJobs = jobsDuring {
+        graft.ops.Similarity
+          .lshTopK(e.filter(col("vec_id") < 10), e, 8, 5, dims = 64)
+          .queryExecution.executedPlan
+      }
+      assert(explicitJobs == 0,
+        s"explicit-dims ANN plan construction submitted $explicitJobs " +
+          "Spark job(s)")
+      val inferredJobs = jobsDuring {
+        graft.ops.Similarity
+          .lshTopK(e.filter(col("vec_id") < 10), e, 8, 5)
+          .queryExecution.executedPlan
+      }
+      assert(inferredJobs > 0,
+        "expected the dims-inference fallback to submit a first-row job " +
+          "(the cost the explicit form avoids)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 
   for (m <- modules; q <- m.defs if !skipBuildExecutes(q.name)) {
     test(s"plan audit: ${q.name}") {

@@ -50,6 +50,10 @@ class PlaneLiteralSpec extends AnyFunSuite {
     }
   }
 
+  private def messages(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(e =>
+      Option(e.getMessage).toSeq ++ messages(e.getCause))
+
   test("a ragged embedding column raises instead of zero-folding") {
     val ragged = spark.createDataFrame(Seq(
       (1L, Seq(0.1f, 0.2f, 0.3f)),
@@ -59,10 +63,31 @@ class PlaneLiteralSpec extends AnyFunSuite {
       Similarity.withBucketArray(ragged, "embedding", 4, 1, "bk")
         .collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(e =>
-        Option(e.getMessage).toSeq ++ messages(e.getCause))
-    assert(messages(ex).exists(_.contains("ragged embedding")),
+    assert(messages(ex).exists(_.contains("ragged or null embedding")),
       s"expected a ragged-embedding raise, got: $ex")
+  }
+
+  test("a null embedding raises instead of yielding a null bucket") {
+    val withNull = spark.createDataFrame(Seq(
+      (1L, Seq(0.1f, 0.2f, 0.3f)),
+      (2L, null.asInstanceOf[Seq[Float]])
+    )).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.withBucketArray(withNull, "embedding", 4, 1, "bk",
+        dims = 3).collect()
+    }
+    assert(messages(ex).exists(m =>
+      m.contains("ragged or null embedding") && m.contains("got null")),
+      s"expected a null-embedding raise, got: $ex")
+  }
+
+  test("explicit dims matches inferred dims bit-for-bit") {
+    val corpus = spark.read.parquet(emb)
+    val inferred = Similarity.withBucketArray(corpus, "embedding", 4, 2,
+      "bk")
+    val explicit = Similarity.withBucketArray(corpus, "embedding", 4, 2,
+      "bk", dims = 64)
+    assert(inferred.exceptAll(explicit).isEmpty &&
+      explicit.exceptAll(inferred).isEmpty)
   }
 }
