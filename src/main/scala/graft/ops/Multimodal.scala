@@ -15,22 +15,29 @@ import org.apache.spark.sql.functions._
   *         bytes BINARY,
   *         meta STRUCT<width INT, height INT, duration_ms BIGINT>)
   *
-  * The actual codec decode is NOT implemented here (no image/audio codecs
-  * in this environment): [[DecodeStub.decode]] is a clearly-marked
-  * deterministic stand-in with the same signature and batch shape a real
-  * JNI/javax.imageio decoder would have. Everything AROUND the decode —
-  * schema, partitioning, per-row feature expressions, frame sampling —
-  * is real and oracle-checked.
+  * Decode coverage: REAL pure-JVM parsers for PPM and RIFF/WAV-PCM, and
+  * the JDK's own `javax.imageio` codecs (PNG at minimum — lossless, so
+  * encode→decode round-trips bit-exactly and the gate's oracle can derive
+  * expected pixels from raw payload bytes). Only codecs the JDK does not
+  * ship (MP3, H.264, …) remain behind [[DecodeStub.decode]], a
+  * clearly-marked deterministic stand-in with the same signature and
+  * batch shape a real JNI decoder would have. Everything AROUND the
+  * decode — schema, partitioning, per-row feature expressions, frame
+  * sampling — is real and oracle-checked.
   */
 object Multimodal {
 
-  /** REAL decoders for the uncompressed container formats that need no
-    * codec library — pure JVM parsing of public byte-level specs. These
-    * prove the codec boundary end-to-end (parse → sample buffer → typed
-    * map) with actual bytes; compressed codecs (JPEG/MP3/H.264) remain
-    * behind [[DecodeStub]] in this environment.
+  /** REAL decoders: pure-JVM parsers for the uncompressed container
+    * formats (PPM, RIFF/WAV-PCM — public byte-level specs) plus the
+    * JDK's `javax.imageio` readers for compressed images (PNG/GIF/BMP —
+    * public JDK API, headless-safe). These prove the codec boundary
+    * end-to-end (parse → sample buffer → typed map) with actual bytes;
+    * codecs the JDK does not ship (MP3, H.264) remain behind
+    * [[DecodeStub]] in this environment.
     */
   object Decode {
+    // no per-row temp-file cache churn inside executor tasks
+    javax.imageio.ImageIO.setUseCache(false)
 
     /** Binary PPM (P6): `P6 <w> <h> <maxval>` header (whitespace/comment
       * tokenized) then w·h RGB byte triplets. Returns (width, height,
@@ -111,12 +118,43 @@ object Multimodal {
       }
     }
 
+    /** Compressed-image decode via the JDK's `javax.imageio` readers
+      * (PNG/GIF/BMP — lossless formats, so pixel recovery is exact and
+      * deterministic). Returns (width, height, row-major RGB triplets
+      * scaled to [0, 1]) — the same buffer shape as [[ppm]]. `getRGB`
+      * reads sRGB channel bytes; for the lossless truecolor formats this
+      * is a byte passthrough, no color-space conversion.
+      */
+    def imageIo(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null } // malformed container
+      if (img == null) return None // no JDK reader recognizes the bytes
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Float](w * h * 3)
+      var k = 0; var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          out(k) = ((rgb >> 16) & 0xff) / 255.0f
+          out(k + 1) = ((rgb >> 8) & 0xff) / 255.0f
+          out(k + 2) = (rgb & 0xff) / 255.0f
+          k += 3; x += 1
+        }
+        y += 1
+      }
+      Some((w, h, out))
+    }
+
     /** Codec dispatch: real parse when the container is one we decode
-      * (PPM image, PCM WAV audio), stub fallback otherwise.
+      * (PPM via the pure-JVM parser or PNG/GIF/BMP via `javax.imageio`
+      * for images; PCM WAV for audio), stub fallback otherwise.
       */
     def decode(bytes: Array[Byte], mediaType: String): Array[Float] =
       mediaType match {
         case "image" => ppm(bytes).map(_._3)
+          .orElse(imageIo(bytes).map(_._3))
           .getOrElse(DecodeStub.decode(bytes, mediaType))
         case "audio" => wav(bytes).map(_._3)
           .getOrElse(DecodeStub.decode(bytes, mediaType))
@@ -124,8 +162,10 @@ object Multimodal {
       }
   }
 
-  /** Deterministic stand-in for the COMPRESSED-codec boundary (JPEG,
-    * MP3, H.264 … — no codec libraries in this environment).
+  /** Deterministic stand-in for codecs the JDK does not ship (MP3,
+    * H.264, …; JPEG also stays here — its decode is lossy and not
+    * bit-standardized across decoder implementations, so an
+    * oracle-exact gate can't be built on it).
     */
   object DecodeStub {
     /** A real implementation would return decoded pixel/sample buffers;
@@ -167,6 +207,44 @@ object Multimodal {
     val n = length(payload)
     concat(lit("RIFF".getBytes("US-ASCII")), le32(n + lit(36)), lit(mid),
       le32(n), payload)
+  }
+
+  /** Encode a payload as a REAL RGB PNG via `javax.imageio`: width =
+    * payload length, height = 1, r = g = b = payload byte. PNG is
+    * lossless, so [[Decode.imageIo]] recovers exactly payload/255 in
+    * every channel — the decode gate manufactures real compressed
+    * containers from table bytes this way, cross-checked in DuckDB from
+    * the raw payload (the mirror of [[wavU8]] for the image path).
+    * TYPE_3BYTE_BGR keeps the image in plain sRGB bytes — no alpha, no
+    * palette, no color-space conversion on either side of the trip.
+    */
+  def pngRgb(payload: Array[Byte]): Array[Byte] = {
+    require(payload.nonEmpty, "pngRgb: empty payload (PNG needs w >= 1)")
+    val img = new java.awt.image.BufferedImage(
+      payload.length, 1, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var i = 0
+    while (i < payload.length) {
+      val v = payload(i) & 0xff
+      img.setRGB(i, 0, (v << 16) | (v << 8) | v)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** (doc_id, payload) → (doc_id, 'image', PNG bytes): the record-local
+    * typed map that turns a payload column into real PNG containers for
+    * [[decodedStats]]. Encoding is per-row imperative JDK work (like the
+    * decode itself), hence a typed map rather than an expression.
+    */
+  def pngTable(df: DataFrame, payloadCol: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("doc_id"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) => (id, "image", pngRgb(p)) }
+      .toDF("doc_id", "media_type", "bytes")
   }
 
   /** Byte-level features as pure column expressions (no decode needed):

@@ -723,6 +723,41 @@ object Pipeline extends QueryModule {
           AS mean_value
       FROM sm ORDER BY doc_id""")),
 
+    // ---- REAL compressed-image decode: each document's text bytes are
+    // encoded as an actual RGB PNG (javax.imageio, r=g=b=byte, w=len,
+    // h=1), then decoded back through the production dispatch
+    // (Decode.imageIo). PNG is lossless, so the oracle derives the exact
+    // expected pixels from the RAW payload bytes — each byte appears as
+    // three identical [0,1] channel floats; the mean folds sequentially
+    // in doubles (same order both engines → bit-identical before the
+    // decimal cast).
+    QueryDef("mm_png_decode", (s, d) => {
+      val pngs = Multimodal.pngTable(
+        docs(s, d).select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload")), "payload")
+      Multimodal.decodedStats(pngs)
+        .select(col("doc_id"), col("dim").cast("long").as("dim"),
+          col("mean_value").cast("decimal(20,6)").cast("string")
+            .as("mean_value"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH m AS (SELECT doc_id, encode(text) AS b FROM documents),
+      hx AS (SELECT doc_id, hex(b) AS h, octet_length(b) AS n FROM m),
+      px AS (SELECT doc_id, n,
+               flatten(list_transform(range(0, n), i -> [
+                 CAST(CAST(('0x' || substring(h, i * 2 + 1, 2)) AS INT)
+                   AS FLOAT) / CAST(255 AS FLOAT),
+                 CAST(CAST(('0x' || substring(h, i * 2 + 1, 2)) AS INT)
+                   AS FLOAT) / CAST(255 AS FLOAT),
+                 CAST(CAST(('0x' || substring(h, i * 2 + 1, 2)) AS INT)
+                   AS FLOAT) / CAST(255 AS FLOAT)])) AS pxs
+             FROM hx)
+      SELECT doc_id, CAST(n * 3 AS BIGINT) AS dim,
+        CAST(CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), pxs),
+          (a, v) -> a + v) / greatest(n * 3, 1) AS DECIMAL(20,6))
+          AS VARCHAR) AS mean_value
+      FROM px ORDER BY doc_id""")),
+
     // ---- EntityMentionTermFrequency at TABLE scale: the same operator
     // the fixture gate proves (ops/TextModels), here fed a corpus-wide
     // mention frame (every document is a mention of its `source` — the

@@ -159,6 +159,25 @@ class MultimodalSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Multimodal.Decode.ppm("P5 junk".getBytes).isEmpty)
   }
 
+  test("PNG encode→decode round-trips payload bytes exactly (imageio)") {
+    val payload = Array[Byte](0, 1, 64, 127, 128.toByte, 200.toByte,
+      255.toByte)
+    val png = Multimodal.pngRgb(payload)
+    // real PNG container: magic bytes present
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' &&
+      png(3) == 'G')
+    val Some((w, h, px)) = Multimodal.Decode.imageIo(png)
+    assert(w == payload.length && h == 1 && px.length == payload.length * 3)
+    payload.indices.foreach { i =>
+      val expected = (payload(i) & 0xff) / 255.0f
+      assert(px(3 * i) == expected && px(3 * i + 1) == expected &&
+        px(3 * i + 2) == expected, s"pixel $i")
+    }
+    // the production dispatch routes PNG through imageio, not the stub
+    assert(Multimodal.Decode.decode(png, "image").toSeq == px.toSeq)
+    assert(Multimodal.Decode.imageIo("not-a-png".getBytes).isEmpty)
+  }
+
   test("WAV decoder parses PCM u8 and s16le chunk lists") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._
