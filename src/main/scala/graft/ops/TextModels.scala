@@ -131,4 +131,79 @@ object TextModels {
       .agg(expr("transform(array_sort(collect_list(struct(pos, w))), " +
         "x -> x.w)").as("sentence"))
   }
+
+  /** SEMANTIC embedding gate fixture: a deterministic training corpus
+    * with two planted synonyms. `syn_a` and `syn_b` occur in IDENTICAL
+    * contexts (every context sentence is emitted once per synonym), so a
+    * correct skip-gram trainer must place them closer to each other than
+    * to any context word — a structural vocab check can't see a trainer
+    * whose corpus wiring scrambles contexts while preserving token
+    * counts; this can (the ref's only embedding sanity was driver-side
+    * `most_similar` eyeballing, sift.ipynb). No RNG: contexts are fixed
+    * modular mixes of the sentence index.
+    *
+    * `scrambled = true` returns the SAME token multiset re-chunked by a
+    * deterministic pseudo-random permutation — identical vocabulary and
+    * counts, destroyed co-occurrence — the negative control a sensitive
+    * gate must fail on.
+    */
+  def plantedSynonymCorpus(s: org.apache.spark.sql.SparkSession,
+      n: Int = 200, scrambled: Boolean = false): DataFrame = {
+    import s.implicits._
+    // 8 context words, 4 per sentence × 2n sentences / 8 = n occurrences
+    // each — the SAME frequency as each synonym. Equal frequencies
+    // matter: a frequency outlier pairs with the other outlier under any
+    // training corpus (high-df tokens co-occur with everything), which
+    // would let the scrambled negative control pass on frequency alone.
+    val sentences: Seq[Seq[String]] = (0 until n).flatMap { i =>
+      val ctx = Seq((i * 7) % 8, (i * 3 + 1) % 8, (i * 11 + 5) % 8,
+        (i * 13 + 7) % 8).map("c" + _)
+      Seq(ctx.take(2) ++ Seq("syn_a") ++ ctx.drop(2),
+        ctx.take(2) ++ Seq("syn_b") ++ ctx.drop(2))
+    }
+    val out = if (!scrambled) sentences else {
+      // splitmix-style NONLINEAR hash — a linear congruential shuffle of
+      // this periodic corpus maps sentence-position classes onto
+      // sentence-position classes (all the synonym slots can land in the
+      // same output sentences), silently preserving the very
+      // co-occurrence the control must destroy
+      def mix(x0: Long): Long = {
+        var x = x0 + 0x9E3779B97F4A7C15L
+        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+        x ^ (x >>> 31)
+      }
+      val toks = sentences.flatten
+      toks.indices
+        .sortBy(i => (mix(i.toLong), i))
+        .map(toks)
+        .grouped(5).map(_.toSeq).toSeq
+    }
+    out.toDF("sentence")
+  }
+
+  /** Top-1 cosine neighbor for each probe word over a trained-embedding
+    * vocabulary frame (`word`, `vector ml.Vector` — the ml.Word2Vec
+    * `getVectors` shape): probe vectors broadcast against the vocabulary,
+    * exact cosine, ties broken on the word. Distributed — no driver-side
+    * vector math — so it gates embedding SEMANTICS the same way every
+    * other operator is gated.
+    */
+  def top1Neighbors(vectors: DataFrame, probes: Seq[String]): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(vectors.sparkSession)
+    val va = vectors.select(col("word"),
+      org.apache.spark.ml.functions.vector_to_array(col("vector")).as("v"))
+    val p = va.filter(col("word").isInCollection(probes))
+      .select(col("word").as("probe"), col("v").as("pv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("probe")
+      .orderBy(desc("cos"), asc("neighbor"))
+    broadcast(p)
+      .join(va.select(col("word").as("neighbor"), col("v").as("nv")),
+        col("probe") =!= col("neighbor"))
+      .select(col("probe"), col("neighbor"),
+        expr(Similarity.cosineSql("pv", "nv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select("probe", "neighbor")
+  }
 }

@@ -102,6 +102,28 @@ object StreamML extends QueryModule {
                    AS word
                  FROM documents)
       SELECT word, CAST(16 AS BIGINT) AS dim
-      FROM w GROUP BY word HAVING COUNT(*) >= 5 ORDER BY word"""))
+      FROM w GROUP BY word HAVING COUNT(*) >= 5 ORDER BY word""")),
+
+    // ---- M1 SEMANTIC gate: planted synonyms (identical contexts) must
+    // be mutual top-1 cosine neighbors after training — a trained-vector
+    // MEANING check the structural vocab gates can't provide (a corpus
+    // bug that preserves vocab but scrambles contexts passes those,
+    // fails this; Word2VecSemanticSpec proves the sensitivity with the
+    // scrambled negative control). Seed, single partition and a fixed
+    // deterministic corpus pin the training; the oracle pins the
+    // expected neighbor relation itself.
+    QueryDef("m1_synonym_neighbors", (s, d) => {
+      val corpus = graft.ops.TextModels.plantedSynonymCorpus(s)
+      val model = new Word2Vec()
+        .setInputCol("sentence").setOutputCol("vec")
+        .setVectorSize(16).setMinCount(1).setSeed(42L)
+        .setMaxIter(5).setNumPartitions(1)
+        .fit(corpus)
+      graft.ops.TextModels
+        .top1Neighbors(model.getVectors, Seq("syn_a", "syn_b"))
+        .orderBy("probe")
+    }, Some("""
+      SELECT * FROM (VALUES ('syn_a', 'syn_b'), ('syn_b', 'syn_a'))
+        AS t(probe, neighbor) ORDER BY probe"""))
   )
 }
