@@ -40,7 +40,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // optional args: query names to bench in isolation (the driver
+    // always passes none — local-iteration convenience, like Verify's)
+    val only = args.toSet
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
     names.foreach(n => once(n, SparkEntry.queries(n))) // warmup, untimed
     val results = names.map(n => n -> once(n, SparkEntry.queries(n)))
     def json(fmt: Double => String): String = {

@@ -292,7 +292,10 @@ object Dedup {
     var changed = -1L
     var round = 0
     while (changed != 0L && round < maxRounds) {
-      val hop = minLabelHop(edges, labels)
+      // lazy checkpoint: the shortcut self-join below consumes the hop
+      // frame TWICE — without this the hop join+aggregate runs twice per
+      // round (exchange reuse covers the shuffle, not the aggregation)
+      val hop = minLabelHop(edges, labels).localCheckpoint(false)
       // shortcut: follow the (fresher) hop labels one more step — the
       // mapping side is the hop result keyed by ITS doc_id, so a node
       // whose label points at node m adopts m's own new label. Left
