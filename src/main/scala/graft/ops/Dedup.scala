@@ -44,6 +44,39 @@ object Dedup {
         s"transform(sequence(1, size(tokens) - ${n - 1}), " +
           s"i -> concat_ws(' ', slice(tokens, i, $n)))")).as("shingles"))
 
+  /** Benchmark CONTAMINATION hits — training-data hygiene: for each
+    * training document, how many of its distinct n-token shingles occur
+    * anywhere in an evaluation/benchmark set. Docs with hits carry eval
+    * content and must not be trained on (test-set leakage).
+    *
+    * Scale shape: shingle both sides, distinct the (small) benchmark
+    * shingle set, meet in a shingle-key equi-join — AQE broadcasts the
+    * benchmark side when it fits (eval sets are tiny next to a 100 TB
+    * corpus), shuffles on the shingle key when it doesn't — then one
+    * count aggregate per doc. No O(n²), nothing on the driver. Docs
+    * shorter than n tokens have no shingles and report no hits.
+    */
+  def contaminationHits(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 8): DataFrame = {
+    val ds = shingled(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("shg"))
+    val bs = shingled(benchmark, n)
+      .select(explode(col("shingles")).as("shg")).distinct()
+    ds.join(bs, Seq("shg"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Benchmark DECONTAMINATION: the training corpus minus every document
+    * sharing at least one n-token shingle with the benchmark set (all
+    * input columns pass through). The complement report is
+    * [[contaminationHits]]; the anti-join keys on doc_id, so the wide
+    * document payload never shuffles through the shingle join.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 8): DataFrame =
+    docs.join(contaminationHits(docs, benchmark, n).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
   /** Exact dedup: 128-bit fingerprint of the token-normalized content;
     * group representatives = min doc_id. One hash aggregate, no joins.
     */

@@ -134,6 +134,47 @@ object Pipeline extends QueryModule {
           ${duckMd5Long("CAST(i AS VARCHAR) || ':' || s")}))))::VARCHAR AS sig
       FROM sh ORDER BY doc_id""")),
 
+    // ---- Benchmark decontamination — the pre-training hygiene stage:
+    // the corpus splits into a "benchmark" slice (doc_id % 37 = 0, ~3%,
+    // the eval-set stand-in) and a training slice; any training document
+    // sharing a 3-token shingle with the benchmark is dropped (312 of
+    // 486 at sf0.01 — the overlap is real). Shingle-key equi-join, AQE
+    // broadcasts the tiny benchmark shingle set; the wide doc payload
+    // only ever moves through the doc_id anti-join.
+    QueryDef("d_decontaminate", (s, d) => {
+      val all = docs(s, d)
+      Dedup.decontaminate(all.filter(col("doc_id") % 37 =!= 0),
+          all.filter(col("doc_id") % 37 === 0), 3)
+        .select(col("doc_id")).orderBy("doc_id")
+    }, Some(s"""
+      WITH $duckShingleCtes,
+      bench AS (SELECT DISTINCT unnest(shingles) AS shg FROM sh
+                WHERE doc_id % 37 = 0),
+      tsh AS (SELECT doc_id, unnest(shingles) AS shg FROM sh
+              WHERE doc_id % 37 <> 0),
+      hit AS (SELECT DISTINCT doc_id FROM tsh JOIN bench USING (shg))
+      SELECT doc_id FROM documents
+      WHERE doc_id % 37 <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM hit)
+      ORDER BY doc_id""")),
+
+    // ---- Contamination report (the complement): per training document,
+    // how many of its distinct shingles occur in the benchmark set.
+    QueryDef("d_contamination_hits", (s, d) => {
+      val all = docs(s, d)
+      Dedup.contaminationHits(all.filter(col("doc_id") % 37 =!= 0),
+          all.filter(col("doc_id") % 37 === 0), 3)
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH $duckShingleCtes,
+      bench AS (SELECT DISTINCT unnest(shingles) AS shg FROM sh
+                WHERE doc_id % 37 = 0),
+      tsh AS (SELECT doc_id, unnest(shingles) AS shg FROM sh
+              WHERE doc_id % 37 <> 0)
+      SELECT doc_id, COUNT(*) AS n_hits
+      FROM tsh JOIN bench USING (shg)
+      GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- Full MinHash-LSH near-dup pipeline (k=8, 4 bands × 2 rows,
     // exact-Jaccard verify at 0.5): candidates only ever meet inside an
     // LSH band bucket — the O(n²) pair space is never materialized.
