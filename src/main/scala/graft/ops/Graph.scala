@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge lists — the natural extension of the
+  * reference's entity-popularity model (inlink counts,
+  * sift/models/links.py:13-39) to link-structure ranking: a deterministic
+  * fixed-point PageRank, plus the TextRank word graph (PageRank over
+  * token co-occurrence — Mihalcea & Tarau 2004 — the classic keyword
+  * extractor for a document corpus).
+  *
+  * DETERMINISM: ranks are kept in integer micro-units (1.0 ≡ 1 000 000)
+  * and every step is BIGINT arithmetic with truncating division, so the
+  * result is independent of partitioning, shuffle order and float
+  * summation order — the whole iteration replays exactly in ANSI SQL
+  * (the `g_textrank` gate's DuckDB oracle unrolls it round by round).
+  * A double-precision PageRank would differ in the low bits per run;
+  * an integer one is bit-stable at any cluster size.
+  *
+  * SCALE SHAPE: per round one equi-join of the rank table against the
+  * pinned out-weighted edge list (shuffle keyed on `src`) and one hash
+  * aggregate on `dst` — the standard distributed PageRank plan; nothing
+  * quadratic, nothing driver-side. The edge list is local-checkpointed
+  * once (it is re-read every round); rank lineage is flattened every
+  * `checkpointEvery` rounds so long runs keep a bounded plan depth.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank in integer micro-units.
+    *
+    * R₀(v) = 1 000 000;
+    * Rₜ₊₁(v) = (100-damp)·10 000 + (damp · Σ_{u→v} (Rₜ(u)·w(u,v) div W(u))) div 100
+    * where W(u) = Σ w(u,·). Dangling mass (nodes with no out-edges) is
+    * dropped, the classic simplification; nodes with no in-edges settle
+    * at the teleport floor.
+    *
+    * @param nodes one `node` column, distinct ids (string or integral)
+    * @param edges `src`, `dst`, `w` (positive BIGINT weights)
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
+      damp: Int = 85, checkpointEvery: Int = 8): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(damp >= 0 && damp <= 100, s"damp must be in [0,100], got $damp")
+    val outw = edges.groupBy("src").agg(sum("w").as("ow"))
+    // pinned: referenced in every round — without this the upstream edge
+    // pipeline (tokenize/explode/count for the word graph) re-executes
+    // per round.
+    val ew = edges.join(outw, "src").select("src", "dst", "w", "ow")
+      .localCheckpoint(true)
+    val teleport = (100L - damp) * 10000L
+    var r = nodes.select(col("node"), lit(1000000L).as("rank"))
+    for (i <- 1 to iters) {
+      val contrib = ew.join(r, ew("src") === r("node"))
+        .select(col("dst").as("node"),
+          expr("(rank * w) div ow").as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"($damp * coalesce(s, 0L)) div 100")).as("rank"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        r = r.localCheckpoint(true)
+    }
+    r
+  }
+
+  /** Directed bigram co-occurrence graph over the corpus token stream
+    * (self-loops dropped): edge (tᵢ → tᵢ₊₁) with corpus-wide count as
+    * weight. One explode + one hash aggregate — scan-shaped.
+    */
+  def wordGraph(docs: DataFrame): DataFrame =
+    docs.select(expr(Hashing.tokensSql).as("tk"))
+      .select(explode(expr(
+        "transform(slice(tk, 1, greatest(size(tk) - 1, 0)), " +
+          "(x, i) -> struct(x AS src, element_at(tk, i + 2) AS dst))"))
+        .as("p"))
+      .select("p.src", "p.dst")
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+
+  /** Distinct token vocabulary as the node set. */
+  def wordNodes(docs: DataFrame): DataFrame =
+    docs.select(explode(expr(Hashing.tokensSql)).as("node")).distinct()
+
+  /** TextRank: PageRank over the corpus word graph — tokens ranked by
+    * link-structure centrality rather than raw frequency.
+    */
+  def textRank(docs: DataFrame, iters: Int): DataFrame =
+    pageRank(wordNodes(docs), wordGraph(docs), iters)
+}

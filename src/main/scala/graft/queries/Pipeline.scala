@@ -972,6 +972,43 @@ object Pipeline extends QueryModule {
         to_json(map_from_entries(list_sort(list(struct_pack(
           k := source, v := count)))))::VARCHAR AS counts,
         CAST(SUM(count) AS BIGINT) AS total
-      FROM g GROUP BY lang ORDER BY lang"""))
+      FROM g GROUP BY lang ORDER BY lang""")),
+
+    // ---- TextRank: integer fixed-point PageRank over the corpus bigram
+    // word graph (graft.ops.Graph) — link-structure keyword centrality,
+    // the PageRank extension of the ref's inlink-count popularity model
+    // (sift/models/links.py:13-39). Integer micro-unit arithmetic makes
+    // the whole 5-round iteration partitioning-independent, so the
+    // oracle replays it exactly, round by round.
+    QueryDef("g_textrank", (s, d) => {
+      graft.ops.Graph.textRank(docs(s, d), 5)
+        .orderBy(desc("rank"), asc("node"))
+    }, Some(s"""
+      WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                    FROM documents),
+      pairs AS (SELECT unnest(list_transform(range(1, len(tk)),
+                  i -> {'src': tk[i], 'dst': tk[i+1]})) AS p FROM toks),
+      e AS (SELECT p.src AS src, p.dst AS dst, CAST(COUNT(*) AS BIGINT) AS w
+            FROM pairs WHERE p.src <> p.dst GROUP BY 1, 2),
+      ow AS (SELECT src, SUM(w) AS ow FROM e GROUP BY 1),
+      ew AS (SELECT e.src, e.dst, e.w, ow.ow FROM e JOIN ow USING (src)),
+      nodes AS (SELECT DISTINCT unnest(tk) AS node FROM toks),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+      ${duckPageRankRounds(5)}
+      SELECT node, rank FROM r5 ORDER BY rank DESC, node"""))
   )
+
+  /** DuckDB twin of one [[graft.ops.Graph.pageRank]] round, unrolled:
+    * rI = teleport + (damp · Σ contrib) with BIGINT floor division —
+    * bit-identical to the engine's `div` on non-negative operands.
+    */
+  private def duckPageRankRounds(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.node,
+         |  CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT ew.dst AS node, SUM((r.rank * ew.w) // ew.ow) AS s
+         |    FROM ew JOIN r${i - 1} r ON ew.src = r.node GROUP BY 1) s
+         |  ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Graph
+
+/** Integer fixed-point PageRank (graft.ops.Graph): hand-computed
+  * fixtures, partitioning independence, and the TextRank word graph.
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.session
+
+  private def edgesDf(rows: (String, String, Long)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("src", "dst", "w")
+  }
+
+  private def nodesDf(ns: String*) = {
+    val s = spark; import s.implicits._
+    ns.toDF("node")
+  }
+
+  test("pageRank matches the hand-unrolled integer recurrence") {
+    // a -> b (w 1), b -> a (w 1), isolated c.
+    val r1 = Graph.pageRank(nodesDf("a", "b", "c"),
+      edgesDf(("a", "b", 1L), ("b", "a", 1L)), iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // contrib a->b = 1000000*1 div 1 = 1000000; rank = 150000 + 85*1e6 div 100
+    assert(r1("a") === 1000000L)
+    assert(r1("b") === 1000000L)
+    assert(r1("c") === 150000L) // teleport floor, no inlinks
+  }
+
+  test("pageRank splits mass by weight with truncating division") {
+    // a -> b (w 2), a -> c (w 1): W(a)=3.
+    val r = Graph.pageRank(nodesDf("a", "b", "c"),
+      edgesDf(("a", "b", 2L), ("a", "c", 1L)), iters = 1)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // contrib to b = (1e6*2) div 3 = 666666 -> 150000 + 85*666666 div 100
+    assert(r("b") === 150000L + (85L * 666666L) / 100L)
+    assert(r("c") === 150000L + (85L * 333333L) / 100L)
+    assert(r("a") === 150000L) // dangling mass dropped; no inlinks
+  }
+
+  test("pageRank is invariant under repartitioning") {
+    val nodes = nodesDf("a", "b", "c", "d", "e")
+    val edges = edgesDf(("a", "b", 3L), ("b", "c", 1L), ("c", "a", 2L),
+      ("d", "a", 1L), ("a", "d", 1L), ("e", "a", 7L))
+    val base = Graph.pageRank(nodes, edges, iters = 6)
+      .orderBy("node").collect().map(_.toSeq)
+    val shuffled = Graph.pageRank(nodes.repartition(7), edges.repartition(5),
+      iters = 6).orderBy("node").collect().map(_.toSeq)
+    assert(base.toSeq === shuffled.toSeq)
+  }
+
+  test("wordGraph counts directed bigrams and drops self-loops") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "the cat cat sat"), (2L, "the cat"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val e = Graph.wordGraph(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(e(("the", "cat")) === 2L)
+    assert(e(("cat", "sat")) === 1L)
+    assert(!e.contains(("cat", "cat"))) // self-loop dropped
+    assert(e.size === 2)
+  }
+
+  test("textRank ranks hub tokens above leaf tokens") {
+    val s = spark; import s.implicits._
+    // 'hub' receives links from every other token; leaves only from hub.
+    val docs = Seq((1L, "x hub y hub z hub x hub"), (2L, "q hub r hub"))
+      .toDF("doc_id", "text")
+    val r = Graph.textRank(docs, iters = 5)
+      .orderBy(desc("rank"), asc("node")).collect()
+    assert(r.head.getString(0) === "hub")
+  }
+}
