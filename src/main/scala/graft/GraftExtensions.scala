@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProduct, Md5Long}
+import graft.functions.{DotProduct, KmvSketch, Md5Long}
 
 /** Spark extensions entry point: register the engine's custom Catalyst
   * expressions cluster-wide via
@@ -23,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_md5long"),
       new ExpressionInfo(classOf[Md5Long].getName, "graft_md5long"),
       exprs => Md5Long(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KmvSketch].getName, "graft_kmv"),
+      exprs => KmvSketch(exprs(0), exprs(1))))
   }
 }

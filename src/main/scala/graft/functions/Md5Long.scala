@@ -64,5 +64,6 @@ object GraftFunctions {
   def registerAll(s: SparkSession): Unit = {
     DotProduct.register(s)
     Md5Long.register(s)
+    KmvSketch.register(s)
   }
 }

@@ -293,6 +293,37 @@ object Relational extends QueryModule {
         COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
       FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
+    // ---- KMV distinct sketch (graft.functions.KmvSketch): the 100 TB
+    // shape of COUNT(DISTINCT) — a bounded k-minimum-hash buffer that
+    // partial-aggregates map-side and merges associatively, vs the exact
+    // form's full shuffle of every distinct value. The k smallest
+    // distinct hashes are order/partition independent, so DuckDB replays
+    // the sketch as DISTINCT..ORDER BY..LIMIT k and the estimator (one
+    // double division of exactly-representable values) is bit-identical.
+    QueryDef("agg_kmv_distinct", (s, d) => {
+      val li = t(s, d, "lineitem")
+      graft.ops.Hashing.ensureRegistered(li)
+      val k = 256
+      li.select(expr(graft.ops.Hashing.md5LongSql(
+          "cast(l_partkey as string)")).as("h"))
+        .agg(expr(s"graft_kmv(h, $k)").as("ks"))
+        .select(size(col("ks")).cast("long").as("n_min"),
+          expr("element_at(ks, -1)").as("kth"))
+        .select(col("n_min"), col("kth"),
+          when(col("n_min") < k, col("n_min")).otherwise(
+            floor(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+              col("kth").cast("double"))).cast("long").as("est"))
+    }, Some("""
+      WITH h AS (SELECT DISTINCT
+          CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)),1,15)) AS BIGINT) AS h
+        FROM lineitem),
+      mins AS (SELECT h FROM h ORDER BY h LIMIT 256)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_min, MAX(h) AS kth,
+        CAST(CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+             ELSE floor(255.0 * 1152921504606846976.0 / CAST(MAX(h) AS DOUBLE))
+             END AS BIGINT) AS est
+      FROM mins""")),
+
     // ---- min/max/avg/variance written as explicit decimal-exact algebra
     // so both engines produce bit-identical doubles.
     QueryDef("agg_stats_variance", (s, d) => {

@@ -286,7 +286,7 @@ class Md5LongSpec extends org.scalatest.funsuite.AnyFunSuite {
 }
 
 class GraftExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
-  test("GraftExtensions injects both functions into a fresh extensions set") {
+  test("GraftExtensions injects all custom functions into a fresh extensions set") {
     // the shared test JVM already holds a live session, so a full
     // builder-with-config round-trip isn't possible here; exercise the
     // injection callback against a real SparkSessionExtensions and the
