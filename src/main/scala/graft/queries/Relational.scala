@@ -171,6 +171,42 @@ object Relational extends QueryModule {
         AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000
       GROUP BY 1 ORDER BY 1""")),
 
+    // ---- AS-OF join (graft.ops.AsOf): each error event attributed to
+    // the latest click by the same user at or before it — the
+    // point-in-time lookup, in the single-shuffle union+window shape
+    // (one shuffle on the key, linear per key) instead of the range
+    // join's per-key |L|x|R| blow-up. The oracle mirrors the same
+    // union+window construction (DuckDB's native ASOF JOIN exists but
+    // pins different tie semantics).
+    QueryDef("j_asof_click_error", (s, d) => {
+      val e = Tables.events(s, d)
+      val errors = e.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts_us")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("click_id"))
+      graft.ops.AsOf.asofJoin(errors, clicks, "user_id", "ts_us",
+          "click_id", Seq("click_id"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH u AS (
+        SELECT user_id, epoch_us(ts) AS t, 0 AS side, event_id AS tie,
+               event_id AS click_id, NULL::BIGINT AS err_id
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, epoch_us(ts), 1, NULL, NULL, event_id
+        FROM events WHERE event_type = 'error'),
+      w AS (SELECT err_id, user_id, side,
+              LAST_VALUE(click_id IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY t, side, tie
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
+            FROM u)
+      SELECT err_id AS event_id, user_id,
+             COALESCE(click_id, -1) AS click_id
+      FROM w WHERE side = 1 ORDER BY event_id""")),
+
     // ---- J6: transitive redirect resolution to fixpoint — iterated
     // self-join in the driver loop (ref collapses a→b→c one hop at a time,
     // sift/corpora/wikipedia.py:49-66; we iterate to convergence with a
