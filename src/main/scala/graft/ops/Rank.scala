@@ -70,4 +70,31 @@ object Rank {
       .withColumn(out, (col("__offset") + col("__lsum")).cast("long"))
       .drop("__pid", "__lsum", "__offset")
   }
+
+  /** EXACT distributed quantiles — the discrete ("lower") quantile: for
+    * each q the value whose 1-based global ordinal is ceil(q·N). Built on
+    * [[globalOrdinal]], so the whole computation is range-partition +
+    * local rank + broadcast offsets + one broadcast join against the
+    * q-row target table: no `percentile_approx` error bars, no
+    * single-task global sort, no driver collect. `tieCols` must make the
+    * order total (ties in the value column are broken deterministically,
+    * which exact ordinals require under any partitioning).
+    *
+    * N rides along as a 1-row aggregate frame (cross-joined, broadcast),
+    * never a driver-side count. Returns (q DOUBLE, value).
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, tieCols: Seq[Column],
+      qs: Seq[Double], numPartitions: Int = 32): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must lie in (0, 1], got $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranked = globalOrdinal(df, col(valueCol) +: tieCols, "__r",
+      numPartitions)
+    val n = df.agg(count(lit(1)).as("__n"))
+    val targets = qs.toDF("q").crossJoin(n)
+      .select(col("q"), ceil(col("q") * col("__n")).cast("long").as("__tr"))
+    ranked.join(broadcast(targets), col("__r") + 1 === col("__tr"))
+      .select(col("q"), col(valueCol))
+  }
 }

@@ -207,6 +207,27 @@ object Relational extends QueryModule {
              COALESCE(click_id, -1) AS click_id
       FROM w WHERE side = 1 ORDER BY event_id""")),
 
+    // ---- Salted equi-join (graft.ops.Skew): the hot-key defense —
+    // probe rows spread across 8 salts, build side replicated 8x, so a
+    // skewed key fans out over 8 tasks instead of sinking one. Salting
+    // changes only the partitioning, never the result, so the oracle is
+    // the plain join.
+    QueryDef("j_salted_join", (s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "user_id")
+      val perUser = t(s, d, "orders")
+        .groupBy(col("o_custkey").as("user_id"))
+        .agg(count(lit(1)).as("n_orders"))
+      graft.ops.Skew.saltedJoin(ev, perUser, Seq("user_id"),
+          col("event_id"), 8)
+        .select("event_id", "user_id", "n_orders")
+        .orderBy("event_id")
+    }, Some("""
+      SELECT e.event_id, e.user_id, c.n_orders
+      FROM events e JOIN (
+        SELECT o_custkey AS user_id, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1) c USING (user_id)
+      ORDER BY e.event_id""")),
+
     // ---- J6: transitive redirect resolution to fixpoint — iterated
     // self-join in the driver loop (ref collapses a→b→c one hop at a time,
     // sift/corpora/wikipedia.py:49-66; we iterate to convergence with a
@@ -610,6 +631,31 @@ object Relational extends QueryModule {
         FROM words GROUP BY w)
       SELECT w, cnt, rank FROM ranked
       WHERE rank >= 5 AND rank < 30 ORDER BY rank""")),
+
+    // ---- EXACT distributed quantiles (graft.ops.Rank.exactQuantiles):
+    // discrete quantile at ceil(q*N) via the two-phase global ordinal —
+    // no percentile_approx error bars, no single-task sort, N carried as
+    // a broadcast 1-row frame. The q*N product is IEEE double in both
+    // engines (oracle casts q to DOUBLE), so target ranks agree exactly.
+    QueryDef("a_exact_quantiles", (s, d) => {
+      graft.ops.Rank.exactQuantiles(
+        t(s, d, "lineitem")
+          .select("l_extendedprice", "l_orderkey", "l_linenumber"),
+        "l_extendedprice",
+        Seq(asc("l_orderkey"), asc("l_linenumber")),
+        Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+        .orderBy("q")
+    }, Some("""
+      WITH o AS (SELECT l_extendedprice, ROW_NUMBER() OVER
+                   (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS r
+                 FROM lineitem),
+      n AS (SELECT COUNT(*) AS n FROM lineitem),
+      t AS (SELECT CAST(q AS DOUBLE) AS q,
+              CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT) AS tr
+            FROM (VALUES (0.01),(0.25),(0.5),(0.75),(0.99)) qs(q)
+            CROSS JOIN n)
+      SELECT q, l_extendedprice FROM o JOIN t ON o.r = t.tr
+      ORDER BY q""")),
 
     // ---- O1/O3: tie-broken global top-k.
     QueryDef("o1_topk_parts", (s, d) => {

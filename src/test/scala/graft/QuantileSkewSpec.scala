@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Rank, Skew}
+
+/** Exact distributed quantiles (Rank.exactQuantiles) and the salted
+  * join (Skew.saltedJoin): correctness vs brute force, partitioning
+  * invariance, and the salt machinery in the plan.
+  */
+class QuantileSkewSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.session
+
+  test("exactQuantiles picks the value at ceil(q*N) under the total order") {
+    val s = spark; import s.implicits._
+    // values 1..100 shuffled; ceil(0.5*100)=50 -> value 50.0
+    val df = scala.util.Random.shuffle((1 to 100).toList)
+      .zipWithIndex.map { case (v, i) => (v.toDouble, i.toLong) }
+      .toDF("v", "id").repartition(7)
+    val qs = Rank.exactQuantiles(df, "v", Seq(asc("id")),
+      Seq(0.25, 0.5, 1.0), numPartitions = 5)
+      .orderBy("q").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(qs === Array((0.25, 25.0), (0.5, 50.0), (1.0, 100.0)))
+  }
+
+  test("exactQuantiles is invariant under repartitioning with ties") {
+    val s = spark; import s.implicits._
+    val rows = (1 to 500).map(i => ((i % 13).toDouble, i.toLong))
+    val a = Rank.exactQuantiles(rows.toDF("v", "id").repartition(3),
+      "v", Seq(asc("id")), Seq(0.1, 0.5, 0.9), numPartitions = 4)
+      .orderBy("q").collect().map(_.toSeq)
+    val b = Rank.exactQuantiles(rows.reverse.toDF("v", "id").repartition(11),
+      "v", Seq(asc("id")), Seq(0.1, 0.5, 0.9), numPartitions = 9)
+      .orderBy("q").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("exactQuantiles rejects out-of-range q") {
+    val s = spark; import s.implicits._
+    val df = Seq((1.0, 1L)).toDF("v", "id")
+    intercept[IllegalArgumentException] {
+      Rank.exactQuantiles(df, "v", Seq(asc("id")), Seq(0.0))
+    }
+  }
+
+  test("saltedJoin equals the plain join, inner and left_outer") {
+    val s = spark; import s.implicits._
+    val probe = (1 to 200).map(i => (i.toLong, (i % 5).toLong))
+      .toDF("id", "k").repartition(6)
+    // key 9 exists only on the probe side (left_outer null case)
+    val probeP = probe.union(Seq((999L, 9L)).toDF("id", "k"))
+    val build = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (4L, "e"))
+      .toDF("k", "tag")
+    for (jt <- Seq("inner", "left_outer")) {
+      val salted = Skew.saltedJoin(probeP, build, Seq("k"), col("id"), 8, jt)
+        .orderBy("id").collect().map(_.toSeq)
+      val plain = probeP.join(build, Seq("k"), jt)
+        .select("id", "k", "tag").orderBy("id").collect().map(_.toSeq)
+      // column order: saltedJoin keeps join-key first like the plain form
+      assert(salted.map(_.toSet).toSeq === plain.map(_.toSet).toSeq, jt)
+    }
+  }
+
+  test("saltedJoin plan replicates the build side via explode") {
+    val s = spark; import s.implicits._
+    val probe = Seq((1L, 1L)).toDF("id", "k")
+    val build = Seq((1L, "a")).toDF("k", "tag")
+    val plan = Skew.saltedJoin(probe, build, Seq("k"), col("id"), 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate explode"), s"no salt expansion:\n$plan")
+  }
+}
