@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Product Quantization (PQ) for embedding compression + ANN search
+  * (Jégou, Douze, Schmid 2011): split each `dims`-dim vector into `m`
+  * subvectors, k-means each subspace into `k` centroids ("codebooks"),
+  * store per vector only the `m` nearest-centroid ids. A 64-dim float64
+  * embedding (512 bytes) becomes m bytes at k ≤ 256 — the memory path
+  * that lets a 100 TB embedding corpus live in cluster RAM. Search is
+  * ADC (asymmetric distance computation): the query stays exact, each
+  * corpus vector's distance is approximated by summing, subspace by
+  * subspace, the distance from the query subvector to the corpus
+  * vector's assigned centroid.
+  *
+  * DETERMINISM (same discipline as [[Similarity.kmeansCells]], which
+  * DuckDB replays end-to-end): seeds are the k corpus vectors with the
+  * smallest md5Long(vec_id); assignment is squared-L2 via a sequential
+  * left fold (bit-identical across engines) with ties to the smaller
+  * cell id; means are decimal-exact; the ADC total is an ORDERED fold
+  * over subspaces (never a shuffle-order double sum). Every stage
+  * replays exactly in the `sim_pq_topk` oracle.
+  *
+  * SCALE SHAPE: codebooks are m·k rows — always broadcast. Training
+  * touches the corpus once per Lloyd round (broadcast join + one
+  * (sub,cell,dim) aggregate). Encoding is one broadcast join. ADC scans
+  * codes with a broadcast distance table — linear, no shuffle of the
+  * corpus; compose with IVF cells to prune the scan when even a linear
+  * pass is too much.
+  */
+object Pq {
+
+  /** Squared L2 distance as a sequential left fold — the bit-replayable
+    * form (`zip_with` keeps element order; `aggregate` folds left).
+    */
+  private def l2Sql(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+      s"cast(0 as double), (acc, v) -> acc + v)"
+
+  /** Corpus exploded to (vec_id, sub, sv): subvector `sub` (0-based) is
+    * dims/m doubles starting at sub·(dims/m).
+    */
+  private def subvectors(corpus: DataFrame, dims: Int, m: Int): DataFrame = {
+    val sub = dims / m
+    corpus.select(col("vec_id"), explode(expr(s"sequence(0, ${m - 1})"))
+        .as("sub"), col("embedding"))
+      .withColumn("sv", expr(
+        s"transform(slice(embedding, sub * $sub + 1, $sub), " +
+          "x -> cast(x as double))"))
+      .drop("embedding")
+  }
+
+  /** Nearest codebook cell per (vec_id, sub): squared-L2 argmin, ties to
+    * the smaller cell. Codebooks broadcast.
+    */
+  private def assign(sv: DataFrame, books: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "sub")
+      .orderBy(asc("d2"), asc("cell"))
+    sv.join(broadcast(books), "sub")
+      .withColumn("d2", expr(l2Sql("sv", "centroid")))
+      .withColumn("pr", row_number().over(w)).filter(col("pr") === 1)
+      .select("vec_id", "sub", "sv", "cell")
+  }
+
+  /** Decimal-exact elementwise mean per (sub, cell) — the Lloyd update,
+    * shuffle-order independent (mirrors [[Similarity.centroids]]).
+    */
+  private def means(asg: DataFrame): DataFrame =
+    asg.select(col("sub"), col("cell"),
+        posexplode(col("sv")).as(Seq("j", "x")))
+      .groupBy("sub", "cell", "j")
+      .agg((sum(col("x").cast(DecimalType(25, 10))).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy("sub", "cell")
+      .agg(expr("transform(array_sort(collect_list(struct(j, m))), s -> s.m)")
+        .as("centroid"))
+
+  /** Train m codebooks of k centroids (`iters` Lloyd rounds). Returns
+    * (codebooks, assignment) — the assignment is computed against the
+    * returned codebooks, so codes and centroids are mutually consistent
+    * (what ADC requires).
+    */
+  def train(corpus: DataFrame, dims: Int, m: Int, k: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    Hashing.ensureRegistered(corpus)
+    val sv = subvectors(corpus, dims, m)
+    val seedW = Window.orderBy(asc("h"), asc("vec_id"))
+    val seedIds = corpus
+      .select(col("vec_id"),
+        expr(Hashing.md5LongSql("cast(vec_id as string)")).as("h"))
+      .orderBy(asc("h"), asc("vec_id")).limit(k)
+      .withColumn("cell", (row_number().over(seedW) - 1).cast("long"))
+      .select("vec_id", "cell")
+    var books = sv.join(seedIds, "vec_id")
+      .select(col("sub"), col("cell"), col("sv").as("centroid"))
+    for (_ <- 1 to iters)
+      books = means(assign(sv, books))
+    (books, assign(sv, books))
+  }
+
+  /** Compressed corpus: (vec_id, codes ARRAY<BIGINT>), codes[s] = cell of
+    * subspace s — the only per-vector state ADC search needs.
+    */
+  def encode(asg: DataFrame): DataFrame =
+    asg.groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(sub, cell))), " +
+        "s -> s.cell)").as("codes"))
+
+  /** ADC top-k: per query an m·k distance table to the (broadcast)
+    * codebooks, joined to the corpus assignment on (sub, cell); the
+    * per-vector total is an ordered fold over subspaces. Returns
+    * (query_id, rank, neighbor_id, adist).
+    */
+  def adcTopK(queries: DataFrame, books: DataFrame, asg: DataFrame,
+      dims: Int, m: Int, k: Int): DataFrame = {
+    val qsv = subvectors(
+      queries.select(col("vec_id"), col("embedding")), dims, m)
+      .select(col("vec_id").as("query_id"), col("sub"),
+        col("sv").as("qv"))
+    val dtable = qsv.join(broadcast(books), "sub")
+      .select(col("query_id"), col("sub"), col("cell"),
+        expr(l2Sql("qv", "centroid")).as("d"))
+    val scored = dtable
+      .join(asg.select("vec_id", "sub", "cell"), Seq("sub", "cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(expr("aggregate(transform(array_sort(collect_list(" +
+        "struct(sub, d))), s -> s.d), cast(0 as double), " +
+        "(acc, v) -> acc + v)").as("adist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(asc("adist"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adist")
+  }
+}

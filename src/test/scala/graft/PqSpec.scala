@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Pq
+
+/** Product quantization (graft.ops.Pq): code shape, determinism under
+  * repartitioning, and ADC ranking quality on separable clusters.
+  */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.session
+
+  /** Two well-separated clusters of 8-dim vectors around +10 and -10. */
+  private def corpus(n: Int) = {
+    val s = spark; import s.implicits._
+    (0 until n).map { i =>
+      val base = if (i % 2 == 0) 10.0 else -10.0
+      (i.toLong, Array.tabulate(8)(j => base + 0.01 * ((i * 7 + j) % 5)))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("encode emits m codes per vector, each below the cell count") {
+    val (books, asg) = Pq.train(corpus(40), dims = 8, m = 2, k = 4, iters = 2)
+    val codes = Pq.encode(asg).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes.size === 40)
+    assert(codes.values.forall(_.size === 2))
+    assert(codes.values.forall(_.forall(c => c >= 0 && c < 4)))
+    assert(books.select("sub", "cell").distinct().count() <= 8)
+  }
+
+  test("train + ADC are invariant under repartitioning") {
+    def run(parts: Int) = {
+      val c = corpus(40).repartition(parts)
+      val (books, asg) = Pq.train(c, dims = 8, m = 2, k = 4, iters = 2)
+      Pq.adcTopK(c.filter(col("vec_id") < 3), books, asg, 8, 2, 4)
+        .orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    }
+    assert(run(2).toSeq === run(9).toSeq)
+  }
+
+  test("ADC keeps same-cluster vectors ahead of cross-cluster ones") {
+    val c = corpus(60)
+    val (books, asg) = Pq.train(c, dims = 8, m = 2, k = 4, iters = 2)
+    val top = Pq.adcTopK(c.filter(col("vec_id") === 0), books, asg, 8, 2, 10)
+      .collect().map(_.getLong(2))
+    // query 0 is in the +10 cluster (even ids); all top-10 must be even
+    assert(top.forall(_ % 2 === 0), s"cross-cluster leak: ${top.toSeq}")
+  }
+
+  test("train rejects m that does not divide dims") {
+    intercept[IllegalArgumentException] {
+      Pq.train(corpus(4), dims = 8, m = 3, k = 2, iters = 1)
+    }
+  }
+}
