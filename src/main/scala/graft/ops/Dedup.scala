@@ -50,11 +50,13 @@ object Dedup {
     * content and must not be trained on (test-set leakage).
     *
     * Scale shape: shingle both sides, distinct the (small) benchmark
-    * shingle set, meet in a shingle-key equi-join — AQE broadcasts the
-    * benchmark side when it fits (eval sets are tiny next to a 100 TB
-    * corpus), shuffles on the shingle key when it doesn't — then one
-    * count aggregate per doc. No O(n²), nothing on the driver. Docs
-    * shorter than n tokens have no shingles and report no hits.
+    * shingle set, meet in a shingle-key equi-join with the benchmark
+    * side explicitly BROADCAST — eval sets are tiny next to a 100 TB
+    * corpus, and the explicit hint keeps the training-side shingle
+    * stream unshuffled without depending on AQE's size estimate of a
+    * post-explode subtree — then one count aggregate per doc. No O(n²),
+    * nothing on the driver. Docs shorter than n tokens have no shingles
+    * and report no hits.
     */
   def contaminationHits(docs: DataFrame, benchmark: DataFrame,
       n: Int = 8): DataFrame = {
@@ -62,7 +64,7 @@ object Dedup {
       .select(col("doc_id"), explode(col("shingles")).as("shg"))
     val bs = shingled(benchmark, n)
       .select(explode(col("shingles")).as("shg")).distinct()
-    ds.join(bs, Seq("shg"))
+    ds.join(broadcast(bs), Seq("shg"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 

@@ -87,7 +87,10 @@ object Pq {
       iters: Int): (DataFrame, DataFrame) = {
     require(dims % m == 0, s"m=$m must divide dims=$dims")
     Hashing.ensureRegistered(corpus)
-    val sv = subvectors(corpus, dims, m)
+    // pinned: consumed by every Lloyd round's assign + means (and the
+    // final assignment) — without this each round re-scans the source
+    // and re-slices the subvectors.
+    val sv = subvectors(corpus, dims, m).localCheckpoint(true)
     val seedW = Window.orderBy(asc("h"), asc("vec_id"))
     val seedIds = corpus
       .select(col("vec_id"),
