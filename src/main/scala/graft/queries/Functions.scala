@@ -266,6 +266,17 @@ object Functions extends QueryModule {
         .orderBy("n_nationkey")
     }, Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY 1")),
 
+    // ---- S9: ORC sink + scan round-trip — the columnar alternative to
+    // parquet (same pushdown/pruning contract; Spark's built-in
+    // vectorized ORC path). Values round-trip exactly, so the oracle is
+    // the source table.
+    QueryDef("s9_orc_roundtrip", (s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s9").toString
+      t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp).orderBy("n_nationkey")
+    }, Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY 1")),
+
     // ---- S8/F17: Redis RESP protocol encoding as a column expression
     // (sift/format.py:66-77) — key = prefix + id, value = payload field.
     QueryDef("s8_resp_encode", (s, d) => {

@@ -73,6 +73,20 @@ object StreamML extends QueryModule {
 
     // ---- §2.9: custom keyed state (flatMapGroupsWithState) — running
     // per-user counts; final state equals the batch aggregation.
+    // ---- §2.9: stream-stream interval join with watermark-bounded
+    // state on both sides; bounded one-batch source => stream ≡ the
+    // batch interval join the oracle runs.
+    QueryDef("st_stream_join", (s, d) => {
+      graft.streaming.Events.clickErrorJoin(s, d)
+    }, Some("""
+      SELECT e.event_id AS error_id, c.event_id AS click_id,
+             e.user_id AS user_id
+      FROM events e JOIN events c ON e.user_id = c.user_id
+        AND e.event_type = 'error' AND c.event_type = 'click'
+        AND epoch_us(c.ts) >= epoch_us(e.ts) - 300000000
+        AND epoch_us(c.ts) <= epoch_us(e.ts)
+      ORDER BY error_id, click_id""")),
+
     QueryDef("st_stateful_counts", (s, d) => {
       graft.streaming.Events.statefulUserCounts(s, d)
     }, Some("""

@@ -177,6 +177,38 @@ object Events {
       .orderBy("wstart", "event_type")
   }
 
+  /** STREAM-STREAM interval join (§2.9): click events joined to error
+    * events of the same user with the click inside the 5 minutes ending
+    * at the error — both sides watermarked (the join buffers each side
+    * in state; the watermark + the interval bound let Spark EVICT
+    * buffered rows older than watermark − range, which is what makes an
+    * unbounded two-stream join feasible at all). Append mode; on the
+    * bounded one-batch source nothing is dropped, so the emitted pairs
+    * equal the batch interval join — the oracle.
+    */
+  def clickErrorJoin(s: SparkSession, dir: String): DataFrame =
+    runToCompletion(s, ss => {
+      // each side is its own stream() plan and carries the 10-minute
+      // watermark `stream` defines; the rename keeps the event-time
+      // attribute (re-watermarking a renamed column would REDEFINE the
+      // watermark, which streaming rejects)
+      val clicks = stream(ss, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("t").as("ct"),
+          col("event_id").as("click_id"))
+      val errors = stream(ss, dir)
+        .filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("t").as("et"),
+          col("event_id").as("error_id"))
+      clicks.join(errors,
+        col("c_user") === col("e_user") &&
+          col("ct") >= col("et") - expr("interval 5 minutes") &&
+          col("ct") <= col("et"))
+        .select(col("error_id"), col("click_id"),
+          col("e_user").as("user_id"))
+    }, "st_join_mem", mode = "append")
+      .orderBy("error_id", "click_id")
+
   /** Per-user session windows (30-minute inactivity gap): session count
     * and length. Equivalent batch semantics: gap-based sessionization —
     * a new session starts when the previous event is > gap behind.

@@ -107,6 +107,25 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("filters and projection reach the parquet scan (p1)") {
+    // the brief's pushdown contract: the filtered 5-column projection
+    // must reach the lineitem scan as PushedFilters + a pruned
+    // ReadSchema — a scan that reads all 16 columns (or filters only
+    // post-scan) is wrong at 100 TB
+    val plan = Functions.queries("p1_project_filter")(spark, d)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("GreaterThan(l_quantity,45"),
+      s"quantity filter not pushed:\n$plan")
+    assert(plan.contains("Not(EqualTo(l_returnflag,A))"),
+      s"returnflag filter not pushed:\n$plan")
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_extendedprice") &&
+      !readSchema.contains("l_comment"),
+      s"projection not pruned at the scan:\n$readSchema")
+  }
+
   for (m <- modules; q <- m.defs if !skipBuildExecutes(q.name)) {
     test(s"plan audit: ${q.name}") {
       val plan = q.query(spark, d).queryExecution.executedPlan.toString
