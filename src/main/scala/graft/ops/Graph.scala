@@ -88,4 +88,31 @@ object Graph {
     */
   def textRank(docs: DataFrame, iters: Int): DataFrame =
     pageRank(wordNodes(docs), wordGraph(docs), iters)
+
+  /** Entity link graph over a linked-document corpus (`doc_id`, `links`
+    * ARRAY<STRUCT<target,…>>): edge (source doc → normalized target),
+    * weight = link count, self-links dropped. Node space = source uris ∪
+    * targets (they share the uri namespace in a wiki corpus).
+    */
+  def entityGraph(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("src"), explode(col("links")).as("l"))
+      .select(col("src"), LinkModels.normTarget(col("l.target")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+
+  /** Node set of [[entityGraph]]. */
+  def entityNodes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("node"))
+      .unionByName(docs
+        .select(explode(col("links")).as("l"))
+        .select(LinkModels.normTarget(col("l.target")).as("node")))
+      .distinct()
+
+  /** PageRank over the entity link graph — the link-structure upgrade of
+    * the reference's inlink-count popularity model (links.py:13-39): an
+    * entity is popular if POPULAR pages link it, recursively, not just
+    * if many do.
+    */
+  def entityRank(docs: DataFrame, iters: Int): DataFrame =
+    pageRank(entityNodes(docs), entityGraph(docs), iters)
 }

@@ -171,6 +171,28 @@ object Corpus extends QueryModule {
       ('example.org/archive', CAST(1 AS BIGINT))
       ) AS t(target, count) ORDER BY target""")),
 
+    // ---- Entity PageRank (graft.ops.Graph.entityRank): link-structure
+    // popularity over the fixture mention graph — the recursive upgrade
+    // of EntityCounts (links.py:13-39). Oracle input is the
+    // golden-verified mention list (one row per link), oracle math is
+    // the same unrolled integer recurrence as g_textrank.
+    QueryDef("m_entity_pagerank", (s, d) => {
+      graft.ops.Graph.entityRank(Wiki.documents(s, FixtureWiki), 5)
+        .orderBy(desc("rank"), asc("node"))
+    }, Some(s"""
+      WITH $duckFixtureMentions,
+      e AS (SELECT source AS src, target AS dst,
+              CAST(COUNT(*) AS BIGINT) AS w
+            FROM mentions WHERE source <> target GROUP BY 1, 2),
+      ow AS (SELECT src, SUM(w) AS ow FROM e GROUP BY 1),
+      ew AS (SELECT e.src, e.dst, e.w, ow.ow FROM e JOIN ow USING (src)),
+      nodes AS (SELECT DISTINCT node FROM (
+        SELECT source AS node FROM mentions
+        UNION ALL SELECT target FROM mentions)),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+      ${Pipeline.duckPageRankRounds(5)}
+      SELECT node, rank FROM r5 ORDER BY rank DESC, node""")),
+
     QueryDef("m_entity_name_counts", (s, d) => {
       LinkModels.entityNameCounts(Wiki.documents(s, FixtureWiki))
         .select(col("anchor"), to_json(col("counts")).as("counts"),

@@ -1077,8 +1077,9 @@ object Pipeline extends QueryModule {
   /** DuckDB twin of one [[graft.ops.Graph.pageRank]] round, unrolled:
     * rI = teleport + (damp · Σ contrib) with BIGINT floor division —
     * bit-identical to the engine's `div` on non-negative operands.
+    * Expects CTEs `nodes(node)`, `ew(src, dst, w, ow)`, `r0(node, rank)`.
     */
-  private def duckPageRankRounds(iters: Int): String =
+  private[queries] def duckPageRankRounds(iters: Int): String =
     (1 to iters).map { i =>
       s"""r$i AS (SELECT n.node,
          |  CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
