@@ -26,6 +26,13 @@ import graft.ops.{LinkModels, Mentions, TextAnalysis, Dedup}
   *   stratified-sample   documents parquet → hash-stratified sample
   *   hash-split          documents parquet → rows + train/valid/test
   *   token-shards        documents parquet → rows + ~16k-token shard id
+  *   decontaminate       "train.parquet,bench.parquet" → train minus
+  *                       eval-shingle overlap
+  *   textrank            documents parquet → token PageRank
+  *   entity-pagerank     documents parquet (with links) → entity PageRank
+  *   kmv-distinct        documents parquet → distinct-content estimate
+  *   char-quantiles      documents parquet → n_chars deciles (exact)
+  *   pq-encode           embeddings parquet → (vec_id, codes)
   *
   * format: json (gzip JSON-lines, default) | tsv | resp | parquet.
   * Run via `spark-submit --class graft.Cli` on a cluster or sbt locally.
@@ -79,6 +86,41 @@ object Cli {
           docs.withColumn("n_tokens",
             size(expr(graft.ops.Hashing.tokensSql)).cast("long")),
           "doc_id", "n_tokens", 16384L)
+      case "decontaminate" =>
+        val parts = input.split(",", 2)
+        require(parts.length == 2,
+          "decontaminate input is 'train.parquet,benchmark.parquet'")
+        Dedup.decontaminate(spark.read.parquet(parts(0)),
+          spark.read.parquet(parts(1)), 8)
+      case "textrank" => graft.ops.Graph.textRank(docs, 10)
+      case "entity-pagerank" => graft.ops.Graph.entityRank(docs, 10)
+      case "kmv-distinct" =>
+        import org.apache.spark.sql.functions._
+        val d = docs
+        graft.ops.Hashing.ensureRegistered(d)
+        val k = 1024
+        d.select(expr(graft.ops.Hashing.md5LongSql(
+            "md5(concat_ws(' ', " + graft.ops.Hashing.tokensSql + "))"))
+            .as("h"))
+          .agg(expr(s"graft_kmv(h, $k)").as("ks"))
+          .select(size(col("ks")).cast("long").as("n_min"),
+            expr("element_at(ks, -1)").as("kth"))
+          .select(col("n_min"), col("kth"),
+            when(col("n_min") < k, col("n_min")).otherwise(
+              floor(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+                col("kth").cast("double"))).cast("long")
+              .as("est_distinct_docs"))
+      case "char-quantiles" =>
+        import org.apache.spark.sql.functions.asc
+        graft.ops.Rank.exactQuantiles(docs, "n_chars",
+          Seq(asc("doc_id")), (1 to 9).map(_ / 10.0))
+      case "pq-encode" =>
+        import org.apache.spark.sql.functions._
+        val e = spark.read.parquet(input)
+        val dims = e.select(size(col("embedding"))).head().getInt(0)
+        val (_, asg) = graft.ops.Pq.train(e, dims, m = 4, k = 256,
+          iters = 2)
+        graft.ops.Pq.encode(asg)
       case other => throw new IllegalArgumentException(
         s"unknown command '$other'")
     }

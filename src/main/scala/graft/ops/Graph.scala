@@ -43,19 +43,21 @@ object Graph {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(damp >= 0 && damp <= 100, s"damp must be in [0,100], got $damp")
     val outw = edges.groupBy("src").agg(sum("w").as("ow"))
-    // pinned: referenced in every round — without this the upstream edge
-    // pipeline (tokenize/explode/count for the word graph) re-executes
-    // per round.
+    // pinned: both frames are referenced in every round — without the
+    // checkpoints the upstream pipelines (tokenize/explode/count for the
+    // word graph; explode/distinct for the node set) re-execute per
+    // round.
     val ew = edges.join(outw, "src").select("src", "dst", "w", "ow")
       .localCheckpoint(true)
+    val ns = nodes.select(col("node")).localCheckpoint(true)
     val teleport = (100L - damp) * 10000L
-    var r = nodes.select(col("node"), lit(1000000L).as("rank"))
+    var r = ns.select(col("node"), lit(1000000L).as("rank"))
     for (i <- 1 to iters) {
       val contrib = ew.join(r, ew("src") === r("node"))
         .select(col("dst").as("node"),
           expr("(rank * w) div ow").as("c"))
         .groupBy("node").agg(sum("c").as("s"))
-      r = nodes.join(contrib, Seq("node"), "left")
+      r = ns.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) +
             expr(s"($damp * coalesce(s, 0L)) div 100")).as("rank"))
