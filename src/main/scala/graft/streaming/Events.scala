@@ -206,7 +206,11 @@ object Events {
           col("ct") <= col("et"))
         .select(col("error_id"), col("click_id"),
           col("e_user").as("user_id"))
-    }, "st_join_mem", mode = "append")
+      // stream-stream join keeps FOUR state stores per partition
+      // (left/right × keyToNumValues/keyWithIndexToValue), so the
+      // per-partition commit overhead weighs 4× the single-store gates —
+      // narrow the tiny-state gate stream further
+    }, "st_join_mem", mode = "append", stateParts = 4)
       .orderBy("error_id", "click_id")
 
   /** Per-user session windows (30-minute inactivity gap): session count
