@@ -67,6 +67,56 @@ object Graph {
     r
   }
 
+  /** PageRank run to DETECTED convergence — the production form for
+    * graphs whose mixing time is unknown (the fixed-`iters` form is the
+    * oracle-replayable twin): iterate until no node's rank moves by more
+    * than `tol` micro-units. Integer ranks make the test exact and
+    * partitioning-independent; the changed-rank count rides the same
+    * materialization that flattens each round's lineage (one job per
+    * round — the [[Dedup.clusters]] pattern). `maxRounds` is a bug
+    * guard: with damp=85 the true iteration contracts by 0.85/round, so
+    * 64 rounds bound any tol ≥ 1 on any graph; hitting the guard means
+    * the iteration is broken and the failure is loud.
+    */
+  def pageRankConverged(nodes: DataFrame, edges: DataFrame,
+      damp: Int = 85, tol: Long = 16L, maxRounds: Int = 64): DataFrame = {
+    require(tol >= 1, s"tol must be >= 1 micro-unit, got $tol")
+    val outw = edges.groupBy("src").agg(sum("w").as("ow"))
+    val ew = edges.join(outw, "src").select("src", "dst", "w", "ow")
+      .localCheckpoint(true)
+    val ns = nodes.select(col("node")).localCheckpoint(true)
+    val teleport = (100L - damp) * 10000L
+    var r = ns.select(col("node"), lit(1000000L).as("rank"))
+      .localCheckpoint(true)
+    var changed = -1L
+    var round = 0
+    while (changed != 0L && round < maxRounds) {
+      val contrib = ew.join(r, ew("src") === r("node"))
+        .select(col("dst").as("node"),
+          expr("(rank * w) div ow").as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      val next = r.withColumnRenamed("rank", "old")
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"($damp * coalesce(s, 0L)) div 100")).as("rank"),
+          col("old"))
+        .withColumn("chg",
+          when(abs(col("rank") - col("old")) > tol, 1L).otherwise(0L))
+        .select("node", "rank", "chg")
+        .localCheckpoint(false)
+      changed = next.agg(coalesce(sum("chg"), lit(0L))).head().getLong(0)
+      r = next.select("node", "rank")
+      round += 1
+    }
+    if (changed != 0L)
+      throw new IllegalStateException(
+        s"pageRankConverged did not converge within $maxRounds rounds " +
+          s"(tol=$tol) — the iteration is broken, refusing to return " +
+          "a half-mixed ranking")
+    r
+  }
+
   /** Directed bigram co-occurrence graph over the corpus token stream
     * (self-loops dropped): edge (tᵢ → tᵢ₊₁) with corpus-wide count as
     * weight. One explode + one hash aggregate — scan-shaped.

@@ -80,6 +80,60 @@ object Relational extends QueryModule {
       GROUP BY l_orderkey, o_orderdate, o_orderpriority
       ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""")),
 
+    // ---- Q5-style local-supplier volume: the six-table join chain
+    // (region→nation→customer→orders→lineitem→supplier with the
+    // customer-nation = supplier-nation co-location predicate). The
+    // 1-row region filter broadcasts; AQE picks broadcast for nation;
+    // the fact-table joins shuffle on their keys.
+    QueryDef("q5_local_supplier", (s, d) => {
+      val r = t(s, d, "region").filter(col("r_name") === "AMERICA")
+      val n = t(s, d, "nation")
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      val su = t(s, d, "supplier")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(22, 6))).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    }, Some("""
+      SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+      FROM region, nation, customer, orders, lineitem, supplier
+      WHERE r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+        AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        AND l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        AND r_name = 'AMERICA'
+      GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
+    // ---- Q18-style large orders: HAVING-filtered aggregate semi-joined
+    // back to the order/customer chain (integer-valued quantities sum
+    // exactly in doubles, so the threshold is partition-independent).
+    QueryDef("q18_large_orders", (s, d) => {
+      val big = t(s, d, "lineitem").groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("qty")).filter(col("qty") > 220)
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      o.join(big, o("o_orderkey") === big("l_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(c("c_name"), o("o_orderkey"), o("o_orderdate"),
+          o("o_totalprice"), big("qty"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100)
+    }, Some("""
+      WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS qty FROM lineitem
+                   GROUP BY 1 HAVING SUM(l_quantity) > 220)
+      SELECT c_name, o_orderkey, o_orderdate, o_totalprice, qty
+      FROM big JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
     // ---- J1: left-outer join + COALESCE fallback (redirect-resolution
     // pattern, sift/corpora/wikipedia.py:81-89).
     QueryDef("j1_left_outer_coalesce", (s, d) => {

@@ -65,6 +65,19 @@ class GraphSpec extends AnyFunSuite {
     assert(e.size === 2)
   }
 
+  test("pageRankConverged reaches the fixed-iteration fixpoint") {
+    val nodes = nodesDf("a", "b", "c", "d")
+    val edges = edgesDf(("a", "b", 1L), ("b", "c", 2L), ("c", "a", 1L),
+      ("c", "d", 1L), ("d", "c", 3L))
+    val conv = Graph.pageRankConverged(nodes, edges, tol = 16L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a long fixed run has fully mixed; converged must agree within tol
+    val fixed = Graph.pageRank(nodes, edges, iters = 40)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((n, v) <- fixed)
+      assert(math.abs(conv(n) - v) <= 16L, s"node $n: ${conv(n)} vs $v")
+  }
+
   test("textRank ranks hub tokens above leaf tokens") {
     val s = spark; import s.implicits._
     // 'hub' receives links from every other token; leaves only from hub.
