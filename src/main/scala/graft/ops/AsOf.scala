@@ -23,7 +23,10 @@ import org.apache.spark.sql.types.StructType
   * (<=, right sorts before left on the tie column); among right rows
   * with equal (key, time), the greatest `rightTie` wins. Left rows with
   * no preceding right row get a null payload. Determinism requires
-  * `rightTie` to be unique per (key, time) on the right side.
+  * `rightTie` to be unique per (key, time) on the right side. NOTE:
+  * null keys GROUP TOGETHER (window-partition semantics) — unlike an
+  * equi-join, a null-key left row sees null-key right rows; filter
+  * nulls first if join semantics are wanted.
   */
 object AsOf {
 

@@ -42,13 +42,7 @@ object Graph {
       damp: Int = 85, checkpointEvery: Int = 8): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(damp >= 0 && damp <= 100, s"damp must be in [0,100], got $damp")
-    val outw = edges.groupBy("src").agg(sum("w").as("ow"))
-    // pinned: both frames are referenced in every round — without the
-    // checkpoints the upstream pipelines (tokenize/explode/count for the
-    // word graph; explode/distinct for the node set) re-execute per
-    // round.
-    val ew = edges.join(outw, "src").select("src", "dst", "w", "ow")
-      .localCheckpoint(true)
+    val ew = pinnedEdges(edges)
     val ns = nodes.select(col("node")).localCheckpoint(true)
     val teleport = (100L - damp) * 10000L
     var r = ns.select(col("node"), lit(1000000L).as("rank"))
@@ -67,6 +61,24 @@ object Graph {
     r
   }
 
+  /** Out-weighted edge list, pinned once (both rank loops read it every
+    * round; without the checkpoints the upstream pipelines — tokenize/
+    * explode/count for the word graph, explode/distinct for the node
+    * set — re-execute per round). A non-positive weight fails loudly at
+    * the eager materialization: it would corrupt the mass split
+    * silently (negative contributions, division by a zero out-weight).
+    */
+  private def pinnedEdges(edges: DataFrame): DataFrame = {
+    val outw = edges.groupBy("src").agg(sum("w").as("ow"))
+    edges.join(outw, "src")
+      .select(col("src"), col("dst"),
+        expr("case when w <= 0L then raise_error(concat(" +
+          "'pageRank edge weight must be positive, got ', " +
+          "cast(w as string))) else w end").as("w"),
+        col("ow"))
+      .localCheckpoint(true)
+  }
+
   /** PageRank run to DETECTED convergence — the production form for
     * graphs whose mixing time is unknown (the fixed-`iters` form is the
     * oracle-replayable twin): iterate until no node's rank moves by more
@@ -81,9 +93,7 @@ object Graph {
   def pageRankConverged(nodes: DataFrame, edges: DataFrame,
       damp: Int = 85, tol: Long = 16L, maxRounds: Int = 64): DataFrame = {
     require(tol >= 1, s"tol must be >= 1 micro-unit, got $tol")
-    val outw = edges.groupBy("src").agg(sum("w").as("ow"))
-    val ew = edges.join(outw, "src").select("src", "dst", "w", "ow")
-      .localCheckpoint(true)
+    val ew = pinnedEdges(edges)
     val ns = nodes.select(col("node")).localCheckpoint(true)
     val teleport = (100L - damp) * 10000L
     var r = ns.select(col("node"), lit(1000000L).as("rank"))

@@ -41,15 +41,22 @@ object Pq {
       s"cast(0 as double), (acc, v) -> acc + v)"
 
   /** Corpus exploded to (vec_id, sub, sv): subvector `sub` (0-based) is
-    * dims/m doubles starting at sub·(dims/m).
+    * dims/m doubles starting at sub·(dims/m). A ragged or null embedding
+    * fails loudly — a short vector would otherwise silently yield short
+    * subvectors whose truncated-fold distances desync from the oracle
+    * (same discipline as [[Similarity]]'s bucket guard).
     */
   private def subvectors(corpus: DataFrame, dims: Int, m: Int): DataFrame = {
     val sub = dims / m
     corpus.select(col("vec_id"), explode(expr(s"sequence(0, ${m - 1})"))
         .as("sub"), col("embedding"))
       .withColumn("sv", expr(
-        s"transform(slice(embedding, sub * $sub + 1, $sub), " +
-          "x -> cast(x as double))"))
+        s"case when embedding is null or size(embedding) != $dims then " +
+          s"raise_error(concat('ragged or null embedding: expected " +
+          s"$dims dims, got ', " +
+          "coalesce(cast(size(embedding) as string), 'null'))) " +
+          s"else transform(slice(embedding, sub * $sub + 1, $sub), " +
+          "x -> cast(x as double)) end"))
       .drop("embedding")
   }
 

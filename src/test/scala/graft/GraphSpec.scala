@@ -65,6 +65,17 @@ class GraphSpec extends AnyFunSuite {
     assert(e.size === 2)
   }
 
+  test("non-positive edge weights fail loudly at edge pinning") {
+    val e = intercept[Exception] {
+      Graph.pageRank(nodesDf("a", "b"),
+        edgesDf(("a", "b", 0L)), iters = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("must be positive")), e.getMessage)
+  }
+
   test("pageRankConverged reaches the fixed-iteration fixpoint") {
     val nodes = nodesDf("a", "b", "c", "d")
     val edges = edgesDf(("a", "b", 1L), ("b", "c", 2L), ("c", "a", 1L),

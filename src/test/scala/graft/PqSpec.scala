@@ -54,4 +54,16 @@ class PqSpec extends AnyFunSuite {
       Pq.train(corpus(4), dims = 8, m = 3, k = 2, iters = 1)
     }
   }
+
+  test("ragged and null embeddings fail loudly, not silently") {
+    val s = spark; import s.implicits._
+    val ragged = Seq((1L, Array(1.0, 2.0, 3.0, 4.0)), (2L, Array(1.0)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Pq.train(ragged, dims = 4, m = 2, k = 2, iters = 1)._2.collect()
+    }
+    assert(e.getMessage.contains("ragged or null embedding") ||
+      Option(e.getCause).exists(
+        _.getMessage.contains("ragged or null embedding")))
+  }
 }
