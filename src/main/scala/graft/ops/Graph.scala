@@ -127,6 +127,18 @@ object Graph {
     r
   }
 
+  /** Connected components over an arbitrary undirected edge list
+    * (`src`, `dst`, any orderable node type): returns (component, node)
+    * with component = the smallest member — delegates to the
+    * pointer-doubling min-label propagation of [[Dedup.clusters]]
+    * (O(log diameter) rounds, detected convergence, loud failure on the
+    * bug guard).
+    */
+  def connectedComponents(edges: DataFrame): DataFrame =
+    Dedup.clusters(edges.select(col("src").as("doc_a"),
+        col("dst").as("doc_b")))
+      .select(col("cluster").as("component"), col("doc_id").as("node"))
+
   /** Directed bigram co-occurrence graph over the corpus token stream
     * (self-loops dropped): edge (tᵢ → tᵢ₊₁) with corpus-wide count as
     * weight. One explode + one hash aggregate — scan-shaped.

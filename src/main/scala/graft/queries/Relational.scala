@@ -766,6 +766,61 @@ object Relational extends QueryModule {
         .orderBy("k")
     }, Some("""
       SELECT c_nationkey AS k FROM customer
-      EXCEPT SELECT s_nationkey FROM supplier ORDER BY k"""))
+      EXCEPT SELECT s_nationkey FROM supplier ORDER BY k""")),
+
+    // ---- Multiset (bag) set ops — EXCEPT ALL / INTERSECT ALL keep
+    // duplicate cardinalities, the form dedup bookkeeping needs.
+    QueryDef("set_except_all", (s, d) => {
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .exceptAll(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
+    }, Some("""
+      WITH x AS (SELECT c_nationkey AS k FROM customer
+                 EXCEPT ALL SELECT s_nationkey FROM supplier)
+      SELECT k, COUNT(*) AS n FROM x GROUP BY k ORDER BY k""")),
+
+    QueryDef("set_intersect_all", (s, d) => {
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .intersectAll(
+          t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
+    }, Some("""
+      WITH x AS (SELECT c_nationkey AS k FROM customer
+                 INTERSECT ALL SELECT s_nationkey FROM supplier)
+      SELECT k, COUNT(*) AS n FROM x GROUP BY k ORDER BY k""")),
+
+    // ---- PIVOT: per-user event counts spread across event-type
+    // columns (groupBy().pivot() with an explicit value list — the
+    // bounded-schema form that scales; an unlisted pivot would need a
+    // distinct-values job first). Oracle = portable CASE-WHEN sums.
+    QueryDef("agg_pivot_events", (s, d) => {
+      Tables.events(s, d).groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    }, Some("""
+      SELECT user_id,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        CAST(SUM(CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+      FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- UNPIVOT (melt): wide metric columns to (key, metric, value)
+    // rows. Oracle = the UNION ALL expansion.
+    QueryDef("f_unpivot_metrics", (s, d) => {
+      t(s, d, "part")
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("double").as("p_size"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size")),
+          "metric", "value")
+        .orderBy("p_partkey", "metric")
+    }, Some("""
+      SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+      FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+      ORDER BY p_partkey, metric"""))
   )
 }

@@ -89,6 +89,16 @@ class GraphSpec extends AnyFunSuite {
       assert(math.abs(conv(n) - v) <= 16L, s"node $n: ${conv(n)} vs $v")
   }
 
+  test("connectedComponents labels each node with its smallest member") {
+    val s = spark; import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L), (9L, 7L))
+      .toDF("src", "dst")
+    val comp = Graph.connectedComponents(edges).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
   test("textRank ranks hub tokens above leaf tokens") {
     val s = spark; import s.implicits._
     // 'hub' receives links from every other token; leaves only from hub.
