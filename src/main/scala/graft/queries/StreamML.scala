@@ -73,6 +73,21 @@ object StreamML extends QueryModule {
 
     // ---- §2.9: custom keyed state (flatMapGroupsWithState) — running
     // per-user counts; final state equals the batch aggregation.
+    // ---- §2.9: stream-static enrichment join (static side planned per
+    // micro-batch, broadcast when small; no state store) + windowed
+    // tier split.
+    QueryDef("st_enrich_counts", (s, d) => {
+      graft.streaming.Events.enrichedWindowCounts(s, d)
+    }, Some("""
+      WITH dim AS (SELECT o_custkey AS user_id, COUNT(*) AS n_orders
+                   FROM orders GROUP BY 1)
+      SELECT time_bucket(INTERVAL 1 HOUR, CAST(e.ts AS TIMESTAMP)) AS wstart,
+             CASE WHEN COALESCE(dim.n_orders, 0) >= 10 THEN 'big'
+                  ELSE 'small' END AS tier,
+             COUNT(*) AS n
+      FROM events e LEFT JOIN dim USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- §2.9: stream-stream interval join with watermark-bounded
     // state on both sides; bounded one-batch source => stream ≡ the
     // batch interval join the oracle runs.

@@ -213,6 +213,31 @@ object Events {
     }, "st_join_mem", mode = "append", stateParts = 4)
       .orderBy("error_id", "click_id")
 
+  /** STREAM-STATIC enrichment join (§2.9): the event stream joined to a
+    * batch dimension (per-customer order counts) — the standard
+    * enrichment shape: the static side is planned per micro-batch (and
+    * broadcast when small), no state store involved, unlike the
+    * stream-stream join. Unmatched users enrich to a 0 count
+    * (left_outer), then a windowed aggregate splits traffic by customer
+    * tier.
+    */
+  def enrichedWindowCounts(s: SparkSession, dir: String): DataFrame = {
+    val dim = graft.queries.Tables.t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_orders"))
+    runToCompletion(s, ss =>
+      stream(ss, dir)
+        .join(dim, Seq("user_id"), "left_outer")
+        .withColumn("tier",
+          when(coalesce(col("n_orders"), lit(0L)) >= 10, "big")
+            .otherwise("small"))
+        .groupBy(window(col("t"), "1 hour"), col("tier"))
+        .agg(count(lit(1)).as("n")),
+      "st_enrich_mem")
+      .select(col("window.start").as("wstart"), col("tier"), col("n"))
+      .orderBy("wstart", "tier")
+  }
+
   /** Per-user session windows (30-minute inactivity gap): session count
     * and length. Equivalent batch semantics: gap-based sessionization —
     * a new session starts when the previous event is > gap behind.
