@@ -123,10 +123,13 @@ object Pq {
   /** ADC top-k: per query an m·k distance table to the (broadcast)
     * codebooks, joined to the corpus assignment on (sub, cell); the
     * per-vector total is an ordered fold over subspaces. Returns
-    * (query_id, rank, neighbor_id, adist).
+    * (query_id, rank, neighbor_id, adist). `candidates` (query_id,
+    * vec_id) restricts the scan per query — the hook [[ivfAdcTopK]]
+    * uses to prune by IVF cell.
     */
   def adcTopK(queries: DataFrame, books: DataFrame, asg: DataFrame,
-      dims: Int, m: Int, k: Int): DataFrame = {
+      dims: Int, m: Int, k: Int,
+      candidates: Option[DataFrame] = None): DataFrame = {
     val qsv = subvectors(
       queries.select(col("vec_id"), col("embedding")), dims, m)
       .select(col("vec_id").as("query_id"), col("sub"),
@@ -134,9 +137,12 @@ object Pq {
     val dtable = qsv.join(broadcast(books), "sub")
       .select(col("query_id"), col("sub"), col("cell"),
         expr(l2Sql("qv", "centroid")).as("d"))
-    val scored = dtable
+    val base = dtable
       .join(asg.select("vec_id", "sub", "cell"), Seq("sub", "cell"))
       .filter(col("query_id") =!= col("vec_id"))
+    val restricted = candidates.fold(base)(c =>
+      base.join(c, Seq("query_id", "vec_id"), "left_semi"))
+    val scored = restricted
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(expr("aggregate(transform(array_sort(collect_list(" +
         "struct(sub, d))), s -> s.d), cast(0 as double), " +
@@ -146,5 +152,34 @@ object Pq {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "adist")
+  }
+
+  /** IVF+PQ — the production ANN composition at corpus scale: route
+    * each query to its `nprobe` nearest IVF cells (spherical-k-means
+    * coarse quantizer, [[Similarity.kmeansCells]]), then ADC-score ONLY
+    * the vectors assigned to those cells. The scan cost drops by
+    * ~nprobe/cells while the per-vector memory stays m bytes — IVF
+    * prunes, PQ compresses; this is the FAISS-style IVFADC layout
+    * expressed relationally (probe = broadcast centroid join, candidate
+    * set = cell equi-join, scoring = the [[adcTopK]] pipeline).
+    */
+  def ivfAdcTopK(queries: DataFrame, books: DataFrame, asg: DataFrame,
+      corpusCells: DataFrame, dims: Int, m: Int, nprobe: Int,
+      k: Int): DataFrame = {
+    val cents = Similarity.centroids(corpusCells, "cell")
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(desc("ccos"), asc("cell"))
+    val probed = q.join(broadcast(cents))
+      .select(col("query_id"), col("cell"),
+        expr(Similarity.cosineSql("qe", "centroid")).as("ccos"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select("query_id", "cell")
+    val cand = probed
+      .join(corpusCells.select(col("vec_id"), col("cell")), Seq("cell"))
+      .select("query_id", "vec_id")
+    adcTopK(queries, books, asg, dims, m, k, Some(cand))
   }
 }

@@ -604,6 +604,123 @@ object Pipeline extends QueryModule {
       FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""
     }),
 
+    // ---- IVF+PQ (graft.ops.Pq.ivfAdcTopK): the FAISS-style IVFADC
+    // composition — spherical-k-means coarse cells prune the scan to
+    // nprobe/cells of the corpus, PQ codes compress what remains, ADC
+    // scores only the candidate set. The oracle replays BOTH training
+    // loops (IVF on full vectors, PQ per subspace — they share the
+    // md5-ranked seed set), the probe, the candidate join and the
+    // ordered ADC fold.
+    QueryDef("sim_ivfpq_topk", (s, d) => {
+      val e = emb(s, d)
+      val cells = Similarity.kmeansCells(e, 8, 2)
+      val (books, asg) = graft.ops.Pq.train(e, embDims, 4, 8, 2)
+      graft.ops.Pq.ivfAdcTopK(e.filter(col("vec_id") < 5), books, asg,
+          cells, embDims, 4, 2, 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .withColumn("adist", round(col("adist"), 6))
+        .orderBy("query_id", "rank")
+    }, Some {
+      val m = 4; val subLen = embDims / m
+      def duckL2(a: String, b: String): String = {
+        val diff = s"(CAST($a[kk] AS DOUBLE) - CAST($b[kk] AS DOUBLE))"
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(range(1, len($a) + 1), kk -> $diff * $diff)), " +
+          s"(acc, v) -> acc + v)"
+      }
+      def pqAsg(books: String, out: String) =
+        s"""$out AS (SELECT vec_id, sub, sv, cell FROM (
+           |    SELECT sv.vec_id, sv.sub, sv.sv, b.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
+           |        ORDER BY ${duckL2("sv.sv", "b.centroid")} ASC, b.cell)
+           |        AS pr
+           |    FROM sv JOIN $books b ON sv.sub = b.sub) WHERE pr = 1)"""
+          .stripMargin
+      def pqMeans(asg: String, out: String) =
+        s"""$out AS (SELECT sub, cell, list(m ORDER BY j) AS centroid FROM (
+           |    SELECT sub, cell, j,
+           |      CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*)
+           |        AS m
+           |    FROM (SELECT sub, cell, unnest(range(0, len(sv))) AS j,
+           |            unnest(sv) AS x FROM $asg) GROUP BY 1, 2, 3)
+           |  GROUP BY 1, 2)""".stripMargin
+      def iAsg(cent: String, out: String) =
+        s"""$out AS (SELECT vec_id, e, cell FROM (
+           |    SELECT c0.vec_id, c0.e, $cent.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY c0.vec_id
+           |        ORDER BY ${duckCos("e", "centroid")} DESC, $cent.cell)
+           |        AS pr
+           |    FROM c0 CROSS JOIN $cent) WHERE pr = 1)""".stripMargin
+      def iMeans(asg: String, out: String) =
+        s"""$out AS (SELECT cell, list(m ORDER BY j) AS centroid FROM (
+           |    SELECT cell, j,
+           |      CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*)
+           |        AS m
+           |    FROM (SELECT cell, unnest(range(0, len(e))) AS j,
+           |            unnest(e) AS x FROM $asg) GROUP BY 1, 2)
+           |  GROUP BY cell)""".stripMargin
+      s"""
+      WITH c0 AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                  FROM embeddings),
+      seeds AS (SELECT vec_id, e,
+                  ${duckMd5Long("CAST(vec_id AS VARCHAR)")} AS h
+                FROM c0 ORDER BY h, vec_id LIMIT 8),
+      icent0 AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1
+                   AS cell, e AS centroid FROM seeds),
+      ${iAsg("icent0", "iasg1")},
+      ${iMeans("iasg1", "icent1")},
+      ${iAsg("icent1", "iasg2")},
+      ${iMeans("iasg2", "icent2")},
+      ${iAsg("icent2", "iasgf")},
+      ${iMeans("iasgf", "icents")},
+      sv AS (SELECT vec_id, s.sub AS sub,
+               e[(s.sub*$subLen+1):(s.sub*$subLen+$subLen)] AS sv
+             FROM c0 CROSS JOIN (SELECT unnest(range(0, $m)) AS sub) s),
+      sc AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1
+               AS cell FROM seeds),
+      b0 AS (SELECT sv.sub, sc.cell, sv.sv AS centroid
+             FROM sv JOIN sc USING (vec_id)),
+      ${pqAsg("b0", "a1")},
+      ${pqMeans("a1", "b1")},
+      ${pqAsg("b1", "a2")},
+      ${pqMeans("a2", "b2")},
+      ${pqAsg("b2", "af")},
+      pc AS (SELECT q0.vec_id AS query_id, icents.cell,
+               ${duckCos("q0.e", "icents.centroid")} AS ccos
+             FROM (SELECT vec_id, e FROM c0 WHERE vec_id < 5) q0
+             CROSS JOIN icents),
+      probed AS (SELECT query_id, cell FROM (
+                   SELECT query_id, cell,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY ccos DESC, cell) AS pr
+                   FROM pc) WHERE pr <= 2),
+      cand AS (SELECT p.query_id, a.vec_id FROM probed p
+               JOIN iasgf a ON p.cell = a.cell
+               WHERE p.query_id <> a.vec_id),
+      q AS (SELECT vec_id AS query_id, sub, sv AS qv FROM sv
+            WHERE vec_id < 5),
+      dt AS (SELECT query_id, b.sub AS sub, b.cell AS cell,
+               ${duckL2("qv", "b.centroid")} AS d
+             FROM q JOIN b2 b ON q.sub = b.sub),
+      sc2 AS (SELECT dt.query_id, af.vec_id AS neighbor_id,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list(dt.d ORDER BY dt.sub)), (acc, v) -> acc + v)
+                  AS adist
+              FROM dt
+              JOIN af ON dt.sub = af.sub AND dt.cell = af.cell
+              JOIN cand ON cand.query_id = dt.query_id
+                AND cand.vec_id = af.vec_id
+              GROUP BY 1, 2),
+      rk AS (SELECT query_id, neighbor_id, adist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adist ASC, neighbor_id) AS rank
+             FROM sc2)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+             round(adist, 6) AS adist
+      FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""
+    }),
+
     // ---- Embedding-cosine near-duplicate pairs — PRODUCTION path:
     // multi-table hyperplane-LSH candidates (4 planes × 16 tables) +
     // exact-cosine verify. Candidates only ever meet inside a bucket

@@ -55,6 +55,29 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfAdcTopK with full probe equals plain ADC; pruning stays in-cell") {
+    val c = corpus(60)
+    val cells = graft.ops.Similarity.kmeansCells(c, 2, 2)
+    val (books, asg) = Pq.train(c, dims = 8, m = 2, k = 4, iters = 2)
+    val q = c.filter(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // probing every cell removes the pruning — must equal plain ADC
+    assert(rows(Pq.ivfAdcTopK(q, books, asg, cells, 8, 2, nprobe = 2,
+        k = 10)).toSeq ===
+      rows(Pq.adcTopK(q, books, asg, 8, 2, k = 10)).toSeq)
+    // nprobe=1 returns only vectors from each query's own best cell
+    val cellOf = cells.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pruned = Pq.ivfAdcTopK(q, books, asg, cells, 8, 2, nprobe = 1,
+      k = 60).collect().map(r => (r.getLong(0), r.getLong(2)))
+    // the two planted clusters are separable, so each query's own cell
+    // is its nearest probe and every neighbor shares that cell
+    assert(pruned.nonEmpty)
+    assert(pruned.forall { case (qid, nid) => cellOf(qid) == cellOf(nid) })
+  }
+
   test("ragged and null embeddings fail loudly, not silently") {
     val s = spark; import s.implicits._
     val ragged = Seq((1L, Array(1.0, 2.0, 3.0, 4.0)), (2L, Array(1.0)))
