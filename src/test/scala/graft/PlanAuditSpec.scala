@@ -30,9 +30,10 @@ class PlanAuditSpec extends AnyFunSuite {
   //    ≤ numPartitions-row per-partition totals table;
   //  - sim_topk_bruteforce: the broadcast query set against the corpus
   //    (non-equi self-exclusion; the corpus side never shuffles);
-  //  - sim_ivf_topk / sim_ivf_kmeans_topk: the broadcast centroid table
-  //    (k × dims rows) against the corpus/query set — and for k-means,
-  //    the k-row seed-ranking window collapses to a single partition.
+  //  - sim_ivf_topk / sim_ivf_kmeans_topk / sim_ivfpq_topk: the
+  //    broadcast centroid table (k × dims rows) against the
+  //    corpus/query set — and for the trained quantizers, the k-row
+  //    seed-ranking window collapses to a single partition.
   //  - a_exact_quantiles: the 5-row quantile target table cross-joined
   //    with the broadcast 1-row corpus count.
   private val allowNestedLoop = Set(
@@ -40,7 +41,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "m_mention_tfidf_scaled",
     "j_cross_grid", "j7_vocab_oov_broadcast", "w1_vocab_rank_band",
     "m_mapped_comentions", "o8_token_shards", "sim_topk_bruteforce",
-    "sim_ivf_topk", "sim_ivf_kmeans_topk", "a_exact_quantiles")
+    "sim_ivf_topk", "sim_ivf_kmeans_topk", "sim_ivfpq_topk",
+    "a_exact_quantiles")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -52,7 +54,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private val allowSinglePartition = Set(
     "a7_corpus_stats", "m2_term_idfs", "m2_tfidf_vectors",
     "m_entity_mention_tfidf", "m_mention_tfidf_scaled",
-    "sim_ivf_kmeans_topk", "agg_kmv_distinct", "a_exact_quantiles")
+    "sim_ivf_kmeans_topk", "sim_ivfpq_topk", "agg_kmv_distinct",
+    "a_exact_quantiles")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —
