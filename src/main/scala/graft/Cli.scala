@@ -104,7 +104,7 @@ object Cli {
             .as("h"))
           .agg(expr(s"graft_kmv(h, $k)").as("ks"))
           .select(size(col("ks")).cast("long").as("n_min"),
-            expr("element_at(ks, -1)").as("kth"))
+            expr("try_element_at(ks, -1)").as("kth"))
           .select(col("n_min"), col("kth"),
             when(col("n_min") < k, col("n_min")).otherwise(
               floor(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
@@ -117,7 +117,10 @@ object Cli {
       case "pq-encode" =>
         import org.apache.spark.sql.functions._
         val e = spark.read.parquet(input)
-        val dims = e.select(size(col("embedding"))).head().getInt(0)
+        val dims = e.select(size(col("embedding")).as("d")).limit(1)
+          .collect().headOption.filterNot(_.isNullAt(0)).map(_.getInt(0))
+          .getOrElse(throw new IllegalArgumentException(
+            "pq-encode: input has no non-null embeddings"))
         val (_, asg) = graft.ops.Pq.train(e, dims, m = 4, k = 256,
           iters = 2)
         graft.ops.Pq.encode(asg)

@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[KmvSketch].getName, "graft_kmv"),
-      exprs => KmvSketch(exprs(0), exprs(1))))
+      exprs => {
+        require(exprs.length == 2,
+          s"graft_kmv expects 2 arguments (hash, k), got ${exprs.length}")
+        KmvSketch(exprs(0), exprs(1))
+      }))
   }
 }

@@ -58,6 +58,8 @@ case class KmvSketch(
         s"$prettyName requires an integer k, got ${right.dataType.sql}")
     else if (!right.foldable)
       TypeCheckResult.TypeCheckFailure(s"$prettyName k must be foldable")
+    else if (right.eval() == null)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName k must not be null")
     else if (k < 1)
       TypeCheckResult.TypeCheckFailure(s"$prettyName k must be >= 1, got $k")
     else TypeCheckResult.TypeCheckSuccess

@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   * quadratic, nothing driver-side. The edge list is local-checkpointed
   * once (it is re-read every round); rank lineage is flattened every
   * `checkpointEvery` rounds so long runs keep a bounded plan depth.
+  *
+  * OVERFLOW BOUND: the widest intermediate is rank·w, so the math is
+  * safe while max_rank × max_edge_weight < 2⁶³ — max_rank is bounded by
+  * the total mass (#nodes × 10⁶), so e.g. 10⁹ nodes tolerate edge
+  * weights up to ~9×10³. Corpora with hotter edges should rescale
+  * weights first (PageRank is invariant to a per-source weight scale up
+  * to the division truncation). ANSI mode makes a violation THROW —
+  * loud, never a silently wrapped rank.
   */
 object Graph {
 
@@ -47,18 +55,28 @@ object Graph {
     val teleport = (100L - damp) * 10000L
     var r = ns.select(col("node"), lit(1000000L).as("rank"))
     for (i <- 1 to iters) {
-      val contrib = ew.join(r, ew("src") === r("node"))
-        .select(col("dst").as("node"),
-          expr("(rank * w) div ow").as("c"))
-        .groupBy("node").agg(sum("c").as("s"))
-      r = ns.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) +
-            expr(s"($damp * coalesce(s, 0L)) div 100")).as("rank"))
+      r = oneRound(ns, ew, r, damp, teleport)
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
         r = r.localCheckpoint(true)
     }
     r
+  }
+
+  /** One PageRank round — the single source of truth for the update
+    * rule (rank' = teleport + (damp · Σ (rank·w div W)) div 100), shared
+    * by the fixed-iteration oracle twin and the converged production
+    * form so the two can never drift.
+    */
+  private def oneRound(ns: DataFrame, ew: DataFrame, r: DataFrame,
+      damp: Int, teleport: Long): DataFrame = {
+    val contrib = ew.join(r, ew("src") === r("node"))
+      .select(col("dst").as("node"),
+        expr("(rank * w) div ow").as("c"))
+      .groupBy("node").agg(sum("c").as("s"))
+    ns.join(contrib, Seq("node"), "left")
+      .select(col("node"),
+        (lit(teleport) +
+          expr(s"($damp * coalesce(s, 0L)) div 100")).as("rank"))
   }
 
   /** Out-weighted edge list, pinned once (both rank loops read it every
@@ -85,13 +103,16 @@ object Graph {
     * than `tol` micro-units. Integer ranks make the test exact and
     * partitioning-independent; the changed-rank count rides the same
     * materialization that flattens each round's lineage (one job per
-    * round — the [[Dedup.clusters]] pattern). `maxRounds` is a bug
-    * guard: with damp=85 the true iteration contracts by 0.85/round, so
-    * 64 rounds bound any tol ≥ 1 on any graph; hitting the guard means
-    * the iteration is broken and the failure is loud.
+    * round — the [[Dedup.clusters]] pattern). Convergence time is
+    * ~ln(10⁶/tol)/ln(100/damp) rounds PLUS the graph diameter (a rank
+    * wave crosses one hop per round): ~68 + diameter at the defaults —
+    * so `maxRounds` defaults to 512 as a broken-iteration guard with
+    * headroom for diameter ≈ 400; genuinely longer chain graphs need it
+    * raised, and the failure message says so rather than claiming the
+    * math broke.
     */
   def pageRankConverged(nodes: DataFrame, edges: DataFrame,
-      damp: Int = 85, tol: Long = 16L, maxRounds: Int = 64): DataFrame = {
+      damp: Int = 85, tol: Long = 16L, maxRounds: Int = 512): DataFrame = {
     require(tol >= 1, s"tol must be >= 1 micro-unit, got $tol")
     val ew = pinnedEdges(edges)
     val ns = nodes.select(col("node")).localCheckpoint(true)
@@ -101,19 +122,12 @@ object Graph {
     var changed = -1L
     var round = 0
     while (changed != 0L && round < maxRounds) {
-      val contrib = ew.join(r, ew("src") === r("node"))
-        .select(col("dst").as("node"),
-          expr("(rank * w) div ow").as("c"))
-        .groupBy("node").agg(sum("c").as("s"))
       val next = r.withColumnRenamed("rank", "old")
-        .join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) +
-            expr(s"($damp * coalesce(s, 0L)) div 100")).as("rank"),
-          col("old"))
-        .withColumn("chg",
-          when(abs(col("rank") - col("old")) > tol, 1L).otherwise(0L))
-        .select("node", "rank", "chg")
+        .join(oneRound(ns, ew, r, damp, teleport)
+          .withColumnRenamed("rank", "nrank"), Seq("node"))
+        .select(col("node"), col("nrank").as("rank"),
+          when(abs(col("nrank") - col("old")) > tol, 1L)
+            .otherwise(0L).as("chg"))
         .localCheckpoint(false)
       changed = next.agg(coalesce(sum("chg"), lit(0L))).head().getLong(0)
       r = next.select("node", "rank")
@@ -121,9 +135,10 @@ object Graph {
     }
     if (changed != 0L)
       throw new IllegalStateException(
-        s"pageRankConverged did not converge within $maxRounds rounds " +
-          s"(tol=$tol) — the iteration is broken, refusing to return " +
-          "a half-mixed ranking")
+        s"pageRankConverged hit maxRounds=$maxRounds before ranks were " +
+          s"tol=$tol-stable. Expected rounds ≈ ln(1e6/tol)/ln(100/damp) " +
+          "+ graph diameter — raise maxRounds for very-long-diameter " +
+          "graphs; refusing to return a half-mixed ranking")
     r
   }
 

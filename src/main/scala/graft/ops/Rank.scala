@@ -81,7 +81,12 @@ object Rank {
     * which exact ordinals require under any partitioning).
     *
     * N rides along as a 1-row aggregate frame (cross-joined, broadcast),
-    * never a driver-side count. Returns (q DOUBLE, value).
+    * never a driver-side count. The q·N product is computed in EXACT
+    * decimal (q widened to DECIMAL(20,10) — a double literal like 0.07
+    * rounds to its decimal meaning — times an exact integer N), so
+    * ceil(q·N) is the mathematical target rank: the IEEE-double product
+    * would round fl(0.07·100) up to 7.000…001 and return the 8th value
+    * instead of the 7th. Returns (q DOUBLE, value).
     */
   def exactQuantiles(df: DataFrame, valueCol: String, tieCols: Seq[Column],
       qs: Seq[Double], numPartitions: Int = 32): DataFrame = {
@@ -93,7 +98,9 @@ object Rank {
       numPartitions)
     val n = df.agg(count(lit(1)).as("__n"))
     val targets = qs.toDF("q").crossJoin(n)
-      .select(col("q"), ceil(col("q") * col("__n")).cast("long").as("__tr"))
+      .select(col("q"),
+        ceil(col("q").cast(org.apache.spark.sql.types.DecimalType(20, 10))
+          * col("__n")).cast("long").as("__tr"))
     ranked.join(broadcast(targets), col("__r") + 1 === col("__tr"))
       .select(col("q"), col(valueCol))
   }

@@ -544,28 +544,6 @@ object Pipeline extends QueryModule {
         .orderBy("query_id", "rank")
     }, Some {
       val m = 4; val subLen = embDims / m
-      def duckL2(a: String, b: String): String = {
-        val diff = s"(CAST($a[kk] AS DOUBLE) - CAST($b[kk] AS DOUBLE))"
-        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-          s"list_transform(range(1, len($a) + 1), kk -> $diff * $diff)), " +
-          s"(acc, v) -> acc + v)"
-      }
-      def pqAsg(books: String, out: String) =
-        s"""$out AS (SELECT vec_id, sub, sv, cell FROM (
-           |    SELECT sv.vec_id, sv.sub, sv.sv, b.cell,
-           |      ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
-           |        ORDER BY ${duckL2("sv.sv", "b.centroid")} ASC, b.cell)
-           |        AS pr
-           |    FROM sv JOIN $books b ON sv.sub = b.sub) WHERE pr = 1)"""
-          .stripMargin
-      def pqMeans(asg: String, out: String) =
-        s"""$out AS (SELECT sub, cell, list(m ORDER BY j) AS centroid FROM (
-           |    SELECT sub, cell, j,
-           |      CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*)
-           |        AS m
-           |    FROM (SELECT sub, cell, unnest(range(0, len(sv))) AS j,
-           |            unnest(sv) AS x FROM $asg) GROUP BY 1, 2, 3)
-           |  GROUP BY 1, 2)""".stripMargin
       s"""
       WITH c0 AS (SELECT vec_id,
                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -622,28 +600,6 @@ object Pipeline extends QueryModule {
         .orderBy("query_id", "rank")
     }, Some {
       val m = 4; val subLen = embDims / m
-      def duckL2(a: String, b: String): String = {
-        val diff = s"(CAST($a[kk] AS DOUBLE) - CAST($b[kk] AS DOUBLE))"
-        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-          s"list_transform(range(1, len($a) + 1), kk -> $diff * $diff)), " +
-          s"(acc, v) -> acc + v)"
-      }
-      def pqAsg(books: String, out: String) =
-        s"""$out AS (SELECT vec_id, sub, sv, cell FROM (
-           |    SELECT sv.vec_id, sv.sub, sv.sv, b.cell,
-           |      ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
-           |        ORDER BY ${duckL2("sv.sv", "b.centroid")} ASC, b.cell)
-           |        AS pr
-           |    FROM sv JOIN $books b ON sv.sub = b.sub) WHERE pr = 1)"""
-          .stripMargin
-      def pqMeans(asg: String, out: String) =
-        s"""$out AS (SELECT sub, cell, list(m ORDER BY j) AS centroid FROM (
-           |    SELECT sub, cell, j,
-           |      CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*)
-           |        AS m
-           |    FROM (SELECT sub, cell, unnest(range(0, len(sv))) AS j,
-           |            unnest(sv) AS x FROM $asg) GROUP BY 1, 2, 3)
-           |  GROUP BY 1, 2)""".stripMargin
       def iAsg(cent: String, out: String) =
         s"""$out AS (SELECT vec_id, e, cell FROM (
            |    SELECT c0.vec_id, c0.e, $cent.cell,
@@ -1190,6 +1146,37 @@ object Pipeline extends QueryModule {
       ${duckPageRankRounds(5)}
       SELECT node, rank FROM r5 ORDER BY rank DESC, node"""))
   )
+
+  /** DuckDB twin of [[graft.ops.Pq]]'s squared-L2 sequential fold. */
+  private def duckL2(a: String, b: String): String = {
+    val diff = s"(CAST($a[kk] AS DOUBLE) - CAST($b[kk] AS DOUBLE))"
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a) + 1), kk -> $diff * $diff)), " +
+      s"(acc, v) -> acc + v)"
+  }
+
+  /** DuckDB twin of one PQ assignment round (argmin squared-L2, cell
+    * tie-break) over CTEs `sv(vec_id, sub, sv)` and `$books`. Shared by
+    * sim_pq_topk and sim_ivfpq_topk so the two oracles cannot drift.
+    */
+  private def pqAsg(books: String, out: String) =
+    s"""$out AS (SELECT vec_id, sub, sv, cell FROM (
+       |    SELECT sv.vec_id, sv.sub, sv.sv, b.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
+       |        ORDER BY ${duckL2("sv.sv", "b.centroid")} ASC, b.cell)
+       |        AS pr
+       |    FROM sv JOIN $books b ON sv.sub = b.sub) WHERE pr = 1)"""
+      .stripMargin
+
+  /** DuckDB twin of the PQ decimal-exact Lloyd update (shared, as above). */
+  private def pqMeans(asg: String, out: String) =
+    s"""$out AS (SELECT sub, cell, list(m ORDER BY j) AS centroid FROM (
+       |    SELECT sub, cell, j,
+       |      CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*)
+       |        AS m
+       |    FROM (SELECT sub, cell, unnest(range(0, len(sv))) AS j,
+       |            unnest(sv) AS x FROM $asg) GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2)""".stripMargin
 
   /** DuckDB twin of one [[graft.ops.Graph.pageRank]] round, unrolled:
     * rI = teleport + (damp · Σ contrib) with BIGINT floor division —

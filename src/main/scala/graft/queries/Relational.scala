@@ -419,7 +419,7 @@ object Relational extends QueryModule {
           "cast(l_partkey as string)")).as("h"))
         .agg(expr(s"graft_kmv(h, $k)").as("ks"))
         .select(size(col("ks")).cast("long").as("n_min"),
-          expr("element_at(ks, -1)").as("kth"))
+          expr("try_element_at(ks, -1)").as("kth"))
         .select(col("n_min"), col("kth"),
           when(col("n_min") < k, col("n_min")).otherwise(
             floor(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
@@ -689,8 +689,9 @@ object Relational extends QueryModule {
     // ---- EXACT distributed quantiles (graft.ops.Rank.exactQuantiles):
     // discrete quantile at ceil(q*N) via the two-phase global ordinal —
     // no percentile_approx error bars, no single-task sort, N carried as
-    // a broadcast 1-row frame. The q*N product is IEEE double in both
-    // engines (oracle casts q to DOUBLE), so target ranks agree exactly.
+    // a broadcast 1-row frame. The q*N product is exact DECIMAL in both
+    // engines (an IEEE-double product would off-by-one some (q, N),
+    // e.g. ceil(fl(0.07*100)) = 8).
     QueryDef("a_exact_quantiles", (s, d) => {
       graft.ops.Rank.exactQuantiles(
         t(s, d, "lineitem")
@@ -705,7 +706,7 @@ object Relational extends QueryModule {
                  FROM lineitem),
       n AS (SELECT COUNT(*) AS n FROM lineitem),
       t AS (SELECT CAST(q AS DOUBLE) AS q,
-              CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT) AS tr
+              CAST(ceil(CAST(q AS DECIMAL(20,10)) * n) AS BIGINT) AS tr
             FROM (VALUES (0.01),(0.25),(0.5),(0.75),(0.99)) qs(q)
             CROSS JOIN n)
       SELECT q, l_extendedprice FROM o JOIN t ON o.r = t.tr
@@ -797,7 +798,9 @@ object Relational extends QueryModule {
       Tables.events(s, d).groupBy("user_id")
         .pivot("event_type", Seq("click", "view", "error"))
         .agg(count(lit(1)))
-        .na.fill(0L)
+        // scoped fill: an unscoped na.fill would also rewrite a null
+        // grouping key to 0
+        .na.fill(0L, Seq("click", "view", "error"))
         .orderBy("user_id")
     }, Some("""
       SELECT user_id,

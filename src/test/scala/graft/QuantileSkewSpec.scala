@@ -35,6 +35,16 @@ class QuantileSkewSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("exactQuantiles target rank is the exact ceil(q*N), not IEEE") {
+    val s = spark; import s.implicits._
+    // fl(0.07*100) = 7.000...001, whose ceil is 8 — the decimal product
+    // must yield the true 7th value instead
+    val df = (1 to 100).map(i => (i.toDouble, i.toLong)).toDF("v", "id")
+    val out = Rank.exactQuantiles(df, "v", Seq(asc("id")), Seq(0.07))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(out === Array((0.07, 7.0)))
+  }
+
   test("exactQuantiles rejects out-of-range q") {
     val s = spark; import s.implicits._
     val df = Seq((1.0, 1L)).toDF("v", "id")

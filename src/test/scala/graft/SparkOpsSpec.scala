@@ -301,6 +301,16 @@ class GraftExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     val h = graft.functions.Md5Long(Literal.create("abc"))
     assert(h.eval(null) ==
       java.lang.Long.parseUnsignedLong("900150983cd24fb", 16))
+    // the kmv builder + buffer lifecycle (update/serialize/deserialize/
+    // eval) — the registry path is covered by KmvSketchSpec
+    val kmv = graft.functions.KmvSketch(Literal.create(7L),
+      Literal.create(4))
+    val buf = kmv.update(kmv.createAggregationBuffer(),
+      org.apache.spark.sql.catalyst.InternalRow.empty)
+    val roundTripped = kmv.deserialize(kmv.serialize(buf))
+    assert(kmv.eval(roundTripped)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq === Seq(7L))
   }
 }
 
