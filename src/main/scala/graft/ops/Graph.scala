@@ -160,9 +160,13 @@ object Graph {
     */
   def wordGraph(docs: DataFrame): DataFrame =
     docs.select(expr(Hashing.tokensSql).as("tk"))
+      // let-bound (see Dedup.shingled): the lambda references the token
+      // array per element; without the binding the tokenizer regex is
+      // inlined and re-runs once per bigram
       .select(explode(expr(
-        "transform(slice(tk, 1, greatest(size(tk) - 1, 0)), " +
-          "(x, i) -> struct(x AS src, element_at(tk, i + 2) AS dst))"))
+        "element_at(transform(array(tk), t -> " +
+          "transform(slice(t, 1, greatest(size(t) - 1, 0)), " +
+          "(x, i) -> struct(x AS src, element_at(t, i + 2) AS dst))), 1)"))
         .as("p"))
       .select("p.src", "p.dst")
       .filter(col("src") =!= col("dst"))

@@ -65,11 +65,14 @@ object TextAnalysis {
   def repetitionScore(docs: DataFrame, n: Int = 3): DataFrame =
     docs.select(col("doc_id"), expr(tokensSql).as("tokens"))
       .select(col("doc_id"), size(col("tokens")).as("n_tokens"),
+        // let-bound (see Dedup.shingled): keeps the tokenizer regex out
+        // of the per-n-gram lambda
         explode(expr(
-          s"case when size(tokens) >= $n then " +
-            s"transform(sequence(1, size(tokens) - ${n - 1}), " +
-            s"i -> concat_ws(' ', slice(tokens, i, $n))) " +
-            s"else cast(array() as array<string>) end")).as("g"))
+          s"element_at(transform(array(tokens), tk -> " +
+            s"case when size(tk) >= $n then " +
+            s"transform(sequence(1, size(tk) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(tk, i, $n))) " +
+            s"else cast(array() as array<string>) end), 1)")).as("g"))
       .groupBy("doc_id", "n_tokens", "g")
       .agg(count(lit(1)).as("c"))
       .groupBy("doc_id", "n_tokens")
