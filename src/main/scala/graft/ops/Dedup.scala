@@ -124,10 +124,13 @@ object Dedup {
     * construction, so no skew at scale.
     */
   def lshCandidates(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    // let-bound (see shingled): `sig` is a computed column — unbound,
+    // the whole signature pipeline would be inlined and re-run per band
     val banded = sigs.select(col("doc_id"), explode(expr(
-      s"transform(sequence(0, ${bands - 1}), b -> struct(b as band, " +
-        s"md5(array_join(transform(slice(sig, b * $rows + 1, $rows), " +
-        s"x -> cast(x as string)), ',')) as bkey))")).as("bb"))
+      s"element_at(transform(array(sig), sg -> " +
+        s"transform(sequence(0, ${bands - 1}), b -> struct(b as band, " +
+        s"md5(array_join(transform(slice(sg, b * $rows + 1, $rows), " +
+        s"x -> cast(x as string)), ',')) as bkey))), 1)")).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
     val a = banded.as("a")
     val b = banded.as("b")

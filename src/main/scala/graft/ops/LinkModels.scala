@@ -84,11 +84,15 @@ object LinkModels {
     val partEntries = (1 to maxNgram).map { n =>
       anchors.select(expr(ngr(n, "at")).as("ng"))
         .filter(size(col("ng")) > 0)
+        // let-bound (see Dedup.shingled): ng is computed — unbound, the
+        // n-gram build (and the anchor tokenization under it) would be
+        // inlined once per reference below
         .select(explode(expr(
-          "concat(array(struct(ng[0] as term, 'B' as pos)), " +
-            "array(struct(element_at(ng, -1) as term, 'E' as pos)), " +
-            "transform(slice(ng, 2, greatest(size(ng) - 2, 0)), " +
-            "t -> struct(t as term, 'I' as pos)))")).as("e"))
+          "element_at(transform(array(ng), g -> " +
+            "concat(array(struct(g[0] as term, 'B' as pos)), " +
+            "array(struct(element_at(g, -1) as term, 'E' as pos)), " +
+            "transform(slice(g, 2, greatest(size(g) - 2, 0)), " +
+            "t -> struct(t as term, 'I' as pos)))), 1)")).as("e"))
         .select(col("e.term").as("term"), col("e.pos").as("pos"))
     }.reduce(_ unionByName _)
     val partCounts = partEntries.groupBy("term", "pos")

@@ -214,20 +214,25 @@ object Similarity {
         // silently fold the extra dimensions to 0-bits (and a null vector
         // would silently yield a null bucket), desyncing from the
         // per-row-size md5 form and the oracle
-        s"case when $vecCol is null or size($vecCol) != $nd then " +
+        // let-bound (see Dedup.shingled): harmless for a raw parquet
+        // column, essential when $vecCol is a computed vector — unbound,
+        // its pipeline would be inlined into the per-table/per-plane
+        // lambdas and re-run nTables x nPlanes times per row
+        s"element_at(transform(array($vecCol), __v -> " +
+          s"case when __v is null or size(__v) != $nd then " +
           s"raise_error(concat('ragged or null embedding column $vecCol: " +
           s"expected $nd dims, got ', " +
-          s"coalesce(cast(size($vecCol) as string), 'null'))) " +
+          s"coalesce(cast(size(__v) as string), 'null'))) " +
           s"else " +
           s"transform(sequence(0, ${nTables - 1}), tt -> " +
           s"aggregate(transform(sequence(0, ${nPlanes - 1}), p -> " +
-          s"case when aggregate(zip_with($vecCol, __planes[tt][p], " +
+          s"case when aggregate(zip_with(__v, __planes[tt][p], " +
           s"(x, w) -> cast(x as double) * w), cast(0.0 as double), " +
           s"(acc, v) -> acc + v) >= 0 " +
           s"then shiftleft(cast(1 as bigint), p) " +
           s"else cast(0 as bigint) end), " +
           s"cast(0 as bigint), (acc, v) -> acc + v)) " +
-          s"end"))
+          s"end), 1)"))
       .drop("__planes")
   }
 
