@@ -73,6 +73,16 @@ object StreamML extends QueryModule {
 
     // ---- §2.9: custom keyed state (flatMapGroupsWithState) — running
     // per-user counts; final state equals the batch aggregation.
+    // ---- §2.9: bounded-state streaming dedup — the production dedup
+    // form (state evicted past the watermark) proven on a doubled
+    // stream: every event arrives twice, is counted once.
+    QueryDef("st_dedup_bounded", (s, d) => {
+      graft.streaming.Events.dedupBoundedCounts(s, d)
+    }, Some("""
+      SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS wstart,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- §2.9: stream-static enrichment join (static side planned per
     // micro-batch, broadcast when small; no state store) + windowed
     // tier split.

@@ -213,6 +213,24 @@ object Events {
     }, "st_join_mem", mode = "append", stateParts = 4)
       .orderBy("error_id", "click_id")
 
+  /** Bounded-state streaming dedup (§2.9): two copies of the event
+    * stream unioned (every event arrives twice), deduplicated with
+    * dropDuplicatesWithinWatermark — unlike plain dropDuplicates, whose
+    * key state grows forever, the within-watermark form EVICTS keys
+    * older than the watermark, which is the only dedup that survives an
+    * unbounded stream. On the bounded source each event is counted
+    * exactly once, so the oracle is the plain windowed count.
+    */
+  def dedupBoundedCounts(s: SparkSession, dir: String): DataFrame =
+    runToCompletion(s, ss =>
+      stream(ss, dir).unionByName(stream(ss, dir))
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(window(col("t"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n")),
+      "st_dedup_bounded_mem")
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+      .orderBy("wstart", "event_type")
+
   /** STREAM-STATIC enrichment join (§2.9): the event stream joined to a
     * batch dimension (per-customer order counts) — the standard
     * enrichment shape: the static side is planned per micro-batch (and
