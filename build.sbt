@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout verbatim: the default LoggedOutput
+// strategy prefixes every line with "[info] ", which has broken the
+// driver's JSON parse of Bench's final total line six rounds running
+// (BENCH_r01..r06 `parsed: null`). StdoutOutput inherits the child's
+// stdout/stderr directly — no prefix, no wrapping.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
