@@ -117,8 +117,12 @@ object Cli {
       case "pq-encode" =>
         import org.apache.spark.sql.functions._
         val e = spark.read.parquet(input)
-        val dims = e.select(size(col("embedding")).as("d")).limit(1)
-          .collect().headOption.filterNot(_.isNullAt(0)).map(_.getInt(0))
+        // dims from the first NON-NULL embedding: a null in row one must
+        // not abort a valid input (and under legacy sizeOfNull=true,
+        // size(null) = -1 would surface as a bogus "m must divide -1")
+        val dims = e.filter(col("embedding").isNotNull)
+          .select(size(col("embedding")).as("d")).limit(1)
+          .collect().headOption.map(_.getInt(0))
           .getOrElse(throw new IllegalArgumentException(
             "pq-encode: input has no non-null embeddings"))
         val (_, asg) = graft.ops.Pq.train(e, dims, m = 4, k = 256,

@@ -44,9 +44,9 @@ case class KmvSketch(
 
   private lazy val k: Int = right.eval() match {
     case i: Int => i
-    case l: Long => l.toInt
+    case l: Long if l.isValidInt => l.toInt
     case other => throw new IllegalArgumentException(
-      s"graft_kmv k must be a foldable integer, got $other")
+      s"graft_kmv k must be a foldable integer fitting in INT, got $other")
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -60,6 +60,12 @@ case class KmvSketch(
       TypeCheckResult.TypeCheckFailure(s"$prettyName k must be foldable")
     else if (right.eval() == null)
       TypeCheckResult.TypeCheckFailure(s"$prettyName k must not be null")
+    else if (right.eval() match {
+        case l: Long => !l.isValidInt; case _ => false })
+      // a BIGINT k outside Int range must not silently wrap (2^32+5
+      // would otherwise build a k=5 sketch and report it as valid)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName k must fit in INT, got ${right.eval()}")
     else if (k < 1)
       TypeCheckResult.TypeCheckFailure(s"$prettyName k must be >= 1, got $k")
     else TypeCheckResult.TypeCheckSuccess

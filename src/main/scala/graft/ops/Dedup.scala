@@ -64,14 +64,22 @@ object Dedup {
     * post-explode subtree — then one count aggregate per doc. No O(n²),
     * nothing on the driver. Docs shorter than n tokens have no shingles
     * and report no hits.
+    *
+    * SIZE BOUND on the broadcast: distinct benchmark shingles must fit
+    * in executor + driver memory (~16 B/hash + overhead: up to low
+    * hundreds of millions of shingles ≈ a few GB — far beyond any eval
+    * suite; a full MMLU+GSM8K-class union is < 10⁷ shingles). If the
+    * "benchmark" side is genuinely corpus-scale, pass
+    * `broadcastBenchmark = false` to degrade to a plain shuffle
+    * equi-join instead of OOMing the driver.
     */
   def contaminationHits(docs: DataFrame, benchmark: DataFrame,
-      n: Int = 8): DataFrame = {
+      n: Int = 8, broadcastBenchmark: Boolean = true): DataFrame = {
     val ds = shingled(docs, n)
       .select(col("doc_id"), explode(col("shingles")).as("shg"))
     val bs = shingled(benchmark, n)
       .select(explode(col("shingles")).as("shg")).distinct()
-    ds.join(broadcast(bs), Seq("shg"))
+    ds.join(if (broadcastBenchmark) broadcast(bs) else bs, Seq("shg"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 
@@ -118,20 +126,29 @@ object Dedup {
       .as("sig"))
   }
 
+  /** (doc_id, band, bkey) — one row per signature band, bkey = md5 of
+    * the band's `rows` signature slots. Per-row expression (explode of a
+    * computed array), no shuffle; the shared banding step of the batch
+    * LSH join AND the streaming near-dup dedup
+    * ([[graft.streaming.Events.neardupDedupBuckets]]).
+    */
+  def bandKeys(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    // let-bound (see shingled): `sig` is a computed column — unbound,
+    // the whole signature pipeline would be inlined and re-run per band
+    sigs.select(col("doc_id"), explode(expr(
+      s"element_at(transform(array(sig), sg -> " +
+        s"transform(sequence(0, ${bands - 1}), b -> struct(b as band, " +
+        s"md5(array_join(transform(slice(sg, b * $rows + 1, $rows), " +
+        s"x -> cast(x as string)), ',')) as bkey))), 1)")).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+
   /** LSH candidate pairs: band the signature (`bands` × `rows` = k), hash
     * each band, self-join on (band, bandKey). Output (doc_a < doc_b),
     * distinct. The only shuffle key is the band hash — uniform by
     * construction, so no skew at scale.
     */
   def lshCandidates(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
-    // let-bound (see shingled): `sig` is a computed column — unbound,
-    // the whole signature pipeline would be inlined and re-run per band
-    val banded = sigs.select(col("doc_id"), explode(expr(
-      s"element_at(transform(array(sig), sg -> " +
-        s"transform(sequence(0, ${bands - 1}), b -> struct(b as band, " +
-        s"md5(array_join(transform(slice(sg, b * $rows + 1, $rows), " +
-        s"x -> cast(x as string)), ',')) as bkey))), 1)")).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+    val banded = bandKeys(sigs, bands, rows)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&
@@ -332,7 +349,15 @@ object Dedup {
     * ≤ log₂ + 1 rounds); hitting it means the iteration is broken, so the
     * guard fails loudly rather than returning a split component.
     */
-  def clusters(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+  def clusters(pairs: DataFrame, maxRounds: Int = 64): DataFrame =
+    clustersWithRounds(pairs, maxRounds)._1
+
+  /** [[clusters]] plus the number of rounds the propagation took to
+    * detect convergence — the observable the scale soak asserts against
+    * (a diameter-d family must close in ~log₂ d + 2 rounds, not d).
+    */
+  def clustersWithRounds(pairs: DataFrame,
+      maxRounds: Int = 64): (DataFrame, Int) = {
     val edges = pinnedEdges(pairs)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
@@ -367,7 +392,7 @@ object Dedup {
       s"pointer-doubling label propagation did not converge within " +
         s"$maxRounds rounds ($changed labels still changing) — this " +
         s"indicates a defect in the iteration, not a data property")
-    labels.select(col("cluster"), col("doc_id"))
+    (labels.select(col("cluster"), col("doc_id")), round)
   }
 
   /** Fixed-hop min-label propagation — the ORACLE TWIN of [[clusters]]:

@@ -103,7 +103,18 @@ object Mentions {
     * is preserved by position, so the regrouped sequence is exact.
     */
   def indexMapped(mentions: DataFrame, vocab: DataFrame,
-      vocabSize: Long): DataFrame = {
+      vocabSize: Long): DataFrame =
+    indexMappedImpl(mentions, vocab, Some(vocabSize))
+
+  /** As above, with the OOV id (vocab size − 1) computed INSIDE the plan
+    * as a broadcast 1-row aggregate of the vocab frame — no driver-side
+    * `vocab.count()` job before the query can even be constructed.
+    */
+  def indexMapped(mentions: DataFrame, vocab: DataFrame): DataFrame =
+    indexMappedImpl(mentions, vocab, None)
+
+  private def indexMappedImpl(mentions: DataFrame, vocab: DataFrame,
+      vocabSize: Option[Long]): DataFrame = {
     import org.apache.spark.sql.functions._
     val toks = "regexp_extract_all(lower(%s), '[a-z0-9]+', 0)"
     val withParts = mentions.select(col("target"), col("source"),
@@ -117,10 +128,19 @@ object Mentions {
         size(col("pre")).as("n_pre"), size(col("ins")).as("n_ins"),
         posexplode(concat(col("pre"), col("ins"), col("post")))
           .as(Seq("idx", "w")))
-    exploded
+    val oovId = vocabSize match {
+      case Some(vs) => lit(vs - 1)
+      case None => col("graft_oov_id")
+    }
+    val withOov = vocabSize match {
+      case Some(_) => exploded
+      case None => exploded.crossJoin(broadcast(
+        vocab.agg((count(lit(1)) - 1L).as("graft_oov_id"))))
+    }
+    withOov
       .join(broadcast(vocab.select(col("w"), col("rank"))), Seq("w"),
         "left_outer")
-      .withColumn("id", coalesce(col("rank"), lit(vocabSize - 1)))
+      .withColumn("id", coalesce(col("rank"), oovId))
       .groupBy("target", "source", "start", "stop", "n_pre", "n_ins")
       .agg(expr("transform(array_sort(collect_list(struct(idx, id))), " +
         "x -> x.id)").as("sequence"))

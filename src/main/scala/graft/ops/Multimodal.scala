@@ -119,8 +119,9 @@ object Multimodal {
     }
 
     /** Compressed-image decode via the JDK's `javax.imageio` readers
-      * (PNG/GIF/BMP — lossless formats, so pixel recovery is exact and
-      * deterministic). Returns (width, height, row-major RGB triplets
+      * (PNG/GIF/BMP — lossless, so pixel recovery is exact and
+      * deterministic — plus JPEG, lossy, gated structurally).
+      * Returns (width, height, row-major RGB triplets
       * scaled to [0, 1]) — the same buffer shape as [[ppm]]. `getRGB`
       * reads sRGB channel bytes; for the lossless truecolor formats this
       * is a byte passthrough, no color-space conversion.
@@ -163,9 +164,10 @@ object Multimodal {
   }
 
   /** Deterministic stand-in for codecs the JDK does not ship (MP3,
-    * H.264, …; JPEG also stays here — its decode is lossy and not
-    * bit-standardized across decoder implementations, so an
-    * oracle-exact gate can't be built on it).
+    * H.264, …). JPEG does NOT route here — the JDK's own JPEG reader
+    * serves it through [[Decode.imageIo]]; being lossy it is gated
+    * STRUCTURALLY ([[jpegStructural]], `mm_jpeg_decode`) rather than
+    * oracle-exact.
     */
   object DecodeStub {
     /** A real implementation would return decoded pixel/sample buffers;
@@ -231,6 +233,101 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** PNG-encode a decoded [0,1] RGB float buffer (row-major triplets, the
+    * [[Decode.imageIo]] buffer shape). Channel floats came from bytes
+    * (v/255f), so `round(f·255)` inverts exactly and a PNG (lossless)
+    * re-decode recovers the input buffer bit-for-bit — the round-trip
+    * invariant the JPEG structural gate checks.
+    */
+  def pngFromFloats(w: Int, h: Int, px: Array[Float]): Array[Byte] = {
+    require(px.length == w * h * 3, s"pngFromFloats: ${px.length} != $w*$h*3")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val k = (y * w + x) * 3
+        def b(f: Float): Int = math.round(f * 255f).max(0).min(255)
+        img.setRGB(x, y, (b(px(k)) << 16) | (b(px(k + 1)) << 8) | b(px(k + 2)))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Encode a payload as a REAL grayscale JPEG via the JDK's own JPEG
+    * codec: width = payload length, height = 1, r = g = b = payload
+    * byte (gray ⇒ Cb = Cr = 128 exactly, so chroma subsampling is
+    * lossless and the decode error is pure luma DCT quantization).
+    * JPEG is LOSSY and not bit-standardized across decoders, so unlike
+    * [[pngRgb]] no oracle-exact pixel gate can be built on it — the
+    * gate checks STRUCTURAL invariants instead ([[jpegStructural]]).
+    */
+  def jpegRgb(payload: Array[Byte]): Array[Byte] = {
+    require(payload.nonEmpty, "jpegRgb: empty payload (JPEG needs w >= 1)")
+    val img = new java.awt.image.BufferedImage(
+      payload.length, 1, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var i = 0
+    while (i < payload.length) {
+      val v = payload(i) & 0xff
+      img.setRGB(i, 0, (v << 16) | (v << 8) | v)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** JPEG decode gate body — STRUCTURAL invariants for the lossy codec
+    * path (encode payload → real JPEG container → [[Decode.imageIo]]):
+    *
+    *  - decoded dimensions are EXACT (width = payload length, height 1,
+    *    buffer = w·h·3 floats);
+    *  - decoded mean is within `meanTol` of the payload mean / 255 (DCT
+    *    quantization preserves block DC terms, so the mean survives far
+    *    more tightly than any single pixel);
+    *  - decoded extrema are within `extremaTol` of the payload extrema
+    *    (ringing overshoots individual pixels but bounded);
+    *  - a lossless PNG re-encode of the decoded pixels round-trips
+    *    bit-exactly ([[pngFromFloats]] → decode == original buffer) —
+    *    proving the decoded buffer is well-formed, not just plausible.
+    *
+    * Record-local typed map like [[decodedStats]] (per-row imperative
+    * JDK codec work); every output column is deterministic, so the
+    * DuckDB oracle pins dims from the raw payload and `true` for each
+    * invariant.
+    */
+  def jpegStructural(df: DataFrame, payloadCol: String,
+      meanTol: Double = 0.02, extremaTol: Double = 0.35): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("doc_id"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) =>
+        val (w, h, px) = Decode.imageIo(jpegRgb(p)).getOrElse(
+          throw new IllegalStateException(
+            s"JDK JPEG reader failed on doc $id"))
+        val pm = p.foldLeft(0.0)((a, b) => a + (b & 0xff) / 255.0) /
+          math.max(p.length, 1)
+        val dm = px.foldLeft(0.0)(_ + _) / math.max(px.length, 1)
+        val pMin = p.map(_ & 0xff).min / 255.0
+        val pMax = p.map(_ & 0xff).max / 255.0
+        val rt = Decode.imageIo(pngFromFloats(w, h, px))
+        (id, w.toLong, h.toLong, px.length.toLong,
+          math.abs(dm - pm) <= meanTol,
+          math.abs(px.min - pMin) <= extremaTol &&
+            math.abs(px.max - pMax) <= extremaTol,
+          rt.exists { case (rw, rh, rpx) =>
+            rw == w && rh == h && rpx.sameElements(px) })
+      }
+      .toDF("doc_id", "width", "height", "dim",
+        "mean_ok", "extrema_ok", "roundtrip_ok")
   }
 
   /** (doc_id, payload) → (doc_id, 'image', PNG bytes): the record-local

@@ -260,8 +260,9 @@ object Corpus extends QueryModule {
       val vocab = graft.ops.Rank.globalOrdinal(
         words.groupBy("w").agg(count(lit(1)).as("cnt")),
         Seq(desc("cnt"), asc("w")), "rank", 8)
-      val vocabSize = vocab.count()
-      Mentions.indexMapped(Mentions.mentionContexts(docs), vocab, vocabSize)
+      // OOV id rides the plan as a broadcast 1-row aggregate — no
+      // driver-side vocab.count() job at query-construction time
+      Mentions.indexMapped(Mentions.mentionContexts(docs), vocab)
         .select(col("target"), col("source"),
           to_json(col("sequence")).as("sequence"),
           col("seq_start"), col("seq_stop"))

@@ -25,7 +25,7 @@ object Pipeline extends QueryModule {
   /** DuckDB shingle CTEs (3-gram, distinct, docs with >= 3 tokens) —
     * mirrors [[Dedup.shingled]].
     */
-  private val duckShingleCtes =
+  private[queries] val duckShingleCtes =
     """toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
       |           FROM documents),
       |sh AS (SELECT doc_id,
@@ -948,6 +948,26 @@ object Pipeline extends QueryModule {
           AS VARCHAR) AS mean_value
       FROM px ORDER BY doc_id""")),
 
+    // ---- JPEG (lossy) decode via the JDK's own JPEG codec, gated
+    // STRUCTURALLY (Multimodal.jpegStructural): dims exact, mean within
+    // 0.02 of the payload mean, extrema within 0.35, and a lossless PNG
+    // re-encode of the decoded pixels round-tripping bit-exactly. The
+    // oracle pins the dims from the raw payload and `true` per
+    // invariant — decode bits themselves are not standardized across
+    // JPEG decoders, so this is the honest gate shape for a lossy codec.
+    QueryDef("mm_jpeg_decode", (s, d) => {
+      Multimodal.jpegStructural(
+        docs(s, d).select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload")), "payload")
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS width,
+        CAST(1 AS BIGINT) AS height,
+        CAST(octet_length(encode(text)) * 3 AS BIGINT) AS dim,
+        TRUE AS mean_ok, TRUE AS extrema_ok, TRUE AS roundtrip_ok
+      FROM documents ORDER BY doc_id""")),
+
     // ---- EntityMentionTermFrequency at TABLE scale: the same operator
     // the fixture gate proves (ops/TextModels), here fed a corpus-wide
     // mention frame (every document is a mention of its `source` — the
@@ -1183,13 +1203,19 @@ object Pipeline extends QueryModule {
     * bit-identical to the engine's `div` on non-negative operands.
     * Expects CTEs `nodes(node)`, `ew(src, dst, w, ow)`, `r0(node, rank)`.
     */
-  private[queries] def duckPageRankRounds(iters: Int): String =
+  private[queries] def duckPageRankRounds(iters: Int, damp: Int = 85)
+      : String = {
+    // teleport derived from damp exactly as Graph.pageRank does, so the
+    // oracle twin cannot drift if a gate ever uses a non-default damp
+    val teleport = (100L - damp) * 10000L
     (1 to iters).map { i =>
       s"""r$i AS (SELECT n.node,
-         |  CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+         |  CAST($teleport + ($damp * COALESCE(s.s, 0)) // 100 AS BIGINT)
+         |    AS rank
          |  FROM nodes n LEFT JOIN (
          |    SELECT ew.dst AS node, SUM((r.rank * ew.w) // ew.ow) AS s
          |    FROM ew JOIN r${i - 1} r ON ew.src = r.node GROUP BY 1) s
          |  ON n.node = s.node)""".stripMargin
     }.mkString(",\n")
+  }
 }

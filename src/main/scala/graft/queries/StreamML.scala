@@ -83,6 +83,28 @@ object StreamML extends QueryModule {
              event_type, COUNT(*) AS n
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- §2.9 extension: streaming NEAR-dup suppression — MinHash-LSH
+    // band keys (identical expressions to the batch d_lsh_neardup
+    // pipeline) + dropDuplicatesWithinWatermark on (band, bkey), doc
+    // stream doubled so the dedup provably suppresses. Output is the
+    // surviving bucket set; the oracle recomputes the SAME band keys
+    // from the raw documents in DuckDB — stream-vs-batch parity.
+    QueryDef("st_neardup_dedup", (s, d) => {
+      graft.streaming.Events.neardupDedupBuckets(s, d)
+    }, Some(s"""
+      WITH ${Pipeline.duckShingleCtes},
+      sig AS (SELECT doc_id, list_transform(range(0, 8), i ->
+                list_min(list_transform(shingles, s ->
+                  ${graft.ops.Hashing.duckMd5Long(
+                    "CAST(i AS VARCHAR) || ':' || s")}))) AS sig
+              FROM sh),
+      banded AS (SELECT doc_id, bb.b AS band,
+                   md5(array_to_string(list_transform(
+                     sig[bb.b * 2 + 1 : bb.b * 2 + 2],
+                     x -> CAST(x AS VARCHAR)), ',')) AS bkey
+                 FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb)
+      SELECT DISTINCT band, bkey FROM banded ORDER BY band, bkey""")),
+
     // ---- §2.9: stream-static enrichment join (static side planned per
     // micro-batch, broadcast when small; no state store) + windowed
     // tier split.

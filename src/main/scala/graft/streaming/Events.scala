@@ -231,6 +231,49 @@ object Events {
       .select(col("window.start").as("wstart"), col("event_type"), col("n"))
       .orderBy("wstart", "event_type")
 
+  /** Streaming NEAR-duplicate suppression: the batch MinHash-LSH band
+    * keys ([[graft.ops.Dedup.shingled]] → `minhashSignatures` →
+    * `bandKeys` — all per-row expressions, so they run unchanged on a
+    * streaming frame) composed with dropDuplicatesWithinWatermark on
+    * (band, bkey): near-dup documents share a band key by LSH
+    * construction, so all but the first arrival per bucket are dropped
+    * at the door, with state EVICTED past the watermark — the in-stream
+    * form of the batch near-dup pipeline (the reference processes
+    * monthly crawl increments as separate batch runs;
+    * /root/reference/README.md:52-53 — this is that pipeline as a
+    * continuous ingest).
+    *
+    * The doc stream is doubled (every document arrives twice) so the
+    * dedup provably suppresses; event time derives from doc_id. WHICH
+    * doc survives a bucket is arrival-order-dependent, so the output is
+    * the surviving BUCKET set (band, bkey) — deterministic, and equal to
+    * the batch-computed distinct band keys: the stream-vs-batch parity
+    * the oracle replays.
+    */
+  def neardupDedupBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docSchema =
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    def one(ss: SparkSession): DataFrame =
+      ss.readStream.schema(docSchema).parquet(s"$dir/{documents}.parquet")
+    runToCompletion(s, ss => {
+      val doubled = one(ss).unionByName(one(ss))
+      val bands = graft.ops.Dedup.bandKeys(
+        graft.ops.Dedup.minhashSignatures(
+          graft.ops.Dedup.shingled(doubled, 3), 8), 4, 2)
+      // +1s offset: dropDuplicatesWithinWatermark treats an event time
+      // EQUAL to the current watermark as late and drops it — doc_id 0
+      // at epoch 0 (= the initial watermark) would silently vanish when
+      // no other doc shares its buckets. Derived times must sit strictly
+      // above the watermark floor.
+      bands
+        .withColumn("t", timestamp_micros(col("doc_id") + 1000000L))
+        .withWatermark("t", "10 minutes")
+        .dropDuplicatesWithinWatermark("band", "bkey")
+        .select(col("band").cast("long").as("band"), col("bkey"))
+    }, "st_neardup_mem", mode = "append")
+      .orderBy("band", "bkey")
+  }
+
   /** STREAM-STATIC enrichment join (§2.9): the event stream joined to a
     * batch dimension (per-customer order counts) — the standard
     * enrichment shape: the static side is planned per micro-batch (and

@@ -1,0 +1,157 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic SCALE SOAK of the heaviest operators (not a gate): self-
+  * unions the sf0.1 tables to N× with planted skew and measures wall
+  * time, so the 100 TB "scale shape" arguments become measured curves
+  * and the skew defenses provably ENGAGE:
+  *
+  *  - documents ×N, each copy token-marked (copy i interleaves a marker
+  *    token `cI` before every token, so cross-copy shingle Jaccard is 0
+  *    and the corpus's near-dup structure replicates ~linearly instead
+  *    of exploding quadratically in N);
+  *  - a planted BOILERPLATE near-dup chain of diameter 64 (65 sliding-
+  *    window docs over a synthetic token stream, consecutive Jaccard
+  *    ≈ 0.90) — pointer-doubling clustering must close it in ~log₂ 64
+  *    rounds, and the fixed-hop form provably cannot;
+  *  - embeddings ×N as EXACT copies — the degenerate hot-bucket shape
+  *    the near-dup bucket cap defends against (the cap-drop log line
+  *    must appear);
+  *  - events ×N with a planted hot key (1% of rows user 424242) for the
+  *    salted join.
+  *
+  * Usage: runMain graft.tools.Soak [scale ...]  (default: 1 10 50;
+  * SPARK_GRAFT_SF_DIR selects the base dir, default sf0.1). Prints one
+  * JSON line per (op, scale) with seconds + op-specific observables.
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scales = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 10, 50)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def emit(op: String, scale: Int, sec: Double, extra: (String, Long)*)
+        : Unit = {
+      val e = extra.map { case (k, v) => s""","$k":$v""" }.mkString
+      val line = f"""{"op":"$op","scale":$scale,"sec":$sec%.2f$e}"""
+      println(line)
+      Console.flush()
+    }
+    def timed[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val events0 = spark.read
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .parquet(s"$sfDir/events.parquet")
+      .select("event_id", "user_id")
+
+    /** copy i: ids offset, a marker token interleaved before every token
+      * so copies share no shingles (near-dup structure scales linearly).
+      */
+    def scaledDocs(n: Int): DataFrame =
+      (0 until n).map { i =>
+        docs0.select((col("doc_id") + i * 10000000L).as("doc_id"),
+          regexp_replace(col("text"), "([A-Za-z0-9]+)", s"c$i " + "$1")
+            .as("text"))
+      }.reduce(_ unionByName _)
+
+    /** Diameter-64 near-dup chain: doc k = tokens [10k, 10k+200) of a
+      * synthetic stream; consecutive docs share 190/210 ≈ 0.90 Jaccard,
+      * k and k+2 only ≈ 0.82 — still caught; the chain's ENDS are
+      * unrelated, so only propagation can label it one cluster.
+      */
+    val chain = spark.range(0, 65)
+      .select((col("id") + 900000000L).as("doc_id"),
+        expr("concat_ws(' ', transform(sequence(id * 10, id * 10 + 199), " +
+          "j -> concat('tk', cast(j as string))))").as("text"))
+
+    for (scale <- scales) {
+      val sd = scaledDocs(scale).unionByName(chain)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (nDocs, _) = timed(sd.count()) // materialize the input once
+
+      // --- MinHash-LSH near-dup pipeline (shingle → sign → band →
+      // bucket join → exact verify)
+      val (pairs, lshSec) = timed {
+        graft.ops.Dedup.minhashLsh(sd, 3, 8, 4, 0.5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      val nPairs = pairs.count()
+      emit("d_lsh_neardup", scale, lshSec, "n_docs" -> nDocs,
+        "n_pairs" -> nPairs)
+
+      // --- pointer-doubling clustering over the discovered pairs (the
+      // planted chain's diameter-64 component rides along)
+      val ((cl, rounds), clSec) = timed {
+        val (c, r) = graft.ops.Dedup.clustersWithRounds(
+          pairs.select("doc_a", "doc_b"))
+        (c.count(), r)
+      }
+      val chainClusters = cl // count of labeled nodes
+      emit("d_neardup_clusters", scale, clSec, "n_labeled" -> chainClusters,
+        "rounds" -> rounds.toLong)
+      pairs.unpersist()
+      sd.unpersist()
+
+      // --- embedding near-dup pairs with EXACT copies (hot-bucket skew;
+      // maxBucket narrowed so the cap demonstrably engages at 10×/50×)
+      val se = (0 until scale).map { i =>
+        emb0.select((col("vec_id") + i * 10000000L).as("vec_id"),
+          col("embedding"))
+      }.reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nVecs = se.count()
+      val (nNd, ndSec) = timed {
+        graft.ops.Similarity.cosineNearDupPairsLsh(se, 0.45,
+          maxBucket = 256, dims = 64).count()
+      }
+      emit("sim_neardup_pairs", scale, ndSec, "n_vecs" -> nVecs,
+        "n_pairs" -> nNd)
+
+      // --- IVFADC: full train (coarse quantizer + codebooks) + search
+      val (nIvf, ivfSec) = timed {
+        val cells = graft.ops.Similarity.kmeansCells(se, 8, 2)
+        val (books, asg) = graft.ops.Pq.train(se, 64, 4, 8, 2)
+        graft.ops.Pq.ivfAdcTopK(se.filter(col("vec_id") < 5), books, asg,
+          cells, 64, 4, 2, 5).count()
+      }
+      emit("sim_ivfpq_topk", scale, ivfSec, "n_vecs" -> nVecs,
+        "n_out" -> nIvf)
+      se.unpersist()
+
+      // --- salted skew join: events ×N, 1% of probe rows funneled onto
+      // one hot user; per-user build side joined without a hot partition
+      val pe = (0 until scale).map { i =>
+        events0.select((col("event_id") + i * 10000000L).as("event_id"),
+          when(col("event_id") % 100 === 0, 424242L)
+            .otherwise(col("user_id")).as("user_id"))
+      }.reduce(_ unionByName _)
+      val dim = pe.select("user_id").distinct()
+        .withColumn("seg", pmod(col("user_id"), lit(7L)))
+      val (nJ, jSec) = timed {
+        graft.ops.Skew.saltedJoin(pe, dim, Seq("user_id"),
+          col("event_id"), 32).count()
+      }
+      emit("j_salted_join", scale, jSec, "n_probe" -> nJ)
+    }
+    spark.stop()
+  }
+}
