@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProduct, KmvSketch, Md5Long}
+import graft.functions.{CmsSketch, DotProduct, KmvSketch, Md5Long}
 
 /** Spark extensions entry point: register the engine's custom Catalyst
   * expressions cluster-wide via
@@ -30,6 +30,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2,
           s"graft_kmv expects 2 arguments (hash, k), got ${exprs.length}")
         KmvSketch(exprs(0), exprs(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[CmsSketch].getName, "graft_cms"),
+      exprs => {
+        require(exprs.length == 2,
+          s"graft_cms expects 2 arguments (hashes, width), got ${exprs.length}")
+        CmsSketch(exprs(0), exprs(1))
       }))
   }
 }

@@ -65,5 +65,6 @@ object GraftFunctions {
     DotProduct.register(s)
     Md5Long.register(s)
     KmvSketch.register(s)
+    CmsSketch.register(s)
   }
 }

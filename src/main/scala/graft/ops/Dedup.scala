@@ -46,9 +46,15 @@ object Dedup {
       // regex re-runs once per shingle (measured 6-13x on the
       // decontamination gates). Same trick everywhere a lambda body
       // references a COMPUTED array column.
+      // greatest(..., 1): keeps the sequence ascending even if Catalyst
+      // evaluates this expression before the size filter (InferFilters-
+      // FromGenerate can clone it into a pushed-down predicate, where a
+      // short doc would make sequence(1, 0) DESCEND into slice(tk, 0, n)
+      // and throw); the one junk shingle a short doc computes is
+      // discarded with its row by the filter above
       .select(col("doc_id"), array_distinct(expr(
         s"element_at(transform(array(tokens), tk -> " +
-          s"transform(sequence(1, size(tk) - ${n - 1}), " +
+          s"transform(sequence(1, greatest(size(tk) - ${n - 1}, 1)), " +
           s"i -> concat_ws(' ', slice(tk, i, $n)))), 1)")).as("shingles"))
 
   /** Benchmark CONTAMINATION hits — training-data hygiene: for each
@@ -425,5 +431,69 @@ object Dedup {
         s"($changed labels still changing — a component has diameter >= " +
         s"$hops); use clusters() (pointer-doubling) or raise hops")
     labels.select(col("cluster"), col("doc_id"))
+  }
+
+  // ------------------- exact substring duplication ---------------------
+
+  /** Every w-token sliding window of every document, as (doc_id, pos,
+    * wh) with `pos` the 1-based token offset and `wh` the window-content
+    * hash. Per-row expression work only (the window hashes are built by
+    * a codegen'd higher-order lambda, let-bound like [[shingled]]); docs
+    * shorter than w tokens have no windows.
+    */
+  def windowHashes(docs: DataFrame, w: Int,
+      hashFn: String => String = md5LongSql): DataFrame = {
+    Hashing.ensureRegistered(docs)
+    tokenized(docs)
+      .filter(size(col("tokens")) >= w)
+      // greatest(..., 1): total even when evaluated before the size
+      // filter (InferFiltersFromGenerate clones this into a predicate;
+      // a short doc would otherwise descend sequence(1, 0) into
+      // slice(tk, 0, w) and throw — observed at sf0.01)
+      .select(col("doc_id"), expr(
+        s"element_at(transform(array(tokens), tk -> " +
+          s"transform(sequence(1, greatest(size(tk) - ${w - 1}, 1)), " +
+          s"k -> ${hashFn(s"concat_ws(' ', slice(tk, k, $w))")})), 1)")
+        .as("whs"))
+      .select(col("doc_id"), posexplode(col("whs")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("wh"))
+  }
+
+  /** Exact SUBSTRING-level duplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): document-level dedup
+    * misses the boilerplate/citation/template text repeated INSIDE
+    * otherwise-distinct documents, so memorization-prone spans survive.
+    * This finds every w-token window whose exact content occurs more
+    * than once in the corpus and reports, per document, the duplicated
+    * window count and the number of tokens covered by at least one
+    * duplicated window (overlapping windows merged by a per-doc
+    * interval sweep).
+    *
+    * Scale shape: window hashing is per-row expression work; the only
+    * shuffles key on the 16-byte window hash — one count aggregate
+    * (map-side combined; a hot boilerplate window is ONE group row, so
+    * corpus-wide boilerplate cannot skew a join) and one semi-join of
+    * windows against the aggregated duplicate-hash set. The coverage
+    * sweep windows over (doc_id, pos) — per-document state only, never
+    * a global sort. This is the suffix-array substring dedup recast as
+    * three key-equality passes: windows replace suffixes, so "duplicate
+    * ≥ w-token substring" is detected exactly (a shared substring of
+    * length L ≥ w duplicates L−w+1 consecutive windows).
+    */
+  def substringDupStats(docs: DataFrame, w: Int,
+      hashFn: String => String = md5LongSql): DataFrame = {
+    val win = windowHashes(docs, w, hashFn)
+    val dup = win.groupBy("wh").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 1)
+    val dupWin = win.join(dup.select("wh"), Seq("wh"), "left_semi")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    dupWin
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("cover", when(col("prev").isNull, lit(w))
+        .otherwise(least(lit(w), col("pos") - col("prev"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sum(col("cover")).cast("long").as("dup_tokens"))
   }
 }

@@ -236,6 +236,45 @@ object Pipeline extends QueryModule {
       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
       ORDER BY doc_a, doc_b""")),
 
+    // ---- Exact SUBSTRING duplication (Lee et al. 2022): w-token
+    // windows whose exact content recurs anywhere in the corpus, rolled
+    // up per document (window count + merged token coverage). The
+    // corpus is augmented with planted 56-token excerpts of the first
+    // 30 documents, so the detector must find exactly those spans plus
+    // any organic repetition. Shuffles key only on the window hash; a
+    // hot boilerplate window is one aggregate group, never a join blowup.
+    QueryDef("d_substring_dup", (s, d) => {
+      val base = docs(s, d).select("doc_id", "text")
+      val planted = base.filter(col("doc_id") < 30)
+        .filter(size(expr(tokensSql)) >= 60)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          expr(s"concat_ws(' ', slice($tokensSql, 5, 56))").as("text"))
+      Dedup.substringDupStats(base.unionByName(planted), 20)
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH toks0 AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+      aug AS (SELECT doc_id, toks FROM toks0
+              UNION ALL
+              SELECT doc_id + 200000, toks[5:60] FROM toks0
+              WHERE doc_id < 30 AND len(toks) >= 60),
+      w AS (SELECT doc_id, list_transform(range(1, len(toks) - 18), k ->
+              ${duckMd5Long("array_to_string(toks[k:k+19], ' ')")}) AS whs
+            FROM aug WHERE len(toks) >= 20),
+      win AS (SELECT doc_id, s.pos AS pos, s.wh AS wh FROM (
+                SELECT doc_id, unnest(list_transform(range(1, len(whs) + 1),
+                  k -> struct_pack(pos := k, wh := whs[k]))) AS s FROM w)),
+      dup AS (SELECT wh FROM win GROUP BY wh HAVING COUNT(*) > 1),
+      dw AS (SELECT doc_id, pos FROM win JOIN dup USING (wh)),
+      sw AS (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+             FROM dw)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows,
+        CAST(SUM(CASE WHEN prev IS NULL THEN 20
+                 ELSE least(20, pos - prev) END) AS BIGINT) AS dup_tokens
+      FROM sw GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- Near-dup CLUSTERS: the LSH pair list collapsed to connected
     // components — (cluster = canonical keeper id, doc_id = member to
     // dedupe). The ENGINE runs the production pointer-doubling path

@@ -206,6 +206,42 @@ object Relational extends QueryModule {
         (SELECT o_orderstatus, COUNT(*) n_orders FROM orders GROUP BY 1) g
       ORDER BY r_name, o_orderstatus""")),
 
+    // ---- BUCKETED co-located join: both sides written bucketed by the
+    // join key (8 buckets, bucket-local sort), then sort-merge-joined
+    // AND aggregated on that key with ZERO hash-partition exchanges —
+    // the plan is asserted shuffle-free in-gate (only the final
+    // presentation orderBy may range-partition). This is the 100 TB
+    // lever for repeated joins on a stable key: pay the partitioning
+    // once at write time, never again at read time. The oracle replays
+    // the equivalent plain join in DuckDB — bucketing must not change
+    // results, only the plan.
+    QueryDef("j_bucketed_colocated", (s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_bucketed").toString
+      t(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+        .write.mode("overwrite").bucketBy(8, "o_custkey")
+        .sortBy("o_custkey").option("path", s"$tmp/orders_b")
+        .saveAsTable("graft_orders_b")
+      t(s, d, "customer").select("c_custkey", "c_name")
+        .write.mode("overwrite").bucketBy(8, "c_custkey")
+        .sortBy("c_custkey").option("path", s"$tmp/customer_b")
+        .saveAsTable("graft_customer_b")
+      val j = s.table("graft_orders_b")
+        .join(s.table("graft_customer_b").hint("merge"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+      val plan = j.queryExecution.executedPlan.toString
+      require(!plan.contains("hashpartitioning"),
+        s"bucketed join must not hash-shuffle; got plan:\n$plan")
+      j.orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey, c_name, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2 ORDER BY c_custkey""")),
+
     // ---- range (non-equi) join: event pairs per user within 5 minutes.
     // Equi key (user_id) drives the shuffle; the time band is a post-join
     // predicate, so this stays a hash join, not a nested-loop cross.
@@ -435,6 +471,62 @@ object Relational extends QueryModule {
              END AS BIGINT) AS est
       FROM mins""")),
 
+    // ---- Count-Min frequency sketch (graft.functions.CmsSketch): the
+    // 100 TB shape of per-key counting — a fixed depth×width counter
+    // grid that partial-aggregates map-side and merges by element-wise
+    // addition (one bounded row per partition instead of a full key
+    // shuffle; shard sketches union losslessly the same way). Row
+    // hashes are computed by codegen'd expressions OUTSIDE the
+    // aggregate; counter addition commutes, so the grid is partition-
+    // independent and DuckDB replays it as one GROUP BY over
+    // (row, bucket). Point estimate = min over rows of the key's cell:
+    // overcount-only (est >= exact, here checked in-gate).
+    QueryDef("agg_cms_counts", (s, d) => {
+      val li = t(s, d, "lineitem")
+      graft.ops.Hashing.ensureRegistered(li)
+      val (depth, width) = (4, 64)
+      def rowHashes(key: String) =
+        s"transform(sequence(0, ${depth - 1}), i -> " +
+          s"graft_md5long(concat(cast(i as string), ':', $key)))"
+      val sketch = li
+        .select(expr(rowHashes("cast(l_suppkey as string)")).as("hs"))
+        .agg(expr(s"graft_cms(hs, $width)").as("cms"))
+      val exact = li.filter(col("l_suppkey") <= 20)
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n_exact"))
+      exact.join(broadcast(sketch))
+        .select(col("l_suppkey"),
+          expr(s"array_min(transform(sequence(0, ${depth - 1}), i -> " +
+            s"element_at(cms, cast(i * $width + pmod(graft_md5long(" +
+            "concat(cast(i as string), ':', cast(l_suppkey as string)))" +
+            s", $width) + 1 as int))))").as("est"),
+          col("n_exact"),
+          (expr(s"array_min(transform(sequence(0, ${depth - 1}), i -> " +
+            s"element_at(cms, cast(i * $width + pmod(graft_md5long(" +
+            "concat(cast(i as string), ':', cast(l_suppkey as string)))" +
+            s", $width) + 1 as int))))") >= col("n_exact"))
+            .as("overcount_only"))
+        .orderBy("l_suppkey")
+    }, Some("""
+      WITH cells AS (
+        SELECT ii.i,
+          CAST(('0x' || substring(md5(CAST(ii.i AS VARCHAR) || ':' ||
+            CAST(l_suppkey AS VARCHAR)),1,15)) AS BIGINT) % 64 AS j,
+          CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ii
+        GROUP BY 1, 2),
+      exact AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_exact
+                FROM lineitem WHERE l_suppkey <= 20 GROUP BY 1),
+      est AS (
+        SELECT e.l_suppkey, MIN(c.c) AS est
+        FROM exact e CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ii
+        JOIN cells c ON c.i = ii.i
+          AND c.j = CAST(('0x' || substring(md5(CAST(ii.i AS VARCHAR) ||
+            ':' || CAST(e.l_suppkey AS VARCHAR)),1,15)) AS BIGINT) % 64
+        GROUP BY 1)
+      SELECT e.l_suppkey, est, n_exact, est >= n_exact AS overcount_only
+      FROM exact e JOIN est USING (l_suppkey)
+      ORDER BY l_suppkey""")),
+
     // ---- min/max/avg/variance written as explicit decimal-exact algebra
     // so both engines produce bit-identical doubles.
     QueryDef("agg_stats_variance", (s, d) => {
@@ -659,6 +751,71 @@ object Relational extends QueryModule {
           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
           RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS n_last_90d
       FROM orders ORDER BY o_orderkey""")),
+
+    // ---- Batch SESSIONIZATION: gap-based session assignment over the
+    // event stream (the batch twin of the streaming session windows in
+    // st_session_counts). Per-user lag → new-session flag → running sum
+    // = session ordinal → per-session rollup. Every window partitions
+    // by user_id — per-key state only, no global sort, the shape that
+    // scales to 100 TB of clickstream. Ties on ts broken by event_id so
+    // both engines sweep identically.
+    QueryDef("w_sessionize", (s, d) => {
+      val gapUs = 600000000L // 10 min
+      val e = Tables.events(s, d).select("user_id", "event_id", "ts_us")
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      e.withColumn("prev", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev").isNull ||
+            col("ts_us") - col("prev") > gapUs, 1L).otherwise(0L))
+        .withColumn("session_seq", sum(col("new_s")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"))
+        .orderBy("user_id", "session_seq")
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+                 FROM events),
+      flagged AS (
+        SELECT user_id, event_id, ts_us,
+          CASE WHEN lag(ts_us) OVER w IS NULL
+                 OR ts_us - lag(ts_us) OVER w > 600000000 THEN 1
+               ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      sessions AS (
+        SELECT user_id, ts_us,
+          CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us,
+            event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM flagged)
+      SELECT user_id, session_seq, CAST(COUNT(*) AS BIGINT) AS n_events,
+        MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+      FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- Latest-snapshot dedup: for repeatedly-crawled keys keep only
+    // the newest observation (the incremental-crawl recency rule —
+    // monthly WARC snapshots of the same URL collapse to the latest).
+    // row_number over (key ORDER BY ts DESC, id DESC) = 1: one shuffle
+    // on the key, per-key state only. Key stand-in: (user_id,
+    // event_type); recency tie broken by event_id.
+    QueryDef("d_latest_snapshot", (s, d) => {
+      val e = Tables.events(s, d)
+        .select("user_id", "event_type", "event_id", "ts_us", "value")
+      val byKey = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      e.withColumn("rn", row_number().over(byKey))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts_us"), round(col("value"), 6).as("value"))
+        .orderBy("user_id", "event_type")
+    }, Some("""
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+        round(value, 6) AS value
+      FROM events
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+      ORDER BY user_id, event_type""")),
 
     // ---- W1: global ordinal vocabulary rank + rank-band filter (ref
     // zipWithIndex ranking, sift/models/text.py:135-147) via the two-phase

@@ -36,26 +36,31 @@ class PlanAuditSpec extends AnyFunSuite {
   //    seed-ranking window collapses to a single partition.
   //  - a_exact_quantiles: the 5-row quantile target table cross-joined
   //    with the broadcast 1-row corpus count.
+  //  - agg_cms_counts: the 1-row CMS grid (the whole point of the
+  //    sketch: bounded depth·width state) broadcast into the per-key
+  //    estimate projection.
   private val allowNestedLoop = Set(
     "m2_term_idfs", "m2_tfidf_vectors", "m_entity_mention_tfidf",
     "m_mention_tfidf_scaled",
     "j_cross_grid", "j7_vocab_oov_broadcast", "w1_vocab_rank_band",
     "m_mapped_comentions", "o8_token_shards", "sim_topk_bruteforce",
     "sim_ivf_topk", "sim_ivf_kmeans_topk", "sim_ivfpq_topk",
-    "a_exact_quantiles")
+    "a_exact_quantiles", "agg_cms_counts")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
   // deliberately scalar output:
   //  - agg_kmv_distinct: the final sketch combine moves ONE k-long
   //    buffer row per partition — the bounded-state design of KMV;
+  //  - agg_cms_counts: same shape — one depth·width grid per partition
+  //    into the final element-wise-add combine;
   //  - a_exact_quantiles: the 1-row corpus-count aggregate (N rides as
   //    a broadcast frame precisely so the DATA never single-tasks).
   private val allowSinglePartition = Set(
     "a7_corpus_stats", "m2_term_idfs", "m2_tfidf_vectors",
     "m_entity_mention_tfidf", "m_mention_tfidf_scaled",
     "sim_ivf_kmeans_topk", "sim_ivfpq_topk", "agg_kmv_distinct",
-    "a_exact_quantiles")
+    "agg_cms_counts", "a_exact_quantiles")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —
