@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CmsSketch, DotProduct, KmvSketch, Md5Long}
+import graft.functions.{CmsSketch, DotProduct, HllSketch, KmvSketch, Md5Long}
 
 /** Spark extensions entry point: register the engine's custom Catalyst
   * expressions cluster-wide via
@@ -38,6 +38,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2,
           s"graft_cms expects 2 arguments (hashes, width), got ${exprs.length}")
         CmsSketch(exprs(0), exprs(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_hll"),
+      new ExpressionInfo(classOf[HllSketch].getName, "graft_hll"),
+      exprs => {
+        require(exprs.length == 2,
+          s"graft_hll expects 2 arguments (hash, p), got ${exprs.length}")
+        HllSketch(exprs(0), exprs(1))
       }))
   }
 }

@@ -66,5 +66,6 @@ object GraftFunctions {
     Md5Long.register(s)
     KmvSketch.register(s)
     CmsSketch.register(s)
+    HllSketch.register(s)
   }
 }

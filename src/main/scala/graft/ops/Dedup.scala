@@ -150,11 +150,39 @@ object Dedup {
 
   /** LSH candidate pairs: band the signature (`bands` × `rows` = k), hash
     * each band, self-join on (band, bandKey). Output (doc_a < doc_b),
-    * distinct. The only shuffle key is the band hash — uniform by
-    * construction, so no skew at scale.
+    * distinct. The only shuffle key is the band hash — uniform on a
+    * HEALTHY corpus; a degenerate one (mass boilerplate: thousands of
+    * docs whose shingle sets are dominated by the same template text)
+    * concentrates one bucket into a quadratic hot spot. `maxBucket`
+    * is the same defense as [[Similarity.cosineNearDupPairsLshPlan]]:
+    * each bucket keeps its `maxBucket` smallest doc_ids
+    * (deterministic), bounding any bucket's pair contribution at
+    * maxBucket²/2; drops are counted and logged — no silent caps. The
+    * default is UNCAPPED (gate corpora are orders of magnitude under
+    * any sane cap, so oracle SQL needs no cap clause); production runs
+    * on uncurated corpora should set it (and run exact dedup first).
     */
-  def lshCandidates(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
-    val banded = bandKeys(sigs, bands, rows)
+  def lshCandidates(sigs: DataFrame, bands: Int, rows: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val banded0 = bandKeys(sigs, bands, rows)
+    val banded = if (maxBucket == Int.MaxValue) banded0 else {
+      val bb = banded0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dropped = bb.groupBy("band", "bkey")
+        .agg(count(lit(1)).as("cnt"))
+        .agg(coalesce(sum(greatest(col("cnt") - maxBucket, lit(0L))),
+          lit(0L))).head().getLong(0)
+      if (dropped > 0)
+        System.err.println(s"[dedup] LSH bucket cap $maxBucket dropped " +
+          s"$dropped band memberships from candidate generation " +
+          s"(boilerplate-dominated buckets — run exact dedup upstream, " +
+          s"or raise maxBucket)")
+      val bw = org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "bkey").orderBy(asc("doc_id"))
+      bb.withColumn("__bn", row_number().over(bw))
+        .filter(col("__bn") <= maxBucket)
+        .select("doc_id", "band", "bkey")
+    }
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&
@@ -188,14 +216,15 @@ object Dedup {
     * join → exact verify at `threshold`.
     */
   def minhashLsh(docs: DataFrame, shingleN: Int, k: Int, bands: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxBucket: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     // the shingle table feeds signatures AND both sides of the verify
     // join — persist it so the tokenize+shingle+hash subtree runs once,
     // not three times (MEMORY_AND_DISK: spills rather than OOMs at scale)
     val sh = shingled(docs, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidates(minhashSignatures(sh, k), bands, k / bands)
+    val cands = lshCandidates(minhashSignatures(sh, k), bands, k / bands,
+      maxBucket)
     verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
   }
 

@@ -270,6 +270,34 @@ object Functions extends QueryModule {
     // parquet (same pushdown/pruning contract; Spark's built-in
     // vectorized ORC path). Values round-trip exactly, so the oracle is
     // the source table.
+    // ---- Hive-style partitioned layout + partition PRUNING: events
+    // written partitionBy(event_type), read back with an event_type
+    // predicate — the gate asserts in-plan that the predicate lands in
+    // the scan's PartitionFilters (directories never listed, let alone
+    // read: at 100 TB this is the difference between scanning one
+    // partition and scanning the lake). Oracle replays the same
+    // filter+agg over the unpartitioned table.
+    QueryDef("s11_partitioned_pruning", (s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_s11").toString
+      Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "ts_us")
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      val back = s.read.parquet(tmp)
+        .filter(col("event_type") === "click")
+      val scan = back.queryExecution.executedPlan.toString
+      require(
+        "PartitionFilters: \\[[^\\]]*event_type[^\\]]*= click[^\\]]*\\]".r
+          .findFirstIn(scan).isDefined,
+        s"event_type predicate must prune partitions; got plan:\n$scan")
+      back.groupBy("user_id")
+        .agg(count(lit(1)).as("n_clicks"), max(col("ts_us")).as("last_ts"))
+        .orderBy("user_id")
+    }, Some("""
+      SELECT user_id, COUNT(*) AS n_clicks, MAX(epoch_us(ts)) AS last_ts
+      FROM events WHERE event_type = 'click'
+      GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("s9_orc_roundtrip", (s, d) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_s9").toString
       t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Similarity, TextAnalysis, Hashing, Multimodal}
+import graft.ops.{Dedup, Fuzzy, Similarity, TextAnalysis, Hashing, Multimodal}
 
 /** Gate coverage for the LLM-data-pipeline operator layer (`graft.ops`):
   * deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity
@@ -235,6 +235,92 @@ object Pipeline extends QueryModule {
       JOIN sizes sb ON doc_b = sb.doc_id
       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
       ORDER BY doc_a, doc_b""")),
+
+    // ---- Fuzzy string join (entity resolution): probes are the first
+    // 20 part names with their 3rd character deleted; targets are the
+    // distinct part names. Blocking on shared character trigrams
+    // (df-capped on the target side), verify with codegen'd
+    // levenshtein ≤ 1 — candidates only meet inside a gram block,
+    // payload strings re-attach by key, so the pair space is bounded
+    // by block sizes, never |probes|×|targets|.
+    QueryDef("j_fuzzy_names", (s, d) => {
+      val parts = t(s, d, "part").select("p_partkey", "p_name")
+      val targets = parts.groupBy("p_name")
+        .agg(min(col("p_partkey")).as("t_key"))
+        .select(col("t_key"), col("p_name").as("t_name"))
+      val probes = parts.filter(col("p_partkey") < 20)
+        .select(col("p_partkey").as("q_key"),
+          concat(substring(col("p_name"), 1, 2),
+            expr("substring(p_name, 4)")).as("q_name"))
+      Fuzzy.fuzzyJoin(probes, "q_key", "q_name",
+          targets, "t_key", "t_name", maxDist = 1)
+        .orderBy("q_key", "t_key")
+    }, Some("""
+      WITH targets AS (SELECT MIN(p_partkey) AS t_key, p_name AS t_name
+                       FROM part GROUP BY p_name),
+      probes AS (SELECT p_partkey AS q_key,
+                   substring(p_name, 1, 2) || substring(p_name, 4) AS q_name
+                 FROM part WHERE p_partkey < 20),
+      pg AS (SELECT q_key, unnest(list_distinct(list_transform(
+               range(1, greatest(len(q_name) - 2, 1) + 1),
+               i -> q_name[i:i+2]))) AS gram FROM probes),
+      tg0 AS (SELECT t_key, unnest(list_distinct(list_transform(
+                range(1, greatest(len(t_name) - 2, 1) + 1),
+                i -> t_name[i:i+2]))) AS gram FROM targets),
+      hot AS (SELECT gram FROM tg0 GROUP BY gram HAVING COUNT(*) > 1000),
+      tg AS (SELECT t_key, gram FROM tg0
+             WHERE gram NOT IN (SELECT gram FROM hot)),
+      cands AS (SELECT DISTINCT q_key, t_key FROM pg JOIN tg USING (gram))
+      SELECT q_key, t_key, q_name, t_name,
+        CAST(levenshtein(q_name, t_name) AS BIGINT) AS dist
+      FROM cands JOIN probes USING (q_key) JOIN targets USING (t_key)
+      WHERE levenshtein(q_name, t_name) <= 1
+      ORDER BY q_key, t_key""")),
+
+    // ---- Snapshot DIFF (CDC over re-crawls): old = the documents
+    // table; new = a planted re-crawl (every 41st doc deleted, every
+    // 31st edited, 10 new docs). Per-side content fingerprints (no
+    // shuffle) meet in ONE full-outer key join → added / deleted /
+    // changed classification — the incremental-processing story for
+    // monthly crawl snapshots, without reprocessing the unchanged mass.
+    QueryDef("d_snapshot_diff", (s, d) => {
+      val old = docs(s, d).select("doc_id", "text")
+      val neu = old.filter(col("doc_id") % 41 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 31 === 0,
+            concat(col("text"), lit(" EDITED")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(old.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+      val of = old.select(col("doc_id"), md5(col("text").cast("binary"))
+        .as("fp_old"))
+      val nf = neu.select(col("doc_id"), md5(col("text").cast("binary"))
+        .as("fp_new"))
+      of.join(nf, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("fp_old").isNull, lit("added"))
+            .when(col("fp_new").isNull, lit("deleted"))
+            .when(col("fp_old") =!= col("fp_new"), lit("changed"))
+            .otherwise(lit("unchanged")))
+        .filter(col("status") =!= "unchanged")
+        .select("doc_id", "status").orderBy("doc_id")
+    }, Some("""
+      WITH old AS (SELECT doc_id, text FROM documents),
+      neu AS (SELECT doc_id,
+                CASE WHEN doc_id % 31 = 0 THEN text || ' EDITED'
+                     ELSE text END AS text
+              FROM old WHERE doc_id % 41 <> 0
+              UNION ALL
+              SELECT doc_id + 500000, text FROM old WHERE doc_id < 10)
+      SELECT * FROM (
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+          CASE WHEN o.doc_id IS NULL THEN 'added'
+               WHEN n.doc_id IS NULL THEN 'deleted'
+               WHEN o.text <> n.text THEN 'changed'
+               ELSE 'unchanged' END AS status
+        FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id)
+      WHERE status <> 'unchanged'
+      ORDER BY doc_id""")),
 
     // ---- Exact SUBSTRING duplication (Lee et al. 2022): w-token
     // windows whose exact content recurs anywhere in the corpus, rolled

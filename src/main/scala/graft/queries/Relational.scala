@@ -471,6 +471,59 @@ object Relational extends QueryModule {
              END AS BIGINT) AS est
       FROM mins""")),
 
+    // ---- HyperLogLog register sketch (graft.functions.HllSketch): the
+    // production-standard distinct sketch — m = 2^p registers merging by
+    // element-wise MAX (commutative, associative, IDEMPOTENT: an
+    // at-least-once pipeline re-processing a shard cannot inflate it).
+    // One bounded register row per partition; DuckDB replays the
+    // registers as GROUP BY bucket / MAX(rank) and folds the estimator
+    // in the same register order (round(,6) absorbs libm ln ulps).
+    QueryDef("agg_hll_distinct", (s, d) => {
+      val li = t(s, d, "lineitem")
+      graft.ops.Hashing.ensureRegistered(li)
+      val p = 9; val m = 1 << p
+      val alphaM2 = 0.7213 / (1 + 1.079 / m) * m * m
+      li.select(expr(graft.ops.Hashing.md5LongSql(
+          "cast(l_partkey as string)")).as("h"))
+        .agg(expr(s"graft_hll(h, $p)").as("regs"))
+        .select(
+          expr("cast(size(filter(regs, r -> r = 0)) as bigint)")
+            .as("zeros"),
+          expr("aggregate(regs, cast(0.0 as double), " +
+            "(acc, r) -> acc + power(cast(0.5 as double), r))")
+            .as("denom"))
+        .select(col("zeros"), round(
+          when(lit(alphaM2) / col("denom") <= lit(2.5 * m) &&
+              col("zeros") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
+            .otherwise(lit(alphaM2) / col("denom")), 6).as("est"))
+    }, Some(s"""
+      WITH h AS (SELECT CAST(('0x' || substring(md5(
+          CAST(l_partkey AS VARCHAR)),1,15)) AS BIGINT) AS h
+        FROM lineitem),
+      r AS (SELECT h % 512 AS bucket,
+              CASE WHEN h // 512 = 0 THEN 52
+                   ELSE 52 - length(format('{:b}', h // 512)) END AS rank
+            FROM h),
+      regs0 AS (SELECT bucket, MAX(rank) AS rank FROM r GROUP BY bucket),
+      regs AS (SELECT b.bucket, COALESCE(regs0.rank, 0) AS rank
+               FROM (SELECT unnest(range(0, 512)) AS bucket) b
+               LEFT JOIN regs0 USING (bucket)),
+      arr AS (SELECT list(rank ORDER BY bucket) AS rl FROM regs),
+      e AS (SELECT
+        CAST(len(list_filter(rl, r -> r = 0)) AS BIGINT) AS zeros,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(rl, r -> pow(CAST(0.5 AS DOUBLE), r))),
+          (a, v) -> a + v) AS denom
+        FROM arr)
+      SELECT zeros,
+        round(CASE WHEN CAST('${0.7213 / (1 + 1.079 / 512) * 512 * 512}'
+                     AS DOUBLE) / denom <= ${2.5 * 512} AND zeros > 0
+              THEN 512.0 * ln(512.0 / zeros)
+              ELSE CAST('${0.7213 / (1 + 1.079 / 512) * 512 * 512}'
+                     AS DOUBLE) / denom END, 6) AS est
+      FROM e""")),
+
     // ---- Count-Min frequency sketch (graft.functions.CmsSketch): the
     // 100 TB shape of per-key counting — a fixed depth×width counter
     // grid that partial-aggregates map-side and merges by element-wise

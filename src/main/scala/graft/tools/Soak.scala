@@ -8,10 +8,18 @@ import org.apache.spark.sql.functions._
   * time, so the 100 TB "scale shape" arguments become measured curves
   * and the skew defenses provably ENGAGE:
   *
-  *  - documents ×N, each copy token-marked (copy i interleaves a marker
-  *    token `cI` before every token, so cross-copy shingle Jaccard is 0
-  *    and the corpus's near-dup structure replicates ~linearly instead
-  *    of exploding quadratically in N);
+  *  - documents ×N, each copy token-marked (copy i SUFFIXES every token
+  *    with `xI` — an injective per-copy token renaming, so within-copy
+  *    Jaccard relations are identical to the base corpus, cross-copy
+  *    shingle Jaccard is 0, and near-dup structure replicates ~linearly.
+  *    NOT an interleaved marker token: that makes every other shingle a
+  *    single-content-token pattern `cI X cI` shared by every doc in the
+  *    copy containing X, which collapses MinHash buckets per copy into
+  *    thousands-deep hot spots and a quadratic pair space — measured:
+  *    47M candidates at 25×, 74 GB of shuffle, disk-full at 50×. That
+  *    failure mode is now also DEFENDED in the operator itself
+  *    (lshCandidates maxBucket), but the soak measures the honest
+  *    uncapped pipeline on a structure-preserving corpus);
   *  - a planted BOILERPLATE near-dup chain of diameter 64 (65 sliding-
   *    window docs over a synthetic token stream, consecutive Jaccard
   *    ≈ 0.90) — pointer-doubling clustering must close it in ~log₂ 64
@@ -63,13 +71,14 @@ object Soak {
       .parquet(s"$sfDir/events.parquet")
       .select("event_id", "user_id")
 
-    /** copy i: ids offset, a marker token interleaved before every token
-      * so copies share no shingles (near-dup structure scales linearly).
+    /** copy i: ids offset, every token suffixed with `xI` (injective
+      * renaming: copies share no shingles, within-copy near-dup
+      * structure is exactly the base corpus's — see the object doc).
       */
     def scaledDocs(n: Int): DataFrame =
       (0 until n).map { i =>
         docs0.select((col("doc_id") + i * 10000000L).as("doc_id"),
-          regexp_replace(col("text"), "([A-Za-z0-9]+)", s"c$i " + "$1")
+          regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1" + s"x$i")
             .as("text"))
       }.reduce(_ unionByName _)
 
@@ -89,12 +98,11 @@ object Soak {
       val (nDocs, _) = timed(sd.count()) // materialize the input once
 
       // --- MinHash-LSH near-dup pipeline (shingle → sign → band →
-      // bucket join → exact verify)
-      val (pairs, lshSec) = timed {
-        graft.ops.Dedup.minhashLsh(sd, 3, 8, 4, 0.5)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      }
-      val nPairs = pairs.count()
+      // bucket join → exact verify). minhashLsh is LAZY: the count
+      // inside the timed block is what materializes the pipeline.
+      val pairs = graft.ops.Dedup.minhashLsh(sd, 3, 8, 4, 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (nPairs, lshSec) = timed(pairs.count())
       emit("d_lsh_neardup", scale, lshSec, "n_docs" -> nDocs,
         "n_pairs" -> nPairs)
 

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Fuzzy
+
+/** Fuzzy q-gram-blocked join (ops/Fuzzy): blocking recall at the edit
+  * bound, verify exactness, df-cap behavior, and short-string safety.
+  */
+class FuzzySpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.session
+
+  private def df(cols: (String, String), rows: (Long, String)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF(cols._1, cols._2)
+  }
+
+  test("one-edit variants match; unrelated strings do not") {
+    val probes = df(("q_key", "q_name"),
+      1L -> "jon smith inc", 2L -> "acme corporation", 3L -> "zzz qqq vvv")
+    val targets = df(("t_key", "t_name"),
+      10L -> "john smith inc", 20L -> "acme corporation",
+      30L -> "completely different")
+    val out = Fuzzy.fuzzyJoin(probes, "q_key", "q_name",
+        targets, "t_key", "t_name", maxDist = 1)
+      .select("q_key", "t_key").collect().map(r => (r.getLong(0),
+        r.getLong(1))).toSet
+    assert(out === Set(1L -> 10L, 2L -> 20L))
+  }
+
+  test("dist column is the exact levenshtein distance") {
+    val probes = df(("q_key", "q_name"), 1L -> "kitten house")
+    val targets = df(("t_key", "t_name"), 10L -> "sitten house")
+    val out = Fuzzy.fuzzyJoin(probes, "q_key", "q_name",
+      targets, "t_key", "t_name", maxDist = 2).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("dist") === 1L)
+  }
+
+  test("df cap drops hot grams but other grams still block") {
+    val hotTail = (1 to 30).map(i => i.toLong -> s"unique$i common tail")
+    val probes = df(("q_key", "q_name"), 100L -> "unique7x common tail")
+    val targets = df(("t_key", "t_name"), hotTail: _*)
+    // cap at 5: every gram of " common tail" is hot (30 targets), but
+    // "unique7" grams survive and still block the true match
+    val out = Fuzzy.fuzzyJoin(probes, "q_key", "q_name",
+        targets, "t_key", "t_name", maxDist = 1, maxGramDf = 5L)
+      .select("t_key").collect().map(_.getLong(0)).toSet
+    assert(out === Set(7L))
+  }
+
+  test("strings shorter than q are handled (whole string as one gram)") {
+    val probes = df(("q_key", "q_name"), 1L -> "ab")
+    val targets = df(("t_key", "t_name"), 10L -> "ab", 20L -> "ax")
+    val out = Fuzzy.fuzzyJoin(probes, "q_key", "q_name",
+        targets, "t_key", "t_name", maxDist = 1)
+      .select("t_key").collect().map(_.getLong(0)).toSet
+    // "ab" blocks with "ab" (same gram); "ax" shares no gram — blocking
+    // admits a recall miss below min-length q·(e+1), documented
+    assert(out === Set(10L))
+  }
+
+  test("plan contains no nested-loop or cartesian join") {
+    val probes = df(("q_key", "q_name"), 1L -> "jon smith inc")
+    val targets = df(("t_key", "t_name"), 10L -> "john smith inc")
+    val plan = Fuzzy.fuzzyJoin(probes, "q_key", "q_name",
+      targets, "t_key", "t_name", 1).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+}

@@ -60,7 +60,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "a7_corpus_stats", "m2_term_idfs", "m2_tfidf_vectors",
     "m_entity_mention_tfidf", "m_mention_tfidf_scaled",
     "sim_ivf_kmeans_topk", "sim_ivfpq_topk", "agg_kmv_distinct",
-    "agg_cms_counts", "a_exact_quantiles")
+    "agg_cms_counts", "agg_hll_distinct", "a_exact_quantiles")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —
