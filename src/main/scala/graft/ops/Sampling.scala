@@ -64,4 +64,42 @@ object Sampling {
         .when(b < trainPct + validPct, "valid")
         .otherwise("test"))
   }
+
+  /** Quality-WEIGHTED sampling: keep each row with probability
+    * proportional to `rate` (a per-row Column in [0, 1] — e.g. a quality
+    * score), decided by the row's salted hash, not an RNG: keep ⇔
+    * hash-bucket(key) out of 10⁶ < ⌊rate·10⁶⌋. The standard corpus-
+    * construction move "sample high-quality documents preferentially"
+    * as a pure per-row codegen'd predicate — reproducible, partition-
+    * independent, oracle-replayable; at 100 TB it is scan-speed with
+    * zero shuffle.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, rate: Column,
+      salt: String = "wsample:"): DataFrame = {
+    Hashing.ensureRegistered(df)
+    df.filter(hashBucket(col(keyCol), salt, 1000000) <
+      floor(rate * lit(1000000)).cast("long"))
+  }
+
+  /** CLASS-BALANCED resampling toward a per-class target count (the
+    * data-mixing step: cap every language/domain/source at ~targetPerClass
+    * rows without touching under-represented classes). Per-class keep
+    * rate = min(1, target / count(class)) from one tiny aggregate
+    * (broadcast back — never a wide shuffle), membership decided by the
+    * salted row hash. Expected kept ≈ target per class; the decision
+    * stays per-row deterministic.
+    */
+  def balancedSample(df: DataFrame, keyCol: String, classCol: String,
+      targetPerClass: Long, salt: String = "bsample:"): DataFrame = {
+    Hashing.ensureRegistered(df)
+    val rates = df.groupBy(classCol)
+      .agg(count(lit(1)).as("__cnt"))
+      .select(col(classCol),
+        least(lit(1.0), lit(targetPerClass.toDouble) / col("__cnt"))
+          .as("__rate"))
+    df.join(broadcast(rates), Seq(classCol))
+      .filter(hashBucket(col(keyCol), salt, 1000000) <
+        floor(col("__rate") * lit(1000000)).cast("long"))
+      .drop("__rate")
+  }
 }

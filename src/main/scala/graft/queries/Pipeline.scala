@@ -464,6 +464,40 @@ object Pipeline extends QueryModule {
               FROM documents))
       GROUP BY split ORDER BY split""")),
 
+    // ---- Quality-WEIGHTED sampling: keep probability ∝ document
+    // length (the stand-in quality score), decided by salted hash —
+    // "prefer high-quality documents" as a scan-speed per-row
+    // predicate, reproducible and partition-independent.
+    QueryDef("o9_weighted_sample", (s, d) => {
+      graft.ops.Sampling.weightedSample(docs(s, d), "doc_id",
+          least(lit(1.0), col("n_chars") / lit(2000.0)))
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }, Some(s"""
+      SELECT doc_id, n_chars FROM documents
+      WHERE (${duckMd5Long("'wsample:' || CAST(doc_id AS VARCHAR)")} % 1000000) <
+        CAST(floor(least(CAST(1.0 AS DOUBLE),
+          n_chars / CAST(2000.0 AS DOUBLE)) * 1000000) AS BIGINT)
+      ORDER BY doc_id""")),
+
+    // ---- CLASS-BALANCED resampling: cap every event_type at ~500 rows
+    // (the data-mixing move: no source dominates the corpus). Per-class
+    // rates from one tiny aggregate broadcast back; membership stays a
+    // per-row salted-hash decision.
+    QueryDef("o10_balanced_sample", (s, d) => {
+      val e = Tables.events(s, d).select("event_id", "event_type")
+      graft.ops.Sampling.balancedSample(e, "event_id", "event_type", 500L)
+        .groupBy("event_type").agg(count(lit(1)).as("n_kept"))
+        .orderBy("event_type")
+    }, Some(s"""
+      WITH cnt AS (SELECT event_type, COUNT(*) AS c FROM events
+                   GROUP BY 1),
+      kept AS (SELECT e.event_type FROM events e JOIN cnt USING (event_type)
+        WHERE (${duckMd5Long("'bsample:' || CAST(event_id AS VARCHAR)")} % 1000000) <
+          CAST(floor(least(CAST(1.0 AS DOUBLE),
+            CAST(500.0 AS DOUBLE) / c) * 1000000) AS BIGINT))
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY 1 ORDER BY 1""")),
+
     // ---- 32-bit SimHash per document (relational bit-vote).
     QueryDef("d_simhash", (s, d) => {
       Dedup.simhash(docs(s, d)).orderBy("doc_id")

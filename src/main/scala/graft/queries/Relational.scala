@@ -902,6 +902,39 @@ object Relational extends QueryModule {
     // a broadcast 1-row frame. The q*N product is exact DECIMAL in both
     // engines (an IEEE-double product would off-by-one some (q, N),
     // e.g. ceil(fl(0.07*100)) = 8).
+    // ---- Per-GROUP exact quantiles: value at ceil(q·n_g) within each
+    // group via a group-partitioned window (per-key state only — the
+    // per-domain/per-language summary-stats shape; the GLOBAL scalable
+    // form is a_exact_quantiles via the two-phase ordinal). q·n is
+    // decimal-exact in both engines; the value at a fixed rank is
+    // deterministic even under ties.
+    QueryDef("a_group_quantiles", (s, d) => {
+      val wOrd = Window.partitionBy("l_linestatus").orderBy("l_quantity")
+      val wAll = Window.partitionBy("l_linestatus")
+      def atQ(q: String, name: String) =
+        max(when(col("rn") ===
+          expr(s"ceil(cast($q as decimal(4,2)) * n)"),
+          col("l_quantity"))).as(name)
+      t(s, d, "lineitem").select("l_linestatus", "l_quantity")
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy("l_linestatus")
+        .agg(atQ("0.25", "q25"), atQ("0.50", "q50"),
+          atQ("0.75", "q75"), atQ("0.95", "q95"))
+        .orderBy("l_linestatus")
+    }, Some("""
+      WITH r AS (SELECT l_linestatus, l_quantity,
+        ROW_NUMBER() OVER (PARTITION BY l_linestatus
+          ORDER BY l_quantity) AS rn,
+        COUNT(*) OVER (PARTITION BY l_linestatus) AS n
+        FROM lineitem)
+      SELECT l_linestatus,
+        MAX(CASE WHEN rn = ceil(0.25 * n) THEN l_quantity END) AS q25,
+        MAX(CASE WHEN rn = ceil(0.50 * n) THEN l_quantity END) AS q50,
+        MAX(CASE WHEN rn = ceil(0.75 * n) THEN l_quantity END) AS q75,
+        MAX(CASE WHEN rn = ceil(0.95 * n) THEN l_quantity END) AS q95
+      FROM r GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("a_exact_quantiles", (s, d) => {
       graft.ops.Rank.exactQuantiles(
         t(s, d, "lineitem")
