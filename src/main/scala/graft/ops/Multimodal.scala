@@ -369,6 +369,60 @@ object Multimodal {
       .withColumn("frame_ms", explode(expr(
         s"sequence(0, greatest(duration_ms - 1, 0), $strideMs)")))
 
+  /** Nearest-neighbor image RESIZE (pure function): out(i, j) samples
+    * in(⌊i·h/oh⌋, ⌊j·w/ow⌋) — integer index math only, so the resized
+    * pixels are exactly source pixels and an oracle can replay the
+    * selection from the raw payload. Channels ride along (3 floats per
+    * pixel). The standard vision-pipeline thumbnail step; bilinear
+    * filtering is a kernel swap on the same per-record shape.
+    */
+  def resizeNearest(w: Int, h: Int, px: Array[Float], ow: Int,
+      oh: Int): Array[Float] = {
+    require(w > 0 && h > 0 && ow > 0 && oh > 0,
+      s"resizeNearest: dims must be positive, got ${w}x$h -> ${ow}x$oh")
+    require(px.length == w * h * 3,
+      s"resizeNearest: expected ${w * h * 3} channel floats, got ${px.length}")
+    val out = new Array[Float](ow * oh * 3)
+    var i = 0
+    while (i < oh) {
+      val si = i * h / oh
+      var j = 0
+      while (j < ow) {
+        val sj = j * w / ow
+        val src = (si * w + sj) * 3
+        val dst = (i * ow + j) * 3
+        out(dst) = px(src); out(dst + 1) = px(src + 1)
+        out(dst + 2) = px(src + 2)
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Decode → resize → stats as a typed map (record-local, no shuffle;
+    * the thumbnailing fan-out shape: at 100 TB each image is one row,
+    * the work distributes per-record). Output dims, the sequential-fold
+    * mean over the resized buffer, and the first/last resized pixels —
+    * all derivable from the raw payload by an oracle because
+    * nearest-neighbor selection is exact integer indexing.
+    */
+  def resizedStats(media: DataFrame, ow: Int, oh: Int): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select("doc_id", "bytes")
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val (w, h, px) = Decode.imageIo(bytes).getOrElse(
+          throw new IllegalArgumentException(
+            s"resizedStats: undecodable image payload for doc $id"))
+        val out = resizeNearest(w, h, px, ow, oh)
+        val mean = out.foldLeft(0.0)(_ + _) / out.length
+        (id, ow, oh, mean, out.head.toDouble, out.last.toDouble)
+      }
+      .toDF("doc_id", "ow", "oh", "mean_value", "first_px", "last_px")
+  }
+
   /** Decode + feature step as a typed map (the real-codec execution
     * shape): record-local, no shuffle; routes through [[Decode.decode]]
     * (real PPM/WAV parsing, stub for compressed codecs). Output is

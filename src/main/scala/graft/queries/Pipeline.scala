@@ -1107,6 +1107,47 @@ object Pipeline extends QueryModule {
           AS VARCHAR) AS mean_value
       FROM px ORDER BY doc_id""")),
 
+    // ---- Nearest-neighbor RESIZE over real decoded PNGs (the
+    // thumbnail step; Multimodal.resizeNearest): out(j) samples pixel
+    // ⌊j·w/8⌋ — exact integer indexing, so the oracle re-derives the
+    // selected pixels from the RAW payload bytes and the sequential
+    // mean fold matches bit-for-bit. Decode+resize is a record-local
+    // typed map: one image per row, no shuffle — the 100 TB fan-out.
+    QueryDef("mm_resize", (s, d) => {
+      val pngs = Multimodal.pngTable(
+        docs(s, d).select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload")), "payload")
+      Multimodal.resizedStats(pngs, 8, 1)
+        .select(col("doc_id"),
+          col("ow").cast("long").as("ow"),
+          col("oh").cast("long").as("oh"),
+          col("mean_value").cast("decimal(20,6)").cast("string")
+            .as("mean_value"),
+          col("first_px").cast("decimal(20,6)").cast("string")
+            .as("first_px"),
+          col("last_px").cast("decimal(20,6)").cast("string")
+            .as("last_px"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH m AS (SELECT doc_id, encode(text) AS b FROM documents),
+      hx AS (SELECT doc_id, hex(b) AS h, octet_length(b) AS n FROM m),
+      sel AS (SELECT doc_id, n,
+        flatten(list_transform(range(0, 8), j -> [
+          CAST(CAST(('0x' || substring(h, ((j * n) // 8) * 2 + 1, 2))
+            AS INT) AS FLOAT) / CAST(255 AS FLOAT),
+          CAST(CAST(('0x' || substring(h, ((j * n) // 8) * 2 + 1, 2))
+            AS INT) AS FLOAT) / CAST(255 AS FLOAT),
+          CAST(CAST(('0x' || substring(h, ((j * n) // 8) * 2 + 1, 2))
+            AS INT) AS FLOAT) / CAST(255 AS FLOAT)])) AS pxs
+        FROM hx)
+      SELECT doc_id, CAST(8 AS BIGINT) AS ow, CAST(1 AS BIGINT) AS oh,
+        CAST(CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), pxs),
+          (a, v) -> a + v) / 24 AS DECIMAL(20,6)) AS VARCHAR)
+          AS mean_value,
+        CAST(CAST(pxs[1] AS DECIMAL(20,6)) AS VARCHAR) AS first_px,
+        CAST(CAST(pxs[24] AS DECIMAL(20,6)) AS VARCHAR) AS last_px
+      FROM sel ORDER BY doc_id""")),
+
     // ---- JPEG (lossy) decode via the JDK's own JPEG codec, gated
     // STRUCTURALLY (Multimodal.jpegStructural): dims exact, mean within
     // 0.02 of the payload mean, extrema within 0.35, and a lossless PNG
@@ -1323,7 +1364,43 @@ object Pipeline extends QueryModule {
       nodes AS (SELECT DISTINCT unnest(tk) AS node FROM toks),
       r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
       ${duckPageRankRounds(5)}
-      SELECT node, rank FROM r5 ORDER BY rank DESC, node"""))
+      SELECT node, rank FROM r5 ORDER BY rank DESC, node""")),
+
+    // ---- Triangle count over the bigram word graph, DEGREE-ORIENTED
+    // (graft.ops.Graph.triangleCount): wedges generated only at each
+    // edge's low-degree endpoint — out-degree O(√m) after orientation,
+    // so hub vertices cannot melt a task (wedge space ≤ m^1.5, never
+    // the hub's d²). Each triangle counted exactly once at its
+    // orientation-minimal vertex; (deg, node) total order makes the
+    // replay deterministic.
+    QueryDef("g_triangles", (s, d) => {
+      graft.ops.Graph.triangleCount(
+        graft.ops.Graph.wordGraph(docs(s, d)).select("src", "dst"))
+    }, Some("""
+      WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                    FROM documents),
+      pairs AS (SELECT unnest(list_transform(range(1, len(tk)),
+                  i -> {'src': tk[i], 'dst': tk[i+1]})) AS p FROM toks),
+      de AS (SELECT DISTINCT p.src AS src, p.dst AS dst FROM pairs
+             WHERE p.src <> p.dst),
+      und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM de),
+      deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+              GROUP BY 1),
+      o AS (SELECT CASE WHEN (du.deg, u) < (dv.deg, v) THEN u ELSE v END
+                     AS x,
+                   CASE WHEN (du.deg, u) < (dv.deg, v) THEN v ELSE u END
+                     AS y,
+                   CASE WHEN (du.deg, u) < (dv.deg, v) THEN dv.deg
+                        ELSE du.deg END AS dy
+            FROM und JOIN deg du ON und.u = du.n
+                     JOIN deg dv ON und.v = dv.n),
+      w AS (SELECT a.y AS y1, b.y AS y2 FROM o a JOIN o b ON a.x = b.x
+            WHERE (a.dy, a.y) < (b.dy, b.y))
+      SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+      FROM w WHERE EXISTS (SELECT 1 FROM o WHERE o.x = w.y1
+                           AND o.y = w.y2)"""))
   )
 
   /** DuckDB twin of [[graft.ops.Pq]]'s squared-L2 sequential fold. */

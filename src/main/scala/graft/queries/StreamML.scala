@@ -105,6 +105,24 @@ object StreamML extends QueryModule {
                  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb)
       SELECT DISTINCT band, bkey FROM banded ORDER BY band, bkey""")),
 
+    // ---- §2.9 + sketch family: the KMV distinct sketch as a STREAMING
+    // aggregation — micro-batches fold into the bounded k-row state
+    // through the associative merge, so the streaming state IS the
+    // sketch; the bounded source must land bit-exactly on the batch
+    // oracle's DISTINCT..ORDER BY..LIMIT k regardless of batch slicing.
+    QueryDef("st_sketch_distinct", (s, d) => {
+      graft.streaming.Events.sketchDistinct(s, d)
+    }, Some(s"""
+      WITH h AS (SELECT DISTINCT ${graft.ops.Hashing.duckMd5Long(
+        "CAST(event_id AS VARCHAR)")} AS h FROM events),
+      mins AS (SELECT h FROM h ORDER BY h LIMIT 256)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_min, MAX(h) AS kth,
+        CAST(CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+             ELSE floor(255.0 * 1152921504606846976.0 /
+                        CAST(MAX(h) AS DOUBLE))
+             END AS BIGINT) AS est
+      FROM mins""")),
+
     // ---- §2.9: stream-static enrichment join (static side planned per
     // micro-batch, broadcast when small; no state store) + windowed
     // tier split.

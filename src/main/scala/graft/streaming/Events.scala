@@ -312,4 +312,33 @@ object Events {
       .select(col("session_window.start").as("sstart"), col("user_id"),
         col("n"))
       .orderBy("sstart", "user_id")
+
+  /** STREAMING distinct sketch: the KMV aggregate
+    * ([[graft.functions.KmvSketch]]) running as a Structured Streaming
+    * aggregation — each micro-batch folds its rows into the bounded
+    * k-row sketch state and the merge is associative, so the streaming
+    * state IS the sketch (this incremental-merge property is the whole
+    * reason sketches exist; here it is exercised under the streaming
+    * state store, not just batch partial aggregation). Complete-mode
+    * global aggregate; the bounded source yields the same sketch the
+    * batch oracle computes as DISTINCT…ORDER BY…LIMIT k — exact
+    * stream-vs-batch parity, independent of micro-batch slicing.
+    */
+  def sketchDistinct(s: SparkSession, dir: String, k: Int = 256)
+      : DataFrame = {
+    val out = runToCompletion(s, ss => {
+      graft.functions.GraftFunctions.registerAll(ss)
+      stream(ss, dir)
+        .select(expr(graft.ops.Hashing.md5LongSql(
+          "cast(event_id as string)")).as("h"))
+        .agg(expr(s"graft_kmv(h, $k)").as("ks"))
+    }, "st_sketch_distinct_mem")
+    graft.ops.Hashing.ensureRegistered(out)
+    out.select(size(col("ks")).cast("long").as("n_min"),
+        expr("try_element_at(ks, -1)").as("kth"))
+      .select(col("n_min"), col("kth"),
+        when(col("n_min") < k, col("n_min")).otherwise(
+          floor(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+            col("kth").cast("double"))).cast("long").as("est"))
+  }
 }

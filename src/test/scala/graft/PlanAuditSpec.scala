@@ -55,12 +55,16 @@ class PlanAuditSpec extends AnyFunSuite {
   //  - agg_cms_counts: same shape — one depth·width grid per partition
   //    into the final element-wise-add combine;
   //  - a_exact_quantiles: the 1-row corpus-count aggregate (N rides as
-  //    a broadcast frame precisely so the DATA never single-tasks).
+  //    a broadcast frame precisely so the DATA never single-tasks);
+  //  - g_triangles: the final GLOBAL triangle count — one partial count
+  //    per partition into a 1-row combine (the wedge/close joins above
+  //    it are all key-partitioned).
   private val allowSinglePartition = Set(
     "a7_corpus_stats", "m2_term_idfs", "m2_tfidf_vectors",
     "m_entity_mention_tfidf", "m_mention_tfidf_scaled",
     "sim_ivf_kmeans_topk", "sim_ivfpq_topk", "agg_kmv_distinct",
-    "agg_cms_counts", "agg_hll_distinct", "a_exact_quantiles")
+    "agg_cms_counts", "agg_hll_distinct", "a_exact_quantiles",
+    "g_triangles")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —
