@@ -152,4 +152,33 @@ object TextAnalysis {
         expr("aggregate(filter(split(norm, ''), c -> c <> ''), " +
           "cast(0 as bigint), " +
           "(acc, c) -> (acc * 131 + ascii(c)) % 1000000007)").as("fp_poly"))
+
+  /** Unigram negative log-likelihood per document — the
+    * perplexity-style quality filter without a neural LM: train unigram
+    * frequencies on the corpus itself, score each document by the mean
+    * −ln p(token). High-NLL docs are gibberish/rare-token soup;
+    * low-NLL docs are stopword padding. Scale shape: one token-count
+    * aggregate, one token-key join, the corpus total as a broadcast
+    * 1-row frame (the idf shape), one per-doc aggregate.
+    *
+    * DETERMINISM: each token's NLL is rounded to 6 decimals and summed
+    * as DECIMAL (order-independent, exactly representable in a double
+    * for any real document), so the cross-engine replay is exact modulo
+    * the round(ln, 6) convention used by every transcendental gate.
+    */
+  def unigramNll(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(expr(tokensSql)).as("tok"))
+    val cnt = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = cnt.agg(sum(col("cnt")).as("N"))
+    toks.join(cnt, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), expr(
+        "cast(round(-ln(cast(cnt as double) / cast(N as double)), 6) " +
+          "as decimal(12,6))").as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6)
+          .as("mean_nll"))
+  }
 }

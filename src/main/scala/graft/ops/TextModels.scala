@@ -206,4 +206,31 @@ object TextModels {
       .filter(col("rank") === 1)
       .select("probe", "neighbor")
   }
+
+  /** Bigram pointwise mutual information — collocation mining:
+    * pmi(a, b) = ln( p(a,b) / (p(a)·p(b)) ) over the corpus bigram
+    * stream, p(a,b) from the directed bigram counts
+    * ([[Graph.wordGraph]]), p(·) from unigram counts. High-PMI pairs
+    * are multi-word expressions ("new york"); `minCount` suppresses
+    * noise collocations. Scale shape: one bigram aggregate + two
+    * unigram-key joins + the two corpus totals as broadcast 1-row
+    * frames; the ln rides the round(,6) transcendental convention.
+    */
+  def bigramPmi(docs: DataFrame, minCount: Long): DataFrame = {
+    val bi = Graph.wordGraph(docs)
+    val uni = docs
+      .select(explode(expr(Hashing.tokensSql)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val totBi = bi.agg(sum(col("w")).as("M"))
+    val totUni = uni.agg(sum(col("c")).as("N"))
+    bi.filter(col("w") >= minCount)
+      .join(uni.select(col("tok").as("src"), col("c").as("ca")), Seq("src"))
+      .join(uni.select(col("tok").as("dst"), col("c").as("cb")), Seq("dst"))
+      .crossJoin(broadcast(totBi))
+      .crossJoin(broadcast(totUni))
+      .select(col("src"), col("dst"), col("w"), expr(
+        "round(ln((cast(w as double) / cast(M as double)) / " +
+          "((cast(ca as double) / cast(N as double)) * " +
+          "(cast(cb as double) / cast(N as double)))), 6)").as("pmi"))
+  }
 }

@@ -1343,6 +1343,56 @@ object Pipeline extends QueryModule {
         CAST(SUM(count) AS BIGINT) AS total
       FROM g GROUP BY lang ORDER BY lang""")),
 
+    // ---- Unigram NLL — perplexity-style quality scoring without a
+    // neural LM (graft.ops.TextAnalysis.unigramNll): corpus-trained
+    // unigram frequencies, per-doc mean −ln p(token). Per-token NLLs
+    // round(,6) into DECIMAL so the sum is order-independent; corpus
+    // total rides as a broadcast 1-row frame (the idf shape).
+    QueryDef("t_unigram_nll", (s, d) => {
+      TextAnalysis.unigramNll(docs(s, d)).orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents),
+      cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks
+              GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS N FROM cnt)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        round(CAST(SUM(CAST(round(-ln(CAST(cnt AS DOUBLE) /
+            CAST(N AS DOUBLE)), 6) AS DECIMAL(12,6))) AS DOUBLE)
+          / COUNT(*), 6) AS mean_nll
+      FROM toks JOIN cnt USING (tok) CROSS JOIN tot
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- Bigram PMI — collocation mining (TextModels.bigramPmi):
+    // pmi = ln(p(a,b) / (p(a)p(b))) over the corpus bigram stream,
+    // min-count 5; high-PMI pairs are multi-word expressions. Totals
+    // ride as broadcast 1-row frames.
+    QueryDef("m_bigram_pmi", (s, d) => {
+      graft.ops.TextModels.bigramPmi(docs(s, d), 5L)
+        .orderBy(desc("pmi"), asc("src"), asc("dst"))
+    }, Some("""
+      WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                    FROM documents),
+      pairs AS (SELECT unnest(list_transform(range(1, len(tk)),
+                  i -> {'src': tk[i], 'dst': tk[i+1]})) AS p FROM toks),
+      bi AS (SELECT p.src AS src, p.dst AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+             FROM pairs WHERE p.src <> p.dst GROUP BY 1, 2),
+      uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+               SELECT unnest(tk) AS tok FROM toks) GROUP BY 1),
+      tb AS (SELECT CAST(SUM(w) AS BIGINT) AS M FROM bi),
+      tu AS (SELECT CAST(SUM(c) AS BIGINT) AS N FROM uc)
+      SELECT src, dst, w,
+        round(ln((CAST(w AS DOUBLE) / CAST(M AS DOUBLE)) /
+          ((CAST(ca.c AS DOUBLE) / CAST(N AS DOUBLE)) *
+           (CAST(cb.c AS DOUBLE) / CAST(N AS DOUBLE)))), 6) AS pmi
+      FROM bi JOIN uc ca ON bi.src = ca.tok
+              JOIN uc cb ON bi.dst = cb.tok
+      CROSS JOIN tb CROSS JOIN tu
+      WHERE w >= 5
+      ORDER BY pmi DESC, src, dst""")),
+
     // ---- TextRank: integer fixed-point PageRank over the corpus bigram
     // word graph (graft.ops.Graph) — link-structure keyword centrality,
     // the PageRank extension of the ref's inlink-count popularity model
