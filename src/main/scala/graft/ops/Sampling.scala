@@ -103,3 +103,34 @@ object Sampling {
       .drop("__rate")
   }
 }
+
+/** Column-level data profiling — the data-quality pass an ingest runs
+  * before anything else touches 100 TB: per column, row/null counts,
+  * distinct cardinality (EXACT here for oracle-exactness; swap the
+  * [[graft.functions.KmvSketch]]/[[graft.functions.HllSketch]]
+  * aggregates in at scale — same plan shape, bounded state), and
+  * min/max rendered as strings. One pass over the data: every metric
+  * is a partial-aggregatable expression in a single wide aggregate, so
+  * profiling N columns costs one scan + one bounded-row combine, never
+  * N scans.
+  */
+object Profile {
+  import org.apache.spark.sql.functions._
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val metrics = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val wide = df.agg(metrics.head, metrics.tail: _*)
+    // unpivot the single wide row into one row per column
+    val stacked = cols.map { c =>
+      s"struct('$c' as column, __n_$c as n_rows, __null_$c as n_null, " +
+        s"__nd_$c as n_distinct, __min_$c as min_s, __max_$c as max_s)"
+    }.mkString("array(", ", ", ")")
+    wide.select(explode(expr(stacked)).as("p")).select("p.*")
+  }
+}

@@ -902,6 +902,31 @@ object Relational extends QueryModule {
     // a broadcast 1-row frame. The q*N product is exact DECIMAL in both
     // engines (an IEEE-double product would off-by-one some (q, N),
     // e.g. ceil(fl(0.07*100)) = 8).
+    // ---- Column PROFILING (graft.ops.Profile): per-column row/null/
+    // distinct counts + min/max in ONE pass — every metric is a
+    // partial-aggregatable expression in a single wide aggregate
+    // (profiling N columns costs one scan, never N), unpivoted to one
+    // row per column. Distinct is exact here for oracle-exactness; the
+    // KMV/HLL sketch aggregates are the same-plan-shape swap at scale.
+    QueryDef("q_profile_lineitem", (s, d) => {
+      graft.ops.Profile.profile(t(s, d, "lineitem"),
+          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+            "l_linestatus"))
+        .orderBy("column")
+    }, Some {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_s,
+           |  CAST(MAX($c) AS VARCHAR) AS max_s
+           |FROM lineitem""".stripMargin
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+        "l_linestatus").map(one).mkString("", "\nUNION ALL\n",
+        "\nORDER BY \"column\"")
+    }),
+
     // ---- Per-GROUP exact quantiles: value at ceil(q·n_g) within each
     // group via a group-partitioned window (per-key state only — the
     // per-domain/per-language summary-stats shape; the GLOBAL scalable
