@@ -51,7 +51,12 @@ object Soak {
     def emit(op: String, scale: Int, sec: Double, extra: (String, Long)*)
         : Unit = {
       val e = extra.map { case (k, v) => s""","$k":$v""" }.mkString
-      val line = f"""{"op":"$op","scale":$scale,"sec":$sec%.2f$e}"""
+      // Locale.ROOT: the f-interpolator honors the default locale, and a
+      // comma decimal separator would break the JSON (the same bug class
+      // Bench.f3 defends against)
+      val secs = String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box(sec))
+      val line = s"""{"op":"$op","scale":$scale,"sec":$secs$e}"""
       println(line)
       Console.flush()
     }
