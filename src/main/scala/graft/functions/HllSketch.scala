@@ -80,8 +80,9 @@ case class HllSketch(
     val v = left.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
-      if (h < 0) throw new IllegalArgumentException(
-        s"graft_hll: negative hash $h (use the non-negative 60-bit family)")
+      if (h < 0 || h >= (1L << 60)) throw new IllegalArgumentException(
+        s"graft_hll: hash $h outside [0, 2^60) (use the non-negative " +
+        "60-bit family — a 61-63-bit hash would silently undercount)")
       val bucket = (h % m).toInt
       val rest = h / m // 60 - p significant bits
       val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(rest)

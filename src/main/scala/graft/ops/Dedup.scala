@@ -161,35 +161,67 @@ object Dedup {
     * default is UNCAPPED (gate corpora are orders of magnitude under
     * any sane cap, so oracle SQL needs no cap clause); production runs
     * on uncurated corpora should set it (and run exact dedup first).
+    *
+    * The capped path materializes eagerly (same contract as
+    * [[Similarity.cosineNearDupPairsLsh]]) so its persisted band table
+    * can be dropped before returning — no cache residue on long-lived
+    * sessions; audit the lazy plan via [[lshCandidatesPlan]].
     */
   def lshCandidates(sigs: DataFrame, bands: Int, rows: Int,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    if (maxBucket == Int.MaxValue) lshCandidatesPlan(sigs, bands, rows)._1
+    else {
+      val (result, cleanup) = lshCandidatesPlan(sigs, bands, rows,
+        maxBucket)
+      // truncate lineage so the persisted band table can be unpersisted
+      // HERE instead of lingering until session end / LRU eviction
+      val out = result.localCheckpoint(true)
+      cleanup()
+      out
+    }
+
+  /** The LAZY plan behind [[lshCandidates]], exposed for plan audits.
+    * Returns (result, cleanup): in the capped path the caller must invoke
+    * `cleanup()` once the result has materialized — it counts and logs
+    * any bucket-cap drops (one tiny aggregate over the then-cached band
+    * table) and unpersists it. In the uncapped path cleanup is a no-op
+    * and nothing is persisted.
+    */
+  def lshCandidatesPlan(sigs: DataFrame, bands: Int, rows: Int,
+      maxBucket: Int = Int.MaxValue): (DataFrame, () => Unit) = {
     val banded0 = bandKeys(sigs, bands, rows)
-    val banded = if (maxBucket == Int.MaxValue) banded0 else {
+    val (banded, cleanup) = if (maxBucket == Int.MaxValue)
+      (banded0, () => ()) else {
       val bb = banded0.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dropped = bb.groupBy("band", "bkey")
-        .agg(count(lit(1)).as("cnt"))
-        .agg(coalesce(sum(greatest(col("cnt") - maxBucket, lit(0L))),
-          lit(0L))).head().getLong(0)
-      if (dropped > 0)
-        System.err.println(s"[dedup] LSH bucket cap $maxBucket dropped " +
-          s"$dropped band memberships from candidate generation " +
-          s"(boilerplate-dominated buckets — run exact dedup upstream, " +
-          s"or raise maxBucket)")
       val bw = org.apache.spark.sql.expressions.Window
         .partitionBy("band", "bkey").orderBy(asc("doc_id"))
-      bb.withColumn("__bn", row_number().over(bw))
+      val capped = bb.withColumn("__bn", row_number().over(bw))
         .filter(col("__bn") <= maxBucket)
         .select("doc_id", "band", "bkey")
+      val cl = () => {
+        val dropped = bb.groupBy("band", "bkey")
+          .agg(count(lit(1)).as("cnt"))
+          .agg(coalesce(sum(greatest(col("cnt") - maxBucket, lit(0L))),
+            lit(0L))).head().getLong(0)
+        if (dropped > 0)
+          System.err.println(s"[dedup] LSH bucket cap $maxBucket dropped " +
+            s"$dropped band memberships from candidate generation " +
+            s"(boilerplate-dominated buckets — run exact dedup upstream, " +
+            s"or raise maxBucket)")
+        bb.unpersist()
+        ()
+      }
+      (capped, cl)
     }
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
+    val result = a.join(b, col("a.band") === col("b.band") &&
         col("a.bkey") === col("b.bkey") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    (result, cleanup)
   }
 
   /** Exact Jaccard for given pairs, via a relational shingle equi-join

@@ -37,25 +37,45 @@ object Fuzzy {
   /** Probes fuzzy-joined to targets at `levenshtein ≤ maxDist`:
     * returns (probeKey, targetKey, probe_str, target_str, dist).
     * Blocking on shared q-grams (df-capped); verify by edit distance.
+    *
+    * Both sides are aliased to internal names before any join, so the
+    * common record-linkage case where probe and target share column
+    * names (both sides called `name`/`id`) works; when an OUTPUT name
+    * would collide, the target-side column gets a `_target` suffix.
     */
   def fuzzyJoin(probes: DataFrame, probeKey: String, probeStr: String,
       targets: DataFrame, targetKey: String, targetStr: String,
       maxDist: Int, q: Int = 3, maxGramDf: Long = 1000L): DataFrame = {
-    val pg = grams(probes, probeKey, probeStr, q)
-    val tg0 = grams(targets, targetKey, targetStr, q)
+    // internal unique names: same-named probe/target columns must not
+    // make the payload re-attach joins ambiguous
+    val p = probes.select(col(probeKey).as("__q_key"),
+      col(probeStr).as("__q_str"))
+    val t = targets.select(col(targetKey).as("__t_key"),
+      col(targetStr).as("__t_str"))
+    val pg = grams(p, "__q_key", "__q_str", q)
+    val tg0 = grams(t, "__t_key", "__t_str", q)
     // df cap measured on the (large) target side; one aggregate row per
     // gram, map-side combined — a hot gram is never a join blowup
     val hot = tg0.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxGramDf).select("gram")
     val tg = tg0.join(hot, Seq("gram"), "left_anti")
     val cands = pg.join(tg, Seq("gram"))
-      .select(col(probeKey), col(targetKey)).distinct()
+      .select(col("__q_key"), col("__t_key")).distinct()
+    val outTargetKey =
+      if (targetKey == probeKey || targetKey == probeStr)
+        s"${targetKey}_target" else targetKey
+    val outTargetStr =
+      if (targetStr == probeKey || targetStr == probeStr ||
+        targetStr == outTargetKey) s"${targetStr}_target" else targetStr
     cands
-      .join(probes.select(col(probeKey), col(probeStr)), Seq(probeKey))
-      .join(targets.select(col(targetKey), col(targetStr)), Seq(targetKey))
-      .withColumn("dist", levenshtein(col(probeStr), col(targetStr)))
+      .join(p, Seq("__q_key"))
+      .join(t, Seq("__t_key"))
+      .withColumn("dist", levenshtein(col("__q_str"), col("__t_str")))
       .filter(col("dist") <= maxDist)
-      .select(col(probeKey), col(targetKey), col(probeStr),
-        col(targetStr), col("dist").cast("long").as("dist"))
+      .select(col("__q_key").as(probeKey),
+        col("__t_key").as(outTargetKey),
+        col("__q_str").as(probeStr),
+        col("__t_str").as(outTargetStr),
+        col("dist").cast("long").as("dist"))
   }
 }

@@ -249,7 +249,7 @@ object Functions extends QueryModule {
     // ---- S1/S6: gzip JSON-lines sink + schema'd scan round-trip (the
     // reference's canonical model format, sift/dataset.py:17-23).
     QueryDef("s1_json_roundtrip", (s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s1").toString
+      val tmp = Scratch.dir("graft_s1")
       t(s, d, "region").write.mode("overwrite")
         .option("compression", "gzip").json(tmp)
       s.read.schema("r_regionkey INT, r_name STRING").json(tmp)
@@ -258,7 +258,7 @@ object Functions extends QueryModule {
 
     // ---- S7: TSV sink + scan round-trip (sift/format.py:18-39).
     QueryDef("s7_tsv_roundtrip", (s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s7").toString
+      val tmp = Scratch.dir("graft_s7")
       t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
         .write.mode("overwrite").option("sep", "\t").csv(tmp)
       s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
@@ -278,8 +278,7 @@ object Functions extends QueryModule {
     // partition and scanning the lake). Oracle replays the same
     // filter+agg over the unpartitioned table.
     QueryDef("s11_partitioned_pruning", (s, d) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_s11").toString
+      val tmp = Scratch.dir("graft_s11")
       Tables.events(s, d)
         .select("event_id", "user_id", "event_type", "ts_us")
         .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
@@ -299,7 +298,7 @@ object Functions extends QueryModule {
       GROUP BY 1 ORDER BY 1""")),
 
     QueryDef("s9_orc_roundtrip", (s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s9").toString
+      val tmp = Scratch.dir("graft_s9")
       t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
         .write.mode("overwrite").orc(tmp)
       s.read.orc(tmp).orderBy("n_nationkey")

@@ -20,6 +20,36 @@ trait QueryModule {
     defs.flatMap(d => d.oracle.map(d.name -> _)).toMap
 }
 
+/** Scratch directories for sink/round-trip gates: created per call
+  * (run-unique, so concurrent runs never clobber each other) and swept
+  * by one JVM shutdown hook — `File.deleteOnExit` can't remove
+  * non-empty directories, so the hook walks each tree depth-first.
+  */
+object Scratch {
+  private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[
+    java.nio.file.Path]()
+  private lazy val hook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dirs.forEach(p => deleteTree(p))))
+    ()
+  }
+
+  def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import java.nio.file._
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { val _ = Files.deleteIfExists(f) })
+    }
+
+  /** A fresh temp dir, registered for deletion at JVM exit. */
+  def dir(prefix: String): String = {
+    hook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    dirs.add(p)
+    p.toString
+  }
+}
+
 object Tables {
   /** All queries read the driver-generated parquet tables rooted at `dir`. */
   def t(s: SparkSession, dir: String, name: String): DataFrame =

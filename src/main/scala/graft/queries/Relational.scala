@@ -216,18 +216,24 @@ object Relational extends QueryModule {
     // the equivalent plain join in DuckDB — bucketing must not change
     // results, only the plan.
     QueryDef("j_bucketed_colocated", (s, d) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_bucketed").toString
+      // run-unique table names + scratch dir: concurrent runs sharing a
+      // metastore/warehouse must not clobber each other, and nothing may
+      // accumulate across runs — tables are dropped and the dir deleted
+      // eagerly once the (small) result has materialized
+      val runId = java.util.UUID.randomUUID.toString.replace("-", "")
+      val tmp = Scratch.dir("graft_bucketed")
+      val ordersTbl = s"graft_orders_b_$runId"
+      val custTbl = s"graft_customer_b_$runId"
       t(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
         .write.mode("overwrite").bucketBy(8, "o_custkey")
         .sortBy("o_custkey").option("path", s"$tmp/orders_b")
-        .saveAsTable("graft_orders_b")
+        .saveAsTable(ordersTbl)
       t(s, d, "customer").select("c_custkey", "c_name")
         .write.mode("overwrite").bucketBy(8, "c_custkey")
         .sortBy("c_custkey").option("path", s"$tmp/customer_b")
-        .saveAsTable("graft_customer_b")
-      val j = s.table("graft_orders_b")
-        .join(s.table("graft_customer_b").hint("merge"),
+        .saveAsTable(custTbl)
+      val j = s.table(ordersTbl)
+        .join(s.table(custTbl).hint("merge"),
           col("o_custkey") === col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(count(lit(1)).as("n_orders"),
@@ -235,7 +241,11 @@ object Relational extends QueryModule {
       val plan = j.queryExecution.executedPlan.toString
       require(!plan.contains("hashpartitioning"),
         s"bucketed join must not hash-shuffle; got plan:\n$plan")
-      j.orderBy("c_custkey")
+      val out = j.orderBy("c_custkey").localCheckpoint(true)
+      s.sql(s"DROP TABLE IF EXISTS $ordersTbl")
+      s.sql(s"DROP TABLE IF EXISTS $custTbl")
+      Scratch.deleteTree(java.nio.file.Paths.get(tmp))
+      out
     }, Some("""
       SELECT c_custkey, c_name, COUNT(*) AS n_orders,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS total

@@ -60,6 +60,19 @@ class FuzzySpec extends AnyFunSuite {
     assert(out === Set(10L))
   }
 
+  test("same-named columns on both sides (record linkage) work") {
+    val probes = df(("id", "name"), 1L -> "jon smith inc")
+    val targets = df(("id", "name"), 10L -> "john smith inc")
+    val out = Fuzzy.fuzzyJoin(probes, "id", "name",
+      targets, "id", "name", maxDist = 1).collect()
+    assert(out.length === 1)
+    val row = out.head
+    assert(row.getAs[Long]("id") === 1L)
+    assert(row.getAs[Long]("id_target") === 10L)
+    assert(row.getAs[String]("name") === "jon smith inc")
+    assert(row.getAs[String]("name_target") === "john smith inc")
+  }
+
   test("plan contains no nested-loop or cartesian join") {
     val probes = df(("q_key", "q_name"), 1L -> "jon smith inc")
     val targets = df(("t_key", "t_name"), 10L -> "john smith inc")

@@ -66,6 +66,12 @@ class HllSketchSpec extends AnyFunSuite {
     assertThrows[Exception] {
       df.select(lit(-1L).as("h")).agg(expr(s"graft_hll(h, $p)")).head()
     }
+    // 61-63-bit hashes violate the 60-bit family contract: must fail as
+    // loudly as negatives, not silently undercount
+    assertThrows[Exception] {
+      df.select(lit(1L << 60).as("h")).agg(expr(s"graft_hll(h, $p)"))
+        .head()
+    }
     Seq("graft_hll(cast(1 as bigint), 3)",
         "graft_hll(cast(1 as bigint), 17)",
         "graft_hll(cast(1 as bigint), null)",
