@@ -133,4 +133,39 @@ object Profile {
     }.mkString("array(", ", ", ")")
     wide.select(explode(expr(stacked)).as("p")).select("p.*")
   }
+
+  /** The 100 TB profile: [[profile]] with the exact `countDistinct`
+    * (which Catalyst plans as an N-distinct-columns Expand — N× the
+    * input rows reshuffled on distinct values) swapped for the bounded
+    * [[graft.functions.KmvSketch]] aggregate. Same single-scan,
+    * single-wide-aggregate shape, but per-column distinct state is a
+    * k-row buffer that partial-aggregates map-side and merges
+    * associatively — the plan has NO Expand and shuffles exactly one
+    * bounded row per partition. `nd_est` is the KMV estimator
+    * (k−1)·2⁶⁰/kth-min (exact value count when under k), deterministic
+    * and order-independent, so a SQL oracle can replay it bit-for-bit.
+    */
+  def profileSketch(df: DataFrame, cols: Seq[String],
+      k: Int = 256): DataFrame = {
+    Hashing.ensureRegistered(df)
+    val metrics = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        expr(s"graft_kmv(${Hashing.md5LongSql(s"cast($c as string)")}, $k)")
+          .as(s"__ks_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val wide = df.agg(metrics.head, metrics.tail: _*)
+    val stacked = cols.map { c =>
+      s"struct('$c' as column, __n_$c as n_rows, __null_$c as n_null, " +
+        s"(case when size(__ks_$c) < $k then cast(size(__ks_$c) as bigint) " +
+        s"else cast(floor(cast(${k - 1} as double) * " +
+        s"1152921504606846976.0D / " +
+        s"cast(try_element_at(__ks_$c, -1) as double)) as bigint) end) " +
+        s"as nd_est, " +
+        s"__min_$c as min_s, __max_$c as max_s)"
+    }.mkString("array(", ", ", ")")
+    wide.select(explode(expr(stacked)).as("p")).select("p.*")
+  }
 }

@@ -322,6 +322,134 @@ object Pipeline extends QueryModule {
       WHERE status <> 'unchanged'
       ORDER BY doc_id""")),
 
+    // ---- INCREMENTAL refresh pipeline (CDC composition): the monthly
+    // re-crawl flow a production user actually runs — snapshot diff →
+    // near-dup dedup of the ADDED slice → token-count model refresh
+    // from the delta only. The unchanged mass is never re-tokenized:
+    // diff is per-side fingerprints meeting in ONE full-outer key join,
+    // dedup is the df-capped shingle join over the new snapshot, and
+    // the model refresh aggregates ONLY (deleted ∪ changed-old) out and
+    // (changed-new ∪ surviving-adds) in, merged into the base counts by
+    // one outer join on token. The ORACLE recomputes the refreshed
+    // model FROM SCRATCH over the final corpus — a hash match proves
+    // the incremental algebra equals full recomputation.
+    // Planted re-crawl: every 41st doc deleted, every 31st edited,
+    // 10 duplicate adds (near-dup of retained docs → dedup must drop
+    // them; the copy of deleted doc 0 has no surviving twin → kept),
+    // 10 genuinely-new adds (token order reversed: same token counts,
+    // disjoint shingles — near-dup must NOT drop them).
+    QueryDef("pipe_incremental_refresh", (s, d) => {
+      val old = docs(s, d).select("doc_id", "text")
+      val kept = old.filter(col("doc_id") % 41 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 31 === 0,
+            concat(col("text"), lit(" EDITED")))
+            .otherwise(col("text")).as("text"))
+      val neu = kept
+        .unionByName(old.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+        .unionByName(old.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+          .select((col("doc_id") + 600000).as("doc_id"),
+            expr(s"concat_ws(' ', reverse($tokensSql))").as("text")))
+      // 1. snapshot diff (d_snapshot_diff shape)
+      val of = old.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("fp_old"))
+      val nf = neu.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("fp_new"))
+      val diff = of.join(nf, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("fp_old").isNull, lit("added"))
+            .when(col("fp_new").isNull, lit("deleted"))
+            .when(col("fp_old") =!= col("fp_new"), lit("changed"))
+            .otherwise(lit("unchanged")))
+      val addedIds = diff.filter(col("status") === "added")
+        .select("doc_id")
+      val changedIds = diff.filter(col("status") === "changed")
+        .select("doc_id")
+      val deletedIds = diff.filter(col("status") === "deleted")
+        .select("doc_id")
+      // 2. near-dup dedup of the added slice: an added doc is dropped
+      // when it near-dups a retained doc or a smaller-id added doc
+      // (keep-first). Added ids sort above all retained ids, so every
+      // such pair has the added doc as doc_b.
+      val pairs = Dedup.jaccardAllPairs(neu, 3, 0.5, maxShingleDf = 50)
+      val dropIds = pairs
+        .join(addedIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+        .select(col("doc_b").as("doc_id")).distinct()
+      val survivingAdds = neu.join(addedIds, Seq("doc_id"))
+        .join(dropIds, Seq("doc_id"), "left_anti")
+      // 3. model refresh from the delta only
+      def tokCounts(df: DataFrame, as: String) =
+        df.select(explode(expr(tokensSql)).as("token"))
+          .groupBy("token").agg(count(lit(1)).as(as))
+      val baseCounts = tokCounts(old, "base") // the precomputed model
+      val removed = tokCounts(
+        old.join(changedIds.unionByName(deletedIds), Seq("doc_id")),
+        "minus")
+      val added = tokCounts(
+        neu.join(changedIds, Seq("doc_id")).unionByName(survivingAdds),
+        "plus")
+      baseCounts
+        .join(removed, Seq("token"), "full_outer")
+        .join(added, Seq("token"), "full_outer")
+        .select(col("token"),
+          coalesce(col("base"), lit(0L)).as("count_old"),
+          (coalesce(col("base"), lit(0L)) -
+            coalesce(col("minus"), lit(0L)) +
+            coalesce(col("plus"), lit(0L))).as("count_new"))
+        .filter(col("count_old") =!= col("count_new"))
+        .orderBy("token")
+    }, Some("""
+      WITH old AS (SELECT doc_id, text FROM documents),
+      kept AS (SELECT doc_id,
+                 CASE WHEN doc_id % 31 = 0 THEN text || ' EDITED'
+                      ELSE text END AS text
+               FROM old WHERE doc_id % 41 <> 0),
+      neu AS (SELECT * FROM kept
+              UNION ALL
+              SELECT doc_id + 500000, text FROM old WHERE doc_id < 10
+              UNION ALL
+              SELECT doc_id + 600000, array_to_string(list_reverse(
+                  regexp_extract_all(lower(text), '[a-z0-9]+')), ' ')
+              FROM old WHERE doc_id >= 10 AND doc_id < 20),
+      toksn AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                FROM neu),
+      shn AS (SELECT doc_id,
+                list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+              FROM toksn WHERE len(toks) >= 3),
+      ex AS (SELECT doc_id, unnest(shingles) AS shg FROM shn),
+      hot AS (SELECT shg FROM ex GROUP BY shg HAVING COUNT(*) > 50),
+      keptsh AS (SELECT ex.doc_id, ex.shg FROM ex
+                 LEFT JOIN hot ON ex.shg = hot.shg WHERE hot.shg IS NULL),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM keptsh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  COUNT(*) AS inter
+                FROM keptsh a JOIN keptsh b
+                  ON a.shg = b.shg AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      drops AS (SELECT DISTINCT doc_b AS doc_id
+                FROM inter
+                JOIN sizes sa ON doc_a = sa.doc_id
+                JOIN sizes sb ON doc_b = sb.doc_id
+                WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+                  AND doc_b >= 500000),
+      final AS (SELECT * FROM neu
+                WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+      co AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS token FROM old),
+      cn AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS token FROM final),
+      a AS (SELECT token, COUNT(*) AS c FROM co GROUP BY 1),
+      b AS (SELECT token, COUNT(*) AS c FROM cn GROUP BY 1)
+      SELECT COALESCE(a.token, b.token) AS token,
+        CAST(COALESCE(a.c, 0) AS BIGINT) AS count_old,
+        CAST(COALESCE(b.c, 0) AS BIGINT) AS count_new
+      FROM a FULL OUTER JOIN b ON a.token = b.token
+      WHERE COALESCE(a.c, 0) <> COALESCE(b.c, 0)
+      ORDER BY token""")),
+
     // ---- Exact SUBSTRING duplication (Lee et al. 2022): w-token
     // windows whose exact content recurs anywhere in the corpus, rolled
     // up per document (window count + merged token coverage). The

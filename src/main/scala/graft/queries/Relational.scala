@@ -937,6 +937,44 @@ object Relational extends QueryModule {
         "\nORDER BY \"column\"")
     }),
 
+    // ---- SKETCH-mode profiling (graft.ops.Profile.profileSketch): the
+    // scalable twin of q_profile_lineitem. Exact countDistinct over N
+    // columns Catalyst-plans as an N× row Expand + a shuffle of every
+    // distinct value — the first thing an ingest hits at 100×. Here
+    // each column's distinct state is a bounded KMV buffer inside the
+    // SAME single-scan wide aggregate; the gate asserts in-plan that no
+    // Expand exists. The KMV k-minimum hash set is order/partition
+    // independent, so DuckDB replays each column's estimator
+    // bit-for-bit (DISTINCT..ORDER BY..LIMIT k, as agg_kmv_distinct).
+    QueryDef("q_profile_sketch", (s, d) => {
+      val out = graft.ops.Profile.profileSketch(t(s, d, "lineitem"),
+          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+            "l_linestatus"))
+        .orderBy("column")
+      val plan = out.queryExecution.executedPlan.toString
+      require(!plan.contains("Expand"),
+        s"sketch profile must not Expand; got plan:\n$plan")
+      out
+    }, Some {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  (SELECT CAST(CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+           |     ELSE floor(255.0 * 1152921504606846976.0 /
+           |                CAST(MAX(h) AS DOUBLE)) END AS BIGINT)
+           |   FROM (SELECT DISTINCT CAST(('0x' || substring(
+           |           md5(CAST($c AS VARCHAR)),1,15)) AS BIGINT) AS h
+           |         FROM lineitem WHERE $c IS NOT NULL
+           |         ORDER BY h LIMIT 256) mins) AS nd_est,
+           |  CAST(MIN($c) AS VARCHAR) AS min_s,
+           |  CAST(MAX($c) AS VARCHAR) AS max_s
+           |FROM lineitem""".stripMargin
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+        "l_linestatus").map(one).mkString("", "\nUNION ALL\n",
+        "\nORDER BY \"column\"")
+    }),
+
     // ---- Per-GROUP exact quantiles: value at ceil(q·n_g) within each
     // group via a group-partitioned window (per-key state only — the
     // per-domain/per-language summary-stats shape; the GLOBAL scalable
