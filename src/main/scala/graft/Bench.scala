@@ -45,13 +45,34 @@ object Bench {
     val only = args.toSet
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
+    // SPARK_GRAFT_BENCH_REPS > 1 switches per-query values from a single
+    // run to the MEDIAN of N runs (the IsoBench denoising protocol,
+    // in-suite): streaming/ANN gates jitter run-to-run, and judging
+    // medians instead of single captures is the stated bench protocol.
+    // Default stays 1 so the driver's per-round capture is unchanged in
+    // cost; the emitted "reps" field says which protocol produced the
+    // numbers.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+      .max(1)
     names.foreach(n => once(n, SparkEntry.queries(n))) // warmup, untimed
-    val results = names.map(n => n -> once(n, SparkEntry.queries(n)))
-    def json(fmt: Double => String): String = {
+    val runs = names.map(n =>
+      n -> (1 to reps).map(_ => once(n, SparkEntry.queries(n))))
+    val results = runs.map { case (n, ts) =>
+      // any failed rep poisons the query (-1): a median over a mix of
+      // failures and successes would silently hide flakiness
+      n -> (if (ts.exists(_ < 0)) -1.0
+            else ts.sorted.apply(ts.length / 2))
+    }
+    def json(fmt: Double => String, withRuns: Boolean): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      val runsField = if (!withRuns || reps == 1) "" else
+        runs.map { case (k, ts) =>
+          "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
+        }.mkString(""","runs":{""", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""reps":$reps,"queries":$qs$runsField,"sf":"$sfDir"}"""
     }
     // The harness tail-captures a fixed window of stdout and has cut the
     // HEAD of the (long) JSON line three rounds running (BENCH_r03..r05
@@ -64,11 +85,12 @@ object Bench {
     // default locale could render 1.234 as "1,234" and break the JSON.
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val compact = json(f3)
+    val compact = json(f3, withRuns = false)
     println(compact)
     Console.flush()
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench.json"), json(_.toString) + "\n")
+      java.nio.file.Paths.get("bench.json"),
+      json(_.toString, withRuns = true) + "\n")
     catch { case _: Throwable => () }
     spark.stop()
     println(compact)

@@ -274,6 +274,51 @@ object Events {
       .orderBy("band", "bkey")
   }
 
+  /** Streaming near-dup with a PER-BUCKET arrival cap — the in-stream
+    * form of the batch LSH bucket-cap defense
+    * ([[graft.ops.Dedup.lshCandidates]] `maxBucket`): each (band, bkey)
+    * bucket passes through at most `maxPerBucket` documents, so a
+    * boilerplate flood (thousands of near-identical docs all sharing
+    * band keys) contributes a BOUNDED number of rows to any downstream
+    * candidate generation instead of a quadratic hot spot.
+    * `maxPerBucket = 1` is the [[neardupDedupBuckets]] suppression;
+    * larger caps keep enough per-bucket survivors for downstream
+    * verify joins. Per-bucket state is ONE int (the survivor count),
+    * evicted by event-time timeout once the watermark passes
+    * `evictAfterMs` beyond it — bounded state under an unbounded
+    * stream. WHICH docs survive is arrival-order dependent (as in any
+    * streaming dedup); the COUNT per bucket is deterministic.
+    *
+    * `bands` must carry (doc_id, band, bkey, t) with a watermark
+    * already declared on `t` (EventTimeTimeout requires one).
+    */
+  def cappedBucketSurvivors(bands: DataFrame, maxPerBucket: Int,
+      evictAfterMs: Long = 10 * 60 * 1000L): DataFrame = {
+    require(maxPerBucket >= 1, "maxPerBucket must be >= 1")
+    val ss = bands.sparkSession
+    import ss.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    bands.select(col("band").cast("int").as("band"), col("bkey"),
+        col("doc_id"), col("t"))
+      .as[(Int, String, Long, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Int, (Int, String, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val seen = state.getOption.getOrElse(0)
+            val out = rows.take(math.max(0, maxPerBucket - seen))
+              .map(r => (key._1, key._2, r._3)).toList
+            state.update(seen + out.size) // define state BEFORE timeout
+            state.setTimeoutTimestamp(
+              state.getCurrentWatermarkMs() + evictAfterMs)
+            out.iterator
+          }
+      }
+      .toDF("band", "bkey", "doc_id")
+  }
+
   /** STREAM-STATIC enrichment join (§2.9): the event stream joined to a
     * batch dimension (per-customer order counts) — the standard
     * enrichment shape: the static side is planned per micro-batch (and
