@@ -150,24 +150,115 @@ object Multimodal {
 
     /** Codec dispatch: real parse when the container is one we decode
       * (PPM via the pure-JVM parser or PNG/GIF/BMP via `javax.imageio`
-      * for images; PCM WAV for audio), stub fallback otherwise.
+      * for images; PCM WAV for audio), then any user-supplied
+      * [[ExternalDecoder]] for that media type, stub fallback last.
       */
-    def decode(bytes: Array[Byte], mediaType: String): Array[Float] =
+    def decode(bytes: Array[Byte], mediaType: String,
+        external: Map[String, ExternalDecoder] = Map.empty)
+        : Array[Float] = {
+      def ext: Option[Array[Float]] =
+        external.get(mediaType).flatMap(_.decode(bytes)).map(_.samples)
       mediaType match {
         case "image" => ppm(bytes).map(_._3)
           .orElse(imageIo(bytes).map(_._3))
+          .orElse(ext)
           .getOrElse(DecodeStub.decode(bytes, mediaType))
         case "audio" => wav(bytes).map(_._3)
+          .orElse(ext)
           .getOrElse(DecodeStub.decode(bytes, mediaType))
-        case _ => DecodeStub.decode(bytes, mediaType)
+        case _ => ext.getOrElse(DecodeStub.decode(bytes, mediaType))
       }
+    }
+  }
+
+  /** The pluggable external-codec contract — the integration boundary
+    * for codecs with no pure-JVM implementation in the JDK (MP3, H.264,
+    * …). A drop-in decoder is a SERIALIZABLE function object: it ships
+    * inside the task closure to every executor, so there is no
+    * driver-side registry to fall out of sync on a 1000-executor
+    * cluster — plug it in per call ([[Multimodal.decodedStats]]'s
+    * `external` parameter).
+    *
+    * Decoded shape: `dims` describes the buffer layout (image:
+    * [h, w, 3] row-major RGB; audio: [channels, samples] interleaved;
+    * video: [frames, h, w, 3]); `samples.length == dims.product`;
+    * sample range [0, 1] for pixels, [-1, 1] for audio. `None` means
+    * "not my container" (dispatch falls through) — malformed input must
+    * yield None, never throw.
+    *
+    * The structural invariants a drop-in must satisfy are executable:
+    * [[DecoderContract.violations]] (the spec-side twin of the JPEG
+    * structural gate `mm_jpeg_decode`, which validates the JDK's own
+    * lossy decoder the same way — shape, determinism, bounded range —
+    * rather than against golden pixels no two codecs agree on).
+    */
+  trait ExternalDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): Option[ExternalDecoder.Decoded]
+  }
+
+  object ExternalDecoder {
+    final case class Decoded(dims: Array[Int], samples: Array[Float])
+  }
+
+  /** Executable contract for [[ExternalDecoder]] drop-ins: returns the
+    * list of violated invariants (empty = the decoder is pluggable).
+    * `wellFormed` are payloads the decoder must decode; `range` is the
+    * sample bound ((0, 1) pixels, (-1, 1) audio).
+    */
+  object DecoderContract {
+    def violations(dec: ExternalDecoder, wellFormed: Seq[Array[Byte]],
+        range: (Float, Float) = (0f, 1f)): Seq[String] = {
+      val errs = scala.collection.mutable.ListBuffer[String]()
+      // serializable: the decoder must survive the task-closure trip
+      try {
+        val bo = new java.io.ByteArrayOutputStream()
+        new java.io.ObjectOutputStream(bo).writeObject(dec)
+        new java.io.ObjectInputStream(
+          new java.io.ByteArrayInputStream(bo.toByteArray)).readObject()
+      } catch { case e: Exception =>
+        errs += s"not serializable (must ship in task closures): $e"
+      }
+      wellFormed.zipWithIndex.foreach { case (bytes, i) =>
+        (dec.decode(bytes), dec.decode(bytes)) match {
+          case (None, _) => errs += s"payload $i: must decode, got None"
+          case (Some(a), Some(b)) =>
+            if (!java.util.Arrays.equals(a.dims, b.dims) ||
+              !java.util.Arrays.equals(a.samples, b.samples))
+              errs += s"payload $i: nondeterministic decode"
+            if (a.dims.isEmpty || a.dims.exists(_ <= 0))
+              errs += s"payload $i: dims must be positive, got " +
+                a.dims.mkString("[", ",", "]")
+            else if (a.samples.length != a.dims.product)
+              errs += s"payload $i: samples.length ${a.samples.length} " +
+                s"!= dims.product ${a.dims.product}"
+            if (a.samples.exists(v =>
+              v.isNaN || v < range._1 || v > range._2))
+              errs += s"payload $i: samples outside " +
+                s"[${range._1}, ${range._2}]"
+          case _ => errs += s"payload $i: flaky decode (Some then None)"
+        }
+      }
+      // totality: junk must be rejected with None, never an exception
+      val junk = Seq(Array.emptyByteArray, Array[Byte](0, 1, 2, 3),
+        Array.fill[Byte](64)(0x7f), wellFormed.headOption
+          .map(_.take(3)).getOrElse(Array[Byte](9)))
+      junk.zipWithIndex.foreach { case (bytes, i) =>
+        try dec.decode(bytes)
+        catch { case e: Exception =>
+          errs += s"junk probe $i: threw $e (must return None)"
+        }
+      }
+      errs.toList
+    }
   }
 
   /** Deterministic stand-in for codecs the JDK does not ship (MP3,
     * H.264, …). JPEG does NOT route here — the JDK's own JPEG reader
     * serves it through [[Decode.imageIo]]; being lossy it is gated
     * STRUCTURALLY ([[jpegStructural]], `mm_jpeg_decode`) rather than
-    * oracle-exact.
+    * oracle-exact. A licensed real codec plugs in ahead of this stub
+    * via [[ExternalDecoder]] (contract: [[DecoderContract]]) — the
+    * stub only backstops media types with no drop-in supplied.
     */
   object DecodeStub {
     /** A real implementation would return decoded pixel/sample buffers;
@@ -430,13 +521,14 @@ object Multimodal {
     * double fold over the sample buffer, so an oracle deriving the same
     * samples from the raw payload matches bit-for-bit.
     */
-  def decodedStats(media: DataFrame): DataFrame = {
+  def decodedStats(media: DataFrame,
+      external: Map[String, ExternalDecoder] = Map.empty): DataFrame = {
     val s = media.sparkSession
     import s.implicits._
     media.select("doc_id", "media_type", "bytes")
       .as[(Long, String, Array[Byte])]
       .map { case (id, mt, bytes) =>
-        val buf = Decode.decode(bytes, mt)
+        val buf = Decode.decode(bytes, mt, external)
         val mean = buf.foldLeft(0.0)(_ + _) / math.max(buf.length, 1)
         (id, buf.length, mean)
       }
