@@ -245,19 +245,45 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket
-    * join → exact verify at `threshold`.
+    * join → exact verify at `threshold`. LAZY — the persisted shingle
+    * table stays cached for the session (fine for a single-shot gate
+    * query; a long-lived session issuing many near-dup jobs should use
+    * [[minhashLshPlan]] and invoke its cleanup once results have
+    * materialized, or cache residue accumulates).
     */
   def minhashLsh(docs: DataFrame, shingleN: Int, k: Int, bands: Int,
-      threshold: Double, maxBucket: Int = Int.MaxValue): DataFrame = {
+      threshold: Double, maxBucket: Int = Int.MaxValue): DataFrame =
+    if (maxBucket == Int.MaxValue)
+      minhashLshPlan(docs, shingleN, k, bands, threshold)._1
+    else {
+      // capped: materialize eagerly so the cap drops are counted and
+      // LOGGED (no silent caps) and the persisted intermediates freed
+      val (r, cleanup) = minhashLshPlan(docs, shingleN, k, bands,
+        threshold, maxBucket)
+      val out = r.localCheckpoint(true)
+      cleanup()
+      out
+    }
+
+  /** [[minhashLsh]] with explicit cache lifecycle: returns (result,
+    * cleanup). The caller invokes `cleanup()` once the result has
+    * materialized — it unpersists the shingle table (and, in the capped
+    * path, runs the band-table cleanup of [[lshCandidatesPlan]]).
+    */
+  def minhashLshPlan(docs: DataFrame, shingleN: Int, k: Int, bands: Int,
+      threshold: Double, maxBucket: Int = Int.MaxValue)
+      : (DataFrame, () => Unit) = {
     require(k % bands == 0, "k must divide into bands")
     // the shingle table feeds signatures AND both sides of the verify
     // join — persist it so the tokenize+shingle+hash subtree runs once,
     // not three times (MEMORY_AND_DISK: spills rather than OOMs at scale)
     val sh = shingled(docs, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidates(minhashSignatures(sh, k), bands, k / bands,
-      maxBucket)
-    verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
+    val (cands, candCleanup) = lshCandidatesPlan(
+      minhashSignatures(sh, k), bands, k / bands, maxBucket)
+    val result = verifyJaccard(cands, sh)
+      .filter(col("jaccard") >= threshold)
+    (result, () => { candCleanup(); sh.unpersist(); () })
   }
 
   /** All-pairs n-gram Jaccard ≥ threshold. Relational: never builds the n²

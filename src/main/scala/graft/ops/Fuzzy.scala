@@ -13,14 +13,20 @@ import org.apache.spark.sql.functions._
   * sizes, never |probes|×|targets|; the verify predicate (codegen'd
   * `levenshtein`) runs on candidates only. The gram join moves ONLY
   * (key, gram) pairs — payload strings re-attach by key afterwards, so
-  * wide rows never ride the exploded join. Hot grams (common trigrams
-  * like "er ") are the skew risk: `maxGramDf` drops grams whose
-  * document frequency exceeds the cap (the df-cap defense of
-  * [[Dedup.jaccardAllPairs]]); correctness note — a dropped gram can
-  * only reduce candidate RECALL, and two strings within edit distance
-  * e share ≥ 1 q-gram whenever `min(len) ≥ q·(e+1)`, so with
-  * q=3, e≤1 any ≥ 6-char pair still blocks on its other grams unless
-  * ALL of them are above the cap.
+  * wide rows never ride the exploded join.
+  *
+  * Skew + recall: blocking keys are each string's PREFIX under a global
+  * gram order — its `q·maxDist + 1` grams with the lowest target-side
+  * document frequency (ties by gram) — the prefix-filtering scheme of
+  * the similarity-join literature. Two strings within edit distance e
+  * differ by at most q·e grams, so their (q·e+1)-long rarest-first
+  * prefixes MUST share a gram: recall at the edit bound is EXACT, at
+  * any corpus size. (An earlier absolute df cap lost recall at scale —
+  * measured: a 10× corpus of TPC-style names pushed EVERY gram over a
+  * fixed cap and matches collapsed to zero.) Hot grams land in a
+  * prefix only for strings whose other grams are even hotter, so a
+  * common trigram never floods candidate generation — the df-cap skew
+  * defense without its recall cliff.
   */
 object Fuzzy {
 
@@ -36,7 +42,8 @@ object Fuzzy {
 
   /** Probes fuzzy-joined to targets at `levenshtein ≤ maxDist`:
     * returns (probeKey, targetKey, probe_str, target_str, dist).
-    * Blocking on shared q-grams (df-capped); verify by edit distance.
+    * Blocking on rarest-gram prefixes (exact recall at the edit bound —
+    * see the object doc); verify by edit distance.
     *
     * Both sides are aliased to internal names before any join, so the
     * common record-linkage case where probe and target share column
@@ -45,7 +52,8 @@ object Fuzzy {
     */
   def fuzzyJoin(probes: DataFrame, probeKey: String, probeStr: String,
       targets: DataFrame, targetKey: String, targetStr: String,
-      maxDist: Int, q: Int = 3, maxGramDf: Long = 1000L): DataFrame = {
+      maxDist: Int, q: Int = 3): DataFrame = {
+    val prefixLen = q * maxDist + 1
     // internal unique names: same-named probe/target columns must not
     // make the payload re-attach joins ambiguous
     val p = probes.select(col(probeKey).as("__q_key"),
@@ -53,13 +61,23 @@ object Fuzzy {
     val t = targets.select(col(targetKey).as("__t_key"),
       col(targetStr).as("__t_str"))
     val pg = grams(p, "__q_key", "__q_str", q)
-    val tg0 = grams(t, "__t_key", "__t_str", q)
-    // df cap measured on the (large) target side; one aggregate row per
-    // gram, map-side combined — a hot gram is never a join blowup
-    val hot = tg0.groupBy("gram").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxGramDf).select("gram")
-    val tg = tg0.join(hot, Seq("gram"), "left_anti")
-    val cands = pg.join(tg, Seq("gram"))
+    val tg = grams(t, "__t_key", "__t_str", q)
+    // the global gram order: target-side document frequency, ties by
+    // gram; probe grams absent from the target corpus get df 0 (rarest
+    // — they can only shrink the probe's candidate set). One aggregate
+    // row per gram, map-side combined.
+    val df = tg.groupBy("gram").agg(count(lit(1)).as("__df"))
+    def prefix(g: DataFrame, key: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(key).orderBy(asc("__df"), asc("gram"))
+      g.join(df, Seq("gram"), "left")
+        .na.fill(0L, Seq("__df"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= prefixLen)
+        .select(col(key), col("gram"))
+    }
+    val cands = prefix(pg, "__q_key")
+      .join(prefix(tg, "__t_key"), Seq("gram"))
       .select(col("__q_key"), col("__t_key")).distinct()
     val outTargetKey =
       if (targetKey == probeKey || targetKey == probeStr)

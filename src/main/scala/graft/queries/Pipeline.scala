@@ -238,11 +238,14 @@ object Pipeline extends QueryModule {
 
     // ---- Fuzzy string join (entity resolution): probes are the first
     // 20 part names with their 3rd character deleted; targets are the
-    // distinct part names. Blocking on shared character trigrams
-    // (df-capped on the target side), verify with codegen'd
-    // levenshtein ≤ 1 — candidates only meet inside a gram block,
-    // payload strings re-attach by key, so the pair space is bounded
-    // by block sizes, never |probes|×|targets|.
+    // distinct part names. Blocking on each string's PREFIX under the
+    // global (target-df, gram) order — its q·e+1 = 4 rarest trigrams —
+    // which makes recall at the edit bound EXACT at any corpus size
+    // (prefix filtering; an absolute df cap collapsed to 0 matches at
+    // 10× in the scale soak). Verify with codegen'd levenshtein ≤ 1;
+    // candidates only meet inside a shared prefix gram, payloads
+    // re-attach by key, so the pair space is bounded by prefix-block
+    // sizes, never |probes|×|targets|.
     QueryDef("j_fuzzy_names", (s, d) => {
       val parts = t(s, d, "part").select("p_partkey", "p_name")
       val targets = parts.groupBy("p_name")
@@ -264,13 +267,19 @@ object Pipeline extends QueryModule {
       pg AS (SELECT q_key, unnest(list_distinct(list_transform(
                range(1, greatest(len(q_name) - 2, 1) + 1),
                i -> q_name[i:i+2]))) AS gram FROM probes),
-      tg0 AS (SELECT t_key, unnest(list_distinct(list_transform(
-                range(1, greatest(len(t_name) - 2, 1) + 1),
-                i -> t_name[i:i+2]))) AS gram FROM targets),
-      hot AS (SELECT gram FROM tg0 GROUP BY gram HAVING COUNT(*) > 1000),
-      tg AS (SELECT t_key, gram FROM tg0
-             WHERE gram NOT IN (SELECT gram FROM hot)),
-      cands AS (SELECT DISTINCT q_key, t_key FROM pg JOIN tg USING (gram))
+      tg AS (SELECT t_key, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t_name) - 2, 1) + 1),
+               i -> t_name[i:i+2]))) AS gram FROM targets),
+      dfg AS (SELECT gram, COUNT(*) AS df FROM tg GROUP BY 1),
+      pp AS (SELECT q_key, gram FROM (
+               SELECT q_key, gram, ROW_NUMBER() OVER (PARTITION BY q_key
+                 ORDER BY COALESCE(df, 0), gram) AS rn
+               FROM pg LEFT JOIN dfg USING (gram)) WHERE rn <= 4),
+      tp AS (SELECT t_key, gram FROM (
+               SELECT t_key, gram, ROW_NUMBER() OVER (PARTITION BY t_key
+                 ORDER BY df, gram) AS rn
+               FROM tg JOIN dfg USING (gram)) WHERE rn <= 4),
+      cands AS (SELECT DISTINCT q_key, t_key FROM pp JOIN tp USING (gram))
       SELECT q_key, t_key, q_name, t_name,
         CAST(levenshtein(q_name, t_name) AS BIGINT) AS dist
       FROM cands JOIN probes USING (q_key) JOIN targets USING (t_key)

@@ -1,0 +1,245 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end SCALE SOAK of the reference's own corpus pipeline (the
+  * wikicorpus front door — S2 lineSep XML scan → S3 StAX page parse →
+  * J6 transitive redirect fixpoint → F5-F10 markup removal + link
+  * extraction → link models), the one major surface previously verified
+  * only at fixture scale (~5 k docs). Not a gate: a measurement harness.
+  *
+  * Synthesizes a realistic MediaWiki XML dump with a deterministic
+  * generator and planted oddities:
+  *   - infoboxes with NESTED templates ({{a|b={{c|{{d}}}}}}),
+  *   - wiki-links (direct AND through redirects — resolution must land
+  *     them on the final article), refs, comments, XML entities,
+  *     external links, File:/Category:/interlang footers,
+  *   - redirect CHAINS of depth 6 (J6's 3-hop pointer doubling covers
+  *     2³ = 8, so every chain must fully collapse — the harness counts
+  *     unresolved targets, expected 0) and a planted 2-CYCLE
+  *     (RedirCycleA ↔ RedirCycleB — must degenerate to self-maps and be
+  *     dropped, not loop),
+  *   - astral-plane text (SMP codepoints — UTF-16 surrogate pairs) on
+  *     every 7th article; the parser must keep them intact (counted).
+  *
+  * Usage: runMain graft.tools.CorpusSoak [scale ...] (default 1 10).
+  * Base scale ≈ 0.25 GB of dump XML (40 k articles ≈ 6 KB each + 8 k
+  * redirects); 10× ≈ 2.5 GB. Prints one JSON line per stage per scale.
+  */
+object CorpusSoak {
+
+  private val vocab: Array[String] = Array(
+    "history", "river", "system", "valley", "empire", "music", "theory",
+    "battle", "bridge", "canton", "design", "energy", "forest", "garden",
+    "harbor", "island", "jungle", "kernel", "ledger", "market", "nation",
+    "origin", "palace", "quarry", "region", "signal", "temple", "union",
+    "vessel", "window", "archive", "balance", "culture", "dynasty",
+    "economy", "faculty", "granite", "horizon", "imperial", "journal",
+    "kingdom", "lattice", "mansion", "network", "observer", "province",
+    "quantum", "railway", "station", "treaty", "uplands", "village",
+    "western", "textile", "ancient", "borough", "citadel", "document",
+    "estuary", "frontier", "gallery", "heritage", "industry", "junction")
+
+  /** Deterministic word soup: `n` vocab words seeded by (seed, salt),
+    * sentence-cased with periods — regex-shaped like real prose.
+    */
+  private def words(seed: Long, salt: Long, n: Int): String = {
+    val sb = new StringBuilder(n * 8)
+    var x = seed * 6364136223846793005L + salt
+    var i = 0
+    while (i < n) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      val w = vocab(((x >>> 33) % vocab.length).toInt)
+      if (i > 0) sb.append(' ')
+      sb.append(w)
+      if (i % 13 == 12) sb.append('.')
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** One article page (~6 KB of wikitext): nested-template infobox,
+    * links direct and via redirects, refs/comments/entities, astral
+    * text every 7th page, File/Category/interlang footers.
+    */
+  private def articleXml(id: Long, nArt: Long, nRed: Long): String = {
+    def art(k: Long) = s"Article ${(id * 7 + k * 131 + 1) % nArt}"
+    def red(k: Long) = s"Redir ${(id * 5 + k * 17) % nRed}"
+    val astral = if (id % 7 == 0)
+      " Unicode stress: 🌍😀 𝄞 " +
+        "𠀋 title." else ""
+    val body = new StringBuilder(8192)
+    body.append(s"{{Infobox place|name=Article $id|population=")
+      .append(id % 90000)
+      .append("|era={{circa|").append(1200 + id % 800)
+      .append("}}|box={{nest|{{deep|inner}}}}}}\n")
+    body.append(s"'''Article $id''' is a [[${art(0)}]] of the ")
+      .append(s"[[${art(1)}|${words(id, 11, 3)}]] group.")
+      .append("&lt;ref&gt;Primary cite.&lt;/ref&gt; ")
+      .append(s"It derives from [[${red(0)}]] custom &amp; practice.")
+      .append("&lt;!-- editorial note --&gt;").append(astral).append("\n\n")
+    body.append("== History ==\n")
+      .append(words(id, 23, 220)).append(' ')
+      .append(s"See [[${red(1)}|the older form]] and [[${art(2)}]]. ")
+      .append("See [http://example.org/archive the archive] for ")
+      .append("the letter &#65; aside.\n\n")
+    body.append("== Geography ==\n")
+      .append(words(id, 37, 240)).append(' ')
+      .append(s"Compare [[${art(3)}]] and [[${art(4)}|nearby]].\n\n")
+    body.append("== Economy ==\n")
+      .append(words(id, 41, 220)).append('\n')
+    body.append(s"[[File:Map $id.svg|thumb|left|Survey map.]]\n")
+      .append("[[Category:Synthetic articles]]\n")
+      .append(s"[[fr:Article $id]]")
+    s"""  <page>
+       |    <title>Article $id</title>
+       |    <ns>0</ns>
+       |    <id>${1000 + id}</id>
+       |    <revision>
+       |      <id>${500000000L + id}</id>
+       |      <text bytes="${body.length}" xml:space="preserve">$body</text>
+       |    </revision>
+       |  </page>""".stripMargin
+  }
+
+  /** Redirect pages in chains of depth 6: positions 0..4 of each chain
+    * point at the next redirect, position 5 at an article — J6 must
+    * collapse every source straight to the article.
+    */
+  private def redirectXml(j: Long, nArt: Long, nRed: Long): String = {
+    val target =
+      if (j % 6 == 5) s"Article ${(j / 6 * 37) % nArt}"
+      else s"Redir ${j + 1}"
+    s"""  <page>
+       |    <title>Redir $j</title>
+       |    <ns>0</ns>
+       |    <id>${10000000L + j}</id>
+       |    <redirect title="$target" />
+       |    <revision>
+       |      <id>${600000000L + j}</id>
+       |      <text bytes="30" xml:space="preserve">#REDIRECT [[$target]]</text>
+       |    </revision>
+       |  </page>""".stripMargin
+  }
+
+  private def cycleXml(a: String, b: String, pid: Long): String =
+    s"""  <page>
+       |    <title>$a</title>
+       |    <ns>0</ns>
+       |    <id>$pid</id>
+       |    <redirect title="$b" />
+       |    <revision>
+       |      <id>${700000000L + pid}</id>
+       |      <text bytes="30" xml:space="preserve">#REDIRECT [[$b]]</text>
+       |    </revision>
+       |  </page>""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scales = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 10)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def emit(stage: String, scale: Int, sec: Double, extra: (String, Long)*)
+        : Unit = {
+      val e = extra.map { case (k, v) => s""","$k":$v""" }.mkString
+      val secs = String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box(sec))
+      println(s"""{"stage":"$stage","scale":$scale,"sec":$secs$e}""")
+      Console.flush()
+    }
+    def timed[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    for (scale <- scales) {
+      val nArt = 40000L * scale
+      val nRed = 8000L * scale
+      val dumpDir = java.nio.file.Files
+        .createTempDirectory("graft_corpus_soak").toString
+
+      // ---- dump synthesis (parallel, deterministic); row text ends
+      // with "\n  </page>" so the text sink's row separator completes
+      // the S2 record delimiter exactly as a real dump does
+      val (dumpBytes, genSec) = timed {
+        val arts = spark.range(0, nArt)
+          .map(i => articleXml(i, nArt, nRed))
+        val reds = spark.range(0, nRed)
+          .map(j => redirectXml(j, nArt, nRed))
+        val cyc = spark.createDataset(Seq(
+          cycleXml("RedirCycleA", "RedirCycleB", 20000001L),
+          cycleXml("RedirCycleB", "RedirCycleA", 20000002L)))
+        arts.unionAll(reds).unionAll(cyc)
+          .repartition(64) // 64 parts: a splittable multi-part dump
+          .write.mode("overwrite").text(dumpDir)
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dumpDir))
+          .filter(p => java.nio.file.Files.isRegularFile(p))
+          .mapToLong(p => java.nio.file.Files.size(p)).sum()
+      }
+      emit("dump_synthesis", scale, genSec, "bytes" -> dumpBytes,
+        "n_articles" -> nArt, "n_redirects" -> (nRed + 2))
+
+      // ---- S2+S3: lineSep scan + StAX parse
+      val pages = graft.sources.Wiki.pages(spark, dumpDir).persist(mad)
+      val (nPages, scanSec) = timed(pages.count())
+      emit("s2_s3_scan_parse", scale, scanSec, "n_pages" -> nPages)
+
+      // ---- J6: transitive redirect fixpoint. Observables: unresolved
+      // chain targets (a target still naming a Redir page — expected 0)
+      // and surviving cycle members (expected 0: the 2-cycle degenerates
+      // to self-maps, which are dropped).
+      val (red, redSec) = timed {
+        val r = graft.sources.Wiki.redirects(spark, pages).persist(mad)
+        r.count()
+        r
+      }
+      val unresolved = red
+        .filter(col("target").contains("/wiki/Redir_")).count()
+      val cycleRows = red
+        .filter(col("source").contains("RedirCycle")).count()
+      emit("j6_redirect_fixpoint", scale, redSec,
+        "n_redirects" -> red.count(), "n_unresolved" -> unresolved,
+        "n_cycle_rows" -> cycleRows)
+
+      // ---- F5-F10: markup removal + link extraction + link resolution
+      // (the regex-heavy stage). Astral observable: every 7th article
+      // plants SMP codepoints; the parse must keep ≥ one per such doc.
+      val docs = graft.sources.Wiki.articles(spark, pages, red)
+        .persist(mad)
+      val ((nDocs, nChars, nLinks), parseSec) = timed {
+        val r = docs.agg(count(lit(1)), sum(length(col("text"))),
+          sum(size(col("links")))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val nAstral = docs
+        .filter(col("text").rlike("[\\x{1F300}-\\x{1F6FF}]")).count()
+      emit("f5_f10_markup_links", scale, parseSec, "n_docs" -> nDocs,
+        "n_chars" -> nChars, "n_links" -> nLinks, "n_astral" -> nAstral)
+
+      // ---- link models over the resolved documents
+      val (nCounts, ecSec) = timed {
+        graft.ops.LinkModels.entityCounts(docs, minCount = 1).count()
+      }
+      emit("m_entity_counts", scale, ecSec, "n_entities" -> nCounts)
+      val (nInl, inlSec) = timed {
+        graft.ops.LinkModels.entityInlinks(docs).count()
+      }
+      emit("m_entity_inlinks", scale, inlSec, "n_entities" -> nInl)
+
+      docs.unpersist(); red.unpersist(); pages.unpersist()
+      graft.queries.Scratch.deleteTree(java.nio.file.Paths.get(dumpDir))
+    }
+    spark.stop()
+  }
+}

@@ -103,11 +103,16 @@ object Soak {
       val (nDocs, _) = timed(sd.count()) // materialize the input once
 
       // --- MinHash-LSH near-dup pipeline (shingle → sign → band →
-      // bucket join → exact verify). minhashLsh is LAZY: the count
-      // inside the timed block is what materializes the pipeline.
-      val pairs = graft.ops.Dedup.minhashLsh(sd, 3, 8, 4, 0.5)
+      // bucket join → exact verify). The plan form is LAZY: the count
+      // inside the timed block is what materializes the pipeline; the
+      // cleanup drops the cached shingle table once pairs are cached,
+      // so later scales don't run under this scale's cache residue.
+      val (lshResult, lshCleanup) = graft.ops.Dedup.minhashLshPlan(
+        sd, 3, 8, 4, 0.5)
+      val pairs = lshResult
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val (nPairs, lshSec) = timed(pairs.count())
+      lshCleanup()
       emit("d_lsh_neardup", scale, lshSec, "n_docs" -> nDocs,
         "n_pairs" -> nPairs)
 
@@ -164,6 +169,82 @@ object Soak {
           col("event_id"), 32).count()
       }
       emit("j_salted_join", scale, jSec, "n_probe" -> nJ)
+
+      // --- substring-level exact dup with ONE boilerplate window shared
+      // CORPUS-WIDE: every 10th doc (across all copies — the bp tokens
+      // carry no copy suffix) ends with the same 25-token block, so its
+      // 20-token windows form single aggregate groups with ~n/10
+      // occurrences each. The defense claim under test: a hot window is
+      // one GROUP (never a join blowup), so time must stay ~linear while
+      // the hot groups grow linearly.
+      val boiler = (1 to 25).map(j => s"bp$j").mkString(" ")
+      val sdd = scaledDocs(scale)
+        .withColumn("text", when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" " + boiler))).otherwise(col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nSubIn = sdd.count()
+      val (nSub, subSec) = timed {
+        graft.ops.Dedup.substringDupStats(sdd, 20).count()
+      }
+      emit("d_substring_dup", scale, subSec, "n_docs" -> nSubIn,
+        "n_docs_dup" -> nSub)
+      sdd.unpersist()
+
+      // --- fuzzy join with a HOT q-gram: every target name ends with
+      // the same " zzzz" tail, so its trigrams are the most common in
+      // the corpus at every scale — rarest-prefix blocking must keep
+      // them OUT of prefixes (no candidate flood) while recall at the
+      // edit bound holds. (This soak caught the previous absolute
+      // df-cap design dropping EVERY gram at 10× — n_matches was 0.)
+      val part0 = spark.read.parquet(s"$sfDir/part.parquet")
+        .select("p_partkey", "p_name")
+      val targets = (0 until scale).map { i =>
+        part0.select((col("p_partkey") + i * 10000000L).as("t_key"),
+          concat(col("p_name"), lit(s" v$i zzzz")).as("t_name"))
+      }.reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nTargets = targets.count()
+      val probes = part0.filter(col("p_partkey") < 500)
+        .select(col("p_partkey").as("q_key"),
+          concat(substring(col("p_name"), 1, 2),
+            expr("substring(p_name, 4)"), lit(" v0 zzzz")).as("q_name"))
+      val nHotGrams = graft.ops.Fuzzy.grams(targets, "t_key", "t_name", 3)
+        .groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 1000).count()
+      val (nFz, fzSec) = timed {
+        graft.ops.Fuzzy.fuzzyJoin(probes, "q_key", "q_name",
+          targets, "t_key", "t_name", maxDist = 1).count()
+      }
+      emit("j_fuzzy_names", scale, fzSec, "n_targets" -> nTargets,
+        "n_matches" -> nFz, "n_hot_grams" -> nHotGrams)
+      targets.unpersist()
+
+      // --- degree-oriented triangle counting with a PLANTED degree-10⁴
+      // hub: star edges into one node plus a closing path through its
+      // neighborhood (9,999 hub triangles), over ×scale pseudo-random
+      // base copies. Orientation points every hub edge INTO the hub, so
+      // the hub generates ZERO wedges — naive pivoting there would be
+      // 5·10⁷ wedges; time must track the base-copy count, not the hub.
+      val nNodes = 20000L
+      val baseEdges = (0 until scale).map { i =>
+        spark.range(0, 200000).select(
+          (pmod(col("id") * 2654435761L, lit(nNodes)) +
+            i * 10000000L).as("src"),
+          (pmod(col("id") * 40503L + 7L, lit(nNodes)) +
+            i * 10000000L).as("dst"))
+      }.reduce(_ unionByName _)
+      val hubDeg = 10000L
+      val hubEdges = spark.range(0, hubDeg)
+        .select(lit(999999999L).as("src"), (col("id") + 5000000L).as("dst"))
+      val closing = spark.range(0, hubDeg - 1)
+        .select((col("id") + 5000000L).as("src"),
+          (col("id") + 5000001L).as("dst"))
+      val edges = baseEdges.unionByName(hubEdges).unionByName(closing)
+      val (nTri, triSec) = timed {
+        graft.ops.Graph.triangleCount(edges).head().getLong(0)
+      }
+      emit("g_triangles", scale, triSec, "triangles" -> nTri,
+        "hub_degree" -> hubDeg)
     }
     spark.stop()
   }

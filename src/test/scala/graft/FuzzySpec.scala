@@ -37,16 +37,36 @@ class FuzzySpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("dist") === 1L)
   }
 
-  test("df cap drops hot grams but other grams still block") {
+  test("prefix filtering blocks on rarest grams; hot grams don't " +
+      "flood and the true match still blocks") {
     val hotTail = (1 to 30).map(i => i.toLong -> s"unique$i common tail")
     val probes = df(("q_key", "q_name"), 100L -> "unique7x common tail")
     val targets = df(("t_key", "t_name"), hotTail: _*)
-    // cap at 5: every gram of " common tail" is hot (30 targets), but
-    // "unique7" grams survive and still block the true match
+    // every gram of " common tail" has df 30; the probe's 4-gram prefix
+    // is its rare "unique7x" grams, which block exactly the true match
     val out = Fuzzy.fuzzyJoin(probes, "q_key", "q_name",
-        targets, "t_key", "t_name", maxDist = 1, maxGramDf = 5L)
+        targets, "t_key", "t_name", maxDist = 1)
       .select("t_key").collect().map(_.getLong(0)).toSet
     assert(out === Set(7L))
+  }
+
+  test("recall survives a corpus where EVERY gram is common " +
+      "(the absolute-df-cap failure mode)") {
+    // 40 names permuting the same 5 words: every trigram has high df,
+    // so any fixed df cap would drop all grams and return nothing; the
+    // rarest-prefix scheme must still find the one-edit match
+    val ws = Array("azure", "rose", "mint", "plum", "sand")
+    val names = (0 until 40).map { i =>
+      i.toLong -> Seq(ws(i % 5), ws((i / 5) % 5), ws((i + 2) % 5))
+        .mkString(" ")
+    }
+    val targets = df(("t_key", "t_name"), names: _*)
+    val corrupted = names.head._2.patch(2, "", 1) // delete 3rd char
+    val probes = df(("q_key", "q_name"), 100L -> corrupted)
+    val out = Fuzzy.fuzzyJoin(probes, "q_key", "q_name",
+        targets, "t_key", "t_name", maxDist = 1)
+      .select("t_key").collect().map(_.getLong(0)).toSet
+    assert(out.contains(0L), s"true match lost; got $out")
   }
 
   test("strings shorter than q are handled (whole string as one gram)") {
