@@ -16,8 +16,12 @@ import org.apache.spark.sql.functions._
   *     them on the final article), refs, comments, XML entities,
   *     external links, File:/Category:/interlang footers,
   *   - redirect CHAINS of depth 6 (J6's 3-hop pointer doubling covers
-  *     2³ = 8, so every chain must fully collapse — the harness counts
-  *     unresolved targets, expected 0) and a planted 2-CYCLE
+  *     2³ = 8, so every complete chain must fully collapse — the
+  *     harness counts unresolved targets; expected = nRed mod 6 = 2,
+  *     the tail group whose last member points at a nonexistent
+  *     "Redir nRed" page, i.e. a red-linked redirect target exactly as
+  *     real dumps contain — it must surface as unresolved, not crash)
+  *     and a planted 2-CYCLE
   *     (RedirCycleA ↔ RedirCycleB — must degenerate to self-maps and be
   *     dropped, not loop),
   *   - astral-plane text (SMP codepoints — UTF-16 surrogate pairs) on
@@ -63,7 +67,7 @@ object CorpusSoak {
     * links direct and via redirects, refs/comments/entities, astral
     * text every 7th page, File/Category/interlang footers.
     */
-  private def articleXml(id: Long, nArt: Long, nRed: Long): String = {
+  private[tools] def articleXml(id: Long, nArt: Long, nRed: Long): String = {
     def art(k: Long) = s"Article ${(id * 7 + k * 131 + 1) % nArt}"
     def red(k: Long) = s"Redir ${(id * 5 + k * 17) % nRed}"
     val astral = if (id % 7 == 0)
@@ -196,9 +200,10 @@ object CorpusSoak {
       emit("s2_s3_scan_parse", scale, scanSec, "n_pages" -> nPages)
 
       // ---- J6: transitive redirect fixpoint. Observables: unresolved
-      // chain targets (a target still naming a Redir page — expected 0)
-      // and surviving cycle members (expected 0: the 2-cycle degenerates
-      // to self-maps, which are dropped).
+      // chain targets (a target still naming a Redir page — expected
+      // nRed mod 6 = 2, the deliberately dangling tail group; see the
+      // object doc) and surviving cycle members (expected 0: the
+      // 2-cycle degenerates to self-maps, which are dropped).
       val (red, redSec) = timed {
         val r = graft.sources.Wiki.redirects(spark, pages).persist(mad)
         r.count()
