@@ -63,14 +63,18 @@ class PlanAuditSpec extends AnyFunSuite {
   //  - q_profile_lineitem: the deliberately-scalar profile row (one
   //    bounded metrics row per partition into the final combine; the
   //    exact countDistinct is the oracle-exact stand-in for the
-  //    KMV/HLL sketch swap at scale).
+  //    KMV/HLL sketch swap at scale);
+  //  - q_profile_sketch: the same deliberate 1-row combine, now with
+  //    per-column KMV buffers — each partition contributes ONE row of
+  //    five bounded k-long sketches (the gate separately asserts the
+  //    plan has no Expand, which is the part that actually scales).
   private val allowSinglePartition = Set(
     "a7_corpus_stats", "m2_term_idfs", "m2_tfidf_vectors",
     "m_entity_mention_tfidf", "m_mention_tfidf_scaled",
     "sim_ivf_kmeans_topk", "sim_ivfpq_topk", "agg_kmv_distinct",
     "agg_cms_counts", "agg_hll_distinct", "a_exact_quantiles",
     "g_triangles", "t_unigram_nll", "m_bigram_pmi",
-    "q_profile_lineitem")
+    "q_profile_lineitem", "q_profile_sketch")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —
