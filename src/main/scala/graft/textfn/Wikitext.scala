@@ -56,6 +56,23 @@ object Wikitext {
   private def sub(p: Pattern, s: String, r: String): String =
     p.matcher(s).replaceAll(r)
 
+  /** [[sub]] guarded by a literal that any match MUST contain (a
+    * conservative necessary condition read off the pattern): an
+    * `indexOf` scan is ~10× cheaper than a full regex pass, and on
+    * typical articles most passes have nothing to match — especially
+    * the convergence re-run, where the first iteration already removed
+    * every construct. Skipping on a false trigger is exactly a no-op
+    * replaceAll, so output is byte-identical (WikitextSpec + the
+    * s3_wiki_documents golden gate hold).
+    */
+  private def subIf(trigger: String, p: Pattern, s: String,
+      r: String): String =
+    if (s.contains(trigger)) sub(p, s, r) else s
+
+  private def subIfAny(triggers: Seq[String], p: Pattern, s: String,
+      r: String): String =
+    if (triggers.exists(s.contains(_))) sub(p, s, r) else s
+
   /** Named regex passes, exposed for the profiling harness
     * (tools/RegexProf) — measurement only, not an API.
     */
@@ -148,6 +165,7 @@ object Wikitext {
   private val EntityRe = re("&#?(\\w+);")
 
   def htmlUnescape(text: String): String = {
+    if (text.indexOf('&') < 0) return text // no entity can match
     val m = EntityRe.matcher(text)
     val sb = new StringBuffer
     while (m.find()) {
@@ -185,7 +203,7 @@ object Wikitext {
     * (used for the bold-first-mention self link).
     */
   def removeMarkup(uri: String, raw: String): String = {
-    var text = sub(InterLang, raw, "")
+    var text = subIf("\n[[", InterLang, raw, "")
     text = stripTemplates(text)
     text = extractCaptions(text)
     var iters = 0
@@ -193,36 +211,39 @@ object Wikitext {
     while (changed && iters <= 2) {
       val old = text
       iters += 1
-      text = sub(Comments, text, "")
-      text = sub(Refs, text, "")
-      text = sub(NoWiki, text, "")
-      text = sub(MathTag, text, "")
+      text = subIf("<!--", Comments, text, "")
+      text = subIf("<ref", Refs, text, "")
+      text = subIf("<nowiki", NoWiki, text, "")
+      text = subIf("<math", MathTag, text, "")
       if (iters == 1) {
-        text = sub(OtherTags, text, "")
-        text = sub(Headings, text, "$2")
+        text = subIf("<", OtherTags, text, "")
+        text = subIf("==", Headings, text, "$2")
         // first bolded phrase mentions the page's own entity
-        text = Bold.matcher(text)
+        if (text.contains("'''")) text = Bold.matcher(text)
           .replaceFirst(
             java.util.regex.Matcher.quoteReplacement(s"""<a href="$uri">""") +
               "$1</a>")
       }
-      text = sub(Categories, text, "")
-      text = sub(ExtUrl, text, """<a href="$2">$3</a>""")
-      text = sub(WikiLinkPiped, text, s"""<a href="$WikiPrefix$$1">$$2</a>""")
-      text = sub(WikiLinkPlain, text, s"""<a href="$WikiPrefix$$1">$$1</a>""")
-      text = text.replace("||", "\n|")
-      text = sub(TableLines, text, "\n")
-      text = sub(TableCells, text, "\n$3")
-      text = text.replace("[]", "")
-      text = sub(BoldItalic, text, "$1")
-      text = sub(Bold, text, "$1")
-      text = sub(ItalicQuote, text, "&quot;$1&quot;")
-      text = sub(Italic, text, "&quot;$1&quot;")
-      text = sub(DoubleQuotes, text, "$1")
+      text = subIf("[[Category:", Categories, text, "")
+      text = subIf("://", ExtUrl, text, """<a href="$2">$3</a>""")
+      text = subIf("[[", WikiLinkPiped, text,
+        s"""<a href="$WikiPrefix$$1">$$2</a>""")
+      text = subIf("[[", WikiLinkPlain, text,
+        s"""<a href="$WikiPrefix$$1">$$1</a>""")
+      if (text.contains("||")) text = text.replace("||", "\n|")
+      text = subIfAny(Seq("\n{|", "\n|-", "\n|}"), TableLines, text, "\n")
+      text = subIfAny(Seq("\n|", "\n!"), TableCells, text, "\n$3")
+      if (text.contains("[]")) text = text.replace("[]", "")
+      text = subIf("'''''", BoldItalic, text, "$1")
+      text = subIf("'''", Bold, text, "$1")
+      text = subIf("''\"", ItalicQuote, text, "&quot;$1&quot;")
+      text = subIf("''", Italic, text, "&quot;$1&quot;")
+      text = subIf("\"\"", DoubleQuotes, text, "$1")
       changed = old != text
     }
-    text = sub(EmptyParens, text, "")
-    text = text.replace("[", "").replace("]", "")
+    text = subIf(" (", EmptyParens, text, "")
+    if (text.indexOf('[') >= 0) text = text.replace("[", "")
+    if (text.indexOf(']') >= 0) text = text.replace("]", "")
     htmlUnescape(text.trim)
   }
 
