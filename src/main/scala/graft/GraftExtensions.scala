@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CmsSketch, DotProduct, HllSketch, KmvSketch, Md5Long}
+import graft.functions.{BloomSketch, CmsSketch, DotProduct, HllSketch, KmvSketch, Md5Long}
 
 /** Spark extensions entry point: register the engine's custom Catalyst
   * expressions cluster-wide via
@@ -46,6 +46,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2,
           s"graft_hll expects 2 arguments (hash, p), got ${exprs.length}")
         HllSketch(exprs(0), exprs(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_bloom"),
+      new ExpressionInfo(classOf[BloomSketch].getName, "graft_bloom"),
+      exprs => {
+        require(exprs.length == 3,
+          s"graft_bloom expects 3 arguments (hash, m, k), got ${exprs.length}")
+        BloomSketch(exprs(0), exprs(1), exprs(2))
       }))
   }
 }

@@ -67,5 +67,6 @@ object GraftFunctions {
     KmvSketch.register(s)
     CmsSketch.register(s)
     HllSketch.register(s)
+    BloomSketch.register(s)
   }
 }

@@ -158,6 +158,61 @@ object Pipeline extends QueryModule {
         AND doc_id NOT IN (SELECT doc_id FROM hit)
       ORDER BY doc_id""")),
 
+    // ---- BLOOM-FILTER decontamination (graft_bloom, the 4th sketch
+    // merge algebra: element-wise OR — idempotent like HLL): the 100 TB
+    // shape of the same operation — the benchmark side compresses to a
+    // fixed m-bit array (ONE bounded row, map-side partials) that
+    // BROADCASTS, so training shingles test membership in a codegen'd
+    // bit probe instead of an equi-join against the full benchmark
+    // shingle set. m=8192, k=4 over ~1.3k benchmark shingles gives a
+    // real false-positive rate — and because bits derive from the
+    // shared md5 family via double hashing, the FPs are DETERMINISTIC:
+    // DuckDB rebuilds the identical bit array and the surviving-doc
+    // list matches bit-for-bit, FPs included.
+    QueryDef("d_bloom_decontaminate", (s, d) => {
+      val all = docs(s, d)
+      Hashing.ensureRegistered(all)
+      val m = 8192; val k = 4
+      val bloom = Dedup.shingled(all.filter(col("doc_id") % 37 === 0), 3)
+        .select(explode(col("shingles")).as("sh"))
+        .select(expr(Hashing.md5LongSql("sh")).as("h"))
+        .agg(expr(s"graft_bloom(h, $m, $k)").as("bloom"))
+      val flagged = Dedup.shingled(all.filter(col("doc_id") % 37 =!= 0), 3)
+        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+        .select(col("doc_id"), expr(Hashing.md5LongSql("sh")).as("h"))
+        .crossJoin(broadcast(bloom))
+        .filter(expr(graft.functions.BloomSketch
+          .mightContainSql("bloom", "h", m, k)))
+        .select("doc_id").distinct()
+      all.filter(col("doc_id") % 37 =!= 0).select("doc_id")
+        .join(flagged, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH $duckShingleCtes,
+      bench_h AS (SELECT DISTINCT ${duckMd5Long("shg")} AS h
+                  FROM (SELECT unnest(shingles) AS shg FROM sh
+                        WHERE doc_id % 37 = 0)),
+      bits AS (SELECT DISTINCT
+                 ((h % 8192) + i * (1 + ((h // 8192) % 8191))) % 8192 AS bit
+               FROM bench_h
+               CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+      words AS (SELECT bit // 63 AS w,
+                  bit_or(1::BIGINT << CAST(bit % 63 AS INTEGER)) AS word
+                FROM bits GROUP BY 1),
+      bloom AS (SELECT list(COALESCE(word, 0) ORDER BY wn) AS bloom
+                FROM (SELECT unnest(range(0, 131)) AS wn) n
+                LEFT JOIN words ON w = wn),
+      train_h AS (SELECT doc_id, ${duckMd5Long("shg")} AS h
+                  FROM (SELECT doc_id, unnest(shingles) AS shg FROM sh
+                        WHERE doc_id % 37 <> 0)),
+      hit AS (SELECT DISTINCT doc_id FROM train_h CROSS JOIN bloom
+              WHERE ${graft.functions.BloomSketch
+                .duckMightContain("bloom", "h", 8192, 4)})
+      SELECT doc_id FROM documents
+      WHERE doc_id % 37 <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM hit)
+      ORDER BY doc_id""")),
+
     // ---- Contamination report (the complement): per training document,
     // how many of its distinct shingles occur in the benchmark set.
     QueryDef("d_contamination_hits", (s, d) => {

@@ -39,6 +39,9 @@ class PlanAuditSpec extends AnyFunSuite {
   //  - agg_cms_counts: the 1-row CMS grid (the whole point of the
   //    sketch: bounded depth·width state) broadcast into the per-key
   //    estimate projection.
+  //  - d_bloom_decontaminate: the broadcast 1-row m-bit bloom array
+  //    cross-joined into the per-shingle membership probe (the whole
+  //    point: bits broadcast instead of the benchmark set shuffling).
   private val allowNestedLoop = Set(
     "m2_term_idfs", "m2_tfidf_vectors", "m_entity_mention_tfidf",
     "m_mention_tfidf_scaled",
@@ -46,7 +49,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "m_mapped_comentions", "o8_token_shards", "sim_topk_bruteforce",
     "sim_ivf_topk", "sim_ivf_kmeans_topk", "sim_ivfpq_topk",
     "a_exact_quantiles", "agg_cms_counts", "t_unigram_nll",
-    "m_bigram_pmi")
+    "m_bigram_pmi", "d_bloom_decontaminate")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -74,7 +77,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ivf_kmeans_topk", "sim_ivfpq_topk", "agg_kmv_distinct",
     "agg_cms_counts", "agg_hll_distinct", "a_exact_quantiles",
     "g_triangles", "t_unigram_nll", "m_bigram_pmi",
-    "q_profile_lineitem", "q_profile_sketch")
+    "q_profile_lineitem", "q_profile_sketch", "d_bloom_decontaminate")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —
