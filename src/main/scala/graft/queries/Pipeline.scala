@@ -642,6 +642,43 @@ object Pipeline extends QueryModule {
         CAST(floor((cum - n_tokens) / 16384.0) AS BIGINT) AS shard
       FROM c ORDER BY doc_id""")),
 
+    // ---- SEQUENCE PACKING (graft.ops.Pack): concatenate the corpus in
+    // doc_id order, cut at 128-token boundaries, and emit the per-chunk
+    // rollup — the pretraining-data layout where documents STRADDLE
+    // sequence boundaries (vs o8's whole-doc shards). The only global
+    // step is the two-phase prefix sum (no single-partition window over
+    // the data); each doc then explodes into just the chunks it
+    // overlaps. Every chunk must hold exactly 128 tokens except the
+    // tail — the oracle replays the span arithmetic from a plain
+    // window cumsum.
+    QueryDef("o11_sequence_pack", (s, d) => {
+      val counts = docs(s, d).select(col("doc_id"),
+        size(expr(tokensSql)).cast("long").as("n_tokens"))
+      graft.ops.Pack.packSummary(counts, "doc_id", "n_tokens", 128)
+        .orderBy("chunk_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                        AS BIGINT) AS n
+                 FROM documents),
+      tt AS (SELECT doc_id, n,
+               COALESCE(SUM(n) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS off
+             FROM t WHERE n > 0),
+      ch AS (SELECT doc_id, n, off,
+               unnest(range(CAST(off // 128 AS BIGINT),
+                 CAST((off + n - 1) // 128 + 1 AS BIGINT))) AS chunk_id
+             FROM tt),
+      sp AS (SELECT chunk_id, doc_id,
+               greatest(chunk_id * 128, off) AS s,
+               least((chunk_id + 1) * 128, off + n) AS e
+             FROM ch)
+      SELECT chunk_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(e - s) AS BIGINT) AS n_tokens,
+        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM sp GROUP BY 1 ORDER BY 1""")),
+
     // ---- Deterministic train/valid/test split (80/10/10 by salted
     // content hash — same row, same split, on every engine forever).
     QueryDef("o7_hash_split", (s, d) => {

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Pack
+
+/** Sequence packing (ops/Pack): boundary-exact spans, full chunks, and
+  * straddling-document splits.
+  */
+class PackSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.session
+
+  private def counts(rows: (Long, Long)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "n_tokens")
+  }
+
+  test("a straddling document splits at exact chunk boundaries") {
+    // docs: 100 + 60 tokens, seqLen 128 -> doc 2 straddles chunk 0/1
+    val spans = Pack.sequenceSpans(
+        counts(1L -> 100L, 2L -> 60L), "doc_id", "n_tokens", 128)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(spans.toSeq === Seq(
+      (1L, 0L, 0L, 100L), // doc 1: tokens [0, 100) in chunk 0
+      (2L, 0L, 100L, 128L), // doc 2 head: [100, 128) fills chunk 0
+      (2L, 1L, 128L, 160L))) // doc 2 tail: [128, 160) opens chunk 1
+  }
+
+  test("every chunk is exactly seqLen full except the tail; spans " +
+      "partition the token stream") {
+    val rows = (1L to 50L).map(i => i -> (i * 7 % 90 + 1)) // varied sizes
+    val total = rows.map(_._2).sum
+    val summary = Pack.packSummary(counts(rows: _*),
+        "doc_id", "n_tokens", 64)
+      .orderBy("chunk_id").collect()
+    val last = summary.length - 1
+    summary.zipWithIndex.foreach { case (r, i) =>
+      val n = r.getAs[Long]("n_tokens")
+      if (i < last) assert(n === 64L, s"chunk $i not full")
+      else assert(n === total - 64L * last, "tail chunk wrong size")
+    }
+    assert(summary.map(_.getAs[Long]("n_tokens")).sum === total)
+  }
+
+  test("zero-token documents are dropped; ids need not be contiguous") {
+    val spans = Pack.sequenceSpans(
+        counts(5L -> 10L, 6L -> 0L, 1000L -> 10L),
+        "doc_id", "n_tokens", 128)
+      .collect().map(_.getLong(0)).toSet
+    assert(spans === Set(5L, 1000L))
+  }
+
+  test("offsets are a true exclusive prefix sum across partitions") {
+    // enough rows to span several range partitions of the running sum
+    val rows = (1L to 2000L).map(i => i -> 3L)
+    val spans = Pack.sequenceSpans(counts(rows: _*),
+      "doc_id", "n_tokens", 100)
+    // doc i owns tokens [(i-1)*3, i*3): check a few fixed points
+    val byDoc = spans.groupBy("doc_id")
+      .agg(min("tok_start").as("s"), max("tok_end").as("e"))
+      .filter(col("doc_id").isin(1L, 700L, 2000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(byDoc === Seq((1L, 0L, 3L), (700L, 699L * 3, 700L * 3),
+      (2000L, 1999L * 3, 2000L * 3)))
+  }
+}

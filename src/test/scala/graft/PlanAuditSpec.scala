@@ -49,7 +49,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "m_mapped_comentions", "o8_token_shards", "sim_topk_bruteforce",
     "sim_ivf_topk", "sim_ivf_kmeans_topk", "sim_ivfpq_topk",
     "a_exact_quantiles", "agg_cms_counts", "t_unigram_nll",
-    "m_bigram_pmi", "d_bloom_decontaminate")
+    "m_bigram_pmi", "d_bloom_decontaminate", "o11_sequence_pack")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
