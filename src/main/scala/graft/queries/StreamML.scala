@@ -123,6 +123,27 @@ object StreamML extends QueryModule {
              END AS BIGINT) AS est
       FROM mins""")),
 
+    // ---- §2.9 + sketch family: the Bloom filter under the streaming
+    // state store — micro-batches OR into the fixed m-bit state
+    // (idempotent: replayed batches cannot corrupt it). The bounded
+    // source must land on exactly the batch-built bit array; the
+    // oracle rebuilds it bit-for-bit from the shared hash family and
+    // compares the set-bit count.
+    QueryDef("st_bloom_filter", (s, d) => {
+      graft.streaming.Events.bloomBits(s, d)
+    }, Some(s"""
+      WITH h AS (SELECT DISTINCT ${graft.ops.Hashing.duckMd5Long(
+        "CAST(event_id AS VARCHAR)")} AS h FROM events),
+      bits AS (SELECT DISTINCT
+                 ((h % 4096) + i * (1 + ((h // 4096) % 4095))) % 4096
+                   AS bit
+               FROM h CROSS JOIN (SELECT unnest(range(0, 3)) AS i)),
+      words AS (SELECT bit // 63 AS w,
+                  bit_or(1::BIGINT << CAST(bit % 63 AS INTEGER)) AS word
+                FROM bits GROUP BY 1)
+      SELECT CAST(SUM(bit_count(word)) AS BIGINT) AS n_bits_set
+      FROM words""")),
+
     // ---- §2.9: stream-static enrichment join (static side planned per
     // micro-batch, broadcast when small; no state store) + windowed
     // tier split.

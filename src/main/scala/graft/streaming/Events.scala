@@ -369,6 +369,28 @@ object Events {
     * batch oracle computes as DISTINCT…ORDER BY…LIMIT k — exact
     * stream-vs-batch parity, independent of micro-batch slicing.
     */
+  /** STREAMING Bloom filter: [[graft.functions.BloomSketch]] running as
+    * a Structured Streaming aggregation — each micro-batch ORs its
+    * bits into the fixed m-bit state. OR is idempotent, so replayed or
+    * re-sliced batches cannot corrupt the filter (the same at-least-
+    * once tolerance as the HLL registers); on the bounded source the
+    * final bit array equals the batch build exactly, summarized here
+    * as the set-bit count (bits are a deterministic function of the
+    * md5 hash family, so a SQL oracle rebuilds the identical array).
+    */
+  def bloomBits(s: SparkSession, dir: String, m: Int = 4096,
+      k: Int = 3): DataFrame = {
+    val out = runToCompletion(s, ss => {
+      graft.functions.GraftFunctions.registerAll(ss)
+      stream(ss, dir)
+        .select(expr(graft.ops.Hashing.md5LongSql(
+          "cast(event_id as string)")).as("h"))
+        .agg(expr(s"graft_bloom(h, $m, $k)").as("bloom"))
+    }, "st_bloom_mem")
+    out.select(expr("aggregate(bloom, cast(0 as bigint), " +
+      "(acc, w) -> acc + cast(bit_count(w) as bigint))").as("n_bits_set"))
+  }
+
   def sketchDistinct(s: SparkSession, dir: String, k: Int = 256)
       : DataFrame = {
     val out = runToCompletion(s, ss => {
