@@ -92,6 +92,19 @@ object Cli {
           "decontaminate input is 'train.parquet,benchmark.parquet'")
         Dedup.decontaminate(spark.read.parquet(parts(0)),
           spark.read.parquet(parts(1)), 8)
+      case "bloom-decontaminate" =>
+        val parts = input.split(",", 2)
+        require(parts.length == 2,
+          "bloom-decontaminate input is 'train.parquet,benchmark.parquet'")
+        Dedup.bloomDecontaminate(spark.read.parquet(parts(0)),
+          spark.read.parquet(parts(1)), 8)
+      case "sequence-pack" =>
+        import org.apache.spark.sql.functions._
+        graft.ops.Pack.packSummary(
+          docs.select(col("doc_id"),
+            size(expr(graft.ops.Hashing.tokensSql)).cast("long")
+              .as("n_tokens")),
+          "doc_id", "n_tokens", 2048)
       case "textrank" => graft.ops.Graph.textRank(docs, 10)
       case "entity-pagerank" => graft.ops.Graph.entityRank(docs, 10)
       case "kmv-distinct" =>

@@ -100,6 +100,35 @@ object Dedup {
     docs.join(contaminationHits(docs, benchmark, n).select("doc_id"),
       Seq("doc_id"), "left_anti")
 
+  /** [[decontaminate]] in its 100 TB shape: the benchmark side
+    * compresses to ONE broadcast m-bit Bloom row
+    * ([[graft.functions.BloomSketch]], OR-merge) and each training
+    * shingle tests membership in a codegen'd bit probe — no equi-join
+    * against the benchmark shingle set, which at 10⁹ benchmark
+    * shingles is the difference between broadcasting a few MB of bits
+    * and shuffling the set. A Bloom filter has NO false negatives, so
+    * a contaminated document can never survive; the deterministic
+    * false positives (bits are a pure function of the md5 family —
+    * oracle-replayable) can only drop extra clean docs, at a rate set
+    * by m and k against the benchmark shingle count.
+    */
+  def bloomDecontaminate(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 8, m: Int = 1 << 20, k: Int = 4): DataFrame = {
+    Hashing.ensureRegistered(docs)
+    val bloom = shingled(benchmark, n)
+      .select(explode(col("shingles")).as("sh"))
+      .select(expr(md5LongSql("sh")).as("h"))
+      .agg(expr(s"graft_bloom(h, $m, $k)").as("__bloom"))
+    val flagged = shingled(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), expr(md5LongSql("sh")).as("h"))
+      .crossJoin(broadcast(bloom))
+      .filter(expr(graft.functions.BloomSketch
+        .mightContainSql("__bloom", "h", m, k)))
+      .select("doc_id").distinct()
+    docs.join(flagged, Seq("doc_id"), "left_anti")
+  }
+
   /** Exact dedup: 128-bit fingerprint of the token-normalized content;
     * group representatives = min doc_id. One hash aggregate, no joins.
     */

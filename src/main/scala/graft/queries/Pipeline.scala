@@ -171,22 +171,9 @@ object Pipeline extends QueryModule {
     // list matches bit-for-bit, FPs included.
     QueryDef("d_bloom_decontaminate", (s, d) => {
       val all = docs(s, d)
-      Hashing.ensureRegistered(all)
-      val m = 8192; val k = 4
-      val bloom = Dedup.shingled(all.filter(col("doc_id") % 37 === 0), 3)
-        .select(explode(col("shingles")).as("sh"))
-        .select(expr(Hashing.md5LongSql("sh")).as("h"))
-        .agg(expr(s"graft_bloom(h, $m, $k)").as("bloom"))
-      val flagged = Dedup.shingled(all.filter(col("doc_id") % 37 =!= 0), 3)
-        .select(col("doc_id"), explode(col("shingles")).as("sh"))
-        .select(col("doc_id"), expr(Hashing.md5LongSql("sh")).as("h"))
-        .crossJoin(broadcast(bloom))
-        .filter(expr(graft.functions.BloomSketch
-          .mightContainSql("bloom", "h", m, k)))
-        .select("doc_id").distinct()
-      all.filter(col("doc_id") % 37 =!= 0).select("doc_id")
-        .join(flagged, Seq("doc_id"), "left_anti")
-        .orderBy("doc_id")
+      Dedup.bloomDecontaminate(all.filter(col("doc_id") % 37 =!= 0),
+          all.filter(col("doc_id") % 37 === 0), 3, m = 8192, k = 4)
+        .select("doc_id").orderBy("doc_id")
     }, Some(s"""
       WITH $duckShingleCtes,
       bench_h AS (SELECT DISTINCT ${duckMd5Long("shg")} AS h
