@@ -127,6 +127,53 @@ object CorpusSoak {
        |  </page>""".stripMargin
   }
 
+  /** One CommonCrawl-style HTML page (~4.5 KB): head/style/script to
+    * DROP, nav + footer boilerplate, main content with anchors,
+    * entities, comments, astral text every 7th page.
+    */
+  private[tools] def htmlPage(id: Long, nPages: Long): String = {
+    def link(k: Long) =
+      s"""<a href="http://site.example/p${(id * 7 + k * 113 + 1) % nPages}">${words(id, 50 + k, 3)}</a>"""
+    val astral = if (id % 7 == 0) " 🌍😀 astral marker." else ""
+    s"""<html><head><title>Page $id</title><style>body{color:#000}</style>
+       |<script>var x = $id; function f(){return x*2;}</script></head>
+       |<body><div class="nav"><ul><li>${link(0)}</li><li>${link(1)}</li></ul></div>
+       |<!-- boilerplate comment -->
+       |<div id="main"><h1>Page $id</h1>
+       |<p>${words(id, 61, 200)} ${link(2)} &amp; more.$astral</p>
+       |<p>${words(id, 67, 220)}</p>
+       |<table><tr><td>${words(id, 71, 40)}</td></tr></table>
+       |<p>${words(id, 73, 200)} ${link(3)}.</p>
+       |</div><div class="footer">${link(4)} &#169; site</div></body></html>"""
+      .stripMargin
+  }
+
+  /** One WARC record as a text-sink row: the row ends with the
+    * "WARC/1.0\r" marker so the sink's row separator completes the
+    * "WARC/1.0\r\n" record delimiter the S4 scan splits on. `kind`
+    * plants the records the parser must SKIP (request records, 404s)
+    * or the 250 KB gate must DROP (oversized).
+    */
+  private[tools] def warcRecord(id: Long, nPages: Long,
+      kind: String): String = {
+    val url = s"http://site.example/p$id"
+    val (warcType, status, body) = kind match {
+      case "request" => ("request", "", s"GET /p$id HTTP/1.1")
+      case "404" => ("response", "HTTP/1.1 404 Not Found\r\n" +
+        "Content-Type: text/html\r\n\r\n", "<html>gone</html>")
+      case "oversized" => ("response", "HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html\r\n\r\n",
+        s"<html><body><p>${words(id, 91, 40000)}</p></body></html>")
+      case _ => ("response", "HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html\r\n\r\n", htmlPage(id, nPages))
+    }
+    val payload =
+      if (warcType == "request") body
+      else status + body
+    s"WARC-Type: $warcType\r\nWARC-Target-URI: $url\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n$payload\r\nWARC/1.0\r"
+  }
+
   private def cycleXml(a: String, b: String, pid: Long): String =
     s"""  <page>
        |    <title>$a</title>
@@ -244,6 +291,52 @@ object CorpusSoak {
 
       docs.unpersist(); red.unpersist(); pages.unpersist()
       graft.queries.Scratch.deleteTree(java.nio.file.Paths.get(dumpDir))
+
+      // ==== WARC path (S4 + F11): the CommonCrawl ingest — the other
+      // 100 TB-realistic source. Planted: every 23rd record a request
+      // (parser must skip), every 29th a 404 (skip), 5 oversized pages
+      // (the 250 KB post-clean gate must drop them), astral text every
+      // 7th page (must survive the HTML sweep).
+      val nWarc = 60000L * scale
+      val warcDir = java.nio.file.Files
+        .createTempDirectory("graft_warc_soak").toString
+      val (warcBytes, wGenSec) = timed {
+        spark.range(0, nWarc)
+          .map { i =>
+            val kind =
+              if (i < 5) "oversized"
+              else if (i % 23 == 0) "request"
+              else if (i % 29 == 0) "404"
+              else "response"
+            warcRecord(i, nWarc, kind)
+          }
+          .repartition(64)
+          .write.mode("overwrite").text(warcDir)
+        java.nio.file.Files.walk(java.nio.file.Paths.get(warcDir))
+          .filter(p => java.nio.file.Files.isRegularFile(p))
+          .mapToLong(p => java.nio.file.Files.size(p)).sum()
+      }
+      // expected survivors: responses that are neither request/404/
+      // oversized (ids 0-4 oversized; %23==0 request unless <5;
+      // %29==0 404 unless already request/<5)
+      val expected = (0L until nWarc).count(i =>
+        i >= 5 && i % 23 != 0 && i % 29 != 0)
+      emit("warc_synthesis", scale, wGenSec, "bytes" -> warcBytes,
+        "n_records" -> nWarc, "n_expected_docs" -> expected.toLong)
+      val wdocs = graft.sources.WarcSource.documents(spark, warcDir)
+        .persist(mad)
+      val ((nW, nWChars, nWLinks), wSec) = timed {
+        val r = wdocs.agg(count(lit(1)), sum(length(col("text"))),
+          sum(size(col("links")))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val nWAstral = wdocs
+        .filter(col("text").rlike("[\\x{1F300}-\\x{1F6FF}]")).count()
+      emit("s4_warc_pipeline", scale, wSec, "n_docs" -> nW,
+        "n_chars" -> nWChars, "n_links" -> nWLinks,
+        "n_astral" -> nWAstral)
+      wdocs.unpersist()
+      graft.queries.Scratch.deleteTree(java.nio.file.Paths.get(warcDir))
     }
     spark.stop()
   }
