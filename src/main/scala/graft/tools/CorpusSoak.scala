@@ -174,6 +174,32 @@ object CorpusSoak {
       s"Content-Length: ${payload.length}\r\n\r\n$payload\r\nWARC/1.0\r"
   }
 
+  /** One Wikidata item line (~0.9 KB JSON, trailing comma as real dumps
+    * have): en label (missing on every 13th item — the null-safe label
+    * path), enwiki sitelink on 90%, claims P1 wikibase-item reference,
+    * P2 time (snaktype "somevalue" on every 11th item — must be
+    * FILTERED, not crash), P3 string.
+    */
+  private[tools] def wikidataItem(i: Long, nQ: Long): String = {
+    val id = i + 1
+    val ref1 = (id * 31) % nQ + 1
+    val labels =
+      if (id % 13 != 0) s"""{"en":{"value":"Entity $id"}}""" else "{}"
+    val site =
+      if (id % 10 != 0)
+        s""","sitelinks":{"enwiki":{"title":"Entity $id"}}"""
+      else ""
+    val p2 =
+      if (id % 11 == 0)
+        """"P2":[{"mainsnak":{"snaktype":"somevalue","datatype":"time"}}]"""
+      else
+        s""""P2":[{"mainsnak":{"snaktype":"value","datatype":"time","datavalue":{"value":{"time":"+${1000 + id % 1000}-01-01T00:00:00Z","precision":11},"type":"time"}}}]"""
+    s"""{"id":"Q$id","labels":$labels$site,"claims":{""" +
+      s""""P1":[{"mainsnak":{"snaktype":"value","datatype":"wikibase-item","datavalue":{"value":{"numeric-id":$ref1},"type":"wikibase-entityid"}}}],""" +
+      p2 + "," +
+      s""""P3":[{"mainsnak":{"snaktype":"value","datatype":"string","datavalue":{"value":"${words(id, 83, 40)}","type":"string"}}}]}},"""
+  }
+
   private def cycleXml(a: String, b: String, pid: Long): String =
     s"""  <page>
        |    <title>$a</title>
@@ -337,6 +363,60 @@ object CorpusSoak {
         "n_astral" -> nWAstral)
       wdocs.unpersist()
       graft.queries.Scratch.deleteTree(java.nio.file.Paths.get(warcDir))
+
+      // ==== Wikidata path (S5 + F14/F15 + J4/J5): the third ingest
+      // front door. Planted: missing en labels every 13th item (the
+      // null-safe path must drop them from the label tables without
+      // losing the item), snaktype "somevalue" on every 11th item's P2
+      // (must be filtered), unlinked items on every 10th (no enwiki
+      // sitelink → no relations row). Expected relation-entry count is
+      // computed in closed form and must match EXACTLY.
+      val nQ = 250000L * scale
+      val wdDir = java.nio.file.Files
+        .createTempDirectory("graft_wd_soak").toString
+      val (wdBytes, wdGenSec) = timed {
+        val items = spark.range(0, nQ).map(i => wikidataItem(i, nQ))
+        val preds = spark.createDataset(Seq(
+          """{"id":"P1","labels":{"en":{"value":"references"}},"claims":{}},""",
+          """{"id":"P2","labels":{"en":{"value":"inception"}},"claims":{}},""",
+          """{"id":"P3","labels":{"en":{"value":"motto"}},"claims":{}},""",
+          "[", "]"))
+        items.unionAll(preds)
+          .repartition(64)
+          .write.mode("overwrite").text(wdDir)
+        java.nio.file.Files.walk(java.nio.file.Paths.get(wdDir))
+          .filter(p => java.nio.file.Files.isRegularFile(p))
+          .mapToLong(p => java.nio.file.Files.size(p)).sum()
+      }
+      // linked items (id % 10 != 0) emit one relations row holding
+      // 3 entries minus 1 when P2 was somevalue (id % 11 == 0)
+      var expRows = 0L; var expEntries = 0L
+      var qid = 1L
+      while (qid <= nQ) {
+        if (qid % 10 != 0) {
+          expRows += 1
+          expEntries += (if (qid % 11 == 0) 2 else 3)
+        }
+        qid += 1
+      }
+      emit("wd_synthesis", scale, wdGenSec, "bytes" -> wdBytes,
+        "n_items" -> nQ, "n_expected_rows" -> expRows,
+        "n_expected_entries" -> expEntries)
+      val (nItems, itSec) = timed {
+        graft.sources.Wikidata.items(spark, wdDir).count()
+      }
+      emit("s5_items_scan", scale, itSec, "n_items" -> nItems)
+      val rel = graft.sources.Wikidata.relations(spark, wdDir)
+        .persist(mad)
+      val ((nRel, nEntries), relSec) = timed {
+        val r = rel.agg(count(lit(1)),
+          sum(size(col("relations")))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      emit("s5_relations", scale, relSec, "n_rows" -> nRel,
+        "n_entries" -> nEntries)
+      rel.unpersist()
+      graft.queries.Scratch.deleteTree(java.nio.file.Paths.get(wdDir))
     }
     spark.stop()
   }
