@@ -102,6 +102,41 @@ object Sampling {
         floor(col("__rate") * lit(1000000)).cast("long"))
       .drop("__rate")
   }
+
+  /** TEMPERATURE-based class rebalancing — the multilingual-corpus
+    * mixture (mT5/XLM-R style): class l is sampled with weight
+    * ∝ n_l^α, α < 1 upweighting low-resource classes relative to their
+    * raw frequency. α is fixed at 0.5 (i.e. sqrt) so every weight op
+    * is IEEE-correctly-rounded on any engine — sqrt is exact-rounded
+    * where pow(x, 0.5) need not be, which is what lets a SQL oracle
+    * replay the keep decisions bit-for-bit. Rates target ~targetRows
+    * kept in expectation, capped at 1 (keep-only — no upsampling);
+    * per-row membership by salted hash. Scale shape: one tiny
+    * aggregate (one row per class) + a deterministic sorted fold for
+    * the denominator, both broadcast; the data sees one hash compare.
+    */
+  def temperatureSampleSqrt(df: DataFrame, keyCol: String,
+      classCol: String, targetRows: Long,
+      salt: String = "tsample:"): DataFrame = {
+    Hashing.ensureRegistered(df)
+    val counts = df.groupBy(classCol).agg(count(lit(1)).as("__cnt"))
+    // denominator Σ sqrt(n_l): summed in sorted class order so the
+    // double fold is deterministic and oracle-replayable
+    val denom = counts.agg(expr(
+      s"aggregate(array_sort(collect_list(struct($classCol as cls, " +
+        "sqrt(cast(__cnt as double)) as s))), cast(0.0 as double), " +
+        "(acc, x) -> acc + x.s)").as("__denom"))
+    val rates = counts.crossJoin(broadcast(denom))
+      .select(col(classCol),
+        least(lit(1.0),
+          lit(targetRows.toDouble) *
+            (sqrt(col("__cnt").cast("double")) / col("__denom")) /
+            col("__cnt").cast("double")).as("__rate"))
+    df.join(broadcast(rates), Seq(classCol))
+      .filter(hashBucket(col(keyCol), salt, 1000000) <
+        floor(col("__rate") * lit(1000000)).cast("long"))
+      .drop("__rate")
+  }
 }
 
 /** Column-level data profiling — the data-quality pass an ingest runs

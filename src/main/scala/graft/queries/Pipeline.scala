@@ -714,6 +714,34 @@ object Pipeline extends QueryModule {
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept
       FROM kept GROUP BY 1 ORDER BY 1""")),
 
+    // ---- TEMPERATURE-rebalanced sampling (the multilingual corpus
+    // mixture): class weight ∝ sqrt(n_l) — α = 0.5 upweights
+    // low-resource languages; sqrt is IEEE-exact-rounded on every
+    // engine (pow(x, 0.5) is not guaranteed to be), and the Σsqrt(n_l)
+    // denominator folds in sorted class order, so the per-class keep
+    // rates — and every hash-gated keep decision — replay bit-for-bit.
+    QueryDef("o12_temperature_sample", (s, d) => {
+      graft.ops.Sampling.temperatureSampleSqrt(
+          docs(s, d).select("doc_id", "lang"), "doc_id", "lang", 300L)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+    }, Some(s"""
+      WITH cnt AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+      den AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(list_sort(list(struct_pack(cls := lang,
+                  s := sqrt(CAST(c AS DOUBLE))))), x -> x.s)),
+                (a, v) -> a + v) AS d FROM cnt),
+      rates AS (SELECT lang, least(CAST(1.0 AS DOUBLE),
+                  CAST(300.0 AS DOUBLE) * (sqrt(CAST(c AS DOUBLE)) / d) /
+                  CAST(c AS DOUBLE)) AS r
+                FROM cnt CROSS JOIN den),
+      kept AS (SELECT doc.lang FROM documents doc JOIN rates USING (lang)
+               WHERE (${duckMd5Long(
+                 "'tsample:' || CAST(doc_id AS VARCHAR)")} % 1000000) <
+                 CAST(floor(r * 1000000) AS BIGINT))
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY 1 ORDER BY 1""")),
+
     // ---- 32-bit SimHash per document (relational bit-vote).
     QueryDef("d_simhash", (s, d) => {
       Dedup.simhash(docs(s, d)).orderBy("doc_id")

@@ -49,7 +49,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "m_mapped_comentions", "o8_token_shards", "sim_topk_bruteforce",
     "sim_ivf_topk", "sim_ivf_kmeans_topk", "sim_ivfpq_topk",
     "a_exact_quantiles", "agg_cms_counts", "t_unigram_nll",
-    "m_bigram_pmi", "d_bloom_decontaminate", "o11_sequence_pack")
+    "m_bigram_pmi", "d_bloom_decontaminate", "o11_sequence_pack",
+    "o12_temperature_sample")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -77,7 +78,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ivf_kmeans_topk", "sim_ivfpq_topk", "agg_kmv_distinct",
     "agg_cms_counts", "agg_hll_distinct", "a_exact_quantiles",
     "g_triangles", "t_unigram_nll", "m_bigram_pmi",
-    "q_profile_lineitem", "q_profile_sketch", "d_bloom_decontaminate")
+    "q_profile_lineitem", "q_profile_sketch", "d_bloom_decontaminate",
+    "o12_temperature_sample")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

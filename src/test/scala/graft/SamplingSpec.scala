@@ -34,6 +34,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.count() == docs.filter(col("lang") =!= "en").count())
   }
 
+  test("temperatureSampleSqrt upweights low-resource classes and " +
+      "lands near the target") {
+    val s = spark; import s.implicits._
+    // 9000 'hi' vs 1000 'lo': raw proportions 90/10, sqrt-weights
+    // ~75/25 — the low-resource class must keep a HIGHER fraction of
+    // itself than the high-resource one
+    val df = ((1L to 9000L).map(i => (i, "hi")) ++
+      (10001L to 11000L).map(i => (i, "lo"))).toDF("doc_id", "lang")
+    val kept = Sampling.temperatureSampleSqrt(df, "doc_id", "lang", 2000L)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hiFrac = kept("hi").toDouble / 9000
+    val loFrac = kept("lo").toDouble / 1000
+    assert(loFrac > hiFrac * 2, s"hi=$hiFrac lo=$loFrac")
+    // expected mixture: weights sqrt(9000):sqrt(1000) ~ 3:1 of 2000
+    assert(math.abs(kept("hi") - 1500.0) < 150, kept.toString)
+    assert(math.abs(kept("lo") - 500.0) < 80, kept.toString)
+    // deterministic: same inputs, same keeps
+    val again = Sampling.temperatureSampleSqrt(df, "doc_id", "lang", 2000L)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === kept)
+  }
+
   test("tokenShards: cumulative budget respected, shard ids monotone") {
     val s = spark; import s.implicits._
     val df = (1L to 100L).map(i => (i, 10L)).toDF("doc_id", "n_tokens")
