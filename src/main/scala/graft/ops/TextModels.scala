@@ -233,4 +233,56 @@ object TextModels {
           "((cast(ca as double) / cast(N as double)) * " +
           "(cast(cb as double) / cast(N as double)))), 6)").as("pmi"))
   }
+
+  /** BM25 ranked retrieval (Robertson/Spärck Jones, the Lucene-default
+    * scoring) — the retrieval completion of the tf-idf family:
+    *
+    *   score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+    *   idf(t)      = ln(1 + (N − df + 0.5) / (df + 0.5))
+    *
+    * Determinism contract: the per-term sum is a LITERAL left-to-right
+    * `+` chain over the query terms in sorted order (never a float
+    * aggregate whose combine order floats with partitioning); idf — the
+    * only transcendental — and the final score ride the round(,6)
+    * convention; ties at 6 decimals break on doc_id. N counts docs with
+    * ≥ 1 token (a token-free doc can never match).
+    *
+    * Scale shape: ONE exploded-token hash aggregate builds per-doc
+    * length AND per-query-term tfs together (the term list is a literal
+    * CASE battery, so no (doc × term) join materializes); corpus stats
+    * (N, Σlen, per-term dfs) reduce that to a 1-row broadcast frame;
+    * scoring is a pure projection; top-k is TakeOrderedAndProject.
+    * Nothing shuffles on doc_id and no driver funnel — at 100 TB the
+    * only wide op is the single per-doc aggregate.
+    */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = queryTerms.distinct.sorted
+    val idx = terms.indices
+    val tk = docs.select(col("doc_id"),
+      explode(expr(Hashing.tokensSql)).as("tok"))
+    val perDocAggs = count(lit(1)).as("len") +: idx.map(i =>
+      sum(when(col("tok") === terms(i), 1L).otherwise(0L)).as(s"tf_$i"))
+    val perDoc = tk.groupBy("doc_id")
+      .agg(perDocAggs.head, perDocAggs.tail: _*)
+    val statAggs = Seq(sum(col("len")).as("sl"),
+      count(lit(1)).as("nd")) ++ idx.map(i =>
+      sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    // per-term score: structure mirrors the oracle SQL text exactly so
+    // the IEEE op sequence is identical on both engines
+    def term(i: Int): org.apache.spark.sql.Column = expr(
+      s"round(ln(1.0 + (cast(nd as double) - cast(df_$i as double) + 0.5)" +
+        s" / (cast(df_$i as double) + 0.5)), 6)" +
+        s" * (cast(tf_$i as double) * ${k1 + 1.0})" +
+        s" / (cast(tf_$i as double) + $k1 * (1.0 - $b + $b *" +
+        s" (cast(len as double) / (cast(sl as double) / cast(nd as double)))))")
+    perDoc.crossJoin(broadcast(stats))
+      .filter(idx.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .select(col("doc_id"),
+        round(idx.map(term).reduce(_ + _), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
 }

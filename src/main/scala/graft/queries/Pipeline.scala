@@ -1637,6 +1637,52 @@ object Pipeline extends QueryModule {
       WHERE w >= 5
       ORDER BY pmi DESC, src, dst""")),
 
+    // ---- BM25 ranked retrieval (TextModels.bm25TopK): Lucene-default
+    // scoring for the literal query {hash, join, stream}. One exploded
+    // hash aggregate builds per-doc length + per-term tfs together; the
+    // corpus stats (N, Σlen, dfs) are a 1-row broadcast frame; the
+    // per-term sum is a literal sorted-order + chain, idf and the final
+    // score ride round(,6), ties break on doc_id — so DuckDB replays
+    // the ranking bit-for-bit.
+    QueryDef("m_bm25_topk", (s, d) => {
+      graft.ops.TextModels.bm25TopK(docs(s, d),
+        Seq("hash", "join", "stream"), 10)
+    }, Some("""
+      WITH tok AS (SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents),
+      pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len,
+               CAST(SUM(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS BIGINT) AS tf_0,
+               CAST(SUM(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS tf_1,
+               CAST(SUM(CASE WHEN tok = 'stream' THEN 1 ELSE 0 END) AS BIGINT) AS tf_2
+             FROM tok GROUP BY 1),
+      st AS (SELECT CAST(SUM(len) AS BIGINT) AS sl,
+               CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+               CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+               CAST(SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_2
+             FROM pd)
+      SELECT doc_id, round(
+          round(ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5)
+              / (CAST(df_0 AS DOUBLE) + 0.5)), 6)
+            * (CAST(tf_0 AS DOUBLE) * 2.2)
+            / (CAST(tf_0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+               (CAST(len AS DOUBLE) / (CAST(sl AS DOUBLE) / CAST(nd AS DOUBLE)))))
+        + round(ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5)
+              / (CAST(df_1 AS DOUBLE) + 0.5)), 6)
+            * (CAST(tf_1 AS DOUBLE) * 2.2)
+            / (CAST(tf_1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+               (CAST(len AS DOUBLE) / (CAST(sl AS DOUBLE) / CAST(nd AS DOUBLE)))))
+        + round(ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df_2 AS DOUBLE) + 0.5)
+              / (CAST(df_2 AS DOUBLE) + 0.5)), 6)
+            * (CAST(tf_2 AS DOUBLE) * 2.2)
+            / (CAST(tf_2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+               (CAST(len AS DOUBLE) / (CAST(sl AS DOUBLE) / CAST(nd AS DOUBLE)))))
+        , 6) AS score
+      FROM pd CROSS JOIN st
+      WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
+      ORDER BY score DESC, doc_id LIMIT 10""")),
+
     // ---- TextRank: integer fixed-point PageRank over the corpus bigram
     // word graph (graft.ops.Graph) — link-structure keyword centrality,
     // the PageRank extension of the ref's inlink-count popularity model

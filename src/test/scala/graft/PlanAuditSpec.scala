@@ -50,7 +50,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ivf_topk", "sim_ivf_kmeans_topk", "sim_ivfpq_topk",
     "a_exact_quantiles", "agg_cms_counts", "t_unigram_nll",
     "m_bigram_pmi", "d_bloom_decontaminate", "o11_sequence_pack",
-    "o12_temperature_sample")
+    "o12_temperature_sample", "m_bm25_topk")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -79,7 +79,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_cms_counts", "agg_hll_distinct", "a_exact_quantiles",
     "g_triangles", "t_unigram_nll", "m_bigram_pmi",
     "q_profile_lineitem", "q_profile_sketch", "d_bloom_decontaminate",
-    "o12_temperature_sample")
+    "o12_temperature_sample", "m_bm25_topk")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{Dedup, Rank, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Rank, Similarity, TextAnalysis, TextModels}
 
 /** One shared local session for every Spark-backed suite; never stopped —
   * the forked test JVM exits after the run.
@@ -109,6 +109,28 @@ class SparkOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr",
       5L -> "und"))
+  }
+
+  test("bm25TopK ranks term-dense short docs first, length-penalizes") {
+    val s = spark; import s.implicits._
+    // doc 1: both terms, short. doc 2: both terms buried in filler —
+    // same tfs, longer doc => lower score. doc 3: one term. doc 4: none.
+    val docs = Seq(
+      (1L, "spark join spark join"),
+      (2L, "spark join spark join filler filler filler filler filler " +
+        "filler filler filler filler filler filler filler"),
+      (3L, "join only here"),
+      (4L, "nothing relevant at all")).toDF("doc_id", "text")
+    val out = TextModels.bm25TopK(docs, Seq("join", "spark"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L),
+      s"got ${out.toSeq}") // doc 4 filtered (no query term)
+    val m = out.toMap
+    assert(m(1L) > m(2L) && m(2L) > m(3L))
+    // deterministic replay
+    val again = TextModels.bm25TopK(docs, Seq("spark", "join"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(again.toSeq == out.toSeq) // term order must not matter
   }
 
   test("streaming window counts equal the batch aggregation (sf0.001)") {
