@@ -137,6 +137,43 @@ object Sampling {
         floor(col("__rate") * lit(1000000)).cast("long"))
       .drop("__rate")
   }
+
+  /** TWO-PASS heavy hitters — every key covering ≥ `perMille`/1000 of
+    * all rows, with EXACT counts. The 100 TB frequent-items shape:
+    * a full `groupBy(key)` materializes the entire key universe
+    * (billions of group states for token/URL/qgram keys); instead,
+    * pass 1 counts keys only within a deterministic 1/`sampleBuckets`
+    * row sample and keeps candidates with sampled count ≥ `candMin` —
+    * a tiny aggregate over ~N/sampleBuckets rows. Pass 2 broadcast-
+    * semi-joins the candidate set into the full scan, so the exact
+    * count shuffle carries ONLY candidate keys. Threshold compare is
+    * integer (cnt·1000 ≥ perMille·N) — no float boundary.
+    *
+    * Recall: a true `perMille` hitter is missed only if its sample
+    * count undershoots `candMin`; with E[sampled] = perMille·N /
+    * (1000·sampleBuckets) ≫ candMin the Chernoff tail is negligible —
+    * callers size candMin ≤ half that expectation (spec-tested on a
+    * planted distribution). Determinism: membership is the salted
+    * row-hash, both aggregates are exact — an oracle replays the
+    * result bit-for-bit.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, occKey: Column,
+      perMille: Int, sampleBuckets: Int, candMin: Long,
+      salt: String = "hh:"): DataFrame = {
+    require(perMille > 0 && perMille <= 1000, s"perMille: $perMille")
+    Hashing.ensureRegistered(df)
+    val cands = df
+      .filter(hashBucket(occKey, salt, sampleBuckets) === 0L)
+      .groupBy(keyCol).agg(count(lit(1)).as("__sc"))
+      .filter(col("__sc") >= candMin)
+      .select(col(keyCol))
+    val n = df.agg(count(lit(1)).as("__n"))
+    df.join(broadcast(cands), Seq(keyCol))
+      .groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .filter(col("cnt") * lit(1000L) >= lit(perMille.toLong) * col("__n"))
+      .select(col(keyCol), col("cnt"))
+  }
 }
 
 /** Column-level data profiling — the data-quality pass an ingest runs

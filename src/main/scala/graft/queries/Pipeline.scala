@@ -742,6 +742,41 @@ object Pipeline extends QueryModule {
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
       FROM kept GROUP BY 1 ORDER BY 1""")),
 
+    // ---- TWO-PASS heavy hitters (Sampling.heavyHitters): tokens
+    // covering ≥ 33‰ of all occurrences, exact counts. Pass 1 counts
+    // keys only inside a deterministic 1/8 occurrence-hash sample
+    // (candidates: sampled count ≥ 10); pass 2 broadcast-semi-joins
+    // the candidates into the full scan so the exact-count shuffle
+    // carries ONLY candidate keys — never the full key universe. The
+    // threshold compare is integer (cnt·1000 ≥ 33·N): no float
+    // boundary, bit-for-bit oracle replay.
+    QueryDef("a_heavy_hitters", (s, d) => {
+      val tk = docs(s, d).select(col("doc_id"),
+        posexplode(expr(tokensSql)).as(Seq("pos", "tok")))
+      graft.ops.Sampling.heavyHitters(tk, "tok",
+        concat(col("doc_id").cast("string"), lit(":"),
+          col("pos").cast("string")),
+        33, 8, 10L)
+        .orderBy(desc("cnt"), asc("tok"))
+    }, Some(s"""
+      WITH occ AS (SELECT doc_id, t.pos AS pos, t.tok AS tok FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(tks) + 1),
+               i -> {'pos': i - 1, 'tok': tks[i]})) AS t
+             FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS tks
+                   FROM documents))),
+      cand AS (SELECT tok FROM occ
+               WHERE (${duckMd5Long(
+                 "'hh:' || CAST(doc_id AS VARCHAR) || ':' || " +
+                   "CAST(pos AS VARCHAR)")} % 8) = 0
+               GROUP BY 1 HAVING COUNT(*) >= 10),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM occ)
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM occ JOIN cand USING (tok) CROSS JOIN n
+      GROUP BY tok, n
+      HAVING COUNT(*) * 1000 >= 33 * n
+      ORDER BY cnt DESC, tok""")),
+
     // ---- 32-bit SimHash per document (relational bit-vote).
     QueryDef("d_simhash", (s, d) => {
       Dedup.simhash(docs(s, d)).orderBy("doc_id")

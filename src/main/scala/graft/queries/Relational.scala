@@ -1028,6 +1028,41 @@ object Relational extends QueryModule {
       SELECT q, l_extendedprice FROM o JOIN t ON o.r = t.tr
       ORDER BY q""")),
 
+    // ---- SAMPLE-based approximate quantiles (Rank.sampleQuantiles):
+    // bottom-k rows by salted content hash (the KMV primitive as a row
+    // sampler) → exact quantiles of the k-row sample. The scale twin of
+    // a_exact_quantiles: the data is scanned once and TakeOrdered keeps
+    // k rows per partition; rank error is ±O(1/√k) at ANY corpus size.
+    // Membership is a pure hash function, so DuckDB replays the sample
+    // — and therefore the estimate — bit-for-bit.
+    QueryDef("a_sample_quantiles", (s, d) => {
+      graft.ops.Rank.sampleQuantiles(
+        t(s, d, "lineitem")
+          .select("l_extendedprice", "l_orderkey", "l_linenumber"),
+        "l_extendedprice",
+        concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string")),
+        Seq(asc("l_orderkey"), asc("l_linenumber")),
+        2000, Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+        .orderBy("q")
+    }, Some("""
+      WITH samp AS (SELECT l_extendedprice, l_orderkey, l_linenumber,
+              CAST(('0x' || substring(md5('squant:' ||
+                CAST(l_orderkey AS VARCHAR) || ':' ||
+                CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+            FROM lineitem
+            ORDER BY h, l_orderkey, l_linenumber LIMIT 2000),
+      o AS (SELECT l_extendedprice, ROW_NUMBER() OVER
+              (ORDER BY l_extendedprice, h, l_orderkey, l_linenumber) AS r
+            FROM samp),
+      n AS (SELECT COUNT(*) AS n FROM samp),
+      t AS (SELECT CAST(q AS DOUBLE) AS q,
+              CAST(ceil(CAST(q AS DECIMAL(20,10)) * n) AS BIGINT) AS tr
+            FROM (VALUES (0.01),(0.25),(0.5),(0.75),(0.99)) qs(q)
+            CROSS JOIN n)
+      SELECT q, l_extendedprice FROM o JOIN t ON o.r = t.tr
+      ORDER BY q""")),
+
     // ---- O1/O3: tie-broken global top-k.
     QueryDef("o1_topk_parts", (s, d) => {
       t(s, d, "part")

@@ -48,9 +48,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "j_cross_grid", "j7_vocab_oov_broadcast", "w1_vocab_rank_band",
     "m_mapped_comentions", "o8_token_shards", "sim_topk_bruteforce",
     "sim_ivf_topk", "sim_ivf_kmeans_topk", "sim_ivfpq_topk",
-    "a_exact_quantiles", "agg_cms_counts", "t_unigram_nll",
+    "a_exact_quantiles", "a_sample_quantiles", "agg_cms_counts",
+    "t_unigram_nll",
     "m_bigram_pmi", "d_bloom_decontaminate", "o11_sequence_pack",
-    "o12_temperature_sample", "m_bm25_topk")
+    "o12_temperature_sample", "m_bm25_topk", "a_heavy_hitters")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -77,9 +78,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "m_entity_mention_tfidf", "m_mention_tfidf_scaled",
     "sim_ivf_kmeans_topk", "sim_ivfpq_topk", "agg_kmv_distinct",
     "agg_cms_counts", "agg_hll_distinct", "a_exact_quantiles",
-    "g_triangles", "t_unigram_nll", "m_bigram_pmi",
+    "a_sample_quantiles", "g_triangles", "t_unigram_nll", "m_bigram_pmi",
     "q_profile_lineitem", "q_profile_sketch", "d_bloom_decontaminate",
-    "o12_temperature_sample", "m_bm25_topk")
+    "o12_temperature_sample", "m_bm25_topk", "a_heavy_hitters")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

@@ -35,6 +35,24 @@ class QuantileSkewSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("sampleQuantiles lands within the sampling rank-error bound " +
+      "and replays deterministically under repartitioning") {
+    val s = spark; import s.implicits._
+    // values 1..10000: true q-quantile is q*10000. k=1000 => rank
+    // error ~±3/sqrt(1000) ≈ ±10% worst-case; assert a loose ±8%
+    // absolute-value band (uniform values make rank error = value
+    // error) and exact replay invariance.
+    val df = (1 to 10000).map(i => (i.toDouble, i.toLong)).toDF("v", "id")
+    def run(parts: Int) = Rank.sampleQuantiles(
+      df.repartition(parts), "v", col("id"), Seq(asc("id")),
+      1000, Seq(0.25, 0.5, 0.9))
+      .orderBy("q").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val a = run(3)
+    for ((q, v) <- a)
+      assert(math.abs(v - q * 10000) < 800, s"q=$q v=$v")
+    assert(run(11).toSeq === a.toSeq)
+  }
+
   test("exactQuantiles target rank is the exact ceil(q*N), not IEEE") {
     val s = spark; import s.implicits._
     // fl(0.07*100) = 7.000...001, whose ceil is 8 — the decimal product

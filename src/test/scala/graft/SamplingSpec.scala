@@ -58,6 +58,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(again === kept)
   }
 
+  test("heavyHitters finds exactly the planted hot keys with exact " +
+      "counts, never the singleton tail") {
+    val s = spark; import s.implicits._
+    // 'hot' 400/1200 rows (333‰), 'warm' 200 (166‰), 800 singletons.
+    // Threshold 100‰ with a 1/4 sample and candMin 10: E[sampled] =
+    // 100 (hot) / 50 (warm) >> 10; singletons can never reach 10.
+    val rows = (1L to 400L).map(i => (s"occ_h$i", "hot")) ++
+      (1L to 200L).map(i => (s"occ_w$i", "warm")) ++
+      (1L to 600L).map(i => (s"occ_s$i", s"single_$i"))
+    val df = rows.toDF("occ", "key").repartition(7)
+    val out = Sampling.heavyHitters(df, "key", col("occ"), 100, 4, 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("hot" -> 400L, "warm" -> 200L), out.toString)
+    // partitioning-invariant replay
+    val again = Sampling.heavyHitters(df.repartition(3), "key",
+      col("occ"), 100, 4, 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == out)
+  }
+
   test("tokenShards: cumulative budget respected, shard ids monotone") {
     val s = spark; import s.implicits._
     val df = (1L to 100L).map(i => (i, 10L)).toDF("doc_id", "n_tokens")
