@@ -777,6 +777,17 @@ object Pipeline extends QueryModule {
       HAVING COUNT(*) * 1000 >= 33 * n
       ORDER BY cnt DESC, tok""")),
 
+    // ---- Distributed BPE merge learning (Bpe.learnMerges): the 8
+    // highest-count adjacent-symbol merges over the corpus word-
+    // frequency table — tokenizer training as a pipeline stage. Merge
+    // application is a non-overlapping left-to-right replace on the
+    // space-delimited symbol string (≡ greedy BPE, identical scan
+    // semantics in Spark and DuckDB); per round one distributed pair-
+    // count aggregate and a 1-row tie-broken argmax reach the driver.
+    QueryDef("m_bpe_merges", (s, d) => {
+      graft.ops.Bpe.learnMerges(docs(s, d), 8).orderBy("step")
+    }, Some(graft.ops.Bpe.duckOracle(8))),
+
     // ---- 32-bit SimHash per document (relational bit-vote).
     QueryDef("d_simhash", (s, d) => {
       Dedup.simhash(docs(s, d)).orderBy("doc_id")

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Bpe
+
+/** BPE merge learning: hand-computed merge sequence, greedy overlap
+  * semantics, tie-breaking, and partitioning invariance.
+  */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.session
+
+  test("learnMerges reproduces the hand-computed merge sequence " +
+      "with greedy overlap and (count, src, dst) tie-break") {
+    val s = spark; import s.implicits._
+    // words: aaab ×2, aab ×1.
+    // round 1: (a,a) = 2·2 + 1 = 5  (aaab has TWO (a,a) positions)
+    //   apply greedy: " a a a b " -> " aa a b " (left-to-right, never
+    //   " a aa b "); " a a b " -> " aa b "
+    // round 2: (aa,a)=2, (a,b)=2, (aa,b)=1 — tie at 2, src 'a' < 'aa'
+    //   -> (a,b); " aa a b " -> " aa ab ", " aa b " unchanged
+    // round 3: (aa,ab)=2 beats (aa,b)=1
+    val docs = Seq((1L, "aaab aab"), (2L, "aaab")).toDF("doc_id", "text")
+    val out = Bpe.learnMerges(docs, 3).orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "a", "a", 5L), (2L, "a", "b", 2L), (3L, "aa", "ab", 2L)))
+  }
+
+  test("learnMerges stops early when no pair remains") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val out = Bpe.learnMerges(docs, 5).collect()
+    // round 1 merges (a,b) -> single symbol 'ab'; nothing left after
+    assert(out.length == 1)
+    assert(out(0).getString(1) == "a" && out(0).getString(2) == "b")
+  }
+
+  test("learnMerges is partitioning-invariant") {
+    val s = spark; import s.implicits._
+    val words = Seq("scan", "scans", "scanner", "column", "columns",
+      "window", "windows", "sort", "sorted", "sorting")
+    val docs = (1L to 40L)
+      .map(i => (i, words((i % words.length).toInt) + " " +
+        words(((i * 7) % words.length).toInt)))
+      .toDF("doc_id", "text")
+    val a = Bpe.learnMerges(docs.repartition(2), 6).orderBy("step")
+      .collect().map(_.toSeq)
+    val b = Bpe.learnMerges(docs.repartition(9), 6).orderBy("step")
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 6)
+  }
+}

@@ -88,7 +88,8 @@ class PlanAuditSpec extends AnyFunSuite {
   // building them is not plan-only. sim_neardup_pairs' lazy plan is
   // audited directly in NearDupRecallSpec via cosineNearDupPairsLshPlan.
   private val skipBuildExecutes = Set(
-    "m1_entity_skipgram_vocab", "m_indexed_mentions", "sim_neardup_pairs")
+    "m1_entity_skipgram_vocab", "m_indexed_mentions", "sim_neardup_pairs",
+    "m_bpe_merges")
 
   private val modules = Seq(Relational, Functions, Pipeline, Corpus)
 
