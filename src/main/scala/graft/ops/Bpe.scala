@@ -73,6 +73,54 @@ object Bpe {
     merges.toSeq.toDF("step", "src", "dst", "cnt")
   }
 
+  /** Apply a learned merge chain to a ` `-delimited symbol string, in
+    * learn order — each step the same non-overlapping replace the
+    * learner used, so encode(text, learnMerges(text)) is exact.
+    */
+  def applyMerges(ss: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column =
+    merges.foldLeft(ss) { case (c, (a, b)) =>
+      replace(c, lit(s" $a $b "), lit(s" $a$b "))
+    }
+
+  /** BPE-encode the corpus and return the symbol usage histogram
+    * (sym, cnt over token occurrences). Scale shape: the merge chain —
+    * a pure per-row expression stack — runs once per DISTINCT word on
+    * the word-frequency table, never per occurrence; the histogram
+    * weights by word count. Two hash aggregates total.
+    */
+  def symbolCounts(docs: DataFrame, merges: Seq[(String, String)])
+      : DataFrame = {
+    val wc = docs
+      .select(explode(expr(Hashing.tokensSql)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("ss", concat(lit(" "),
+        regexp_replace(col("w"), "(.)", "$1 ")))
+    wc.withColumn("bpe", split(trim(applyMerges(col("ss"), merges)), " "))
+      .select(explode(col("bpe")).as("sym"), col("cnt"))
+      .groupBy("sym").agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** DuckDB oracle for [[symbolCounts]] fed by the merges of
+    * [[learnMerges]]`(numMerges)`: replays the training rounds, then
+    * histograms the final symbol table `s{n}` (which already carries
+    * every merge applied in learn order).
+    */
+  def duckEncodeOracle(numMerges: Int): String = {
+    val rounds = (1 to numMerges).map(duckRound).mkString(",\n")
+    s"""WITH wc AS (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text),
+       |          '[a-z0-9]+')) AS tok FROM documents) tt
+       |  GROUP BY 1),
+       |s0 AS (SELECT cnt,
+       |    ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS ss FROM wc),
+       |$rounds
+       |SELECT u AS sym, CAST(SUM(cnt) AS BIGINT) AS cnt
+       |FROM (SELECT cnt, unnest(string_split(trim(ss), ' ')) AS u
+       |      FROM s$numMerges) h
+       |GROUP BY 1 ORDER BY cnt DESC, sym""".stripMargin
+  }
+
   /** DuckDB replay of [[learnMerges]] round `i` (1-based), continuing
     * from CTE `s{i-1}` with columns (cnt, ss): pair counts → tie-broken
     * 1-row argmax `b{i}` → merge applied in `s{i}`.

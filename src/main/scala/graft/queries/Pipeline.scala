@@ -788,6 +788,19 @@ object Pipeline extends QueryModule {
       graft.ops.Bpe.learnMerges(docs(s, d), 8).orderBy("step")
     }, Some(graft.ops.Bpe.duckOracle(8))),
 
+    // ---- BPE encoding (Bpe.symbolCounts): apply the 8 learned merges
+    // and emit the corpus symbol-usage histogram. The merge chain runs
+    // once per DISTINCT word on the word-frequency table (a pure
+    // expression stack — never per occurrence); the oracle replays
+    // training AND encoding end-to-end.
+    QueryDef("m_bpe_encode", (s, d) => {
+      val merges = graft.ops.Bpe.learnMerges(docs(s, d), 8)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ops.Bpe.symbolCounts(docs(s, d), merges)
+        .orderBy(desc("cnt"), asc("sym"))
+    }, Some(graft.ops.Bpe.duckEncodeOracle(8))),
+
     // ---- 32-bit SimHash per document (relational bit-vote).
     QueryDef("d_simhash", (s, d) => {
       Dedup.simhash(docs(s, d)).orderBy("doc_id")

@@ -36,6 +36,20 @@ class BpeSpec extends AnyFunSuite {
     assert(out(0).getString(1) == "a" && out(0).getString(2) == "b")
   }
 
+  test("symbolCounts round-trips: encode with learned merges conserves " +
+      "total occurrence mass and uses the merged symbols") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "aaab aab"), (2L, "aaab")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, 3).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val hist = Bpe.symbolCounts(docs, merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // after (a,a),(a,b),(aa,ab): aaab -> " aa ab " -> the round-3 merge
+    // collapses it to the single symbol "aaab" (×2); aab -> [aa, b]
+    assert(hist == Map("aaab" -> 2L, "aa" -> 1L, "b" -> 1L),
+      hist.toString)
+  }
+
   test("learnMerges is partitioning-invariant") {
     val s = spark; import s.implicits._
     val words = Seq("scan", "scans", "scanner", "column", "columns",
