@@ -55,4 +55,35 @@ object Pack {
         sum(col("tok_end") - col("tok_start")).as("n_tokens"),
         min(col(idCol)).as("first_doc"),
         max(col(idCol)).as("last_doc"))
+
+  /** RAG-style OVERLAPPING chunking — the retrieval-side sibling of
+    * [[sequenceSpans]] (which packs across documents with no overlap):
+    * per document, token windows of `window` tokens every `stride`
+    * tokens (stride < window ⇒ consecutive chunks share
+    * window − stride tokens of context). Emits (doc, chunk_idx,
+    * start_tok, n_toks, fp) with fp an md5 fingerprint of the chunk
+    * text — the identity a retrieval index stores. The tail chunk may
+    * be short; token-free documents emit nothing.
+    *
+    * Scale shape: pure per-row expressions plus one explode fanning
+    * each doc to ⌈n/stride⌉ chunk rows — no shuffle, no state; the
+    * start sequence is ascending by construction (size ≥ 1 after the
+    * filter) so the ANSI descending-sequence hazard cannot arise.
+    */
+  def chunkOverlap(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col("doc_id"), expr(Hashing.tokensSql).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), col("tk"),
+        explode(expr(s"sequence(0, size(tk) - 1, $stride)")).as("start"))
+      .select(col("doc_id"),
+        expr(s"start div $stride").cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start_tok"),
+        expr(s"slice(tk, start + 1, $window)").as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("chunk")).cast("long").as("n_toks"),
+        md5(array_join(col("chunk"), " ")).as("fp"))
+  }
 }

@@ -96,14 +96,20 @@ object TextAnalysis {
     * / whitespace characters, stopword ratio, type-token ratio, and a
     * composite boolean gate (the shape of Gopher/C4-style quality rules).
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def qualityScore(docs: DataFrame): DataFrame = qualityScore(docs, Nil)
+
+  /** As [[qualityScore]], carrying `carry` input columns through to the
+    * output unchanged (e.g. `source` for per-origin rollups).
+    */
+  def qualityScore(docs: DataFrame, carry: Seq[String]): DataFrame = {
     val n = greatest(length(col("text")), lit(1)).cast("double")
     def ratio(pattern: String): Column =
       round((length(col("text")) -
         length(regexp_replace(col("text"), pattern, ""))).cast("double") / n, 6)
     val enStops = langProfiles.toMap.apply("en")
-    docs.select(col("doc_id"), col("text"), expr(tokensSql).as("tokens"))
-      .select(col("doc_id"),
+    docs.select(col("doc_id") +: col("text") +:
+        expr(tokensSql).as("tokens") +: carry.map(col): _*)
+      .select(Seq(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         size(col("tokens")).cast("long").as("n_tokens"),
         ratio("[a-zA-Z]").as("alpha_ratio"),
@@ -114,10 +120,30 @@ object TextAnalysis {
           greatest(size(col("tokens")), lit(1)), 6).as("stopword_ratio"),
         round(size(array_distinct(col("tokens"))).cast("double") /
           greatest(size(col("tokens")), lit(1)), 6).as("type_token_ratio"))
+        ++ carry.map(col): _*)
       .withColumn("passes_quality",
         col("n_tokens") >= 10 && col("alpha_ratio") >= 0.6 &&
           col("stopword_ratio") >= 0.01)
   }
+
+  /** Per-SOURCE curation rollup — the crawl-curation table a corpus
+    * triage pass produces (which origins to keep, cap, or drop): doc
+    * count, quality-pass count, total chars, and mean type-token /
+    * stopword ratios per origin. Means are DECIMAL-summed (the ratios
+    * are already round(,6) fixed-point) so the fold is order-exact on
+    * any partitioning and replays in SQL. Scale shape: the quality
+    * signals are per-row expressions; ONE hash aggregate on source.
+    */
+  def sourceStats(docs: DataFrame): DataFrame =
+    qualityScore(docs, Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("passes_quality").cast("long")).as("n_pass"),
+        sum(col("n_chars")).as("total_chars"),
+        round(sum(col("type_token_ratio").cast("decimal(12,6)"))
+          .cast("double") / count(lit(1)), 6).as("mean_ttr"),
+        round(sum(col("stopword_ratio").cast("decimal(12,6)"))
+          .cast("double") / count(lit(1)), 6).as("mean_stopword_ratio"))
 
   /** Language ID: score = #tokens in each profile; argmax, ties broken by
     * language code; docs with zero stopword hits → 'und' (undetermined).

@@ -877,6 +877,31 @@ object Pipeline extends QueryModule {
     // ---- IVF probe search, end-to-end: hyperplane coarse quantizer (16
     // cells) → decimal-exact centroids → probe 2 nearest cells → exact
     // rank within the probed fraction.
+    // ---- Per-LABEL class centroids (Similarity.centroids with the
+    // label as the cell key): the nearest-class-mean prototype table —
+    // classification prototypes / cluster summaries over the embedding
+    // corpus. Elementwise means are DECIMAL(25,10)-summed (the k-means
+    // trainer's idiom) so the fold is order-exact under any
+    // partitioning; one (label, dim) hash aggregate, nothing on the
+    // driver.
+    QueryDef("sim_label_centroids", (s, d) => {
+      graft.ops.Similarity.centroids(
+        emb(s, d).select(col("label").cast("long").as("cell"),
+          col("embedding")), "cell")
+        .select(col("cell").as("label"),
+          posexplode(col("centroid")).as(Seq("dim", "m")))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          round(col("m"), 6).as("m"))
+        .orderBy("label", "dim")
+    }, Some("""
+      WITH dims AS (SELECT label, unnest(range(0, len(embedding))) AS j,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+           FROM embeddings)
+      SELECT CAST(label AS BIGINT) AS label, CAST(j AS BIGINT) AS dim,
+        round(CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*), 6)
+          AS m
+      FROM dims GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     QueryDef("sim_ivf_topk", (s, d) => {
       val e = emb(s, d)
       val corpus = Similarity.assignCells(e, 4, embDims)
@@ -1224,6 +1249,63 @@ object Pipeline extends QueryModule {
                  / greatest(len(toks), 1) >= 0.01 AS BIGINT) AS passes_quality
       FROM w ORDER BY doc_id"""
     }),
+
+    // ---- Per-SOURCE curation rollup (TextAnalysis.sourceStats): the
+    // crawl-triage table — per origin, doc count, quality-pass count,
+    // total chars, mean type-token / stopword ratios. Means are
+    // DECIMAL-summed over the already-round(,6) fixed-point ratios, so
+    // the fold is order-exact under any partitioning. One hash
+    // aggregate on source; quality signals stay per-row expressions.
+    QueryDef("t_source_stats", (s, d) => {
+      TextAnalysis.sourceStats(docs(s, d)).orderBy("source")
+    }, Some {
+      val enStops = TextAnalysis.langProfiles.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""
+      WITH w AS (SELECT source, text,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+                   CAST(greatest(length(text), 1) AS DOUBLE) AS n
+                 FROM documents),
+      q AS (SELECT source,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                / greatest(len(toks), 1), 6) AS ttr,
+          round(CAST(len(list_filter(toks, tt -> list_contains($enStops, tt))) AS DOUBLE)
+                / greatest(len(toks), 1), 6) AS swr,
+          CAST(len(toks) >= 10
+               AND (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) / n >= 0.6
+               AND CAST(len(list_filter(toks, tt -> list_contains($enStops, tt))) AS DOUBLE)
+                   / greatest(len(toks), 1) >= 0.01 AS BIGINT) AS pass
+        FROM w)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(pass) AS BIGINT) AS n_pass,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        round(CAST(SUM(CAST(ttr AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*), 6)
+          AS mean_ttr,
+        round(CAST(SUM(CAST(swr AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*), 6)
+          AS mean_stopword_ratio
+      FROM q GROUP BY 1 ORDER BY 1"""
+    }),
+
+    // ---- RAG-style overlapping chunking (Pack.chunkOverlap): token
+    // windows of 20 every 15 per document (5-token overlap), with the
+    // md5 chunk fingerprint a retrieval index stores. Pure per-row
+    // expressions + one explode — no shuffle; the tail chunk may be
+    // short; token-free docs emit nothing.
+    QueryDef("o13_chunk_overlap", (s, d) => {
+      graft.ops.Pack.chunkOverlap(docs(s, d), 20, 15)
+        .orderBy("doc_id", "chunk_idx")
+    }, Some("""
+      WITH w AS (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                 FROM documents),
+      c AS (SELECT doc_id, tk, unnest(range(0, len(tk), 15)) AS start
+            FROM w WHERE len(tk) > 0)
+      SELECT doc_id, CAST(start // 15 AS BIGINT) AS chunk_idx,
+        CAST(start AS BIGINT) AS start_tok,
+        CAST(len(tk[start + 1 : start + 20]) AS BIGINT) AS n_toks,
+        md5(array_to_string(tk[start + 1 : start + 20], ' ')) AS fp
+      FROM c ORDER BY doc_id, chunk_idx""")),
 
     QueryDef("t_lang_id", (s, d) => {
       TextAnalysis.langId(docs(s, d)).orderBy("doc_id")

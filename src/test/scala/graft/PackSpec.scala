@@ -66,4 +66,31 @@ class PackSpec extends AnyFunSuite {
     assert(byDoc === Seq((1L, 0L, 3L), (700L, 699L * 3, 700L * 3),
       (2000L, 1999L * 3, 2000L * 3)))
   }
+
+  test("chunkOverlap: stride windows with shared context, short tail, " +
+      "token-free docs dropped") {
+    val s = spark; import s.implicits._
+    // doc 1: 7 tokens, window 4 stride 3 -> starts 0,3,6:
+    //   [t0..t3], [t3..t6], [t6] (tail short, shares t3/t6 boundaries)
+    // doc 2: no tokens -> emits nothing
+    val docs = Seq((1L, "a b c d e f g"), (2L, "!!!"))
+      .toDF("doc_id", "text")
+    val out = Pack.chunkOverlap(docs, 4, 3)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 0L, 4L), (1L, 1L, 3L, 4L), (1L, 2L, 6L, 1L)))
+    // fingerprint identifies chunk text: same text, same fp
+    val fps = Pack.chunkOverlap(docs, 4, 3).select("fp").collect()
+    assert(fps.map(_.getString(0)).distinct.length == 3)
+  }
+
+  test("chunkOverlap with stride == window tiles without overlap") {
+    val s = spark; import s.implicits._
+    val docs = Seq((9L, "a b c d e f")).toDF("doc_id", "text")
+    val out = Pack.chunkOverlap(docs, 3, 3).orderBy("chunk_idx")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((0L, 0L, 3L), (1L, 3L, 3L)))
+  }
 }

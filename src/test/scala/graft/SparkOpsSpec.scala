@@ -111,6 +111,25 @@ class SparkOpsSpec extends AnyFunSuite {
       5L -> "und"))
   }
 
+  test("sourceStats rolls quality signals up per origin with " +
+      "decimal-exact means") {
+    val s = spark; import s.implicits._
+    val good = "the cat and the dog sat on the mat with a big red ball"
+    val junk = "zz9 qq8 xx7"
+    val docs = Seq(
+      (1L, good, "a"), (2L, good, "a"), (3L, junk, "b"), (4L, good, "b"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceStats(docs).orderBy("source").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b"))
+    val a = out(0); val b = out(1)
+    assert(a.getLong(1) == 2L && a.getLong(2) == 2L) // both 'a' docs pass
+    assert(b.getLong(1) == 2L && b.getLong(2) == 1L) // junk doc fails
+    // partitioning invariance of the decimal-summed means
+    val again = TextAnalysis.sourceStats(docs.repartition(5))
+      .orderBy("source").collect()
+    assert(again.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
+
   test("bm25TopK ranks term-dense short docs first, length-penalizes") {
     val s = spark; import s.implicits._
     // doc 1: both terms, short. doc 2: both terms buried in filler —
