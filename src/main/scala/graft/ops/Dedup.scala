@@ -138,6 +138,26 @@ object Dedup {
       .groupBy("fp")
       .agg(min("doc_id").as("keep_doc"), count(lit(1)).as("n_dups"))
 
+  /** CANONICAL-representative dedup: like [[exact]], but the kept copy
+    * per duplicate group is the BEST one under a caller-supplied
+    * quality ordering, not the arbitrary min-id — the production
+    * dedup policy (duplicates differ in upstream cleaning; keep the
+    * longest / highest-scoring). The argmax is a single max(struct)
+    * aggregate — (quality, −doc_id) packed so ties break on the
+    * SMALLER doc_id deterministically — so the shape stays ONE hash
+    * aggregate with no window and no self-join. `quality` must be a
+    * non-negative long (struct max compares fields in order).
+    */
+  def canonical(docs: DataFrame, quality: Column): DataFrame =
+    docs
+      .select(col("doc_id"), quality.cast("long").as("__q"),
+        md5(concat_ws(" ", expr(tokensSql))).as("fp"))
+      .groupBy("fp")
+      .agg(max(struct(col("__q"), (-col("doc_id")).as("__nid")))
+        .as("__best"), count(lit(1)).as("n_dups"))
+      .select(col("fp"), (-col("__best.__nid")).as("keep_doc"),
+        col("__best.__q").as("quality"), col("n_dups"))
+
   /** MinHash signatures: sig[i] = min over shingles of h_i(shingle), with
     * h_i(s) = hashFn(i ‖ ':' ‖ s). Pure per-row expression — embarrassingly
     * parallel, no shuffle.

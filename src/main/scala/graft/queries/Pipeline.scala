@@ -121,6 +121,37 @@ object Pipeline extends QueryModule {
              MIN(doc_id) AS keep_doc, CAST(COUNT(*) AS BIGINT) AS n_dups
       FROM aug GROUP BY fp ORDER BY fp""")),
 
+    // ---- CANONICAL-representative dedup (Dedup.canonical): keep the
+    // BEST copy per duplicate group (here: longest raw text — the
+    // planted dups append pure punctuation, so they are token-identical
+    // but longer and must WIN), not the arbitrary min-id. The argmax is
+    // one max(struct(quality, −doc_id)) aggregate — no window, no
+    // self-join; ties break on the smaller doc_id.
+    QueryDef("d_canonical_docs", (s, d) => {
+      val base = docs(s, d).select("doc_id", "text")
+      val aug = base.unionByName(
+        base.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" !!!")).as("text")))
+      Dedup.canonical(aug, length(col("text"))).orderBy("fp")
+    }, Some("""
+      WITH aug AS (SELECT doc_id, text FROM documents
+                   UNION ALL
+                   SELECT doc_id + 100000, text || ' !!!' FROM documents
+                   WHERE doc_id < 50),
+      f AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS q,
+              md5(array_to_string(regexp_extract_all(lower(text),
+                '[a-z0-9]+'), ' ')) AS fp
+            FROM aug),
+      r AS (SELECT fp, doc_id, q,
+              ROW_NUMBER() OVER (PARTITION BY fp
+                ORDER BY q DESC, doc_id) AS rn,
+              COUNT(*) OVER (PARTITION BY fp) AS n_dups
+            FROM f)
+      SELECT fp, doc_id AS keep_doc, q AS quality,
+        CAST(n_dups AS BIGINT) AS n_dups
+      FROM r WHERE rn = 1 ORDER BY fp""")),
+
     // ---- MinHash signatures (k=8 over 3-gram shingles): per-row
     // expression, embarrassingly parallel.
     QueryDef("d_minhash_sig", (s, d) => {

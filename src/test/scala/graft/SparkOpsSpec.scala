@@ -55,6 +55,20 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(dup.getAs[Long]("keep_doc") == 1L)
   }
 
+  test("Dedup.canonical keeps the best-quality copy, ties to min id") {
+    // 2 is token-identical to 1 but longer raw text -> wins the group;
+    // 4 ties 1's length exactly -> smaller id (1) wins over 4
+    val out = Dedup.canonical(docsDf(
+      1L -> "Spark is fast", 2L -> "spark IS fast!!!!",
+      3L -> "different doc", 4L -> "spark is fast"),
+      length(col("text")))
+      .collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getAs[Long]("n_dups") == 3L).get
+    assert(dup.getAs[Long]("keep_doc") == 2L)
+    assert(dup.getAs[Long]("quality") == 17L)
+  }
+
   test("minhashLsh finds a planted near-duplicate and skips unrelated docs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
