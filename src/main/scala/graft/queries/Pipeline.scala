@@ -404,6 +404,64 @@ object Pipeline extends QueryModule {
       WHERE status <> 'unchanged'
       ORDER BY doc_id""")),
 
+    // ---- END-TO-END corpus curation (the production triage flow as
+    // ONE gated pipeline): per-source quality triage (drop origins
+    // under a 96% pass rate, integer compare) → per-doc quality gate →
+    // temperature-rebalanced language mixture (target 150). Every
+    // stage is the already-gated operator (t_source_stats /
+    // t_quality_score / o12_temperature_sample); the composition is
+    // what a user actually runs, and the oracle replays all three
+    // stages end-to-end. Shapes: one source aggregate, one broadcast
+    // semi-join, per-row gates, the tiny rate frame broadcast.
+    QueryDef("pipe_corpus_curation", (s, d) => {
+      val dd = docs(s, d)
+      val srcKeep = TextAnalysis.sourceStats(dd)
+        .filter(col("n_pass") * 100 >= col("n_docs") * 96)
+        .select("source")
+      val gated = TextAnalysis.qualityScore(dd, Seq("source", "lang"))
+        .join(broadcast(srcKeep), Seq("source"))
+        .filter(col("passes_quality"))
+        .select("doc_id", "lang")
+      graft.ops.Sampling.temperatureSampleSqrt(gated, "doc_id", "lang",
+          150L)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+    }, Some {
+      val enStops = TextAnalysis.langProfiles.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""
+      WITH w AS (SELECT doc_id, source, lang, text,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+                   CAST(greatest(length(text), 1) AS DOUBLE) AS n
+                 FROM documents),
+      q AS (SELECT doc_id, source, lang,
+              CAST(len(toks) >= 10
+                AND (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) / n >= 0.6
+                AND CAST(len(list_filter(toks, tt -> list_contains($enStops, tt))) AS DOUBLE)
+                    / greatest(len(toks), 1) >= 0.01 AS BIGINT) AS pass
+            FROM w),
+      srcs AS (SELECT source FROM q GROUP BY source
+               HAVING SUM(pass) * 100 >= COUNT(*) * 96),
+      gated AS (SELECT doc_id, lang FROM q JOIN srcs USING (source)
+                WHERE pass = 1),
+      cnt AS (SELECT lang, COUNT(*) AS c FROM gated GROUP BY 1),
+      den AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(list_sort(list(struct_pack(cls := lang,
+                  s := sqrt(CAST(c AS DOUBLE))))), x -> x.s)),
+                (a, v) -> a + v) AS dn FROM cnt),
+      rates AS (SELECT lang, least(CAST(1.0 AS DOUBLE),
+                  CAST(150.0 AS DOUBLE) * (sqrt(CAST(c AS DOUBLE)) / dn) /
+                  CAST(c AS DOUBLE)) AS r
+                FROM cnt CROSS JOIN den),
+      kept AS (SELECT g.lang FROM gated g JOIN rates USING (lang)
+               WHERE (${duckMd5Long(
+                 "'tsample:' || CAST(doc_id AS VARCHAR)")} % 1000000) <
+                 CAST(floor(r * 1000000) AS BIGINT))
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY 1 ORDER BY 1"""
+    }),
+
+
     // ---- INCREMENTAL refresh pipeline (CDC composition): the monthly
     // re-crawl flow a production user actually runs — snapshot diff →
     // near-dup dedup of the ADDED slice → token-count model refresh

@@ -51,7 +51,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "a_exact_quantiles", "a_sample_quantiles", "agg_cms_counts",
     "t_unigram_nll",
     "m_bigram_pmi", "d_bloom_decontaminate", "o11_sequence_pack",
-    "o12_temperature_sample", "m_bm25_topk", "a_heavy_hitters")
+    "o12_temperature_sample", "m_bm25_topk", "a_heavy_hitters",
+    "pipe_corpus_curation")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -80,7 +81,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_cms_counts", "agg_hll_distinct", "a_exact_quantiles",
     "a_sample_quantiles", "g_triangles", "t_unigram_nll", "m_bigram_pmi",
     "q_profile_lineitem", "q_profile_sketch", "d_bloom_decontaminate",
-    "o12_temperature_sample", "m_bm25_topk", "a_heavy_hitters")
+    "o12_temperature_sample", "m_bm25_topk", "a_heavy_hitters",
+    "pipe_corpus_curation")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —
