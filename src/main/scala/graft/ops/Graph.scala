@@ -249,4 +249,49 @@ object Graph {
         Seq("y1", "y2"), "left_semi")
       .agg(count(lit(1)).cast("long").as("triangles"))
   }
+
+  /** k-CORE decomposition by iterative peeling: each round drops every
+    * node whose degree in the REMAINING undirected simple graph is
+    * < k, with its edges; the fixpoint is the maximal subgraph where
+    * every node has ≥ k neighbors (the standard graph-density filter —
+    * spam/boilerplate token clusters peel away, the cohesive core
+    * stays). `rounds` is fixed so the computation is a deterministic
+    * plan an oracle replays round-by-round (peeling is monotone: once
+    * converged, further rounds are no-ops — callers size `rounds` to
+    * the expected cascade depth, and the returned degrees certify the
+    * invariant: after convergence every row has deg ≥ k).
+    *
+    * Scale shape per round: one degree aggregate + two semi-joins
+    * against the ≥k node set — all key-partitioned, nothing on the
+    * driver. Each round's edge set references the previous round's
+    * THREE times (degree build + both semi-join probes), so the
+    * lineage is truncated per round with `localCheckpoint` — without
+    * it the lazy plan holds 3^rounds copies of the base subtree and
+    * Catalyst analysis, not the data, becomes the bottleneck. (The
+    * checkpoint is the same move the PageRank loop documents for
+    * production scale; here it is load-bearing at ANY scale.)
+    *
+    * Returns (node, deg) of the surviving subgraph's final degrees.
+    * NOTE: runs `rounds` Spark jobs at call time (not a lazy plan).
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1; got $k/$rounds")
+    var und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val deg = und.select(col("u").as("n"))
+        .unionAll(und.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k)
+      und = und
+        .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint()
+    }
+    und.select(col("u").as("node")).unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
 }

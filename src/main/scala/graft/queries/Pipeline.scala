@@ -1970,7 +1970,40 @@ object Pipeline extends QueryModule {
             WHERE (a.dy, a.y) < (b.dy, b.y))
       SELECT CAST(COUNT(*) AS BIGINT) AS triangles
       FROM w WHERE EXISTS (SELECT 1 FROM o WHERE o.x = w.y1
-                           AND o.y = w.y2)"""))
+                           AND o.y = w.y2)""")),
+
+    // ---- k-CORE decomposition (Graph.kCore): iterative peeling of
+    // nodes with degree < 2 over the word graph plus a PLANTED 5-node
+    // path tail hung off 'scan' — the tail must peel node-by-node in a
+    // 5-round cascade (rounds=6 certifies convergence; rounds=4 would
+    // leave remnants) while the dense base graph survives with its
+    // original degrees. Per round: one degree aggregate + two
+    // semi-joins, the PageRank loop's shape.
+    QueryDef("g_kcore", (s, d) => {
+      val sp = s; import sp.implicits._
+      val planted = Seq(("p1", "p2"), ("p2", "p3"), ("p3", "p4"),
+        ("p4", "p5"), ("p5", "scan")).toDF("src", "dst")
+      graft.ops.Graph.kCore(
+        graft.ops.Graph.wordGraph(docs(s, d)).select("src", "dst")
+          .unionByName(planted), 2, 6)
+        .orderBy("node")
+    }, Some(s"""
+      WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                    FROM documents),
+      pairs AS (SELECT unnest(list_transform(range(1, len(tk)),
+                  i -> {'src': tk[i], 'dst': tk[i+1]})) AS p FROM toks),
+      de AS (SELECT p.src AS src, p.dst AS dst FROM pairs
+             WHERE p.src <> p.dst
+             UNION ALL
+             SELECT * FROM (VALUES ('p1','p2'), ('p2','p3'), ('p3','p4'),
+               ('p4','p5'), ('p5','scan')) pl(src, dst)),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM de WHERE src <> dst),
+      ${duckKcoreRounds(2, 6)}
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT u AS node FROM e6 UNION ALL SELECT v AS node FROM e6) z
+      GROUP BY 1 ORDER BY 1"""))
   )
 
   /** DuckDB twin of [[graft.ops.Pq]]'s squared-L2 sequential fold. */
@@ -2009,6 +2042,24 @@ object Pipeline extends QueryModule {
     * bit-identical to the engine's `div` on non-negative operands.
     * Expects CTEs `nodes(node)`, `ew(src, dst, w, ow)`, `r0(node, rank)`.
     */
+  /** DuckDB replay of [[graft.ops.Graph.kCore]] round `i`: degree
+    * aggregate over `e{i-1}` → keep set `k{i}` (deg ≥ k) → edge set
+    * `e{i}` with both endpoints kept.
+    */
+  /** Rounds are MATERIALIZED: each round references the previous edge
+    * set three times, and DuckDB inlines plain CTEs — 3^rounds copies
+    * of the base scan (the same lineage explosion `Graph.kCore` cuts
+    * with localCheckpoint, here cut with materialization).
+    */
+  private[queries] def duckKcoreRounds(k: Int, rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""kk$i AS MATERIALIZED (SELECT n FROM (
+         |    SELECT u AS n FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1}) z
+         |  GROUP BY 1 HAVING COUNT(*) >= $k),
+         |e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+         |  JOIN kk$i a ON e.u = a.n JOIN kk$i b ON e.v = b.n)""".stripMargin
+    }.mkString(",\n")
+
   private[queries] def duckPageRankRounds(iters: Int, damp: Int = 85)
       : String = {
     // teleport derived from damp exactly as Graph.pageRank does, so the

@@ -1,4 +1,5 @@
 package graft
+// (kCore tests live at the bottom of this suite — same graph family)
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.Graph
@@ -42,5 +43,32 @@ class TriangleSpec extends AnyFunSuite {
     // close consecutive spokes: each rim edge makes one triangle
     val wheel = star ++ (1 until 20).map(i => s"v$i" -> s"v${i + 1}")
     assert(tri(wheel: _*) === 19L)
+  }
+
+  test("kCore peels a path tail in a cascade, keeps the clique") {
+    val s = spark; import s.implicits._
+    // K4 clique (deg 3 each) + tail 5-6 with 6-1: k=2 peels 5 (deg 1,
+    // round 1) then 6 (deg 1 after, round 2); clique untouched.
+    val edges = Seq("1" -> "2", "1" -> "3", "1" -> "4", "2" -> "3",
+      "2" -> "4", "3" -> "4", "5" -> "6", "6" -> "1")
+      .toDF("src", "dst")
+    val out = Graph.kCore(edges, 2, 3).orderBy("node")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(out.toSeq == Seq("1" -> 3L, "2" -> 3L, "3" -> 3L, "4" -> 3L))
+    // too few rounds leaves the cascade unfinished: after 1 round node
+    // 6 still dangles (its peel needs round 2)
+    val partial = Graph.kCore(edges, 2, 1).orderBy("node")
+      .collect().map(_.getString(0))
+    assert(partial.contains("6"))
+  }
+
+  test("kCore is idempotent past convergence and drops everything " +
+      "when k exceeds the max degree") {
+    val s = spark; import s.implicits._
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a").toDF("src", "dst")
+    val a = Graph.kCore(edges, 2, 2).orderBy("node").collect().map(_.toSeq)
+    val b = Graph.kCore(edges, 2, 5).orderBy("node").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq && a.length == 3)
+    assert(Graph.kCore(edges, 3, 3).count() == 0L)
   }
 }
