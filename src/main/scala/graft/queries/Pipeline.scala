@@ -991,6 +991,81 @@ object Pipeline extends QueryModule {
           AS m
       FROM dims GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- HYBRID retrieval via Reciprocal Rank Fusion: fuse the BM25
+    // lexical ranking (query {hash, join, stream}, top 50) with the
+    // embedding cosine ranking (query vector 0, top 50) as
+    // rrf = Σ 1/(60 + rank) over the lists a doc appears in — the
+    // standard hybrid-search combiner (k=60, Cormack et al.). The
+    // fixture's embeddings table is keyed by the documents' id space
+    // (vec_id ≡ doc_id). Ranks are integers, so the fusion sum is two
+    // literal double terms — no float aggregate; one full-outer join
+    // of two 50-row ranked lists.
+    QueryDef("m_hybrid_rrf", (s, d) => {
+      val wb = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("score"), asc("doc_id"))
+      val bm = graft.ops.TextModels.bm25TopK(docs(s, d),
+          Seq("hash", "join", "stream"), 50)
+        .withColumn("rb", row_number().over(wb))
+        .select(col("doc_id").as("id"), col("rb"))
+      val e = emb(s, d)
+      val cos = graft.ops.Similarity
+        .bruteForceTopK(e.filter(col("vec_id") === 0), e, 50)
+        .select(col("neighbor_id").as("id"), col("rank").as("rc"))
+      bm.join(cos, Seq("id"), "full_outer")
+        .select(col("id").as("doc_id"),
+          round(coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rc")), lit(0.0)), 6)
+            .as("rrf"))
+        .orderBy(desc("rrf"), asc("doc_id"))
+        .limit(20)
+    }, Some(s"""
+      WITH tok AS (SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents),
+      pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len,
+               CAST(SUM(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS BIGINT) AS tf_0,
+               CAST(SUM(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS tf_1,
+               CAST(SUM(CASE WHEN tok = 'stream' THEN 1 ELSE 0 END) AS BIGINT) AS tf_2
+             FROM tok GROUP BY 1),
+      st AS (SELECT CAST(SUM(len) AS BIGINT) AS sl,
+               CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+               CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+               CAST(SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_2
+             FROM pd),
+      sc AS (SELECT doc_id, round(
+          round(ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5)
+              / (CAST(df_0 AS DOUBLE) + 0.5)), 6)
+            * (CAST(tf_0 AS DOUBLE) * 2.2)
+            / (CAST(tf_0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+               (CAST(len AS DOUBLE) / (CAST(sl AS DOUBLE) / CAST(nd AS DOUBLE)))))
+        + round(ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5)
+              / (CAST(df_1 AS DOUBLE) + 0.5)), 6)
+            * (CAST(tf_1 AS DOUBLE) * 2.2)
+            / (CAST(tf_1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+               (CAST(len AS DOUBLE) / (CAST(sl AS DOUBLE) / CAST(nd AS DOUBLE)))))
+        + round(ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df_2 AS DOUBLE) + 0.5)
+              / (CAST(df_2 AS DOUBLE) + 0.5)), 6)
+            * (CAST(tf_2 AS DOUBLE) * 2.2)
+            / (CAST(tf_2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+               (CAST(len AS DOUBLE) / (CAST(sl AS DOUBLE) / CAST(nd AS DOUBLE)))))
+        , 6) AS score
+      FROM pd CROSS JOIN st
+      WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0),
+      bm AS (SELECT doc_id AS id, ROW_NUMBER() OVER
+               (ORDER BY score DESC, doc_id) AS rb
+             FROM sc ORDER BY score DESC, doc_id LIMIT 50),
+      q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      cs AS (SELECT vec_id AS id, ${duckCos("embedding", "qe")} AS cos
+             FROM embeddings CROSS JOIN q WHERE vec_id <> 0),
+      cr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS rc
+             FROM cs ORDER BY cos DESC, id LIMIT 50)
+      SELECT COALESCE(bm.id, cr.id) AS doc_id,
+        round(COALESCE(1.0 / (60 + rb), 0.0) +
+              COALESCE(1.0 / (60 + rc), 0.0), 6) AS rrf
+      FROM bm FULL OUTER JOIN cr ON bm.id = cr.id
+      ORDER BY rrf DESC, doc_id LIMIT 20""")),
+
     QueryDef("sim_ivf_topk", (s, d) => {
       val e = emb(s, d)
       val corpus = Similarity.assignCells(e, 4, embDims)

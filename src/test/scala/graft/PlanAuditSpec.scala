@@ -52,7 +52,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "t_unigram_nll",
     "m_bigram_pmi", "d_bloom_decontaminate", "o11_sequence_pack",
     "o12_temperature_sample", "m_bm25_topk", "a_heavy_hitters",
-    "pipe_corpus_curation")
+    "pipe_corpus_curation", "m_hybrid_rrf")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -82,7 +82,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "a_sample_quantiles", "g_triangles", "t_unigram_nll", "m_bigram_pmi",
     "q_profile_lineitem", "q_profile_sketch", "d_bloom_decontaminate",
     "o12_temperature_sample", "m_bm25_topk", "a_heavy_hitters",
-    "pipe_corpus_curation")
+    "pipe_corpus_curation", "m_hybrid_rrf")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —
