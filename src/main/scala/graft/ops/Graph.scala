@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over edge lists — the natural extension of the
@@ -293,5 +294,46 @@ object Graph {
     }
     und.select(col("u").as("node")).unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
+
+  /** SYNCHRONOUS label-propagation communities (Raghavan et al. 2007,
+    * made deterministic): labels start as node ids; each round every
+    * node adopts the most frequent label among its neighbors, ties
+    * broken by the LEXICOGRAPHICALLY SMALLEST label — synchronous
+    * updates + a total tie order make the whole run a pure function of
+    * the graph, so an oracle replays it round-by-round (asynchronous /
+    * random-tie LPA, the usual formulation, is unreproducible by
+    * construction). `rounds` is fixed; dense communities converge in
+    * O(diameter) rounds.
+    *
+    * Scale shape per round: one join of the adjacency against the
+    * label table + one (node, label) count aggregate + a per-node
+    * window argmax — all key-partitioned. Lineage is cut per round
+    * with localCheckpoint (the [[kCore]] lesson; runs `rounds` jobs at
+    * call time).
+    *
+    * Returns (node, lbl) after `rounds` rounds.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val adj = und.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(und.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint()
+    var labels = adj.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    val w = Window.partitionBy("a").orderBy(desc("cnt"), asc("lbl"))
+    for (_ <- 1 to rounds)
+      labels = adj
+        .join(labels.select(col("node").as("b"), col("lbl")), Seq("b"))
+        .groupBy("a", "lbl").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("a").as("node"), col("lbl"))
+        .localCheckpoint()
+    labels
   }
 }

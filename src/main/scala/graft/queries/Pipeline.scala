@@ -769,6 +769,31 @@ object Pipeline extends QueryModule {
               FROM documents))
       GROUP BY split ORDER BY split""")),
 
+    // ---- LEAKAGE-SAFE split: the same hashSplit keyed by the GROUP
+    // column (source), so every document of an origin lands in the
+    // same split — the protocol that stops near-duplicates within one
+    // origin from straddling train/test. Group integrity is by
+    // construction (split is a pure function of source); the gate's
+    // n_sources observable makes it checkable: Σ n_sources equals the
+    // distinct origin count, no origin counted twice.
+    QueryDef("o14_group_split", (s, d) => {
+      graft.ops.Sampling.hashSplit(docs(s, d), "source", 80, 0,
+          salt = "gsplit:")
+        .groupBy("split").agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("split")
+    }, Some(s"""
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM (
+        SELECT source, CASE WHEN b < 80 THEN 'train' ELSE 'test' END
+                 AS split
+        FROM (SELECT source,
+                ${duckMd5Long("'gsplit:' || CAST(source AS VARCHAR)")} % 100
+                  AS b
+              FROM documents) z) y
+      GROUP BY split ORDER BY split""")),
+
     // ---- Quality-WEIGHTED sampling: keep probability ∝ document
     // length (the stand-in quality score), decided by salted hash —
     // "prefer high-quality documents" as a scan-speed per-row
@@ -2047,6 +2072,51 @@ object Pipeline extends QueryModule {
       FROM w WHERE EXISTS (SELECT 1 FROM o WHERE o.x = w.y1
                            AND o.y = w.y2)""")),
 
+    // ---- Label-propagation communities (Graph.labelPropagation):
+    // synchronous, min-label tie-broken — deterministic, unlike the
+    // usual async/random-tie LPA. Word graph plus two PLANTED 5-node
+    // cliques joined by one bridge edge: the dense base graph collapses
+    // to ONE community while each clique keeps its own (the bridge
+    // carries too little label mass to flip either side). Output:
+    // community sizes per surviving label after 4 rounds.
+    QueryDef("g_label_prop", (s, d) => {
+      val sp = s; import sp.implicits._
+      val planted = (for {
+        x <- 1 to 5; y <- (x + 1) to 5
+      } yield Seq((s"q$x", s"q$y"), (s"r$x", s"r$y"))).flatten ++
+        Seq(("q1", "r1"))
+      graft.ops.Graph.labelPropagation(
+        graft.ops.Graph.wordGraph(docs(s, d)).select("src", "dst")
+          .unionByName(planted.toDF("src", "dst")), 4)
+        .groupBy("lbl").agg(count(lit(1)).as("n"))
+        .orderBy("lbl")
+    }, Some {
+      val plantedSql = ((for {
+        x <- 1 to 5; y <- (x + 1) to 5
+      } yield Seq(s"('q$x','q$y')", s"('r$x','r$y')")).flatten ++
+        Seq("('q1','r1')")).mkString(", ")
+      s"""
+      WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                    FROM documents),
+      pairs AS (SELECT unnest(list_transform(range(1, len(tk)),
+                  i -> {'src': tk[i], 'dst': tk[i+1]})) AS p FROM toks),
+      de AS (SELECT p.src AS src, p.dst AS dst FROM pairs
+             WHERE p.src <> p.dst
+             UNION ALL
+             SELECT * FROM (VALUES $plantedSql) pl(src, dst)),
+      und AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM de WHERE src <> dst),
+      adj AS MATERIALIZED (
+        SELECT u AS a, v AS b FROM und
+        UNION ALL SELECT v AS a, u AS b FROM und),
+      l0 AS MATERIALIZED (SELECT node, node AS lbl FROM (
+        SELECT DISTINCT a AS node FROM adj) z),
+      ${duckLpaRounds(4)}
+      SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n FROM l4
+      GROUP BY 1 ORDER BY 1"""
+    }),
+
     // ---- k-CORE decomposition (Graph.kCore): iterative peeling of
     // nodes with degree < 2 over the word graph plus a PLANTED 5-node
     // path tail hung off 'scan' — the tail must peel node-by-node in a
@@ -2117,6 +2187,22 @@ object Pipeline extends QueryModule {
     * bit-identical to the engine's `div` on non-negative operands.
     * Expects CTEs `nodes(node)`, `ew(src, dst, w, ow)`, `r0(node, rank)`.
     */
+  /** DuckDB replay of [[graft.ops.Graph.labelPropagation]] round `i`
+    * over adjacency CTE `adj(a, b)`: neighbor-label counts → per-node
+    * argmax (count desc, label asc). MATERIALIZED for the same
+    * inline-explosion reason as [[duckKcoreRounds]].
+    */
+  private[queries] def duckLpaRounds(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""cc$i AS MATERIALIZED (SELECT adj.a, l.lbl,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM adj JOIN l${i - 1} l ON adj.b = l.node GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (SELECT a AS node, lbl FROM (
+         |    SELECT a, lbl, ROW_NUMBER() OVER (PARTITION BY a
+         |      ORDER BY cnt DESC, lbl) AS rn FROM cc$i) z
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+
   /** DuckDB replay of [[graft.ops.Graph.kCore]] round `i`: degree
     * aggregate over `e{i-1}` → keep set `k{i}` (deg ≥ k) → edge set
     * `e{i}` with both endpoints kept.

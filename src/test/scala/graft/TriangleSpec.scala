@@ -62,6 +62,27 @@ class TriangleSpec extends AnyFunSuite {
     assert(partial.contains("6"))
   }
 
+  test("labelPropagation: two cliques keep distinct communities " +
+      "across a bridge; deterministic under repartitioning") {
+    val s = spark; import s.implicits._
+    val cliques = (for {
+      x <- 1 to 4; y <- (x + 1) to 4
+    } yield Seq((s"a$x", s"a$y"), (s"b$x", s"b$y"))).flatten ++
+      Seq(("a1", "b1"))
+    val edges = cliques.toDF("src", "dst")
+    def run(parts: Int) = Graph
+      .labelPropagation(edges.repartition(parts), 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val m = run(3)
+    // every a-node shares one label; every b-node shares another;
+    // the single bridge edge cannot merge them
+    val aLbls = (1 to 4).map(i => m(s"a$i")).distinct
+    val bLbls = (1 to 4).map(i => m(s"b$i")).distinct
+    assert(aLbls.length == 1 && bLbls.length == 1 && aLbls != bLbls,
+      m.toString)
+    assert(run(7) == m)
+  }
+
   test("kCore is idempotent past convergence and drops everything " +
       "when k exceeds the max degree") {
     val s = spark; import s.implicits._
