@@ -123,6 +123,48 @@ object SoakWave {
         (r.getDouble(1) * 100).round
       }
       emit("a_sample_quantiles", scale, sqSec, "median_cents" -> medCents)
+
+      // --- iterative graph ops over ×scale Erdős–Rényi-ish copies:
+      // 20 k nodes, 200 k xxhash64-random edges per copy (avg degree
+      // ~20, so the 8-core retains ~all of each copy — Poisson(20)
+      // puts <1 % of nodes under degree 8), copies node-disjoint.
+      // NOTE: a multiply-mod generator (as in Soak's triangle base)
+      // would be WRONG here — (a·i mod n, b·i mod n) is a function of
+      // i mod n, so 200 k rows collapse to 20 k distinct degree-2
+      // edges and the whole graph peels away, making the core
+      // observable vacuous. xxhash64 endpoints give genuinely
+      // independent-ish edges. Both ops cut lineage per round with
+      // localCheckpoint — the claim under test is that time is
+      // rounds × (join + aggregate) and tracks edge count, with no
+      // plan-size blowup at any scale.
+      val nNodes = 20000L
+      val baseEdges = (0 until scale).map { i =>
+        spark.range(0, 200000).select(
+          (pmod(xxhash64(col("id"), lit(i)), lit(nNodes)) +
+            i * 10000000L).as("src"),
+          (pmod(xxhash64(col("id") + 777L, lit(i + 999)), lit(nNodes)) +
+            i * 10000000L).as("dst"))
+      }.reduce(_ unionByName _)
+      // planted 64-node path: every interior node has degree 2 < k,
+      // so the whole path must vanish from the 8-core while the dense
+      // base survives (n_path_in_core must be 0, n_core must be large)
+      val path = spark.range(0, 64)
+        .select((col("id") + 800000000L).as("src"),
+          (col("id") + 800000001L).as("dst"))
+      val ge = baseEdges.unionByName(path)
+      val (coreObs, kcSec) = timed {
+        graft.ops.Graph.kCore(ge, 8, 8).agg(
+          count(lit(1)).as("n"),
+          sum(when(col("node") >= 800000000L, 1L).otherwise(0L)).as("path"))
+          .head()
+      }
+      emit("g_kcore", scale, kcSec, "n_core" -> coreObs.getLong(0),
+        "n_path_in_core" -> coreObs.getLong(1))
+      val (nComm, lpSec) = timed {
+        graft.ops.Graph.labelPropagation(ge, 4)
+          .select("lbl").distinct().count()
+      }
+      emit("g_label_prop", scale, lpSec, "n_communities" -> nComm)
     }
     spark.stop()
   }
