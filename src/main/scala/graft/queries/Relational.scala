@@ -307,6 +307,51 @@ object Relational extends QueryModule {
              COALESCE(click_id, -1) AS click_id
       FROM w WHERE side = 1 ORDER BY event_id""")),
 
+    // ---- SCD Type-2 dimension (graft.ops.Scd) + temporal fact join:
+    // login events become a versioned user-profile dimension (version,
+    // [valid_from, valid_to) half-open, NULL = current), then each
+    // click is joined to the version live at its timestamp. The ENGINE
+    // runs the as-of union+window shape (one shuffle on user_id,
+    // linear per key); the ORACLE replays the same semantics as the
+    // textbook interval-containment join (per-key |facts|x|versions| —
+    // correct, but the shape that melts on hot entities at scale).
+    // Same-ts duplicate changes get zero-width intervals, which both
+    // formulations skip identically (see Scd doc).
+    QueryDef("j_scd2_dimension", (s, d) => {
+      val e = Tables.events(s, d)
+      val dim = graft.ops.Scd.scd2(
+        e.filter(col("event_type") === "login")
+          .select("user_id", "ts_us", "event_id", "value"),
+        "user_id", "ts_us", "event_id")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("__tie"), col("version"),
+          round(col("value"), 6).as("profile_value"),
+          col("valid_from"), col("valid_to"))
+      val facts = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      graft.ops.AsOf.asofJoin(facts, dim, "user_id", "ts_us", "__tie",
+          Seq("version", "profile_value", "valid_from", "valid_to"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+                   value FROM events),
+      dim AS (SELECT user_id,
+                CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY ts_us, event_id) AS BIGINT) AS version,
+                round(value, 6) AS profile_value,
+                ts_us AS valid_from,
+                LEAD(ts_us) OVER (PARTITION BY user_id
+                  ORDER BY ts_us, event_id) AS valid_to
+              FROM e WHERE event_type = 'login'),
+      facts AS (SELECT event_id, user_id, ts_us FROM e
+                WHERE event_type = 'click')
+      SELECT f.event_id, f.user_id, f.ts_us, d.version, d.profile_value,
+        d.valid_from, d.valid_to
+      FROM facts f LEFT JOIN dim d ON f.user_id = d.user_id
+        AND f.ts_us >= d.valid_from
+        AND (d.valid_to IS NULL OR f.ts_us < d.valid_to)
+      ORDER BY f.event_id""")),
+
     // ---- Salted equi-join (graft.ops.Skew): the hot-key defense —
     // probe rows spread across 8 salts, build side replicated 8x, so a
     // skewed key fans out over 8 tasks instead of sinking one. Salting
