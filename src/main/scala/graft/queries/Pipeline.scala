@@ -359,6 +359,74 @@ object Pipeline extends QueryModule {
       WHERE levenshtein(q_name, t_name) <= 1
       ORDER BY q_key, t_key""")),
 
+    // ---- ENTITY RESOLUTION end-to-end (graft.ops.EntityResolution):
+    // fuzzy self-match (rarest-q-gram prefix blocking + levenshtein
+    // verify) → connected components over the pairs (pointer doubling)
+    // → one canonical record per component (entity_id = min member
+    // key; singletons resolve to themselves via anti-join). Planted:
+    // every 17th part re-enters with its 3rd character dropped (edit
+    // distance 1) under a shifted key — each must resolve INTO its
+    // original's entity. The oracle replays blocking, verify, and 6
+    // unrolled min-label rounds (components here are exact-name
+    // cliques + dist-1 attachments; diameter stays well under 6).
+    QueryDef("pipe_entity_resolution", (s, d) => {
+      val base = t(s, d, "part")
+        .select(col("p_partkey").as("rec_id"), col("p_name").as("name"))
+      val typos = base.filter(col("rec_id") % 17 === 0)
+        .select((col("rec_id") + 1000000L).as("rec_id"),
+          concat(substring(col("name"), 1, 2),
+            expr("substring(name, 4)")).as("name"))
+      graft.ops.EntityResolution.resolve(base.unionByName(typos),
+          "rec_id", "name", maxDist = 1)
+        .orderBy("entity_id")
+    }, Some {
+      val rounds = (1 to 6).map { i =>
+        s"""l$i AS MATERIALIZED (SELECT doc_id, MIN(cluster) AS cluster
+           |  FROM (SELECT doc_id, cluster FROM l${i - 1}
+           |        UNION ALL
+           |        SELECT e.src AS doc_id, l.cluster
+           |        FROM edges e JOIN l${i - 1} l ON e.dst = l.doc_id)
+           |  GROUP BY doc_id)""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      WITH base AS (SELECT p_partkey AS rec_id, p_name AS name FROM part),
+      recs AS MATERIALIZED (
+        SELECT * FROM base
+        UNION ALL
+        SELECT rec_id + 1000000, substring(name, 1, 2) || substring(name, 4)
+        FROM base WHERE rec_id % 17 = 0),
+      g AS MATERIALIZED (
+        SELECT rec_id, unnest(list_distinct(list_transform(
+          range(1, greatest(len(name) - 2, 1) + 1),
+          i -> name[i:i+2]))) AS gram FROM recs),
+      dfg AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY 1),
+      pf AS MATERIALIZED (SELECT rec_id, gram FROM (
+          SELECT rec_id, gram, ROW_NUMBER() OVER (PARTITION BY rec_id
+            ORDER BY df, gram) AS rn FROM g JOIN dfg USING (gram))
+        WHERE rn <= 4),
+      cands AS (SELECT DISTINCT a.rec_id AS ka, b.rec_id AS kb
+                FROM pf a JOIN pf b USING (gram)
+                WHERE a.rec_id < b.rec_id),
+      pairs AS (SELECT ka, kb FROM cands
+                JOIN recs ra ON ka = ra.rec_id
+                JOIN recs rb ON kb = rb.rec_id
+                WHERE levenshtein(ra.name, rb.name) <= 1),
+      edges AS (SELECT ka AS src, kb AS dst FROM pairs
+                UNION ALL SELECT kb, ka FROM pairs),
+      l0 AS (SELECT DISTINCT src AS doc_id, src AS cluster FROM edges),
+      $rounds,
+      ent AS (SELECT cluster AS entity_id,
+                CAST(COUNT(*) AS BIGINT) AS n_members
+              FROM l6 GROUP BY 1),
+      alle AS (SELECT * FROM ent
+               UNION ALL
+               SELECT rec_id, CAST(1 AS BIGINT) FROM recs
+               WHERE rec_id NOT IN (SELECT doc_id FROM l0))
+      SELECT e.entity_id, e.n_members, r.name
+      FROM alle e JOIN recs r ON e.entity_id = r.rec_id
+      ORDER BY e.entity_id"""
+    }),
+
     // ---- Snapshot DIFF (CDC over re-crawls): old = the documents
     // table; new = a planted re-crawl (every 41st doc deleted, every
     // 31st edited, 10 new docs). Per-side content fingerprints (no
