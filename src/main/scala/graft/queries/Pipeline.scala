@@ -329,7 +329,7 @@ object Pipeline extends QueryModule {
           concat(substring(col("p_name"), 1, 2),
             expr("substring(p_name, 4)")).as("q_name"))
       Fuzzy.fuzzyJoin(probes, "q_key", "q_name",
-          targets, "t_key", "t_name", maxDist = 1)
+          targets, "t_key", "t_name", maxDist = 1, blocking = "prefix")
         .orderBy("q_key", "t_key")
     }, Some("""
       WITH targets AS (SELECT MIN(p_partkey) AS t_key, p_name AS t_name
@@ -360,15 +360,24 @@ object Pipeline extends QueryModule {
       ORDER BY q_key, t_key""")),
 
     // ---- ENTITY RESOLUTION end-to-end (graft.ops.EntityResolution):
-    // fuzzy self-match (rarest-q-gram prefix blocking + levenshtein
-    // verify) → connected components over the pairs (pointer doubling)
-    // → one canonical record per component (entity_id = min member
-    // key; singletons resolve to themselves via anti-join). Planted:
-    // every 17th part re-enters with its 3rd character dropped (edit
-    // distance 1) under a shifted key — each must resolve INTO its
-    // original's entity. The oracle replays blocking, verify, and 6
+    // fuzzy self-match (PassJoin SEGMENT blocking — exact recall at
+    // the edit bound with candidates bounded by aligned-exact-
+    // substring collisions, not gram popularity; prefix-gram blocking
+    // degenerated quadratically here: 35.2 M candidates from 21 k
+    // part names over a 96-trigram vocabulary — 119 s at sf0.1) →
+    // levenshtein verify → connected components over the pairs
+    // (pointer doubling) → one canonical record per component
+    // (entity_id = min member key; singletons resolve to themselves
+    // via anti-join). Planted: every 17th part re-enters with its 3rd
+    // character dropped (edit distance 1) under a shifted key — each
+    // must resolve INTO its original's entity. The oracle reaches the
+    // same match set through DELETION-NEIGHBORHOOD keys (s plus every
+    // single-char deletion; for maxDist=1, ed(a,b)≤1 ⟺ the key sets
+    // intersect — exact, and cheap in DuckDB), then replays 6
     // unrolled min-label rounds (components here are exact-name
     // cliques + dist-1 attachments; diameter stays well under 6).
+    // Blocking schemes differ engine vs oracle BY DESIGN: both are
+    // recall-exact, so the hash compare proves scheme equivalence.
     QueryDef("pipe_entity_resolution", (s, d) => {
       val base = t(s, d, "part")
         .select(col("p_partkey").as("rec_id"), col("p_name").as("name"))
@@ -395,17 +404,14 @@ object Pipeline extends QueryModule {
         UNION ALL
         SELECT rec_id + 1000000, substring(name, 1, 2) || substring(name, 4)
         FROM base WHERE rec_id % 17 = 0),
-      g AS MATERIALIZED (
-        SELECT rec_id, unnest(list_distinct(list_transform(
-          range(1, greatest(len(name) - 2, 1) + 1),
-          i -> name[i:i+2]))) AS gram FROM recs),
-      dfg AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY 1),
-      pf AS MATERIALIZED (SELECT rec_id, gram FROM (
-          SELECT rec_id, gram, ROW_NUMBER() OVER (PARTITION BY rec_id
-            ORDER BY df, gram) AS rn FROM g JOIN dfg USING (gram))
-        WHERE rn <= 4),
+      keys AS MATERIALIZED (
+        SELECT rec_id, name AS k FROM recs
+        UNION
+        SELECT rec_id, name[1:j-1] || name[j+1:] AS k
+        FROM (SELECT rec_id, name,
+                unnest(range(1, len(name) + 1)) AS j FROM recs)),
       cands AS (SELECT DISTINCT a.rec_id AS ka, b.rec_id AS kb
-                FROM pf a JOIN pf b USING (gram)
+                FROM keys a JOIN keys b USING (k)
                 WHERE a.rec_id < b.rec_id),
       pairs AS (SELECT ka, kb FROM cands
                 JOIN recs ra ON ka = ra.rec_id
@@ -425,6 +431,113 @@ object Pipeline extends QueryModule {
       SELECT e.entity_id, e.n_members, r.name
       FROM alle e JOIN recs r ON e.entity_id = r.rec_id
       ORDER BY e.entity_id"""
+    }),
+
+    // ---- Fuzzy join under SEGMENT blocking at maxDist=2 (the
+    // multi-segment PassJoin path: 3 covering segments, aligned ±2
+    // position windows, length band built into the block key). The
+    // oracle is BRUTE FORCE over the length band — probes are few, so
+    // DuckDB can afford |probes|×|targets| levenshtein — which checks
+    // the blocking scheme against ground truth rather than against a
+    // replay of itself: any recall loss in segment generation would
+    // surface as a missing row, any over-generation survives (verify
+    // filters it), so the hash compare certifies EXACT recall.
+    QueryDef("j_fuzzy_segment", (s, d) => {
+      val parts = t(s, d, "part").select("p_partkey", "p_name")
+      val targets = parts.groupBy("p_name")
+        .agg(min(col("p_partkey")).as("t_key"))
+        .select(col("t_key"), col("p_name").as("t_name"))
+      val probes = parts.filter(col("p_partkey") < 20)
+        .select(col("p_partkey").as("q_key"),
+          concat(substring(col("p_name"), 1, 2),
+            expr("substring(p_name, 4)")).as("q_name"))
+      Fuzzy.fuzzyJoin(probes, "q_key", "q_name",
+          targets, "t_key", "t_name", maxDist = 2, blocking = "segment")
+        .orderBy("q_key", "t_key")
+    }, Some("""
+      WITH targets AS (SELECT MIN(p_partkey) AS t_key, p_name AS t_name
+                       FROM part GROUP BY p_name),
+      probes AS (SELECT p_partkey AS q_key,
+                   substring(p_name, 1, 2) || substring(p_name, 4) AS q_name
+                 FROM part WHERE p_partkey < 20)
+      SELECT q_key, t_key, q_name, t_name,
+        CAST(levenshtein(q_name, t_name) AS BIGINT) AS dist
+      FROM probes CROSS JOIN targets
+      WHERE abs(len(q_name) - len(t_name)) <= 2
+        AND levenshtein(q_name, t_name) <= 2
+      ORDER BY q_key, t_key""")),
+
+    // ---- ENTITY RESOLUTION with BEST-COPY-WINS canonicalization
+    // (EntityResolution.resolveCanonical): same match → cluster flow,
+    // but the canonical record per entity is the QUALITY ARGMAX
+    // member (here quality = name length; ties → smaller key), picked
+    // by ONE max(struct) aggregate — not the min-key member. Planted:
+    // every 23rd part re-enters with an 'x' APPENDED (edit distance
+    // 1, one char LONGER) under a shifted key — the planted copy has
+    // strictly higher quality, so it MUST win the canonical pick that
+    // min-key canonicalization would give to the original. entity_id
+    // stays the min member key (stable id), canonical_id carries the
+    // winner. Oracle: deletion-neighborhood blocking + 6 min-label
+    // rounds + a (quality DESC, rec_id) row_number pick.
+    QueryDef("pipe_entity_canonical", (s, d) => {
+      val base = t(s, d, "part")
+        .select(col("p_partkey").as("rec_id"), col("p_name").as("name"))
+      val extended = base.filter(col("rec_id") % 23 === 0)
+        .select((col("rec_id") + 2000000L).as("rec_id"),
+          concat(col("name"), lit("x")).as("name"))
+      graft.ops.EntityResolution.resolveCanonical(
+          base.unionByName(extended), "rec_id", "name",
+          length(col("name")), maxDist = 1)
+        .orderBy("entity_id")
+    }, Some {
+      val rounds = (1 to 6).map { i =>
+        s"""l$i AS MATERIALIZED (SELECT doc_id, MIN(cluster) AS cluster
+           |  FROM (SELECT doc_id, cluster FROM l${i - 1}
+           |        UNION ALL
+           |        SELECT e.src AS doc_id, l.cluster
+           |        FROM edges e JOIN l${i - 1} l ON e.dst = l.doc_id)
+           |  GROUP BY doc_id)""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      WITH base AS (SELECT p_partkey AS rec_id, p_name AS name FROM part),
+      recs AS MATERIALIZED (
+        SELECT * FROM base
+        UNION ALL
+        SELECT rec_id + 2000000, name || 'x'
+        FROM base WHERE rec_id % 23 = 0),
+      keys AS MATERIALIZED (
+        SELECT rec_id, name AS k FROM recs
+        UNION
+        SELECT rec_id, name[1:j-1] || name[j+1:] AS k
+        FROM (SELECT rec_id, name,
+                unnest(range(1, len(name) + 1)) AS j FROM recs)),
+      cands AS (SELECT DISTINCT a.rec_id AS ka, b.rec_id AS kb
+                FROM keys a JOIN keys b USING (k)
+                WHERE a.rec_id < b.rec_id),
+      pairs AS (SELECT ka, kb FROM cands
+                JOIN recs ra ON ka = ra.rec_id
+                JOIN recs rb ON kb = rb.rec_id
+                WHERE levenshtein(ra.name, rb.name) <= 1),
+      edges AS (SELECT ka AS src, kb AS dst FROM pairs
+                UNION ALL SELECT kb, ka FROM pairs),
+      l0 AS (SELECT DISTINCT src AS doc_id, src AS cluster FROM edges),
+      $rounds,
+      mem AS (SELECT doc_id, cluster AS entity_id FROM l6
+              UNION ALL
+              SELECT rec_id, rec_id FROM recs
+              WHERE rec_id NOT IN (SELECT doc_id FROM l0)),
+      memq AS (SELECT m.entity_id, m.doc_id AS rec_id, r.name,
+                 len(r.name) AS q
+               FROM mem m JOIN recs r ON m.doc_id = r.rec_id),
+      best AS (SELECT entity_id, rec_id, name,
+                 ROW_NUMBER() OVER (PARTITION BY entity_id
+                   ORDER BY q DESC, rec_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY entity_id) AS nm
+               FROM memq)
+      SELECT entity_id, rec_id AS canonical_id,
+        CAST(nm AS BIGINT) AS n_members, name
+      FROM best WHERE rn = 1
+      ORDER BY entity_id"""
     }),
 
     // ---- Snapshot DIFF (CDC over re-crawls): old = the documents
