@@ -59,9 +59,15 @@ object Bench {
       n -> (1 to reps).map(_ => once(n, SparkEntry.queries(n))))
     val results = runs.map { case (n, ts) =>
       // any failed rep poisons the query (-1): a median over a mix of
-      // failures and successes would silently hide flakiness
+      // failures and successes would silently hide flakiness. Even rep
+      // counts average the two middle samples — the upper-middle order
+      // statistic alone biases high (reps=2 would report the slower run)
       n -> (if (ts.exists(_ < 0)) -1.0
-            else ts.sorted.apply(ts.length / 2))
+            else {
+              val s = ts.sorted
+              if (s.length % 2 == 1) s(s.length / 2)
+              else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+            })
     }
     def json(fmt: Double => String, withRuns: Boolean): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }

@@ -10,12 +10,19 @@ import org.apache.spark.sql.functions._
   * corpus collapses to ~vocab-size rows before any iteration runs).
   *
   * Representation: a word's symbol sequence is a space-delimited string
-  * `" a b c "` (leading/trailing space so every symbol is ` `-bounded).
-  * Applying a merge is then `replace(ss, ' src dst ', ' srcdst ')` —
-  * non-overlapping, left-to-right, which IS greedy BPE application
-  * (" a a a " + (a,a) → " aa a ", never " a aa "), and `replace` scans
-  * identically in Spark and DuckDB, so an oracle replays every round
-  * bit-for-bit. Ties at the argmax break on (count desc, src, dst).
+  * `" a b c "`. Applying a merge is a greedy LEFT-TO-RIGHT fold over
+  * the split symbol array with a string accumulator: when the next
+  * symbol equals `dst` and the accumulator's last symbol is exactly
+  * `src` (tested as `endswith(acc, ' '||src)` — the delimiter pins
+  * symbol boundaries), appending `dst` directly fuses the pair; the
+  * fused symbol is `src+dst ≠ src`, so it can never re-merge within
+  * the same pass. This is canonical Sennrich-2016 greedy application:
+  * `" a a a a "` + (a,a) → `[aa, aa]` — an earlier
+  * `replace(ss, ' a b ', ' ab ')` form consumed the shared delimiter
+  * space and under-merged runs to `[aa, a, a]`. The identical fold
+  * runs in DuckDB (`list_reduce` over a `list_prepend('')` sentinel),
+  * so an oracle replays every round bit-for-bit. Ties at the argmax
+  * break on (count desc, src, dst).
   *
   * Scale shape: per round, ONE distributed pair-count aggregate over
   * the (cached) word table and a 1-row tie-broken argmax; only that
@@ -25,6 +32,17 @@ import org.apache.spark.sql.functions._
   * pure per-row string expression — no shuffle between rounds.
   */
 object Bpe {
+
+  /** One greedy left-to-right merge pass over a ` `-delimited symbol
+    * string (see the object doc for why the fold is exact): returns
+    * the re-delimited string with a leading space and no trailing one
+    * — `trim`+`split` normalizes either shape, so passes chain. */
+  private def mergeStep(ss: org.apache.spark.sql.Column, src: String,
+      dst: String): org.apache.spark.sql.Column =
+    aggregate(split(trim(ss), " "), lit(""),
+      (acc, x) => when(x === lit(dst) && endswith(acc, lit(" " + src)),
+        concat(acc, lit(dst)))
+        .otherwise(concat(acc, lit(" "), x)))
 
   /** Learn `numMerges` merges; returns (step, src, dst, cnt) with step
     * 1-based in learn order. Stops early if no adjacent pair remains.
@@ -62,10 +80,7 @@ object Bpe {
           val (src, dst, c) =
             (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
           merges += ((step.toLong, src, dst, c))
-          // symbols are engine-tokenizer output ([a-z0-9]+ slices) —
-          // safe to inline as SQL string literals
-          cur = cur.withColumn("ss",
-            expr(s"replace(ss, ' $src $dst ', ' $src$dst ')"))
+          cur = cur.withColumn("ss", mergeStep(col("ss"), src, dst))
           step += 1
         }
       }
@@ -74,14 +89,12 @@ object Bpe {
   }
 
   /** Apply a learned merge chain to a ` `-delimited symbol string, in
-    * learn order — each step the same non-overlapping replace the
-    * learner used, so encode(text, learnMerges(text)) is exact.
+    * learn order — each step the same greedy fold the learner used, so
+    * encode(text, learnMerges(text)) is exact.
     */
   def applyMerges(ss: org.apache.spark.sql.Column,
       merges: Seq[(String, String)]): org.apache.spark.sql.Column =
-    merges.foldLeft(ss) { case (c, (a, b)) =>
-      replace(c, lit(s" $a $b "), lit(s" $a$b "))
-    }
+    merges.foldLeft(ss) { case (c, (a, b)) => mergeStep(c, a, b) }
 
   /** BPE-encode the corpus and return the symbol usage histogram
     * (sym, cnt over token occurrences). Scale shape: the merge chain —
@@ -135,8 +148,10 @@ object Bpe {
        |  GROUP BY 1, 2),
        |b$i AS (SELECT src, dst, c FROM p$i
        |  ORDER BY c DESC, src, dst LIMIT 1),
-       |s$i AS (SELECT cnt, replace(ss, ' ' || src || ' ' || dst || ' ',
-       |    ' ' || src || dst || ' ') AS ss
+       |s$i AS (SELECT cnt, list_reduce(
+       |    list_prepend('', string_split(trim(ss), ' ')),
+       |    (acc, x) -> CASE WHEN x = dst AND ends_with(acc, ' ' || src)
+       |      THEN acc || dst ELSE acc || ' ' || x END) AS ss
        |  FROM s${i - 1} CROSS JOIN b$i)""".stripMargin
 
   /** Full DuckDB oracle for [[learnMerges]] over `documents`. */

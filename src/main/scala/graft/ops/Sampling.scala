@@ -114,6 +114,12 @@ object Sampling {
     * per-row membership by salted hash. Scale shape: one tiny
     * aggregate (one row per class) + a deterministic sorted fold for
     * the denominator, both broadcast; the data sees one hash compare.
+    *
+    * NULL-class rows are DROPPED (the rate re-attach is an inner
+    * equi-join on `classCol`, which never matches NULL — standard SQL
+    * join semantics, replayed identically by any SQL oracle). Callers
+    * that want NULL treated as a class of its own must coalesce
+    * `classCol` to a sentinel value before calling.
     */
   def temperatureSampleSqrt(df: DataFrame, keyCol: String,
       classCol: String, targetRows: Long,

@@ -1075,10 +1075,11 @@ object Pipeline extends QueryModule {
     // ---- Distributed BPE merge learning (Bpe.learnMerges): the 8
     // highest-count adjacent-symbol merges over the corpus word-
     // frequency table — tokenizer training as a pipeline stage. Merge
-    // application is a non-overlapping left-to-right replace on the
-    // space-delimited symbol string (≡ greedy BPE, identical scan
-    // semantics in Spark and DuckDB); per round one distributed pair-
-    // count aggregate and a 1-row tie-broken argmax reach the driver.
+    // application is a greedy left-to-right fold over the symbol array
+    // (canonical Sennrich BPE — runs like "aaaa" merge to [aa,aa]; the
+    // identical fold runs as list_reduce in DuckDB); per round one
+    // distributed pair-count aggregate and a 1-row tie-broken argmax
+    // reach the driver.
     QueryDef("m_bpe_merges", (s, d) => {
       graft.ops.Bpe.learnMerges(docs(s, d), 8).orderBy("step")
     }, Some(graft.ops.Bpe.duckOracle(8))),

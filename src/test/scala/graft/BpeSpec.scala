@@ -27,6 +27,25 @@ class BpeSpec extends AnyFunSuite {
       (1L, "a", "a", 5L), (2L, "a", "b", 2L), (3L, "aa", "ab", 2L)))
   }
 
+  test("runs of the merged pair fully merge (canonical greedy, not " +
+      "delimiter-consuming replace): aaaa + (a,a) -> [aa, aa]") {
+    val s = spark; import s.implicits._
+    // a delimiter-space-consuming replace(' a a ',' aa ') yields
+    // [aa, a, a] here — the fold must produce [aa, aa]
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val hist = Bpe.symbolCounts(docs, Seq("a" -> "a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hist == Map("aa" -> 2L), hist.toString)
+    // and the learner applies the same semantics between rounds:
+    // round 1 (a,a) cnt 3 (overlapping adjacent positions); round 2
+    // sees [aa, aa] -> (aa,aa), NOT (aa,a)
+    val out = Bpe.learnMerges(docs, 2).orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)),
+      out.toSeq.toString)
+  }
+
   test("learnMerges stops early when no pair remains") {
     val s = spark; import s.implicits._
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
