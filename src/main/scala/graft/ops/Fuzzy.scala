@@ -133,30 +133,29 @@ object Fuzzy {
       .distinct()
   }
 
-  /** Probes fuzzy-joined to targets at `levenshtein ≤ maxDist`:
-    * returns (probeKey, targetKey, probe_str, target_str, dist).
-    * Blocking per `blocking` ("segment" | "prefix" — scheme contract
-    * and decision rule in the object doc); verify by edit distance.
-    *
-    * Both sides are aliased to internal names before any join, so the
-    * common record-linkage case where probe and target share column
-    * names (both sides called `name`/`id`) works; when an OUTPUT name
-    * would collide, the target-side column gets a `_target` suffix.
+  /** Distinct-string candidate pairs the blocking scheme generates
+    * over a probe/target string universe — exactly the pair set
+    * [[fuzzyJoin]] verifies with levenshtein, exposed so soaks and
+    * capacity planning can measure the blocking COST observable
+    * (candidate count is the cost driver; growth should be ~linear in
+    * corpus size for the segment scheme). Inputs are frames holding
+    * the string column `pCol` / `tCol`; output columns are named
+    * `pCol` / (`tCol` or `tCol`_target on collision).
     */
-  def fuzzyJoin(probes: DataFrame, probeKey: String, probeStr: String,
-      targets: DataFrame, targetKey: String, targetStr: String,
-      maxDist: Int, q: Int = 3, blocking: String = "segment")
-      : DataFrame = {
-    // internal unique names: same-named probe/target columns must not
-    // make the payload re-attach joins ambiguous
-    val p = probes.select(col(probeKey).as("__q_key"),
-      col(probeStr).as("__q_str"))
-    val t = targets.select(col(targetKey).as("__t_key"),
-      col(targetStr).as("__t_str"))
-    // dedup-first: the blocking/verify universe is the DISTINCT string
-    // set of each side; the string is its own key until the expansion
-    val pd = p.select(col("__q_str").as("__q_sid")).distinct()
-    val td = t.select(col("__t_str").as("__t_sid")).distinct()
+  def candidatePairs(probeStrs: DataFrame, pCol: String,
+      targetStrs: DataFrame, tCol: String, maxDist: Int, q: Int = 3,
+      blocking: String = "segment"): DataFrame = {
+    val pd = probeStrs.select(col(pCol).as("__q_sid")).distinct()
+    val td = targetStrs.select(col(tCol).as("__t_sid")).distinct()
+    val outT = if (tCol == pCol) s"${tCol}_target" else tCol
+    blockedPairs(pd, td, maxDist, q, blocking)
+      .select(col("__q_sid").as(pCol), col("__t_sid").as(outT))
+  }
+
+  /** The blocking stage over the DISTINCT string sets `pd(__q_sid)` /
+    * `td(__t_sid)`: distinct candidate pairs per `blocking`. */
+  private def blockedPairs(pd: DataFrame, td: DataFrame, maxDist: Int,
+      q: Int, blocking: String): DataFrame = {
     val cands = blocking match {
       case "segment" =>
         probeSegKeys(pd, "__q_sid", "__q_sid", maxDist)
@@ -188,10 +187,37 @@ object Fuzzy {
       case other => throw new IllegalArgumentException(
         s"unknown blocking scheme '$other' (expected segment | prefix)")
     }
+    cands
+  }
+
+  /** Probes fuzzy-joined to targets at `levenshtein ≤ maxDist`:
+    * returns (probeKey, targetKey, probe_str, target_str, dist).
+    * Blocking per `blocking` ("segment" | "prefix" — scheme contract
+    * and decision rule in the object doc); verify by edit distance.
+    *
+    * Both sides are aliased to internal names before any join, so the
+    * common record-linkage case where probe and target share column
+    * names (both sides called `name`/`id`) works; when an OUTPUT name
+    * would collide, the target-side column gets a `_target` suffix.
+    */
+  def fuzzyJoin(probes: DataFrame, probeKey: String, probeStr: String,
+      targets: DataFrame, targetKey: String, targetStr: String,
+      maxDist: Int, q: Int = 3, blocking: String = "segment")
+      : DataFrame = {
+    // internal unique names: same-named probe/target columns must not
+    // make the payload re-attach joins ambiguous
+    val p = probes.select(col(probeKey).as("__q_key"),
+      col(probeStr).as("__q_str"))
+    val t = targets.select(col(targetKey).as("__t_key"),
+      col(targetStr).as("__t_str"))
+    // dedup-first: the blocking/verify universe is the DISTINCT string
+    // set of each side; the string is its own key until the expansion
+    val pd = p.select(col("__q_str").as("__q_sid")).distinct()
+    val td = t.select(col("__t_str").as("__t_sid")).distinct()
     // verify on distinct pairs: length-difference prefilter (free — no
     // string scan) ahead of the levenshtein; segment keys already
     // encode the band but the prefix scheme needs it
-    val verified = cands
+    val verified = blockedPairs(pd, td, maxDist, q, blocking)
       .filter(abs(length(col("__q_sid")) - length(col("__t_sid")))
         <= maxDist)
       .withColumn("dist", levenshtein(col("__q_sid"), col("__t_sid")))

@@ -771,6 +771,237 @@ object Pipeline extends QueryModule {
       WHERE COALESCE(a.c, 0) <> COALESCE(b.c, 0)
       ORDER BY token""")),
 
+    // ---- FULL LLM-corpus construction (the composition the brief
+    // names; every stage is an already-gated operator, this gate runs
+    // them as ONE flow): clean (redact) → canonical dedup
+    // (best-copy-wins) → Bloom decontaminate → per-doc quality gate →
+    // temperature rebalance → leakage-safe group split → BPE trained
+    // on the TRAIN split ONLY (the tokenizer never sees test text) →
+    // boundary-exact sequence packing per split. Planted: every 11th
+    // doc re-enters with two trailing spaces (identical token stream,
+    // 2 chars longer) — canonical dedup must keep the LONGER copy; the
+    // benchmark slice (doc_id % 37 = 0 after dedup) leaves via the
+    // broadcast Bloom probe, deterministic false positives included.
+    // Output: per-split corpus shape (docs, packed sequences, BPE
+    // tokens, max docs straddling one sequence) — each number depends
+    // on every upstream stage, so the hash match certifies the whole
+    // composition. Scale shapes: regex scrub per-row; dedup ONE
+    // max(struct) hash agg; decontamination ONE broadcast m-bit row;
+    // quality per-row; rebalance a broadcast rate frame; split a pure
+    // hash; BPE one pair-count agg + 1-row argmax per round, applied
+    // per DISTINCT word; packing the two-phase prefix sum. Only the
+    // ≤ 4 merge rows ever reach the driver.
+    QueryDef("pipe_llm_corpus", (s, d) => {
+      val base = docs(s, d).select("doc_id", "text", "source", "lang")
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 700000L).as("doc_id"),
+            concat(col("text"), lit("  ")).as("text"),
+            col("source"), col("lang")))
+      // 1. clean
+      val cleaned = TextAnalysis.redact(corpus)
+        .select(col("doc_id"), col("redacted").as("text"))
+        .join(corpus.drop("text"), Seq("doc_id"))
+      // 2. canonical dedup — keep the longest copy per content group
+      val keep = Dedup.canonical(cleaned, length(col("text")))
+        .select(col("keep_doc").as("doc_id"))
+      val deduped = cleaned.join(keep, Seq("doc_id"))
+      // 3. Bloom decontamination against the benchmark slice
+      val decon = Dedup.bloomDecontaminate(
+        deduped.filter(col("doc_id") % 37 =!= 0),
+        deduped.filter(col("doc_id") % 37 === 0), 3, m = 8192, k = 4)
+      // 4. per-doc quality gate
+      val quality = TextAnalysis.qualityScore(decon, Seq("source", "lang"))
+        .filter(col("passes_quality"))
+        .select("doc_id", "source", "lang")
+      // 5. temperature rebalance by language
+      val sampled = graft.ops.Sampling.temperatureSampleSqrt(
+        quality, "doc_id", "lang", 200L)
+      // 6. leakage-safe split by origin
+      val labeled = graft.ops.Sampling
+        .hashSplit(sampled, "source", 80, 0, salt = "gsplit:")
+        .join(decon.select("doc_id", "text"), Seq("doc_id"))
+      // 7. BPE merges from the train split only (bounded driver state:
+      // the 4 merge rows — the same shape m_bpe_merges gates solo)
+      val merges = graft.ops.Bpe
+        .learnMerges(labeled.filter(col("split") === "train"), 4)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      // 8. per-doc BPE token counts, merges applied per DISTINCT word
+      val occ = labeled.select(col("doc_id"), col("split"),
+          explode(expr(tokensSql)).as("w"))
+        .groupBy("doc_id", "split", "w").agg(count(lit(1)).as("c"))
+      val wsym = occ.select("w").distinct()
+        .select(col("w"), size(split(trim(graft.ops.Bpe.applyMerges(
+          concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")),
+          merges)), " ")).cast("long").as("n_sym"))
+      val docTok = occ.join(wsym, Seq("w"))
+        .groupBy("doc_id", "split")
+        .agg(sum(col("c") * col("n_sym")).as("n_bpe"))
+      // 9. pack each split separately (chunk ids are per-split)
+      def packed(sp: String): DataFrame =
+        graft.ops.Pack.packSummary(
+            docTok.filter(col("split") === sp).drop("split"),
+            "doc_id", "n_bpe", 128)
+          .agg(count(lit(1)).as("n_seqs"),
+            sum("n_tokens").as("n_tokens"),
+            max("n_docs").as("max_docs_per_seq"))
+          .select(lit(sp).as("split"), col("n_seqs"), col("n_tokens"),
+            col("max_docs_per_seq"))
+      val nDocs = docTok.groupBy("split").agg(count(lit(1)).as("n_docs"))
+      packed("train").unionByName(packed("test"))
+        .join(nDocs, Seq("split"))
+        .select("split", "n_docs", "n_seqs", "n_tokens",
+          "max_docs_per_seq")
+        .orderBy("split")
+    }, Some {
+      val enStops = TextAnalysis.langProfiles.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      val scrubbed = TextAnalysis.redactRules.foldLeft("text") {
+        case (c, (p, r)) =>
+          s"regexp_replace($c, '${p.replace("'", "''")}', '$r', 'g')"
+      }
+      val rounds = (1 to 4).map(graft.ops.Bpe.duckRound).mkString(",\n")
+      // apply merge b{i} to the per-word symbol table ws{i-1} — the
+      // same greedy fold the learner's rounds use
+      val wsRounds = (1 to 4).map { i =>
+        s"""ws$i AS (SELECT w, list_reduce(
+           |    list_prepend('', string_split(trim(ss), ' ')),
+           |    (acc, x) -> CASE WHEN x = b.dst
+           |        AND ends_with(acc, ' ' || b.src)
+           |      THEN acc || b.dst ELSE acc || ' ' || x END) AS ss
+           |  FROM ws${i - 1} CROSS JOIN b$i b)""".stripMargin
+      }.mkString(",\n")
+      s"""
+      WITH base AS (SELECT doc_id, text, source, lang FROM documents),
+      corpus AS MATERIALIZED (
+        SELECT doc_id, text, source, lang FROM base
+        UNION ALL
+        SELECT doc_id + 700000, text || '  ', source, lang
+        FROM base WHERE doc_id % 11 = 0),
+      clean AS MATERIALIZED (
+        SELECT doc_id, $scrubbed AS text, source, lang FROM corpus),
+      fps AS (SELECT doc_id,
+                md5(array_to_string(
+                  regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp,
+                length(text) AS q
+              FROM clean),
+      keepd AS (SELECT doc_id FROM (
+          SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY fp
+            ORDER BY q DESC, doc_id ASC) AS rn FROM fps) z
+        WHERE rn = 1),
+      dedup AS MATERIALIZED (
+        SELECT c.doc_id, c.text, c.source, c.lang
+        FROM clean c JOIN keepd USING (doc_id)),
+      toksd AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                FROM dedup),
+      shd AS (SELECT doc_id,
+                list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+              FROM toksd WHERE len(toks) >= 3),
+      bench_h AS (SELECT DISTINCT ${duckMd5Long("shg")} AS h
+                  FROM (SELECT unnest(shingles) AS shg FROM shd
+                        WHERE doc_id % 37 = 0)),
+      bits AS (SELECT DISTINCT
+                 ((h % 8192) + i * (1 + ((h // 8192) % 8191))) % 8192 AS bit
+               FROM bench_h
+               CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+      words AS (SELECT bit // 63 AS w,
+                  bit_or(1::BIGINT << CAST(bit % 63 AS INTEGER)) AS word
+                FROM bits GROUP BY 1),
+      bloom AS (SELECT list(COALESCE(word, 0) ORDER BY wn) AS bloom
+                FROM (SELECT unnest(range(0, 131)) AS wn) n
+                LEFT JOIN words ON w = wn),
+      train_h AS (SELECT doc_id, ${duckMd5Long("shg")} AS h
+                  FROM (SELECT doc_id, unnest(shingles) AS shg FROM shd
+                        WHERE doc_id % 37 <> 0)),
+      hit AS (SELECT DISTINCT doc_id FROM train_h CROSS JOIN bloom
+              WHERE ${graft.functions.BloomSketch
+                .duckMightContain("bloom", "h", 8192, 4)}),
+      decon AS MATERIALIZED (
+        SELECT * FROM dedup WHERE doc_id % 37 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM hit)),
+      wq AS (SELECT doc_id, source, lang, text,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+               CAST(greatest(length(text), 1) AS DOUBLE) AS n
+             FROM decon),
+      q AS (SELECT doc_id, source, lang FROM wq
+            WHERE len(toks) >= 10
+              AND (length(text) - length(regexp_replace(text,
+                '[a-zA-Z]', '', 'g'))) / n >= 0.6
+              AND CAST(len(list_filter(toks,
+                    tt -> list_contains($enStops, tt))) AS DOUBLE)
+                  / greatest(len(toks), 1) >= 0.01),
+      cnt AS (SELECT lang, COUNT(*) AS c FROM q GROUP BY 1),
+      den AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(list_sort(list(struct_pack(cls := lang,
+                  s := sqrt(CAST(c AS DOUBLE))))), x -> x.s)),
+                (a, v) -> a + v) AS dn FROM cnt),
+      rates AS (SELECT lang, least(CAST(1.0 AS DOUBLE),
+                  CAST(200.0 AS DOUBLE) * (sqrt(CAST(c AS DOUBLE)) / dn) /
+                  CAST(c AS DOUBLE)) AS r
+                FROM cnt CROSS JOIN den),
+      samp AS (SELECT g.doc_id, g.source FROM q g JOIN rates USING (lang)
+               WHERE (${duckMd5Long(
+                 "'tsample:' || CAST(doc_id AS VARCHAR)")} % 1000000) <
+                 CAST(floor(r * 1000000) AS BIGINT)),
+      spl AS MATERIALIZED (
+        SELECT sm.doc_id,
+          CASE WHEN (${duckMd5Long(
+            "'gsplit:' || CAST(sm.source AS VARCHAR)")} % 100) < 80
+            THEN 'train' ELSE 'test' END AS split,
+          dd.text
+        FROM samp sm JOIN decon dd USING (doc_id)),
+      wc AS (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM (SELECT unnest(regexp_extract_all(lower(text),
+                     '[a-z0-9]+')) AS tok
+                   FROM spl WHERE split = 'train') tt
+             GROUP BY 1),
+      s0 AS (SELECT cnt,
+          ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS ss FROM wc),
+      $rounds,
+      aw AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text),
+               '[a-z0-9]+')) AS w FROM spl),
+      ws0 AS (SELECT w,
+          ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS ss FROM aw),
+      $wsRounds,
+      wsym AS (SELECT w,
+                 CAST(len(string_split(trim(ss), ' ')) AS BIGINT) AS n_sym
+               FROM ws4),
+      occ AS (SELECT doc_id, split, tok AS w, COUNT(*) AS c
+              FROM (SELECT doc_id, split,
+                      unnest(regexp_extract_all(lower(text),
+                        '[a-z0-9]+')) AS tok FROM spl) z
+              GROUP BY 1, 2, 3),
+      dt AS (SELECT doc_id, split, SUM(c * n_sym) AS n
+             FROM occ JOIN wsym USING (w) GROUP BY 1, 2),
+      po AS (SELECT doc_id, split, n,
+               COALESCE(SUM(n) OVER (PARTITION BY split ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS off
+             FROM dt WHERE n > 0),
+      ch AS (SELECT split, doc_id, n, off,
+               unnest(range(CAST(off // 128 AS BIGINT),
+                 CAST((off + n - 1) // 128 + 1 AS BIGINT))) AS chunk_id
+             FROM po),
+      sp2 AS (SELECT split, chunk_id, doc_id,
+                greatest(chunk_id * 128, off) AS st,
+                least((chunk_id + 1) * 128, off + n) AS e
+              FROM ch),
+      cs AS (SELECT split, chunk_id, COUNT(*) AS ndc, SUM(e - st) AS nt
+             FROM sp2 GROUP BY 1, 2),
+      res AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+                CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                CAST(MAX(ndc) AS BIGINT) AS max_docs_per_seq
+              FROM cs GROUP BY 1),
+      nd2 AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM dt GROUP BY 1)
+      SELECT r.split, n.n_docs, r.n_seqs, r.n_tokens, r.max_docs_per_seq
+      FROM res r JOIN nd2 n USING (split)
+      ORDER BY split"""
+    }),
+
     // ---- Exact SUBSTRING duplication (Lee et al. 2022): w-token
     // windows whose exact content recurs anywhere in the corpus, rolled
     // up per document (window count + merged token coverage). The

@@ -59,9 +59,30 @@ object Events {
       }
     }
     iso.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+    // EXPLICIT fresh per-run checkpoint scratch, deleted on completion:
+    // state-store files (delta/snapshot per partition per trigger) never
+    // accumulate across runs or leak into later ones — run-to-run bench
+    // spread on these gates is then attributable only to the state-store
+    // commit path itself, not lingering checkpoint state. (The implicit
+    // temp checkpoint Spark would otherwise create is also per-run, but
+    // its deletion is conditional on clean termination — this isn't.)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft_ckpt_$sinkName")
     val q = build(iso).writeStream.format("memory").queryName(sinkName)
+      .option("checkpointLocation", ckpt.toString)
       .outputMode(mode).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop()
+      // best-effort recursive delete; scratch is /tmp-rooted either way
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(rm(_)) finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      try rm(ckpt) catch { case _: Exception => () }
+    }
     iso.table(sinkName)
   }
 

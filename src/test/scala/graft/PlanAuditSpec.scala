@@ -91,7 +91,8 @@ class PlanAuditSpec extends AnyFunSuite {
   // audited directly in NearDupRecallSpec via cosineNearDupPairsLshPlan.
   private val skipBuildExecutes = Set(
     "m1_entity_skipgram_vocab", "m_indexed_mentions", "sim_neardup_pairs",
-    "m_bpe_merges", "m_bpe_encode", "g_kcore", "g_label_prop")
+    "m_bpe_merges", "m_bpe_encode", "g_kcore", "g_label_prop",
+    "pipe_llm_corpus")
 
   private val modules = Seq(Relational, Functions, Pipeline, Corpus)
 
