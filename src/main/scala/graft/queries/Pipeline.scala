@@ -790,7 +790,16 @@ object Pipeline extends QueryModule {
     // quality per-row; rebalance a broadcast rate frame; split a pure
     // hash; BPE one pair-count agg + 1-row argmax per round, applied
     // per DISTINCT word; packing the two-phase prefix sum. Only the
-    // ≤ 4 merge rows ever reach the driver.
+    // ≤ 4 merge rows ever reach the driver. STAGE BOUNDARIES ARE
+    // MATERIALIZED (localCheckpoint — the oracle's AS MATERIALIZED
+    // twin): the composition's final plan references the corpus
+    // through ~6 paths (BPE train, per-word symbol table, per-doc
+    // counts, two per-split pack rollups, doc counts) and an
+    // unmaterialized lineage re-runs the regex-scrub/dedup/Bloom
+    // upstream once PER PATH — measured 34.5 s for this gate at
+    // sf0.1, 3.9 s with the three cuts (5-rep isolation medians). A
+    // production pipeline materializes exactly these boundaries as
+    // stage outputs.
     QueryDef("pipe_llm_corpus", (s, d) => {
       val base = docs(s, d).select("doc_id", "text", "source", "lang")
       val corpus = base.unionByName(
@@ -806,10 +815,14 @@ object Pipeline extends QueryModule {
       val keep = Dedup.canonical(cleaned, length(col("text")))
         .select(col("keep_doc").as("doc_id"))
       val deduped = cleaned.join(keep, Seq("doc_id"))
-      // 3. Bloom decontamination against the benchmark slice
+      // 3. Bloom decontamination against the benchmark slice; cut #1:
+      // the cleaned+deduped+decontaminated corpus is the pipeline's
+      // central artifact, read by the quality gate AND the text
+      // re-attach below
       val decon = Dedup.bloomDecontaminate(
         deduped.filter(col("doc_id") % 37 =!= 0),
         deduped.filter(col("doc_id") % 37 === 0), 3, m = 8192, k = 4)
+        .localCheckpoint()
       // 4. per-doc quality gate
       val quality = TextAnalysis.qualityScore(decon, Seq("source", "lang"))
         .filter(col("passes_quality"))
@@ -821,6 +834,7 @@ object Pipeline extends QueryModule {
       val labeled = graft.ops.Sampling
         .hashSplit(sampled, "source", 80, 0, salt = "gsplit:")
         .join(decon.select("doc_id", "text"), Seq("doc_id"))
+        .localCheckpoint() // cut #2: split corpus feeds BPE train + occ
       // 7. BPE merges from the train split only (bounded driver state:
       // the 4 merge rows — the same shape m_bpe_merges gates solo)
       val merges = graft.ops.Bpe
@@ -838,6 +852,7 @@ object Pipeline extends QueryModule {
       val docTok = occ.join(wsym, Seq("w"))
         .groupBy("doc_id", "split")
         .agg(sum(col("c") * col("n_sym")).as("n_bpe"))
+        .localCheckpoint() // cut #3: three rollups read it below
       // 9. pack each split separately (chunk ids are per-split)
       def packed(sp: String): DataFrame =
         graft.ops.Pack.packSummary(
