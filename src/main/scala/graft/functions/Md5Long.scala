@@ -68,5 +68,6 @@ object GraftFunctions {
     CmsSketch.register(s)
     HllSketch.register(s)
     BloomSketch.register(s)
+    QuantileSketch.register(s)
   }
 }

@@ -1108,6 +1108,55 @@ object Relational extends QueryModule {
       SELECT q, l_extendedprice FROM o JOIN t ON o.r = t.tr
       ORDER BY q""")),
 
+    // ---- Per-GROUP bounded-state quantiles in ONE aggregate
+    // (graft_qsketch — the fifth sketch aggregate, multiset bottom-k
+    // merge): each group's k-row (hash,value) sample folds map-side and
+    // merges associatively, so per-source/per-language quantiles cost
+    // one hash aggregate at any corpus size. Completes the quantile
+    // matrix: exact global (a_exact_quantiles), exact per-group
+    // (a_group_quantiles, windows the whole table), sampled global
+    // (a_sample_quantiles, one TakeOrdered), sampled per-group (here —
+    // the only form of the four whose state AND shuffle are bounded
+    // per group). The sample is a pure function of the salted hash, so
+    // the oracle replays the estimate exactly.
+    QueryDef("a_qsketch_group", (s, d) => {
+      val li = t(s, d, "lineitem")
+      graft.ops.Hashing.ensureRegistered(li)
+      def atQ(q: String, name: String) = expr(
+        s"element_at(vs, cast(ceil(cast($q as decimal(4,2)) " +
+          "* size(vs)) as int))").as(name)
+      li.select(col("l_returnflag"),
+          graft.ops.Hashing.md5Long(concat(lit("gqs:"),
+            col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string"))).as("h"),
+          col("l_extendedprice").cast("double").as("v"))
+        .groupBy("l_returnflag")
+        .agg(expr("graft_qsketch(h, v, 512)").as("vs"))
+        .select(col("l_returnflag"),
+          size(col("vs")).cast("long").as("n_sample"),
+          atQ("0.25", "q25"), atQ("0.50", "q50"),
+          atQ("0.75", "q75"), atQ("0.95", "q95"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      WITH hv AS (SELECT l_returnflag,
+              CAST(('0x' || substring(md5('gqs:' ||
+                CAST(l_orderkey AS VARCHAR) || ':' ||
+                CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+              CAST(l_extendedprice AS DOUBLE) AS v
+            FROM lineitem),
+      r AS (SELECT l_returnflag, v,
+              ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                ORDER BY h, v) AS rn
+            FROM hv),
+      samp AS (SELECT l_returnflag, list(v ORDER BY v) AS vs
+               FROM r WHERE rn <= 512 GROUP BY 1)
+      SELECT l_returnflag, CAST(len(vs) AS BIGINT) AS n_sample,
+        vs[CAST(ceil(CAST(0.25 AS DECIMAL(4,2)) * len(vs)) AS INT)] AS q25,
+        vs[CAST(ceil(CAST(0.50 AS DECIMAL(4,2)) * len(vs)) AS INT)] AS q50,
+        vs[CAST(ceil(CAST(0.75 AS DECIMAL(4,2)) * len(vs)) AS INT)] AS q75,
+        vs[CAST(ceil(CAST(0.95 AS DECIMAL(4,2)) * len(vs)) AS INT)] AS q95
+      FROM samp ORDER BY l_returnflag""")),
+
     // ---- O1/O3: tie-broken global top-k.
     QueryDef("o1_topk_parts", (s, d) => {
       t(s, d, "part")
