@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint checking — the validation gate a
+  * production ingest pipeline runs before publishing a table (the role the
+  * reference delegates to ad-hoc filter stages around its loaders, e.g. the
+  * record sanity drops in sift/corpora/commoncrawl.py; here it is a
+  * first-class, composable suite in the style of the constraint-suite
+  * pattern from the public Deequ paper, Schelter et al., VLDB 2018).
+  *
+  * Scale contract (the property that matters at 100 TB):
+  *   - every row-local check (completeness / range / accepted-values /
+  *     row-count) compiles into ONE aggregate over ONE scan of the table —
+  *     map-side partial counts, a single 1-row result, no per-check jobs;
+  *   - each [[Unique]] check is one hash groupBy on its key columns
+  *     (count of over-represented keys; no Expand, no countDistinct mix);
+  *   - each [[RefIntegrity]] check is one left-anti join against the
+  *     reference keys (broadcastable when the reference side is a
+  *     dimension; Catalyst/AQE picks the strategy).
+  *  The result is a tiny (one row per check) frame — checks never funnel
+  *  data to the driver.
+  */
+object Quality {
+
+  /** One declarative constraint over a table. `name` keys the result row. */
+  sealed trait Check { def name: String }
+
+  /** Fraction of non-null values in `column` must be >= `minRatio`. */
+  final case class Completeness(column: String, minRatio: Double = 1.0)
+      extends Check { def name = s"completeness:$column" }
+
+  /** Count of rows with `column` outside [lo, hi] must be 0 (nulls are
+    * counted as violations — a bounded column must be present). */
+  final case class InRange(column: String, lo: Double, hi: Double)
+      extends Check { def name = s"in_range:$column" }
+
+  /** Count of rows with `column` outside `values` must be 0. */
+  final case class AcceptedValues(column: String, values: Seq[String])
+      extends Check { def name = s"accepted:$column" }
+
+  /** Table must have at least `atLeast` rows. */
+  final case class RowCount(atLeast: Long)
+      extends Check { def name = "row_count" }
+
+  /** Count of key tuples appearing more than once must be 0. */
+  final case class Unique(columns: Seq[String])
+      extends Check { def name = s"unique:${columns.mkString(",")}" }
+
+  /** Count of rows whose `column` has no match in `ref(refColumn)` must
+    * be 0 (null foreign keys are orphans under this check). */
+  final case class RefIntegrity(column: String, ref: DataFrame,
+      refColumn: String)
+      extends Check { def name = s"ref_integrity:$column" }
+
+  /** Run `checks` against `df`. Returns one row per check:
+    * (check_name STRING, metric DOUBLE, passed BOOLEAN), in the order
+    * the checks were declared. The metric is the observed ratio for
+    * [[Completeness]], the row count for [[RowCount]], and the violation
+    * count for every other check.
+    */
+  def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val indexed = checks.zipWithIndex
+
+    // Row-local checks: one scan, one agg, melt the 1-row result. Each
+    // melted struct carries its declaration index as a literal so output
+    // order needs no UDF — just an orderBy on the literal column.
+    val rowLocal = indexed.collect {
+      case (c: Completeness, i) =>
+        val m = coalesce(
+          round(avg(when(col(c.column).isNull, 0d).otherwise(1d)), 9),
+          lit(0d))
+        (i, c.name, m, (v: Column) => v >= c.minRatio)
+      case (c: InRange, i) =>
+        val bad = col(c.column).isNull ||
+          col(c.column) < c.lo || col(c.column) > c.hi
+        (i, c.name, sum(when(bad, 1L).otherwise(0L)).cast("double"),
+          (v: Column) => v === 0d)
+      case (c: AcceptedValues, i) =>
+        val bad = !col(c.column).isin(c.values: _*)
+        (i, c.name, sum(when(bad, 1L).otherwise(0L)).cast("double"),
+          (v: Column) => v === 0d)
+      case (c: RowCount, i) =>
+        (i, c.name, count(lit(1)).cast("double"),
+          (v: Column) => v >= c.atLeast.toDouble)
+    }
+
+    // metric columns are aliased by declaration index, not check name:
+    // the same check shape may legitimately appear twice (e.g. two
+    // InRange bands on one column), and duplicate aliases would be
+    // ambiguous to resolve at melt time
+    val localFrame: Option[DataFrame] =
+      if (rowLocal.isEmpty) None
+      else {
+        val agged = df.agg(
+          rowLocal.head._3.as(s"__c${rowLocal.head._1}"),
+          rowLocal.tail.map { case (i, _, m, _) => m.as(s"__c$i") }: _*)
+        Some(agged.select(explode(array(rowLocal.map {
+          case (i, n, _, pass) => struct(lit(i).as("__o"),
+            lit(n).as("check_name"), col(s"__c$i").as("metric"),
+            pass(col(s"__c$i")).as("passed"))
+        }: _*)).as("r")).select("r.*"))
+      }
+
+    // Per-check frames for the non-row-local shapes (each is its own
+    // aggregate plan; all end in a single 1-row result).
+    val others = indexed.collect {
+      case (c: Unique, i) =>
+        val dups = df.groupBy(c.columns.map(col): _*)
+          .agg(count(lit(1)).as("__n"))
+          .agg(coalesce(sum(when(col("__n") > 1L, 1L).otherwise(0L)),
+            lit(0L)).cast("double").as("metric"))
+        (i, c.name, dups)
+      case (c: RefIntegrity, i) =>
+        val orphans = df
+          .join(c.ref.select(col(c.refColumn).as("__ref_k")).distinct(),
+            col(c.column) === col("__ref_k"), "left_anti")
+          .agg(count(lit(1)).cast("double").as("metric"))
+        (i, c.name, orphans)
+    }.map { case (i, n, d) =>
+      d.select(lit(i).as("__o"), lit(n).as("check_name"), col("metric"),
+        (col("metric") === 0d).as("passed"))
+    }
+
+    (localFrame.toSeq ++ others).reduce(_ unionByName _)
+      .orderBy("__o").drop("__o")
+  }
+}

@@ -55,16 +55,25 @@ object Tables {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects. Read nanos as a raw long and expose both the
-    * exact microsecond epoch (`ts_us`, what oracle-checked queries use via
-    * DuckDB's epoch_us) and a microsecond-truncated timestamp (`ts`).
+  /** `events.parquet` has stored `ts` as TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader only accepts as a raw long via the legacy conf) in
+    * some driver generations and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ)
+    * in others. Adapt to whichever this dump carries and expose the same
+    * two columns either way: the exact microsecond epoch (`ts_us`, what
+    * oracle-checked queries use via DuckDB's epoch_us) and a
+    * microsecond-precision UTC timestamp (`ts`).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val tsUs = raw.schema("ts").dataType match {
+      case LongType => expr("ts div 1000") // nanos as raw long
+      // MICROS (NTZ or not): sessions run UTC, so the cast is exact
+      case _ => unix_micros(col("ts").cast(TimestampType))
+    }
+    raw.withColumn("ts_us", tsUs)
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }
 }

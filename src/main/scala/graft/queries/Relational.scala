@@ -1020,6 +1020,80 @@ object Relational extends QueryModule {
         "\nORDER BY \"column\"")
     }),
 
+    // ---- Declarative DATA-QUALITY constraint suite (graft.ops.Quality,
+    // the validation gate an ingest pipeline runs before publishing a
+    // table — constraint-suite pattern from the public Deequ paper,
+    // Schelter et al. VLDB 2018). Scale contract: ALL row-local checks
+    // (completeness / range / accepted / row-count) fuse into ONE
+    // aggregate over ONE scan however many there are; each uniqueness
+    // check is one hash groupBy; each referential check one broadcast
+    // anti-join. Output is one row per check — checks never move data
+    // to the driver. Mixed pass/fail on purpose: metrics are values,
+    // not assertions.
+    QueryDef("q_quality_suite", (s, d) => {
+      import graft.ops.Quality
+      import graft.ops.Quality._
+      Quality.run(t(s, d, "orders"), Seq(
+        Completeness("o_custkey"),
+        InRange("o_totalprice", 0d, 1000000d),
+        InRange("o_totalprice", 0d, 1000d), // deliberately failing
+        AcceptedValues("o_orderstatus", Seq("F", "O", "P")),
+        RowCount(atLeast = 1L),
+        Unique(Seq("o_orderkey")),
+        Unique(Seq("o_custkey")), // deliberately failing: many orders/cust
+        RefIntegrity("o_custkey", t(s, d, "customer"), "c_custkey")
+      )).orderBy("check_name", "metric")
+    }, Some("""
+      SELECT * FROM (
+        SELECT 'completeness:o_custkey' AS check_name,
+          round(avg(CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END), 9)
+            AS metric,
+          round(avg(CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END), 9)
+            >= 1.0 AS passed
+        FROM orders
+        UNION ALL
+        SELECT 'in_range:o_totalprice',
+          CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+            OR o_totalprice > 1000000 THEN 1 ELSE 0 END) AS DOUBLE),
+          SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+            OR o_totalprice > 1000000 THEN 1 ELSE 0 END) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'in_range:o_totalprice',
+          CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+            OR o_totalprice > 1000 THEN 1 ELSE 0 END) AS DOUBLE),
+          SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+            OR o_totalprice > 1000 THEN 1 ELSE 0 END) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'accepted:o_orderstatus',
+          CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+            THEN 1 ELSE 0 END) AS DOUBLE),
+          SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+            THEN 1 ELSE 0 END) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'row_count', CAST(COUNT(*) AS DOUBLE),
+          COUNT(*) >= 1 FROM orders
+        UNION ALL
+        SELECT 'unique:o_orderkey',
+          CAST(COUNT(*) FILTER (n > 1) AS DOUBLE),
+          COUNT(*) FILTER (n > 1) = 0
+        FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY 1)
+        UNION ALL
+        SELECT 'unique:o_custkey',
+          CAST(COUNT(*) FILTER (n > 1) AS DOUBLE),
+          COUNT(*) FILTER (n > 1) = 0
+        FROM (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1)
+        UNION ALL
+        SELECT 'ref_integrity:o_custkey',
+          CAST(SUM(CASE WHEN orphan THEN 1 ELSE 0 END) AS DOUBLE),
+          SUM(CASE WHEN orphan THEN 1 ELSE 0 END) = 0
+        FROM (SELECT o.o_custkey IS NULL OR c.c_custkey IS NULL AS orphan
+              FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey
+                FROM customer) c ON o.o_custkey = c.c_custkey)
+      ) ORDER BY check_name, metric""")),
+
     // ---- Per-GROUP exact quantiles: value at ceil(q·n_g) within each
     // group via a group-partitioned window (per-key state only — the
     // per-domain/per-language summary-stats shape; the GLOBAL scalable

@@ -7,27 +7,40 @@ import org.apache.spark.sql.functions._
   * absent in the reference; declared engine capability): file-source
   * `readStream`, event-time watermark, tumbling window, streaming dedup.
   *
-  * The events parquet stores TIMESTAMP(NANOS); the stream reads nanos as
-  * raw longs (legacy conf) and exposes a microsecond event-time column,
-  * mirroring [[graft.queries.Tables.events]].
+  * The events parquet has stored `ts` as TIMESTAMP(NANOS) (read as raw
+  * longs via the legacy conf) in some driver generations and
+  * TIMESTAMP(MICROS) in others; the stream adapts to whichever the dump
+  * carries and exposes a microsecond event-time column, mirroring
+  * [[graft.queries.Tables.events]].
   */
 object Events {
 
-  val schemaDdl: String = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-    "event_type STRING, value DOUBLE, props STRING"
+  private def ddl(tsType: String): String =
+    s"event_id BIGINT, ts $tsType, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
 
   /** Event stream with event-time column `t` and a 10-minute watermark.
     * Reads the source in place via a brace-glob (`{events}.parquet`) so
     * the file source resolves `dir` as its base directory — no scratch
     * copies, no per-call side effects. Works unchanged when the dump is a
-    * directory of parts. Requires `spark.sql.legacy.parquet.nanosAsLong`
-    * in the session builder (all engine entry points set it): the table
-    * stores TIMESTAMP(NANOS).
+    * directory of parts. The `ts` physical type is probed from the
+    * parquet footer (one batch-reader schema read — no data scan) since
+    * a stream must declare its schema up front.
     */
-  def stream(s: SparkSession, dir: String): DataFrame =
+  def stream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val nanosAsLong =
+      s.read.parquet(s"$dir/events.parquet").schema("ts")
+        .dataType == LongType
+    val (schemaDdl, t) =
+      if (nanosAsLong)
+        (ddl("BIGINT"), timestamp_micros(expr("ts div 1000")))
+      else // MICROS; sessions run UTC, so the NTZ cast is exact
+        (ddl("TIMESTAMP_NTZ"), col("ts").cast("timestamp"))
     s.readStream.schema(schemaDdl).parquet(s"$dir/{events}.parquet")
-      .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      .withColumn("t", t)
       .withWatermark("t", "10 minutes")
+  }
 
   /** Runs a bounded stream to completion against a memory sink. The
     * state-partition count is a stream-lifetime property baked into the

@@ -70,9 +70,10 @@ object Soak {
       .select("doc_id", "text")
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
+    // only the two key columns are named, so the scan never touches
+    // `ts` (whose physical type varies across driver generations)
     val events0 = spark.read
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
+      .schema("event_id BIGINT, user_id BIGINT")
       .parquet(s"$sfDir/events.parquet")
       .select("event_id", "user_id")
 

@@ -82,7 +82,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "a_sample_quantiles", "g_triangles", "t_unigram_nll", "m_bigram_pmi",
     "q_profile_lineitem", "q_profile_sketch", "d_bloom_decontaminate",
     "o12_temperature_sample", "m_bm25_topk", "a_heavy_hitters",
-    "pipe_corpus_curation", "m_hybrid_rrf")
+    "pipe_corpus_curation", "m_hybrid_rrf",
+    // q_quality_suite: every row-local check fuses into ONE scalar
+    // aggregate whose single-partition combine receives one bounded
+    // metrics row per partition; each uniqueness/referential check
+    // likewise ends in a one-row reduce. Output is one row per CHECK.
+    "q_quality_suite")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Quality
+import graft.ops.Quality._
+
+/** Declarative data-quality suite (graft.ops.Quality): per-check metrics
+  * and pass flags, declaration-order output, and the one-scan contract
+  * for row-local checks.
+  */
+class QualitySpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.session
+
+  private def df = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, Some("a"), 10.0, "ok"),
+      (2L, Some("b"), 20.0, "ok"),
+      (3L, None, 30.0, "bad"),
+      (3L, Some("d"), 99.0, "ok")
+    ).toDF("id", "name", "score", "status")
+  }
+
+  test("row-local checks: metrics and pass flags in declaration order") {
+    val out = Quality.run(df, Seq(
+      Completeness("name", minRatio = 0.9),
+      InRange("score", 0.0, 50.0),
+      AcceptedValues("status", Seq("ok")),
+      RowCount(atLeast = 3L)
+    )).collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+
+    assert(out === Seq(
+      ("completeness:name", 0.75, false),
+      ("in_range:score", 1.0, false),       // 99.0 out of range
+      ("accepted:status", 1.0, false),      // one "bad"
+      ("row_count", 4.0, true)))
+  }
+
+  test("unique: counts over-represented key tuples") {
+    val out = Quality.run(df, Seq(Unique(Seq("id"))))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    assert(out === Seq(("unique:id", 1.0, false))) // id=3 twice
+  }
+
+  test("ref integrity: orphan foreign keys counted; null is an orphan") {
+    val s = spark; import s.implicits._
+    val ref = Seq(1L, 2L).toDF("k")
+    val facts = Seq((Some(1L), "x"), (Some(7L), "y"), (None, "z"))
+      .toDF("fk", "v")
+    val out = Quality.run(facts, Seq(RefIntegrity("fk", ref, "k")))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    assert(out === Seq(("ref_integrity:fk", 2.0, false)))
+  }
+
+  test("mixed suite interleaves in declaration order") {
+    val s = spark; import s.implicits._
+    val ref = Seq(1L, 2L, 3L).toDF("k")
+    val out = Quality.run(df, Seq(
+      Unique(Seq("id", "name")),
+      Completeness("id"),
+      RefIntegrity("id", ref, "k"),
+      RowCount(1L)
+    )).collect().map(_.getString(0))
+    assert(out === Seq(
+      "unique:id,name", "completeness:id", "ref_integrity:id", "row_count"))
+  }
+
+  test("all-green suite passes every check") {
+    val out = Quality.run(df, Seq(
+      Completeness("name", minRatio = 0.5),
+      InRange("score", 0.0, 100.0),
+      RowCount(1L),
+      Unique(Seq("id", "score"))
+    )).collect()
+    assert(out.forall(_.getBoolean(2)))
+  }
+
+  test("row-local checks compile into one aggregate over one scan") {
+    val plan = Quality.run(df, Seq(
+      Completeness("name"), InRange("score", 0, 100),
+      AcceptedValues("status", Seq("ok")), RowCount(1L)
+    )).queryExecution.optimizedPlan
+    val scans = plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      case r if r.getClass.getSimpleName.contains("LogicalRDD") => r
+    }
+    assert(scans.length === 1, s"expected one scan of the input:\n$plan")
+  }
+}
