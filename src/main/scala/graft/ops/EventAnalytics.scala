@@ -1,0 +1,203 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream product analytics: funnel progression, retention
+  * cohorts, calendar gap-fill, and rolling-window anomaly flags —
+  * the standard clickstream rollups a 100 TB event log is mined with
+  * (engine capability beyond the reference's corpus operators, in the
+  * same family as the batch sessionization gate `w_sessionize`).
+  *
+  * Scale contract shared by every operator here: all state is keyed by
+  * `user_id` or by the (low-cardinality) series key — per-key windows
+  * and hash aggregates only, no global sort, no driver-side data. The
+  * per-step funnel joins are equi-joins on `user_id` (AQE free to
+  * broadcast the shrinking reached-set side); the cohort matrix and
+  * daily series that come out are AGGREGATES (days × keys rows), tiny
+  * regardless of input scale.
+  */
+object EventAnalytics {
+
+  private val DayUs = 86400000000L
+
+  /** Ordered-step funnel: for each prefix of `steps`, the number of
+    * users who performed those event types IN ORDER (strictly
+    * increasing timestamps; ties on ts broken by event id so both
+    * engines sweep identically), plus conversion rates off the
+    * previous step and off step 0.
+    *
+    * Step k's reach-set derives from step k−1's by one equi-join on
+    * the user key and a min-aggregate over qualifying events — k−1
+    * shuffles for a k-step funnel, each on `user_id`, with the
+    * reached side shrinking monotonically (AQE broadcasts it once it
+    * fits). Nothing here is per-event state: each pass reduces to one
+    * (user, first_reach_ts) row per surviving user.
+    *
+    * Input needs columns `user_id`, `event_id`, `event_type`, `ts_us`.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select("user_id", "event_id", "event_type", "ts_us")
+    def reached(i: Int, prev: Option[DataFrame]): DataFrame = {
+      val stepEv = e.filter(col("event_type") === steps(i))
+      val qualified = prev match {
+        case None => stepEv
+        case Some(p) =>
+          stepEv.join(p, "user_id")
+            .filter(col("ts_us") > col("reach_ts") ||
+              (col("ts_us") === col("reach_ts") &&
+                col("event_id") > col("reach_id")))
+      }
+      qualified.groupBy("user_id")
+        .agg(min(struct(col("ts_us"), col("event_id"))).as("r"))
+        .select(col("user_id"), col("r.ts_us").as("reach_ts"),
+          col("r.event_id").as("reach_id"))
+    }
+    val sets = steps.indices
+      .scanLeft(Option.empty[DataFrame])((p, i) => Some(reached(i, p)))
+      .flatten
+    val counts = sets.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i.toLong).as("step"), lit(steps(i)).as("step_name"),
+          col("n_users"))
+    }
+    val all = counts.reduce(_.unionAll(_))
+    val w = Window.orderBy("step") // ≤ |steps| rows: global window is fine
+    all
+      .withColumn("conv_prev", round(
+        col("n_users").cast("double") /
+          lag(col("n_users"), 1).over(w).cast("double"), 6))
+      .withColumn("conv_first", round(
+        col("n_users").cast("double") /
+          first(col("n_users")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"), 6))
+      .orderBy("step")
+  }
+
+  /** Weekly retention cohort matrix: users are cohorted by the week of
+    * their FIRST event; cell (c, o) counts distinct cohort-c users
+    * active o weeks later, with the retention rate off the cohort
+    * size. Week index = floor(epoch days / 7) (epoch Thursday origin —
+    * a fixed bucketing both engines compute identically; the bucket
+    * ORIGIN is irrelevant to retention semantics).
+    *
+    * Shapes: first-seen is one hash aggregate on `user_id`; the
+    * activity join is an equi-join on `user_id`; the matrix is a
+    * (cohort, offset) aggregate — weeks² rows out, whatever the input
+    * size. Cohort sizes re-derive from the offset-0 diagonal (every
+    * user is active in their own first week) via one broadcast-size
+    * self-join on cohort.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    // integer `div`, not double division: a ts within an ulp of a bucket
+    // boundary must land identically in both engines
+    val e = events.select(col("user_id"),
+      expr(s"ts_us div ${DayUs * 7}").as("week"))
+    val firstSeen = e.groupBy("user_id")
+      .agg(min(col("week")).as("cohort_week"))
+    val matrix = e.join(firstSeen, "user_id")
+      .select(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val sizes = matrix.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_active").as("cohort_size"))
+    matrix.join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") /
+          col("cohort_size").cast("double"), 6).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Calendar gap-fill of a per-key daily series: aggregate events to
+    * (key, day, n, mean value), then fill every missing day of each
+    * key's [min, max] span with n = 0 and the mean value
+    * FORWARD-FILLED from the last observed day.
+    *
+    * The day grid is generated per key with `sequence` + explode — no
+    * driver probe for the global span, and the grid is bounded by
+    * span × keys, not by event count. Forward fill avoids
+    * `last(ignoreNulls)` (not portable to the DuckDB twin) via the
+    * running-count trick: rows sharing the running count of non-null
+    * observations form one fill-group, and `max` over the group
+    * propagates the value — two per-key windows, per-key state only.
+    */
+  def gapFillDaily(events: DataFrame, keyCol: String): DataFrame = {
+    val daily = events
+      .select(col(keyCol).as("k"),
+        expr(s"ts_us div $DayUs").as("day"),
+        col("value"))
+      .groupBy("k", "day")
+      // DECIMAL sum → one double division: order-independent and
+      // IEEE-identical to the DuckDB twin (a double avg's summation
+      // order differs between engines)
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("day_value"))
+    val grid = daily.groupBy("k")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("k"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val byDay = Window.partitionBy("k").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("k", "day"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("grp",
+        count(col("day_value")).over(byDay)) // running non-null count
+      .withColumn("filled_value",
+        max(col("day_value")).over(
+          Window.partitionBy("k", "grp"))) // one value per fill-group
+      .select(col("k").as(keyCol), col("day"), col("n_events"),
+        col("filled_value"))
+      .orderBy(keyCol, "day")
+  }
+
+  /** Rolling z-score anomaly flags over the gap-filled daily count
+    * series: each day scores against the trailing `window`-day mean
+    * and sample stddev (current day EXCLUDED — an anomalous day must
+    * not dilute its own baseline), flagged when |z| > `threshold`.
+    * Days with fewer than `window` trailing observations or zero
+    * variance get a null z and no flag.
+    *
+    * One per-key window over the (days × keys)-row daily series —
+    * the heavy lifting (events → daily counts) is the same single
+    * hash aggregate as [[gapFillDaily]], which this composes.
+    *
+    * DETERMINISM: mean/stddev derive from the window's EXACT integer
+    * sums (Σn, Σn²) through one fixed IEEE expression — not from
+    * `avg`/`stddev_samp`, whose double accumulation order differs
+    * between engines — so the DuckDB twin is bit-identical before the
+    * round(,6).
+    */
+  def rollingAnomalies(events: DataFrame, keyCol: String,
+      window: Int = 7, threshold: Double = 2.0): DataFrame = {
+    val daily = gapFillDaily(events, keyCol)
+      .select(col(keyCol).as("k"), col("day"), col("n_events").as("n"))
+    val trail = Window.partitionBy("k").orderBy("day")
+      .rowsBetween(-window, -1)
+    val w = window.toDouble
+    daily
+      .withColumn("n_obs", count(col("n")).over(trail))
+      .withColumn("s1", sum(col("n")).over(trail))
+      .withColumn("s2", sum(col("n") * col("n")).over(trail))
+      .withColumn("mu",
+        expr(s"cast(s1 as double) / $w"))
+      .withColumn("sigma", expr(
+        s"sqrt(greatest(cast(s2 as double) - " +
+          s"cast(s1 as double) * cast(s1 as double) / $w, 0.0)" +
+          s" / ${w - 1.0})"))
+      .withColumn("z",
+        when(col("n_obs") === window && col("sigma") > 0, round(
+          expr("(cast(n as double) - mu) / sigma"), 6)))
+      .select(col("k").as(keyCol), col("day"), col("n").as("n_events"),
+        when(col("n_obs") === window, round(col("mu"), 6)).as("mu"),
+        when(col("n_obs") === window, round(col("sigma"), 6)).as("sigma"),
+        col("z"),
+        coalesce(abs(col("z")) > threshold, lit(false)).as("is_anomaly"))
+      .orderBy(keyCol, "day")
+  }
+}

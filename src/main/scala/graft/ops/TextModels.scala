@@ -285,4 +285,83 @@ object TextModels {
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
   }
+
+  /** Stupid-backoff trigram language model (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the web-scale LM scoring
+    * scheme designed for exactly this distributed count-table shape):
+    * train trigram/bigram/unigram counts on the even-hash half of the
+    * corpus, score the odd-hash half per token position:
+    *
+    *   S(w3|w1w2) = c(w1w2w3)/c(w1w2)          if the trigram was seen
+    *              = α · c(w2w3)/c(w2)          else if the bigram was
+    *              = α² · max(c(w3),1)/N        else (unseen w3 floors
+    *                                            at 1/N to keep −ln finite)
+    *
+    * with α = 0.4. Scale shape: the model IS three count tables built
+    * by hash aggregates over the train half; scoring is four left
+    * equi-joins on token keys (no driver-side model, unlike the
+    * classic collected-ARPA-file LM) plus the corpus total as a
+    * broadcast 1-row frame. Per-position NLLs round(,6) into DECIMAL
+    * so the per-doc sum is order-independent (the unigramNll
+    * convention).
+    */
+  def trigramBackoffNll(docs: DataFrame, alpha: Double = 0.4): DataFrame = {
+    Hashing.ensureRegistered(docs)
+    val withPar = docs.select(col("doc_id"),
+      expr(Hashing.tokensSql).as("tk"),
+      pmod(Hashing.md5Long(col("doc_id").cast("string")), lit(2L))
+        .as("par"))
+    val train = withPar.filter(col("par") === 0).select("tk")
+    val heldOut = withPar.filter(col("par") === 1).select("doc_id", "tk")
+
+    def triStream(df: DataFrame, carry: Seq[String]): DataFrame =
+      df.filter(size(col("tk")) >= 3)
+        .select(carry.map(col) :+ explode(expr(
+          "transform(sequence(1, size(tk) - 2), i -> struct(" +
+            "element_at(tk, i) as w1, element_at(tk, i + 1) as w2, " +
+            "element_at(tk, i + 2) as w3))")).as("t"): _*)
+        .select(carry.map(col) ++
+          Seq(col("t.w1"), col("t.w2"), col("t.w3")): _*)
+
+    val tri = triStream(train, Nil)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+    val bi = train.filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(" +
+          "element_at(tk, i) as a, element_at(tk, i + 1) as b))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cb"))
+    val uni = train.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum(col("cu")).as("N"))
+
+    // probability expression mirrors the oracle SQL text exactly; a
+    // seen trigram implies a seen (w1,w2) bigram and a seen (w2,w3)
+    // bigram implies a seen w2 unigram, so the CASE denominators are
+    // never null on the arm that uses them
+    val p = s"CASE WHEN c123 IS NOT NULL THEN " +
+      "cast(c123 as double) / cast(c12 as double) " +
+      s"WHEN c23 IS NOT NULL THEN $alpha * " +
+      "(cast(c23 as double) / cast(c2 as double)) " +
+      s"ELSE ${alpha * alpha} * " +
+      "(cast(coalesce(c3, 1) as double) / cast(N as double)) END"
+    triStream(heldOut, Seq("doc_id"))
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi.select(col("a").as("w1"), col("b").as("w2"),
+        col("cb").as("c12")), Seq("w1", "w2"), "left")
+      .join(bi.select(col("a").as("w2"), col("b").as("w3"),
+        col("cb").as("c23")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w2"), col("cu").as("c2")),
+        Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("cu").as("c3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), expr(
+        s"cast(round(-ln($p), 6) as decimal(12,6))").as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scored"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6)
+          .as("mean_nll"))
+  }
 }

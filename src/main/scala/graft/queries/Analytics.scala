@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{EventAnalytics, TextModels}
+import graft.queries.Tables.t
+
+/** Event-stream product analytics and held-out language-model scoring
+  * gates: funnel progression, retention cohorts, calendar gap-fill,
+  * rolling anomaly flags (graft.ops.EventAnalytics) and the
+  * stupid-backoff trigram LM (TextModels.trigramBackoffNll). Every
+  * oracle is a full DuckDB replay; determinism notes live on the ops.
+  */
+object Analytics extends QueryModule {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Ordered-step funnel over the event log: users reaching
+    // signup → click → purchase in timestamp order (ties broken by
+    // event_id), with per-step conversion rates. Each step is one
+    // equi-join on user_id + one min-aggregate — the reached side
+    // shrinks monotonically and broadcasts under AQE.
+    QueryDef("e_funnel_steps", (s, d) => {
+      EventAnalytics.funnel(
+        Tables.events(s, d), Seq("signup", "click", "purchase"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+                 FROM events),
+      r0 AS (SELECT user_id, ts_us AS reach_ts, event_id AS reach_id FROM e
+             WHERE event_type = 'signup'
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id) = 1),
+      r1 AS (SELECT e.user_id, e.ts_us AS reach_ts, e.event_id AS reach_id
+             FROM e JOIN r0 USING (user_id)
+             WHERE event_type = 'click' AND (e.ts_us > r0.reach_ts
+               OR (e.ts_us = r0.reach_ts AND e.event_id > r0.reach_id))
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY e.user_id
+               ORDER BY e.ts_us, e.event_id) = 1),
+      r2 AS (SELECT e.user_id, e.ts_us AS reach_ts, e.event_id AS reach_id
+             FROM e JOIN r1 USING (user_id)
+             WHERE event_type = 'purchase' AND (e.ts_us > r1.reach_ts
+               OR (e.ts_us = r1.reach_ts AND e.event_id > r1.reach_id))
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY e.user_id
+               ORDER BY e.ts_us, e.event_id) = 1),
+      c AS (
+        SELECT CAST(0 AS BIGINT) AS step, 'signup' AS step_name,
+          CAST(COUNT(*) AS BIGINT) AS n_users FROM r0
+        UNION ALL SELECT 1, 'click', COUNT(*) FROM r1
+        UNION ALL SELECT 2, 'purchase', COUNT(*) FROM r2)
+      SELECT step, step_name, n_users,
+        round(CAST(n_users AS DOUBLE) /
+          CAST(lag(n_users) OVER (ORDER BY step) AS DOUBLE), 6)
+          AS conv_prev,
+        round(CAST(n_users AS DOUBLE) /
+          CAST(first_value(n_users) OVER (ORDER BY step
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS conv_first
+      FROM c ORDER BY step""")),
+
+    // ---- Weekly retention cohort matrix: cohort by week of first
+    // event, distinct-active counts at each week offset, rates off the
+    // offset-0 diagonal. Integer `div` bucketing so both engines bin
+    // identically.
+    QueryDef("e_retention_cohorts", (s, d) => {
+      EventAnalytics.retentionCohorts(Tables.events(s, d))
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week
+                 FROM events),
+      f AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY 1),
+      m AS (SELECT cohort_week, week - cohort_week AS week_offset,
+              CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+            FROM e JOIN f USING (user_id) GROUP BY 1, 2),
+      sz AS (SELECT cohort_week, n_active AS cohort_size FROM m
+             WHERE week_offset = 0)
+      SELECT m.cohort_week, m.week_offset, m.n_active, sz.cohort_size,
+        round(CAST(m.n_active AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE),
+          6) AS retention
+      FROM m JOIN sz USING (cohort_week)
+      ORDER BY cohort_week, week_offset""")),
+
+    // ---- Calendar gap-fill of the per-type daily series: zero-filled
+    // counts + forward-filled mean value over each key's [min, max]
+    // day span (running-non-null-count fill groups — the portable
+    // forward-fill). Day means sum as DECIMAL then divide once, so the
+    // double is engine-identical.
+    QueryDef("e_gapfill_daily", (s, d) => {
+      EventAnalytics.gapFillDaily(Tables.events(s, d), "event_type")
+    }, Some("""
+      WITH daily AS (
+        SELECT event_type AS k, epoch_us(ts) // 86400000000 AS day,
+          CAST(COUNT(*) AS BIGINT) AS n_events,
+          round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) /
+            CAST(COUNT(*) AS DOUBLE), 6) AS day_value
+        FROM events GROUP BY 1, 2),
+      grid AS (SELECT k, unnest(generate_series(d0, d1)) AS day
+               FROM (SELECT k, MIN(day) AS d0, MAX(day) AS d1
+                     FROM daily GROUP BY 1)),
+      j AS (SELECT g.k, g.day, COALESCE(d.n_events, 0) AS n_events,
+              d.day_value
+            FROM grid g LEFT JOIN daily d ON g.k = d.k AND g.day = d.day),
+      f AS (SELECT k, day, n_events, day_value,
+              COUNT(day_value) OVER (PARTITION BY k ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS grp
+            FROM j)
+      SELECT k AS event_type, day, n_events,
+        MAX(day_value) OVER (PARTITION BY k, grp) AS filled_value
+      FROM f ORDER BY event_type, day""")),
+
+    // ---- Rolling z-score anomaly flags on the gap-filled daily count
+    // series: trailing-7-day mean/sample-stddev (current day excluded),
+    // |z| > 2 flags. Moments derive from exact integer window sums
+    // through one fixed IEEE expression — bit-identical cross-engine.
+    QueryDef("e_rolling_anomaly", (s, d) => {
+      EventAnalytics.rollingAnomalies(Tables.events(s, d), "event_type")
+    }, Some("""
+      WITH daily AS (
+        SELECT event_type AS k, epoch_us(ts) // 86400000000 AS day,
+          CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2),
+      grid AS (SELECT k, unnest(generate_series(d0, d1)) AS day
+               FROM (SELECT k, MIN(day) AS d0, MAX(day) AS d1
+                     FROM daily GROUP BY 1)),
+      g AS (SELECT gr.k, gr.day, COALESCE(d.n_events, 0) AS n
+            FROM grid gr LEFT JOIN daily d
+              ON gr.k = d.k AND gr.day = d.day),
+      w AS (SELECT k, day, n,
+              COUNT(n) OVER t AS n_obs,
+              SUM(n) OVER t AS s1,
+              SUM(n * n) OVER t AS s2
+            FROM g WINDOW t AS (PARTITION BY k ORDER BY day
+              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      z AS (SELECT k, day, n, n_obs,
+              CAST(s1 AS DOUBLE) / 7.0 AS mu,
+              sqrt(greatest(CAST(s2 AS DOUBLE) -
+                CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 7.0, 0.0)
+                / 6.0) AS sigma
+            FROM w)
+      SELECT k AS event_type, day, n AS n_events,
+        CASE WHEN n_obs = 7 THEN round(mu, 6) END AS mu,
+        CASE WHEN n_obs = 7 THEN round(sigma, 6) END AS sigma,
+        CASE WHEN n_obs = 7 AND sigma > 0
+          THEN round((CAST(n AS DOUBLE) - mu) / sigma, 6) END AS z,
+        COALESCE(abs(CASE WHEN n_obs = 7 AND sigma > 0
+          THEN round((CAST(n AS DOUBLE) - mu) / sigma, 6) END) > 2.0,
+          false) AS is_anomaly
+      FROM z ORDER BY event_type, day""")),
+
+    // ---- Stupid-backoff trigram LM (Brants et al. 2007): counts
+    // trained on the even-md5 half of the corpus, the odd half scored
+    // per position with α=0.4 backoff (unseen words floor at 1/N).
+    // Per-position NLLs round(,6) into DECIMAL — order-independent
+    // sums, exact replay.
+    QueryDef("t_trigram_backoff", (s, d) => {
+      TextModels.trigramBackoffNll(docs(s, d)).orderBy("doc_id")
+    }, Some("""
+      WITH dd AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS tk,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))
+               AS BIGINT) % 2 AS par
+           FROM documents),
+      tr AS (SELECT tk FROM dd WHERE par = 0),
+      ho AS (SELECT doc_id, tk FROM dd WHERE par = 1),
+      tri AS (SELECT t.w1 AS w1, t.w2 AS w2, t.w3 AS w3,
+                CAST(COUNT(*) AS BIGINT) AS c123
+              FROM (SELECT unnest(list_transform(range(1, len(tk) - 1),
+                      i -> {'w1': tk[i], 'w2': tk[i+1], 'w3': tk[i+2]}))
+                      AS t FROM tr WHERE len(tk) >= 3)
+              GROUP BY 1, 2, 3),
+      bi AS (SELECT p.a AS a, p.b AS b, CAST(COUNT(*) AS BIGINT) AS cb
+             FROM (SELECT unnest(list_transform(range(1, len(tk)),
+                     i -> {'a': tk[i], 'b': tk[i+1]})) AS p
+                   FROM tr WHERE len(tk) >= 2)
+             GROUP BY 1, 2),
+      uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu
+              FROM (SELECT unnest(tk) AS w FROM tr) GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS N FROM uni),
+      stream AS (SELECT doc_id, t.w1 AS w1, t.w2 AS w2, t.w3 AS w3
+                 FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(tk) - 1),
+                           i -> {'w1': tk[i], 'w2': tk[i+1],
+                                 'w3': tk[i+2]})) AS t
+                       FROM ho WHERE len(tk) >= 3)),
+      scored AS (SELECT doc_id,
+        CAST(round(-ln(
+          CASE WHEN c123 IS NOT NULL THEN
+            CAST(c123 AS DOUBLE) / CAST(c12.cb AS DOUBLE)
+          WHEN c23.cb IS NOT NULL THEN 0.4 *
+            (CAST(c23.cb AS DOUBLE) / CAST(u2.cu AS DOUBLE))
+          ELSE 0.16000000000000003 *
+            (CAST(COALESCE(u3.cu, 1) AS DOUBLE) / CAST(N AS DOUBLE)) END
+        ), 6) AS DECIMAL(12,6)) AS nll
+        FROM stream
+        LEFT JOIN tri ON stream.w1 = tri.w1 AND stream.w2 = tri.w2
+          AND stream.w3 = tri.w3
+        LEFT JOIN bi c12 ON stream.w1 = c12.a AND stream.w2 = c12.b
+        LEFT JOIN bi c23 ON stream.w2 = c23.a AND stream.w3 = c23.b
+        LEFT JOIN uni u2 ON stream.w2 = u2.w
+        LEFT JOIN uni u3 ON stream.w3 = u3.w
+        CROSS JOIN tot)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+        round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS mean_nll
+      FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+  )
+}

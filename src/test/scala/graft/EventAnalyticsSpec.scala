@@ -1,0 +1,145 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.EventAnalytics
+
+/** Event-stream analytics (graft.ops.EventAnalytics): funnel ordering
+  * semantics, cohort bucketing, gap-fill + forward-fill, and the
+  * trailing-window anomaly baseline.
+  */
+class EventAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.session
+
+  private val DayUs = 86400000000L
+
+  private def ev(rows: (Long, Long, String, Long, Double)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("user_id", "event_id", "event_type", "ts_us", "value")
+  }
+
+  test("funnel: steps must occur in order, strictly after the prior reach") {
+    // user 1: signup(10) → click(20) → purchase(30): full funnel
+    // user 2: click(5) BEFORE signup(10), no later click: stops at signup
+    // user 3: signup only
+    val e = ev(
+      (1L, 1L, "signup", 10L, 0.0), (1L, 2L, "click", 20L, 0.0),
+      (1L, 3L, "purchase", 30L, 0.0),
+      (2L, 4L, "click", 5L, 0.0), (2L, 5L, "signup", 10L, 0.0),
+      (3L, 6L, "signup", 7L, 0.0))
+    val out = EventAnalytics.funnel(e, Seq("signup", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out === Seq((0L, "signup", 3L), (1L, "click", 1L),
+      (2L, "purchase", 1L)))
+  }
+
+  test("funnel: equal-timestamp progression breaks ties by event_id") {
+    // click shares signup's timestamp but has a larger event_id → counts;
+    // purchase shares the click's ts with a SMALLER id → does not
+    val e = ev(
+      (1L, 1L, "signup", 10L, 0.0), (1L, 2L, "click", 10L, 0.0),
+      (1L, 0L, "purchase", 10L, 0.0))
+    val out = EventAnalytics.funnel(e, Seq("signup", "click", "purchase"))
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(out === Seq(("signup", 1L), ("click", 1L), ("purchase", 0L)))
+  }
+
+  test("retention: cohort by first-event week, rates off the diagonal") {
+    // weeks are ts_us div 7 days; user 1 active weeks 0,1; user 2 week 0
+    // only; user 3 first seen week 1
+    val e = ev(
+      (1L, 1L, "view", 0L, 0.0), (1L, 2L, "view", 8L * DayUs, 0.0),
+      (2L, 3L, "view", 1L * DayUs, 0.0),
+      (3L, 4L, "view", 7L * DayUs, 0.0))
+    val out = EventAnalytics.retentionCohorts(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out === Seq(
+      (0L, 0L, 2L, 2L, 1.0), (0L, 1L, 1L, 2L, 0.5),
+      (1L, 0L, 1L, 1L, 1.0)))
+  }
+
+  test("gap-fill: missing days get zero counts and the last seen value") {
+    val e = ev(
+      (1L, 1L, "a", 0L, 10.0),
+      (1L, 2L, "a", 3L * DayUs, 40.0), (1L, 3L, "a", 3L * DayUs, 50.0))
+    val out = EventAnalytics.gapFillDaily(e, "event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out === Seq(
+      ("a", 0L, 1L, 10.0), ("a", 1L, 0L, 10.0), ("a", 2L, 0L, 10.0),
+      ("a", 3L, 2L, 45.0)))
+  }
+
+  test("gap-fill: each key fills its own span independently") {
+    val e = ev(
+      (1L, 1L, "a", 0L, 1.0), (1L, 2L, "a", 2L * DayUs, 2.0),
+      (2L, 3L, "b", 5L * DayUs, 3.0))
+    val out = EventAnalytics.gapFillDaily(e, "event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out === Seq(("a", 0L), ("a", 1L), ("a", 2L), ("b", 5L)))
+  }
+
+  test("anomaly: a spike after a stable week is flagged; warmup is null") {
+    // key with 7 flat days then a spike on day 7
+    val rows = (0 until 7).map(d =>
+      (1L, d.toLong, "a", d * DayUs, 0.0)) ++ // one event per day
+      (0 until 9).map(i => (1L, 100L + i, "a", 7L * DayUs + i, 0.0))
+    val out = EventAnalytics.rollingAnomalies(ev(rows: _*), "event_type",
+      window = 7, threshold = 2.0).collect()
+    val byDay = out.map(r => (r.getLong(1), r)).toMap
+    // warmup days 0..6: null z, not flagged
+    (0L to 6L).foreach { d =>
+      assert(byDay(d).isNullAt(5) && !byDay(d).getBoolean(6))
+    }
+    // day 7: baseline mu=1 sigma=0 over the flat week → sigma==0 → no z
+    // (constant baseline yields no flag by the sigma>0 rule)
+    assert(byDay(7L).isNullAt(5))
+    assert(!byDay(7L).getBoolean(6))
+  }
+
+  test("anomaly: nonzero-variance baseline flags a genuine spike") {
+    // alternating 1/3 events per day for 8 days, then a 20-event day
+    val base = (0 until 8).flatMap { d =>
+      val n = if (d % 2 == 0) 1 else 3
+      (0 until n).map(i => (1L, d * 10L + i, "a", d * DayUs + i, 0.0))
+    }
+    val spike = (0 until 20).map(i =>
+      (1L, 900L + i, "a", 8L * DayUs + i, 0.0))
+    val out = EventAnalytics.rollingAnomalies(ev(base ++ spike: _*),
+      "event_type", window = 7, threshold = 2.0).collect()
+    val day8 = out.find(_.getLong(1) == 8L).get
+    assert(day8.getBoolean(6), s"day 8 should be anomalous: $day8")
+    assert(day8.getDouble(4) > 0) // sigma
+  }
+
+  test("trigram backoff: seen trigrams use the trigram estimate; " +
+    "unseen back off") {
+    val s = spark; import s.implicits._
+    // doc_ids chosen so md5-parity splits train/test deterministically;
+    // probe which side each lands on rather than hardcoding
+    val docs = (1L to 8L).map(i => (i, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextModels.trigramBackoffNll(docs)
+    val rows = out.collect()
+    // identical text: every held-out trigram is seen (if any train doc
+    // exists); all rows share one NLL and n_scored = 3
+    assert(rows.nonEmpty && rows.length < 8) // both halves non-empty
+    assert(rows.map(_.getLong(1)).toSet === Set(3L))
+    assert(rows.map(_.getDouble(2)).toSet.size === 1)
+    // seen trigram prob = c123/c12 = 1 → nll 0
+    assert(rows.head.getDouble(2) === 0.0)
+  }
+
+  test("trigram backoff: unseen word floors at alpha^2/N, finite NLL") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b c"), (2L, "a b c a b c"),
+      (3L, "a b zzz"), (4L, "a b c"), (5L, "a b c"), (6L, "a b c"),
+      (7L, "a b c"), (8L, "a b c")).toDF("doc_id", "text")
+    val out = graft.ops.TextModels.trigramBackoffNll(docs).collect()
+    // every scored row is finite (no -ln(0) even if zzz is held out
+    // and absent from train)
+    assert(out.forall(r => !r.getDouble(2).isInfinite &&
+      !r.getDouble(2).isNaN))
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions.col
-import graft.queries.{Relational, Functions, Pipeline, Corpus}
+import graft.queries.{Relational, Functions, Pipeline, Corpus, Analytics}
 
 /** Scale-killer tripwire over every table-backed gate query's physical
   * plan (promotion of tools/ExplainAudit from print-for-humans to a
@@ -52,7 +52,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "t_unigram_nll",
     "m_bigram_pmi", "d_bloom_decontaminate", "o11_sequence_pack",
     "o12_temperature_sample", "m_bm25_topk", "a_heavy_hitters",
-    "pipe_corpus_curation", "m_hybrid_rrf")
+    "pipe_corpus_curation", "m_hybrid_rrf",
+    // t_trigram_backoff: the corpus-total 1-row frame broadcast into
+    // the per-position probability (the idf shape)
+    "t_trigram_backoff")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -87,7 +90,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // aggregate whose single-partition combine receives one bounded
     // metrics row per partition; each uniqueness/referential check
     // likewise ends in a one-row reduce. Output is one row per CHECK.
-    "q_quality_suite")
+    "q_quality_suite",
+    // e_funnel_steps: per-step reach counts are scalar aggregates and
+    // the conversion-rate window runs over ≤ |steps| rows
+    "e_funnel_steps",
+    // t_trigram_backoff: the corpus-total N is a scalar aggregate
+    // (1-row combine), same as t_unigram_nll
+    "t_trigram_backoff")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —
@@ -99,7 +108,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "m_bpe_merges", "m_bpe_encode", "g_kcore", "g_label_prop",
     "pipe_llm_corpus")
 
-  private val modules = Seq(Relational, Functions, Pipeline, Corpus)
+  private val modules = Seq(Relational, Functions, Pipeline, Corpus,
+    Analytics)
 
   test("ANN plan construction triggers zero Spark jobs (explicit dims)") {
     // the dims-inference fallback costs a first-row job per call at
