@@ -286,6 +286,32 @@ object TextModels {
       .limit(k)
   }
 
+  /** Feature-hashing vectorization (the "hashing trick", Weinberger et
+    * al. 2009): each token maps to bucket `md5(tok) mod dim` with a
+    * ±1 sign from an independent hash bit (debiases the collision
+    * inner-product), and a document's vector is the signed count per
+    * bucket — fixed-dimension text vectorization with NO vocabulary
+    * table, the preprocessing step that feeds linear models at corpus
+    * scale. Output is the sparse form (doc_id, idx, weight), zero
+    * buckets dropped.
+    *
+    * Scale shape: one token explode → one (doc, bucket) hash
+    * aggregate. No vocab join, no driver state — the whole point of
+    * the trick at 100 TB.
+    */
+  def featureHash(docs: DataFrame, dim: Int): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    Hashing.ensureRegistered(docs)
+    docs.select(col("doc_id"), explode(expr(Hashing.tokensSql)).as("tok"))
+      .select(col("doc_id"),
+        pmod(Hashing.md5Long(col("tok")), lit(dim.toLong)).as("idx"),
+        (pmod(Hashing.md5Long(concat(lit("sign|"), col("tok"))), lit(2L))
+          * 2L - 1L).as("sign"))
+      .groupBy("doc_id", "idx")
+      .agg(sum(col("sign")).as("weight"))
+      .filter(col("weight") =!= 0)
+  }
+
   /** Stupid-backoff trigram language model (Brants et al. 2007, "Large
     * Language Models in Machine Translation" — the web-scale LM scoring
     * scheme designed for exactly this distributed count-table shape):

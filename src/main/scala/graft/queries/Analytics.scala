@@ -148,6 +148,56 @@ object Analytics extends QueryModule {
           false) AS is_anomaly
       FROM z ORDER BY event_type, day""")),
 
+    // ---- Feature-hashing vectorization (hashing trick, Weinberger
+    // 2009): token → md5 bucket mod 256 with a ±1 sign hash; document
+    // vectors are signed counts per bucket, sparse form, no vocabulary
+    // table. One explode → one (doc, bucket) aggregate.
+    QueryDef("m_feature_hash", (s, d) => {
+      TextModels.featureHash(docs(s, d), 256).orderBy("doc_id", "idx")
+    }, Some("""
+      WITH toks AS (SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents),
+      h AS (SELECT doc_id,
+              CAST(('0x' || substring(md5(tok),1,15)) AS BIGINT) % 256
+                AS idx,
+              (CAST(('0x' || substring(md5('sign|' || tok),1,15))
+                AS BIGINT) % 2) * 2 - 1 AS sign
+            FROM toks)
+      SELECT doc_id, idx, CAST(SUM(sign) AS BIGINT) AS weight
+      FROM h GROUP BY 1, 2 HAVING SUM(sign) <> 0
+      ORDER BY doc_id, idx""")),
+
+    // ---- SQ8 scalar quantization of the embedding corpus (FAISS
+    // QT_8bit scheme): per-dimension [min,max] affine map to one byte
+    // + per-vector reconstruction MSE. The range model is a dims-row
+    // broadcast; floor (not round) so no half-way ties; squared errors
+    // round(,12) into DECIMAL before the order-independent sum.
+    QueryDef("sim_sq8_quantize", (s, d) => {
+      graft.ops.Quantize.sq8(t(s, d, "embeddings")).orderBy("vec_id")
+    }, Some("""
+      WITH el AS (SELECT vec_id, t.d AS dim, CAST(t.v AS DOUBLE) AS v
+                  FROM (SELECT vec_id, unnest(list_transform(
+                          range(1, len(embedding) + 1),
+                          i -> {'d': i - 1, 'v': embedding[i]})) AS t
+                        FROM embeddings)),
+      r AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM el GROUP BY 1),
+      c AS (SELECT vec_id, dim, v, mn, mx,
+              CASE WHEN mx > mn THEN least(CAST(floor(((v - mn) /
+                (mx - mn)) * 256) AS BIGINT), 255) ELSE 0 END AS q
+            FROM el JOIN r USING (dim)),
+      e AS (SELECT vec_id, dim, q,
+              CAST(round(
+                (v - (mn + ((CAST(q AS DOUBLE) + 0.5) * (mx - mn))
+                  / 256.0)) *
+                (v - (mn + ((CAST(q AS DOUBLE) + 0.5) * (mx - mn))
+                  / 256.0)), 12) AS DECIMAL(24,12)) AS se
+            FROM c)
+      SELECT vec_id, list(q ORDER BY dim) AS codes,
+        CAST(COUNT(*) AS BIGINT) AS dims,
+        round(CAST(SUM(se) AS DOUBLE) / COUNT(*), 6) AS mse
+      FROM e GROUP BY vec_id ORDER BY vec_id""")),
+
     // ---- Stupid-backoff trigram LM (Brants et al. 2007): counts
     // trained on the even-md5 half of the corpus, the odd half scored
     // per position with α=0.4 backoff (unseen words floor at 1/N).
