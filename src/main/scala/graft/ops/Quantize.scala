@@ -52,4 +52,42 @@ object Quantize {
         expr("transform(dq, x -> x.q)").as("codes"),
         col("dims"), col("mse"))
   }
+
+  /** Rademacher random projection (Achlioptas 2001, "Database-friendly
+    * random projections"): reduce `d`-dim embeddings to `k` dims with
+    * a deterministic ±1 projection matrix derived from the md5 hash of
+    * (plane, dim) — the JL-lemma dimensionality reduction whose matrix
+    * never exists materially (each entry recomputes from its
+    * coordinates, so there is nothing to broadcast or train).
+    *
+    * Scale shape: one element explode × k plane replication → one
+    * (vec, plane) hash aggregate → one per-vector rebuild. Per-term
+    * products round(,9) into DECIMAL before the sum, so accumulation
+    * order cannot perturb the result and the DuckDB twin replays the
+    * projected vectors exactly (the [[Similarity]] hyperplane-LSH
+    * signs use the same hash family; here the projection VALUES are
+    * the output, not just their sign).
+    */
+  def randomProject(emb: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    graft.functions.GraftFunctions.registerAll(emb.sparkSession)
+    val el = emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("i"), col("v").cast("double").as("v"))
+    val terms = el
+      .select(col("vec_id"), col("i"), col("v"),
+        explode(expr(s"sequence(0, ${k - 1})")).as("j"))
+      .withColumn("sign",
+        pmod(Hashing.md5Long(concat(lit("rp|"), col("j").cast("string"),
+          lit(","), col("i").cast("string"))), lit(2L)) * 2L - 1L)
+      .select(col("vec_id"), col("j"),
+        expr("cast(round(v * cast(sign as double), 9) as decimal(20,9))")
+          .as("term"))
+    terms.groupBy("vec_id", "j")
+      .agg(round(sum(col("term")).cast("double") / sqrt(lit(k.toDouble)),
+        6).as("y"))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("j"), col("y")))).as("jy"))
+      .select(col("vec_id"), expr("transform(jy, x -> x.y)").as("proj"))
+  }
 }

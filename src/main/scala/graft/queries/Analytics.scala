@@ -148,6 +148,63 @@ object Analytics extends QueryModule {
           false) AS is_anomaly
       FROM z ORDER BY event_type, day""")),
 
+    // ---- Winsorization: clamp a numeric column into its [p01, p99]
+    // EXACT quantile range (Clean.winsorize — bounds via the two-phase
+    // global ordinal, collapsed to one broadcast row; the clamp is a
+    // per-row projection). The standard outlier robustification before
+    // feature normalization.
+    QueryDef("f_winsorize_price", (s, d) => {
+      graft.ops.Clean.winsorize(
+        t(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        "l_extendedprice",
+        Seq(asc("l_orderkey"), asc("l_linenumber")))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice",
+          "l_extendedprice_w")
+        .orderBy("l_orderkey", "l_linenumber")
+    }, Some("""
+      WITH o AS (SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   ROW_NUMBER() OVER (ORDER BY l_extendedprice,
+                     l_orderkey, l_linenumber) AS r
+                 FROM lineitem),
+      n AS (SELECT COUNT(*) AS n FROM lineitem),
+      b AS (SELECT
+              MIN(CASE WHEN r = CAST(ceil(CAST(0.01 AS DECIMAL(20,10))
+                * n) AS BIGINT) THEN l_extendedprice END) AS lo,
+              MIN(CASE WHEN r = CAST(ceil(CAST(0.99 AS DECIMAL(20,10))
+                * n) AS BIGINT) THEN l_extendedprice END) AS hi
+            FROM o CROSS JOIN n)
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+        least(greatest(l_extendedprice, lo), hi) AS l_extendedprice_w
+      FROM o CROSS JOIN b
+      ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- Rademacher random projection (Achlioptas 2001): JL
+    // dimensionality reduction 64 → 8 with a ±1 matrix recomputed
+    // entrywise from md5(plane, dim) — nothing broadcast, nothing
+    // trained. Per-term products round(,9) into DECIMAL so the
+    // (vec, plane) sums are order-independent.
+    QueryDef("sim_random_projection", (s, d) => {
+      graft.ops.Quantize.randomProject(t(s, d, "embeddings"), 8)
+        .orderBy("vec_id")
+    }, Some("""
+      WITH el AS (SELECT vec_id, t.i AS i, CAST(t.v AS DOUBLE) AS v
+                  FROM (SELECT vec_id, unnest(list_transform(
+                          range(1, len(embedding) + 1),
+                          x -> {'i': x - 1, 'v': embedding[x]})) AS t
+                        FROM embeddings)),
+      ej AS (SELECT vec_id, pl.j AS j, i, v,
+               (CAST(('0x' || substring(md5('rp|' ||
+                 CAST(pl.j AS VARCHAR) || ',' || CAST(i AS VARCHAR)),
+                 1, 15)) AS BIGINT) % 2) * 2 - 1 AS sign
+             FROM el CROSS JOIN (SELECT unnest(range(0, 8)) AS j) pl),
+      s AS (SELECT vec_id, j,
+              round(CAST(SUM(CAST(round(v * CAST(sign AS DOUBLE), 9)
+                AS DECIMAL(20,9))) AS DOUBLE) / sqrt(8.0), 6) AS y
+            FROM ej GROUP BY 1, 2)
+      SELECT vec_id, list(y ORDER BY j) AS proj
+      FROM s GROUP BY vec_id ORDER BY vec_id""")),
+
     // ---- Feature-hashing vectorization (hashing trick, Weinberger
     // 2009): token → md5 bucket mod 256 with a ±1 sign hash; document
     // vectors are signed counts per bucket, sparse form, no vocabulary

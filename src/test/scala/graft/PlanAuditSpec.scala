@@ -55,7 +55,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "pipe_corpus_curation", "m_hybrid_rrf",
     // t_trigram_backoff: the corpus-total 1-row frame broadcast into
     // the per-position probability (the idf shape)
-    "t_trigram_backoff")
+    "t_trigram_backoff",
+    // f_winsorize_price: the [lo, hi] bounds collapse to ONE broadcast
+    // row cross-joined into the per-row clamp
+    "f_winsorize_price")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -96,7 +99,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "e_funnel_steps",
     // t_trigram_backoff: the corpus-total N is a scalar aggregate
     // (1-row combine), same as t_unigram_nll
-    "t_trigram_backoff")
+    "t_trigram_backoff",
+    // f_winsorize_price: the exact-quantile bound machinery's count +
+    // 2-row bound reduce (the a_exact_quantiles shape)
+    "f_winsorize_price")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —
