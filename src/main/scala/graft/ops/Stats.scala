@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution-profiling statistics beyond the per-column profiles in
+  * [[Sampling.Profile]]: fixed-bin histograms, exact Pearson
+  * correlation matrices, and per-group z-score normalization.
+  *
+  * Shared determinism contract: every moment derives from EXACT
+  * DECIMAL sums of fixed-scale inputs (TPC-H numerics carry ≤ 2
+  * decimal digits; pairwise products ≤ 4), combined through ONE fixed
+  * IEEE expression — never `avg`/`stddev`/`corr`, whose double
+  * accumulation order differs between engines. The DuckDB twins
+  * replay every value bit-for-bit before the display round(,6).
+  *
+  * Shared scale contract: histograms and correlations are ONE
+  * aggregate over one scan (output = bins or column-pairs rows);
+  * group normalization is one hash aggregate + one broadcast join
+  * back — group stats are |groups| rows at any input size.
+  */
+object Stats {
+
+  /** Fixed-width histogram of `valueCol` over [min, max] with `bins`
+    * buckets (the top bucket closes at max). Two scans: a 1-row
+    * [min, max] frame, broadcast into the binning aggregate.
+    */
+  def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val mm = df.agg(min(col(valueCol).cast("double")).as("mn"),
+      max(col(valueCol).cast("double")).as("mx"))
+    df.select(col(valueCol).cast("double").as("v"))
+      .crossJoin(broadcast(mm))
+      .withColumn("bin",
+        when(col("mx") > col("mn"), least(
+          expr(s"cast(floor((v - mn) / ((mx - mn) / $bins.0D)) as bigint)"),
+          lit(bins - 1L))).otherwise(lit(0L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(first(expr(s"mn + cast(bin as double) * ((mx - mn) / $bins.0D)")),
+          6).as("lo_edge"),
+        round(first(expr(
+          s"mn + (cast(bin as double) + 1.0D) * ((mx - mn) / $bins.0D)")),
+          6).as("hi_edge"))
+      .orderBy("bin")
+  }
+
+  /** Exact Pearson correlation for every pair of `cols` (upper
+    * triangle). `decScale` is the fixed decimal scale the inputs are
+    * known to carry (TPC-H money/rates: 2); pairwise products sum at
+    * scale 2·decScale, so every accumulated moment is exact and the
+    * final expression is engine-identical.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String],
+      decScale: Int = 2): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val s2 = 2 * decScale
+    val aggs = count(lit(1)).cast("double").as("n") +:
+      (cols.map(c => sum(col(c).cast(s"decimal(18,$decScale)"))
+        .cast("double").as(s"s_$c")) ++
+        (for (i <- cols.indices; j <- i until cols.size) yield {
+          val (a, b) = (cols(i), cols(j))
+          sum((col(a).cast(s"decimal(18,$decScale)") *
+            col(b).cast(s"decimal(18,$decScale)")).cast(s"decimal(38,$s2)"))
+            .cast("double").as(s"p_${a}_$b")
+        }))
+    val moments = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = for (i <- cols.indices; j <- (i + 1) until cols.size)
+      yield (cols(i), cols(j))
+    // ONE explode off the single 1-row moments frame — per-pair selects
+    // unioned together would re-run the aggregate once per pair
+    // (plan-path fan-in, the pipe_llm_corpus lesson)
+    // try_divide: a zero-variance column yields a NULL correlation
+    // (ANSI division would throw); the oracle twin's plain `/` agrees
+    // on every non-degenerate pair
+    val pairStructs = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        round(expr(
+          s"try_divide(n * p_${a}_$b - s_$a * s_$b, " +
+            s"sqrt(n * p_${a}_$a - s_$a * s_$a) * " +
+            s"sqrt(n * p_${b}_$b - s_$b * s_$b))"), 6).as("corr"))
+    }
+    moments.select(explode(array(pairStructs: _*)).as("r"))
+      .select(col("r.col_x"), col("r.col_y"), col("r.corr"))
+      .orderBy("col_x", "col_y")
+  }
+
+  /** Per-group z-score normalization of `valueCol` keyed by `keyCol`:
+    * group mean and population stddev from exact decimal sums, joined
+    * back broadcast (|groups| rows), z appended as `<valueCol>_z`
+    * (null when the group is constant).
+    */
+  def groupZscore(df: DataFrame, keyCol: String, valueCol: String,
+      decScale: Int = 2): DataFrame = {
+    val s2 = 2 * decScale
+    val stats = df.groupBy(keyCol).agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(col(valueCol).cast(s"decimal(18,$decScale)")).cast("double")
+        .as("__s1"),
+      sum((col(valueCol).cast(s"decimal(18,$decScale)") *
+        col(valueCol).cast(s"decimal(18,$decScale)"))
+        .cast(s"decimal(38,$s2)")).cast("double").as("__s2"))
+    df.join(broadcast(stats), keyCol)
+      .withColumn("__mu", expr("__s1 / __n"))
+      .withColumn("__sigma",
+        expr("sqrt(greatest(__s2 / __n - (__s1 / __n) * (__s1 / __n), 0.0))"))
+      .withColumn(s"${valueCol}_z",
+        when(col("__sigma") > 0,
+          round(expr(s"(cast($valueCol as double) - __mu) / __sigma"), 6)))
+      .drop("__n", "__s1", "__s2", "__mu", "__sigma")
+  }
+}

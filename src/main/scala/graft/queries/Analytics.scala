@@ -148,6 +148,96 @@ object Analytics extends QueryModule {
           false) AS is_anomaly
       FROM z ORDER BY event_type, day""")),
 
+    // ---- Fixed-width histogram: 20 bins over the global [min, max]
+    // (Stats.histogram — a 1-row range frame broadcast into one
+    // binning aggregate; empty bins are absent by construction).
+    QueryDef("a_histogram", (s, d) => {
+      graft.ops.Stats.histogram(t(s, d, "lineitem"),
+        "l_extendedprice", 20)
+    }, Some("""
+      WITH mm AS (SELECT MIN(l_extendedprice) AS mn,
+                    MAX(l_extendedprice) AS mx FROM lineitem),
+      b AS (SELECT CASE WHEN mx > mn THEN
+              least(CAST(floor((l_extendedprice - mn) /
+                ((mx - mn) / 20.0)) AS BIGINT), 19) ELSE 0 END AS bin
+            FROM lineitem CROSS JOIN mm)
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        round(mn + CAST(bin AS DOUBLE) * ((mx - mn) / 20.0), 6)
+          AS lo_edge,
+        round(mn + (CAST(bin AS DOUBLE) + 1.0) * ((mx - mn) / 20.0), 6)
+          AS hi_edge
+      FROM b CROSS JOIN mm GROUP BY bin, mn, mx ORDER BY bin""")),
+
+    // ---- Exact Pearson correlation matrix over the lineitem numerics
+    // (Stats.correlationMatrix): every moment is an exact DECIMAL sum
+    // (inputs carry 2 decimals, products 4) combined through one fixed
+    // IEEE expression — never the engine's own corr/stddev, whose
+    // accumulation order differs. ONE aggregate, ONE scan, pairs rows.
+    QueryDef("a_correlation", (s, d) => {
+      graft.ops.Stats.correlationMatrix(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    }, Some("""
+      WITH m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_0,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_1,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_2,
+        CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS s_3,
+        CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS p_00,
+        CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS p_01,
+        CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS p_02,
+        CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS p_03,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS p_11,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS p_12,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS p_13,
+        CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS p_22,
+        CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS p_23,
+        CAST(SUM(CAST(CAST(l_tax AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS p_33
+        FROM lineitem),
+      prs AS (
+        SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+          round((n * p_01 - s_0 * s_1) / (sqrt(n * p_00 - s_0 * s_0) *
+            sqrt(n * p_11 - s_1 * s_1)), 6) AS corr FROM m
+        UNION ALL SELECT 'l_quantity', 'l_discount',
+          round((n * p_02 - s_0 * s_2) / (sqrt(n * p_00 - s_0 * s_0) *
+            sqrt(n * p_22 - s_2 * s_2)), 6) FROM m
+        UNION ALL SELECT 'l_quantity', 'l_tax',
+          round((n * p_03 - s_0 * s_3) / (sqrt(n * p_00 - s_0 * s_0) *
+            sqrt(n * p_33 - s_3 * s_3)), 6) FROM m
+        UNION ALL SELECT 'l_extendedprice', 'l_discount',
+          round((n * p_12 - s_1 * s_2) / (sqrt(n * p_11 - s_1 * s_1) *
+            sqrt(n * p_22 - s_2 * s_2)), 6) FROM m
+        UNION ALL SELECT 'l_extendedprice', 'l_tax',
+          round((n * p_13 - s_1 * s_3) / (sqrt(n * p_11 - s_1 * s_1) *
+            sqrt(n * p_33 - s_3 * s_3)), 6) FROM m
+        UNION ALL SELECT 'l_discount', 'l_tax',
+          round((n * p_23 - s_2 * s_3) / (sqrt(n * p_22 - s_2 * s_2) *
+            sqrt(n * p_33 - s_3 * s_3)), 6) FROM m)
+      SELECT col_x, col_y, corr FROM prs ORDER BY col_x, col_y""")),
+
+    // ---- Per-group z-score normalization (Stats.groupZscore): group
+    // mean/population-stddev from exact decimal sums, broadcast back,
+    // per-row z. The feature-standardization step, keyed by group.
+    QueryDef("f_zscore_group", (s, d) => {
+      graft.ops.Stats.groupZscore(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber",
+          "l_returnflag", "l_quantity"),
+        "l_returnflag", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }, Some("""
+      WITH st AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+          CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+            CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+            AS DOUBLE) AS s2
+        FROM lineitem GROUP BY 1)
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        CASE WHEN sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) > 0
+          THEN round((CAST(l_quantity AS DOUBLE) - s1 / n) /
+            sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)), 6)
+        END AS l_quantity_z
+      FROM lineitem JOIN st USING (l_returnflag)
+      ORDER BY l_orderkey, l_linenumber""")),
+
     // ---- Winsorization: clamp a numeric column into its [p01, p99]
     // EXACT quantile range (Clean.winsorize — bounds via the two-phase
     // global ordinal, collapsed to one broadcast row; the clamp is a

@@ -58,7 +58,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "t_trigram_backoff",
     // f_winsorize_price: the [lo, hi] bounds collapse to ONE broadcast
     // row cross-joined into the per-row clamp
-    "f_winsorize_price")
+    "f_winsorize_price",
+    // a_histogram: the 1-row [min, max] range frame cross-joined into
+    // the binning aggregate
+    "a_histogram")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -102,7 +105,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "t_trigram_backoff",
     // f_winsorize_price: the exact-quantile bound machinery's count +
     // 2-row bound reduce (the a_exact_quantiles shape)
-    "f_winsorize_price")
+    "f_winsorize_price",
+    // a_histogram / a_correlation: the [min,max] frame / the moments
+    // frame are scalar aggregates (1-row combines)
+    "a_histogram", "a_correlation")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —
