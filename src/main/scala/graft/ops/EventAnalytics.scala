@@ -156,6 +156,93 @@ object EventAnalytics {
       .orderBy(keyCol, "day")
   }
 
+  /** Composed event-insights pipeline: gap-sessionize → WITHIN-SESSION
+    * ordered funnel → daily session rollup → gap-filled trailing
+    * z-score anomaly flags on the session count — the end-to-end flow
+    * a clickstream team runs nightly, each stage being a gated
+    * operator shape (`w_sessionize`, [[funnel]], [[gapFillDaily]],
+    * [[rollingAnomalies]]).
+    *
+    * Output is DAYS rows: (day, n_sessions, n_converted, conv_rate,
+    * z, is_anomaly) where a session converts when it contains the
+    * `steps` event types in timestamp order (ties by event id).
+    *
+    * Scale: sessionization and the funnel chain are per-(user,
+    * session) windows/joins; the daily frame is an aggregate (days
+    * rows), so its grid/window stages are free at any input size.
+    * The session frame feeds multiple downstream paths — a production
+    * run materializes it as a stage output (the `pipe_llm_corpus`
+    * plan-path fan-in lesson); the gate keeps the plan lazy-pure and
+    * pays the (cheap) recompute.
+    */
+  def sessionInsights(events: DataFrame, gapUs: Long,
+      steps: Seq[String], window: Int = 7, threshold: Double = 2.0)
+      : DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val sess = events.select("user_id", "event_id", "event_type", "ts_us")
+      .withColumn("prev", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_s", when(col("prev").isNull ||
+        col("ts_us") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev", "new_s")
+    val key = Seq("user_id", "session_seq")
+    def reached(i: Int, prev: Option[DataFrame]): DataFrame = {
+      val stepEv = sess.filter(col("event_type") === steps(i))
+      val q = prev match {
+        case None => stepEv
+        case Some(p) => stepEv.join(p, key)
+          .filter(col("ts_us") > col("reach_ts") ||
+            (col("ts_us") === col("reach_ts") &&
+              col("event_id") > col("reach_id")))
+      }
+      q.groupBy(key.map(col): _*)
+        .agg(min(struct(col("ts_us"), col("event_id"))).as("r"))
+        .select(col("user_id"), col("session_seq"),
+          col("r.ts_us").as("reach_ts"), col("r.event_id").as("reach_id"))
+    }
+    val converted = steps.indices
+      .foldLeft(Option.empty[DataFrame])((p, i) => Some(reached(i, p))).get
+      .select(col("user_id"), col("session_seq"), lit(true).as("conv"))
+    val daily = sess.groupBy(key.map(col): _*)
+      .agg(min(col("ts_us")).as("start_us"))
+      .join(converted, key, "left")
+      .select(expr(s"start_us div $DayUs").as("day"),
+        coalesce(col("conv"), lit(false)).as("conv"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("conv"), 1L).otherwise(0L)).as("n_converted"))
+    val grid = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val filled = grid.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_sessions"), lit(0L)).as("n_sessions"),
+        coalesce(col("n_converted"), lit(0L)).as("n_converted"))
+    // the daily frame is DAYS rows — the global window is free
+    val trail = Window.orderBy("day").rowsBetween(-window, -1)
+    val w = window.toDouble
+    filled
+      .withColumn("n_obs", count(col("n_sessions")).over(trail))
+      .withColumn("s1", sum(col("n_sessions")).over(trail))
+      .withColumn("s2", sum(col("n_sessions") * col("n_sessions"))
+        .over(trail))
+      .withColumn("sigma", expr(
+        s"sqrt(greatest(cast(s2 as double) - " +
+          s"cast(s1 as double) * cast(s1 as double) / $w, 0.0) / ${w - 1.0})"))
+      .withColumn("z", when(col("n_obs") === window && col("sigma") > 0,
+        round(expr(s"(cast(n_sessions as double) - " +
+          s"cast(s1 as double) / $w) / sigma"), 6)))
+      .select(col("day"), col("n_sessions"), col("n_converted"),
+        when(col("n_sessions") > 0, round(
+          col("n_converted").cast("double") /
+            col("n_sessions").cast("double"), 6)).as("conv_rate"),
+        col("z"),
+        coalesce(abs(col("z")) > threshold, lit(false)).as("is_anomaly"))
+      .orderBy("day")
+  }
+
   /** Rolling z-score anomaly flags over the gap-filled daily count
     * series: each day scores against the trailing `window`-day mean
     * and sample stddev (current day EXCLUDED — an anomalous day must

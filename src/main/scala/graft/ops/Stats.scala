@@ -85,6 +85,35 @@ object Stats {
       .orderBy("col_x", "col_y")
   }
 
+  /** Mutual information I(X;Y) in nats between two categorical
+    * columns — the feature-selection dependence measure. The joint
+    * distribution is ONE (x, y) hash aggregate (cells bounded by the
+    * cardinality product, not the row count); marginals derive from
+    * the joint and broadcast back; the total rides as a 1-row frame.
+    * Per-cell terms p(x,y)·ln(p(x,y)/(p(x)p(y))) round(,9) into
+    * DECIMAL so the sum is order-independent (the unigramNll
+    * transcendental convention). Returns one row: (n, n_cells, mi).
+    */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String)
+      : DataFrame = {
+    val joint = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("nxy"))
+    val mx = joint.groupBy("x").agg(sum(col("nxy")).as("nx"))
+    val my = joint.groupBy("y").agg(sum(col("nxy")).as("ny"))
+    val tot = joint.agg(sum(col("nxy")).as("n"))
+    joint.join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(tot))
+      .select(col("n"), expr(
+        "cast(round((cast(nxy as double) / cast(n as double)) * " +
+          "ln((cast(nxy as double) * cast(n as double)) / " +
+          "(cast(nx as double) * cast(ny as double))), 9) " +
+          "as decimal(20,9))").as("term"))
+      .groupBy("n")
+      .agg(count(lit(1)).as("n_cells"),
+        round(sum(col("term")).cast("double"), 6).as("mi"))
+      .select(col("n"), col("n_cells"), col("mi"))
+  }
+
   /** Per-group z-score normalization of `valueCol` keyed by `keyCol`:
     * group mean and population stddev from exact decimal sums, joined
     * back broadcast (|groups| rows), z appended as `<valueCol>_z`

@@ -214,6 +214,32 @@ object Analytics extends QueryModule {
             sqrt(n * p_33 - s_3 * s_3)), 6) FROM m)
       SELECT col_x, col_y, corr FROM prs ORDER BY col_x, col_y""")),
 
+    // ---- Mutual information I(returnflag; linestatus) in nats
+    // (Stats.mutualInformation): joint = one (x,y) aggregate, marginals
+    // derived from the joint and broadcast, per-cell terms round(,9)
+    // into DECIMAL — the feature-selection dependence measure.
+    QueryDef("a_mutual_info", (s, d) => {
+      graft.ops.Stats.mutualInformation(t(s, d, "lineitem"),
+        "l_returnflag", "l_linestatus")
+    }, Some("""
+      WITH joint AS (SELECT l_returnflag AS x, l_linestatus AS y,
+               CAST(COUNT(*) AS BIGINT) AS nxy
+             FROM lineitem GROUP BY 1, 2),
+      mx AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM joint
+             GROUP BY 1),
+      my AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM joint
+             GROUP BY 1),
+      tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM joint),
+      terms AS (SELECT n,
+          CAST(round((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)) *
+            ln((CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)) /
+            (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))), 9)
+            AS DECIMAL(20,9)) AS term
+        FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot)
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        round(CAST(SUM(term) AS DOUBLE), 6) AS mi
+      FROM terms GROUP BY n""")),
+
     // ---- Per-group z-score normalization (Stats.groupZscore): group
     // mean/population-stddev from exact decimal sums, broadcast back,
     // per-row z. The feature-standardization step, keyed by group.
@@ -344,6 +370,84 @@ object Analytics extends QueryModule {
         CAST(COUNT(*) AS BIGINT) AS dims,
         round(CAST(SUM(se) AS DOUBLE) / COUNT(*), 6) AS mse
       FROM e GROUP BY vec_id ORDER BY vec_id""")),
+
+    // ---- Composed event-insights pipeline: gap-sessionize →
+    // within-session ordered funnel → daily rollup → gap-filled
+    // trailing z-score anomaly flags — four gated operator shapes as
+    // ONE flow, oracle replaying every stage.
+    QueryDef("pipe_event_insights", (s, d) => {
+      EventAnalytics.sessionInsights(Tables.events(s, d),
+        600000000L, Seq("signup", "click", "purchase"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+                   epoch_us(ts) AS ts_us FROM events),
+      flg AS (SELECT user_id, event_id, event_type, ts_us,
+          CASE WHEN lag(ts_us) OVER w IS NULL
+                 OR ts_us - lag(ts_us) OVER w > 600000000 THEN 1
+               ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us,
+          event_id)),
+      sess AS (SELECT user_id, event_id, event_type, ts_us,
+          CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us,
+            event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM flg),
+      r0 AS (SELECT user_id, session_seq, ts_us AS rts, event_id AS rid
+             FROM sess WHERE event_type = 'signup'
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+               ORDER BY ts_us, event_id) = 1),
+      r1 AS (SELECT s.user_id, s.session_seq, s.ts_us AS rts,
+               s.event_id AS rid
+             FROM sess s JOIN r0 ON s.user_id = r0.user_id
+               AND s.session_seq = r0.session_seq
+             WHERE s.event_type = 'click' AND (s.ts_us > r0.rts
+               OR (s.ts_us = r0.rts AND s.event_id > r0.rid))
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY s.user_id,
+               s.session_seq ORDER BY s.ts_us, s.event_id) = 1),
+      r2 AS (SELECT s.user_id, s.session_seq, s.ts_us AS rts,
+               s.event_id AS rid
+             FROM sess s JOIN r1 ON s.user_id = r1.user_id
+               AND s.session_seq = r1.session_seq
+             WHERE s.event_type = 'purchase' AND (s.ts_us > r1.rts
+               OR (s.ts_us = r1.rts AND s.event_id > r1.rid))
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY s.user_id,
+               s.session_seq ORDER BY s.ts_us, s.event_id) = 1),
+      sessions AS (SELECT user_id, session_seq, MIN(ts_us) AS start_us
+                   FROM sess GROUP BY 1, 2),
+      conv AS (SELECT s.start_us, r2.user_id IS NOT NULL AS conv
+               FROM sessions s LEFT JOIN r2 ON s.user_id = r2.user_id
+                 AND s.session_seq = r2.session_seq),
+      daily AS (SELECT start_us // 86400000000 AS day,
+                  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                  CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_converted
+                FROM conv GROUP BY 1),
+      grid AS (SELECT unnest(generate_series(d0, d1)) AS day
+               FROM (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily)),
+      g AS (SELECT grid.day, COALESCE(d.n_sessions, 0) AS n_sessions,
+              COALESCE(d.n_converted, 0) AS n_converted
+            FROM grid LEFT JOIN daily d ON grid.day = d.day),
+      w AS (SELECT day, n_sessions, n_converted,
+              COUNT(n_sessions) OVER t AS n_obs,
+              SUM(n_sessions) OVER t AS s1,
+              SUM(n_sessions * n_sessions) OVER t AS s2
+            FROM g WINDOW t AS (ORDER BY day
+              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      z AS (SELECT day, n_sessions, n_converted, n_obs,
+              sqrt(greatest(CAST(s2 AS DOUBLE) -
+                CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 7.0, 0.0)
+                / 6.0) AS sigma,
+              CAST(s1 AS DOUBLE) / 7.0 AS mu
+            FROM w)
+      SELECT day, n_sessions, n_converted,
+        CASE WHEN n_sessions > 0 THEN
+          round(CAST(n_converted AS DOUBLE) / CAST(n_sessions AS DOUBLE),
+            6) END AS conv_rate,
+        CASE WHEN n_obs = 7 AND sigma > 0 THEN
+          round((CAST(n_sessions AS DOUBLE) - mu) / sigma, 6) END AS z,
+        COALESCE(abs(CASE WHEN n_obs = 7 AND sigma > 0 THEN
+          round((CAST(n_sessions AS DOUBLE) - mu) / sigma, 6) END)
+          > 2.0, false) AS is_anomaly
+      FROM z ORDER BY day""")),
 
     // ---- Stupid-backoff trigram LM (Brants et al. 2007): counts
     // trained on the even-md5 half of the corpus, the odd half scored

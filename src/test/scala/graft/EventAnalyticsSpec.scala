@@ -112,6 +112,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(day8.getDouble(4) > 0) // sigma
   }
 
+  test("session insights: conversion counts only in-session ordered " +
+    "funnels; daily rollup carries the conv rate") {
+    // user 1 day 0: one session with signup→click→purchase (converts);
+    // user 2 day 0: purchase BEFORE signup in its only session (no);
+    // user 1 day 1: signup then click in one session, purchase in a
+    // LATER session (gap > 10 min) → neither session converts
+    val DayUs = 86400000000L
+    val gap = 600000000L
+    val e = ev(
+      (1L, 1L, "signup", 10L, 0.0), (1L, 2L, "click", 20L, 0.0),
+      (1L, 3L, "purchase", 30L, 0.0),
+      (2L, 4L, "purchase", 5L, 0.0), (2L, 5L, "signup", 10L, 0.0),
+      (2L, 6L, "click", 15L, 0.0),
+      (1L, 7L, "signup", DayUs + 10L, 0.0),
+      (1L, 8L, "click", DayUs + 20L, 0.0),
+      (1L, 9L, "purchase", DayUs + 20L + gap + 1L, 0.0))
+    val out = EventAnalytics.sessionInsights(e, gap,
+      Seq("signup", "click", "purchase")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out === Seq((0L, 2L, 1L), (1L, 2L, 0L)))
+  }
+
   test("trigram backoff: seen trigrams use the trigram estimate; " +
     "unseen back off") {
     val s = spark; import s.implicits._

@@ -61,7 +61,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "f_winsorize_price",
     // a_histogram: the 1-row [min, max] range frame cross-joined into
     // the binning aggregate
-    "a_histogram")
+    "a_histogram",
+    // a_mutual_info: the joint total as a broadcast 1-row frame
+    "a_mutual_info")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -108,7 +110,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "f_winsorize_price",
     // a_histogram / a_correlation: the [min,max] frame / the moments
     // frame are scalar aggregates (1-row combines)
-    "a_histogram", "a_correlation")
+    "a_histogram", "a_correlation",
+    // a_mutual_info: the joint-total 1-row combine
+    "a_mutual_info",
+    // pipe_event_insights: the day-grid 1-row [min,max] reduce and the
+    // trailing window over the DAYS-row daily frame
+    "pipe_event_insights")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

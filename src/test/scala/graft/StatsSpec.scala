@@ -48,6 +48,21 @@ class StatsSpec extends AnyFunSuite {
     assert(m(("x", "c")) === None)
   }
 
+  test("mutual information: independent columns 0, determined columns " +
+    "H(X)") {
+    val s = spark; import s.implicits._
+    // independent: every (x, y) combination equally likely
+    val ind = (for (x <- Seq("a", "b"); y <- Seq("p", "q"); _ <- 1 to 5)
+      yield (x, y)).toDF("x", "y")
+    val mi0 = Stats.mutualInformation(ind, "x", "y").collect().head
+    assert(mi0.getDouble(2) === 0.0 && mi0.getLong(1) === 4L)
+    // fully determined y = f(x): MI = H(X) = ln 2 for a uniform binary x
+    val det = (for (x <- Seq("a", "b"); _ <- 1 to 5)
+      yield (x, x + "!")).toDF("x", "y")
+    val mi1 = Stats.mutualInformation(det, "x", "y").collect().head
+    assert(math.abs(mi1.getDouble(2) - math.log(2)) < 1e-5)
+  }
+
   test("group z-score: per-group standardization, constant group null") {
     val s = spark; import s.implicits._
     val df = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 5.0))
