@@ -243,6 +243,59 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** First-order Markov transition matrix over each user's ordered
+    * event stream: P(next event type | current event type), with a
+    * `__start__` pseudo-state so per-user first events form the entry
+    * distribution. Ordering is (ts, event_id) — the engine-identical
+    * sweep every operator here uses.
+    *
+    * Shapes: one per-user lag window, one (from, to) hash aggregate
+    * (cells bounded by |types|², not the event count), row totals as a
+    * broadcast |types|-row frame. The output is the navigation model
+    * product teams mine for drop-off edges; at 100 TB the window is
+    * per-user state and everything after the aggregate is tiny.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val counts = events.select("user_id", "event_id", "event_type", "ts_us")
+      .withColumn("from_type",
+        coalesce(lag(col("event_type"), 1).over(byUser), lit("__start__")))
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    counts.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from").cast("double"), 6)
+          .as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Top-k most frequent length-`len` event-type paths (n-grams over
+    * each user's (ts, event_id)-ordered stream, windows spanning
+    * session boundaries by design — pass a sessionized frame to scope
+    * them). One per-user window computing `len−1` lags, one path hash
+    * aggregate, TakeOrdered for the top-k (count desc, path asc — a
+    * total order, so ties are deterministic).
+    */
+  def topPaths(events: DataFrame, len: Int = 3, k: Int = 20): DataFrame = {
+    require(len >= 2, "a path needs at least two steps")
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val lagNames = (len - 1 to 1 by -1).map(i => s"__w$i")
+    val withLags = events.select("user_id", "event_id", "event_type", "ts_us")
+      .select(col("event_type") +: lagNames.map(nm =>
+        lag(col("event_type"), nm.drop(3).toInt).over(byUser).as(nm)): _*)
+    // the LONGEST lag null ⇒ the stream is shorter than the path; the
+    // shorter lags are then non-null whenever it is, so one filter
+    // suffices (concat_ws would silently skip nulls otherwise)
+    val grams = withLags.filter(col(lagNames.head).isNotNull)
+      .select(concat_ws(">",
+        lagNames.map(col) :+ col("event_type"): _*).as("path"))
+    grams.groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("path")).limit(k)
+  }
+
   /** Rolling z-score anomaly flags over the gap-filled daily count
     * series: each day scores against the trailing `window`-day mean
     * and sample stddev (current day EXCLUDED — an anomalous day must

@@ -114,6 +114,67 @@ object Stats {
       .select(col("n"), col("n_cells"), col("mi"))
   }
 
+  /** Smoothed target (mean) encoding of a categorical column — the
+    * classic high-cardinality feature encoder: enc(c) = (Σ_c y + m·ȳ)
+    * / (n_c + m), shrinking rare categories toward the global mean
+    * (m = the pseudo-observation weight). Returns the |categories|-row
+    * encoding table (category, n, enc); applying it is one broadcast
+    * join.
+    *
+    * Shapes: one per-category hash aggregate + the 1-row global frame
+    * — nothing grows with the input. Sums are exact DECIMAL; the
+    * encoding is one fixed IEEE expression rounded(,6). NULL
+    * categories form their own encoding row (groupBy keeps them).
+    */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+      m: Double = 50.0, decScale: Int = 2): DataFrame = {
+    require(m >= 0, s"pseudo-count m must be >= 0, got $m")
+    val g = df.agg(count(lit(1)).cast("double").as("n_all"),
+      sum(col(targetCol).cast(s"decimal(18,$decScale)")).cast("double")
+        .as("s_all"))
+    df.groupBy(col(catCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(targetCol).cast(s"decimal(18,$decScale)")).cast("double")
+          .as("__s"))
+      .crossJoin(broadcast(g))
+      .select(col(catCol), col("n"),
+        round(expr(s"(__s + ${m}D * (s_all / n_all)) / " +
+          s"(cast(n as double) + ${m}D)"), 6).as("enc"))
+      .orderBy(catCol)
+  }
+
+  /** Per-column Shannon entropy (nats) over low-cardinality columns:
+    * (col_name, n, n_values, entropy), NULL counted as a category of
+    * its own. The columns stack into (col_name, value) rows — the
+    * input is read ONCE and replicated |cols|× through the generator
+    * (one scan beats |cols| scans whenever the scan dominates, the
+    * `q_profile_lineitem` trade) — then one hash aggregate bounded by
+    * Σ cardinalities, totals broadcast back. Per-value terms −p·ln p
+    * round(,9) into DECIMAL (the mutualInformation convention).
+    *
+    * Pass STRING/INTEGER columns: values stack through a canonical
+    * string cast, and a double's string form is not engine-portable.
+    */
+  def entropyProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "entropyProfile needs at least one column")
+    val stacked = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("value")))
+      : _*)).as("cv"))
+      .select(col("cv.col_name").as("col_name"), col("cv.value").as("value"))
+    val counts = stacked.groupBy("col_name", "value")
+      .agg(count(lit(1)).as("nv"))
+    val totals = counts.groupBy("col_name").agg(sum(col("nv")).as("n"))
+    counts.join(broadcast(totals), "col_name")
+      .select(col("col_name"), col("n"), expr(
+        "cast(round(-(cast(nv as double) / cast(n as double)) * " +
+          "ln(cast(nv as double) / cast(n as double)), 9) " +
+          "as decimal(20,9))").as("term"))
+      .groupBy("col_name", "n")
+      .agg(count(lit(1)).as("n_values"),
+        round(sum(col("term")).cast("double"), 6).as("entropy"))
+      .orderBy("col_name")
+  }
+
   /** Per-group z-score normalization of `valueCol` keyed by `keyCol`:
     * group mean and population stddev from exact decimal sums, joined
     * back broadcast (|groups| rows), z appended as `<valueCol>_z`

@@ -449,6 +449,128 @@ object Analytics extends QueryModule {
           > 2.0, false) AS is_anomaly
       FROM z ORDER BY day""")),
 
+    // ---- Robust outlier flags via the median/MAD modified z-score
+    // (Clean.madOutliers, Iglewicz–Hoaglin): two exact-quantile passes
+    // (two-phase ordinals, no single-task sort) collapse to broadcast
+    // rows; the score is a per-row projection. events.value has a
+    // heavy tail, so genuine outliers flag.
+    QueryDef("a_mad_outliers", (s, d) => {
+      graft.ops.Clean.madOutliers(
+        Tables.events(s, d).select("event_id", "value"),
+        "value", Seq(asc("event_id")))
+        .orderBy("event_id")
+    }, Some("""
+      WITH e AS (SELECT event_id, value AS v FROM events),
+      o AS (SELECT event_id, v,
+              ROW_NUMBER() OVER (ORDER BY v, event_id) AS r FROM e),
+      n AS (SELECT COUNT(*) AS n FROM e),
+      med AS (SELECT v AS med FROM o CROSS JOIN n
+              WHERE r = CAST(ceil(CAST(0.5 AS DECIMAL(20,10)) * n)
+                AS BIGINT)),
+      dev AS (SELECT event_id, v, abs(v - med) AS ad, med
+              FROM e CROSS JOIN med),
+      o2 AS (SELECT *, ROW_NUMBER() OVER (ORDER BY ad, event_id) AS r2
+             FROM dev),
+      mad AS (SELECT ad AS mad FROM o2 CROSS JOIN n
+              WHERE r2 = CAST(ceil(CAST(0.5 AS DECIMAL(20,10)) * n)
+                AS BIGINT))
+      SELECT event_id, v AS value,
+        CASE WHEN mad > 0 THEN
+          round(0.6744897501960817 * (v - med) / mad, 6) END AS value_rz,
+        COALESCE(abs(CASE WHEN mad > 0 THEN
+          round(0.6744897501960817 * (v - med) / mad, 6) END) > 3.5,
+          false) AS is_outlier
+      FROM dev CROSS JOIN mad ORDER BY event_id""")),
+
+    // ---- Smoothed target encoding of a categorical against a numeric
+    // target (Stats.targetEncode, m = 50 pseudo-observations): one
+    // per-category aggregate + the 1-row global frame; the
+    // |categories|-row table is the model.
+    QueryDef("m_target_encoding", (s, d) => {
+      graft.ops.Stats.targetEncode(t(s, d, "customer"),
+        "c_mktsegment", "c_acctbal")
+    }, Some("""
+      WITH g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_all,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                AS s_all
+            FROM customer),
+      p AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s
+            FROM customer GROUP BY 1)
+      SELECT c_mktsegment, n,
+        round((s + 50.0 * (s_all / n_all)) / (CAST(n AS DOUBLE) + 50.0),
+          6) AS enc
+      FROM p CROSS JOIN g ORDER BY c_mktsegment""")),
+
+    // ---- Per-column Shannon entropy profile over low-cardinality
+    // columns (Stats.entropyProfile): the columns stack through ONE
+    // scan (|cols|× generator replication), one Σ-cardinality-bounded
+    // aggregate, decimal-rounded −p·ln p terms.
+    QueryDef("q_entropy_profile", (s, d) => {
+      graft.ops.Stats.entropyProfile(t(s, d, "lineitem"),
+        Seq("l_returnflag", "l_linestatus", "l_linenumber"))
+    }, Some("""
+      WITH s AS (
+        SELECT 'l_returnflag' AS col_name,
+          CAST(l_returnflag AS VARCHAR) AS value FROM lineitem
+        UNION ALL SELECT 'l_linestatus',
+          CAST(l_linestatus AS VARCHAR) FROM lineitem
+        UNION ALL SELECT 'l_linenumber',
+          CAST(l_linenumber AS VARCHAR) FROM lineitem),
+      c AS (SELECT col_name, value, CAST(COUNT(*) AS BIGINT) AS nv
+            FROM s GROUP BY 1, 2),
+      t AS (SELECT col_name, CAST(SUM(nv) AS BIGINT) AS n FROM c
+            GROUP BY 1),
+      terms AS (SELECT col_name, n,
+          CAST(round(-(CAST(nv AS DOUBLE) / CAST(n AS DOUBLE)) *
+            ln(CAST(nv AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+            AS DECIMAL(20,9)) AS term
+        FROM c JOIN t USING (col_name))
+      SELECT col_name, n, CAST(COUNT(*) AS BIGINT) AS n_values,
+        round(CAST(SUM(term) AS DOUBLE), 6) AS entropy
+      FROM terms GROUP BY col_name, n ORDER BY col_name""")),
+
+    // ---- First-order Markov transition matrix over each user's
+    // ordered event stream (EventAnalytics.transitionMatrix): one
+    // per-user lag window, one (from, to) aggregate bounded by
+    // |types|², row totals broadcast. `__start__` pseudo-state holds
+    // the entry distribution.
+    QueryDef("e_transitions", (s, d) => {
+      EventAnalytics.transitionMatrix(Tables.events(s, d))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts)
+                   AS ts_us FROM events),
+      p AS (SELECT COALESCE(lag(event_type, 1) OVER (
+                PARTITION BY user_id ORDER BY ts_us, event_id),
+                '__start__') AS from_type,
+              event_type AS to_type
+            FROM e),
+      c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2),
+      t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM c
+            GROUP BY 1)
+      SELECT from_type, to_type, n,
+        round(CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE), 6) AS p
+      FROM c JOIN t USING (from_type)
+      ORDER BY from_type, to_type""")),
+
+    // ---- Top-20 3-step event-type paths (EventAnalytics.topPaths):
+    // per-user lag n-grams → one path aggregate → TakeOrdered with a
+    // total (count desc, path asc) order.
+    QueryDef("e_top_paths", (s, d) => {
+      EventAnalytics.topPaths(Tables.events(s, d), 3, 20)
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts)
+                   AS ts_us FROM events),
+      g AS (SELECT lag(event_type, 2) OVER w AS w2,
+              lag(event_type, 1) OVER w AS w1, event_type AS w0
+            FROM e WINDOW w AS (PARTITION BY user_id
+              ORDER BY ts_us, event_id))
+      SELECT w2 || '>' || w1 || '>' || w0 AS path,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM g WHERE w2 IS NOT NULL
+      GROUP BY 1 ORDER BY n DESC, path LIMIT 20""")),
+
     // ---- Stupid-backoff trigram LM (Brants et al. 2007): counts
     // trained on the even-md5 half of the corpus, the odd half scored
     // per position with α=0.4 backoff (unseen words floor at 1/N).

@@ -585,6 +585,54 @@ object Pipeline extends QueryModule {
       WHERE status <> 'unchanged'
       ORDER BY doc_id""")),
 
+    // ---- MERGE / apply-changes (the d_snapshot_diff → APPLY
+    // direction): a deterministic change set over orders — inserts
+    // (keys ≡ 0 mod 7, absent from the snapshot), updates (≡ 0 mod 5,
+    // status + price rewritten), deletes (≡ 0 mod 11) — folds into the
+    // snapshot through Merge.applyChanges's ONE full-outer key join.
+    // The change-set arms are disjoint by construction (I > U > D
+    // precedence in the filters), honoring the one-row-per-key
+    // contract.
+    QueryDef("d_merge_upsert", (s, d) => {
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val snap = o.filter(col("o_orderkey") % 7 =!= 0)
+      val ch = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit("I").as("op"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .unionByName(o.filter(col("o_orderkey") % 7 =!= 0 &&
+            col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), lit("U").as("op"),
+            lit("U").as("o_orderstatus"),
+            (col("o_totalprice") + lit(1.0)).as("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 7 =!= 0 &&
+            col("o_orderkey") % 5 =!= 0 && col("o_orderkey") % 11 === 0)
+          .select(col("o_orderkey"), lit("D").as("op"),
+            col("o_orderstatus"), col("o_totalprice")))
+      graft.ops.Merge.applyChanges(snap, ch, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      WITH snap AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                    FROM orders WHERE o_orderkey % 7 <> 0),
+      ch AS (
+        SELECT o_orderkey, 'I' AS op, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, 'U', 'U', o_totalprice + 1.0
+        FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, 'D', o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0
+          AND o_orderkey % 11 = 0)
+      SELECT COALESCE(s.o_orderkey, c.o_orderkey) AS o_orderkey,
+        CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus
+             ELSE s.o_orderstatus END AS o_orderstatus,
+        CASE WHEN c.op IS NOT NULL THEN c.o_totalprice
+             ELSE s.o_totalprice END AS o_totalprice
+      FROM snap s FULL OUTER JOIN ch c ON s.o_orderkey = c.o_orderkey
+      WHERE c.op IS NULL OR c.op <> 'D'
+      ORDER BY o_orderkey""")),
+
     // ---- END-TO-END corpus curation (the production triage flow as
     // ONE gated pipeline): per-source quality triage (drop origins
     // under a 96% pass rate, integer compare) → per-doc quality gate →

@@ -22,6 +22,34 @@ class CleanSpec extends AnyFunSuite {
     assert(out(90L) === 90.0 && out(95L) === 90.0 && out(100L) === 90.0)
   }
 
+  test("mad outliers: a spike flags, the bulk does not, score is exact") {
+    val s = spark; import s.implicits._
+    // 1..9 plus a 1000 spike: median = value at ceil(0.5*10) = 5,
+    // |x-5| = {4,3,2,1,0,1,2,3,4,995} → MAD = value at rank 5 of the
+    // sorted devs {0,1,1,2,2,3,3,4,4,995} = 2
+    val df = ((1 to 9).map(i => (i.toLong, i.toDouble)) :+
+      (10L, 1000.0)).toDF("id", "v")
+    val out = Clean.madOutliers(df, "v", Seq(asc("id")))
+      .select("id", "v_rz", "is_outlier").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    val c = Clean.MadConsistency
+    assert(out(10L)._2 === true)
+    assert(math.abs(out(10L)._1 - c * 995.0 / 2.0) < 1e-6)
+    assert((1L to 9L).forall(i => !out(i)._2))
+    assert(out(5L)._1 === 0.0)
+  }
+
+  test("mad outliers: zero MAD yields null scores and no flags") {
+    val s = spark; import s.implicits._
+    // majority-constant column: median = 5, MAD = 0 even though a
+    // genuine outlier exists — the documented null-score degenerate
+    val df = ((1 to 8).map(i => (i.toLong, 5.0)) :+ (9L, 100.0))
+      .toDF("id", "v")
+    val out = Clean.madOutliers(df, "v", Seq(asc("id"))).collect()
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("v_rz"))))
+    assert(out.forall(!_.getBoolean(3)))
+  }
+
   test("winsorize: all-equal column is a no-op") {
     val s = spark; import s.implicits._
     val df = (1 to 10).map(i => (i.toLong, 7.0)).toDF("id", "v")

@@ -134,6 +134,58 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out === Seq((0L, 2L, 1L), (1L, 2L, 0L)))
   }
 
+  test("transitions: per-from rows sum to 1; __start__ counts users") {
+    val e = ev(
+      (1L, 1L, "a", 10L, 0.0), (1L, 2L, "b", 20L, 0.0),
+      (1L, 3L, "a", 30L, 0.0),
+      (2L, 4L, "a", 10L, 0.0), (2L, 5L, "b", 20L, 0.0))
+    val out = EventAnalytics.transitionMatrix(e).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out(("__start__", "a")) === ((2L, 1.0)))
+    assert(out(("a", "b")) === ((2L, 1.0)))
+    assert(out(("b", "a")) === ((1L, 1.0)))
+    // probabilities sum to 1 per from-state
+    val sums = out.toSeq.groupBy(_._1._1)
+      .map { case (f, xs) => f -> xs.map(_._2._2).sum }
+    sums.values.foreach(s => assert(math.abs(s - 1.0) < 1e-9))
+  }
+
+  test("transitions: tie on ts orders by event_id") {
+    val e = ev(
+      (1L, 1L, "a", 10L, 0.0), (1L, 2L, "b", 10L, 0.0),
+      (1L, 3L, "c", 10L, 0.0))
+    val out = EventAnalytics.transitionMatrix(e).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set(("__start__", "a"), ("a", "b"), ("b", "c")))
+  }
+
+  test("top paths: windows slide per user; short streams emit nothing") {
+    val e = ev(
+      (1L, 1L, "a", 10L, 0.0), (1L, 2L, "b", 20L, 0.0),
+      (1L, 3L, "c", 30L, 0.0), (1L, 4L, "b", 40L, 0.0),
+      (2L, 5L, "a", 10L, 0.0), (2L, 6L, "b", 20L, 0.0),
+      (2L, 7L, "c", 30L, 0.0),
+      (3L, 8L, "x", 5L, 0.0), (3L, 9L, "y", 6L, 0.0)) // len-2 stream
+    val out = EventAnalytics.topPaths(e, 3, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.head === (("a>b>c", 2L)))
+    assert(out.toSet === Set(("a>b>c", 2L), ("b>c>b", 1L)))
+  }
+
+  test("top paths: k truncates under the (count desc, path asc) order") {
+    val e = ev(
+      (1L, 1L, "a", 10L, 0.0), (1L, 2L, "b", 20L, 0.0),
+      (1L, 3L, "a", 30L, 0.0), (1L, 4L, "b", 40L, 0.0))
+    val out = EventAnalytics.topPaths(e, 2, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // pairs: a>b ×2, b>a ×1 → top-2 keeps both; k=1 would keep a>b
+    assert(out === Seq(("a>b", 2L), ("b>a", 1L)))
+    val top1 = EventAnalytics.topPaths(e, 2, 1).collect()
+      .map(r => r.getString(0))
+    assert(top1 === Seq("a>b"))
+  }
+
   test("trigram backoff: seen trigrams use the trigram estimate; " +
     "unseen back off") {
     val s = spark; import s.implicits._

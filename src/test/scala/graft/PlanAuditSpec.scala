@@ -63,7 +63,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // the binning aggregate
     "a_histogram",
     // a_mutual_info: the joint total as a broadcast 1-row frame
-    "a_mutual_info")
+    "a_mutual_info",
+    // a_mad_outliers: the winsorize/exact-quantile machinery twice
+    // (median, then MAD) — 1-row bound frames cross-joined into the
+    // per-row score
+    "a_mad_outliers",
+    // m_target_encoding: the 1-row global-mean frame cross-joined into
+    // the |categories|-row encoding table
+    "m_target_encoding")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -115,7 +122,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "a_mutual_info",
     // pipe_event_insights: the day-grid 1-row [min,max] reduce and the
     // trailing window over the DAYS-row daily frame
-    "pipe_event_insights")
+    "pipe_event_insights",
+    // a_mad_outliers: the exact-quantile count/bound 1-row reduces
+    // (the f_winsorize_price shape, twice)
+    "a_mad_outliers",
+    // m_target_encoding: the global-mean 1-row combine
+    "m_target_encoding")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

@@ -24,6 +24,49 @@ class StatsSpec extends AnyFunSuite {
     out.sliding(2).foreach { case Array(a, b) => assert(a._4 === b._3) }
   }
 
+  test("target encoding: rare categories shrink toward the global mean") {
+    val s = spark; import s.implicits._
+    // global mean 10; 'a' (100 obs, mean 0) vs 'b' (1 obs, value 1000)
+    val rows = (1 to 100).map(i => ("a", 0.0)) ++
+      Seq(("b", 1000.0)) ++ (1 to 99).map(_ => ("c", 0.1010101))
+    // make global mean easy: use explicit check below instead
+    val df = rows.toDF("k", "y")
+    val out = Stats.targetEncode(df, "k", "y", m = 50.0, decScale = 7)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getDouble(2)))).toMap
+    val gmean = (1000.0 + 99 * 0.1010101) / 200.0
+    // a: (0 + 50*g)/150 ; b: (1000 + 50*g)/51
+    assert(math.abs(out("a")._2 - 50.0 * gmean / 150.0) < 1e-6)
+    assert(math.abs(out("b")._2 - (1000.0 + 50.0 * gmean) / 51.0) < 1e-4)
+    // the 1-observation category sits far from its raw mean, pulled in
+    assert(out("b")._2 < 1000.0 * 0.05)
+  }
+
+  test("target encoding: m=0 degenerates to the per-category mean") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", 2.0), ("a", 4.0), ("b", 10.0)).toDF("k", "y")
+    val out = Stats.targetEncode(df, "k", "y", m = 0.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("a") === 3.0 && out("b") === 10.0)
+  }
+
+  test("entropy profile: uniform > skewed > constant; null is a category") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("a", "x", "only"), ("b", "x", "only"),
+      ("c", "x", "only"), ("d", null: String, "only"))
+      .toDF("u", "sk", "const")
+    val out = Stats.entropyProfile(df, Seq("u", "sk", "const"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("u") === ((4L, 4L, math.rint(math.log(4.0) * 1e6) / 1e6)))
+    assert(out("const")._3 === 0.0 && out("const")._2 === 1L)
+    // sk: 3× 'x' + 1 null → two categories, H = -(3/4)ln(3/4)-(1/4)ln(1/4)
+    assert(out("sk")._2 === 2L)
+    val h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(out("sk")._3 - h) < 1e-5)
+  }
+
   test("histogram: constant column collapses to one zero-width bin") {
     val s = spark; import s.implicits._
     val df = Seq(3.0, 3.0, 3.0).toDF("v")
