@@ -422,6 +422,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric shingle CONTAINMENT pairs, C(A→B) = |A ∩ B| / |A|
+    * (Broder 1997's containment, beside his resemblance = Jaccard):
+    * the measure that catches a SHORT document embedded inside a long
+    * one — symmetric Jaccard dilutes that pair below any threshold as
+    * the container grows (|A∩B|/|A∪B| ≤ |A|/|B|), containment holds
+    * at 1.0. Output is DIRECTED (doc_a contained-in doc_b ≠ the
+    * reverse); both directions of a pair emit when both clear
+    * `threshold`.
+    *
+    * Same scale shape and df-cap skew defense as [[jaccardAllPairs]]
+    * (one shingle equi-self-join, hot shingles dropped from blocking,
+    * exploded set persisted once); the ground-truth twin of the
+    * scalable `substringDupStats` window-hash operator.
+    */
+  def containmentPairs(docs: DataFrame, shingleN: Int, threshold: Double,
+      maxShingleDf: Long = 10000L): DataFrame = {
+    val sh = shingled(docs, shingleN)
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val kept = {
+      if (maxShingleDf == Long.MaxValue) ex
+      else {
+        val hot = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf).select("sh")
+        ex.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = kept.as("a")
+      .join(kept.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / col("sa.n")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** 32-bit SimHash per doc, relationally: explode tokens → per-(doc,token)
     * counts → explode bit positions → signed votes → reassemble. Both
     * groupBys partial-aggregate map-side; the doc_id shuffle key is

@@ -296,6 +296,49 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("deg"))
   }
 
+  /** Multi-source BFS distances, bounded at `rounds` hops: for every
+    * node within `rounds` of a source, the hop count to the NEAREST
+    * source (0 at the sources; unreached nodes are absent). The
+    * seed-expansion primitive behind "how far is everything from the
+    * trusted set" audits (link-spam distance, seed-entity closure).
+    *
+    * Frontier relaxation: per round ONE adjacency ⋈ frontier equi-join
+    * + distinct + one anti-join against the settled set — a node
+    * settles the first time it is reached, which IS its shortest hop
+    * count, so no min-relaxation pass is needed. All joins are
+    * key-partitioned; the frontier only ever holds newly-reached
+    * nodes. Lineage is cut per round with `localCheckpoint` (the
+    * [[kCore]] k^rounds lesson — the settled set is referenced by two
+    * downstream paths per round; runs `rounds` jobs at call time).
+    *
+    * Returns (node, dist).
+    */
+  def bfsDistances(edges: DataFrame, sources: DataFrame, rounds: Int)
+      : DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val adj = und.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(und.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint()
+    var settled = sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = settled
+    for (r <- 1 to rounds) {
+      val nxt = adj
+        .join(frontier.select(col("node").as("a")), Seq("a"))
+        .select(col("b").as("node")).distinct()
+        .join(settled.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(r.toLong))
+        .localCheckpoint()
+      frontier = nxt
+      settled = settled.unionAll(nxt).localCheckpoint()
+    }
+    settled
+  }
+
   /** SYNCHRONOUS label-propagation communities (Raghavan et al. 2007,
     * made deterministic): labels start as node ids; each round every
     * node adopts the most frequent label among its neighbors, ties

@@ -449,6 +449,35 @@ object Analytics extends QueryModule {
           > 2.0, false) AS is_anomaly
       FROM z ORDER BY day""")),
 
+    // ---- Per-key interval merge (Intervals.mergeIntervals): events
+    // become 10-minute spans [ts, ts+600s]; overlapping/touching spans
+    // per user coalesce through the sweep-line windows (running max of
+    // prior ends → break flags → running break count) + one (key,
+    // group) aggregate — the span twin of gap sessionization.
+    QueryDef("w_interval_merge", (s, d) => {
+      val iv = Tables.events(s, d).select(col("user_id"),
+        col("ts_us").as("s0"), (col("ts_us") + lit(600000000L)).as("e0"))
+      graft.ops.Intervals.mergeIntervals(iv, Seq("user_id"), "s0", "e0")
+        .orderBy("user_id", "start")
+    }, Some("""
+      WITH iv AS (SELECT user_id, epoch_us(ts) AS s0,
+                    epoch_us(ts) + 600000000 AS e0 FROM events),
+      pm AS (SELECT user_id, s0, e0,
+               max(e0) OVER (PARTITION BY user_id ORDER BY s0, e0
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+             FROM iv),
+      w AS (SELECT user_id, s0, e0,
+              CASE WHEN pmax IS NULL OR s0 > pmax THEN 1 ELSE 0 END
+                AS brk
+            FROM pm),
+      g AS (SELECT user_id, s0, e0,
+              SUM(brk) OVER (PARTITION BY user_id ORDER BY s0, e0
+                ROWS UNBOUNDED PRECEDING) AS grp
+            FROM w)
+      SELECT user_id, MIN(s0) AS start, MAX(e0) AS "end",
+        CAST(COUNT(*) AS BIGINT) AS n_spans
+      FROM g GROUP BY user_id, grp ORDER BY user_id, start""")),
+
     // ---- Robust outlier flags via the median/MAD modified z-score
     // (Clean.madOutliers, Iglewicz–Hoaglin): two exact-quantile passes
     // (two-phase ordinals, no single-task sort) collapse to broadcast

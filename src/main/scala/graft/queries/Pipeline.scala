@@ -309,6 +309,31 @@ object Pipeline extends QueryModule {
       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
       ORDER BY doc_a, doc_b""")),
 
+    // ---- Asymmetric shingle CONTAINMENT |A∩B|/|A| ≥ 0.8 (Broder;
+    // Dedup.containmentPairs): the short-doc-inside-long-doc measure
+    // symmetric Jaccard dilutes as the container grows. DIRECTED
+    // pairs; same df-cap blocking and filtered-universe semantics as
+    // the Jaccard gate.
+    QueryDef("d_containment_pairs", (s, d) => {
+      Dedup.containmentPairs(docs(s, d), 3, 0.8, maxShingleDf = 50)
+        .orderBy("doc_a", "doc_b")
+    }, Some(s"""
+      WITH $duckShingleCtes,
+      ex AS (SELECT doc_id, unnest(shingles) AS shg FROM sh),
+      hot AS (SELECT shg FROM ex GROUP BY shg HAVING COUNT(*) > 50),
+      kept AS (SELECT ex.doc_id, ex.shg FROM ex
+               LEFT JOIN hot ON ex.shg = hot.shg WHERE hot.shg IS NULL),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS inter
+                FROM kept a JOIN kept b
+                  ON a.shg = b.shg AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / sa.n AS containment
+      FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+      WHERE CAST(inter AS DOUBLE) / sa.n >= 0.8
+      ORDER BY doc_a, doc_b""")),
+
     // ---- Fuzzy string join (entity resolution): probes are the first
     // 20 part names with their 3rd character deleted; targets are the
     // distinct part names. Blocking on each string's PREFIX under the
@@ -2624,7 +2649,57 @@ object Pipeline extends QueryModule {
       ${duckKcoreRounds(2, 6)}
       SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
         SELECT u AS node FROM e6 UNION ALL SELECT v AS node FROM e6) z
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1""")),
+
+    // ---- Multi-source BFS distances over the corpus word graph,
+    // bounded at 3 hops (Graph.bfsDistances): sources are the two most
+    // frequent tokens (count desc, token asc — a total order); per
+    // round one adjacency ⋈ frontier join + anti-join against the
+    // settled set, lineage cut per round (the k^rounds defense). The
+    // oracle unrolls all three rounds through MATERIALIZED CTEs.
+    QueryDef("g_bfs_dist", (s, d) => {
+      val dd = docs(s, d)
+      val srcs = dd
+        .select(explode(expr(Hashing.tokensSql)).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("w")).limit(2)
+        .select(col("w").as("node"))
+      graft.ops.Graph.bfsDistances(
+        graft.ops.Graph.wordGraph(dd).select("src", "dst"), srcs, 3)
+        .orderBy("node")
+    }, Some("""
+      WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+')
+                      AS tk FROM documents),
+      pairs AS (SELECT unnest(list_transform(range(1, len(tk)),
+                  i -> {'src': tk[i], 'dst': tk[i+1]})) AS p FROM toks),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT least(p.src, p.dst) AS u,
+          greatest(p.src, p.dst) AS v
+        FROM pairs WHERE p.src <> p.dst),
+      adj AS MATERIALIZED (SELECT u AS a, v AS b FROM e0
+        UNION ALL SELECT v, u FROM e0),
+      uni AS (SELECT unnest(tk) AS w FROM toks),
+      srcs AS (SELECT w AS node FROM (
+        SELECT w, COUNT(*) AS cnt FROM uni GROUP BY 1
+        ORDER BY cnt DESC, w LIMIT 2)),
+      d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist
+        FROM srcs),
+      f1 AS MATERIALIZED (SELECT DISTINCT adj.b AS node
+        FROM adj JOIN d0 ON adj.a = d0.node
+        LEFT JOIN d0 z ON adj.b = z.node WHERE z.node IS NULL),
+      d1 AS MATERIALIZED (SELECT * FROM d0
+        UNION ALL SELECT node, 1 FROM f1),
+      f2 AS MATERIALIZED (SELECT DISTINCT adj.b AS node
+        FROM adj JOIN f1 ON adj.a = f1.node
+        LEFT JOIN d1 z ON adj.b = z.node WHERE z.node IS NULL),
+      d2 AS MATERIALIZED (SELECT * FROM d1
+        UNION ALL SELECT node, 2 FROM f2),
+      f3 AS MATERIALIZED (SELECT DISTINCT adj.b AS node
+        FROM adj JOIN f2 ON adj.a = f2.node
+        LEFT JOIN d2 z ON adj.b = z.node WHERE z.node IS NULL),
+      d3 AS MATERIALIZED (SELECT * FROM d2
+        UNION ALL SELECT node, 3 FROM f3)
+      SELECT node, dist FROM d3 ORDER BY node"""))
   )
 
   /** DuckDB twin of [[graft.ops.Pq]]'s squared-L2 sequential fold. */

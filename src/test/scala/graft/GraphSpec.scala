@@ -99,6 +99,31 @@ class GraphSpec extends AnyFunSuite {
       7L -> 7L, 8L -> 7L, 9L -> 7L))
   }
 
+  test("bfs distances: nearest source wins, bound truncates") {
+    // path a-b-c-d-e-f plus source z attached at e: distances from
+    // {a, z} within 3 hops; f is 1 from z via e? no — z-e edge, f-e
+    // edge: f is 2 via z-e-f
+    val e = edgesDf(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L),
+      ("d", "e", 1L), ("e", "f", 1L), ("z", "e", 1L))
+      .select("src", "dst")
+    val out = Graph.bfsDistances(e, nodesDf("a", "z"), 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 0L, "z" -> 0L, "b" -> 1L, "e" -> 1L,
+      "c" -> 2L, "d" -> 2L, "f" -> 2L))
+    // d is 3 from a but 2 from z through e: nearest-source wins ✓ (2)
+    // rounds=1 truncates: only the 1-hop ball
+    val one = Graph.bfsDistances(e, nodesDf("a"), 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one === Map("a" -> 0L, "b" -> 1L))
+  }
+
+  test("bfs distances: a source off the graph stays at distance 0") {
+    val e = edgesDf(("a", "b", 1L)).select("src", "dst")
+    val out = Graph.bfsDistances(e, nodesDf("q"), 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("q" -> 0L))
+  }
+
   test("textRank ranks hub tokens above leaf tokens") {
     val s = spark; import s.implicits._
     // 'hub' receives links from every other token; leaves only from hub.

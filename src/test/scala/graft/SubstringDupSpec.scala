@@ -15,6 +15,24 @@ class SubstringDupSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text")
   }
 
+  test("containment: a short doc inside a long one scores 1.0 one way") {
+    // doc 1's shingle set is a subset of doc 2's; the reverse
+    // direction dilutes by doc 2's extra shingles; Jaccard for the
+    // pair sits at 3/7 — under any 0.5 threshold
+    val d = df(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota")
+    val out = Dedup.containmentPairs(d, 3, 0.5, Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(out((1L, 2L)) === 1.0)
+    assert(!out.contains((2L, 1L))) // 3/7 < 0.5
+    val both = Dedup.containmentPairs(d, 3, 0.3, Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(math.abs(both((2L, 1L)) - 3.0 / 7.0) < 1e-12)
+  }
+
   test("short docs (< w tokens) produce no windows and no failure") {
     val d = df(1L -> "only three tokens", 2L -> "a b c d e",
       3L -> "exactly four tokens here")
