@@ -296,6 +296,42 @@ object EventAnalytics {
       .orderBy(desc("n"), asc("path")).limit(k)
   }
 
+  /** Last-touch conversion attribution: every `convType` event is
+    * credited to the nearest STRICTLY-PRECEDING event of any other
+    * type in the same user's (ts, event_id)-ordered stream
+    * (`__none__` when nothing precedes); output is the per-touch-type
+    * conversion count and share.
+    *
+    * The "last preceding non-conversion event" is the portable
+    * forward-fill (the [[gapFillDaily]] running-non-null-count trick,
+    * not `last(ignoreNulls)`): rows sharing the running count of touch
+    * events form one fill group whose single non-null member is the
+    * touch. Two per-user windows + one |types|-bounded aggregate;
+    * the share total rides as a broadcast 1-row frame.
+    */
+  def lastTouchAttribution(events: DataFrame, convType: String)
+      : DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val marked = events.select("user_id", "event_id", "event_type", "ts_us")
+      .withColumn("__t",
+        when(col("event_type") =!= convType, col("event_type")))
+      .withColumn("__c", count(col("__t")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val conv = marked
+      .withColumn("touch",
+        max(col("__t")).over(Window.partitionBy("user_id", "__c")))
+      .filter(col("event_type") === convType)
+      .select(coalesce(col("touch"), lit("__none__")).as("touch"))
+    val counts = conv.groupBy("touch").agg(count(lit(1)).as("n_conversions"))
+    val tot = counts.agg(sum(col("n_conversions")).as("__n"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("touch"), col("n_conversions"),
+        round(col("n_conversions").cast("double") /
+          col("__n").cast("double"), 6).as("share"))
+      .orderBy("touch")
+  }
+
   /** Rolling z-score anomaly flags over the gap-filled daily count
     * series: each day scores against the trailing `window`-day mean
     * and sample stddev (current day EXCLUDED — an anomalous day must

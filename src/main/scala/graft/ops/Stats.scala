@@ -114,6 +114,38 @@ object Stats {
       .select(col("n"), col("n_cells"), col("mi"))
   }
 
+  /** Pearson χ² test of independence between two categorical columns:
+    * one row (n, dof, chi2) with chi2 = Σ_cells (O − E)²/E over the
+    * FULL |X|×|Y| grid — zero-observed cells still contribute their
+    * expectation, so the grid is the marginal frames' cross join (both
+    * broadcast, |X|·|Y| rows) left-joined against the observed joint.
+    * The companion significance measure to [[mutualInformation]], same
+    * shapes: one (x, y) hash aggregate, marginals derived from it,
+    * per-cell terms round(,9) into DECIMAL.
+    */
+  def chiSquareIndependence(df: DataFrame, xCol: String, yCol: String)
+      : DataFrame = {
+    val joint = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("nxy"))
+    val mx = joint.groupBy("x").agg(sum(col("nxy")).as("nx"))
+    val my = joint.groupBy("y").agg(sum(col("nxy")).as("ny"))
+    val tot = joint.agg(sum(col("nxy")).as("n"))
+    val grid = broadcast(mx).crossJoin(broadcast(my))
+      .join(joint, Seq("x", "y"), "left")
+      .withColumn("o", coalesce(col("nxy"), lit(0L)))
+    grid.crossJoin(broadcast(tot))
+      .withColumn("e", expr(
+        "cast(nx as double) * cast(ny as double) / cast(n as double)"))
+      .select(col("n"), col("x"), col("y"), expr(
+        "cast(round((cast(o as double) - e) * (cast(o as double) - e)" +
+          " / e, 9) as decimal(24,9))").as("term"))
+      .groupBy("n")
+      .agg(((countDistinct(col("x")) - 1) *
+        (countDistinct(col("y")) - 1)).as("dof"),
+        round(sum(col("term")).cast("double"), 6).as("chi2"))
+      .select(col("n"), col("dof"), col("chi2"))
+  }
+
   /** Smoothed target (mean) encoding of a categorical column — the
     * classic high-cardinality feature encoder: enc(c) = (Σ_c y + m·ȳ)
     * / (n_c + m), shrinking rare categories toward the global mean

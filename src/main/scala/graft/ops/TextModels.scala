@@ -312,6 +312,60 @@ object TextModels {
       .filter(col("weight") =!= 0)
   }
 
+  /** χ² term selection against a document label (the feature-selection
+    * workhorse; Yang & Pedersen 1997): for each (term, label) the
+    * presence/absence × label contingency, summed over the FULL
+    * 2 × |labels| grid per term — chi2 = Σ (O − E)²/E with E from the
+    * per-label doc counts and the term's document frequency. Returns
+    * the top `k` terms by (chi2 desc, term asc), with document
+    * frequency.
+    *
+    * Shapes: presence is DISTINCT (doc, term) — one explode + distinct;
+    * per-(term, label) counts are one hash aggregate; the per-term ×
+    * per-label grid is |vocab| × |labels| rows built by cross-joining
+    * the tiny broadcast label frame; zero-observed cells contribute
+    * their expectation (absent-side cells derive as n_label − O). A
+    * cell with E = 0 contributes 0 (nt = N or nt = 0 degenerates).
+    * Per-cell terms round(,9) into DECIMAL; TakeOrdered top-k.
+    */
+  def chi2Terms(docs: DataFrame, labelCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val present = docs
+      .select(col("doc_id"), col(labelCol).as("lbl"),
+        explode(expr(Hashing.tokensSql)).as("term"))
+      .distinct()
+    val byTermLabel = present.groupBy("term", "lbl")
+      .agg(count(lit(1)).as("o1"))
+    val byLabel = docs.groupBy(col(labelCol).as("lbl"))
+      .agg(count(lit(1)).as("nl"))
+    val byTerm = byTermLabel.groupBy("term").agg(sum(col("o1")).as("nt"))
+    val tot = docs.agg(count(lit(1)).as("nn"))
+    val grid = byTerm.crossJoin(broadcast(byLabel))
+      .join(byTermLabel, Seq("term", "lbl"), "left")
+      .withColumn("o1", coalesce(col("o1"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    // presence cell: E1 = nt·nl/N; absence cell: O0 = nl − o1,
+    // E0 = (N−nt)·nl/N — both spelled once via bound columns
+    val terms = grid
+      .withColumn("e1", expr(
+        "cast(nt as double) * cast(nl as double) / cast(nn as double)"))
+      .withColumn("e0", expr(
+        "cast(nn - nt as double) * cast(nl as double) / " +
+          "cast(nn as double)"))
+      .withColumn("t1", expr(
+        "case when e1 > 0 then (cast(o1 as double) - e1) * " +
+          "(cast(o1 as double) - e1) / e1 else 0.0D end"))
+      .withColumn("t0", expr(
+        "case when e0 > 0 then (cast(nl - o1 as double) - e0) * " +
+          "(cast(nl - o1 as double) - e0) / e0 else 0.0D end"))
+      .select(col("term"), col("nt"),
+        expr("cast(round(t1 + t0, 9) as decimal(24,9))").as("cell"))
+    terms.groupBy("term")
+      .agg(max(col("nt")).as("n_docs"),
+        round(sum(col("cell")).cast("double"), 6).as("chi2"))
+      .orderBy(desc("chi2"), asc("term")).limit(k)
+  }
+
   /** Stupid-backoff trigram language model (Brants et al. 2007, "Large
     * Language Models in Machine Translation" — the web-scale LM scoring
     * scheme designed for exactly this distributed count-table shape):

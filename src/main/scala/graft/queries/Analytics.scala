@@ -600,6 +600,103 @@ object Analytics extends QueryModule {
       FROM g WHERE w2 IS NOT NULL
       GROUP BY 1 ORDER BY n DESC, path LIMIT 20""")),
 
+    // ---- Last-touch conversion attribution
+    // (EventAnalytics.lastTouchAttribution): purchases credit the
+    // nearest strictly-preceding non-purchase event via the portable
+    // forward-fill (running-non-null-count fill groups); per-touch
+    // counts + shares, total broadcast.
+    QueryDef("e_attribution", (s, d) => {
+      EventAnalytics.lastTouchAttribution(Tables.events(s, d), "purchase")
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts)
+                   AS ts_us FROM events),
+      m AS (SELECT user_id, event_id, event_type, ts_us,
+              CASE WHEN event_type <> 'purchase' THEN event_type END AS t
+            FROM e),
+      c AS (SELECT *, COUNT(t) OVER (PARTITION BY user_id
+              ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS cc
+            FROM m),
+      f AS (SELECT *, MAX(t) OVER (PARTITION BY user_id, cc) AS touch
+            FROM c),
+      conv AS (SELECT COALESCE(touch, '__none__') AS touch FROM f
+               WHERE event_type = 'purchase'),
+      cnt AS (SELECT touch, CAST(COUNT(*) AS BIGINT) AS n_conversions
+              FROM conv GROUP BY 1),
+      tt AS (SELECT CAST(SUM(n_conversions) AS BIGINT) AS nt FROM cnt)
+      SELECT touch, n_conversions,
+        round(CAST(n_conversions AS DOUBLE) / CAST(nt AS DOUBLE), 6)
+          AS share
+      FROM cnt CROSS JOIN tt ORDER BY touch""")),
+
+    // ---- Pearson χ² independence test between two categoricals
+    // (Stats.chiSquareIndependence): the FULL |X|×|Y| grid (zero cells
+    // contribute their expectation) from cross-joined broadcast
+    // marginals; decimal-rounded cell terms; one (n, dof, chi2) row.
+    QueryDef("a_chi2_independence", (s, d) => {
+      graft.ops.Stats.chiSquareIndependence(t(s, d, "lineitem"),
+        "l_returnflag", "l_linestatus")
+    }, Some("""
+      WITH joint AS (SELECT l_returnflag AS x, l_linestatus AS y,
+              CAST(COUNT(*) AS BIGINT) AS nxy
+            FROM lineitem GROUP BY 1, 2),
+      mx AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM joint
+             GROUP BY 1),
+      my AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM joint
+             GROUP BY 1),
+      tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM joint),
+      grid AS (SELECT mx.x, my.y, nx, ny, COALESCE(nxy, 0) AS o
+               FROM mx CROSS JOIN my
+               LEFT JOIN joint ON mx.x = joint.x AND my.y = joint.y),
+      terms AS (SELECT n, CAST(round((CAST(o AS DOUBLE) - e) *
+                  (CAST(o AS DOUBLE) - e) / e, 9) AS DECIMAL(24,9))
+                  AS term
+                FROM (SELECT *, CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+                        / CAST(n AS DOUBLE) AS e
+                      FROM grid CROSS JOIN tot))
+      SELECT n, CAST(((SELECT COUNT(*) FROM mx) - 1) *
+          ((SELECT COUNT(*) FROM my) - 1) AS BIGINT) AS dof,
+        round(CAST(SUM(term) AS DOUBLE), 6) AS chi2
+      FROM terms GROUP BY n""")),
+
+    // ---- χ² term selection against the document language
+    // (TextModels.chi2Terms, Yang & Pedersen 1997): DISTINCT (doc,
+    // term) presence, per-(term, label) counts, the full 2×|labels|
+    // contingency per term from the broadcast label frame; top-20 by
+    // (chi2 desc, term asc).
+    QueryDef("m_chi2_terms", (s, d) => {
+      TextModels.chi2Terms(docs(s, d), "lang", 20)
+    }, Some("""
+      WITH pres AS (SELECT DISTINCT doc_id, lang AS lbl,
+              unnest(list_distinct(regexp_extract_all(lower(text),
+                '[a-z0-9]+'))) AS term
+            FROM documents),
+      btl AS (SELECT term, lbl, CAST(COUNT(*) AS BIGINT) AS o1
+              FROM pres GROUP BY 1, 2),
+      bl AS (SELECT lang AS lbl, CAST(COUNT(*) AS BIGINT) AS nl
+             FROM documents GROUP BY 1),
+      bt AS (SELECT term, CAST(SUM(o1) AS BIGINT) AS nt FROM btl
+             GROUP BY 1),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+      grid AS (SELECT bt.term, bl.lbl, bt.nt, bl.nl,
+                 COALESCE(btl.o1, 0) AS o1
+               FROM bt CROSS JOIN bl
+               LEFT JOIN btl ON bt.term = btl.term AND bl.lbl = btl.lbl),
+      cells AS (SELECT term, nt, CAST(round(
+          (CASE WHEN e1 > 0 THEN (CAST(o1 AS DOUBLE) - e1) *
+            (CAST(o1 AS DOUBLE) - e1) / e1 ELSE 0.0 END) +
+          (CASE WHEN e0 > 0 THEN (CAST(nl - o1 AS DOUBLE) - e0) *
+            (CAST(nl - o1 AS DOUBLE) - e0) / e0 ELSE 0.0 END), 9)
+          AS DECIMAL(24,9)) AS cell
+        FROM (SELECT *,
+            CAST(nt AS DOUBLE) * CAST(nl AS DOUBLE) /
+              CAST(nn AS DOUBLE) AS e1,
+            CAST(nn - nt AS DOUBLE) * CAST(nl AS DOUBLE) /
+              CAST(nn AS DOUBLE) AS e0
+          FROM grid CROSS JOIN tot))
+      SELECT term, MAX(nt) AS n_docs,
+        round(CAST(SUM(cell) AS DOUBLE), 6) AS chi2
+      FROM cells GROUP BY term ORDER BY chi2 DESC, term LIMIT 20""")),
+
     // ---- Stupid-backoff trigram LM (Brants et al. 2007): counts
     // trained on the even-md5 half of the corpus, the odd half scored
     // per position with α=0.4 backoff (unseen words floor at 1/N).

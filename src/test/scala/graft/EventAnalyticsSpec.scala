@@ -186,6 +186,31 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(top1 === Seq("a>b"))
   }
 
+  test("attribution: last strictly-preceding non-conversion event wins") {
+    // user 1: ad → email → purchase (email gets it), then another
+    // purchase with no new touch (email again); user 2: purchase with
+    // no preceding touch → __none__
+    val e = ev(
+      (1L, 1L, "ad", 10L, 0.0), (1L, 2L, "email", 20L, 0.0),
+      (1L, 3L, "purchase", 30L, 0.0), (1L, 4L, "purchase", 40L, 0.0),
+      (2L, 5L, "purchase", 5L, 0.0))
+    val out = EventAnalytics.lastTouchAttribution(e, "purchase")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getDouble(2)))).toMap
+    assert(out("email") === ((2L, 0.666667)))
+    assert(out("__none__") === ((1L, 0.333333)))
+    assert(!out.contains("ad"))
+  }
+
+  test("attribution: a conversion at the touch's timestamp still " +
+    "credits it when the event_id orders after") {
+    val e = ev(
+      (1L, 1L, "ad", 10L, 0.0), (1L, 2L, "purchase", 10L, 0.0))
+    val out = EventAnalytics.lastTouchAttribution(e, "purchase")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("ad" -> 1L))
+  }
+
   test("trigram backoff: seen trigrams use the trigram estimate; " +
     "unseen back off") {
     val s = spark; import s.implicits._

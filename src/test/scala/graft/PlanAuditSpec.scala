@@ -70,7 +70,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "a_mad_outliers",
     // m_target_encoding: the 1-row global-mean frame cross-joined into
     // the |categories|-row encoding table
-    "m_target_encoding")
+    "m_target_encoding",
+    // e_attribution: the 1-row share total cross-joined into the
+    // |types|-row attribution table
+    "e_attribution",
+    // a_chi2_independence / m_chi2_terms: the contingency grid is the
+    // broadcast marginal frames' cross join (|X|·|Y| / vocab×|labels|
+    // rows) plus the 1-row total — the j_cross_grid dimension shape
+    "a_chi2_independence", "m_chi2_terms")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -127,7 +134,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // (the f_winsorize_price shape, twice)
     "a_mad_outliers",
     // m_target_encoding: the global-mean 1-row combine
-    "m_target_encoding")
+    "m_target_encoding",
+    // e_attribution / a_chi2_independence / m_chi2_terms: the 1-row
+    // total combines (share denominator / N / corpus size)
+    "e_attribution", "a_chi2_independence", "m_chi2_terms")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

@@ -166,6 +166,27 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(again.toSeq == out.toSeq) // term order must not matter
   }
 
+  test("chi2Terms ranks the label-exclusive token above the shared one") {
+    val s = spark; import s.implicits._
+    // 'solo' appears only in label-a docs; 'both' in every doc; 'rare'
+    // in one doc of each label (independent of the label)
+    val docs = Seq(
+      (1L, "both solo", "a"), (2L, "both solo", "a"),
+      (3L, "both solo", "a"), (4L, "both", "b"),
+      (5L, "both rare", "b"), (6L, "both rare a0", "a")) // a0: tie noise
+      .toDF("doc_id", "text", "lang")
+    val out = TextModels.chi2Terms(docs, "lang", 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val m = out.map(t => t._1 -> t._3).toMap
+    // label-exclusive token dominates; the everywhere token scores 0
+    assert(m("solo") > m("rare"))
+    assert(m("both") === 0.0)
+    // df carried through
+    assert(out.find(_._1 == "solo").get._2 === 3L)
+    // top-1 is the most dependent term
+    assert(out.head._1 === "solo")
+  }
+
   test("streaming window counts equal the batch aggregation (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = graft.streaming.Events.windowCounts(spark, dir)

@@ -24,6 +24,26 @@ class StatsSpec extends AnyFunSuite {
     out.sliding(2).foreach { case Array(a, b) => assert(a._4 === b._3) }
   }
 
+  test("chi2 independence: a perfectly dependent pair scores n·(k−1)") {
+    val s = spark; import s.implicits._
+    // y === x over two values: chi2 = n·(min(|X|,|Y|)−1) = n, dof 1
+    val df = (1 to 40).map(i => (s"v${i % 2}", s"v${i % 2}"))
+      .toDF("x", "y")
+    val out = Stats.chiSquareIndependence(df, "x", "y").collect().head
+    assert(out.getLong(0) === 40L && out.getLong(1) === 1L)
+    assert(out.getDouble(2) === 40.0)
+  }
+
+  test("chi2 independence: an independent grid scores ~0") {
+    val s = spark; import s.implicits._
+    // uniform product distribution: observed == expected exactly
+    val df = (for (x <- 0 to 1; y <- 0 to 2; _ <- 1 to 5)
+      yield (s"x$x", s"y$y")).toDF("x", "y")
+    val out = Stats.chiSquareIndependence(df, "x", "y").collect().head
+    assert(out.getLong(1) === 2L)
+    assert(out.getDouble(2) === 0.0)
+  }
+
   test("target encoding: rare categories shrink toward the global mean") {
     val s = spark; import s.implicits._
     // global mean 10; 'a' (100 obs, mean 0) vs 'b' (1 obs, value 1000)
