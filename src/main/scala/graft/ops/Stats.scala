@@ -114,6 +114,43 @@ object Stats {
       .select(col("n"), col("n_cells"), col("mi"))
   }
 
+  /** Key-distribution skew report — the "should this join be salted?"
+    * diagnostic: one row (n_rows, n_keys, top1_share, top10_share,
+    * gini) for a prospective join/aggregation key. Gini comes from the
+    * exact discrete Lorenz formula G = 2·Σᵢ i·cntᵢ / (K·N) − (K+1)/K
+    * over counts ranked ASCENDING — Σ i·cnt is an exact BIGINT riding
+    * the two-phase [[Rank.globalOrdinal]] (no single-task sort even
+    * when the key universe is huge; ties contribute the same sum under
+    * any order, and the (cnt, key) order is total anyway).
+    *
+    * Shapes: one key-count aggregate, the ordinal's range partition
+    * over the |keys|-row count table, a TakeOrdered(10) for the
+    * top-10 mass, three 1-row frames cross-joined. Reading: gini → 0
+    * uniform, → 1 one key owns everything; top1_share vs 1/n_keys is
+    * the hot-key ratio that decides salting (`ops/Skew.saltedJoin`).
+    */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val ranked = Rank.globalOrdinal(counts,
+      Seq(col("cnt").asc, col("k").asc), "__i")
+    val top1 = counts.agg(max(col("cnt")).as("top1"))
+    val top10 = counts.orderBy(desc("cnt"), asc("k")).limit(10)
+      .agg(sum(col("cnt")).as("top10"))
+    ranked.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        sum((col("__i") + 1) * col("cnt")).as("sic"))
+      .crossJoin(broadcast(top1)).crossJoin(broadcast(top10))
+      .select(col("n_rows"), col("n_keys"),
+        round(expr("cast(top1 as double) / cast(n_rows as double)"), 6)
+          .as("top1_share"),
+        round(expr("cast(top10 as double) / cast(n_rows as double)"), 6)
+          .as("top10_share"),
+        round(expr("(2.0D * cast(sic as double)) / " +
+          "(cast(n_keys as double) * cast(n_rows as double)) - " +
+          "(cast(n_keys as double) + 1.0D) / cast(n_keys as double)"), 6)
+          .as("gini"))
+  }
+
   /** Pearson χ² test of independence between two categorical columns:
     * one row (n, dof, chi2) with chi2 = Σ_cells (O − E)²/E over the
     * FULL |X|×|Y| grid — zero-observed cells still contribute their

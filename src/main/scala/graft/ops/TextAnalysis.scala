@@ -207,4 +207,43 @@ object TextAnalysis {
         round(sum(col("nll")).cast("double") / count(lit(1)), 6)
           .as("mean_nll"))
   }
+
+  /** Zipf-law fit of the corpus token frequency table: least-squares
+    * line through (ln rank, ln count) — the classic corpus-health
+    * diagnostic (natural text slopes near −1; boilerplate-heavy or
+    * template corpora bend away). One row (n_types, slope, intercept,
+    * r2).
+    *
+    * Shapes: one token-count aggregate, ranks from the two-phase
+    * [[Rank.globalOrdinal]] under the total (count desc, token asc)
+    * order, then ONE moment aggregate. Determinism: per-point ln
+    * values round(,9) into DECIMAL(12,9) (products exact at (25,18)),
+    * so Σx, Σy, Σxy, Σx², Σy² are order-independent; the closed-form
+    * slope/intercept/r² are single IEEE expressions off those sums.
+    */
+  def zipfFit(docs: DataFrame): DataFrame = {
+    val counts = docs.select(explode(expr(tokensSql)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val pts = Rank.globalOrdinal(counts,
+      Seq(col("cnt").desc, col("tok").asc), "__i")
+      .select(
+        expr("cast(round(ln(cast(__i as double) + 1.0D), 9) " +
+          "as decimal(12,9))").as("x"),
+        expr("cast(round(ln(cast(cnt as double)), 9) " +
+          "as decimal(12,9))").as("y"))
+    pts
+      .agg(count(lit(1)).as("kk"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"))
+      .withColumn("dk", expr("cast(kk as double)"))
+      .withColumn("dsx", expr("cast(sx as double)"))
+      .withColumn("dsy", expr("cast(sy as double)"))
+      .withColumn("num", expr("dk * cast(sxy as double) - dsx * dsy"))
+      .withColumn("den", expr("dk * cast(sxx as double) - dsx * dsx"))
+      .withColumn("deny", expr("dk * cast(syy as double) - dsy * dsy"))
+      .select(col("kk").as("n_types"),
+        round(expr("num / den"), 6).as("slope"),
+        round(expr("(dsy - (num / den) * dsx) / dk"), 6).as("intercept"),
+        round(expr("(num * num) / (den * deny)"), 6).as("r2"))
+  }
 }

@@ -600,6 +600,72 @@ object Analytics extends QueryModule {
       FROM g WHERE w2 IS NOT NULL
       GROUP BY 1 ORDER BY n DESC, path LIMIT 20""")),
 
+    // ---- Key-distribution skew report (Stats.skewReport): the
+    // "should this join be salted?" diagnostic — top-1/top-10 shares +
+    // exact discrete Gini off the two-phase ordinal (Σ i·cnt is exact
+    // BIGINT; no single-task sort over the key universe).
+    QueryDef("q_skew_report", (s, d) => {
+      graft.ops.Stats.skewReport(t(s, d, "lineitem"), "l_partkey")
+    }, Some("""
+      WITH c AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM lineitem GROUP BY 1),
+      r AS (SELECT k, cnt, ROW_NUMBER() OVER (ORDER BY cnt, k) AS i
+            FROM c),
+      t1 AS (SELECT MAX(cnt) AS top1 FROM c),
+      t10 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS top10 FROM (
+                SELECT cnt FROM c ORDER BY cnt DESC, k LIMIT 10)),
+      s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+              CAST(SUM(cnt) AS BIGINT) AS n_rows,
+              CAST(SUM(i * cnt) AS BIGINT) AS sic
+            FROM r)
+      SELECT n_rows, n_keys,
+        round(CAST(top1 AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+          AS top1_share,
+        round(CAST(top10 AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+          AS top10_share,
+        round((2.0 * CAST(sic AS DOUBLE)) /
+          (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE)) -
+          (CAST(n_keys AS DOUBLE) + 1.0) / CAST(n_keys AS DOUBLE), 6)
+          AS gini
+      FROM s CROSS JOIN t1 CROSS JOIN t10""")),
+
+    // ---- Zipf-law fit over the corpus token frequency table
+    // (TextAnalysis.zipfFit): least squares through (ln rank,
+    // ln count) — decimal-rounded per-point moments, closed-form
+    // slope/intercept/r² in one IEEE expression; the corpus-health
+    // diagnostic (natural text ≈ −1).
+    QueryDef("t_zipf_fit", (s, d) => {
+      graft.ops.TextAnalysis.zipfFit(docs(s, d))
+    }, Some("""
+      WITH tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+              SELECT unnest(regexp_extract_all(lower(text),
+                '[a-z0-9]+')) AS tok FROM documents) GROUP BY 1),
+      r AS (SELECT cnt,
+              ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rk FROM tc),
+      p AS (SELECT
+              CAST(round(ln(CAST(rk AS DOUBLE)), 9) AS DECIMAL(12,9))
+                AS x,
+              CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(12,9))
+                AS y
+            FROM r),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS kk, SUM(x) AS sx,
+              SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+              SUM(y * y) AS syy
+            FROM p),
+      d AS (SELECT kk, CAST(kk AS DOUBLE) AS dk,
+              CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy,
+              CAST(kk AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+              CAST(kk AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+              CAST(kk AS DOUBLE) * CAST(syy AS DOUBLE) -
+                CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+            FROM m)
+      SELECT kk AS n_types, round(num / den, 6) AS slope,
+        round((dsy - (num / den) * dsx) / dk, 6) AS intercept,
+        round((num * num) / (den * deny), 6) AS r2
+      FROM d""")),
+
     // ---- Last-touch conversion attribution
     // (EventAnalytics.lastTouchAttribution): purchases credit the
     // nearest strictly-preceding non-purchase event via the portable

@@ -166,6 +166,19 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(again.toSeq == out.toSeq) // term order must not matter
   }
 
+  test("zipfFit recovers the exponent of an exact power-law corpus") {
+    val s = spark; import s.implicits._
+    // counts c(r) = floor(1000 / r) for ranks 1..50 — ln c ≈ ln 1000
+    // − ln r, so the fit slope must sit near −1 with r² near 1
+    val text = (1 to 50).flatMap(r =>
+      Seq.fill(1000 / r)(s"tok${"%03d".format(r)}")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val out = TextAnalysis.zipfFit(docs).collect().head
+    assert(out.getLong(0) === 50L)
+    assert(math.abs(out.getDouble(1) + 1.0) < 0.05, s"slope ${out}")
+    assert(out.getDouble(3) > 0.99, s"r2 ${out}")
+  }
+
   test("chi2Terms ranks the label-exclusive token above the shared one") {
     val s = spark; import s.implicits._
     // 'solo' appears only in label-a docs; 'both' in every doc; 'rare'

@@ -24,6 +24,23 @@ class StatsSpec extends AnyFunSuite {
     out.sliding(2).foreach { case Array(a, b) => assert(a._4 === b._3) }
   }
 
+  test("skew report: uniform keys score gini 0; a hot key dominates") {
+    val s = spark; import s.implicits._
+    // 4 keys × 5 rows each: perfectly uniform
+    val uni = (for (k <- 1 to 4; _ <- 1 to 5) yield Tuple1(k.toLong))
+      .toDF("k")
+    val u = Stats.skewReport(uni, "k").collect().head
+    assert(u.getLong(0) === 20L && u.getLong(1) === 4L)
+    assert(u.getDouble(4) === 0.0) // gini
+    assert(u.getDouble(2) === 0.25) // top1 share
+    // one key holds 96 of 100 rows
+    val hot = ((1 to 96).map(_ => 1L) ++ Seq(2L, 3L, 4L, 5L))
+      .map(Tuple1(_)).toDF("k")
+    val h = Stats.skewReport(hot, "k").collect().head
+    assert(h.getDouble(2) === 0.96)
+    assert(h.getDouble(4) > 0.7) // strongly concentrated
+  }
+
   test("chi2 independence: a perfectly dependent pair scores n·(k−1)") {
     val s = spark; import s.implicits._
     // y === x over two values: chi2 = n·(min(|X|,|Y|)−1) = n, dof 1
