@@ -296,6 +296,49 @@ object EventAnalytics {
       .orderBy(desc("n"), asc("path")).limit(k)
   }
 
+  /** A/B experiment readout: users deterministically hash-assigned to
+    * variants A/B (md5 of the salted user key mod 2 — the same
+    * per-row-hash membership as every sampling split here, so
+    * assignment is stable across runs and engines), a user converts
+    * when they have ≥ 1 event satisfying `isConversion`, and the
+    * readout is ONE row: per-variant sizes, conversions, rates, and
+    * the pooled two-proportion z statistic (null when a variant is
+    * empty or the pooled rate is degenerate — zero variance).
+    *
+    * Shapes: one per-user aggregate (conversion flag), one scalar
+    * conditional aggregate — nothing downstream of the user rollup
+    * grows with the event count. All rates/z are single IEEE
+    * expressions off exact integers, round(,6).
+    */
+  def abTest(events: DataFrame, isConversion: Column): DataFrame = {
+    Hashing.ensureRegistered(events)
+    val perUser = events.groupBy("user_id")
+      .agg(max(when(isConversion, 1L).otherwise(0L)).as("conv"))
+      .withColumn("variant", pmod(Hashing.md5Long(
+        concat(lit("ab:"), col("user_id").cast("string"))), lit(2L)))
+    perUser.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0L))
+          .as("conv_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0L))
+          .as("conv_b"))
+      .withColumn("p_a", expr("case when n_a > 0 then " +
+        "cast(conv_a as double) / cast(n_a as double) end"))
+      .withColumn("p_b", expr("case when n_b > 0 then " +
+        "cast(conv_b as double) / cast(n_b as double) end"))
+      .withColumn("pp", expr("case when n_a + n_b > 0 then " +
+        "cast(conv_a + conv_b as double) / cast(n_a + n_b as double) end"))
+      .select(col("n_a"), col("conv_a"), round(col("p_a"), 6).as("rate_a"),
+        col("n_b"), col("conv_b"), round(col("p_b"), 6).as("rate_b"),
+        // degenerate pooled rate (0 or 1) means zero variance → null z,
+        // never an ANSI division error
+        round(expr("case when pp > 0.0D and pp < 1.0D then " +
+          "(p_b - p_a) / sqrt(pp * (1.0D - pp) * " +
+          "(1.0D / cast(n_a as double) + 1.0D / cast(n_b as double))) " +
+          "end"), 6).as("z"))
+  }
+
   /** Last-touch conversion attribution: every `convType` event is
     * credited to the nearest STRICTLY-PRECEDING event of any other
     * type in the same user's (ts, event_id)-ordered stream

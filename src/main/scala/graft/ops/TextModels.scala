@@ -312,6 +312,50 @@ object TextModels {
       .filter(col("weight") =!= 0)
   }
 
+  /** Sparse TF-IDF nearest-neighbor pairs via the inverted index — the
+    * classic SPARSE similarity join (beside the dense-embedding ANN
+    * family in `ops/Similarity`): per-doc vectors w = √tf · idf,
+    * L2-normalized, paired through ONE per-term equi-self-join so the
+    * cosine is Σ partial products over SHARED terms only — never a
+    * doc × doc comparison. Terms outside (minDf, maxDf] leave the
+    * index: rare terms pair nothing, hot terms are the quadratic
+    * hazard (a df-D term alone emits D²/2 pairs), so `maxDf` is the
+    * index-pruning knob every production sparse joiner carries.
+    * Returns the global top `k` pairs by (cosine desc, doc_a, doc_b).
+    *
+    * DETERMINISM: idf rounds(,6); norms sum decimal-rounded squares;
+    * partial products round(,9) into DECIMAL before the per-pair sum.
+    */
+  def tfidfNeighbors(docs: DataFrame, k: Int, minDf: Long = 2,
+      maxDf: Long = 10000): DataFrame = {
+    require(k > 0 && minDf < maxDf, s"bad k/minDf/maxDf: $k/$minDf/$maxDf")
+    val tf = docs
+      .select(col("doc_id"), explode(expr(Hashing.tokensSql)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") > minDf && col("df") <= maxDf)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = dfreq.crossJoin(broadcast(n))
+      .select(col("tok"),
+        round(log(col("n_docs").cast("double") / col("df")), 6).as("idf"))
+    val w = tf.join(idf, "tok")
+      .select(col("doc_id"), col("tok"),
+        (sqrt(col("tf").cast("double")) * col("idf")).as("wt"))
+    val norms = w.groupBy("doc_id")
+      .agg(expr("sqrt(cast(sum(cast(round(wt * wt, 9) " +
+        "as decimal(24,9))) as double))").as("nrm"))
+    val nw = w.join(norms, "doc_id")
+      .select(col("doc_id"), col("tok"), expr("wt / nrm").as("nw"))
+    nw.as("a")
+      .join(nw.as("b"), col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("cast(round(a.nw * b.nw, 9) as decimal(24,9))").as("p"))
+      .groupBy("doc_a", "doc_b")
+      .agg(round(sum(col("p")).cast("double"), 6).as("cosine"))
+      .orderBy(desc("cosine"), asc("doc_a"), asc("doc_b")).limit(k)
+  }
+
   /** χ² term selection against a document label (the feature-selection
     * workhorse; Yang & Pedersen 1997): for each (term, label) the
     * presence/absence × label contingency, summed over the FULL

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{EventAnalytics, TextModels}
+import graft.ops.{EventAnalytics, Hashing, TextModels}
 import graft.queries.Tables.t
 
 /** Event-stream product analytics and held-out language-model scoring
@@ -762,6 +762,76 @@ object Analytics extends QueryModule {
       SELECT term, MAX(nt) AS n_docs,
         round(CAST(SUM(cell) AS DOUBLE), 6) AS chi2
       FROM cells GROUP BY term ORDER BY chi2 DESC, term LIMIT 20""")),
+
+    // ---- A/B experiment readout (EventAnalytics.abTest): users
+    // hash-assigned to variants (stable md5 membership), conversion =
+    // a purchase over 100 (every user purchases at least once, so the
+    // bare-purchase rate is the degenerate pp = 1), one row with
+    // per-variant rates + the pooled two-proportion z statistic.
+    QueryDef("pipe_ab_test", (s, d) => {
+      EventAnalytics.abTest(Tables.events(s, d),
+        col("event_type") === "purchase" && col("value") > 100.0)
+    }, Some(s"""
+      WITH u AS (SELECT user_id,
+            CAST(MAX(CASE WHEN event_type = 'purchase' AND value > 100.0
+              THEN 1 ELSE 0 END) AS BIGINT) AS conv,
+            (${Hashing.duckMd5Long("'ab:' || CAST(user_id AS VARCHAR)")})
+              % 2 AS variant
+          FROM events GROUP BY user_id),
+      agg AS (SELECT
+          CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_a,
+          CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END)
+            AS BIGINT) AS conv_a,
+          CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_b,
+          CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END)
+            AS BIGINT) AS conv_b
+        FROM u),
+      x AS (SELECT *,
+             CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+             CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+             CAST(conv_a + conv_b AS DOUBLE) /
+               CAST(n_a + n_b AS DOUBLE) AS pp
+           FROM agg)
+      SELECT n_a, conv_a, round(p_a, 6) AS rate_a,
+        n_b, conv_b, round(p_b, 6) AS rate_b,
+        round((p_b - p_a) / sqrt(pp * (1.0 - pp) *
+          (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+          AS z
+      FROM x""")),
+
+    // ---- Sparse TF-IDF nearest-neighbor pairs through the inverted
+    // index (TextModels.tfidfNeighbors): cosine over SHARED terms only
+    // via one per-term self-join; terms outside (2, 50] leave the
+    // index (maxDf = the quadratic-hazard prune); top-20 pairs.
+    QueryDef("m_tfidf_neighbors", (s, d) => {
+      TextModels.tfidfNeighbors(docs(s, d), 20, minDf = 2, maxDf = 50)
+    }, Some("""
+      WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+              '[a-z0-9]+')) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM tk GROUP BY 1, 2),
+      dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+              GROUP BY 1 HAVING COUNT(*) > 2 AND COUNT(*) <= 50),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      idf AS (SELECT tok, round(ln(CAST(n_docs AS DOUBLE) /
+                CAST(df AS DOUBLE)), 6) AS idf
+              FROM dfq CROSS JOIN n),
+      w AS (SELECT doc_id, tf.tok, sqrt(CAST(tf AS DOUBLE)) * idf AS wt
+            FROM tf JOIN idf ON tf.tok = idf.tok),
+      nrm AS (SELECT doc_id, sqrt(CAST(SUM(CAST(round(wt * wt, 9)
+                AS DECIMAL(24,9))) AS DOUBLE)) AS nrm
+              FROM w GROUP BY 1),
+      nw AS (SELECT w.doc_id, tok, wt / nrm AS nw
+             FROM w JOIN nrm ON w.doc_id = nrm.doc_id),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(round(a.nw * b.nw, 9) AS DECIMAL(24,9)) AS p
+            FROM nw a JOIN nw b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, round(CAST(SUM(p) AS DOUBLE), 6) AS cosine
+      FROM p GROUP BY 1, 2
+      ORDER BY cosine DESC, doc_a, doc_b LIMIT 20""")),
 
     // ---- Stupid-backoff trigram LM (Brants et al. 2007): counts
     // trained on the even-md5 half of the corpus, the odd half scored

@@ -186,6 +186,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(top1 === Seq("a>b"))
   }
 
+  test("ab test: variants partition users; z sign follows the lift") {
+    val s = spark; import s.implicits._
+    // enough users that both variants are non-empty with the md5 split
+    val rows = (1L to 40L).flatMap { u =>
+      // users 1..10 convert
+      val base = Seq((u, u * 10, "view", u * 100L, 0.0))
+      if (u <= 10) base :+ ((u, u * 10 + 1, "purchase", u * 100L + 1, 0.0))
+      else base
+    }.map { case (u, e, t, ts, v) => (u, e, t, ts, v) }
+    val out = EventAnalytics.abTest(ev(rows: _*),
+      org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .collect().head
+    val (nA, cA, nB, cB) = (out.getLong(0), out.getLong(1),
+      out.getLong(3), out.getLong(4))
+    assert(nA + nB === 40L && nA > 0 && nB > 0)
+    assert(cA + cB === 10L)
+    // z sign matches the observed lift direction (or 0 when equal)
+    val (rA, rB, z) = (out.getDouble(2), out.getDouble(5),
+      out.getDouble(6))
+    assert((rB - rA).sign === z.sign)
+  }
+
   test("attribution: last strictly-preceding non-conversion event wins") {
     // user 1: ad → email → purchase (email gets it), then another
     // purchase with no new touch (email again); user 2: purchase with

@@ -80,7 +80,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "a_chi2_independence", "m_chi2_terms",
     // q_skew_report / t_zipf_fit: the two-phase ordinal's triangular
     // offset join + 1-row summary frames cross-joined
-    "q_skew_report", "t_zipf_fit")
+    "q_skew_report", "t_zipf_fit",
+    // m_tfidf_neighbors: the 1-row corpus count broadcast into idf
+    "m_tfidf_neighbors")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -143,7 +145,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "e_attribution", "a_chi2_independence", "m_chi2_terms",
     // q_skew_report / t_zipf_fit: 1-row summary/moment combines (plus
     // the top-10 TakeOrdered reduce over 10 rows)
-    "q_skew_report", "t_zipf_fit")
+    "q_skew_report", "t_zipf_fit",
+    // pipe_ab_test: the one-row experiment readout combine;
+    // m_tfidf_neighbors: the 1-row corpus count
+    "pipe_ab_test", "m_tfidf_neighbors")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

@@ -166,6 +166,23 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(again.toSeq == out.toSeq) // term order must not matter
   }
 
+  test("tfidfNeighbors pairs only docs sharing index terms; " +
+    "identical docs score 1") {
+    val s = spark; import s.implicits._
+    // 'shared' terms appear in docs 1-3 (df 3 > minDf 2); doc 4 has no
+    // indexable vocabulary overlap; docs 1 and 2 are identical
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "alpha beta zzz"), (4L, "totally different words"))
+      .toDF("doc_id", "text")
+    val out = TextModels.tfidfNeighbors(docs, 10, minDf = 1, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(out((1L, 2L)) === 1.0) // identical vectors
+    assert(out.contains((1L, 3L)) && out((1L, 3L)) < 1.0)
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("zipfFit recovers the exponent of an exact power-law corpus") {
     val s = spark; import s.implicits._
     // counts c(r) = floor(1000 / r) for ranks 1..50 — ln c ≈ ln 1000
