@@ -600,6 +600,85 @@ object Analytics extends QueryModule {
       FROM g WHERE w2 IS NOT NULL
       GROUP BY 1 ORDER BY n DESC, path LIMIT 20""")),
 
+    // ---- Grid-blocked geospatial radius join (Geo.radiusJoin):
+    // deterministic lat/lon derived from the dimension keys; left
+    // points map to ONE cell, right points replicate to the 3×3
+    // neighborhood, equi-join on the cell key, exact haversine verify
+    // — pair space bounded by density × cell area, never |L|×|R|.
+    QueryDef("j_grid_spatial", (s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey"),
+        expr("(c_custkey * 37 % 12000) / 100.0D - 60.0D").as("lat"),
+        expr("(c_custkey * 91 % 35000) / 100.0D - 175.0D").as("lon"))
+      val supp = t(s, d, "supplier").select(col("s_suppkey"),
+        expr("(s_suppkey * 53 % 12000) / 100.0D - 60.0D").as("lat"),
+        expr("(s_suppkey * 67 % 35000) / 100.0D - 175.0D").as("lon"))
+      graft.ops.Geo.radiusJoin(cust, "c_custkey", supp, "s_suppkey",
+          100.0, 2.0)
+        .orderBy("l_key", "r_key")
+    }, Some {
+      def hav(lat1: String, lon1: String, lat2: String, lon2: String) = {
+        val sdlat = s"sin(radians(($lat2) - ($lat1)) / 2.0)"
+        val sdlon = s"sin(radians(($lon2) - ($lon1)) / 2.0)"
+        s"2.0 * 6371.0088 * asin(sqrt($sdlat * $sdlat + " +
+          s"cos(radians($lat1)) * cos(radians($lat2)) * $sdlon * $sdlon))"
+      }
+      s"""
+      WITH lc AS (SELECT c_custkey AS l_key,
+              (c_custkey * 37 % 12000) / 100.0 - 60.0 AS l_lat,
+              (c_custkey * 91 % 35000) / 100.0 - 175.0 AS l_lon
+            FROM customer),
+      lcc AS (SELECT *, CAST(floor(l_lat / 2.0) AS BIGINT) AS cx,
+                CAST(floor(l_lon / 2.0) AS BIGINT) AS cy FROM lc),
+      rc AS (SELECT s_suppkey AS r_key,
+              (s_suppkey * 53 % 12000) / 100.0 - 60.0 AS r_lat,
+              (s_suppkey * 67 % 35000) / 100.0 - 175.0 AS r_lon
+            FROM supplier),
+      rcc AS (SELECT r_key, r_lat, r_lon,
+                CAST(floor(r_lat / 2.0) AS BIGINT) + dx.x AS cx,
+                CAST(floor(r_lon / 2.0) AS BIGINT) + dy.y AS cy
+              FROM rc
+              CROSS JOIN (SELECT unnest(range(-1, 2)) AS x) dx
+              CROSS JOIN (SELECT unnest(range(-1, 2)) AS y) dy),
+      cand AS (SELECT l_key, r_key, l_lat, l_lon, r_lat, r_lon
+               FROM lcc JOIN rcc USING (cx, cy)),
+      v AS (SELECT l_key, r_key,
+              ${hav("l_lat", "l_lon", "r_lat", "r_lon")} AS dist_km
+            FROM cand)
+      SELECT l_key, r_key, round(dist_km, 6) AS dist_km FROM v
+      WHERE dist_km <= 100.0 ORDER BY l_key, r_key"""
+    }),
+
+    // ---- Distribution-window battery: ntile quartiles, percent_rank,
+    // cume_dist, nth_value over a total per-partition order —
+    // completes the window-function surface beside w_rank_funcs.
+    QueryDef("w_ntile_battery", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          nth_value(col("o_totalprice"), 3).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("third_price"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+        ntile(4) OVER w AS quartile,
+        percent_rank() OVER w AS pct_rank,
+        cume_dist() OVER w AS cume,
+        nth_value(o_totalprice, 3) OVER (PARTITION BY o_orderpriority
+          ORDER BY o_totalprice, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS third_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+        ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderkey""")),
+
     // ---- Key-distribution skew report (Stats.skewReport): the
     // "should this join be salted?" diagnostic — top-1/top-10 shares +
     // exact discrete Gini off the two-phase ordinal (Σ i·cnt is exact

@@ -165,6 +165,29 @@ object SoakWave {
           .select("lbl").distinct().count()
       }
       emit("g_label_prop", scale, lpSec, "n_communities" -> nComm)
+
+      // --- bounded multi-source BFS from the path head + copy-0 node
+      // 0: the planted path is a closed-form observable (exactly
+      // rounds+1 = 9 path nodes reached, dist i at node head+i); the
+      // dense side floods ~all of copy 0 and NOTHING of the
+      // node-disjoint other copies, so n_reached is ~scale-invariant
+      // while the per-round adjacency join scans scale× the edges —
+      // the claim under test is time tracks edge volume, reach does
+      // not, and lineage stays flat (localCheckpoint per round).
+      val bfsSrcs = spark.range(0, 2)
+        .select(when(col("id") === 0, 800000000L).otherwise(0L)
+          .as("node"))
+      val (bfsObs, bfsSec) = timed {
+        graft.ops.Graph.bfsDistances(ge, bfsSrcs, 8).agg(
+          count(lit(1)).as("n"),
+          sum(when(col("node") >= 800000000L, 1L).otherwise(0L))
+            .as("pathn"),
+          max(col("dist")).as("maxd")).head()
+      }
+      emit("g_bfs_dist", scale, bfsSec,
+        "n_reached" -> bfsObs.getLong(0),
+        "n_path_reached" -> bfsObs.getLong(1),
+        "max_dist" -> bfsObs.getLong(2))
     }
     spark.stop()
   }
