@@ -126,4 +126,38 @@ object Quality {
     (localFrame.toSeq ++ others).reduce(_ unionByName _)
       .orderBy("__o").drop("__o")
   }
+
+  /** ROW-LEVEL quarantine routing — the other half of [[run]]: instead
+    * of one verdict row per check, every input row gains `dq_reasons`
+    * (the sorted names of the row-local checks it fails; empty =
+    * clean) and `dq_pass`, so a pipeline can route clean rows forward
+    * and quarantine the rest WITH their reasons in one pass. Only
+    * row-local checks participate (Completeness as a not-null test,
+    * InRange, AcceptedValues — a NULL fails InRange/AcceptedValues
+    * too: a row that cannot prove the constraint is not clean);
+    * table-level checks (Unique / RowCount / RefIntegrity) stay in
+    * [[run]].
+    *
+    * Pure per-row column expressions — one scan, codegen'd, no
+    * shuffle, any number of declared checks.
+    */
+  def quarantine(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val rowChecks: Seq[(String, Column)] = checks.collect {
+      case c: Completeness => c.name -> col(c.column).isNotNull
+      case c: InRange => c.name ->
+        (col(c.column).isNotNull && col(c.column) >= c.lo &&
+          col(c.column) <= c.hi)
+      case c: AcceptedValues => c.name ->
+        (col(c.column).isNotNull && col(c.column).isin(c.values: _*))
+    }
+    require(rowChecks.nonEmpty,
+      "quarantine needs at least one row-local check " +
+        "(Completeness / InRange / AcceptedValues)")
+    val marks = rowChecks.map { case (n, ok) =>
+      when(ok, lit(null: String)).otherwise(lit(n))
+    }
+    df.withColumn("dq_reasons",
+        array_sort(filter(array(marks: _*), x => x.isNotNull)))
+      .withColumn("dq_pass", size(col("dq_reasons")) === 0)
+  }
 }

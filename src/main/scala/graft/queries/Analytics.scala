@@ -600,6 +600,40 @@ object Analytics extends QueryModule {
       FROM g WHERE w2 IS NOT NULL
       GROUP BY 1 ORDER BY n DESC, path LIMIT 20""")),
 
+    // ---- Row-level data-quality quarantine (Quality.quarantine, the
+    // routing half of q_quality_suite): every event gains the sorted
+    // names of the row-local checks it fails; the gate emits the
+    // quarantined rows with reasons — 'error' events and value-tail
+    // rows, by construction of the checks. One codegen'd scan.
+    QueryDef("pipe_dq_quarantine", (s, d) => {
+      import graft.ops.Quality._
+      graft.ops.Quality.quarantine(
+        Tables.events(s, d).select("event_id", "event_type", "value",
+          "props"),
+        Seq(Completeness("props"), InRange("value", 0.5, 400.0),
+          AcceptedValues("event_type",
+            Seq("view", "click", "signup", "purchase"))))
+        .filter(!col("dq_pass"))
+        .select("event_id", "dq_reasons")
+        .orderBy("event_id")
+    }, Some("""
+      SELECT event_id,
+        list_sort(list_filter([
+          CASE WHEN props IS NOT NULL THEN NULL
+               ELSE 'completeness:props' END,
+          CASE WHEN value IS NOT NULL AND value >= 0.5 AND value <= 400.0
+               THEN NULL ELSE 'in_range:value' END,
+          CASE WHEN event_type IS NOT NULL AND event_type IN
+                 ('view', 'click', 'signup', 'purchase')
+               THEN NULL ELSE 'accepted:event_type' END],
+          x -> x IS NOT NULL)) AS dq_reasons
+      FROM events
+      WHERE NOT (props IS NOT NULL
+        AND (value IS NOT NULL AND value >= 0.5 AND value <= 400.0)
+        AND (event_type IS NOT NULL AND event_type IN
+          ('view', 'click', 'signup', 'purchase')))
+      ORDER BY event_id""")),
+
     // ---- Grid-blocked geospatial radius join (Geo.radiusJoin):
     // deterministic lat/lon derived from the dimension keys; left
     // points map to ONE cell, right points replicate to the 3×3

@@ -526,6 +526,75 @@ object Relational extends QueryModule {
              END AS BIGINT) AS est
       FROM mins""")),
 
+    // ---- KMV SET ALGEBRA (Beyer et al. 2007): two sketches from ONE
+    // scan (conditional graft_kmv — nulls skip), then union / Jaccard
+    // / intersection estimates as pure ARRAY expressions over the two
+    // k-row sketches: U = k-min of A ∪ B, ρ = |U ∩ A ∩ B| / |U| ≈
+    // Jaccard, |A∪B| from U's kth min, |A∩B| ≈ ρ·|A∪B|. The sketch
+    // form of set-overlap profiling between two 100 TB slices —
+    // each side compresses to k longs before anything meets.
+    QueryDef("agg_kmv_setops", (s, d) => {
+      val li = t(s, d, "lineitem")
+      graft.ops.Hashing.ensureRegistered(li)
+      val k = 256
+      li.select(col("l_returnflag"), col("l_linestatus"),
+          expr(graft.ops.Hashing.md5LongSql(
+            "cast(l_partkey as string)")).as("h"))
+        .agg(
+          expr(s"graft_kmv(case when l_returnflag = 'R' then h end, $k)")
+            .as("a"),
+          expr(s"graft_kmv(case when l_linestatus = 'F' then h end, $k)")
+            .as("b"))
+        .withColumn("u",
+          expr(s"slice(array_sort(array_distinct(concat(a, b))), 1, $k)"))
+        .withColumn("n_u", size(col("u")).cast("long"))
+        .withColumn("kth", expr("try_element_at(u, -1)"))
+        .withColumn("union_est",
+          when(col("n_u") < k, col("n_u")).otherwise(
+            floor(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+              col("kth").cast("double"))).cast("long"))
+        .withColumn("n_common", expr(
+          "cast(size(array_intersect(u, array_intersect(a, b))) as long)"))
+        .select(expr("cast(size(a) as long)").as("n_a"),
+          expr("cast(size(b) as long)").as("n_b"),
+          col("n_u"), col("union_est"),
+          round(col("n_common").cast("double") /
+            col("n_u").cast("double"), 6).as("jaccard_est"),
+          floor(col("n_common").cast("double") /
+            col("n_u").cast("double") *
+            col("union_est").cast("double")).cast("long").as("inter_est"))
+    }, Some("""
+      WITH ha AS (SELECT DISTINCT
+          CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)),1,15))
+            AS BIGINT) AS h
+        FROM lineitem WHERE l_returnflag = 'R'),
+      a AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+      hb AS (SELECT DISTINCT
+          CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)),1,15))
+            AS BIGINT) AS h
+        FROM lineitem WHERE l_linestatus = 'F'),
+      b AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+      u AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+            ORDER BY h LIMIT 256),
+      st AS (SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n_u,
+          (SELECT MAX(h) FROM u) AS kth,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM u
+           WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b))
+            AS n_common),
+      ue AS (SELECT *, CAST(CASE WHEN n_u < 256 THEN n_u
+               ELSE floor(255.0 * 1152921504606846976.0 /
+                 CAST(kth AS DOUBLE)) END AS BIGINT) AS union_est
+             FROM st)
+      SELECT n_a, n_b, n_u, union_est,
+        round(CAST(n_common AS DOUBLE) / CAST(n_u AS DOUBLE), 6)
+          AS jaccard_est,
+        CAST(floor(CAST(n_common AS DOUBLE) / CAST(n_u AS DOUBLE) *
+          CAST(union_est AS DOUBLE)) AS BIGINT) AS inter_est
+      FROM ue""")),
+
     // ---- HyperLogLog register sketch (graft.functions.HllSketch): the
     // production-standard distinct sketch — m = 2^p registers merging by
     // element-wise MAX (commutative, associative, IDEMPOTENT: an

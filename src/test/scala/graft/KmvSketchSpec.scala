@@ -26,6 +26,24 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(ks === exact)
   }
 
+  test("set algebra: with k above both set sizes the estimates are exact") {
+    val s = spark; import s.implicits._
+    // A = 1..60, B = 31..90: |A∪B| = 90, |A∩B| = 30, J = 1/3
+    val df = (1 to 90).map(i => (i.toString, i)).toDF("v", "i")
+    Hashing.ensureRegistered(df)
+    val sk = df.select(expr(Hashing.md5LongSql("v")).as("h"), col("i"))
+      .agg(expr("graft_kmv(case when i <= 60 then h end, 256)").as("a"),
+        expr("graft_kmv(case when i >= 31 then h end, 256)").as("b"))
+      .withColumn("u",
+        expr("slice(array_sort(array_distinct(concat(a, b))), 1, 256)"))
+      .select(size(col("u")).as("n_u"),
+        expr("size(array_intersect(u, array_intersect(a, b)))")
+          .as("n_common"))
+      .head()
+    assert(sk.getInt(0) === 90) // union exact below k
+    assert(sk.getInt(1) === 30) // intersection marks exact below k
+  }
+
   test("duplicates do not inflate the sketch") {
     val s = spark; import s.implicits._
     val df = (1 to 50).flatMap(i => Seq.fill(20)(i.toString)).toDF("v")

@@ -148,7 +148,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_skew_report", "t_zipf_fit",
     // pipe_ab_test: the one-row experiment readout combine;
     // m_tfidf_neighbors: the 1-row corpus count
-    "pipe_ab_test", "m_tfidf_neighbors")
+    "pipe_ab_test", "m_tfidf_neighbors",
+    // agg_kmv_setops: the two-sketch 1-row combine (one k-long buffer
+    // pair per partition — the agg_kmv_distinct shape, twice)
+    "agg_kmv_setops")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

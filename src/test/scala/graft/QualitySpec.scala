@@ -75,6 +75,38 @@ class QualitySpec extends AnyFunSuite {
     assert(out.forall(_.getBoolean(2)))
   }
 
+  test("quarantine: rows collect the sorted names of failed checks") {
+    val out = Quality.quarantine(df, Seq(
+      Completeness("name"), InRange("score", 0, 50),
+      AcceptedValues("status", Seq("ok"))))
+      .select("id", "score", "dq_reasons", "dq_pass").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)) ->
+        ((r.getSeq[String](2), r.getBoolean(3)))).toMap
+    assert(out((1L, 10.0)) === ((Seq(), true)))
+    // row 3/None/bad fails completeness AND accepted, sorted names
+    assert(out((3L, 30.0)) ===
+      ((Seq("accepted:status", "completeness:name"), false)))
+    // score 99 out of range only
+    assert(out((3L, 99.0)) === ((Seq("in_range:score"), false)))
+  }
+
+  test("quarantine: a NULL value fails range and accepted checks") {
+    val s = spark; import s.implicits._
+    val d2 = Seq((1L, Option.empty[Double], Option.empty[String]))
+      .toDF("id", "v", "st")
+    val out = Quality.quarantine(d2, Seq(
+      InRange("v", 0, 1), AcceptedValues("st", Seq("x"))))
+      .select("dq_reasons").head().getSeq[String](0)
+    assert(out === Seq("accepted:st", "in_range:v"))
+  }
+
+  test("quarantine rejects a table-level-only check list") {
+    val ex = intercept[IllegalArgumentException] {
+      Quality.quarantine(df, Seq(RowCount(1L)))
+    }
+    assert(ex.getMessage.contains("row-local"))
+  }
+
   test("row-local checks compile into one aggregate over one scan") {
     val plan = Quality.run(df, Seq(
       Completeness("name"), InRange("score", 0, 100),
