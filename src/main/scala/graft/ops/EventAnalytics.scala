@@ -296,6 +296,60 @@ object EventAnalytics {
       .orderBy(desc("n"), asc("path")).limit(k)
   }
 
+  /** Week-over-week change per series key: weekly counts (integer
+    * `div` bucketing, the [[retentionCohorts]] convention) → per-key
+    * lag → absolute and percent change (null on the first week; null
+    * pct when the prior week is 0). One hash aggregate + one per-key
+    * window over the weeks×keys-row aggregate — free at any input
+    * size.
+    */
+  def weekOverWeek(events: DataFrame, keyCol: String): DataFrame = {
+    val weekly = events
+      .select(col(keyCol).as("k"), expr(s"ts_us div ${DayUs * 7}")
+        .as("week"))
+      .groupBy("k", "week").agg(count(lit(1)).as("n"))
+    val byKey = Window.partitionBy("k").orderBy("week")
+    weekly
+      .withColumn("prev", lag(col("n"), 1).over(byKey))
+      .select(col("k").as(keyCol), col("week"), col("n"),
+        (col("n") - col("prev")).as("delta"),
+        when(col("prev") > 0, round(
+          (col("n") - col("prev")).cast("double") /
+            col("prev").cast("double"), 6)).as("pct_change"))
+      .orderBy(keyCol, "week")
+  }
+
+  /** Funnel latency: exact quantiles of the time from each user's
+    * first `fromType` event to their first `toType` event STRICTLY
+    * after it (ties by event id, the funnel sweep) — "how long does
+    * signup → purchase take". Returns (q, delta_us) rows.
+    *
+    * Shapes: two per-user min-aggregates + one equi-join, then
+    * [[Rank.exactQuantiles]] over the |converted users|-row delta
+    * frame (two-phase ordinal — no single-task sort).
+    */
+  def timeToConvert(events: DataFrame, fromType: String, toType: String,
+      qs: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    val e = events.select("user_id", "event_id", "event_type", "ts_us")
+    val first = e.filter(col("event_type") === fromType)
+      .groupBy("user_id")
+      .agg(min(struct(col("ts_us"), col("event_id"))).as("r"))
+      .select(col("user_id"), col("r.ts_us").as("from_ts"),
+        col("r.event_id").as("from_id"))
+    val deltas = e.filter(col("event_type") === toType)
+      .join(first, "user_id")
+      .filter(col("ts_us") > col("from_ts") ||
+        (col("ts_us") === col("from_ts") &&
+          col("event_id") > col("from_id")))
+      .groupBy("user_id")
+      .agg(min(struct(col("ts_us"), col("event_id"))).as("r"),
+        min(col("from_ts")).as("from_ts"))
+      .select(col("user_id"), (col("r.ts_us") - col("from_ts"))
+        .as("delta_us"))
+    Rank.exactQuantiles(deltas, "delta_us", Seq(col("user_id").asc), qs)
+      .select(col("q"), col("delta_us")).orderBy("q")
+  }
+
   /** A/B experiment readout: users deterministically hash-assigned to
     * variants A/B (md5 of the salted user key mod 2 — the same
     * per-row-hash membership as every sampling split here, so

@@ -559,6 +559,55 @@ object Analytics extends QueryModule {
         round(CAST(SUM(term) AS DOUBLE), 6) AS entropy
       FROM terms GROUP BY col_name, n ORDER BY col_name""")),
 
+    // ---- Week-over-week change per event type
+    // (EventAnalytics.weekOverWeek): weekly counts → per-key lag →
+    // absolute + percent change; the weeks×keys aggregate makes the
+    // window free at any input size.
+    QueryDef("e_wow_change", (s, d) => {
+      EventAnalytics.weekOverWeek(Tables.events(s, d), "event_type")
+    }, Some("""
+      WITH e AS (SELECT event_type AS k,
+                   epoch_us(ts) // 604800000000 AS week FROM events),
+      w AS (SELECT k, week, CAST(COUNT(*) AS BIGINT) AS n FROM e
+            GROUP BY 1, 2),
+      l AS (SELECT k, week, n,
+              lag(n, 1) OVER (PARTITION BY k ORDER BY week) AS prev
+            FROM w)
+      SELECT k AS event_type, week, n, n - prev AS delta,
+        CASE WHEN prev > 0 THEN round(CAST(n - prev AS DOUBLE) /
+          CAST(prev AS DOUBLE), 6) END AS pct_change
+      FROM l ORDER BY event_type, week""")),
+
+    // ---- Funnel latency quantiles (EventAnalytics.timeToConvert):
+    // p50/p90 of first-signup → first-purchase-after time per user,
+    // through the two-phase exact-quantile ordinal.
+    QueryDef("e_time_to_convert", (s, d) => {
+      EventAnalytics.timeToConvert(Tables.events(s, d),
+        "signup", "purchase")
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts)
+                   AS ts_us FROM events),
+      f AS (SELECT user_id, ts_us AS from_ts, event_id AS from_id
+            FROM e WHERE event_type = 'signup'
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts_us, event_id) = 1),
+      t0 AS (SELECT e.user_id, e.ts_us - f.from_ts AS delta_us
+             FROM e JOIN f USING (user_id)
+             WHERE e.event_type = 'purchase' AND (e.ts_us > f.from_ts
+               OR (e.ts_us = f.from_ts AND e.event_id > f.from_id))
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY e.user_id
+               ORDER BY e.ts_us, e.event_id) = 1),
+      o AS (SELECT user_id, delta_us,
+              ROW_NUMBER() OVER (ORDER BY delta_us, user_id) AS r
+            FROM t0),
+      n AS (SELECT COUNT(*) AS n FROM t0)
+      SELECT q, delta_us FROM (
+        SELECT 0.5 AS q, CAST(ceil(CAST(0.5 AS DECIMAL(20,10)) * n)
+          AS BIGINT) AS tr FROM n
+        UNION ALL SELECT 0.9, CAST(ceil(CAST(0.9 AS DECIMAL(20,10)) * n)
+          AS BIGINT) FROM n) t
+      JOIN o ON o.r = t.tr ORDER BY q""")),
+
     // ---- First-order Markov transition matrix over each user's
     // ordered event stream (EventAnalytics.transitionMatrix): one
     // per-user lag window, one (from, to) aggregate bounded by

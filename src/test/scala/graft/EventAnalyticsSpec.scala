@@ -186,6 +186,40 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(top1 === Seq("a>b"))
   }
 
+  test("week-over-week: first week has null change; zero prior has " +
+    "null pct") {
+    val WeekUs = 7L * DayUs
+    val e = ev(
+      (1L, 1L, "a", 0L, 0.0), (1L, 2L, "a", 1L, 0.0), // week 0: 2
+      (1L, 3L, "a", WeekUs, 0.0), // week 1: 1
+      (1L, 4L, "a", 3 * WeekUs, 0.0), (1L, 5L, "a", 3 * WeekUs + 1, 0.0),
+      (1L, 6L, "a", 3 * WeekUs + 2, 0.0)) // week 3: 3 (week 2 absent)
+    val out = EventAnalytics.weekOverWeek(e, "event_type").collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))))
+    assert(out(0) === ((0L, (2L, None, None))))
+    assert(out(1) === ((1L, (1L, Some(-1L), Some(-0.5)))))
+    // absent week 2 is NOT gap-filled here: week 3 compares to week 1
+    assert(out(2) === ((3L, (3L, Some(2L), Some(2.0)))))
+  }
+
+  test("time to convert: first-from to first-to-after, exact quantiles") {
+    // user 1: signup@10 → purchase@110 (delta 100); a purchase BEFORE
+    // signup (t=5) must not count
+    // user 2: signup@0 → purchase@300 (delta 300)
+    // user 3: signup only — excluded
+    val e = ev(
+      (1L, 1L, "purchase", 5L, 0.0), (1L, 2L, "signup", 10L, 0.0),
+      (1L, 3L, "purchase", 110L, 0.0),
+      (2L, 4L, "signup", 0L, 0.0), (2L, 5L, "purchase", 300L, 0.0),
+      (3L, 6L, "signup", 50L, 0.0))
+    val out = EventAnalytics.timeToConvert(e, "signup", "purchase")
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    // n=2: p50 = rank ceil(1.0)=1 → 100; p90 = rank ceil(1.8)=2 → 300
+    assert(out === Map(0.5 -> 100L, 0.9 -> 300L))
+  }
+
   test("ab test: variants partition users; z sign follows the lift") {
     val s = spark; import s.implicits._
     // enough users that both variants are non-empty with the md5 split

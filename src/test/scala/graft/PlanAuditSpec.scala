@@ -82,7 +82,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // offset join + 1-row summary frames cross-joined
     "q_skew_report", "t_zipf_fit",
     // m_tfidf_neighbors: the 1-row corpus count broadcast into idf
-    "m_tfidf_neighbors")
+    "m_tfidf_neighbors",
+    // e_time_to_convert: the exact-quantile machinery (triangular
+    // offset join + 1-row N)
+    "e_time_to_convert")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -151,7 +154,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "pipe_ab_test", "m_tfidf_neighbors",
     // agg_kmv_setops: the two-sketch 1-row combine (one k-long buffer
     // pair per partition — the agg_kmv_distinct shape, twice)
-    "agg_kmv_setops")
+    "agg_kmv_setops",
+    // e_time_to_convert: the exact-quantile 1-row N combine
+    "e_time_to_convert")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —
