@@ -296,6 +296,47 @@ object EventAnalytics {
       .orderBy(desc("n"), asc("path")).limit(k)
   }
 
+  /** Active-user engagement rollup: per calendar day, DAU plus
+    * rolling 7-day (WAU) and 28-day (MAU) distinct actives and the
+    * DAU/MAU stickiness ratio — the standard growth dashboard.
+    *
+    * Rolling DISTINCT counts cannot ride a window frame (distinct
+    * does not decompose), so each (user, day) activity row fans out
+    * to the anchor days whose trailing window covers it (×7 and ×28
+    * via `sequence` + explode — a CONSTANT replication factor, the
+    * classic rolling-distinct shape), then one countDistinct per
+    * anchor day. Anchors clamp to the observed [min, max] day span
+    * (a 1-row broadcast frame). Output is DAYS rows at any input
+    * size; swap countDistinct for `graft_kmv`/`graft_hll` when the
+    * per-day distinct shuffle itself is the bottleneck at 100 TB.
+    */
+  def activeUsers(events: DataFrame): DataFrame = {
+    val acts = events
+      .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+      .distinct()
+    val span = acts.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val fan = acts.crossJoin(broadcast(span))
+      .select(col("user_id"), col("day"), col("d1"),
+        explode(sequence(col("day"),
+          least(col("day") + 27, col("d1")))).as("anchor"))
+    val mau = fan.groupBy("anchor")
+      .agg(countDistinct(col("user_id")).as("mau"))
+    val wau = fan.filter(col("anchor") - col("day") <= 6)
+      .groupBy("anchor").agg(countDistinct(col("user_id")).as("wau"))
+    val dau = acts.groupBy("day").agg(countDistinct(col("user_id"))
+      .as("dau"))
+    mau.as("m")
+      .join(wau.as("w"), col("m.anchor") === col("w.anchor"), "left")
+      .join(dau.as("d"), col("m.anchor") === col("d.day"), "left")
+      .select(col("m.anchor").as("day"),
+        coalesce(col("d.dau"), lit(0L)).as("dau"),
+        coalesce(col("w.wau"), lit(0L)).as("wau"), col("m.mau"),
+        when(col("m.mau") > 0, round(
+          coalesce(col("d.dau"), lit(0L)).cast("double") /
+            col("m.mau").cast("double"), 6)).as("stickiness"))
+      .orderBy("day")
+  }
+
   /** Week-over-week change per series key: weekly counts (integer
     * `div` bucketing, the [[retentionCohorts]] convention) → per-key
     * lag → absolute and percent change (null on the first week; null

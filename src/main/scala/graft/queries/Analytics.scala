@@ -559,6 +559,63 @@ object Analytics extends QueryModule {
         round(CAST(SUM(term) AS DOUBLE), 6) AS entropy
       FROM terms GROUP BY col_name, n ORDER BY col_name""")),
 
+    // ---- DAU / WAU / MAU engagement rollup
+    // (EventAnalytics.activeUsers): rolling distinct actives via the
+    // constant ×28 activity fan-out (distinct does not decompose over
+    // window frames) + one countDistinct per anchor day; DAU/MAU
+    // stickiness.
+    QueryDef("e_active_users", (s, d) => {
+      EventAnalytics.activeUsers(Tables.events(s, d))
+    }, Some("""
+      WITH acts AS (SELECT DISTINCT user_id,
+              epoch_us(ts) // 86400000000 AS day FROM events),
+      span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM acts),
+      fan AS (SELECT user_id, day, day + off.o AS anchor
+              FROM acts
+              CROSS JOIN (SELECT unnest(range(0, 28)) AS o) off
+              CROSS JOIN span
+              WHERE day + off.o <= d1),
+      mau AS (SELECT anchor, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                AS mau FROM fan GROUP BY 1),
+      wau AS (SELECT anchor, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                AS wau FROM fan WHERE anchor - day <= 6 GROUP BY 1),
+      dau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                AS dau FROM acts GROUP BY 1)
+      SELECT m.anchor AS day, COALESCE(d.dau, 0) AS dau,
+        COALESCE(w.wau, 0) AS wau, m.mau,
+        CASE WHEN m.mau > 0 THEN round(CAST(COALESCE(d.dau, 0)
+          AS DOUBLE) / CAST(m.mau AS DOUBLE), 6) END AS stickiness
+      FROM mau m LEFT JOIN wau w ON m.anchor = w.anchor
+      LEFT JOIN dau d ON m.anchor = d.day
+      ORDER BY day""")),
+
+    // ---- Argmin/argmax aggregate battery: min_by / max_by with a
+    // deterministic tie-broken ordering struct — the per-group
+    // "row that achieves the extreme" staple.
+    QueryDef("a_minmax_by", (s, d) => {
+      // the ordering value is ONE BIGINT (cents × 1e8 + key) so the
+      // tie-broken argmin/argmax is portable — DuckDB's min_by does
+      // not order on structs
+      t(s, d, "orders")
+        .withColumn("__ord", expr(
+          "cast(round(o_totalprice * 100.0D) as bigint) * 100000000L" +
+            " + o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("min_by(o_orderkey, __ord)").as("cheapest_order"),
+          expr("max_by(o_orderkey, __ord)").as("priciest_order"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("o_orderpriority")
+    }, Some("""
+      SELECT o_orderpriority,
+        min_by(o_orderkey, CAST(round(o_totalprice * 100.0) AS BIGINT)
+          * 100000000 + o_orderkey) AS cheapest_order,
+        max_by(o_orderkey, CAST(round(o_totalprice * 100.0) AS BIGINT)
+          * 100000000 + o_orderkey) AS priciest_order,
+        MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+      FROM orders GROUP BY 1 ORDER BY 1""")),
+
     // ---- Week-over-week change per event type
     // (EventAnalytics.weekOverWeek): weekly counts → per-key lag →
     // absolute + percent change; the weeks×keys aggregate makes the

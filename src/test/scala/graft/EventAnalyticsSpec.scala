@@ -186,6 +186,24 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(top1 === Seq("a>b"))
   }
 
+  test("active users: rolling windows count distinct users, " +
+    "stickiness = dau/mau") {
+    // user 1 active days 0 and 10; user 2 active day 0 only
+    val e = ev(
+      (1L, 1L, "v", 0L, 0.0), (1L, 2L, "v", 1L, 0.0), // same day dup
+      (2L, 3L, "v", 0L, 0.0),
+      (1L, 4L, "v", 10L * DayUs, 0.0))
+    val out = EventAnalytics.activeUsers(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out(0L) === ((2L, 2L, 2L))) // both active day 0
+    assert(out(6L) === ((0L, 2L, 2L))) // day 0 still in the 7d window
+    assert(out(7L) === ((0L, 0L, 2L))) // out of WAU, still in MAU
+    assert(out(10L) === ((1L, 1L, 2L))) // user 1 returns
+    // anchors clamp at the last activity day
+    assert(out.keys.max === 10L)
+  }
+
   test("week-over-week: first week has null change; zero prior has " +
     "null pct") {
     val WeekUs = 7L * DayUs

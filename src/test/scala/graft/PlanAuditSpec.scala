@@ -85,7 +85,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "m_tfidf_neighbors",
     // e_time_to_convert: the exact-quantile machinery (triangular
     // offset join + 1-row N)
-    "e_time_to_convert")
+    "e_time_to_convert",
+    // e_active_users: the 1-row [min,max] day-span frame cross-joined
+    // into the ×28 activity fan-out
+    "e_active_users")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -156,7 +159,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // pair per partition — the agg_kmv_distinct shape, twice)
     "agg_kmv_setops",
     // e_time_to_convert: the exact-quantile 1-row N combine
-    "e_time_to_convert")
+    "e_time_to_convert",
+    // e_active_users: the 1-row day-span combine
+    "e_active_users")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —
