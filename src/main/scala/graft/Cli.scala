@@ -33,6 +33,18 @@ import graft.ops.{LinkModels, Mentions, TextAnalysis, Dedup}
   *   kmv-distinct        documents parquet → distinct-content estimate
   *   char-quantiles      documents parquet → n_chars deciles (exact)
   *   pq-encode           embeddings parquet → (vec_id, codes)
+  *   zipf-fit            documents parquet → (n_types, slope,
+  *                       intercept, r2) corpus-health fit
+  *   skew-report         "table.parquet,keyCol" → 1-row key-skew
+  *                       diagnostic (top shares + exact Gini)
+  *   entropy-profile     "table.parquet,col1+col2" → per-column
+  *                       Shannon entropy
+  *   mad-outliers        "table.parquet,valueCol" → rows + robust z +
+  *                       outlier flags (ties on the first column)
+  *   active-users        events parquet (ts or ts_us) → DAU/WAU/MAU +
+  *                       stickiness
+  *   merge-upsert        "snapshot.parquet,changes.parquet,k1+k2" →
+  *                       next snapshot (changes carry op I/U/D)
   *
   * format: json (gzip JSON-lines, default) | tsv | resp | parquet.
   * Run via `spark-submit --class graft.Cli` on a cluster or sbt locally.
@@ -141,6 +153,31 @@ object Cli {
         val (_, asg) = graft.ops.Pq.train(e, dims, m = 4, k = 256,
           iters = 2)
         graft.ops.Pq.encode(asg)
+      case "zipf-fit" => graft.ops.TextAnalysis.zipfFit(docs)
+      case "skew-report" =>
+        val Array(p, c) = input.split(",", 2)
+        graft.ops.Stats.skewReport(spark.read.parquet(p), c)
+      case "entropy-profile" =>
+        val Array(p, cs) = input.split(",", 2)
+        graft.ops.Stats.entropyProfile(spark.read.parquet(p),
+          cs.split("\\+").toSeq)
+      case "mad-outliers" =>
+        import org.apache.spark.sql.functions.asc
+        val Array(p, c) = input.split(",", 2)
+        val df = spark.read.parquet(p)
+        graft.ops.Clean.madOutliers(df, c, Seq(asc(df.columns.head)))
+      case "active-users" =>
+        import org.apache.spark.sql.functions._
+        val e = spark.read.parquet(input)
+        val withUs = if (e.columns.contains("ts_us")) e
+          else e.withColumn("ts_us", expr("unix_micros(ts)"))
+        graft.ops.EventAnalytics.activeUsers(withUs)
+      case "merge-upsert" =>
+        val parts = input.split(",")
+        require(parts.length == 3,
+          "merge-upsert input: snapshot.parquet,changes.parquet,k1+k2")
+        graft.ops.Merge.applyChanges(spark.read.parquet(parts(0)),
+          spark.read.parquet(parts(1)), parts(2).split("\\+").toSeq)
       case other => throw new IllegalArgumentException(
         s"unknown command '$other'")
     }
