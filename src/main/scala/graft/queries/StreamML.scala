@@ -179,6 +179,25 @@ object StreamML extends QueryModule {
       SELECT user_id, COUNT(*) AS n FROM events
       GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- Streaming first-order transition counts
+    // (Events.transitionCounts): one (ts, id, type) triple of state
+    // per user under flatMapGroupsWithState; within-batch order
+    // recovered by (ts, event_id); the single-batch gate equals the
+    // batch lag computation exactly — the streaming twin of
+    // e_transitions.
+    QueryDef("st_transitions", (s, d) => {
+      graft.streaming.Events.transitionCounts(s, d)
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts)
+                   AS ts_us FROM events),
+      p AS (SELECT COALESCE(lag(event_type, 1) OVER (
+                PARTITION BY user_id ORDER BY ts_us, event_id),
+                '__start__') AS from_type,
+              event_type AS to_type
+            FROM e)
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2 ORDER BY from_type, to_type""")),
+
     // ---- M1: distributed skip-gram embeddings; structural oracle.
     QueryDef("m1_word2vec_vocab", (s, d) => {
       val toks = t(s, d, "documents")

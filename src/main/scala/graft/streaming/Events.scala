@@ -141,6 +141,60 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** STREAMING first-order transition counts — the streaming twin of
+    * the batch `e_transitions` gate: one (ts, event_id, event_type)
+    * triple of state per user; each micro-batch's events sort
+    * within-group by (ts, event_id) and fold from the stored last
+    * event, emitting one (from, to) pair per event (`__start__` when
+    * the user is new). Emitted pairs are final (append mode), so the
+    * post-run count is a plain batch aggregate; state is ONE triple
+    * per user forever — the bounded-state navigation model.
+    *
+    * Out-of-order caveat (inherent, documented): order is recovered
+    * WITHIN a micro-batch, but an event arriving in a later batch
+    * than a successor cannot retract an emitted pair — on a live
+    * stream pair counts follow arrival order across batches. The gate
+    * runs the whole table in one batch, so its counts equal the batch
+    * lag computation exactly.
+    */
+  /** The stateful pair emission behind [[transitionCounts]], exposed
+    * on a raw (user_id, event_id, event_type, ts_us) frame so specs
+    * can drive it batch-by-batch through a MemoryStream.
+    */
+  def transitionPairs(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ss = events.sparkSession
+    import ss.implicits._
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_us"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), (String, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, evs: Iterator[(Long, Long, String, Long)],
+            state: GroupState[(Long, Long, String)]) =>
+          val sorted = evs.toSeq.sortBy(e => (e._4, e._2))
+          var last = state.getOption // (ts_us, event_id, event_type)
+          val out = Seq.newBuilder[(String, String)]
+          for (e <- sorted) {
+            out += ((last.map(_._3).getOrElse("__start__"), e._3))
+            last = Some((e._4, e._2, e._3))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF("from_type", "to_type")
+  }
+
+  def transitionCounts(s: SparkSession, dir: String): DataFrame = {
+    runToCompletion(s, ss => transitionPairs(stream(ss, dir)
+        .withColumn("ts_us", unix_micros(col("t")))),
+        "st_transitions_mem", mode = "append")
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Append-mode late-data drop (the watermark semantics the other gates
     * can't observe in a single micro-batch): the events table is split
     * into three files streamed one per trigger — the body (every 1-hour

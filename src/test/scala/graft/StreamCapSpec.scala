@@ -54,6 +54,32 @@ class StreamCapSpec extends AnyFunSuite {
     assert(rows.exists(_._3 == 1001L))
   }
 
+  test("transition state carries across micro-batches; within-batch " +
+    "order recovers") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val events = input.toDF()
+      .toDF("user_id", "event_id", "event_type", "ts_us")
+    val q = Events.transitionPairs(events)
+      .writeStream.format("memory").queryName("st_trans_mem")
+      .outputMode("append").start()
+    try {
+      // batch 1, deliberately out of arrival order: (b@20, a@10) must
+      // emit __start__->a, a->b after the within-batch sort
+      input.addData((1L, 2L, "b", 20L), (1L, 1L, "a", 10L))
+      q.processAllAvailable()
+      // batch 2: the stored last event (b) must seed the next pair
+      input.addData((1L, 3L, "c", 30L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = s.table("st_trans_mem").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.sorted.toSeq ===
+      Seq(("__start__", "a"), ("a", "b"), ("b", "c")))
+  }
+
   test("cap state persists across micro-batches") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
