@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   * highest |lat| in the data (e.g. radius/55.66 covers |lat| ≤ 60°).
   * No longitude wrap-around handling — data within (−180+cellDeg,
   * 180−cellDeg) as the driver tables here are.
+  *
+  * Determinism note: the ≤ radius verify compares an IEEE double
+  * computed through libm sin/cos/asin, which may differ by ~1 ulp
+  * between engines — a pair sitting within an ulp of the radius could
+  * classify differently. Gate thresholds follow the repo's
+  * transcendental convention (chosen off such boundaries; the
+  * synthetic-coordinate probability of a boundary pair is ~1e-16 per
+  * candidate).
   */
 object Geo {
 
