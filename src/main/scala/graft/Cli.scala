@@ -168,9 +168,17 @@ object Cli {
         graft.ops.Clean.madOutliers(df, c, Seq(asc(df.columns.head)))
       case "active-users" =>
         import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.types.LongType
         val e = spark.read.parquet(input)
-        val withUs = if (e.columns.contains("ts_us")) e
-          else e.withColumn("ts_us", expr("unix_micros(ts)"))
+        // probe the physical ts form the same way Tables.events /
+        // Events.stream do: BIGINT nanos (legacy nanosAsLong dumps),
+        // TIMESTAMP/_NTZ (micros dumps), or a ready ts_us column
+        val withUs =
+          if (e.columns.contains("ts_us")) e
+          else if (e.schema("ts").dataType == LongType)
+            e.withColumn("ts_us", expr("ts div 1000"))
+          else e.withColumn("ts_us",
+            unix_micros(col("ts").cast("timestamp")))
         graft.ops.EventAnalytics.activeUsers(withUs)
       case "merge-upsert" =>
         val parts = input.split(",")

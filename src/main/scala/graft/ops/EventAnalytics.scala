@@ -305,10 +305,10 @@ object EventAnalytics {
     * to the anchor days whose trailing window covers it (×7 and ×28
     * via `sequence` + explode — a CONSTANT replication factor, the
     * classic rolling-distinct shape), then one countDistinct per
-    * anchor day. Anchors clamp to the observed [min, max] day span
-    * (a 1-row broadcast frame). Output is DAYS rows at any input
-    * size; swap countDistinct for `graft_kmv`/`graft_hll` when the
-    * per-day distinct shuffle itself is the bottleneck at 100 TB.
+    * anchor day, left-joined onto the full [min, max] calendar spine
+    * so quiet days read as explicit zeros. Output is DAYS rows at any
+    * input size; swap countDistinct for `graft_kmv`/`graft_hll` when
+    * the per-day distinct shuffle itself is the bottleneck at 100 TB.
     */
   def activeUsers(events: DataFrame): DataFrame = {
     val acts = events
@@ -325,13 +325,20 @@ object EventAnalytics {
       .groupBy("anchor").agg(countDistinct(col("user_id")).as("wau"))
     val dau = acts.groupBy("day").agg(countDistinct(col("user_id"))
       .as("dau"))
-    mau.as("m")
-      .join(wau.as("w"), col("m.anchor") === col("w.anchor"), "left")
-      .join(dau.as("d"), col("m.anchor") === col("d.day"), "left")
-      .select(col("m.anchor").as("day"),
+    // the day SPINE covers every calendar day of [d0, d1] — a quiet
+    // stretch with zero trailing activity must read as explicit zero
+    // rows, not missing data (a growth dashboard joins on the calendar)
+    val grid = span
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    grid.as("g")
+      .join(mau.as("m"), col("g.day") === col("m.anchor"), "left")
+      .join(wau.as("w"), col("g.day") === col("w.anchor"), "left")
+      .join(dau.as("d"), col("g.day") === col("d.day"), "left")
+      .select(col("g.day").as("day"),
         coalesce(col("d.dau"), lit(0L)).as("dau"),
-        coalesce(col("w.wau"), lit(0L)).as("wau"), col("m.mau"),
-        when(col("m.mau") > 0, round(
+        coalesce(col("w.wau"), lit(0L)).as("wau"),
+        coalesce(col("m.mau"), lit(0L)).as("mau"),
+        when(coalesce(col("m.mau"), lit(0L)) > 0, round(
           coalesce(col("d.dau"), lit(0L)).cast("double") /
             col("m.mau").cast("double"), 6)).as("stickiness"))
       .orderBy("day")

@@ -162,7 +162,14 @@ object Stats {
     */
   def chiSquareIndependence(df: DataFrame, xCol: String, yCol: String)
       : DataFrame = {
-    val joint = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+    // rows with a NULL in either column are EXCLUDED (the standard
+    // complete-case contingency test): a null level would count into
+    // the marginals yet never match the grid's equi-join, turning its
+    // observed count into a spurious (0 − E)²/E dependence signal —
+    // callers wanting null-as-category coalesce to a sentinel upstream
+    val joint = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("x"), col(yCol).as("y"))
       .agg(count(lit(1)).as("nxy"))
     val mx = joint.groupBy("x").agg(sum(col("nxy")).as("nx"))
     val my = joint.groupBy("y").agg(sum(col("nxy")).as("ny"))

@@ -241,9 +241,15 @@ object TextAnalysis {
       .withColumn("num", expr("dk * cast(sxy as double) - dsx * dsy"))
       .withColumn("den", expr("dk * cast(sxx as double) - dsx * dsx"))
       .withColumn("deny", expr("dk * cast(syy as double) - dsy * dsy"))
+      // degenerate fits yield NULL, not NaN: den = 0 with a single
+      // token type (no x spread), deny = 0 when every count is equal
+      // (no y spread — a plausible post-dedup corpus)
       .select(col("kk").as("n_types"),
-        round(expr("num / den"), 6).as("slope"),
-        round(expr("(dsy - (num / den) * dsx) / dk"), 6).as("intercept"),
-        round(expr("(num * num) / (den * deny)"), 6).as("r2"))
+        round(expr("case when den > 0 then num / den end"), 6)
+          .as("slope"),
+        round(expr("case when den > 0 then " +
+          "(dsy - (num / den) * dsx) / dk end"), 6).as("intercept"),
+        round(expr("case when den > 0 and deny > 0 then " +
+          "(num * num) / (den * deny) end"), 6).as("r2"))
   }
 }

@@ -341,9 +341,14 @@ object TextModels {
     val w = tf.join(idf, "tok")
       .select(col("doc_id"), col("tok"),
         (sqrt(col("tf").cast("double")) * col("idf")).as("wt"))
+    // a zero norm is reachable (every surviving term with idf = 0,
+    // i.e. df == n_docs when n_docs <= maxDf): such a doc carries no
+    // discriminative weight and is EXCLUDED rather than emitting
+    // NaN = 0/0 pairs
     val norms = w.groupBy("doc_id")
       .agg(expr("sqrt(cast(sum(cast(round(wt * wt, 9) " +
         "as decimal(24,9))) as double))").as("nrm"))
+      .filter(col("nrm") > 0)
     val nw = w.join(norms, "doc_id")
       .select(col("doc_id"), col("tok"), expr("wt / nrm").as("nw"))
     nw.as("a")
@@ -374,16 +379,21 @@ object TextModels {
     */
   def chi2Terms(docs: DataFrame, labelCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val present = docs
+    // null-labeled docs are excluded everywhere (N, label totals,
+    // presence) — the complete-case convention shared with
+    // Stats.chiSquareIndependence; a null label would inflate N yet
+    // never meet the label grid
+    val labeled = docs.filter(col(labelCol).isNotNull)
+    val present = labeled
       .select(col("doc_id"), col(labelCol).as("lbl"),
         explode(expr(Hashing.tokensSql)).as("term"))
       .distinct()
     val byTermLabel = present.groupBy("term", "lbl")
       .agg(count(lit(1)).as("o1"))
-    val byLabel = docs.groupBy(col(labelCol).as("lbl"))
+    val byLabel = labeled.groupBy(col(labelCol).as("lbl"))
       .agg(count(lit(1)).as("nl"))
     val byTerm = byTermLabel.groupBy("term").agg(sum(col("o1")).as("nt"))
-    val tot = docs.agg(count(lit(1)).as("nn"))
+    val tot = labeled.agg(count(lit(1)).as("nn"))
     val grid = byTerm.crossJoin(broadcast(byLabel))
       .join(byTermLabel, Seq("term", "lbl"), "left")
       .withColumn("o1", coalesce(col("o1"), lit(0L)))

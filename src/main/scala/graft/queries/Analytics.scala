@@ -580,25 +580,30 @@ object Analytics extends QueryModule {
       wau AS (SELECT anchor, CAST(COUNT(DISTINCT user_id) AS BIGINT)
                 AS wau FROM fan WHERE anchor - day <= 6 GROUP BY 1),
       dau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT)
-                AS dau FROM acts GROUP BY 1)
-      SELECT m.anchor AS day, COALESCE(d.dau, 0) AS dau,
-        COALESCE(w.wau, 0) AS wau, m.mau,
-        CASE WHEN m.mau > 0 THEN round(CAST(COALESCE(d.dau, 0)
-          AS DOUBLE) / CAST(m.mau AS DOUBLE), 6) END AS stickiness
-      FROM mau m LEFT JOIN wau w ON m.anchor = w.anchor
-      LEFT JOIN dau d ON m.anchor = d.day
+                AS dau FROM acts GROUP BY 1),
+      grid AS (SELECT unnest(generate_series(d0, d1)) AS day FROM span)
+      SELECT g.day AS day, COALESCE(d.dau, 0) AS dau,
+        COALESCE(w.wau, 0) AS wau, COALESCE(m.mau, 0) AS mau,
+        CASE WHEN COALESCE(m.mau, 0) > 0 THEN
+          round(CAST(COALESCE(d.dau, 0) AS DOUBLE) /
+            CAST(m.mau AS DOUBLE), 6) END AS stickiness
+      FROM grid g LEFT JOIN mau m ON g.day = m.anchor
+      LEFT JOIN wau w ON g.day = w.anchor
+      LEFT JOIN dau d ON g.day = d.day
       ORDER BY day""")),
 
     // ---- Argmin/argmax aggregate battery: min_by / max_by with a
     // deterministic tie-broken ordering struct — the per-group
     // "row that achieves the extreme" staple.
     QueryDef("a_minmax_by", (s, d) => {
-      // the ordering value is ONE BIGINT (cents × 1e8 + key) so the
+      // the ordering value is ONE BIGINT (cents × 1e10 + key) so the
       // tie-broken argmin/argmax is portable — DuckDB's min_by does
-      // not order on structs
+      // not order on structs. 1e10 keeps the key digits clear of the
+      // cents digits through TPC-H SF ~1000 (orderkey < 1e10, cents
+      // < 5e7 → product < 5e17 < 2^63)
       t(s, d, "orders")
         .withColumn("__ord", expr(
-          "cast(round(o_totalprice * 100.0D) as bigint) * 100000000L" +
+          "cast(round(o_totalprice * 100.0D) as bigint) * 10000000000L" +
             " + o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(
@@ -610,9 +615,9 @@ object Analytics extends QueryModule {
     }, Some("""
       SELECT o_orderpriority,
         min_by(o_orderkey, CAST(round(o_totalprice * 100.0) AS BIGINT)
-          * 100000000 + o_orderkey) AS cheapest_order,
+          * 10000000000 + o_orderkey) AS cheapest_order,
         max_by(o_orderkey, CAST(round(o_totalprice * 100.0) AS BIGINT)
-          * 100000000 + o_orderkey) AS priciest_order,
+          * 10000000000 + o_orderkey) AS priciest_order,
         MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
       FROM orders GROUP BY 1 ORDER BY 1""")),
 
@@ -880,9 +885,12 @@ object Analytics extends QueryModule {
               CAST(kk AS DOUBLE) * CAST(syy AS DOUBLE) -
                 CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
             FROM m)
-      SELECT kk AS n_types, round(num / den, 6) AS slope,
-        round((dsy - (num / den) * dsx) / dk, 6) AS intercept,
-        round((num * num) / (den * deny), 6) AS r2
+      SELECT kk AS n_types,
+        round(CASE WHEN den > 0 THEN num / den END, 6) AS slope,
+        round(CASE WHEN den > 0 THEN (dsy - (num / den) * dsx) / dk END,
+          6) AS intercept,
+        round(CASE WHEN den > 0 AND deny > 0 THEN
+          (num * num) / (den * deny) END, 6) AS r2
       FROM d""")),
 
     // ---- Last-touch conversion attribution
@@ -1041,7 +1049,7 @@ object Analytics extends QueryModule {
             FROM tf JOIN idf ON tf.tok = idf.tok),
       nrm AS (SELECT doc_id, sqrt(CAST(SUM(CAST(round(wt * wt, 9)
                 AS DECIMAL(24,9))) AS DOUBLE)) AS nrm
-              FROM w GROUP BY 1),
+              FROM w GROUP BY 1 HAVING nrm > 0),
       nw AS (SELECT w.doc_id, tok, wt / nrm AS nw
              FROM w JOIN nrm ON w.doc_id = nrm.doc_id),
       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -87,6 +87,18 @@ object SoakEvents {
       .select("cohort_week", "week_offset", "n_active")
       .as[(Long, Long, Long)].collect()
       .map { case (c, o, n) => (c, o) -> n }.toMap
+    val baseActive = EventAnalytics.activeUsers(base)
+      .select("day", "dau", "wau", "mau")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (d, a, w, m) => d -> ((a, w, m)) }.toMap
+    val baseIvl = graft.ops.Intervals.mergeIntervals(
+      base.select(col("user_id"), col("ts_us").as("s0"),
+        (col("ts_us") + 600000000L).as("e0")),
+      Seq("user_id"), "s0", "e0").count()
+    val baseTrans = EventAnalytics.transitionMatrix(base)
+      .select("from_type", "to_type", "n")
+      .as[(String, String, Long)].collect()
+      .map { case (f, to, n) => (f, to) -> n }.toMap
 
     for (scale <- scales) {
       val copies = (0 until scale).map { i =>
@@ -114,7 +126,9 @@ object SoakEvents {
           .map { case (c, o, n) => (c, o) -> n }.toMap
       }
       val retExact = retCells.size == baseRet.size &&
-        retCells.forall { case (k, n) => n == scale * baseRet(k) }
+        retCells.forall { case (k, n) =>
+          baseRet.get(k).contains(n / scale) && n % scale == 0
+        }
 
       // gap-fill: planted key closed-form (10 rows, zero-fill days 1-8
       // forward-filled with 10.0, day 9 back to 40.0)
@@ -139,6 +153,61 @@ object SoakEvents {
       }
       val anomExact = anomRow._2 && anomRow._1.contains(43.830844)
 
+      // active users: user-disjoint copies with unchanged timestamps ⇒
+      // every per-day (dau, wau, mau) must be EXACTLY scale × the base
+      // cell, days invariant — the rolling-distinct fan-out's cost
+      // grows with activity rows, its output does not
+      val (actCells, actSec) = timed {
+        EventAnalytics.activeUsers(copies)
+          .select("day", "dau", "wau", "mau")
+          .as[(Long, Long, Long, Long)].collect()
+          .map { case (d, a, w, m) => d -> ((a, w, m)) }.toMap
+      }
+      // .get, not apply: an unexpected day must report exact:false,
+      // never kill the harness before the JSON line prints
+      val actExact = actCells.size == baseActive.size &&
+        actCells.forall { case (d, (a, w, m)) =>
+          baseActive.get(d).contains((a / scale, w / scale, m / scale)) &&
+            a % scale == 0 && w % scale == 0 && m % scale == 0
+        }
+
+      // interval merge: per-user sweep ⇒ merged-interval count exactly
+      // scale × base (user-disjoint copies, per-user structure
+      // unchanged); planted gap user resolves to 2 closed-form spans
+      val (ivlCounts, ivlSec) = timed {
+        val m = graft.ops.Intervals.mergeIntervals(
+          all.select(col("user_id"), col("ts_us").as("s0"),
+            (col("ts_us") + 600000000L).as("e0")),
+          Seq("user_id"), "s0", "e0")
+        (m.count(),
+          m.filter(col("user_id") === 9000000001L)
+            .select("start", "end", "n_spans")
+            .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq)
+      }
+      // planted anomaly user: 30 one-per-day bursts → 30 intervals
+      val ivlExact = ivlCounts._1 == scale * baseIvl + 2 + 30 &&
+        ivlCounts._2 == Seq((0L, 600001000L, 2L),
+          (9L * DayUs, 9L * DayUs + 600000000L, 1L))
+
+      // transitions: per-copy user streams identical ⇒ per-(from, to)
+      // counts exactly scale × base, matrix shape invariant
+      val (transCells, transSec) = timed {
+        EventAnalytics.transitionMatrix(copies)
+          .select("from_type", "to_type", "n")
+          .as[(String, String, Long)].collect()
+          .map { case (f, to, n) => (f, to) -> n }.toMap
+      }
+      val transExact = transCells.size == baseTrans.size &&
+        transCells.forall { case (k, n) =>
+          baseTrans.get(k).contains(n / scale) && n % scale == 0
+        }
+
+      emit("e_active_users", scale, actSec,
+        "n_days" -> actCells.size, "exact" -> actExact)
+      emit("w_interval_merge", scale, ivlSec,
+        "n_intervals" -> ivlCounts._1, "exact" -> ivlExact)
+      emit("e_transitions", scale, transSec,
+        "n_cells" -> transCells.size, "exact" -> transExact)
       emit("e_funnel_steps", scale, funnelSec,
         "n_events" -> nEvents, "exact" -> funnelExact,
         "step0" -> funnelRows(0L), "step2" -> funnelRows(2L))

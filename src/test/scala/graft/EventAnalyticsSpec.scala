@@ -202,6 +202,19 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out(10L) === ((1L, 1L, 2L))) // user 1 returns
     // anchors clamp at the last activity day
     assert(out.keys.max === 10L)
+    // the calendar spine is gap-free within [min, max]
+    assert(out.keys.toSeq.sorted === (0L to 10L))
+  }
+
+  test("active users: quiet days beyond the MAU window read as zeros") {
+    // activity on day 0 and day 40 only: days 28..39 have zero
+    // trailing 28-day activity and must still appear as zero rows
+    val e = ev((1L, 1L, "v", 0L, 0.0), (1L, 2L, "v", 40L * DayUs, 0.0))
+    val out = EventAnalytics.activeUsers(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(out.keys.toSeq.sorted === (0L to 40L))
+    assert(out(30L) === ((0L, 0L)))
+    assert(out(40L) === ((1L, 1L)))
   }
 
   test("week-over-week: first week has null change; zero prior has " +

@@ -183,6 +183,35 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("tfidfNeighbors: a zero-norm doc (all idf 0) is excluded, " +
+    "never NaN") {
+    val s = spark; import s.implicits._
+    // 'everywhere' appears in all 3 docs → idf = ln(1) = 0; doc 3 has
+    // ONLY that term, so its norm is 0 and it must vanish from pairs
+    val docs = Seq(
+      (1L, "everywhere alpha beta"), (2L, "everywhere alpha beta"),
+      (3L, "everywhere")).toDF("doc_id", "text")
+    val out = TextModels.tfidfNeighbors(docs, 10, minDf = 1, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.forall(p => p._1 != 3L && p._2 != 3L))
+    assert(out.forall(p => !p._3.isNaN))
+    assert(out.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+  }
+
+  test("zipfFit degenerate corpora yield null fits, not NaN") {
+    val s = spark; import s.implicits._
+    // every token count equal (a plausible post-dedup corpus): no y
+    // spread → r2 null; slope well-defined? deny = 0 only
+    val flat = Seq((1L, "aa bb cc dd")).toDF("doc_id", "text")
+    val r1 = TextAnalysis.zipfFit(flat).collect().head
+    assert(r1.isNullAt(3), s"r2 should be null: $r1")
+    assert(!r1.isNullAt(1)) // x spread exists → slope defined (0)
+    // single token type: no x spread either → slope/intercept null
+    val one = Seq((1L, "aa aa aa")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.zipfFit(one).collect().head
+    assert(r2.isNullAt(1) && r2.isNullAt(2) && r2.isNullAt(3))
+  }
+
   test("zipfFit recovers the exponent of an exact power-law corpus") {
     val s = spark; import s.implicits._
     // counts c(r) = floor(1000 / r) for ranks 1..50 — ln c ≈ ln 1000

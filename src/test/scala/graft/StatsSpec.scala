@@ -51,6 +51,18 @@ class StatsSpec extends AnyFunSuite {
     assert(out.getDouble(2) === 40.0)
   }
 
+  test("chi2 independence: null categories are excluded, not phantom " +
+    "cells") {
+    val s = spark; import s.implicits._
+    // (null,'y1')×50 would otherwise count into marginals but never
+    // match the grid join → spurious (0−E)²/E; complete-case excludes
+    val df = ((1 to 50).map(_ => (Option.empty[String], "y1")) ++
+      (1 to 50).map(_ => (Some("x1"), "y1"))).toDF("x", "y")
+    val out = Stats.chiSquareIndependence(df, "x", "y").collect().head
+    assert(out.getLong(0) === 50L) // only complete cases
+    assert(out.getLong(1) === 0L && out.getDouble(2) === 0.0)
+  }
+
   test("chi2 independence: an independent grid scores ~0") {
     val s = spark; import s.implicits._
     // uniform product distribution: observed == expected exactly
