@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** All query modules; each covers one band of SURVEY.md §2. */
   val modules: Seq[QueryModule] =
-    Seq(Relational, Functions, Pipeline, Corpus, StreamML, Analytics)
+    Seq(Relational, Functions, Pipeline, Corpus, StreamML, Analytics,
+      Insights)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -137,4 +137,50 @@ object Rank {
       .limit(sampleK)
     exactQuantiles(sample, valueCol, col("__h") +: tieCols, qs)
   }
+
+  /** EQUI-DEPTH histogram of `valueCol` in `k` buckets: every bucket
+    * holds ⌊N/k⌋ or ⌈N/k⌉ rows (SQL NTILE semantics — the first
+    * N mod k buckets take the extra row), reported as per-bucket
+    * (bucket, n, lo, hi, avg). The equi-WIDTH twin is the
+    * `a_histogram` gate; equi-depth is what an optimizer's column
+    * statistics and a skew report actually want, because bucket
+    * boundaries adapt to the distribution.
+    *
+    * A naive NTILE is an unpartitioned window — one task sorts the
+    * world. This runs on [[globalOrdinal]]'s two-phase rank
+    * (range-partition + per-partition window + broadcast offsets) and
+    * applies the NTILE assignment as ARITHMETIC on the 0-based rank:
+    * with q = N div k, r = N mod k,
+    *
+    *   bucket(rank) = rank div (q+1)                    if rank < r·(q+1)
+    *                  r + (rank − r·(q+1)) div q        otherwise
+    *
+    * which reproduces NTILE exactly (an oracle's NTILE(k) OVER
+    * (ORDER BY value, ties) hash-matches), while no operator funnels
+    * the data through a single task. `tieCols` must complete a total
+    * order so bucket membership is deterministic. Degenerate N < k
+    * yields N singleton buckets (q = 0 — the divide-by-q branch is
+    * then unreachable, since every rank < r·1 = N).
+    */
+  def equiDepthHistogram(df: DataFrame, valueCol: String,
+      tieCols: Seq[Column], k: Int, numPartitions: Int = 32): DataFrame = {
+    require(k > 0, s"bucket count must be positive, got $k")
+    val ranked = globalOrdinal(df, col(valueCol) +: tieCols, "__r",
+      numPartitions)
+    val n = df.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("__q", (col("__n") / k).cast("long"))
+      .withColumn("__rem", col("__n") % k)
+      .withColumn("bucket",
+        when(col("__r") < col("__rem") * (col("__q") + 1),
+          expr("__r div (__q + 1)"))
+        .otherwise(col("__rem") +
+          expr("(__r - __rem * (__q + 1)) div __q"))
+        .cast("int"))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"),
+        max(col(valueCol)).as("hi"),
+        round(avg(col(valueCol)), 6).as("avg_v"))
+  }
 }

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Kaplan–Meier survival estimation over an event log — the standard
+  * right-censored retention/churn curve (Kaplan & Meier 1958), the
+  * lifetime twin of the cohort retention matrix in
+  * `ops/EventAnalytics.retentionCohorts`.
+  *
+  * Scale contract: the per-user lifetime extraction is ONE hash
+  * aggregate on the user key; everything after runs on the duration
+  * table, whose size is bounded by the observation horizon in time
+  * units (weeks of history — hundreds of rows at any data scale), so
+  * the unpartitioned windows that accumulate at-risk counts and the
+  * survival product operate on aggregate-sized data by construction.
+  * No global sort or driver-side loop touches per-event or per-user
+  * rows.
+  */
+object Survival {
+
+  /** Kaplan–Meier estimate of user lifetime from an event log with
+    * columns `user_id` and `ts_us`.
+    *
+    * Per user, lifetime = (last event − first event) in `unitUs`
+    * units (integer div). A user whose last event falls within
+    * `censorLagUnits` units of the study end (the global max ts) is
+    * CENSORED at that lifetime — still possibly active, their
+    * lifetime is a lower bound; everyone else is an observed churn
+    * ("death") at theirs. Then, with d_t deaths and c_t censorings at
+    * lifetime t and n_t = users whose lifetime is ≥ t (at risk),
+    *
+    *   S(t) = Π_{s ≤ t, d_s > 0} (1 − d_s / n_s)
+    *
+    * following the standard convention that same-time censorings
+    * leave the risk set AFTER deaths are counted. If some t exhausts
+    * the risk set (d_t = n_t) the curve hits exactly 0 and stays
+    * there — guarded by a flag rather than ln(0), since the product
+    * is computed as exp(Σ ln) to stay a pure windowed aggregate.
+    *
+    * Returns one row per lifetime with any event:
+    * (t, n_at_risk, n_deaths, n_censored, survival), survival rounded
+    * to 6 decimals.
+    */
+  def kaplanMeier(events: DataFrame, unitUs: Long,
+      censorLagUnits: Int = 2): DataFrame = {
+    val users = events.groupBy("user_id")
+      .agg(min("ts_us").as("__first"), max("ts_us").as("__last"))
+    val end = users.agg(max("__last").as("__end"))
+    val lifetimes = users.crossJoin(broadcast(end))
+      // integer `div`, not `/`: the double quotient of two near-equal
+      // longs can land at 2.9999…96 and truncate to the wrong week
+      .select(expr(s"(__last - __first) div ${unitUs}L").as("t"),
+        (col("__last") < col("__end") - lit(censorLagUnits * unitUs))
+          .cast("int").as("__dead"))
+    val byT = lifetimes.groupBy("t").agg(
+      sum("__dead").cast("long").as("n_deaths"),
+      sum(lit(1) - col("__dead")).cast("long").as("n_censored"))
+    // From here the data is horizon-sized: unpartitioned windows are
+    // deliberate and safe (see object doc).
+    val wAll = Window.partitionBy().orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.partitionBy().orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withRisk = byT
+      .withColumn("n_at_risk",
+        sum(col("n_deaths") + col("n_censored")).over(
+          Window.partitionBy()) -
+          coalesce(sum(col("n_deaths") + col("n_censored")).over(wPrev),
+            lit(0L)))
+      .withColumn("__factor", lit(1.0) -
+        col("n_deaths").cast("double") / col("n_at_risk"))
+    withRisk
+      .withColumn("__hit_zero",
+        max((col("__factor") === 0.0).cast("int")).over(wAll) === 1)
+      .withColumn("survival", when(col("__hit_zero"), lit(0.0))
+        .otherwise(round(exp(sum(log(col("__factor"))).over(wAll)), 6)))
+      .select("t", "n_at_risk", "n_deaths", "n_censored", "survival")
+  }
+}

@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Drift, Market, Rank, Survival}
+import graft.queries.Tables.t
+
+/** Recommendation, drift, and lifetime analytics gates: market-basket
+  * association rules and item-based collaborative filtering
+  * (graft.ops.Market), the PSI distribution-drift report
+  * (graft.ops.Drift), the equi-depth NTILE histogram on the two-phase
+  * global ordinal (graft.ops.Rank.equiDepthHistogram), and the
+  * Kaplan–Meier churn curve (graft.ops.Survival). Every oracle is a
+  * full DuckDB replay; scale contracts live on the ops.
+  */
+object Insights extends QueryModule {
+
+  private val WeekUs = 604800000000L
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Association rules over order baskets. Items are partkey
+    // residues mod 100 — a deterministic category surrogate that gives
+    // the synthetic baskets enough co-occurrence density for the
+    // support/confidence/lift statistics to be non-degenerate (the op
+    // itself takes any basket/item columns).
+    QueryDef("m_basket_rules", (s, d) => {
+      Market.basketRules(
+        t(s, d, "lineitem").select(col("l_orderkey").as("basket"),
+          (col("l_partkey") % 100).as("item")),
+        "basket", "item", minPairCount = 2L, maxBasket = 64, k = 50)
+    }, Some("""
+      WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 100 AS i
+                     FROM lineitem),
+      sized AS (SELECT b, i FROM (SELECT b, i,
+                  COUNT(*) OVER (PARTITION BY b) AS w FROM items)
+                WHERE w <= 64),
+      nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets
+             FROM sized),
+      ic AS (SELECT i AS item, CAST(COUNT(*) AS BIGINT) AS n_item
+             FROM sized GROUP BY 1),
+      pairs AS (SELECT a.i AS antecedent, c.i AS consequent,
+                  CAST(COUNT(*) AS BIGINT) AS n_both
+                FROM sized a JOIN sized c ON a.b = c.b AND a.i <> c.i
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      SELECT antecedent, consequent, n_both,
+        round(CAST(n_both AS DOUBLE) / n_baskets, 6) AS support,
+        round(CAST(n_both AS DOUBLE) / ia.n_item, 6) AS confidence,
+        round(CAST(n_both AS DOUBLE) * n_baskets /
+          (ia.n_item * ib.n_item), 6) AS lift
+      FROM pairs CROSS JOIN nb
+      JOIN ic ia ON ia.item = antecedent
+      JOIN ic ib ON ib.item = consequent
+      ORDER BY lift DESC, antecedent, consequent LIMIT 50""")),
+
+    // ---- Item-based collaborative filtering on the customer×item
+    // matrix (orders ⋈ lineitem; items are partkey residues mod 200 so
+    // per-item user sets overlap). History capped at 15 items/user —
+    // the quadratic guard documented on the op.
+    QueryDef("rec_item_neighbors", (s, d) => {
+      Market.itemNeighbors(
+        t(s, d, "lineitem").join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("u"),
+            (col("l_partkey") % 200).as("i")),
+        "u", "i", maxPerUser = 15, k = 10)
+    }, Some("""
+      WITH ui0 AS (SELECT DISTINCT o_custkey AS u, l_partkey % 200 AS i
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      ui AS (SELECT u, i FROM (SELECT u, i, ROW_NUMBER() OVER
+               (PARTITION BY u ORDER BY i) AS r FROM ui0) WHERE r <= 15),
+      ic AS (SELECT i AS it, CAST(COUNT(*) AS BIGINT) AS n_item
+             FROM ui GROUP BY 1),
+      p AS (SELECT a.i AS i, c.i AS j, CAST(COUNT(*) AS BIGINT) AS n_both
+            FROM ui a JOIN ui c ON a.u = c.u AND a.i < c.i GROUP BY 1, 2),
+      d AS (SELECT i, j, n_both FROM p
+            UNION ALL SELECT j, i, n_both FROM p),
+      s AS (SELECT d.i AS item, d.j AS neighbor, d.n_both,
+              round(d.n_both / sqrt(CAST(ia.n_item AS DOUBLE) * ib.n_item),
+                6) AS cosine
+            FROM d JOIN ic ia ON ia.it = d.i JOIN ic ib ON ib.it = d.j)
+      SELECT item, neighbor, n_both, cosine, CAST(rank AS INT) AS rank
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+              ORDER BY cosine DESC, neighbor) AS rank FROM s)
+      WHERE rank <= 10""")),
+
+    // ---- PSI drift report between the first and second temporal
+    // halves of the event log: numeric `value` on the frozen 10-bin
+    // reference grid, categorical `event_type` on the observed union.
+    QueryDef("q_drift_psi", (s, d) => {
+      val e = Tables.events(s, d)
+      val mid = e.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("__mid"))
+      val withMid = e.crossJoin(broadcast(mid))
+      val ref = withMid.where(col("ts_us") < col("__mid"))
+      val cur = withMid.where(col("ts_us") >= col("__mid"))
+      Drift.psiNumeric(ref, cur, "value", nBins = 10)
+        .unionAll(Drift.psiCategorical(ref, cur, "event_type"))
+    }, Some("""
+      WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+                   AS mid FROM events),
+      ref AS (SELECT e.* FROM events e CROSS JOIN b
+              WHERE epoch_us(ts) < mid),
+      cur AS (SELECT e.* FROM events e CROSS JOIN b
+              WHERE epoch_us(ts) >= mid),
+      g AS (SELECT MIN(CAST(value AS DOUBLE)) AS lo,
+                   MAX(CAST(value AS DOUBLE)) AS hi FROM ref),
+      rn AS (SELECT CASE WHEN hi <= lo THEN 0 ELSE LEAST(9, GREATEST(0,
+                 CAST(FLOOR((CAST(value AS DOUBLE) - lo) * 10 / (hi - lo))
+                   AS INT))) END AS bin, CAST(COUNT(*) AS BIGINT) AS n
+             FROM ref CROSS JOIN g WHERE value IS NOT NULL GROUP BY 1),
+      cn AS (SELECT CASE WHEN hi <= lo THEN 0 ELSE LEAST(9, GREATEST(0,
+                 CAST(FLOOR((CAST(value AS DOUBLE) - lo) * 10 / (hi - lo))
+                   AS INT))) END AS bin, CAST(COUNT(*) AS BIGINT) AS n
+             FROM cur CROSS JOIN g WHERE value IS NOT NULL GROUP BY 1),
+      jn AS (SELECT COALESCE(rn.bin, cn.bin) AS bin,
+               COALESCE(rn.n, 0) AS n_ref, COALESCE(cn.n, 0) AS n_cur
+             FROM rn FULL OUTER JOIN cn ON rn.bin = cn.bin),
+      tn AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM jn),
+      pn AS (SELECT 'value' AS feature, 'numeric' AS kind,
+               CAST(10 AS INT) AS n_bins,
+               CAST(ANY_VALUE(t_ref) AS BIGINT) AS n_ref,
+               CAST(ANY_VALUE(t_cur) AS BIGINT) AS n_cur,
+               round(SUM((p - q) * ln(p / q)), 6) AS psi
+             FROM (SELECT t_ref, t_cur,
+                     (n_ref + 0.5) / (t_ref + 0.5 * 10) AS p,
+                     (n_cur + 0.5) / (t_cur + 0.5 * 10) AS q
+                   FROM jn CROSS JOIN tn)),
+      rc AS (SELECT COALESCE(CAST(event_type AS VARCHAR), '__null__')
+                 AS bin, CAST(COUNT(*) AS BIGINT) AS n
+             FROM ref GROUP BY 1),
+      cc AS (SELECT COALESCE(CAST(event_type AS VARCHAR), '__null__')
+                 AS bin, CAST(COUNT(*) AS BIGINT) AS n
+             FROM cur GROUP BY 1),
+      jc AS (SELECT COALESCE(rc.bin, cc.bin) AS bin,
+               COALESCE(rc.n, 0) AS n_ref, COALESCE(cc.n, 0) AS n_cur
+             FROM rc FULL OUTER JOIN cc ON rc.bin = cc.bin),
+      kc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM jc),
+      tc AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM jc),
+      pc AS (SELECT 'event_type' AS feature, 'categorical' AS kind,
+               CAST(ANY_VALUE(k) AS INT) AS n_bins,
+               CAST(ANY_VALUE(t_ref) AS BIGINT) AS n_ref,
+               CAST(ANY_VALUE(t_cur) AS BIGINT) AS n_cur,
+               round(SUM((p - q) * ln(p / q)), 6) AS psi
+             FROM (SELECT t_ref, t_cur, k,
+                     (n_ref + 0.5) / (t_ref + 0.5 * k) AS p,
+                     (n_cur + 0.5) / (t_cur + 0.5 * k) AS q
+                   FROM jc CROSS JOIN tc CROSS JOIN kc))
+      SELECT * FROM pn UNION ALL SELECT * FROM pc""")),
+
+    // ---- Equi-depth (NTILE) histogram of extended price — the
+    // adaptive-boundary twin of the equi-width `a_histogram` gate,
+    // riding the two-phase global ordinal instead of a one-task sort.
+    QueryDef("a_histogram_equidepth", (s, d) => {
+      Rank.equiDepthHistogram(t(s, d, "lineitem"), "l_extendedprice",
+        Seq(col("l_orderkey"), col("l_linenumber")), k = 10)
+    }, Some("""
+      WITH r AS (SELECT l_extendedprice AS v,
+                   NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                     l_linenumber) - 1 AS bucket
+                 FROM lineitem)
+      SELECT CAST(bucket AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        MIN(v) AS lo, MAX(v) AS hi, round(AVG(v), 6) AS avg_v
+      FROM r GROUP BY 1""")),
+
+    // ---- Kaplan–Meier churn curve over user lifetimes in weeks;
+    // users active within 2 weeks of the study end are right-censored.
+    QueryDef("e_survival_km", (s, d) => {
+      Survival.kaplanMeier(Tables.events(s, d), WeekUs,
+        censorLagUnits = 2)
+    }, Some("""
+      WITH u AS (SELECT user_id, MIN(epoch_us(ts)) AS f,
+                   MAX(epoch_us(ts)) AS l FROM events GROUP BY 1),
+      se AS (SELECT MAX(l) AS study_end FROM u),
+      lt AS (SELECT (l - f) // 604800000000 AS t,
+               CASE WHEN l < study_end - 2 * 604800000000 THEN 1 ELSE 0
+                 END AS dead
+             FROM u CROSS JOIN se),
+      bt AS (SELECT t, CAST(SUM(dead) AS BIGINT) AS n_deaths,
+               CAST(SUM(1 - dead) AS BIGINT) AS n_censored
+             FROM lt GROUP BY 1),
+      r AS (SELECT *, CAST(SUM(n_deaths + n_censored) OVER () -
+               COALESCE(SUM(n_deaths + n_censored) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_at_risk FROM bt),
+      f2 AS (SELECT *, 1.0 - CAST(n_deaths AS DOUBLE) / n_at_risk
+               AS factor FROM r)
+      SELECT t, n_at_risk, n_deaths, n_censored,
+        CASE WHEN MAX(CASE WHEN factor = 0 THEN 1 ELSE 0 END) OVER
+               (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1 THEN 0.0
+             ELSE round(exp(SUM(ln(factor)) OVER (ORDER BY t
+               ROWS UNBOUNDED PRECEDING)), 6) END AS survival
+      FROM f2"""))
+  )
+}
