@@ -422,6 +422,60 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** All-pairs n-gram Jaccard ≥ threshold with EXACT recall and NO df
+    * cap — prefix filtering (Chaudhuri et al. SSJoin 2006 / Bayardo et
+    * al. AllPairs WWW'07), the published alternative to
+    * [[jaccardAllPairs]]'s skew cap. Under a GLOBAL canonical shingle
+    * order (ascending document frequency, ties by shingle text), two
+    * sets with |A∩B| ≥ ⌈τ·|A|⌉ must share a shingle within A's first
+    * |A| − ⌈τ·|A|⌉ + 1 shingles (else the intersection fits entirely in
+    * the ⌈τ·|A|⌉ − 1 slots after the prefix — too few). So the
+    * candidate join runs only on each doc's PREFIX shingles — and
+    * because the canonical order puts the RAREST shingles first, the
+    * hot shingles that make the uncapped inverted-index join quadratic
+    * sit in suffixes and never generate candidates. Pruning power
+    * grows with τ and with df skew — exactly where the cap variant
+    * loses recall.
+    *
+    * ⌈τ·|x|⌉ is computed in DECIMAL (τ widened to DECIMAL(20,10) times
+    * an exact integer) — an IEEE product like fl(0.5·6) = 3.0000…01
+    * would ceil to 4, shorten the prefix by one, and silently break
+    * the exact-recall theorem.
+    *
+    * Scale shape: one df aggregate, one per-doc window (partitioned by
+    * doc — no global sort), the prefix self-join, then
+    * [[verifyJaccard]] on surviving candidates only.
+    */
+  def jaccardPrefixPairs(docs: DataFrame, shingleN: Int,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must lie in (0, 1], got $threshold")
+    val sh = shingled(docs, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val dfs = ex.groupBy("sh").agg(count(lit(1)).as("__df"))
+    val pre = ex.join(dfs, "sh")
+      .withColumn("__pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("__df"), col("sh"))))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .where(col("__pos") <= col("__n") + 1 -
+        ceil(lit(threshold)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 10)) *
+          col("__n")))
+      .select("doc_id", "sh")
+    val cands = pre.as("a")
+      .join(pre.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // LAZY persist, same contract as [[jaccardAllPairs]]: the shingle
+    // table feeds the df aggregate, the prefix window, and the verify —
+    // unpersisting here would drop the cache before any action runs
+    verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
+  }
+
   /** Asymmetric shingle CONTAINMENT pairs, C(A→B) = |A ∩ B| / |A|
     * (Broder 1997's containment, beside his resemblance = Jaccard):
     * the measure that catches a SHORT document embedded inside a long

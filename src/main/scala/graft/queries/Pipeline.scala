@@ -309,6 +309,32 @@ object Pipeline extends QueryModule {
       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
       ORDER BY doc_a, doc_b""")),
 
+    // ---- All-pairs Jaccard by PREFIX FILTERING (Dedup.jaccardPrefixPairs)
+    // — EXACT recall with no df cap: the oracle is the UNCAPPED
+    // inverted-index join over the full shingle universe, so a
+    // hash-match here PROVES the prefix filter dropped no qualifying
+    // pair on this corpus (the theorem's empirical witness, beside the
+    // capped gate's filtered-universe semantics).
+    QueryDef("d_jaccard_exact_prefix", (s, d) => {
+      Dedup.jaccardPrefixPairs(docs(s, d), 3, 0.5)
+        .orderBy("doc_a", "doc_b")
+    }, Some(s"""
+      WITH $duckShingleCtes,
+      ex AS (SELECT doc_id, unnest(shingles) AS shg FROM sh),
+      sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS inter
+                FROM ex a JOIN ex b
+                  ON a.shg = b.shg AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+      ORDER BY doc_a, doc_b""")),
+
     // ---- Asymmetric shingle CONTAINMENT |A∩B|/|A| ≥ 0.8 (Broder;
     // Dedup.containmentPairs): the short-doc-inside-long-doc measure
     // symmetric Jaccard dilutes as the container grows. DIRECTED
