@@ -452,22 +452,32 @@ object Dedup {
       s"threshold must lie in (0, 1], got $threshold")
     val sh = shingled(docs, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // set size rides along from the array — one window pass (position
+    // under the canonical order), not a second count-over-partition
+    val ex = sh.select(col("doc_id"), size(col("shingles")).as("__n"),
+      explode(col("shingles")).as("sh"))
     val dfs = ex.groupBy("sh").agg(count(lit(1)).as("__df"))
     val pre = ex.join(dfs, "sh")
       .withColumn("__pos", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
           .orderBy(col("__df"), col("sh"))))
-      .withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
       .where(col("__pos") <= col("__n") + 1 -
         ceil(lit(threshold)
           .cast(org.apache.spark.sql.types.DecimalType(20, 10)) *
           col("__n")))
-      .select("doc_id", "sh")
+      .select("doc_id", "__n", "sh")
+    // LENGTH filter (Arasu et al. 2006): J ≥ τ forces the set sizes
+    // within a τ factor (|A∩B| ≥ τ·|A∪B| ≥ τ·max ⟹ min ≥ τ·max), so
+    // size-discordant prefix collisions never reach the verify join.
+    // Bounds in exact DECIMAL like the prefix length — an IEEE τ·|x|
+    // rounded a hair high would prune a true boundary pair.
+    val tauDec = lit(threshold)
+      .cast(org.apache.spark.sql.types.DecimalType(20, 10))
     val cands = pre.as("a")
       .join(pre.as("b"), col("a.sh") === col("b.sh") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") &&
+        tauDec * col("a.__n") <= col("b.__n") &&
+        tauDec * col("b.__n") <= col("a.__n"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // LAZY persist, same contract as [[jaccardAllPairs]]: the shingle
