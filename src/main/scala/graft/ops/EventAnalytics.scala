@@ -37,23 +37,53 @@ object EventAnalytics {
     *
     * Input needs columns `user_id`, `event_id`, `event_type`, `ts_us`.
     */
-  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame =
+    funnelImpl(events, steps, windowUs = None)
+
+  /** [[funnel]] with a CONVERSION WINDOW: beyond the in-order rule,
+    * every later step must land within `windowUs` of the user's FIRST
+    * step-0 event (the anchor). First-touch-anchored semantics — the
+    * user's earliest entry opens their one window; a user who missed
+    * it and re-entered later is NOT re-scanned (documented choice:
+    * one-pass greedy, the per-user state is one (anchor, reach) row,
+    * not every candidate chain).
+    */
+  def windowedFunnel(events: DataFrame, steps: Seq[String],
+      windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"window must be positive, got $windowUs")
+    funnelImpl(events, steps, windowUs = Some(windowUs))
+  }
+
+  private def funnelImpl(events: DataFrame, steps: Seq[String],
+      windowUs: Option[Long]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val e = events.select("user_id", "event_id", "event_type", "ts_us")
     def reached(i: Int, prev: Option[DataFrame]): DataFrame = {
       val stepEv = e.filter(col("event_type") === steps(i))
-      val qualified = prev match {
-        case None => stepEv
+      prev match {
+        case None =>
+          stepEv.groupBy("user_id")
+            .agg(min(struct(col("ts_us"), col("event_id"))).as("r"))
+            .select(col("user_id"), col("r.ts_us").as("reach_ts"),
+              col("r.event_id").as("reach_id"),
+              col("r.ts_us").as("anchor_ts"))
         case Some(p) =>
+          val inOrder = col("ts_us") > col("reach_ts") ||
+            (col("ts_us") === col("reach_ts") &&
+              col("event_id") > col("reach_id"))
+          val inWindow = windowUs match {
+            case Some(w) => col("ts_us") <= col("anchor_ts") + w
+            case None => lit(true)
+          }
           stepEv.join(p, "user_id")
-            .filter(col("ts_us") > col("reach_ts") ||
-              (col("ts_us") === col("reach_ts") &&
-                col("event_id") > col("reach_id")))
+            .filter(inOrder && inWindow)
+            // anchor_ts is functionally determined by user_id (one
+            // anchor per user) — grouping by both just carries it
+            .groupBy("user_id", "anchor_ts")
+            .agg(min(struct(col("ts_us"), col("event_id"))).as("r"))
+            .select(col("user_id"), col("r.ts_us").as("reach_ts"),
+              col("r.event_id").as("reach_id"), col("anchor_ts"))
       }
-      qualified.groupBy("user_id")
-        .agg(min(struct(col("ts_us"), col("event_id"))).as("r"))
-        .select(col("user_id"), col("r.ts_us").as("reach_ts"),
-          col("r.event_id").as("reach_id"))
     }
     val sets = steps.indices
       .scanLeft(Option.empty[DataFrame])((p, i) => Some(reached(i, p)))
@@ -474,6 +504,53 @@ object EventAnalytics {
       .select(col("touch"), col("n_conversions"),
         round(col("n_conversions").cast("double") /
           col("__n").cast("double"), 6).as("share"))
+      .orderBy("touch")
+  }
+
+  /** LINEAR multi-touch attribution — the equal-split twin of
+    * [[lastTouchAttribution]]: each `convType` event distributes 1.0
+    * credit equally over ALL strictly-preceding events of other types
+    * in the same user's (ts, event_id)-ordered stream; a conversion
+    * with no preceding touch credits `__none__` whole. Σ credit over
+    * the output is EXACTLY the conversion count (each conversion hands
+    * out 1.0 total) — the conservation invariant the spec pins.
+    *
+    * Shape: no touch×conversion pair join (quadratic per user).
+    * Per conversion, m = the running count of preceding touches (the
+    * same inclusive-count trick as last-touch — the conversion's own
+    * null marker doesn't count itself); each PRECEDING touch is owed
+    * 1/m by it, and since every touch before a conversion precedes it,
+    * a touch's total credit is the SUFFIX SUM of the per-conversion
+    * 1/m credits after its position — one ordered per-user window,
+    * then a |types|-bounded aggregate.
+    */
+  def linearAttribution(events: DataFrame, convType: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val marked = events.select("user_id", "event_id", "event_type", "ts_us")
+      .withColumn("__t",
+        when(col("event_type") =!= convType, col("event_type")))
+      .withColumn("__m", count(col("__t")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__cc",
+        when(col("event_type") === convType && col("__m") > 0,
+          lit(1.0) / col("__m")).otherwise(lit(0.0)))
+    val touchCredit = marked
+      .withColumn("__credit", coalesce(sum(col("__cc")).over(
+        byUser.rowsBetween(1, Window.unboundedFollowing)), lit(0.0)))
+      .filter(col("__t").isNotNull)
+      .groupBy(col("__t").as("touch"))
+      .agg(sum("__credit").as("__sum"))
+    val orphan = marked
+      .filter(col("event_type") === convType && col("__m") === 0)
+      .groupBy(lit("__none__").as("touch"))
+      .agg(count(lit(1)).cast("double").as("__sum"))
+    val tot = marked.filter(col("event_type") === convType)
+      .agg(count(lit(1)).as("__n"))
+    touchCredit.unionByName(orphan)
+      .crossJoin(broadcast(tot))
+      .select(col("touch"), round(col("__sum"), 6).as("credit"),
+        round(col("__sum") / col("__n").cast("double"), 6).as("share"))
       .orderBy("touch")
   }
 

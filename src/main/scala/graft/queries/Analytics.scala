@@ -921,6 +921,82 @@ object Analytics extends QueryModule {
           AS share
       FROM cnt CROSS JOIN tt ORDER BY touch""")),
 
+    // ---- Windowed funnel: the ordered steps must ALL land within 3
+    // days of the user's first signup (first-touch-anchored greedy —
+    // semantics documented on EventAnalytics.windowedFunnel).
+    QueryDef("e_funnel_windowed", (s, d) => {
+      EventAnalytics.windowedFunnel(Tables.events(s, d),
+        Seq("signup", "click", "purchase"), windowUs = 259200000000L)
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts)
+                   AS ts_us FROM events),
+      r0 AS (SELECT user_id, ts_us AS reach_ts, event_id AS reach_id,
+               ts_us AS anchor FROM e
+             WHERE event_type = 'signup'
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id) = 1),
+      r1 AS (SELECT e.user_id, e.ts_us AS reach_ts,
+               e.event_id AS reach_id, r0.anchor
+             FROM e JOIN r0 USING (user_id)
+             WHERE event_type = 'click' AND (e.ts_us > r0.reach_ts
+               OR (e.ts_us = r0.reach_ts AND e.event_id > r0.reach_id))
+               AND e.ts_us <= r0.anchor + 259200000000
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY e.user_id
+               ORDER BY e.ts_us, e.event_id) = 1),
+      r2 AS (SELECT e.user_id, e.ts_us AS reach_ts,
+               e.event_id AS reach_id, r1.anchor
+             FROM e JOIN r1 USING (user_id)
+             WHERE event_type = 'purchase' AND (e.ts_us > r1.reach_ts
+               OR (e.ts_us = r1.reach_ts AND e.event_id > r1.reach_id))
+               AND e.ts_us <= r1.anchor + 259200000000
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY e.user_id
+               ORDER BY e.ts_us, e.event_id) = 1),
+      c AS (
+        SELECT CAST(0 AS BIGINT) AS step, 'signup' AS step_name,
+          CAST(COUNT(*) AS BIGINT) AS n_users FROM r0
+        UNION ALL SELECT 1, 'click', COUNT(*) FROM r1
+        UNION ALL SELECT 2, 'purchase', COUNT(*) FROM r2)
+      SELECT step, step_name, n_users,
+        round(CAST(n_users AS DOUBLE) /
+          CAST(lag(n_users) OVER (ORDER BY step) AS DOUBLE), 6)
+          AS conv_prev,
+        round(CAST(n_users AS DOUBLE) /
+          CAST(first_value(n_users) OVER (ORDER BY step
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS conv_first
+      FROM c ORDER BY step""")),
+
+    // ---- LINEAR multi-touch attribution (equal split over preceding
+    // touches; suffix-sum window, no touch×conversion join) — the
+    // credit-conserving twin of the last-touch gate.
+    QueryDef("e_attribution_linear", (s, d) => {
+      EventAnalytics.linearAttribution(Tables.events(s, d), "purchase")
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts)
+                   AS ts_us FROM events),
+      m AS (SELECT *, CASE WHEN event_type <> 'purchase'
+              THEN event_type END AS t FROM e),
+      c AS (SELECT *, COUNT(t) OVER (PARTITION BY user_id
+              ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS mm
+            FROM m),
+      cr AS (SELECT *, CASE WHEN event_type = 'purchase' AND mm > 0
+               THEN CAST(1 AS DOUBLE) / mm ELSE CAST(0 AS DOUBLE) END
+               AS conv_credit FROM c),
+      sx AS (SELECT t, COALESCE(SUM(conv_credit) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+               CAST(0 AS DOUBLE)) AS credit FROM cr),
+      tc AS (SELECT t AS touch, SUM(credit) AS sm FROM sx
+             WHERE t IS NOT NULL GROUP BY 1),
+      orphan AS (SELECT '__none__' AS touch,
+               CAST(COUNT(*) AS DOUBLE) AS sm FROM cr
+             WHERE event_type = 'purchase' AND mm = 0 GROUP BY 1),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e
+              WHERE event_type = 'purchase')
+      SELECT touch, round(sm, 6) AS credit,
+        round(sm / CAST(n AS DOUBLE), 6) AS share
+      FROM (SELECT * FROM tc UNION ALL SELECT * FROM orphan)
+      CROSS JOIN tot ORDER BY touch""")),
+
     // ---- Pearson χ² independence test between two categoricals
     // (Stats.chiSquareIndependence): the FULL |X|×|Y| grid (zero cells
     // contribute their expectation) from cross-joined broadcast

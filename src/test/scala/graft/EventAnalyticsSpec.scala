@@ -328,4 +328,50 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.forall(r => !r.getDouble(2).isInfinite &&
       !r.getDouble(2).isNaN))
   }
+
+  test("windowedFunnel: later steps must land within the anchor window") {
+    // user 1 completes within W=50; user 2's click is past the window
+    val e = ev(
+      (1L, 1L, "signup", 0L, 0.0), (1L, 2L, "click", 30L, 0.0),
+      (2L, 3L, "signup", 0L, 0.0), (2L, 4L, "click", 60L, 0.0))
+    val out = EventAnalytics.windowedFunnel(e, Seq("signup", "click"), 50L)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("signup", 2L), ("click", 1L)))
+  }
+
+  test("windowedFunnel: anchored at the FIRST entry, no re-scan") {
+    // a second signup at t=60 would open a window catching click@70,
+    // but the documented greedy semantics anchor at t=0 → no reach
+    val e = ev(
+      (1L, 1L, "signup", 0L, 0.0), (1L, 2L, "signup", 60L, 0.0),
+      (1L, 3L, "click", 70L, 0.0))
+    val out = EventAnalytics.windowedFunnel(e, Seq("signup", "click"), 50L)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("signup", 1L), ("click", 0L)))
+  }
+
+  test("linearAttribution: equal split, orphans, credit conservation") {
+    // u1: A,B then conv → 0.5 each; u2: orphan conv → __none__ 1.0;
+    // u3: A then TWO convs (each sees m=1) → A += 2.0
+    val e = ev(
+      (1L, 1L, "A", 1L, 0.0), (1L, 2L, "B", 2L, 0.0),
+      (1L, 3L, "purchase", 3L, 0.0),
+      (2L, 4L, "purchase", 1L, 0.0),
+      (3L, 5L, "A", 1L, 0.0), (3L, 6L, "purchase", 2L, 0.0),
+      (3L, 7L, "purchase", 3L, 0.0))
+    val out = EventAnalytics.linearAttribution(e, "purchase")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out === Map("A" -> 2.5, "B" -> 0.5, "__none__" -> 1.0))
+    // Σ credit = conversion count: each conversion hands out exactly 1
+    assert(out.values.sum === 4.0)
+  }
+
+  test("linearAttribution: touches after the last conversion earn zero") {
+    val e = ev(
+      (1L, 1L, "A", 1L, 0.0), (1L, 2L, "purchase", 2L, 0.0),
+      (1L, 3L, "B", 3L, 0.0))
+    val out = EventAnalytics.linearAttribution(e, "purchase")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out === Map("A" -> 1.0, "B" -> 0.0))
+  }
 }
