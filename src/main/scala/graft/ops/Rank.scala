@@ -24,11 +24,23 @@ object Rank {
     */
   def globalOrdinal(df: DataFrame, sortCols: Seq[Column], out: String,
       numPartitions: Int = 32): DataFrame = {
+    // localCheckpoint PINS one materialization of the range exchange.
+    // Without it, the per-partition count pass and the final rank pass
+    // are two executions of the same exchange, and repartitionByRange's
+    // SAMPLED boundaries are not guaranteed identical across executions
+    // (exchange reuse is an optimization, not a contract): offsets from
+    // one partitioning + local ranks from another silently yield a
+    // non-permutation "ordinal" (caught by the o15 z-order gate, whose
+    // skewed Morton keys magnified the boundary drift to ±7% bucket
+    // error). Eager + lineage-cut, GC-freed with the frame; a
+    // multi-executor deployment that must survive executor loss would
+    // use persist(MEMORY_AND_DISK) instead.
     val local = df
       .repartitionByRange(numPartitions, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__lrank", row_number().over(
         Window.partitionBy("__pid").orderBy(sortCols: _*)))
+      .localCheckpoint()
     // Offsets: one row per partition; offset(p) = Σ counts of partitions
     // before p. Computed with a triangular self-join over the
     // numPartitions-row count table (O(P²) rows — trivial) instead of an
@@ -53,12 +65,15 @@ object Rank {
     */
   def globalRunningSum(df: DataFrame, sortCols: Seq[Column],
       valueCol: String, out: String, numPartitions: Int = 32): DataFrame = {
+    // same exchange-pinning localCheckpoint as [[globalOrdinal]] — the
+    // totals pass and the final join must see ONE partitioning
     val local = df
       .repartitionByRange(numPartitions, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__lsum", sum(col(valueCol)).over(
         Window.partitionBy("__pid").orderBy(sortCols: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint()
     val totals = local.groupBy("__pid")
       .agg(sum(col(valueCol)).as("__t"))
     val offsets = totals.as("a")

@@ -162,6 +162,27 @@ object Insights extends QueryModule {
         MIN(v) AS lo, MAX(v) AS hi, round(AVG(v), 6) AS avg_v
       FROM r GROUP BY 1""")),
 
+    // ---- Z-order (Morton) layout report: the z-sorted order in 32
+    // equi-depth buckets with each bucket's (partkey, suppkey)
+    // bounding rectangle — tight rectangles on BOTH keys are the
+    // file-pruning claim a lexicographic sort only delivers for its
+    // leading column. Bit-identical z on both engines (same shift-mask
+    // ladder, Layout.duckZSql).
+    QueryDef("o15_zorder_layout", (s, d) => {
+      graft.ops.Layout.zOrderBuckets(t(s, d, "lineitem"),
+        "l_partkey", "l_suppkey",
+        Seq(col("l_orderkey"), col("l_linenumber")), k = 32)
+    }, Some(s"""
+      WITH z AS (SELECT l_partkey AS a, l_suppkey AS b,
+                   ${graft.ops.Layout.duckZSql("l_partkey", "l_suppkey")}
+                     AS zv, l_orderkey, l_linenumber
+                 FROM lineitem),
+      r AS (SELECT a, b, NTILE(32) OVER (ORDER BY zv, l_orderkey,
+              l_linenumber) - 1 AS bucket FROM z)
+      SELECT CAST(bucket AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        MIN(a) AS a_lo, MAX(a) AS a_hi, MIN(b) AS b_lo, MAX(b) AS b_hi
+      FROM r GROUP BY 1""")),
+
     // ---- Kaplan–Meier churn curve over user lifetimes in weeks;
     // users active within 2 weeks of the study end are right-censored.
     QueryDef("e_survival_km", (s, d) => {

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.Layout
+
+/** Z-order layout (graft.ops.Layout): Morton-code bit arithmetic, the
+  * locality guarantee on an aligned grid, and the pruning advantage
+  * over a lexicographic sort.
+  */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.session
+
+  test("zValue interleaves bits: a on even positions, b on odd") {
+    val s = spark; import s.implicits._
+    val df = Seq((3L, 0L), (0L, 3L), (1L, 1L), (0L, 0L),
+      (0xFFFFFFFFL, 0L)).toDF("a", "b")
+    val z = df.select(Layout.zValue(col("a"), col("b"))).collect()
+      .map(_.getLong(0))
+    // 3=0b11 spread to 0b0101=5; on odd lanes 0b1010=10; 1,1 → 0b11=3
+    assert(z(0) === 5L)
+    assert(z(1) === 10L)
+    assert(z(2) === 3L)
+    assert(z(3) === 0L)
+    // full 32-bit input spreads to all even positions
+    assert(z(4) === 0x5555555555555555L)
+  }
+
+  test("equi-depth z-buckets on an aligned grid are exact 8x8 blocks") {
+    val s = spark; import s.implicits._
+    // 32×32 grid, 16 buckets of 64 points: a run of 64 consecutive
+    // Morton codes on an aligned grid is EXACTLY one 8×8 block
+    // (64 = 4³ — a level-3 quadtree cell), so every bucket rectangle
+    // must be 8 wide on BOTH axes.
+    val grid = (for (a <- 0 until 32; b <- 0 until 32)
+      yield (a.toLong, b.toLong, (a * 32 + b).toLong)).toDF("a", "b", "id")
+    val out = Layout.zOrderBuckets(grid, "a", "b", Seq(col("id")), k = 16)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(3) - r.getLong(2),
+        r.getLong(5) - r.getLong(4)))
+    assert(out.length === 16)
+    assert(out.forall { case (n, aw, bw) => n == 64 && aw == 7 && bw == 7 })
+  }
+
+  test("z-order bounds the trailing axis where a lexicographic sort can't") {
+    val s = spark; import s.implicits._
+    val grid = (for (a <- 0 until 32; b <- 0 until 32)
+      yield (a.toLong, b.toLong, (a * 32 + b).toLong)).toDF("a", "b", "id")
+    // lexicographic (a, b) buckets of 64 rows: each spans 2 a-values
+    // but the FULL 0..31 b-domain; the z-order buckets above span 8 —
+    // a 4× tighter min-max box on the trailing key
+    val lex = grid.withColumn("bucket",
+      expr("id div 64")) // id = a*32+b IS the lexicographic rank
+      .groupBy("bucket")
+      .agg(max(col("b")) - min(col("b"))).collect()
+      .map(_.getLong(1))
+    assert(lex.forall(_ === 31L))
+  }
+
+  test("zOrdered keeps every row and all columns") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 2L, "x"), (3L, 4L, "y"), (5L, 6L, "z"))
+      .toDF("a", "b", "payload")
+    val out = Layout.zOrdered(df, col("a"), col("b"), numFiles = 2)
+    assert(out.columns.toSeq === Seq("a", "b", "payload"))
+    assert(out.collect().map(_.getString(2)).toSet === Set("x", "y", "z"))
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions.col
-import graft.queries.{Relational, Functions, Pipeline, Corpus, Analytics}
+import graft.queries.{Relational, Functions, Pipeline, Corpus, Analytics, Insights}
 
 /** Scale-killer tripwire over every table-backed gate query's physical
   * plan (promotion of tools/ExplainAudit from print-for-humans to a
@@ -88,7 +88,23 @@ class PlanAuditSpec extends AnyFunSuite {
     "e_time_to_convert",
     // e_active_users: the 1-row [min,max] day-span frame cross-joined
     // into the ×28 activity fan-out
-    "e_active_users")
+    "e_active_users",
+    // m_basket_rules: the 1-row surviving-basket count broadcast into
+    // the support/lift projection
+    "m_basket_rules",
+    // q_drift_psi: the 1-row reference [min,max] grid and the 1-row
+    // per-side totals, broadcast into the bin/PSI folds
+    "q_drift_psi",
+    // a_histogram_equidepth / o15_zorder_layout: the two-phase
+    // ordinal's triangular offset join + the 1-row N frame (the
+    // a_exact_quantiles shape)
+    "a_histogram_equidepth", "o15_zorder_layout",
+    // e_survival_km: the 1-row study-end frame broadcast into the
+    // per-user censoring flag
+    "e_survival_km",
+    // e_attribution_linear: the 1-row conversion-total frame (the
+    // e_attribution share-denominator shape)
+    "e_attribution_linear")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -161,7 +177,25 @@ class PlanAuditSpec extends AnyFunSuite {
     // e_time_to_convert: the exact-quantile 1-row N combine
     "e_time_to_convert",
     // e_active_users: the 1-row day-span combine
-    "e_active_users")
+    "e_active_users",
+    // e_funnel_windowed: per-step scalar reach counts + the ≤|steps|-row
+    // conversion-rate window (the e_funnel_steps shape)
+    "e_funnel_windowed",
+    // e_attribution_linear: the 1-row conversion-total combine
+    "e_attribution_linear",
+    // m_basket_rules: the 1-row basket-count combine
+    "m_basket_rules",
+    // q_drift_psi: 1-row grid/total combines, the observed-union count
+    // window over the aggregate-sized bin table, and the final 1-row
+    // PSI fold
+    "q_drift_psi",
+    // a_histogram_equidepth / o15_zorder_layout: the 1-row N combine
+    // (the ordinal itself is two-phase — no data single-tasks)
+    "a_histogram_equidepth", "o15_zorder_layout",
+    // e_survival_km: the 1-row study-end combine plus the at-risk /
+    // survival windows, which run on the HORIZON-sized duration table
+    // by construction (documented on ops/Survival.scala)
+    "e_survival_km")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —
@@ -174,7 +208,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "g_bfs_dist", "pipe_llm_corpus")
 
   private val modules = Seq(Relational, Functions, Pipeline, Corpus,
-    Analytics)
+    Analytics, Insights)
 
   test("ANN plan construction triggers zero Spark jobs (explicit dims)") {
     // the dims-inference fallback costs a first-row job per call at
