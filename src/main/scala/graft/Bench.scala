@@ -37,7 +37,19 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // JVM-aging hygiene, OUTSIDE the timed span: ops that persist
+      // (jaccard shingle tables) leave cached blocks behind; across
+      // 200+ gates × reps in one JVM that residue contributed to
+      // downstream inflation (w_frames_running 9.1 s in-suite vs
+      // 1.0 s isolated, measured r9). Dropping the SQL cache between
+      // runs bounds the leak. (A per-run System.gc() was tried and
+      // REJECTED: 864 full-heap collections shifted GC debt into the
+      // timed spans — suite total 236 s → 271 s. Residual suite-
+      // context noise remains inherent to single-JVM sweeps — §11;
+      // IsoBench is the arbiter for any suspicious gate.)
+      spark.catalog.clearCache()
+      sec
     }
 
     // optional args: query names to bench in isolation (the driver

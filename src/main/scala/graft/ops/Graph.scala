@@ -379,4 +379,50 @@ object Graph {
         .localCheckpoint()
     labels
   }
+
+  /** ADAMIC–ADAR link prediction (Adamic & Adar 2003): score each
+    * non-adjacent node pair by its shared neighbors, weighting each
+    * shared neighbor z by 1/ln(deg(z)) — a rare mutual contact says
+    * more than a hub. `common_neighbors` rides along as the unweighted
+    * baseline. Returns the top `k` predicted links.
+    *
+    * Scale shape: wedges are generated by a self-join of the adjacency
+    * on the CENTER node, which costs Σ deg(z)² — so centers with
+    * deg > `maxDegree` are excluded up front (the hub cap; same
+    * quadratic-guard philosophy as the df cap in Dedup.jaccardAllPairs,
+    * and the same consistency rule: both scores count only capped-
+    * universe neighbors, so numerator and weighting agree). The
+    * existing-edge anti-join and the degree join are hash equi-joins;
+    * the final cut is one TakeOrdered.
+    *
+    * DETERMINISM: each wedge term 1/ln(deg z) is rounded to 9 decimals
+    * and summed as DECIMAL(24,9) (exact, order-independent — the
+    * a_correlation/a_chi2 recipe), so the rounded score and the
+    * (score, x, y) top-k cut replay identically on any engine. A
+    * center's degree is ≥ 2 by construction (it touches both wedge
+    * ends), so ln(deg) > 0.
+    */
+  def linkPrediction(edges: DataFrame, maxDegree: Long, k: Int)
+      : DataFrame = {
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.groupBy(col("b").as("z")).agg(count(lit(1)).as("deg"))
+    val adj = und.join(deg.where(col("deg") <= maxDegree), col("b") === col("z"))
+      .select(col("a"), col("b"), col("deg"))
+    val wedges = adj.as("l").join(adj.as("r"),
+        col("l.b") === col("r.b") && col("l.a") < col("r.a"))
+      .select(col("l.a").as("x"), col("r.a").as("y"),
+        round(lit(1.0) / log(col("l.deg").cast("double")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(24, 9)).as("term"))
+    wedges.groupBy("x", "y")
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum("term").as("__aa"))
+      .join(und.select(col("a").as("x"), col("b").as("y")),
+        Seq("x", "y"), "left_anti")
+      .select(col("x"), col("y"), col("common_neighbors"),
+        round(col("__aa").cast("double"), 6).as("adamic_adar"))
+      .orderBy(col("adamic_adar").desc, col("x"), col("y"))
+      .limit(k)
+  }
 }

@@ -2563,6 +2563,42 @@ object Pipeline extends QueryModule {
       ${duckPageRankRounds(5)}
       SELECT node, rank FROM r5 ORDER BY rank DESC, node""")),
 
+    // ---- Adamic–Adar link prediction over the bigram word graph
+    // (graft.ops.Graph.linkPrediction): non-adjacent token pairs scored
+    // by inverse-log-degree-weighted shared neighbors; hub centers
+    // capped at deg ≤ 30 (the wedge-quadratic guard); per-wedge terms
+    // summed as DECIMAL(24,9) so the top-k cut replays exactly.
+    QueryDef("g_link_predict", (s, d) => {
+      graft.ops.Graph.linkPrediction(
+        graft.ops.Graph.wordGraph(docs(s, d)).select("src", "dst"),
+        maxDegree = 30L, k = 50)
+    }, Some("""
+      WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                    FROM documents),
+      pairs AS (SELECT unnest(list_transform(range(1, len(tk)),
+                  i -> {'src': tk[i], 'dst': tk[i+1]})) AS p FROM toks),
+      de AS (SELECT DISTINCT p.src AS src, p.dst AS dst FROM pairs
+             WHERE p.src <> p.dst),
+      und AS (SELECT DISTINCT a, b FROM (
+                SELECT src AS a, dst AS b FROM de
+                UNION ALL SELECT dst, src FROM de) WHERE a <> b),
+      deg AS (SELECT b AS z, CAST(COUNT(*) AS BIGINT) AS deg FROM und
+              GROUP BY 1),
+      adj AS (SELECT a, b, deg FROM und JOIN deg ON b = z
+              WHERE deg <= 30),
+      w AS (SELECT l.a AS x, r.a AS y,
+              CAST(round(CAST(1 AS DOUBLE) / ln(CAST(l.deg AS DOUBLE)),
+                9) AS DECIMAL(24,9)) AS term
+            FROM adj l JOIN adj r ON l.b = r.b AND l.a < r.a),
+      sc AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+               SUM(term) AS aa FROM w GROUP BY 1, 2),
+      pred AS (SELECT sc.* FROM sc LEFT JOIN und
+                 ON sc.x = und.a AND sc.y = und.b
+               WHERE und.a IS NULL)
+      SELECT x, y, common_neighbors,
+        round(CAST(aa AS DOUBLE), 6) AS adamic_adar
+      FROM pred ORDER BY adamic_adar DESC, x, y LIMIT 50""")),
+
     // ---- Triangle count over the bigram word graph, DEGREE-ORIENTED
     // (graft.ops.Graph.triangleCount): wedges generated only at each
     // edge's low-degree endpoint — out-degree O(√m) after orientation,

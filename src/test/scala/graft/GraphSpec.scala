@@ -133,4 +133,37 @@ class GraphSpec extends AnyFunSuite {
       .orderBy(desc("rank"), asc("node")).collect()
     assert(r.head.getString(0) === "hub")
   }
+
+  test("linkPrediction: AA weighting prefers rare shared neighbors") {
+    // x and y share z1 (deg 2) and z2 (deg 2); p and q share only hub h
+    // (deg 4). AA(x,y) = 2/ln 2 > AA(p,q) = 1/ln 4; no pair is adjacent.
+    val e = edgesDf(
+      ("x", "z1", 1L), ("y", "z1", 1L),
+      ("x", "z2", 1L), ("y", "z2", 1L),
+      ("p", "h", 1L), ("q", "h", 1L), ("r", "h", 1L), ("s", "h", 1L))
+      .select("src", "dst")
+    val out = Graph.linkPrediction(e, maxDegree = 10L, k = 50)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("x", "y")) === ((2L, math.rint(2.0 / math.log(2) * 1e6) / 1e6)))
+    // the hub pair family: each of p,q,r,s pairs via h with AA 1/ln 4
+    assert(out(("p", "q"))._2 === math.rint(1.0 / math.log(4) * 1e6) / 1e6)
+  }
+
+  test("linkPrediction: adjacent pairs and capped hubs are excluded") {
+    // x—y are DIRECTLY connected and also share z → must not appear;
+    // hub h (deg 3 > cap 2) is no wedge center, so (p,q) disappears
+    val e = edgesDf(
+      ("x", "y", 1L), ("x", "z", 1L), ("y", "z", 1L),
+      ("p", "h", 1L), ("q", "h", 1L), ("r", "h", 1L))
+      .select("src", "dst")
+    val out = Graph.linkPrediction(e, maxDegree = 2L, k = 50)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!out.contains(("x", "y")))
+    assert(!out.contains(("p", "q")))
+    // x and y still pair THROUGH z? no — they are adjacent. But p/r
+    // share nothing outside h. The only survivors go through deg≤2
+    // centers: x,z,y wedges give (x,y) (excluded). Empty output.
+    assert(out.isEmpty)
+  }
 }
