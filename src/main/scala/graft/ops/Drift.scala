@@ -69,18 +69,29 @@ object Drift {
   }
 
   /** Fold two per-bin count tables into the one-row PSI. `fixedK` > 0
-    * is the smoothing bin count (the frozen numeric grid size — exact
-    * even though unobserved bins carry no row, because a bin empty on
-    * BOTH sides has p = q and contributes zero); `fixedK` = 0 means
-    * "the observed union" (categorical), counted in-plan with a window
-    * over the aggregate-sized bin table — no driver-side action.
+    * is the smoothing bin count (the frozen numeric grid size): the
+    * full k-bin spine is generated in-plan (a k-row range frame) and
+    * left-joined with zero fills, so bins empty on one or both sides
+    * still contribute their smoothing mass — with Laplace smoothing
+    * p = 0.5/(t_ref+0.5k) and q = 0.5/(t_cur+0.5k) differ whenever
+    * the slice totals differ, so an omitted empty bin would NOT be a
+    * zero term (ADVICE r9); the spine makes the computed index the
+    * fixed-k smoothed formula exactly. `fixedK` = 0 means "the
+    * observed union" (categorical — a category no side saw does not
+    * exist), counted in-plan with a window over the aggregate-sized
+    * bin table — no driver-side action.
     */
   private def psiOf(refCounts: DataFrame, curCounts: DataFrame,
       binCol: String, feature: Column, kind: Column, fixedK: Int)
       : DataFrame = {
-    val joined = refCounts.withColumnRenamed("n", "n_ref")
+    val observed = refCounts.withColumnRenamed("n", "n_ref")
       .join(curCounts.withColumnRenamed("n", "n_cur"), Seq(binCol),
         "full_outer")
+    val joined = (if (fixedK > 0) {
+      val spine = refCounts.sparkSession.range(fixedK)
+        .select(col("id").cast("int").as(binCol))
+      spine.join(observed, Seq(binCol), "left")
+    } else observed)
       .na.fill(0L, Seq("n_ref", "n_cur"))
     val withK =
       if (fixedK > 0) joined.withColumn("__k", lit(fixedK.toDouble))

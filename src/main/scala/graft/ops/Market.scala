@@ -58,8 +58,20 @@ object Market {
     val nBaskets = sized.agg(countDistinct("b").as("n_baskets"))
     val itemCounts = sized.groupBy(col("i").as("item"))
       .agg(count(lit(1)).as("n_item"))
-    val pairs = sized.as("a")
-      .join(sized.as("c"), col("a.b") === col("c.b") &&
+    // Candidate prune BEFORE the quadratic step (the a-priori downward-
+    // closure bound): n_both ≤ min(n_A, n_B), so a pair surviving the
+    // minPairCount filter needs BOTH endpoints in ≥ minPairCount
+    // baskets — semi-joining frequent items into the self-join shrinks
+    // the pair space with the answer provably unchanged. On the r9 50×
+    // soak the unpruned join pushed a 210 M-pair aggregate; long-tail
+    // items (the bulk of a power-law catalog) never enter it now.
+    // itemCounts / nBaskets stay computed over the UNPRUNED capped set:
+    // the prune affects candidate generation only, not the measures.
+    val frequent = itemCounts.where(col("n_item") >= minPairCount)
+      .select(col("item").as("i"))
+    val pruned = sized.join(frequent, "i")
+    val pairs = pruned.as("a")
+      .join(pruned.as("c"), col("a.b") === col("c.b") &&
         col("a.i") =!= col("c.i"))
       .groupBy(col("a.i").as("antecedent"), col("c.i").as("consequent"))
       .agg(count(lit(1)).as("n_both"))
@@ -74,8 +86,13 @@ object Market {
         round(col("n_both").cast("double") / col("n_baskets"), 6))
       .withColumn("confidence",
         round(col("n_both").cast("double") / col("n_ante"), 6))
+      // n_ante × n_cons multiplies in DOUBLE: the long×long product
+      // wraps silently in non-ANSI Spark once per-item counts pass
+      // ~3e9 — plausible at the 100 TB scale this object documents —
+      // corrupting lift and the top-k cut (ADVICE r9).
       .withColumn("lift", round(col("n_both").cast("double") *
-        col("n_baskets") / (col("n_ante") * col("n_cons")), 6))
+        col("n_baskets") / (col("n_ante").cast("double") *
+          col("n_cons")), 6))
       .select("antecedent", "consequent", "n_both", "support",
         "confidence", "lift")
       .orderBy(col("lift").desc, col("antecedent"), col("consequent"))

@@ -35,11 +35,7 @@ object Rank {
     // error). Eager + lineage-cut, GC-freed with the frame; a
     // multi-executor deployment that must survive executor loss would
     // use persist(MEMORY_AND_DISK) instead.
-    val local = df
-      .repartitionByRange(numPartitions, sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__lrank", row_number().over(
-        Window.partitionBy("__pid").orderBy(sortCols: _*)))
+    val local = ordinalLocalPlan(df, sortCols, numPartitions)
       .localCheckpoint()
     // Offsets: one row per partition; offset(p) = Σ counts of partitions
     // before p. Computed with a triangular self-join over the
@@ -57,6 +53,19 @@ object Rank {
       .drop("__pid", "__lrank", "__offset")
   }
 
+  /** The pre-checkpoint half of [[globalOrdinal]] — range exchange +
+    * partition-local rank — exposed LAZY so PlanAuditSpec can audit it:
+    * the localCheckpoint in [[globalOrdinal]] truncates lineage, which
+    * blinds any audit of the composed plan to this subplan (ADVICE r9).
+    * The sim_neardup_pairs Plan-variant pattern.
+    */
+  def ordinalLocalPlan(df: DataFrame, sortCols: Seq[Column],
+      numPartitions: Int = 32): DataFrame =
+    df.repartitionByRange(numPartitions, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrank", row_number().over(
+        Window.partitionBy("__pid").orderBy(sortCols: _*)))
+
   /** Scalable INCLUSIVE global running sum of `valueCol` under the total
     * order `sortCols` — the same two-phase shape as [[globalOrdinal]]
     * (range-partition, partition-local window, broadcast per-partition
@@ -67,12 +76,7 @@ object Rank {
       valueCol: String, out: String, numPartitions: Int = 32): DataFrame = {
     // same exchange-pinning localCheckpoint as [[globalOrdinal]] — the
     // totals pass and the final join must see ONE partitioning
-    val local = df
-      .repartitionByRange(numPartitions, sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__lsum", sum(col(valueCol)).over(
-        Window.partitionBy("__pid").orderBy(sortCols: _*)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val local = runningSumLocalPlan(df, sortCols, valueCol, numPartitions)
       .localCheckpoint()
     val totals = local.groupBy("__pid")
       .agg(sum(col(valueCol)).as("__t"))
@@ -85,6 +89,17 @@ object Rank {
       .withColumn(out, (col("__offset") + col("__lsum")).cast("long"))
       .drop("__pid", "__lsum", "__offset")
   }
+
+  /** The pre-checkpoint half of [[globalRunningSum]], lazy, for plan
+    * audit — see [[ordinalLocalPlan]].
+    */
+  def runningSumLocalPlan(df: DataFrame, sortCols: Seq[Column],
+      valueCol: String, numPartitions: Int = 32): DataFrame =
+    df.repartitionByRange(numPartitions, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lsum", sum(col(valueCol)).over(
+        Window.partitionBy("__pid").orderBy(sortCols: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
   /** EXACT distributed quantiles — the discrete ("lower") quantile: for
     * each q the value whose 1-based global ordinal is ceil(q·N). Built on

@@ -301,7 +301,15 @@ object Analytics extends QueryModule {
     // trained. Per-term products round(,9) into DECIMAL so the
     // (vec, plane) sums are order-independent.
     QueryDef("sim_random_projection", (s, d) => {
+      // Driver-comparable boundary: the comparator handles scalar
+      // columns only, so the projected vector leaves as a fixed-scale
+      // decimal-string CSV (double JSON formatting differs between
+      // engines; DECIMAL(20,6) strings do not).
       graft.ops.Quantize.randomProject(t(s, d, "embeddings"), 8)
+        .select(col("vec_id"),
+          concat_ws(",", expr(
+            "transform(proj, x -> cast(cast(x as decimal(20,6)) as string))"))
+            .as("proj"))
         .orderBy("vec_id")
     }, Some("""
       WITH el AS (SELECT vec_id, t.i AS i, CAST(t.v AS DOUBLE) AS v
@@ -318,7 +326,9 @@ object Analytics extends QueryModule {
               round(CAST(SUM(CAST(round(v * CAST(sign AS DOUBLE), 9)
                 AS DECIMAL(20,9))) AS DOUBLE) / sqrt(8.0), 6) AS y
             FROM ej GROUP BY 1, 2)
-      SELECT vec_id, list(y ORDER BY j) AS proj
+      SELECT vec_id,
+        string_agg(CAST(CAST(y AS DECIMAL(20,6)) AS VARCHAR), ','
+          ORDER BY j) AS proj
       FROM s GROUP BY vec_id ORDER BY vec_id""")),
 
     // ---- Feature-hashing vectorization (hashing trick, Weinberger
@@ -347,7 +357,12 @@ object Analytics extends QueryModule {
     // broadcast; floor (not round) so no half-way ties; squared errors
     // round(,12) into DECIMAL before the order-independent sum.
     QueryDef("sim_sq8_quantize", (s, d) => {
-      graft.ops.Quantize.sq8(t(s, d, "embeddings")).orderBy("vec_id")
+      // Driver-comparable boundary: codes leave as a JSON string (the
+      // a4_collect_sorted convention — integer JSON is engine-stable).
+      graft.ops.Quantize.sq8(t(s, d, "embeddings"))
+        .select(col("vec_id"), to_json(col("codes")).as("codes"),
+          col("dims"), col("mse"))
+        .orderBy("vec_id")
     }, Some("""
       WITH el AS (SELECT vec_id, t.d AS dim, CAST(t.v AS DOUBLE) AS v
                   FROM (SELECT vec_id, unnest(list_transform(
@@ -366,7 +381,7 @@ object Analytics extends QueryModule {
                 (v - (mn + ((CAST(q AS DOUBLE) + 0.5) * (mx - mn))
                   / 256.0)), 12) AS DECIMAL(24,12)) AS se
             FROM c)
-      SELECT vec_id, list(q ORDER BY dim) AS codes,
+      SELECT vec_id, to_json(list(q ORDER BY dim))::VARCHAR AS codes,
         CAST(COUNT(*) AS BIGINT) AS dims,
         round(CAST(SUM(se) AS DOUBLE) / COUNT(*), 6) AS mse
       FROM e GROUP BY vec_id ORDER BY vec_id""")),
@@ -725,11 +740,13 @@ object Analytics extends QueryModule {
           AcceptedValues("event_type",
             Seq("view", "click", "signup", "purchase"))))
         .filter(!col("dq_pass"))
-        .select("event_id", "dq_reasons")
+        // Driver-comparable boundary: reasons leave as a JSON string
+        // (the a4_collect_sorted convention).
+        .select(col("event_id"), to_json(col("dq_reasons")).as("dq_reasons"))
         .orderBy("event_id")
     }, Some("""
       SELECT event_id,
-        list_sort(list_filter([
+        to_json(list_sort(list_filter([
           CASE WHEN props IS NOT NULL THEN NULL
                ELSE 'completeness:props' END,
           CASE WHEN value IS NOT NULL AND value >= 0.5 AND value <= 400.0
@@ -737,7 +754,7 @@ object Analytics extends QueryModule {
           CASE WHEN event_type IS NOT NULL AND event_type IN
                  ('view', 'click', 'signup', 'purchase')
                THEN NULL ELSE 'accepted:event_type' END],
-          x -> x IS NOT NULL)) AS dq_reasons
+          x -> x IS NOT NULL)))::VARCHAR AS dq_reasons
       FROM events
       WHERE NOT (props IS NOT NULL
         AND (value IS NOT NULL AND value >= 0.5 AND value <= 400.0)

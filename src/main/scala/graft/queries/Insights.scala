@@ -112,9 +112,11 @@ object Insights extends QueryModule {
                  CAST(FLOOR((CAST(value AS DOUBLE) - lo) * 10 / (hi - lo))
                    AS INT))) END AS bin, CAST(COUNT(*) AS BIGINT) AS n
              FROM cur CROSS JOIN g WHERE value IS NOT NULL GROUP BY 1),
-      jn AS (SELECT COALESCE(rn.bin, cn.bin) AS bin,
+      sp AS (SELECT unnest(range(0, 10)) AS bin),
+      jn AS (SELECT sp.bin,
                COALESCE(rn.n, 0) AS n_ref, COALESCE(cn.n, 0) AS n_cur
-             FROM rn FULL OUTER JOIN cn ON rn.bin = cn.bin),
+             FROM sp LEFT JOIN rn ON sp.bin = rn.bin
+                     LEFT JOIN cn ON sp.bin = cn.bin),
       tn AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM jn),
       pn AS (SELECT 'value' AS feature, 'numeric' AS kind,
                CAST(10 AS INT) AS n_bins,

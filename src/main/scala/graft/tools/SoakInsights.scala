@@ -61,6 +61,11 @@ object SoakInsights {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    // (scale, t0_at_risk, t0_survival) of the first KM leg — the
+    // baseline the later scales' planted observables are asserted
+    // against.
+    var kmBase: Option[(Int, Long, Double)] = None
+
     val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
@@ -176,6 +181,22 @@ object SoakInsights {
       emit("e_survival_km", scale, kmSec,
         "t0_at_risk" -> kmFirst.getLong(1).toString,
         "t0_survival" -> kmFirst.getDouble(4).toString)
+      // Planted observables asserted in-harness like every other leg
+      // (ADVICE r9): lifetimes are scale-invariant by construction, so
+      // first-step survival must be IDENTICAL at every scale while the
+      // at-risk population grows exactly ×scale (normalized against
+      // the first scale run, which need not be 1).
+      kmBase match {
+        case None => kmBase = Some((scale, kmFirst.getLong(1),
+          kmFirst.getDouble(4)))
+        case Some((s0, atRisk0, surv0)) =>
+          assert(kmFirst.getDouble(4) == surv0,
+            s"KM survival not scale-invariant at $scale: " +
+              s"${kmFirst.getDouble(4)} vs baseline $surv0")
+          assert(kmFirst.getLong(1) * s0 == atRisk0 * scale,
+            s"KM at-risk not ×scale at $scale: ${kmFirst.getLong(1)} " +
+              s"vs baseline $atRisk0 at scale $s0")
+      }
     }
     spark.stop()
   }

@@ -58,6 +58,61 @@ class LayoutSpec extends AnyFunSuite {
     assert(lex.forall(_ === 31L))
   }
 
+  test("z-order layout prunes parquet row groups end-to-end " +
+      "(trailing-key predicate, scan metrics)") {
+    // The pruning claim measured, not stated (VERDICT r9 item 5):
+    // write the SAME 256×256 grid twice — z-ordered and lexicographic,
+    // 64 files each, one row group per file — read both back with a
+    // trailing-axis band predicate, and compare the scan's
+    // numOutputRows metric (rows surviving parquet min-max row-group
+    // skipping; record-level filtering is off, so this metric IS the
+    // I/O the layout saved). Lex files span the full b-domain → zero
+    // skips (all 65536 rows read); z files are ~32-wide b-rectangles →
+    // only the band's row of blocks is read.
+    val s = spark; import s.implicits._
+    val grid = (for (a <- 0 until 256; b <- 0 until 256)
+      yield (a.toLong, b.toLong)).toDF("a", "b")
+      .withColumn("payload", col("a") * 1000 + col("b"))
+    val zDir = graft.queries.Scratch.dir("graft_zprune_z")
+    val lexDir = graft.queries.Scratch.dir("graft_zprune_lex")
+    Layout.zOrdered(grid, col("a"), col("b"), numFiles = 64)
+      .write.mode("overwrite").parquet(zDir)
+    grid.repartitionByRange(64, col("a"), col("b"))
+      .sortWithinPartitions("a", "b")
+      .write.mode("overwrite").parquet(lexDir)
+
+    def scanRows(dir: String): (Long, Long) = {
+      val df = s.read.parquet(dir)
+        .filter(col("b") >= 100L && col("b") <= 107L)
+      // collect() executes df's OWN queryExecution (count() would build
+      // a different one whose metrics this never sees), then walk the
+      // executed plan through AQE / query-stage wrappers to the scan
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{
+        AdaptiveSparkPlanExec, QueryStageExec}
+      val result = df.collect().length.toLong
+      def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case q: QueryStageExec => leaves(q.plan)
+        case l if l.children.isEmpty => Seq(l)
+        case o => o.children.flatMap(leaves)
+      }
+      val scanned = leaves(df.queryExecution.executedPlan)
+        .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+      (result, scanned)
+    }
+    val (zCount, zScanned) = scanRows(zDir)
+    val (lexCount, lexScanned) = scanRows(lexDir)
+    assert(zCount === 256L * 8 && lexCount === 256L * 8,
+      s"band results must agree: z=$zCount lex=$lexCount")
+    assert(lexScanned === 256L * 256,
+      s"lex layout should read everything on a trailing-key " +
+        s"predicate, read $lexScanned")
+    assert(zScanned * 4 <= lexScanned,
+      s"z layout should skip ≥ 3/4 of row groups: z read $zScanned " +
+        s"of $lexScanned")
+  }
+
   test("zOrdered keeps every row and all columns") {
     val s = spark; import s.implicits._
     val df = Seq((1L, 2L, "x"), (3L, 4L, "y"), (5L, 6L, "z"))

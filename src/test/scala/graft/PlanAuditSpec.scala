@@ -202,6 +202,17 @@ class PlanAuditSpec extends AnyFunSuite {
   // skipped here, not because their plans are exempt but because
   // building them is not plan-only. sim_neardup_pairs' lazy plan is
   // audited directly in NearDupRecallSpec via cosineNearDupPairsLshPlan.
+  //
+  // NOT listed (they build fine, so they ARE audited below) but worth
+  // documenting: every gate on Rank.globalOrdinal/globalRunningSum
+  // (a_exact_quantiles, a_histogram_equidepth, o15_zorder_layout,
+  // a_mad_outliers, e_time_to_convert, q_skew_report, t_zipf_fit, …)
+  // EXECUTES the pre-checkpoint range-exchange+window at build time
+  // (the r9 exchange-pinning localCheckpoint), and the checkpoint
+  // truncates lineage — so the audited executedPlan no longer contains
+  // that half of the plan. The dedicated test below audits the
+  // pre-checkpoint subplan via Rank.ordinalLocalPlan /
+  // runningSumLocalPlan, closing the tripwire's blind spot (ADVICE r9).
   private val skipBuildExecutes = Set(
     "m1_entity_skipgram_vocab", "m_indexed_mentions", "sim_neardup_pairs",
     "m_bpe_merges", "m_bpe_encode", "g_kcore", "g_label_prop",
@@ -251,6 +262,30 @@ class PlanAuditSpec extends AnyFunSuite {
         "expected the dims-inference fallback to submit a first-row job " +
           "(the cost the explicit form avoids)")
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("ordinal pre-checkpoint subplan: range exchange, no single task") {
+    // the half of every globalOrdinal/globalRunningSum plan the
+    // localCheckpoint hides from the per-gate audit: it must range-
+    // exchange into numPartitions slices (never a single-partition
+    // exchange or an unpartitioned window) and carry no join at all
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+    for (plan <- Seq(
+      graft.ops.Rank.ordinalLocalPlan(li,
+        Seq(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"))),
+      graft.ops.Rank.runningSumLocalPlan(li,
+        Seq(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber")), "l_quantity"))) {
+      val p = plan.queryExecution.executedPlan.toString
+      assert(p.contains("rangepartitioning"),
+        s"ordinal subplan lost its range exchange:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"single-partition exchange in ordinal subplan:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"unexpected join in ordinal subplan:\n$p")
+    }
   }
 
   test("filters and projection reach the parquet scan (p1)") {

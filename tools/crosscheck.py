@@ -78,6 +78,20 @@ def main(sf_dir: str, out_dir: str) -> int:
             results[name] = f"SPARK-READ-FAIL {e}"
             n_fail += 1
             continue
+        # The driver's pandas comparator crashes sorting ARRAY/MAP/
+        # STRUCT cells (unhashable ndarray) — a gate emitting one is a
+        # FAIL here even though canon() below would survive it, so the
+        # local replay is at least as strict as the driver (VERDICT r9).
+        complex_cols = [
+            f"{r[0]}:{r[1]}" for r in con.execute(
+                f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'"
+            ).fetchall()
+            if "[]" in r[1] or "STRUCT" in r[1] or "MAP" in r[1]]
+        if complex_cols:
+            results[name] = ("COMPLEX-TYPE-OUTPUT (driver comparator "
+                             f"cannot sort these): {complex_cols}")
+            n_fail += 1
+            continue
         if name not in oracles:
             results[name] = f"rows-only ({len(got)} rows)"
             continue
