@@ -185,6 +185,53 @@ object StreamML extends QueryModule {
     // recovered by (ts, event_id); the single-batch gate equals the
     // batch lag computation exactly — the streaming twin of
     // e_transitions.
+    // ---- Streaming windowed funnel (Events.windowedFunnelCounts):
+    // one (step, reach, anchor) quadruple of state per user under
+    // flatMapGroupsWithState; the greedy fold equals the batch
+    // per-step min-qualifying chain, so the one-batch gate replays the
+    // e_funnel_windowed oracle EXACTLY — stream-vs-batch parity, the
+    // same shape as st_sketch_distinct / st_transitions.
+    QueryDef("st_funnel_windowed", (s, d) => {
+      graft.streaming.Events.windowedFunnelCounts(s, d,
+        Seq("signup", "click", "purchase"), windowUs = 259200000000L)
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts)
+                   AS ts_us FROM events),
+      r0 AS (SELECT user_id, ts_us AS reach_ts, event_id AS reach_id,
+               ts_us AS anchor FROM e
+             WHERE event_type = 'signup'
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id) = 1),
+      r1 AS (SELECT e.user_id, e.ts_us AS reach_ts,
+               e.event_id AS reach_id, r0.anchor
+             FROM e JOIN r0 USING (user_id)
+             WHERE event_type = 'click' AND (e.ts_us > r0.reach_ts
+               OR (e.ts_us = r0.reach_ts AND e.event_id > r0.reach_id))
+               AND e.ts_us <= r0.anchor + 259200000000
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY e.user_id
+               ORDER BY e.ts_us, e.event_id) = 1),
+      r2 AS (SELECT e.user_id, e.ts_us AS reach_ts,
+               e.event_id AS reach_id, r1.anchor
+             FROM e JOIN r1 USING (user_id)
+             WHERE event_type = 'purchase' AND (e.ts_us > r1.reach_ts
+               OR (e.ts_us = r1.reach_ts AND e.event_id > r1.reach_id))
+               AND e.ts_us <= r1.anchor + 259200000000
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY e.user_id
+               ORDER BY e.ts_us, e.event_id) = 1),
+      c AS (
+        SELECT CAST(0 AS BIGINT) AS step, 'signup' AS step_name,
+          CAST(COUNT(*) AS BIGINT) AS n_users FROM r0
+        UNION ALL SELECT 1, 'click', COUNT(*) FROM r1
+        UNION ALL SELECT 2, 'purchase', COUNT(*) FROM r2)
+      SELECT step, step_name, n_users,
+        round(CAST(n_users AS DOUBLE) /
+          CAST(lag(n_users) OVER (ORDER BY step) AS DOUBLE), 6)
+          AS conv_prev,
+        round(CAST(n_users AS DOUBLE) /
+          CAST(first_value(n_users) OVER (ORDER BY step
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS conv_first
+      FROM c ORDER BY step""")),
+
     QueryDef("st_transitions", (s, d) => {
       graft.streaming.Events.transitionCounts(s, d)
     }, Some("""

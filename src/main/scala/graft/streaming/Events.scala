@@ -407,6 +407,95 @@ object Events {
       .toDF("band", "bkey", "doc_id")
   }
 
+  /** STREAMING windowed funnel — the streaming twin of the batch
+    * `e_funnel_windowed` gate ([[graft.ops.EventAnalytics.windowedFunnel]]):
+    * per-user state is ONE (stepsReached, reachTs, reachId, anchorTs)
+    * quadruple under flatMapGroupsWithState. Each micro-batch sorts its
+    * group's events by (ts_us, event_id) and folds the one-pass greedy
+    * first-touch-anchored rule from the stored state: the first step-0
+    * event opens the user's window (anchor), each subsequent event of
+    * the NEXT step type strictly after the current reach and within
+    * `windowUs` of the anchor advances one step. The greedy forward
+    * scan is exactly the batch per-step min-qualifying chain, so on an
+    * in-order stream the final per-user reach equals the batch funnel.
+    *
+    * Out-of-order caveat (inherent, same as [[transitionPairs]]): order
+    * recovers WITHIN a micro-batch; an event arriving in a later batch
+    * than its successors cannot rewind an advance already taken. The
+    * gate's one-batch source makes stream ≡ batch exactly; the spec
+    * drives the cross-batch state continuation through a MemoryStream.
+    *
+    * Emits (user_id, reached) in Update mode — `reached` is monotone,
+    * so max-per-user over all emissions is the final reach.
+    */
+  def funnelUserReach(events: DataFrame, steps: Seq[String],
+      windowUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowUs > 0, s"window must be positive, got $windowUs")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ss = events.sparkSession
+    import ss.implicits._
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_us"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long, Long, Long), (Long, Int)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[(Long, Long, String, Long)],
+            state: GroupState[(Int, Long, Long, Long)]) =>
+          val sorted = evs.toSeq.sortBy(e => (e._4, e._2))
+          var (reached, rTs, rId, anchor) = state.getOption
+            .getOrElse((0, Long.MinValue, Long.MinValue, 0L))
+          for (e <- sorted if reached < steps.length) {
+            if (reached == 0) {
+              if (e._3 == steps.head) {
+                reached = 1; rTs = e._4; rId = e._2; anchor = e._4
+              }
+            } else if (e._3 == steps(reached) &&
+                (e._4 > rTs || (e._4 == rTs && e._2 > rId)) &&
+                e._4 <= anchor + windowUs) {
+              reached += 1; rTs = e._4; rId = e._2
+            }
+          }
+          state.update((reached, rTs, rId, anchor))
+          Iterator.single((uid, reached))
+      }
+      .toDF("user_id", "reached")
+  }
+
+  /** The gate entry over the bounded file source: run
+    * [[funnelUserReach]] to completion, then roll the per-user reach
+    * into the batch funnel's exact output shape (step, step_name,
+    * n_users, conv_prev, conv_first) — the `e_funnel_windowed` oracle
+    * replays it unchanged (stream-vs-batch parity).
+    */
+  def windowedFunnelCounts(s: SparkSession, dir: String,
+      steps: Seq[String], windowUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = runToCompletion(s, ss =>
+      funnelUserReach(stream(ss, dir)
+        .withColumn("ts_us", unix_micros(col("t"))), steps, windowUs),
+      "st_funnel_mem", mode = "update")
+      .groupBy("user_id").agg(max("reached").as("reached"))
+    val counts = steps.indices.map { i =>
+      per.filter(col("reached") > i).agg(count(lit(1)).as("n_users"))
+        .select(lit(i.toLong).as("step"), lit(steps(i)).as("step_name"),
+          col("n_users"))
+    }.reduce(_.unionAll(_))
+    val w = Window.orderBy("step") // ≤ |steps| rows: global window is fine
+    counts
+      .withColumn("conv_prev", round(
+        col("n_users").cast("double") /
+          lag(col("n_users"), 1).over(w).cast("double"), 6))
+      .withColumn("conv_first", round(
+        col("n_users").cast("double") /
+          first(col("n_users")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"), 6))
+      .orderBy("step")
+  }
+
   /** STREAM-STATIC enrichment join (§2.9): the event stream joined to a
     * batch dimension (per-customer order counts) — the standard
     * enrichment shape: the static side is planned per micro-batch (and

@@ -80,6 +80,42 @@ class StreamCapSpec extends AnyFunSuite {
       Seq(("__start__", "a"), ("a", "b"), ("b", "c")))
   }
 
+  test("windowed-funnel state carries across micro-batches; " +
+      "within-batch order recovers; window and order rules hold") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val events = input.toDF()
+      .toDF("user_id", "event_id", "event_type", "ts_us")
+    val q = Events.funnelUserReach(events,
+        Seq("signup", "click", "purchase"), windowUs = 100L)
+      .writeStream.format("memory").queryName("st_funnel_spec_mem")
+      .outputMode("update").start()
+    try {
+      // u1: signup+click batch 1 (arrival order REVERSED — the
+      //     within-batch sort must recover signup-then-click);
+      // u2: signup, then a click 200us later — OUTSIDE the 100us
+      //     window anchored at signup;
+      // u3: a click BEFORE any signup (must not count), then signup
+      input.addData(
+        (1L, 2L, "click", 20L), (1L, 1L, "signup", 10L),
+        (2L, 10L, "signup", 10L), (2L, 11L, "click", 210L),
+        (3L, 20L, "click", 5L), (3L, 21L, "signup", 30L))
+      q.processAllAvailable()
+      // batch 2: u1 purchases within window (state must resume at
+      // step 2); u3 clicks after its signup (resume at step 1)
+      input.addData((1L, 3L, "purchase", 90L),
+        (3L, 22L, "click", 40L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val reach = s.table("st_funnel_spec_mem").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).max }
+    assert(reach === Map(1L -> 3, 2L -> 1, 3L -> 2),
+      s"per-user reach wrong: $reach")
+  }
+
   test("cap state persists across micro-batches") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
