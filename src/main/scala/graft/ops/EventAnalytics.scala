@@ -442,6 +442,60 @@ object EventAnalytics {
     * grows with the event count. All rates/z are single IEEE
     * expressions off exact integers, round(,6).
     */
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * classic marketing-analytics quintile grid: each user scores 1–5
+    * on how recently they acted, how often, and how much value they
+    * carried; segment "5/5/5" is the best customer. Scores are SQL
+    * NTILE(5) quintiles with 5 = best (recency quintiled DESCENDING —
+    * the most recent users sort last and take the top bucket).
+    *
+    * DETERMINISM: monetary sums `round(value, 6)` in DECIMAL (order-
+    * independent); every quintile ordering is tie-broken by user_id,
+    * so the NTILE assignment is a total order both engines replay.
+    *
+    * SCALE SHAPE: one hash aggregate to the |users| table, then THREE
+    * [[Rank.globalOrdinal]] passes (range exchange + local window +
+    * broadcast offsets — never an unpartitioned NTILE window, which
+    * would sort every user through one task) with the NTILE arithmetic
+    * of [[Rank.equiDepthHistogram]] applied per metric. Output is the
+    * segment grid (≤ 125 rows): (r_score, f_score, m_score, n_users,
+    * total_monetary).
+    */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy("user_id").agg(
+      max(col("ts_us")).as("last_ts"),
+      count(lit(1)).as("freq"),
+      sum(expr("cast(round(coalesce(value, 0.0D), 6) as decimal(28,6))"))
+        .as("mon"))
+    val gmax = events.agg(max(col("ts_us")).as("gmax"))
+    val u = perUser.crossJoin(broadcast(gmax))
+      .withColumn("recency_us", col("gmax") - col("last_ts"))
+    val ordered = Rank.globalOrdinal(
+      Rank.globalOrdinal(
+        Rank.globalOrdinal(u,
+          Seq(col("recency_us").desc, col("user_id")), "__ro"),
+        Seq(col("freq"), col("user_id")), "__fo"),
+      Seq(col("mon"), col("user_id")), "__mo")
+    val n = perUser.agg(count(lit(1)).as("__n"))
+    // NTILE(5) arithmetic on the 0-based ordinal (exactly
+    // Rank.equiDepthHistogram's assignment): score = bucket + 1
+    def score(ord: String): Column = {
+      val q = "(__n div 5)"
+      val r = "(__n % 5)"
+      expr(s"cast(case when $ord < $r * ($q + 1) " +
+        s"then $ord div ($q + 1) " +
+        s"else $r + ($ord - $r * ($q + 1)) div $q end + 1 as int)")
+    }
+    ordered.crossJoin(broadcast(n))
+      .select(col("user_id"), col("mon"),
+        score("__ro").as("r_score"), score("__fo").as("f_score"),
+        score("__mo").as("m_score"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("mon")).cast("double"), 4).as("total_monetary"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   def abTest(events: DataFrame, isConversion: Column): DataFrame = {
     Hashing.ensureRegistered(events)
     val perUser = events.groupBy("user_id")

@@ -210,6 +210,67 @@ object Graph {
   def entityRank(docs: DataFrame, iters: Int): DataFrame =
     pageRank(entityNodes(docs), entityGraph(docs), iters)
 
+  /** Fixed-iteration HITS (Kleinberg 1999, "Authoritative sources in a
+    * hyperlinked environment") in the same integer micro-unit scheme as
+    * [[pageRank]]: hub/authority start at 1 000 000; each round
+    *
+    *   auth'(v) = Σ_{u→v} hub(u)·w(u,v)
+    *   hub'(u)  = Σ_{u→v} auth(v)·w(u,v)
+    *
+    * each followed by L∞ normalization in truncating-integer form —
+    * `x div greatest(1, max(x) div 10⁶)` — so the leading score returns
+    * to ~10⁶ every half-round and every step is BIGINT arithmetic:
+    * bit-stable under any partitioning, replayed round-by-round by the
+    * `g_hits` DuckDB oracle.
+    *
+    * SCALE SHAPE: per half-round one equi-join of the score table
+    * against the pinned edge list (keyed src/dst) + one hash aggregate
+    * + a 1-row max frame broadcast into the rescale (the idf shape).
+    * OVERFLOW BOUND: scores ≤ ~2·10⁶ after normalization, so the
+    * pre-normalization sum is safe while a node's weighted in/out
+    * degree stays < ~2⁶¹/10⁶ ≈ 2.3·10¹² — ANSI mode throws on
+    * violation rather than wrapping.
+    *
+    * Returns (node, auth, hub) over the edge-incident node set; nodes
+    * touching no edge carry no meaningful HITS score and are excluded.
+    */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges
+      .select(col("src"), col("dst"),
+        expr("case when w <= 0L then raise_error(concat(" +
+          "'hits edge weight must be positive, got ', " +
+          "cast(w as string))) else w end").as("w"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    def normalized(contrib: DataFrame, out: String): DataFrame = {
+      val mx = contrib.agg(max("s").as("mx"))
+      nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr("coalesce(s, 0L) div greatest(1L, mx div 1000000L)")
+            .as(out))
+    }
+    var h = nodes.select(col("node"), lit(1000000L).as("hub"))
+    var a = nodes.select(col("node"), lit(0L).as("auth"))
+    for (i <- 1 to iters) {
+      a = normalized(
+        e.join(h.withColumnRenamed("node", "__n"), col("src") === col("__n"))
+          .select(col("dst").as("node"), expr("hub * w").as("c"))
+          .groupBy("node").agg(sum("c").as("s")), "auth")
+      h = normalized(
+        e.join(a.withColumnRenamed("node", "__n"), col("dst") === col("__n"))
+          .select(col("src").as("node"), expr("auth * w").as("c"))
+          .groupBy("node").agg(sum("c").as("s")), "hub")
+      if (i % 4 == 0 && i < iters) {
+        a = a.localCheckpoint(true); h = h.localCheckpoint(true)
+      }
+    }
+    a.join(h, Seq("node")).select("node", "auth", "hub")
+  }
+
   /** Global triangle count, DEGREE-ORIENTED (the skew-proof
     * formulation): undirected edges are oriented from the (degree,
     * node)-smaller endpoint to the larger, wedges are generated only at

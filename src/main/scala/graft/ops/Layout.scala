@@ -85,6 +85,41 @@ object Layout {
         min(col(b)).as("b_lo"), max(col(b)).as("b_hi"))
   }
 
+  /** Small-file COMPACTION planning — the other half of lakehouse
+    * layout maintenance beside [[zOrdered]]: given a file listing with
+    * sizes, assign contiguous runs (in `orderCols` order — usually
+    * partition/date order, so compaction preserves clustering) to
+    * target-sized rewrite groups. The classic start-offset rule: a
+    * file joins group `floor(bytes_before_it / targetSize)`, so every
+    * group's total lands in [targetSize, targetSize + one file) except
+    * the last — the greedy contiguous bin-packing every table
+    * optimizer runs.
+    *
+    * SCALE SHAPE: the cumulative size rides [[Rank.globalRunningSum]]
+    * (range exchange + per-partition window + broadcast offsets — a
+    * 100 M-file listing never funnels through one task); the group
+    * rollup is one hash aggregate. `orderCols` must be a total order.
+    *
+    * Returns (group, n_files, total_size, plus min/max of `keyCol` —
+    * the group's covering key range, what the rewrite job scans).
+    */
+  def compactionPlan(files: DataFrame, sizeCol: String,
+      orderCols: Seq[Column], keyCol: String, targetSize: Long,
+      numPartitions: Int = 32): DataFrame = {
+    require(targetSize > 0, s"targetSize must be positive, got $targetSize")
+    val cum = Rank.globalRunningSum(files, orderCols, sizeCol, "__cum",
+      numPartitions)
+    cum
+      .withColumn("group",
+        expr(s"(__cum - $sizeCol) div ${targetSize}L"))
+      .groupBy("group")
+      .agg(count(lit(1)).as("n_files"),
+        sum(col(sizeCol)).as("total_size"),
+        min(col(keyCol)).as("first_key"),
+        max(col(keyCol)).as("last_key"))
+      .orderBy("group")
+  }
+
   /** DuckDB SQL for [[zValue]] over column expressions `a`/`b` — the
     * identical shift-mask ladder, for oracle twins. */
   def duckZSql(a: String, b: String): String = {

@@ -21,6 +21,56 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Mann–Whitney U rank-sum test (Mann & Whitney 1947) between two
+    * groups of `valueCol` — the NONPARAMETRIC two-sample test beside
+    * the mean-difference z-test in [[EventAnalytics.abTest]]: compares
+    * whole distributions via ranks, so heavy tails and outliers cannot
+    * dominate the verdict. Two-sided normal approximation with the
+    * standard tie correction:
+    *
+    *   U_A = R_A − n_A(n_A+1)/2,   μ = n_A·n_B/2,
+    *   σ² = (n_A·n_B/12)·((n+1) − Σ(t³−t)/(n(n−1)))
+    *
+    * over average ranks (ties share the mean of their rank run).
+    *
+    * DETERMINISM: the doubled rank-sum 2R_A = Σ n_A(v)·(2·below(v) +
+    * t(v) + 1) is pure BIGINT (average ranks are half-integers), so
+    * R_A and the tie term are exact on any partitioning; the z
+    * expression is ONE fixed IEEE formula mirrored textually by the
+    * oracle. ANSI mode throws (never wraps) if a single value repeats
+    * often enough to overflow t³ — ~2·10⁶ duplicates of one value;
+    * wider corpora should pre-bucket the measure.
+    *
+    * SCALE SHAPE: one hash aggregate to the DISTINCT-value table, the
+    * two-phase [[Rank.globalRunningSum]] for cumulative counts (no
+    * unpartitioned window), then one scalar fold. Returns one row
+    * (n_a, n_b, u, z).
+    */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "groups must differ")
+    val rows = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+    val byVal = rows.groupBy("v").agg(
+      count(lit(1)).as("t"),
+      sum(when(col("g") === groupA, 1L).otherwise(0L)).as("na_v"))
+    val cum = Rank.globalRunningSum(byVal, Seq(col("v")), "t", "cum_t")
+      .withColumn("below", col("cum_t") - col("t"))
+    cum.agg(
+        sum(col("na_v")).as("n_a"),
+        sum(col("t")).as("n"),
+        sum(expr("na_v * (2 * below + t + 1)")).as("ra2"),
+        sum(expr("t * t * t - t")).as("ties"))
+      .select(col("n_a"), (col("n") - col("n_a")).as("n_b"),
+        expr("round(ra2 / 2.0 - n_a * (n_a + 1) / 2.0, 6)").as("u"),
+        expr("round((ra2 / 2.0 - n_a * (n_a + 1) / 2.0 - " +
+          "n_a * (n - n_a) / 2.0) / " +
+          "sqrt((n_a * (n - n_a) / 12.0) * " +
+          "((n + 1) - ties / (n * (n - 1.0)))), 6)").as("z"))
+  }
+
   /** Fixed-width histogram of `valueCol` over [min, max] with `bins`
     * buckets (the top bucket closes at max). Two scans: a 1-row
     * [min, max] frame, broadcast into the binning aggregate.

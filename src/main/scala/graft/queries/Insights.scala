@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Drift, Market, Rank, Survival}
+import graft.ops.{Drift, EventAnalytics, Market, Rank, Survival}
 import graft.queries.Tables.t
 
 /** Recommendation, drift, and lifetime analytics gates: market-basket
@@ -212,6 +212,93 @@ object Insights extends QueryModule {
                (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1 THEN 0.0
              ELSE round(exp(SUM(ln(factor)) OVER (ORDER BY t
                ROWS UNBOUNDED PRECEDING)), 6) END AS survival
-      FROM f2"""))
+      FROM f2""")),
+
+    // ---- Mann–Whitney U rank-sum test (Stats.mannWhitney): the
+    // nonparametric two-sample twin of pipe_ab_test — click vs view
+    // event values compared by ranks (tie-corrected normal
+    // approximation). The doubled rank-sum is pure BIGINT (average
+    // ranks are half-integers), cumulated through the two-phase
+    // running sum — no unpartitioned rank window.
+    QueryDef("a_mann_whitney", (s, d) => {
+      graft.ops.Stats.mannWhitney(Tables.events(s, d), "event_type",
+        "value", "click", "view")
+    }, Some("""
+      WITH r AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+                 FROM events
+                 WHERE event_type IN ('click', 'view')
+                   AND value IS NOT NULL),
+      bv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS na_v
+             FROM r GROUP BY 1),
+      c AS (SELECT *, SUM(t) OVER (ORDER BY v
+              ROWS UNBOUNDED PRECEDING) - t AS below FROM bv),
+      a AS (SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+              CAST(SUM(t) AS BIGINT) AS n,
+              CAST(SUM(na_v * (2 * below + t + 1)) AS BIGINT) AS ra2,
+              CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+            FROM c)
+      SELECT n_a, n - n_a AS n_b,
+        round(ra2 / 2.0 - n_a * (n_a + 1) / 2.0, 6) AS u,
+        round((ra2 / 2.0 - n_a * (n_a + 1) / 2.0 -
+          n_a * (n - n_a) / 2.0) /
+          sqrt((n_a * (n - n_a) / 12.0) *
+          ((n + 1) - ties / (n * (n - 1.0)))), 6) AS z
+      FROM a""")),
+
+    // ---- RFM quintile segmentation (EventAnalytics.rfmSegments):
+    // recency/frequency/monetary NTILE(5) scores per user (5 = best),
+    // rolled into the ≤125-row segment grid. Three two-phase ordinals
+    // over the |users| table — never an unpartitioned NTILE window;
+    // monetary sums round(value,6) in DECIMAL.
+    QueryDef("e_rfm_segments", (s, d) => {
+      EventAnalytics.rfmSegments(Tables.events(s, d))
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value
+                 FROM events),
+      pu AS (SELECT user_id, MAX(ts_us) AS last_ts,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               SUM(CAST(round(COALESCE(value, 0), 6) AS DECIMAL(28,6)))
+                 AS mon
+             FROM e GROUP BY 1),
+      g AS (SELECT MAX(ts_us) AS gmax FROM e),
+      u AS (SELECT pu.*, gmax - last_ts AS recency_us
+            FROM pu CROSS JOIN g),
+      sc AS (SELECT user_id, mon,
+               CAST(NTILE(5) OVER (ORDER BY recency_us DESC, user_id)
+                 AS INT) AS r_score,
+               CAST(NTILE(5) OVER (ORDER BY freq, user_id) AS INT)
+                 AS f_score,
+               CAST(NTILE(5) OVER (ORDER BY mon, user_id) AS INT)
+                 AS m_score
+             FROM u)
+      SELECT r_score, f_score, m_score,
+        CAST(COUNT(*) AS BIGINT) AS n_users,
+        round(CAST(SUM(mon) AS DOUBLE), 4) AS total_monetary
+      FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // ---- Small-file compaction planning (Layout.compactionPlan):
+    // per-day order "files" packed into contiguous target-sized
+    // rewrite groups by the start-offset rule, cumulated through the
+    // two-phase running sum — the greedy bin-packing a table optimizer
+    // runs over a 100 M-file listing without one-task sorts.
+    QueryDef("o16_compaction_plan", (s, d) => {
+      val files = t(s, d, "orders")
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(count(lit(1)).as("sz"))
+      graft.ops.Layout.compactionPlan(files, "sz", Seq(col("d")), "d",
+        targetSize = 2000L)
+    }, Some("""
+      WITH f AS (SELECT o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS sz
+                 FROM orders GROUP BY 1),
+      c AS (SELECT d, sz, SUM(sz) OVER (ORDER BY d
+              ROWS UNBOUNDED PRECEDING) AS cum FROM f),
+      g AS (SELECT CAST((cum - sz) // 2000 AS BIGINT) AS "group", d, sz
+            FROM c)
+      SELECT "group", CAST(COUNT(*) AS BIGINT) AS n_files,
+        CAST(SUM(sz) AS BIGINT) AS total_size,
+        MIN(d) AS first_key, MAX(d) AS last_key
+      FROM g GROUP BY 1 ORDER BY 1"""))
   )
 }

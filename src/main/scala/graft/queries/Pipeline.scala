@@ -2563,6 +2563,28 @@ object Pipeline extends QueryModule {
       ${duckPageRankRounds(5)}
       SELECT node, rank FROM r5 ORDER BY rank DESC, node""")),
 
+    // ---- HITS hubs & authorities over the directed bigram word graph
+    // (graft.ops.Graph.hits): integer micro-unit scores with
+    // truncating-integer L∞ normalization each half-round — bit-stable
+    // under any partitioning; the oracle unrolls every half-round.
+    QueryDef("g_hits", (s, d) => {
+      graft.ops.Graph.hits(graft.ops.Graph.wordGraph(docs(s, d)), 3)
+        .orderBy(desc("auth"), desc("hub"), asc("node"))
+    }, Some(s"""
+      WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                    FROM documents),
+      pairs AS (SELECT unnest(list_transform(range(1, len(tk)),
+                  i -> {'src': tk[i], 'dst': tk[i+1]})) AS p FROM toks),
+      e AS (SELECT p.src AS src, p.dst AS dst, CAST(COUNT(*) AS BIGINT) AS w
+            FROM pairs WHERE p.src <> p.dst GROUP BY 1, 2),
+      nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e) z),
+      h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+      ${duckHitsRounds(3)}
+      SELECT a3.node, a3.auth, h3.hub
+      FROM a3 JOIN h3 USING (node)
+      ORDER BY auth DESC, hub DESC, node""")),
+
     // ---- Adamic–Adar link prediction over the bigram word graph
     // (graft.ops.Graph.linkPrediction): non-adjacent token pairs scored
     // by inverse-log-degree-weighted shared neighbors; hub centers
@@ -2832,6 +2854,30 @@ object Pipeline extends QueryModule {
          |  GROUP BY 1 HAVING COUNT(*) >= $k),
          |e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
          |  JOIN kk$i a ON e.u = a.n JOIN kk$i b ON e.v = b.n)""".stripMargin
+    }.mkString(",\n")
+
+  /** Unrolled HITS half-rounds, mirroring Graph.hits exactly: weighted
+    * contribution sum, then `x // greatest(1, max // 10⁶)` truncating
+    * L∞ normalization — round i reads h{i-1}, defines a{i} then h{i}.
+    */
+  private[queries] def duckHitsRounds(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""ar$i AS (SELECT e.dst AS node, SUM(h.hub * e.w) AS s
+         |  FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1),
+         |am$i AS (SELECT MAX(s) AS mx FROM ar$i),
+         |a$i AS (SELECT n.node,
+         |    CAST(COALESCE(r.s, 0) //
+         |      GREATEST(1, (SELECT mx FROM am$i) // 1000000) AS BIGINT)
+         |      AS auth
+         |  FROM nodes n LEFT JOIN ar$i r ON n.node = r.node),
+         |hr$i AS (SELECT e.src AS node, SUM(a.auth * e.w) AS s
+         |  FROM e JOIN a$i a ON e.dst = a.node GROUP BY 1),
+         |hm$i AS (SELECT MAX(s) AS mx FROM hr$i),
+         |h$i AS (SELECT n.node,
+         |    CAST(COALESCE(r.s, 0) //
+         |      GREATEST(1, (SELECT mx FROM hm$i) // 1000000) AS BIGINT)
+         |      AS hub
+         |  FROM nodes n LEFT JOIN hr$i r ON n.node = r.node)""".stripMargin
     }.mkString(",\n")
 
   private[queries] def duckPageRankRounds(iters: Int, damp: Int = 85)

@@ -150,6 +150,37 @@ class GraphSpec extends AnyFunSuite {
     assert(out(("p", "q"))._2 === math.rint(1.0 / math.log(4) * 1e6) / 1e6)
   }
 
+  test("hits: integer micro-unit scores, exact 3-round replay on a " +
+      "known hub/authority graph") {
+    // h1,h2 point at both authorities, h3 only at a1: a1 must out-rank
+    // a2, h1 == h2 (symmetric) must out-rank h3, and the exact values
+    // are the hand-unrolled truncating-integer iteration
+    val e = edgesDf(("h1", "a1", 1L), ("h1", "a2", 1L),
+      ("h2", "a1", 1L), ("h2", "a2", 1L), ("h3", "a1", 1L))
+    val out = Graph.hits(e, iters = 3).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // round 1: a'=(3e6, 2e6) /3 -> (1000000, 666666);
+    //          h'=(1666666, 1666666, 1000000) /1 (mx<2e6)
+    // round 2: a'=(4333332, 3333332) /4 -> (1083333, 833333);
+    //          h'=(1916666, 1916666, 1083333) /1
+    // round 3: a'=(4916665, 3833332) /4 -> (1229166, 958333);
+    //          h'=(2187499, 2187499, 1229166) /2 -> (1093749, 1093749,
+    //          614583)
+    assert(out("a1") === ((1229166L, 0L)))
+    assert(out("a2") === ((958333L, 0L)))
+    assert(out("h1") === ((0L, 1093749L)))
+    assert(out("h2") === ((0L, 1093749L)))
+    assert(out("h3") === ((0L, 614583L)))
+  }
+
+  test("hits rejects non-positive edge weights loudly") {
+    val e = edgesDf(("a", "b", 0L))
+    val ex = intercept[Exception] {
+      Graph.hits(e, iters = 1).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("linkPrediction: adjacent pairs and capped hubs are excluded") {
     // x—y are DIRECTLY connected and also share z → must not appear;
     // hub h (deg 3 > cap 2) is no wedge center, so (p,q) disappears

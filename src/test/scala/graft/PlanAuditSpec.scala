@@ -104,7 +104,15 @@ class PlanAuditSpec extends AnyFunSuite {
     "e_survival_km",
     // e_attribution_linear: the 1-row conversion-total frame (the
     // e_attribution share-denominator shape)
-    "e_attribution_linear")
+    "e_attribution_linear",
+    // g_hits: the 1-row L∞-max frame broadcast into each half-round's
+    // rescale (the idf shape, ×2 per round)
+    "g_hits",
+    // a_mann_whitney / e_rfm_segments / o16_compaction_plan: the
+    // two-phase ordinal/running-sum triangular offset join over the
+    // ≤ numPartitions-row per-partition totals (the q_skew_report
+    // shape), plus 1-row N/max frames
+    "a_mann_whitney", "e_rfm_segments", "o16_compaction_plan")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -195,7 +203,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // e_survival_km: the 1-row study-end combine plus the at-risk /
     // survival windows, which run on the HORIZON-sized duration table
     // by construction (documented on ops/Survival.scala)
-    "e_survival_km")
+    "e_survival_km",
+    // g_hits: the per-half-round 1-row max combines (bounded: one
+    // partial max per partition)
+    "g_hits",
+    // a_mann_whitney: the one-row U/z fold (one bounded partial per
+    // partition); e_rfm_segments: the 1-row N and study-max combines
+    "a_mann_whitney", "e_rfm_segments")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —
