@@ -767,6 +767,57 @@ object Dedup {
     * ≥ w-token substring" is detected exactly (a shared substring of
     * length L ≥ w duplicates L−w+1 consecutive windows).
     */
+  /** Exact substring-duplication REMOVAL — the transform half of
+    * [[substringDupStats]] (Lee et al. 2022 §4.2 "ExactSubstr" applied
+    * as keep-first): every w-token window whose content occurs more
+    * than once corpus-wide keeps only its (doc_id, pos)-smallest
+    * occurrence; every other occurrence's token span is excised and
+    * the document re-assembled from the surviving tokens. Overlapping
+    * excised spans coalesce through [[Intervals.mergeIntervals]]
+    * before the cut, so removal is a clean per-doc interval set.
+    *
+    * Returns (doc_id, n_tokens, n_removed, clean_hash) with
+    * `clean_hash` = md5 of the space-joined surviving tokens — the
+    * compact oracle-comparable witness of the rewritten text (callers
+    * wanting the text itself use the same expression without the
+    * hash).
+    *
+    * Scale shape: the only shuffles key on the window hash (count +
+    * keeper aggregate, then one equi-join back), on doc_id (the
+    * per-doc interval sweep + the cuts-array aggregate), and one
+    * equi-join of cuts onto the corpus; the rebuild is per-row lambda
+    * work bounded by tokens × cut-intervals per doc. Keep-first is the
+    * corpus-global deterministic tie-break, independent of
+    * partitioning.
+    */
+  def substringRemove(docs: DataFrame, w: Int,
+      hashFn: String => String = md5LongSql): DataFrame = {
+    val win = windowHashes(docs, w, hashFn)
+    val dupKeep = win.groupBy("wh")
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("pos"))).as("k"))
+      .filter(col("occ") > 1)
+      .select(col("wh"), col("k.doc_id").as("kd"), col("k.pos").as("kp"))
+    val nonfirst = win.join(dupKeep, Seq("wh"))
+      .filter(!(col("doc_id") === col("kd") && col("pos") === col("kp")))
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + lit(w - 1)).as("e"))
+    val cuts = Intervals.mergeIntervals(nonfirst, Seq("doc_id"), "s", "e")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("start"), col("end"))))
+        .as("cuts"))
+    tokenized(docs).join(cuts, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        "case when cuts is null then tokens " +
+          "else filter(tokens, (t, i) -> not exists(cuts, " +
+          "c -> i + 1 >= c.start and i + 1 <= c.end)) end"))
+      .select(col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        (size(col("tokens")) - size(col("kept"))).cast("long")
+          .as("n_removed"),
+        md5(concat_ws(" ", col("kept"))).as("clean_hash"))
+  }
+
   def substringDupStats(docs: DataFrame, w: Int,
       hashFn: String => String = md5LongSql): DataFrame = {
     val win = windowHashes(docs, w, hashFn)

@@ -442,6 +442,48 @@ object EventAnalytics {
     * grows with the event count. All rates/z are single IEEE
     * expressions off exact integers, round(,6).
     */
+  /** Cohort LIFETIME-VALUE curves — the revenue companion of
+    * [[retentionCohorts]]: users cohort by the week of their first
+    * event; cell (cohort, age) carries the active-user count and the
+    * CUMULATIVE revenue the cohort has produced through that week age,
+    * plus per-user LTV off the cohort size — the curve a growth team
+    * reads payback periods from.
+    *
+    * DETERMINISM: revenue sums `round(value, 6)` in DECIMAL (order-
+    * independent); the cumulative window runs per cohort over the
+    * ≤ weeks-sized age axis; the two division/rounding steps are
+    * single IEEE ops mirrored textually by the oracle.
+    *
+    * SCALE SHAPE: first-seen is one hash aggregate on user_id; the
+    * cohort join is an equi-join; cells are a (cohort, age) aggregate
+    * — weeks² rows at any input size, where the cumulative window and
+    * the size join then run. Nothing global-sorts the events.
+    */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val weekUs = 604800000000L
+    val e = events.select(col("user_id"),
+      expr(s"ts_us div ${weekUs}L").as("wk"),
+      expr("cast(round(coalesce(value, 0.0D), 6) as decimal(28,6))")
+        .as("rev"))
+    val first = e.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+    val cell = e.join(first, "user_id")
+      .groupBy(col("cohort"), (col("wk") - col("cohort")).as("age_w"))
+      .agg(countDistinct("user_id").as("n_active"),
+        sum(col("rev")).as("rev"))
+    val sizes = first.groupBy("cohort")
+      .agg(count(lit(1)).as("cohort_users"))
+    val cum = Window.partitionBy("cohort").orderBy("age_w")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cell.withColumn("cum", sum(col("rev")).over(cum))
+      .join(sizes, "cohort")
+      .select(col("cohort"), col("age_w"), col("n_active"),
+        col("cohort_users"),
+        round(col("cum").cast("double"), 4).as("cum_value"),
+        round(col("cum").cast("double") / col("cohort_users"), 6)
+          .as("ltv_per_user"))
+      .orderBy("cohort", "age_w")
+  }
+
   /** RFM (recency / frequency / monetary) customer segmentation — the
     * classic marketing-analytics quintile grid: each user scores 1–5
     * on how recently they acted, how often, and how much value they

@@ -278,6 +278,32 @@ object Insights extends QueryModule {
         round(CAST(SUM(mon) AS DOUBLE), 4) AS total_monetary
       FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
+    // ---- Cohort lifetime-value curves (EventAnalytics.cohortLtv):
+    // the revenue companion of the retention matrix — cumulative
+    // per-cohort revenue by week age with per-user LTV; DECIMAL
+    // revenue sums, weeks²-sized cell grid.
+    QueryDef("e_cohort_ltv", (s, d) => {
+      EventAnalytics.cohortLtv(Tables.events(s, d))
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+               CAST(round(COALESCE(value, 0), 6) AS DECIMAL(28,6)) AS rev
+             FROM events),
+      f AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY 1),
+      cell AS (SELECT cohort, wk - cohort AS age_w,
+                 CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active,
+                 SUM(rev) AS rev
+               FROM e JOIN f USING (user_id) GROUP BY 1, 2),
+      sz AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users
+             FROM f GROUP BY 1),
+      c2 AS (SELECT cohort, age_w, n_active,
+               SUM(rev) OVER (PARTITION BY cohort ORDER BY age_w
+                 ROWS UNBOUNDED PRECEDING) AS cum
+             FROM cell)
+      SELECT c2.cohort, age_w, n_active, cohort_users,
+        round(CAST(cum AS DOUBLE), 4) AS cum_value,
+        round(CAST(cum AS DOUBLE) / cohort_users, 6) AS ltv_per_user
+      FROM c2 JOIN sz USING (cohort) ORDER BY 1, 2""")),
+
     // ---- Small-file compaction planning (Layout.compactionPlan):
     // per-day order "files" packed into contiguous target-sized
     // rewrite groups by the start-offset rule, cumulated through the

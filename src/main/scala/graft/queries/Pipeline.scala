@@ -1155,6 +1155,71 @@ object Pipeline extends QueryModule {
                  ELSE least(20, pos - prev) END) AS BIGINT) AS dup_tokens
       FROM sw GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- Exact substring-duplication REMOVAL (Dedup.substringRemove,
+    // keep-first ExactSubstr): same planted input as d_substring_dup;
+    // every duplicated 20-token window keeps its (doc_id, pos)-minimal
+    // occurrence, other spans are excised (overlaps merged per doc)
+    // and the doc re-assembled — witnessed by md5 of the surviving
+    // token stream, which the oracle rebuilds token by token.
+    QueryDef("d_substring_remove", (s, d) => {
+      val base = docs(s, d).select("doc_id", "text")
+      val planted = base.filter(col("doc_id") < 30)
+        .filter(size(expr(tokensSql)) >= 60)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          expr(s"concat_ws(' ', slice($tokensSql, 5, 56))").as("text"))
+      Dedup.substringRemove(base.unionByName(planted), 20)
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH toks0 AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+      aug AS (SELECT doc_id, toks FROM toks0
+              UNION ALL
+              SELECT doc_id + 200000, toks[5:60] FROM toks0
+              WHERE doc_id < 30 AND len(toks) >= 60),
+      w AS (SELECT doc_id, list_transform(range(1, len(toks) - 18), k ->
+              ${duckMd5Long("array_to_string(toks[k:k+19], ' ')")}) AS whs
+            FROM aug WHERE len(toks) >= 20),
+      win AS (SELECT doc_id, s.pos AS pos, s.wh AS wh FROM (
+                SELECT doc_id, unnest(list_transform(range(1, len(whs) + 1),
+                  k -> struct_pack(pos := k, wh := whs[k]))) AS s FROM w)),
+      dup AS (SELECT wh FROM win GROUP BY wh HAVING COUNT(*) > 1),
+      ranked AS (SELECT win.doc_id, win.pos,
+                   ROW_NUMBER() OVER (PARTITION BY win.wh
+                     ORDER BY win.doc_id, win.pos) AS rn
+                 FROM win JOIN dup USING (wh)),
+      nf AS (SELECT doc_id, pos AS s, pos + 19 AS e FROM ranked
+             WHERE rn > 1),
+      sw AS (SELECT doc_id, s, e,
+               CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      IS NULL
+                    OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS brk
+             FROM nf),
+      gr AS (SELECT doc_id, s, e, SUM(brk) OVER (PARTITION BY doc_id
+               ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp FROM sw),
+      iv AS (SELECT doc_id, grp, MIN(s) AS st, MAX(e) AS en FROM gr
+             GROUP BY 1, 2),
+      tok AS (SELECT doc_id, t.i AS i, t.tok AS tok FROM (
+                SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+                  k -> struct_pack(i := k, tok := toks[k]))) AS t FROM aug)),
+      cut AS (SELECT DISTINCT tok.doc_id, tok.i FROM tok JOIN iv
+                ON tok.doc_id = iv.doc_id AND tok.i >= iv.st
+                  AND tok.i <= iv.en),
+      kept AS (SELECT t.doc_id, t.i, t.tok FROM tok t LEFT JOIN cut c
+                 ON t.doc_id = c.doc_id AND t.i = c.i
+               WHERE c.i IS NULL),
+      kg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nk,
+               md5(string_agg(tok, ' ' ORDER BY i)) AS h
+             FROM kept GROUP BY 1)
+      SELECT a.doc_id, CAST(len(a.toks) AS BIGINT) AS n_tokens,
+        CAST(len(a.toks) - COALESCE(kg.nk, 0) AS BIGINT) AS n_removed,
+        COALESCE(kg.h, md5('')) AS clean_hash
+      FROM aug a LEFT JOIN kg USING (doc_id)
+      ORDER BY a.doc_id""")),
+
     // ---- Near-dup CLUSTERS: the LSH pair list collapsed to connected
     // components — (cluster = canonical keeper id, doc_id = member to
     // dedupe). The ENGINE runs the production pointer-doubling path
