@@ -538,6 +538,42 @@ object EventAnalytics {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+  /** A/B-test POWER ANALYSIS — the planning half of [[abTest]]: from
+    * the measured baseline conversion rate, the per-arm sample size
+    * needed to detect a `mdeRel` relative lift at significance α and
+    * power 1−β (two-proportion normal approximation, the standard
+    * formula):
+    *
+    *   n = (z_{α/2}·√(2·p̄(1−p̄)) + z_β·√(p₁(1−p₁)+p₂(1−p₂)))² / (p₂−p₁)²
+    *
+    * z defaults pin α = 0.05 two-sided, power = 0.80. Returns one row
+    * (n_users, n_conv, p_base, p_target, n_per_arm); `n_per_arm` is
+    * NULL when the baseline rate is degenerate (0 — no detectable
+    * lift exists).
+    *
+    * Scale shape: one per-user aggregate + a 1-row fold; the formula
+    * is a single fixed IEEE expression the oracle mirrors textually.
+    */
+  def powerAnalysis(events: DataFrame, isConversion: Column,
+      mdeRel: Double = 0.10, zAlpha: Double = 1.959964,
+      zBeta: Double = 0.841621): DataFrame = {
+    require(mdeRel > 0, s"mdeRel must be positive, got $mdeRel")
+    val perUser = events.groupBy("user_id")
+      .agg(max(when(isConversion, 1L).otherwise(0L)).as("conv"))
+    perUser.agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+      .withColumn("p1",
+        expr("cast(n_conv as double) / cast(n_users as double)"))
+      .withColumn("p2", expr(s"least(p1 * ${1.0 + mdeRel}D, 1.0D)"))
+      .withColumn("pbar", expr("(p1 + p2) / 2.0D"))
+      .select(col("n_users"), col("n_conv"),
+        round(col("p1"), 6).as("p_base"),
+        round(col("p2"), 6).as("p_target"),
+        expr(s"case when p2 > p1 then cast(ceil(" +
+          s"power($zAlpha * sqrt(2.0D * pbar * (1.0D - pbar)) + " +
+          s"$zBeta * sqrt(p1 * (1.0D - p1) + p2 * (1.0D - p2)), 2) / " +
+          s"power(p2 - p1, 2)) as bigint) end").as("n_per_arm"))
+  }
+
   def abTest(events: DataFrame, isConversion: Column): DataFrame = {
     Hashing.ensureRegistered(events)
     val perUser = events.groupBy("user_id")

@@ -61,6 +61,61 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Brute-force MAXIMUM-INNER-PRODUCT top-k (MIPS) — the retrieval
+    * order a recommender's user×item factor model actually wants
+    * (cosine discards magnitude; an item's popularity lives in its
+    * norm). Same broadcast-query shape as [[bruteForceTopK]], ranked
+    * by the raw dot product.
+    */
+  def mipsTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    ensureRegistered(queries)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("dot"), asc("neighbor_id"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("graft_dot(cast(qe as array<double>), " +
+          "cast(ce as array<double>))").as("dot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("dot"), 6).as("dot"))
+  }
+
+  /** The MIPS → cosine reduction (Bachrach et al. 2014, RecSys —
+    * "Speeding up the Xbox recommender"): append sqrt(M² − ‖x‖²) to
+    * every corpus vector (M = max corpus norm) and 0 to every query.
+    * Every augmented corpus vector then has norm exactly M, so
+    * augmented-cosine order ≡ inner-product order — the ENTIRE cosine
+    * ANN family here (hyperplane LSH, IVF, IVF-kmeans, PQ) indexes
+    * MIPS unchanged through this transform; the scale path when the
+    * corpus outgrows the broadcast brute force. Equivalence is
+    * spec-pinned against [[mipsTopK]].
+    *
+    * The M² range model is a 1-row broadcast frame (the idf shape).
+    */
+  def mipsAugmentCorpus(corpus: DataFrame): DataFrame = {
+    ensureRegistered(corpus)
+    val n2 = corpus.withColumn("__n2",
+      expr("graft_dot(cast(embedding as array<double>), " +
+        "cast(embedding as array<double>))"))
+    val m = n2.agg(max("__n2").as("__m2"))
+    n2.crossJoin(broadcast(m))
+      .select(col("vec_id"),
+        expr("concat(cast(embedding as array<double>), " +
+          "array(sqrt(greatest(__m2 - __n2, 0.0D))))").as("embedding"))
+  }
+
+  /** Query half of [[mipsAugmentCorpus]]: a zero coordinate appended —
+    * the query's own norm cancels in cosine ranking. */
+  def mipsAugmentQueries(queries: DataFrame): DataFrame =
+    queries.select(col("vec_id"),
+      expr("concat(cast(embedding as array<double>), " +
+        "array(cast(0.0 as double)))").as("embedding"))
+
   /** Coarse quantizer for IVF: assign every vector a cell id via the
     * hyperplane LSH bucket (deterministic, no training pass needed — the
     * signed-random-projection partition IS a valid IVF cell structure).

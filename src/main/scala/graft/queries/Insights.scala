@@ -278,6 +278,33 @@ object Insights extends QueryModule {
         round(CAST(SUM(mon) AS DOUBLE), 4) AS total_monetary
       FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
+    // ---- A/B power analysis (EventAnalytics.powerAnalysis): per-arm
+    // sample size to detect a 10% relative lift on the measured
+    // baseline conversion at α=0.05 / power 0.80 — the planning half
+    // of pipe_ab_test; one per-user aggregate + a 1-row closed-form
+    // fold the oracle mirrors textually.
+    QueryDef("e_power_analysis", (s, d) => {
+      EventAnalytics.powerAnalysis(Tables.events(s, d),
+        col("event_type") === "purchase")
+    }, Some("""
+      WITH pu AS (SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS conv
+             FROM events GROUP BY 1),
+      a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+              CAST(SUM(conv) AS BIGINT) AS n_conv FROM pu),
+      b AS (SELECT *, CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)
+              AS p1 FROM a),
+      c AS (SELECT *, LEAST(p1 * 1.1, 1.0) AS p2 FROM b),
+      d AS (SELECT *, (p1 + p2) / 2.0 AS pbar FROM c)
+      SELECT n_users, n_conv, round(p1, 6) AS p_base,
+        round(p2, 6) AS p_target,
+        CASE WHEN p2 > p1 THEN CAST(ceil(
+          power(1.959964 * sqrt(2.0 * pbar * (1.0 - pbar)) +
+            0.841621 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2) /
+          power(p2 - p1, 2)) AS BIGINT) END AS n_per_arm
+      FROM d""")),
+
     // ---- Cohort lifetime-value curves (EventAnalytics.cohortLtv):
     // the revenue companion of the retention matrix — cumulative
     // per-cohort revenue by week age with per-user LTV; DECIMAL

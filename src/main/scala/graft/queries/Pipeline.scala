@@ -36,6 +36,14 @@ object Pipeline extends QueryModule {
   /** DuckDB twin of [[Similarity.cosineSql]]: sequential left-fold dot
     * products in doubles — bit-identical to Spark's `aggregate(zip_with)`.
     */
+  /** DuckDB sequential-order dot product, the twin of `graft_dot` —
+    * the inner fold of [[duckCos]], exposed for inner-product gates. */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a) + 1), " +
+      s"kk -> CAST($a[kk] AS DOUBLE) * CAST($b[kk] AS DOUBLE))), " +
+      s"(acc, v) -> acc + v)"
+
   private def duckCos(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
@@ -1553,6 +1561,31 @@ object Pipeline extends QueryModule {
                  FROM scored)
       SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
              round(cos, 6) AS cos
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- Brute-force MIPS top-k (Similarity.mipsTopK): ranking by
+    // raw inner product — what a factor-model recommender retrieves
+    // by (norms carry popularity; cosine discards them). The
+    // norm-augmentation reduction onto the cosine ANN family is
+    // spec-pinned (MipsSpec); this gate pins the exact scores.
+    QueryDef("sim_mips_topk", (s, d) => {
+      val e = emb(s, d)
+      Similarity.mipsTopK(e.filter(col("vec_id") < 10), e, 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }, Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+      scored AS (SELECT query_id, neighbor_id, ${duckDot("qe", "ce")}
+                   AS ip
+                 FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+      ranked AS (SELECT query_id, neighbor_id, ip,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY ip DESC, neighbor_id) AS rank
+                 FROM scored)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+             round(ip, 6) AS dot
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
 
     // ---- Hyperplane-LSH bucketed ANN (8 deterministic hash-derived

@@ -112,7 +112,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // two-phase ordinal/running-sum triangular offset join over the
     // ≤ numPartitions-row per-partition totals (the q_skew_report
     // shape), plus 1-row N/max frames
-    "a_mann_whitney", "e_rfm_segments", "o16_compaction_plan")
+    "a_mann_whitney", "e_rfm_segments", "o16_compaction_plan",
+    // sim_mips_topk: the broadcast query set against the corpus
+    // (non-equi self-exclusion — the sim_topk_bruteforce shape)
+    "sim_mips_topk")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -208,8 +211,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // partial max per partition)
     "g_hits",
     // a_mann_whitney: the one-row U/z fold (one bounded partial per
-    // partition); e_rfm_segments: the 1-row N and study-max combines
-    "a_mann_whitney", "e_rfm_segments")
+    // partition); e_rfm_segments: the 1-row N and study-max combines;
+    // e_power_analysis: the 1-row closed-form fold
+    "a_mann_whitney", "e_rfm_segments", "e_power_analysis")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —
