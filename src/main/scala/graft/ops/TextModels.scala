@@ -286,6 +286,64 @@ object TextModels {
       .limit(k)
   }
 
+  /** Retrieval-quality EVALUATION of the BM25 ranking — NDCG@k, MRR
+    * and recall@k (Järvelin & Kekäläinen 2002 for NDCG) against a
+    * deterministic graded relevance: rel(doc) = number of DISTINCT
+    * query terms the document contains (0..|terms|) — the synthetic
+    * ground truth that makes the metric replayable without human
+    * labels. DCG gain = (2^rel − 1)/log₂(rank+1); IDCG from the
+    * corpus-ideal ordering (rel desc, doc_id); MRR = 1/first-relevant
+    * rank in the top k; recall@k = relevant-in-top-k / relevant-total.
+    *
+    * DETERMINISM: per-position gains round(,9) into DECIMAL before
+    * the ≤ k-row sums; the BM25 ranking is [[bm25TopK]]'s (already
+    * rounded + doc_id tie-broken). Returns one row
+    * (k, dcg, idcg, ndcg, mrr, recall_at_k).
+    *
+    * SCALE SHAPE: relevance is per-row expression work; ideal-ordering
+    * and top-k are TakeOrdered limits; everything after runs on ≤ k
+    * rows plus two 1-row folds.
+    */
+  def rankEval(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = queryTerms.distinct.sorted
+    val relExpr = terms.map(t =>
+      when(array_contains(expr(Hashing.tokensSql), t), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val rel = docs.select(col("doc_id"), relExpr.as("rel"))
+      .filter(col("rel") > 0)
+    val gain = (relCol: String, posCol: String) => expr(
+      s"cast(round((power(2.0D, $relCol) - 1.0D) / " +
+        s"(ln(cast($posCol as double) + 1.0D) / ln(2.0D)), 9) " +
+        "as decimal(24,9))")
+    val top = bm25TopK(docs, queryTerms, k, k1, b)
+      .withColumn("rank", row_number().over(org.apache.spark.sql
+        .expressions.Window.orderBy(desc("score"), asc("doc_id"))))
+      .join(rel, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("rel"))
+    val dcg = top.agg(sum(gain("rel", "rank")).as("dcg"),
+      min(when(col("rel") > 0, col("rank"))).as("fr"),
+      sum(when(col("rel") > 0, 1L).otherwise(0L)).as("nrel_top"))
+    val ideal = rel.orderBy(desc("rel"), asc("doc_id")).limit(k)
+      .withColumn("pos", row_number().over(org.apache.spark.sql
+        .expressions.Window.orderBy(desc("rel"), asc("doc_id"))))
+      .agg(sum(gain("rel", "pos")).as("idcg"))
+    val den = rel.agg(count(lit(1)).as("n_rel"))
+    dcg.crossJoin(ideal).crossJoin(den)
+      .select(lit(k.toLong).as("k"),
+        round(col("dcg").cast("double"), 6).as("dcg"),
+        round(col("idcg").cast("double"), 6).as("idcg"),
+        round(expr("case when cast(idcg as double) > 0.0D then " +
+          "cast(dcg as double) / cast(idcg as double) end"), 6)
+          .as("ndcg"),
+        round(expr("case when fr is not null then " +
+          "1.0D / cast(fr as double) end"), 6).as("mrr"),
+        round(expr("case when n_rel > 0 then " +
+          "cast(nrel_top as double) / cast(n_rel as double) end"), 6)
+          .as("recall_at_k"))
+  }
+
   /** Feature-hashing vectorization (the "hashing trick", Weinberger et
     * al. 2009): each token maps to bucket `md5(tok) mod dim` with a
     * ±1 sign from an independent hash bit (debiases the collision

@@ -278,6 +278,37 @@ object Insights extends QueryModule {
         round(CAST(SUM(mon) AS DOUBLE), 4) AS total_monetary
       FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
+    // ---- DPO preference-pair construction (Preference.dpoPairs):
+    // per (lang|source) group, the highest/lowest type-token-ratio
+    // documents become the (chosen, rejected) alignment-training pair
+    // — one max/min-of-struct hash aggregate, deterministic id
+    // tie-breaks, zero-margin ties dropped.
+    QueryDef("pipe_dpo_pairs", (s, d) => {
+      val scored = graft.ops.TextAnalysis.qualityScore(
+        t(s, d, "documents"), Seq("lang", "source"))
+        .select(col("doc_id"),
+          concat(col("lang"), lit("|"), col("source")).as("g"),
+          col("type_token_ratio").as("score"))
+      graft.ops.Preference.dpoPairs(scored, "g", "doc_id", "score")
+        .orderBy("group_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, lang || '|' || source AS g,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             FROM documents),
+      q AS (SELECT doc_id, g,
+              round(CAST(len(list_distinct(toks)) AS DOUBLE) /
+                greatest(len(toks), 1), 6) AS score
+            FROM t),
+      a AS (SELECT g AS group_id, CAST(COUNT(*) AS BIGINT) AS n_responses,
+              MAX(struct_pack(s := score, i := doc_id)) AS hi,
+              MIN(struct_pack(s := score, i := doc_id)) AS lo
+            FROM q GROUP BY 1)
+      SELECT group_id, n_responses, hi.i AS chosen_id,
+        lo.i AS rejected_id, hi.s AS chosen_score, lo.s AS rejected_score,
+        round(hi.s - lo.s, 6) AS margin
+      FROM a WHERE n_responses >= 2 AND round(hi.s - lo.s, 6) > 0.0
+      ORDER BY group_id""")),
+
     // ---- A/B power analysis (EventAnalytics.powerAnalysis): per-arm
     // sample size to detect a 10% relative lift on the measured
     // baseline conversion at α=0.05 / power 0.80 — the planning half

@@ -2638,6 +2638,80 @@ object Pipeline extends QueryModule {
       WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
       ORDER BY score DESC, doc_id LIMIT 10""")),
 
+    // ---- Retrieval-quality evaluation (TextModels.rankEval): NDCG@10
+    // / MRR / recall@10 of the BM25 ranking against the deterministic
+    // graded relevance rel = #distinct query terms present — the
+    // label-free replayable ground truth; per-position gains round(,9)
+    // into DECIMAL before the ≤k-row sums.
+    QueryDef("m_rank_eval", (s, d) => {
+      graft.ops.TextModels.rankEval(docs(s, d),
+        Seq("hash", "join", "stream"), 10)
+    }, Some(s"""
+      WITH tok AS (SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents),
+      pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len,
+               CAST(SUM(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS BIGINT) AS tf_0,
+               CAST(SUM(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS tf_1,
+               CAST(SUM(CASE WHEN tok = 'stream' THEN 1 ELSE 0 END) AS BIGINT) AS tf_2
+             FROM tok GROUP BY 1),
+      st AS (SELECT CAST(SUM(len) AS BIGINT) AS sl,
+               CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+               CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+               CAST(SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_2
+             FROM pd),
+      sc AS (SELECT doc_id, round(
+          round(ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5)
+              / (CAST(df_0 AS DOUBLE) + 0.5)), 6)
+            * (CAST(tf_0 AS DOUBLE) * 2.2)
+            / (CAST(tf_0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+               (CAST(len AS DOUBLE) / (CAST(sl AS DOUBLE) / CAST(nd AS DOUBLE)))))
+        + round(ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5)
+              / (CAST(df_1 AS DOUBLE) + 0.5)), 6)
+            * (CAST(tf_1 AS DOUBLE) * 2.2)
+            / (CAST(tf_1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+               (CAST(len AS DOUBLE) / (CAST(sl AS DOUBLE) / CAST(nd AS DOUBLE)))))
+        + round(ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df_2 AS DOUBLE) + 0.5)
+              / (CAST(df_2 AS DOUBLE) + 0.5)), 6)
+            * (CAST(tf_2 AS DOUBLE) * 2.2)
+            / (CAST(tf_2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+               (CAST(len AS DOUBLE) / (CAST(sl AS DOUBLE) / CAST(nd AS DOUBLE)))))
+        , 6) AS score,
+          CAST((CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) +
+               (CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) +
+               (CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS rel
+        FROM pd CROSS JOIN st
+        WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0),
+      topk AS (SELECT doc_id, rel,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+               FROM sc QUALIFY rank <= 10),
+      dc AS (SELECT SUM(CAST(round((power(2.0, rel) - 1.0) /
+                 (ln(rank + 1.0) / ln(2.0)), 9) AS DECIMAL(24,9))) AS dcg,
+               MIN(CASE WHEN rel > 0 THEN rank END) AS fr,
+               CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS nrel_top
+             FROM topk),
+      ideal AS (SELECT rel,
+                  ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS pos
+                FROM sc QUALIFY pos <= 10),
+      ic AS (SELECT SUM(CAST(round((power(2.0, rel) - 1.0) /
+               (ln(pos + 1.0) / ln(2.0)), 9) AS DECIMAL(24,9))) AS idcg
+             FROM ideal),
+      den AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rel FROM sc
+              WHERE rel > 0)
+      SELECT CAST(10 AS BIGINT) AS k,
+        round(CAST(dcg AS DOUBLE), 6) AS dcg,
+        round(CAST(idcg AS DOUBLE), 6) AS idcg,
+        round(CASE WHEN CAST(idcg AS DOUBLE) > 0.0
+          THEN CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) END, 6) AS ndcg,
+        round(CASE WHEN fr IS NOT NULL
+          THEN 1.0 / CAST(fr AS DOUBLE) END, 6) AS mrr,
+        round(CASE WHEN n_rel > 0
+          THEN CAST(nrel_top AS DOUBLE) / CAST(n_rel AS DOUBLE) END, 6)
+          AS recall_at_k
+      FROM dc CROSS JOIN ic CROSS JOIN den""")),
+
     // ---- TextRank: integer fixed-point PageRank over the corpus bigram
     // word graph (graft.ops.Graph) — link-structure keyword centrality,
     // the PageRank extension of the ref's inlink-count popularity model

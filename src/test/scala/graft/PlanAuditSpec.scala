@@ -115,7 +115,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "a_mann_whitney", "e_rfm_segments", "o16_compaction_plan",
     // sim_mips_topk: the broadcast query set against the corpus
     // (non-equi self-exclusion — the sim_topk_bruteforce shape)
-    "sim_mips_topk")
+    "sim_mips_topk",
+    // m_rank_eval: the BM25 1-row stats frame plus the three 1-row
+    // metric frames (dcg × idcg × n_rel) cross-joined into the final
+    // one-row readout
+    "m_rank_eval")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -213,7 +217,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // a_mann_whitney: the one-row U/z fold (one bounded partial per
     // partition); e_rfm_segments: the 1-row N and study-max combines;
     // e_power_analysis: the 1-row closed-form fold
-    "a_mann_whitney", "e_rfm_segments", "e_power_analysis")
+    "a_mann_whitney", "e_rfm_segments", "e_power_analysis",
+    // m_rank_eval: the 1-row metric folds + the ≤k-row rank windows
+    // (the e_funnel_steps shape)
+    "m_rank_eval")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —
