@@ -21,6 +21,55 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Welch's unequal-variance t-test (Welch 1947) between two groups
+    * of `valueCol` — the PARAMETRIC twin of [[mannWhitney]]: compares
+    * means with the Welch–Satterthwaite degrees of freedom, the
+    * default two-sample test when variances differ.
+    *
+    * DETERMINISM: values round(,6) into DECIMAL(28,6); sums and
+    * squared sums accumulate exactly (squares at DECIMAL(38,12) —
+    * safe to ~10¹² rows of ~10³-scale values); means/variances/t/df
+    * then derive through ONE fixed IEEE expression chain the oracle
+    * mirrors textually. One hash aggregate, one 1-row fold.
+    */
+  def welchTTest(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "groups must differ")
+    val rows = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        expr(s"cast(round(cast($valueCol as double), 6) " +
+          "as decimal(28,6))").as("v"))
+    def side(s: String, tag: String) = Seq(
+      sum(when(col("g") === s, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(col("g") === s, col("v"))).as(s"s_$tag"),
+      sum(when(col("g") === s,
+        (col("v") * col("v")).cast("decimal(38,12)"))).as(s"ss_$tag"))
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    rows.agg(aggs.head, aggs.tail: _*)
+      .withColumn("m_a", expr("cast(s_a as double) / cast(n_a as double)"))
+      .withColumn("m_b", expr("cast(s_b as double) / cast(n_b as double)"))
+      .withColumn("v_a", expr("(cast(ss_a as double) - " +
+        "cast(s_a as double) * cast(s_a as double) / " +
+        "cast(n_a as double)) / (cast(n_a as double) - 1.0D)"))
+      .withColumn("v_b", expr("(cast(ss_b as double) - " +
+        "cast(s_b as double) * cast(s_b as double) / " +
+        "cast(n_b as double)) / (cast(n_b as double) - 1.0D)"))
+      .select(col("n_a"), col("n_b"),
+        round(col("m_a"), 6).as("mean_a"),
+        round(col("m_b"), 6).as("mean_b"),
+        round(expr("(m_a - m_b) / " +
+          "sqrt(v_a / cast(n_a as double) + v_b / cast(n_b as double))"),
+          6).as("t"),
+        round(expr("power(v_a / cast(n_a as double) + " +
+          "v_b / cast(n_b as double), 2) / " +
+          "(power(v_a / cast(n_a as double), 2) / " +
+          "(cast(n_a as double) - 1.0D) + " +
+          "power(v_b / cast(n_b as double), 2) / " +
+          "(cast(n_b as double) - 1.0D))"), 4).as("df"))
+  }
+
   /** Mann–Whitney U rank-sum test (Mann & Whitney 1947) between two
     * groups of `valueCol` — the NONPARAMETRIC two-sample test beside
     * the mean-difference z-test in [[EventAnalytics.abTest]]: compares

@@ -247,6 +247,77 @@ object Insights extends QueryModule {
           ((n + 1) - ties / (n * (n - 1.0)))), 6) AS z
       FROM a""")),
 
+    // ---- Welch's unequal-variance t-test (Stats.welchTTest): the
+    // parametric twin of a_mann_whitney over the same click/view
+    // split; DECIMAL moment sums, one mirrored IEEE expression chain.
+    QueryDef("a_welch_ttest", (s, d) => {
+      graft.ops.Stats.welchTTest(Tables.events(s, d), "event_type",
+        "value", "click", "view")
+    }, Some("""
+      WITH r AS (SELECT event_type AS g,
+               CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(28,6)) AS v
+             FROM events
+             WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+      a AS (SELECT
+              CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_a,
+              SUM(CASE WHEN g = 'click' THEN v END) AS s_a,
+              SUM(CASE WHEN g = 'click'
+                THEN CAST(v * v AS DECIMAL(38,12)) END) AS ss_a,
+              CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_b,
+              SUM(CASE WHEN g = 'view' THEN v END) AS s_b,
+              SUM(CASE WHEN g = 'view'
+                THEN CAST(v * v AS DECIMAL(38,12)) END) AS ss_b
+            FROM r),
+      b AS (SELECT *,
+              CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS m_a,
+              CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS m_b,
+              (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) *
+                CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) /
+                (CAST(n_a AS DOUBLE) - 1.0) AS v_a,
+              (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) *
+                CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+                (CAST(n_b AS DOUBLE) - 1.0) AS v_b
+            FROM a)
+      SELECT n_a, n_b, round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+        round((m_a - m_b) / sqrt(v_a / CAST(n_a AS DOUBLE) +
+          v_b / CAST(n_b AS DOUBLE)), 6) AS t,
+        round(power(v_a / CAST(n_a AS DOUBLE) +
+            v_b / CAST(n_b AS DOUBLE), 2) /
+          (power(v_a / CAST(n_a AS DOUBLE), 2) /
+            (CAST(n_a AS DOUBLE) - 1.0) +
+           power(v_b / CAST(n_b AS DOUBLE), 2) /
+            (CAST(n_b AS DOUBLE) - 1.0)), 4) AS df
+      FROM b""")),
+
+    // ---- Bloom-prefiltered star join (RuntimeFilter.bloomFilteredJoin):
+    // the dimension predicate compresses to ONE broadcast m-bit Bloom
+    // row that pre-filters the fact scan BEFORE its shuffle — no false
+    // negatives, so the oracle is the PLAIN join (what the operator
+    // must exactly reproduce); the spec measures the row reduction.
+    QueryDef("j_bloom_prefilter", (s, d) => {
+      val build = t(s, d, "supplier")
+        .filter(col("s_nationkey") === 5)
+        .select("s_suppkey", "s_acctbal")
+      graft.ops.RuntimeFilter.bloomFilteredJoin(
+          t(s, d, "lineitem").select("l_orderkey", "l_linenumber",
+            "l_suppkey", "l_quantity"),
+          "l_suppkey", build, "s_suppkey")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          max(col("s_acctbal")).as("acctbal"))
+        .orderBy("l_suppkey")
+    }, Some("""
+      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        MAX(s_acctbal) AS acctbal
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_nationkey = 5
+      GROUP BY 1 ORDER BY 1""")),
+
     // ---- RFM quintile segmentation (EventAnalytics.rfmSegments):
     // recency/frequency/monetary NTILE(5) scores per user (5 = best),
     // rolled into the ≤125-row segment grid. Three two-phase ordinals

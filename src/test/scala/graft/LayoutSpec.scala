@@ -113,6 +113,25 @@ class LayoutSpec extends AnyFunSuite {
         s"of $lexScanned")
   }
 
+  test("compactionPlan: start-offset packing, oversized files isolate") {
+    val s = spark; import s.implicits._
+    // sizes 5,5,5 @ target 10: files 1+2 share group 0 (offsets 0,5),
+    // file 3 starts at 10 -> group 1; a 25-size file then spans
+    // offsets 15..39 -> group 1 too (start offset rules), and the
+    // next file starts at 40 -> group 4
+    val files = Seq(("a", 5L), ("b", 5L), ("c", 5L), ("d", 25L),
+      ("e", 5L)).toDF("name", "sz")
+    val out = graft.ops.Layout.compactionPlan(files, "sz",
+      Seq(col("name")), "name", targetSize = 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+    assert(out.toSeq === Seq(
+      (0L, 2L, 10L, "a", "b"),
+      (1L, 2L, 30L, "c", "d"),
+      (4L, 1L, 5L, "e", "e")))
+  }
+
   test("zOrdered keeps every row and all columns") {
     val s = spark; import s.implicits._
     val df = Seq((1L, 2L, "x"), (3L, 4L, "y"), (5L, 6L, "z"))

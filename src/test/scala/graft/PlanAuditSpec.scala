@@ -119,7 +119,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // m_rank_eval: the BM25 1-row stats frame plus the three 1-row
     // metric frames (dcg × idcg × n_rel) cross-joined into the final
     // one-row readout
-    "m_rank_eval")
+    "m_rank_eval",
+    // j_bloom_prefilter: the 1-row broadcast Bloom frame cross-joined
+    // into the probe-side bit test (the d_bloom_decontaminate shape)
+    "j_bloom_prefilter")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -220,7 +223,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "a_mann_whitney", "e_rfm_segments", "e_power_analysis",
     // m_rank_eval: the 1-row metric folds + the ≤k-row rank windows
     // (the e_funnel_steps shape)
-    "m_rank_eval")
+    "m_rank_eval",
+    // a_welch_ttest: the 1-row moment fold; j_bloom_prefilter: the
+    // 1-row Bloom combine (one m-bit buffer per partition)
+    "a_welch_ttest", "j_bloom_prefilter")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —
