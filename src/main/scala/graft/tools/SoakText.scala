@@ -182,6 +182,47 @@ object SoakText {
         planted.forall(_.getDouble(2) == 1.0),
         s"planted cosine-1 pairs broke at $scale: ${planted.length}")
       nbrDocs.unpersist(blocking = true)
+
+      // --- substring removal (Dedup.substringRemove): 200 synthetic
+      // docs per copy, each 30 copy-and-doc-unique tokens followed by
+      // ONE corpus-shared 20-token boilerplate block. Unique prefixes
+      // make every boundary-crossing window unique, so each planted
+      // doc carries EXACTLY one duplicated window (the block) — the
+      // global keeper (smallest doc_id) keeps its block with
+      // n_removed == 0, every other planted doc loses exactly the 20
+      // block tokens. The organic ×scale corpus rides along for
+      // realistic cost.
+      val boiler = (1 to 20).map(t => s"boiler$t").mkString(" ")
+      val plantedSr = (0 until scale).flatMap { i =>
+        (0 until 200).map { j =>
+          val uniq = (1 to 30).map(t => s"u${i}d${j}t$t").mkString(" ")
+          (500000000L + i * 10000000L + j, s"$uniq $boiler")
+        }
+      }
+      val srDocs = ((0 until scale).map(i => copy(i).drop("lang")) :+
+        spark.createDataFrame(plantedSr).toDF("doc_id", "text"))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nSrDocs = srDocs.count()
+      val ((srKeepers, srCut, srOther), srSec) = timed {
+        val r = graft.ops.Dedup.substringRemove(srDocs, 20)
+          .filter(col("doc_id") >= 500000000L)
+          .agg(
+            sum(when(col("n_removed") === 0L, 1L).otherwise(0L)),
+            sum(when(col("n_removed") === 20L, 1L).otherwise(0L)),
+            sum(when(col("n_removed") =!= 0L && col("n_removed") =!= 20L,
+              1L).otherwise(0L))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      emit("d_substring_remove", scale, srSec,
+        "n_docs" -> nSrDocs.toString,
+        "keepers" -> srKeepers.toString, "cut_exact" -> srCut.toString,
+        "other" -> srOther.toString)
+      assert(srKeepers == 1L && srCut == 200L * scale - 1 &&
+        srOther == 0L,
+        s"planted substring removal broke at $scale: keepers=" +
+          s"$srKeepers cut=$srCut other=$srOther")
+      srDocs.unpersist(blocking = true)
     }
     spark.stop()
   }
