@@ -514,6 +514,52 @@ object Multimodal {
       .toDF("doc_id", "ow", "oh", "mean_value", "first_px", "last_px")
   }
 
+  /** 63-bit difference hash (dHash — the standard perceptual image
+    * fingerprint): decode, nearest-neighbor resize to 64×1, grayscale
+    * by channel mean, bit j set iff g(j) > g(j+1) — 63 comparisons,
+    * so the hash stays clear of the BIGINT sign bit (a 64th bit would
+    * need unsigned shifts one engine checks and the other wraps).
+    * Identical images
+    * hash identically regardless of container framing; near-identical
+    * images differ in few bits (a Hamming-ball join is a bucketed
+    * extension on this column). Record-local typed map — the 100 TB
+    * fan-out shape — and every step is exact integer indexing +
+    * monotone float maps, so an oracle re-derives the hash from the
+    * raw payload bytes.
+    */
+  def dhash64(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select("doc_id", "bytes")
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val (w, h, px) = Decode.imageIo(bytes).getOrElse(
+          throw new IllegalArgumentException(
+            s"dhash64: undecodable image payload for doc $id"))
+        val out = resizeNearest(w, h, px, 64, 1)
+        val g = Array.tabulate(64)(j =>
+          (out(j * 3) + out(j * 3 + 1) + out(j * 3 + 2)) / 3.0)
+        var hash = 0L
+        var j = 0
+        while (j < 63) {
+          if (g(j) > g(j + 1)) hash |= (1L << j)
+          j += 1
+        }
+        (id, hash)
+      }
+      .toDF("doc_id", "dhash")
+  }
+
+  /** Perceptual image DEDUP on [[dhash64]]: one hash aggregate —
+    * (dhash, keeper = min doc_id, n_dups) for every bucket holding
+    * more than one image (the [[graft.ops.Dedup.exact]] shape lifted
+    * to the image modality).
+    */
+  def dhashDedup(media: DataFrame): DataFrame =
+    dhash64(media).groupBy("dhash")
+      .agg(min("doc_id").as("keep_doc"), count(lit(1)).as("n_dups"))
+      .filter(col("n_dups") > 1)
+
   /** Decode + feature step as a typed map (the real-codec execution
     * shape): record-local, no shuffle; routes through [[Decode.decode]]
     * (real PPM/WAV parsing, stub for compressed codecs). Output is

@@ -2347,6 +2347,43 @@ object Pipeline extends QueryModule {
         CAST(CAST(pxs[24] AS DECIMAL(20,6)) AS VARCHAR) AS last_px
       FROM sel ORDER BY doc_id""")),
 
+    // ---- Perceptual-hash image dedup (Multimodal.dhash64 / dhashDedup):
+    // real PNG decode → 64×1 nearest resize → grayscale 63-bit dHash (bit j =
+    // g(j) > g(j+1)) → one hash aggregate to dedup groups. Planted:
+    // docs < 10 re-encoded under new ids — identical pixels, identical
+    // hash. The oracle re-derives every hash from the raw payload
+    // bytes (nearest selection is exact integer indexing; grayscale of
+    // r=g=b is monotone in the byte), so the groups replay exactly.
+    QueryDef("mm_phash_dedup", (s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      val planted = base.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 300000).as("doc_id"), col("payload"))
+      Multimodal.dhashDedup(
+          Multimodal.pngTable(base.unionByName(planted), "payload"))
+        .orderBy("dhash")
+    }, Some("""
+      WITH m0 AS (SELECT doc_id, encode(text) AS b FROM documents),
+      m AS (SELECT doc_id, b FROM m0
+            UNION ALL
+            SELECT doc_id + 300000, b FROM m0 WHERE doc_id < 10),
+      hx AS (SELECT doc_id, hex(b) AS h, octet_length(b) AS n FROM m),
+      sel AS (SELECT doc_id, list_transform(range(0, 64), j ->
+                CAST(('0x' || substring(h, ((j * n) // 64) * 2 + 1, 2))
+                  AS INT)) AS g
+              FROM hx),
+      dh AS (SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(0, 63), j ->
+                   CASE WHEN g[j + 1] > g[j + 2]
+                        THEN (CAST(1 AS BIGINT) << j)
+                        ELSE CAST(0 AS BIGINT) END)),
+                 (a, v) -> a | v) AS dhash
+             FROM sel)
+      SELECT dhash, MIN(doc_id) AS keep_doc,
+        CAST(COUNT(*) AS BIGINT) AS n_dups
+      FROM dh GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY dhash""")),
+
     // ---- JPEG (lossy) decode via the JDK's own JPEG codec, gated
     // STRUCTURALLY (Multimodal.jpegStructural): dims exact, mean within
     // 0.02 of the payload mean, extrema within 0.35, and a lossless PNG
