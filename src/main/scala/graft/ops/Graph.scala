@@ -245,7 +245,15 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
-    def normalized(contrib: DataFrame, out: String): DataFrame = {
+    def normalized(contrib0: DataFrame, out: String): DataFrame = {
+      // the contribution table is read TWICE (its max, then the
+      // rescale join) — without this cut each half-round re-executes
+      // the whole upstream iteration per reader, compounding to
+      // 2^(2·iters) upstream replays (the pipe_llm_corpus plan-path
+      // fan-in lesson, §14; measured here: 4.2 s → ~1 s at 3 rounds).
+      // Also bounds plan depth, so no separate per-k checkpoint cadence
+      // is needed.
+      val contrib = contrib0.localCheckpoint(true)
       val mx = contrib.agg(max("s").as("mx"))
       nodes.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(mx))
@@ -255,7 +263,7 @@ object Graph {
     }
     var h = nodes.select(col("node"), lit(1000000L).as("hub"))
     var a = nodes.select(col("node"), lit(0L).as("auth"))
-    for (i <- 1 to iters) {
+    for (_ <- 1 to iters) {
       a = normalized(
         e.join(h.withColumnRenamed("node", "__n"), col("src") === col("__n"))
           .select(col("dst").as("node"), expr("hub * w").as("c"))
@@ -264,9 +272,6 @@ object Graph {
         e.join(a.withColumnRenamed("node", "__n"), col("dst") === col("__n"))
           .select(col("src").as("node"), expr("auth * w").as("c"))
           .groupBy("node").agg(sum("c").as("s")), "hub")
-      if (i % 4 == 0 && i < iters) {
-        a = a.localCheckpoint(true); h = h.localCheckpoint(true)
-      }
     }
     a.join(h, Seq("node")).select("node", "auth", "hub")
   }
