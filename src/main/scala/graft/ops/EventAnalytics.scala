@@ -603,6 +603,86 @@ object EventAnalytics {
           "end"), 6).as("z"))
   }
 
+  /** CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker,
+    * WSDM 2013) — the industry-standard upgrade of [[abTest]] for
+    * CONTINUOUS metrics: each user's experiment-period metric is
+    * adjusted by their own PRE-EXPERIMENT metric,
+    *
+    *   ŷᵢ = yᵢ − θ·(xᵢ − x̄),   θ = cov(x, y)/var(x),
+    *
+    * which shrinks the between-user variance by the squared pre/post
+    * correlation ρ² without biasing the treatment difference (variant
+    * assignment is independent of x). Variants come from the same
+    * stable md5 membership as [[abTest]] so the two readouts describe
+    * one experiment; θ is pooled across arms (the standard choice —
+    * assignment independence keeps it unbiased).
+    *
+    * Returns one row (n_a, n_b, mean_a, mean_b, theta, diff_raw,
+    * diff_adj, rho2): diff_adj is the CUPED-adjusted B−A lift and
+    * rho2 the fraction of metric variance the covariate removed
+    * (≈ how much longer the un-CUPED experiment would have to run).
+    *
+    * DETERMINISM: per-user period sums accumulate round(,6) DECIMALs;
+    * user totals then bound to DECIMAL(18,6) (≈10¹² absolute — beyond
+    * any per-user metric; ANSI throws rather than wraps), so the
+    * pooled moments (products at DECIMAL(38,12)) are exact on any
+    * partitioning and θ/ρ² are single IEEE expressions the oracle
+    * mirrors. try_divide: a constant covariate yields NULL θ (the
+    * un-adjusted readout), never an ANSI error.
+    *
+    * SCALE SHAPE: one per-user hash aggregate, ONE scalar fold with
+    * conditional per-arm sums — nothing grows past |users|.
+    */
+  def cupedAdjust(events: DataFrame, valueCol: String, isPre: Column)
+      : DataFrame = {
+    Hashing.ensureRegistered(events)
+    val v = expr(s"cast(round(cast($valueCol as double), 6) " +
+      "as decimal(28,6))")
+    val perUser = events.filter(col(valueCol).isNotNull)
+      .groupBy("user_id")
+      .agg(
+        coalesce(sum(when(isPre, v)), lit(0).cast("decimal(28,6)"))
+          .cast("decimal(18,6)").as("x"),
+        coalesce(sum(when(!isPre, v)), lit(0).cast("decimal(28,6)"))
+          .cast("decimal(18,6)").as("y"))
+      .withColumn("variant", pmod(Hashing.md5Long(
+        concat(lit("ab:"), col("user_id").cast("string"))), lit(2L)))
+    perUser.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,12)")).cast("double")
+          .as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,12)")).cast("double")
+          .as("sxy"),
+        sum((col("y") * col("y")).cast("decimal(38,12)")).cast("double")
+          .as("syy"),
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 0, col("x"))).cast("double").as("sx_a"),
+        sum(when(col("variant") === 0, col("y"))).cast("double").as("sy_a"),
+        sum(when(col("variant") === 1, col("x"))).cast("double").as("sx_b"),
+        sum(when(col("variant") === 1, col("y"))).cast("double").as("sy_b"))
+      .withColumn("n_b", col("n") - col("n_a"))
+      .withColumn("theta",
+        expr("try_divide(n * sxy - sx * sy, n * sxx - sx * sx)"))
+      .withColumn("xbar", expr("sx / cast(n as double)"))
+      // coalesce(theta, 0): a constant covariate degrades to the
+      // un-adjusted readout (theta itself stays NULL in the output)
+      .withColumn("adj_a", expr("sy_a / cast(n_a as double) - " +
+        "coalesce(theta, 0.0D) * (sx_a / cast(n_a as double) - xbar)"))
+      .withColumn("adj_b", expr("sy_b / cast(n_b as double) - " +
+        "coalesce(theta, 0.0D) * (sx_b / cast(n_b as double) - xbar)"))
+      .select(col("n_a"), col("n_b"),
+        round(expr("sy_a / cast(n_a as double)"), 6).as("mean_a"),
+        round(expr("sy_b / cast(n_b as double)"), 6).as("mean_b"),
+        round(col("theta"), 6).as("theta"),
+        round(expr("sy_b / cast(n_b as double) - " +
+          "sy_a / cast(n_a as double)"), 6).as("diff_raw"),
+        round(expr("adj_b - adj_a"), 6).as("diff_adj"),
+        round(expr("try_divide((n * sxy - sx * sy) * (n * sxy - sx * sy)," +
+          " (n * sxx - sx * sx) * (n * syy - sy * sy))"), 6).as("rho2"))
+  }
+
   /** Last-touch conversion attribution: every `convType` event is
     * credited to the nearest STRICTLY-PRECEDING event of any other
     * type in the same user's (ts, event_id)-ordered stream

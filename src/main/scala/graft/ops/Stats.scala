@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distribution-profiling statistics beyond the per-column profiles in
@@ -118,6 +118,163 @@ object Stats {
           "n_a * (n - n_a) / 2.0) / " +
           "sqrt((n_a * (n - n_a) / 12.0) * " +
           "((n + 1) - ties / (n * (n - 1.0)))), 6)").as("z"))
+  }
+
+  /** ROC AUC of a score against a binary label via the rank-sum
+    * identity AUC = (R₊ − n₊(n₊+1)/2) / (n₊·n₋) over AVERAGE ranks —
+    * the probability a random positive outscores a random negative,
+    * ties at half credit. The model-evaluation twin of [[mannWhitney]]
+    * (AUC = U₊/(n₊n₋) is the same statistic rescaled), sharing its
+    * machinery verbatim: one hash aggregate to the distinct-score
+    * table, the two-phase [[Rank.globalRunningSum]] for cumulative
+    * counts (no unpartitioned window), one scalar fold.
+    *
+    * DETERMINISM: the doubled rank-sum 2R₊ = Σ n₊(v)·(2·below(v) +
+    * t(v) + 1) is pure BIGINT on any partitioning; only the final
+    * division is IEEE, mirrored textually by the oracle. Returns one
+    * row (n_pos, n_neg, auc, gini) with gini = 2·AUC − 1.
+    */
+  def rocAuc(df: DataFrame, isPositive: Column, scoreCol: String)
+      : DataFrame = {
+    val rows = df.filter(col(scoreCol).isNotNull)
+      .select(isPositive.cast("boolean").as("pos"),
+        col(scoreCol).cast("double").as("v"))
+    val byVal = rows.groupBy("v").agg(
+      count(lit(1)).as("t"),
+      sum(when(col("pos"), 1L).otherwise(0L)).as("np_v"))
+    val cum = Rank.globalRunningSum(byVal, Seq(col("v")), "t", "cum_t")
+      .withColumn("below", col("cum_t") - col("t"))
+    cum.agg(
+        sum(col("np_v")).as("n_pos"),
+        sum(col("t")).as("n"),
+        sum(expr("np_v * (2 * below + t + 1)")).as("rp2"))
+      .select(col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
+        round(expr("(rp2 / 2.0 - n_pos * (n_pos + 1) / 2.0) / " +
+          "(cast(n_pos as double) * cast(n - n_pos as double))"), 6)
+          .as("auc"),
+        round(expr("2.0D * ((rp2 / 2.0 - n_pos * (n_pos + 1) / 2.0) / " +
+          "(cast(n_pos as double) * cast(n - n_pos as double))) - 1.0D"),
+          6).as("gini"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov test between two groups of
+    * `valueCol`: D = max over observed values of |F̂_A(v) − F̂_B(v)|,
+    * with the scaled statistic z = D·√(n_A·n_B/(n_A+n_B)) (compare to
+    * the Kolmogorov critical values c(α)).
+    *
+    * DETERMINISM: both empirical CDFs ride ONE two-phase running sum —
+    * the (n_A(v), t(v)) pair packs into a single BIGINT as
+    * n_A(v)·2³² + t(v), so cum_A and cum_T unpack exactly from one
+    * [[Rank.globalRunningSum]] pass (valid while each side holds
+    * < 2³¹ rows ≈ 2·10⁹ — ANSI mode throws past it; wider corpora
+    * pre-bucket the measure, the [[mannWhitney]] caveat). The
+    * maximized numerator |cum_A·n_B − cum_B·n_A| is exact BIGINT; only
+    * the final D and z divisions are IEEE, mirrored textually by the
+    * oracle. Returns one row (n_a, n_b, d, ks_z).
+    */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "groups must differ")
+    val Pack = 4294967296L // 2^32
+    val rows = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+    val byVal = rows.groupBy("v").agg(
+      count(lit(1)).as("t"),
+      sum(when(col("g") === groupA, 1L).otherwise(0L)).as("na_v"))
+      .withColumn("packed", col("na_v") * Pack + col("t"))
+    val cum = Rank.globalRunningSum(byVal, Seq(col("v")), "packed", "cum")
+      .withColumn("cum_a", expr(s"cum div ${Pack}L"))
+      .withColumn("cum_t", expr(s"cum % ${Pack}L"))
+    val tot = byVal.agg(sum(col("na_v")).as("n_a"),
+      (sum(col("t")) - sum(col("na_v"))).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        abs(col("cum_a") * col("n_b") -
+          (col("cum_t") - col("cum_a")) * col("n_a")).as("num"))
+      .groupBy("n_a", "n_b")
+      .agg(max(col("num")).as("mx"))
+      .select(col("n_a"), col("n_b"),
+        round(expr("cast(mx as double) / " +
+          "(cast(n_a as double) * cast(n_b as double))"), 6).as("d"),
+        round(expr("(cast(mx as double) / " +
+          "(cast(n_a as double) * cast(n_b as double))) * " +
+          "sqrt(cast(n_a as double) * cast(n_b as double) / " +
+          "cast(n_a + n_b as double))"), 6).as("ks_z"))
+  }
+
+  /** Per-group simple OLS regression y = β·x + α from exact decimal
+    * moment sums — slope, intercept, and R² in closed form:
+    *
+    *   β = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²),  α = (Σy − β·Σx)/n,
+    *   R² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+    *
+    * ONE hash aggregate over one scan (|groups| rows out); inputs at
+    * fixed `decScale`, products at 2·decScale, so every moment is
+    * exact on any partitioning; the closed forms are ONE fixed IEEE
+    * expression each (try_divide: a constant-x group yields NULL
+    * slope, never an ANSI error). The oracle mirrors the formula
+    * textually — never DuckDB's regr_* (whose accumulation order is
+    * engine-internal).
+    */
+  def olsRegression(df: DataFrame, groupCol: String, yCol: String,
+      xCol: String, decScale: Int = 2): DataFrame = {
+    val s2 = 2 * decScale
+    def d18(c: String) = col(c).cast(s"decimal(18,$decScale)")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(d18(xCol)).cast("double").as("sx"),
+        sum(d18(yCol)).cast("double").as("sy"),
+        sum((d18(xCol) * d18(xCol)).cast(s"decimal(38,$s2)"))
+          .cast("double").as("sxx"),
+        sum((d18(xCol) * d18(yCol)).cast(s"decimal(38,$s2)"))
+          .cast("double").as("sxy"),
+        sum((d18(yCol) * d18(yCol)).cast(s"decimal(38,$s2)"))
+          .cast("double").as("syy"))
+      .select(col(groupCol), col("n"),
+        round(expr("try_divide(n * sxy - sx * sy, n * sxx - sx * sx)"),
+          6).as("slope"),
+        round(expr("(sy - try_divide(n * sxy - sx * sy, " +
+          "n * sxx - sx * sx) * sx) / cast(n as double)"), 6)
+          .as("intercept"),
+        round(expr("try_divide((n * sxy - sx * sy) * (n * sxy - sx * sy)," +
+          " (n * sxx - sx * sx) * (n * syy - sy * sy))"), 6).as("r2"))
+      .orderBy(groupCol)
+  }
+
+  /** Reliability (calibration) table of a [0,1] score against a binary
+    * outcome over `bins` equal-width score bins (top bin closes at 1):
+    * per bin (bin, n, mean_score, frac_pos, gap) — a calibrated model
+    * tracks mean_score ≈ frac_pos; gap is the per-bin |difference|,
+    * whose n-weighted sum is the expected calibration error.
+    *
+    * ONE hash aggregate over one scan, `bins` rows out. mean_score
+    * sums round(score,6) into DECIMAL(28,6) so the per-bin mean is
+    * exact on any partitioning; frac_pos is a BIGINT ratio; both
+    * divisions and the gap are single IEEE expressions the oracle
+    * mirrors.
+    */
+  def calibrationBins(df: DataFrame, isPositive: Column,
+      scoreCol: String, bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    df.filter(col(scoreCol).isNotNull)
+      .select(isPositive.cast("boolean").as("pos"),
+        col(scoreCol).cast("double").as("sc"))
+      .withColumn("bin", least(
+        expr(s"cast(floor(sc * $bins.0D) as int)"), lit(bins - 1)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(sc, 6) as decimal(28,6))")).as("ssum"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("npos"))
+      .select(col("bin"), col("n"),
+        round(expr("cast(ssum as double) / cast(n as double)"), 6)
+          .as("mean_score"),
+        round(expr("cast(npos as double) / cast(n as double)"), 6)
+          .as("frac_pos"),
+        round(expr("abs(cast(ssum as double) / cast(n as double) - " +
+          "cast(npos as double) / cast(n as double))"), 6).as("gap"))
+      .orderBy("bin")
   }
 
   /** Fixed-width histogram of `valueCol` over [min, max] with `bins`

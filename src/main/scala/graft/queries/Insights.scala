@@ -454,6 +454,195 @@ object Insights extends QueryModule {
       SELECT "group", CAST(COUNT(*) AS BIGINT) AS n_files,
         CAST(SUM(sz) AS BIGINT) AS total_size,
         MIN(d) AS first_key, MAX(d) AS last_key
-      FROM g GROUP BY 1 ORDER BY 1"""))
+      FROM g GROUP BY 1 ORDER BY 1""")),
+
+    // ---- ROC AUC (Stats.rocAuc): does the event value rank purchases
+    // above other events? The rank-sum identity AUC = U₊/(n₊n₋) over
+    // average ranks — the a_mann_whitney machinery re-read as a model
+    // evaluation metric; doubled rank-sum pure BIGINT on the two-phase
+    // running sum.
+    QueryDef("a_roc_auc", (s, d) => {
+      graft.ops.Stats.rocAuc(Tables.events(s, d),
+        col("event_type") === "purchase", "value")
+    }, Some("""
+      WITH r AS (SELECT CAST(value AS DOUBLE) AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+             FROM events WHERE value IS NOT NULL),
+      bv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(SUM(p) AS BIGINT) AS np_v FROM r GROUP BY 1),
+      c AS (SELECT *, SUM(t) OVER (ORDER BY v
+              ROWS UNBOUNDED PRECEDING) - t AS below FROM bv),
+      a AS (SELECT CAST(SUM(np_v) AS BIGINT) AS n_pos,
+              CAST(SUM(t) AS BIGINT) AS n,
+              CAST(SUM(np_v * (2 * below + t + 1)) AS BIGINT) AS rp2
+            FROM c)
+      SELECT n_pos, n - n_pos AS n_neg,
+        round((rp2 / 2.0 - n_pos * (n_pos + 1) / 2.0) /
+          (CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)), 6) AS auc,
+        round(2.0 * ((rp2 / 2.0 - n_pos * (n_pos + 1) / 2.0) /
+          (CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE))) - 1.0, 6)
+          AS gini
+      FROM a""")),
+
+    // ---- Two-sample Kolmogorov–Smirnov test (Stats.ksTest): the
+    // whole-CDF companion of a_mann_whitney over the same click/view
+    // split — D = max |F̂_a − F̂_b| with both CDFs unpacked from ONE
+    // packed-BIGINT two-phase running sum; the maximized numerator is
+    // exact BIGINT cross-multiplication.
+    QueryDef("a_ks_test", (s, d) => {
+      graft.ops.Stats.ksTest(Tables.events(s, d), "event_type",
+        "value", "click", "view")
+    }, Some("""
+      WITH r AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+                 FROM events
+                 WHERE event_type IN ('click', 'view')
+                   AND value IS NOT NULL),
+      bv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS na_v
+             FROM r GROUP BY 1),
+      c AS (SELECT
+              CAST(SUM(na_v) OVER (ORDER BY v
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+              CAST(SUM(t) OVER (ORDER BY v
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_t FROM bv),
+      tot AS (SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+                CAST(SUM(t) - SUM(na_v) AS BIGINT) AS n_b FROM bv),
+      m AS (SELECT n_a, n_b,
+              CAST(MAX(ABS(cum_a * n_b - (cum_t - cum_a) * n_a))
+                AS BIGINT) AS mx
+            FROM c CROSS JOIN tot GROUP BY 1, 2)
+      SELECT n_a, n_b,
+        round(CAST(mx AS DOUBLE) /
+          (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS d,
+        round((CAST(mx AS DOUBLE) /
+            (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) *
+          sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) /
+            CAST(n_a + n_b AS DOUBLE)), 6) AS ks_z
+      FROM m""")),
+
+    // ---- Per-group OLS regression (Stats.olsRegression): price-on-
+    // quantity slope/intercept/R² per return flag from exact DECIMAL
+    // moments in ONE aggregate — the closed forms are mirrored
+    // textually (never DuckDB's regr_*, whose accumulation order is
+    // engine-internal).
+    QueryDef("a_ols_regression", (s, d) => {
+      graft.ops.Stats.olsRegression(t(s, d, "lineitem"),
+        "l_returnflag", "l_extendedprice", "l_quantity")
+    }, Some("""
+      WITH m AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sy,
+          CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+            CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+            AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+            CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+            AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+            AS DOUBLE) AS syy
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, n,
+        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) /
+          CAST(n AS DOUBLE), 6) AS intercept,
+        round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+          ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      FROM m ORDER BY 1""")),
+
+    // ---- Calibration reliability table (Stats.calibrationBins): a
+    // hash-uniform [0,1) "score" against the purchase outcome over 10
+    // equal-width bins — mean_score ≈ frac_pos per bin iff calibrated
+    // (the hash score is independent of the label, so every bin's
+    // frac_pos sits near the base rate: the well-calibrated-uniform
+    // fixture); DECIMAL score sums, BIGINT outcome ratios.
+    QueryDef("m_calibration_bins", (s, d) => {
+      val e = Tables.events(s, d)
+      graft.ops.Hashing.ensureRegistered(e)
+      graft.ops.Stats.calibrationBins(
+        e.withColumn("sc", pmod(graft.ops.Hashing.md5Long(
+          concat(lit("cal:"), col("event_id").cast("string"))),
+          lit(1000L)).cast("double") / 1000.0),
+        col("event_type") === "purchase", "sc", bins = 10)
+    }, Some(s"""
+      WITH r AS (SELECT
+               CAST((${graft.ops.Hashing.duckMd5Long(
+                 "'cal:' || CAST(event_id AS VARCHAR)")}) % 1000
+                 AS DOUBLE) / 1000.0 AS sc,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+             FROM events),
+      b AS (SELECT LEAST(CAST(FLOOR(sc * 10.0) AS INT), 9) AS bin,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              SUM(CAST(round(sc, 6) AS DECIMAL(28,6))) AS ssum,
+              CAST(SUM(p) AS BIGINT) AS npos
+            FROM r GROUP BY 1)
+      SELECT bin, n,
+        round(CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_score,
+        round(CAST(npos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos,
+        round(ABS(CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) -
+          CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS gap
+      FROM b ORDER BY 1""")),
+
+    // ---- CUPED variance-reduced experiment readout
+    // (EventAnalytics.cupedAdjust): per-user revenue in the second
+    // temporal half adjusted by the user's own first-half revenue —
+    // θ = cov/var pooled across the same md5 arms as pipe_ab_test;
+    // rho2 is the variance fraction the covariate removes. Exact
+    // DECIMAL moments; one per-user aggregate + one scalar fold.
+    QueryDef("e_cuped", (s, d) => {
+      val e = Tables.events(s, d)
+      val mid = e.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("__mid"))
+      EventAnalytics.cupedAdjust(e.crossJoin(broadcast(mid)),
+        "value", col("ts_us") < col("__mid"))
+    }, Some(s"""
+      WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+                   AS mid FROM events),
+      u0 AS (SELECT user_id,
+          CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) < mid THEN
+              CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(28,6)) END),
+            0) AS DECIMAL(18,6)) AS x,
+          CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) >= mid THEN
+              CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(28,6)) END),
+            0) AS DECIMAL(18,6)) AS y
+        FROM events CROSS JOIN b WHERE value IS NOT NULL GROUP BY 1),
+      u AS (SELECT *,
+          (${graft.ops.Hashing.duckMd5Long(
+            "'ab:' || CAST(user_id AS VARCHAR)")}) % 2 AS variant
+        FROM u0),
+      -- DECIMAL(19,6) casts force DuckDB's int128 multiply (the
+      -- 18-digit inputs would take the overflow-prone int64 path)
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)))
+            AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+            AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+            AS DOUBLE) AS syy,
+          CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_a,
+          CAST(SUM(CASE WHEN variant = 0 THEN x END) AS DOUBLE) AS sx_a,
+          CAST(SUM(CASE WHEN variant = 0 THEN y END) AS DOUBLE) AS sy_a,
+          CAST(SUM(CASE WHEN variant = 1 THEN x END) AS DOUBLE) AS sx_b,
+          CAST(SUM(CASE WHEN variant = 1 THEN y END) AS DOUBLE) AS sy_b
+        FROM u),
+      x AS (SELECT *, n - n_a AS n_b,
+          (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+          sx / CAST(n AS DOUBLE) AS xbar FROM m)
+      SELECT n_a, n_b,
+        round(sy_a / CAST(n_a AS DOUBLE), 6) AS mean_a,
+        round(sy_b / CAST(n_b AS DOUBLE), 6) AS mean_b,
+        round(theta, 6) AS theta,
+        round(sy_b / CAST(n_b AS DOUBLE) -
+          sy_a / CAST(n_a AS DOUBLE), 6) AS diff_raw,
+        round((sy_b / CAST(n_b AS DOUBLE) -
+            theta * (sx_b / CAST(n_b AS DOUBLE) - xbar)) -
+          (sy_a / CAST(n_a AS DOUBLE) -
+            theta * (sx_a / CAST(n_a AS DOUBLE) - xbar)), 6) AS diff_adj,
+        round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+          ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS rho2
+      FROM x"""))
   )
 }

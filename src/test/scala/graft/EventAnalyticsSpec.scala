@@ -374,4 +374,36 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(out === Map("A" -> 1.0, "B" -> 0.0))
   }
+
+  test("cuped: y = 2x exactly → theta 2, rho2 1, adjusted lift 0") {
+    import org.apache.spark.sql.functions.col
+    // 40 users, pre value v (ts 1), post value 2v (ts 100): post is
+    // fully explained by pre, so WHATEVER the md5 arm split, the
+    // adjusted means both collapse to 2·x̄ → diff_adj 0
+    val rows = (1 to 40).flatMap { u =>
+      Seq((u.toLong, 2L * u, "view", 1L, u.toDouble),
+        (u.toLong, 2L * u + 1, "view", 100L, 2.0 * u))
+    }
+    val out = EventAnalytics.cupedAdjust(ev(rows: _*), "value",
+      col("ts_us") < 50L).collect().head
+    assert(out.getLong(0) > 0L && out.getLong(1) > 0L) // both arms live
+    assert(out.getDouble(4) === 2.0)  // theta
+    assert(out.getDouble(7) === 1.0)  // rho2
+    assert(out.getDouble(6) === 0.0)  // diff_adj
+    // raw lift is whatever the arm split produced — mean_b − mean_a
+    assert(math.abs(out.getDouble(5) -
+      (out.getDouble(3) - out.getDouble(2))) < 1e-6)
+  }
+
+  test("cuped: constant covariate → null theta, diff_adj = diff_raw") {
+    import org.apache.spark.sql.functions.col
+    val rows = (1 to 20).flatMap { u =>
+      Seq((u.toLong, 2L * u, "view", 1L, 5.0), // pre constant
+        (u.toLong, 2L * u + 1, "view", 100L, u.toDouble))
+    }
+    val out = EventAnalytics.cupedAdjust(ev(rows: _*), "value",
+      col("ts_us") < 50L).collect().head
+    assert(out.isNullAt(4) && out.isNullAt(7)) // theta, rho2
+    assert(out.getDouble(6) === out.getDouble(5)) // falls back to raw
+  }
 }

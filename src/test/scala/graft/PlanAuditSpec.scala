@@ -122,7 +122,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "m_rank_eval",
     // j_bloom_prefilter: the 1-row broadcast Bloom frame cross-joined
     // into the probe-side bit test (the d_bloom_decontaminate shape)
-    "j_bloom_prefilter")
+    "j_bloom_prefilter",
+    // a_roc_auc / a_ks_test: the two-phase running-sum triangular
+    // offset join (the a_mann_whitney shape); a_ks_test additionally
+    // crosses the 1-row (n_a, n_b) totals frame into the per-value
+    // CDF gap; e_cuped: the 1-row temporal-midpoint frame crossed
+    // into the pre/post split (the e_survival_km 1-row-frame shape)
+    "a_roc_auc", "a_ks_test", "e_cuped")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -226,7 +232,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "m_rank_eval",
     // a_welch_ttest: the 1-row moment fold; j_bloom_prefilter: the
     // 1-row Bloom combine (one m-bit buffer per partition)
-    "a_welch_ttest", "j_bloom_prefilter")
+    "a_welch_ttest", "j_bloom_prefilter",
+    // a_roc_auc / a_ks_test: the one-row rank-sum / CDF-gap folds
+    // over the two-phase running sum (the a_mann_whitney shape);
+    // e_cuped: the one-row pooled-moment fold (the a_welch_ttest
+    // shape, 11 bounded partials per partition)
+    "a_roc_auc", "a_ks_test", "e_cuped")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

@@ -155,6 +155,82 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(mi1.getDouble(2) - math.log(2)) < 1e-5)
   }
 
+  test("roc auc: perfect separation 1, all-tied 0.5, ties half credit") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // perfect: every positive outscores every negative
+    val perfect = Seq((true, 9.0), (true, 8.0), (false, 2.0),
+      (false, 1.0)).toDF("p", "sc")
+    val a = Stats.rocAuc(perfect, col("p"), "sc").collect().head
+    assert(a.getLong(0) === 2L && a.getLong(1) === 2L)
+    assert(a.getDouble(2) === 1.0 && a.getDouble(3) === 1.0)
+    // all scores equal: every pair is a tie → 0.5, gini 0
+    val tied = Seq((true, 5.0), (true, 5.0), (false, 5.0), (false, 5.0))
+      .toDF("p", "sc")
+    val t = Stats.rocAuc(tied, col("p"), "sc").collect().head
+    assert(t.getDouble(2) === 0.5 && t.getDouble(3) === 0.0)
+    // pos {3,2}, neg {2,1}: 3 winning pairs + half credit for (2,2)
+    // over 4 pairs = 0.875
+    val mix = Seq((true, 3.0), (true, 2.0), (false, 2.0), (false, 1.0))
+      .toDF("p", "sc")
+    assert(Stats.rocAuc(mix, col("p"), "sc").collect().head
+      .getDouble(2) === 0.875)
+  }
+
+  test("ks test: identical samples D=0, disjoint D=1, step CDFs exact") {
+    val s = spark; import s.implicits._
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    val d0 = Stats.ksTest(same, "g", "v", "a", "b").collect().head
+    assert(d0.getDouble(2) === 0.0 && d0.getDouble(3) === 0.0)
+    // a entirely below b: the CDF gap hits 1 at the boundary
+    val disj = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", 6.0),
+      ("c", 0.0)).toDF("g", "v") // 'c' must be excluded
+    val d1 = Stats.ksTest(disj, "g", "v", "a", "b").collect().head
+    assert(d1.getLong(0) === 2L && d1.getLong(1) === 2L)
+    assert(d1.getDouble(2) === 1.0)
+    assert(math.abs(d1.getDouble(3) - math.sqrt(4.0 / 4.0)) < 1e-9)
+    // a={1,2}, b={2,3}: |F_a−F_b| is 0.5 at v=1 and v=2
+    val mid = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0))
+      .toDF("g", "v")
+    assert(Stats.ksTest(mid, "g", "v", "a", "b").collect().head
+      .getDouble(2) === 0.5)
+  }
+
+  test("ols regression: exact line recovered per group, constant x null") {
+    val s = spark; import s.implicits._
+    // group p: y = 2x + 3 exactly; group q: x constant → try_divide null
+    val df = ((1 to 20).map(i => ("p", 2.0 * i + 3, i.toDouble)) ++
+      (1 to 5).map(i => ("q", i.toDouble, 7.0))).toDF("k", "y", "x")
+    val out = Stats.olsRegression(df, "k", "y", "x").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val p = out("p")
+    assert(p.getDouble(2) === 2.0 && p.getDouble(3) === 3.0 &&
+      p.getDouble(4) === 1.0)
+    val q = out("q")
+    assert(q.isNullAt(2) && q.isNullAt(3) && q.isNullAt(4))
+  }
+
+  test("calibration bins: equal-width binning, top bin closes at 1") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // one score per decade + an exact 1.0 (must land in bin 9, not 10);
+    // outcome = score ≥ 0.5 → low bins frac_pos 0, high bins 1
+    val rows = (0 until 10).map(i => (i / 10.0 + 0.05, i >= 5)) :+
+      ((1.0, true))
+    val df = rows.toDF("sc", "y")
+    val out = Stats.calibrationBins(df, col("y"), "sc", bins = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(out.map(_._1).toSeq === (0 until 10))
+    // bin 9 holds 0.95 AND the closed top edge 1.0
+    assert(out.last._2 === 2L && out.last._3 === 0.975 &&
+      out.last._4 === 1.0)
+    assert(out.take(5).forall(_._4 === 0.0) &&
+      out.drop(5).forall(_._4 === 1.0))
+    assert(out.head._3 === 0.05)
+  }
+
   test("group z-score: per-group standardization, constant group null") {
     val s = spark; import s.implicits._
     val df = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 5.0))
