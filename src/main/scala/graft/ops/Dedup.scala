@@ -100,6 +100,38 @@ object Dedup {
     docs.join(contaminationHits(docs, benchmark, n).select("doc_id"),
       Seq("doc_id"), "left_anti")
 
+  /** THRESHOLDED contamination report — the PaLM/GPT-4 refinement of
+    * the any-hit rule: for every training document, the FRACTION of
+    * its distinct n-token shingles that appear anywhere in the
+    * benchmark set. Any-hit decontamination ([[decontaminate]]) drops
+    * a 10 000-shingle document over one incidental collision; the
+    * production recipe keeps documents below a contamination-fraction
+    * threshold and drops only substantial overlaps — this operator
+    * emits the per-doc evidence (doc_id, n_shingles, n_hits, frac)
+    * and leaves the cut to the caller.
+    *
+    * SCALE SHAPE: the benchmark shingle set broadcasts (eval sets are
+    * tiny next to a 100 TB corpus); training shingles LEFT-join the
+    * broadcast so misses count too, then ONE doc_id-keyed aggregate.
+    * The wide document payload never enters the shingle join.
+    */
+  def contaminationFraction(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 8): DataFrame = {
+    // shingles are array_distinct per doc, so counts are over the
+    // distinct-shingle universe of each document
+    val ds = shingled(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("shg"))
+    val bs = shingled(benchmark, n)
+      .select(explode(col("shingles")).as("shg")).distinct()
+      .withColumn("__hit", lit(1L))
+    ds.join(broadcast(bs), Seq("shg"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+      .withColumn("frac", round(col("n_hits").cast("double") /
+        col("n_shingles").cast("double"), 6))
+  }
+
   /** [[decontaminate]] in its 100 TB shape: the benchmark side
     * compresses to ONE broadcast m-bit Bloom row
     * ([[graft.functions.BloomSketch]], OR-merge) and each training

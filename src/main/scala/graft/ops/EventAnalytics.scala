@@ -603,6 +603,41 @@ object EventAnalytics {
           "end"), 6).as("z"))
   }
 
+  /** Sample-ratio-mismatch (SRM) guard — the first thing a trustworthy
+    * experimentation platform checks before ANY readout: under the
+    * [[abTest]] md5 assignment the arms should split 50/50, and a
+    * significant deviation means the experiment is corrupted (logging
+    * loss, bot filtering, redirect bias) and its lift numbers are
+    * meaningless. Chi-square against the 50/50 expectation reduces to
+    *
+    *   χ² = (n_a − n_b)² / (n_a + n_b),   df = 1,
+    *
+    * flagged at the conventional α = 0.001 SRM threshold
+    * (χ²₍₁₎ critical value 10.828). Returns one row (n_a, n_b, chi2,
+    * srm_flag): the numerator is exact BIGINT, the division one IEEE
+    * expression the oracle mirrors; flag emitted as BIGINT 0/1.
+    *
+    * SCALE SHAPE: one distinct-user aggregate + one scalar fold —
+    * nothing grows past |users|.
+    */
+  def srmCheck(events: DataFrame): DataFrame = {
+    Hashing.ensureRegistered(events)
+    events.select("user_id").distinct()
+      .withColumn("variant", pmod(Hashing.md5Long(
+        concat(lit("ab:"), col("user_id").cast("string"))), lit(2L)))
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        round(expr("case when n_a + n_b > 0 then " +
+          "cast((n_a - n_b) * (n_a - n_b) as double) / " +
+          "cast(n_a + n_b as double) end"), 6).as("chi2"),
+        expr("cast(case when n_a + n_b > 0 and " +
+          "cast((n_a - n_b) * (n_a - n_b) as double) / " +
+          "cast(n_a + n_b as double) > 10.828D " +
+          "then 1 else 0 end as bigint)").as("srm_flag"))
+  }
+
   /** CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker,
     * WSDM 2013) — the industry-standard upgrade of [[abTest]] for
     * CONTINUOUS metrics: each user's experiment-period metric is

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution-profiling statistics beyond the per-column profiles in
@@ -155,6 +156,78 @@ object Stats {
         round(expr("2.0D * ((rp2 / 2.0 - n_pos * (n_pos + 1) / 2.0) / " +
           "(cast(n_pos as double) * cast(n - n_pos as double))) - 1.0D"),
           6).as("gini"))
+  }
+
+  /** Poisson(1) inverse-CDF cutoffs at 2⁻²⁰ grain: a 20-bit hash
+    * uniform u scores weight w = #{k : u ≥ cut(k)} ∈ 0..7 — floor of
+    * cdf(k)·2²⁰ for k = 0..6, the tail past 7 (P ≈ 8·10⁻⁵) folded
+    * into 7. Integer cutoffs keep BOTH engines in pure BIGINT
+    * comparisons — no float thresholds to disagree on.
+    */
+  private val poissonCuts = Seq(385749L, 771499L, 964373L, 1028665L,
+    1044738L, 1047952L, 1048488L)
+
+  /** Percentile-bootstrap confidence interval for the mean of
+    * `valueCol` via the POISSON BOOTSTRAP (Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams", Google 2012) — the
+    * resampling scheme that actually distributes: classical
+    * with-replacement resampling needs N draws coordinated across the
+    * cluster, but Binomial(N, 1/N) → Poisson(1) as N grows, so each
+    * row independently draws its multiplicity in replicate b from a
+    * hash of (row key, b). No coordination, no second pass, exact
+    * reproducibility.
+    *
+    * Each of `reps` replicates weighs every row by the 20-bit
+    * inverse-CDF Poisson(1) draw ([[poissonCuts]]); the replicate mean
+    * is Σw·x / Σw; the interval is the `tailRank`-th smallest and
+    * largest replicate means (reps=200, tailRank=5 → the 2.5%/97.5%
+    * percentile bootstrap). Returns one row (n_reps, mean_full, ci_lo,
+    * ci_hi).
+    *
+    * DETERMINISM: weights are pure BIGINT functions of the md5 family;
+    * Σw·x accumulates DECIMAL (w ≤ 7 keeps the product in-scale), Σw
+    * BIGINT — both order-free; replicate means round(,6) BEFORE the
+    * (mean, b)-ordered rank so the order statistics are exact.
+    *
+    * SCALE SHAPE: the reps× row expansion flows through the map-side
+    * partial aggregate — each partition emits ≤ reps partial cells, so
+    * shuffle volume is partitions × reps rows regardless of N. The
+    * rank window runs over exactly `reps` rows (bounded by
+    * construction); the 1-row full-mean frame broadcasts.
+    */
+  def bootstrapCi(df: DataFrame, valueCol: String, keyCols: Seq[String],
+      reps: Int = 200, tailRank: Int = 5, decScale: Int = 2)
+      : DataFrame = {
+    require(reps >= 2 * tailRank, "reps must cover both tails")
+    Hashing.ensureRegistered(df)
+    val xDec = col(valueCol).cast(s"decimal(18,$decScale)")
+    val key = concat_ws(":", lit("boot") +:
+      keyCols.map(c => col(c).cast("string")) :+
+      col("b").cast("string"): _*)
+    val drawn = df
+      .select(keyCols.map(col) :+ xDec.as("x"): _*)
+      .withColumn("b", explode(expr(s"sequence(0, ${reps - 1})")))
+      .withColumn("u", Hashing.md5Long(key) % lit(1048576L))
+    val w = poissonCuts.map(c => when(col("u") >= c, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val means = drawn.withColumn("w", w)
+      .groupBy("b")
+      .agg(sum(col("x") * col("w")).as("sx"), sum(col("w")).as("sw"))
+      .select(col("b"), round(expr(
+        "cast(sx as double) / cast(sw as double)"), 6).as("mb"))
+    val ranked = means.withColumn("rnk",
+      row_number().over(Window.orderBy(col("mb"), col("b"))))
+    val ci = ranked
+      .filter(col("rnk") === tailRank ||
+        col("rnk") === (reps - tailRank + 1))
+      .agg(min(when(col("rnk") === tailRank, col("mb"))).as("ci_lo"),
+        min(when(col("rnk") === reps - tailRank + 1, col("mb")))
+          .as("ci_hi"))
+    val full = df.agg(round(sum(xDec).cast("double") /
+      count(lit(1)).cast("double"), 6).as("mean_full"))
+    ci.crossJoin(broadcast(full))
+      .select(lit(reps.toLong).as("n_reps"), col("mean_full"),
+        col("ci_lo"), col("ci_hi"))
   }
 
   /** Two-sample Kolmogorov–Smirnov test between two groups of

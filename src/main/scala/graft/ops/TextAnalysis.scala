@@ -92,6 +92,37 @@ object TextAnalysis {
           .cast("double") / greatest(size(col("tokens")), lit(1)), 6)
           .as("avg_token_len"))
 
+  /** Flesch reading-ease readability per document,
+    *
+    *   206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    *
+    * with the standard corpus-scale surrogates: words = maximal
+    * non-whitespace runs, sentences = runs of sentence-ending
+    * punctuation `[.!?]+` (floored at 1 so a fragment still scores),
+    * syllables = vowel-group runs `[aeiouy]+` over the lowercased text
+    * (the classic one-pass approximation — true hyphenation needs a
+    * dictionary). Returns (doc_id, n_words, n_sentences, n_syllables,
+    * flesch); a wordless doc scores NULL, never an ANSI error.
+    *
+    * Pure per-row `regexp_extract_all` counts — no shuffle, codegen'd,
+    * scan speed at 100 TB; the regex subset has identical semantics in
+    * Java regex and DuckDB's RE2, so the oracle counts the same runs.
+    */
+  def readability(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("n_words"),
+        greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"),
+          lit(0))), lit(1)).cast("long").as("n_sentences"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"),
+          lit(0))).cast("long").as("n_syllables"))
+      .withColumn("flesch", round(expr(
+        "case when n_words > 0 then 206.835D - " +
+          "1.015D * (cast(n_words as double) / " +
+          "cast(n_sentences as double)) - " +
+          "84.6D * (cast(n_syllables as double) / " +
+          "cast(n_words as double)) end"), 6))
+
   /** Heuristic quality signals: ratios of alphabetic / digit / punctuation
     * / whitespace characters, stopword ratio, type-token ratio, and a
     * composite boolean gate (the shape of Gopher/C4-style quality rules).

@@ -643,6 +643,72 @@ object Insights extends QueryModule {
             theta * (sx_a / CAST(n_a AS DOUBLE) - xbar)), 6) AS diff_adj,
         round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
           ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS rho2
-      FROM x"""))
+      FROM x""")),
+
+    // ---- Sample-ratio-mismatch guard (EventAnalytics.srmCheck): the
+    // trust gate every experiment readout should pass first — chi²
+    // against the 50/50 md5 arm expectation, (n_a−n_b)²/(n_a+n_b)
+    // exact BIGINT numerator, flagged past the α=0.001 critical value
+    // 10.828.
+    QueryDef("e_srm", (s, d) => {
+      EventAnalytics.srmCheck(Tables.events(s, d))
+    }, Some(s"""
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      v AS (SELECT (${graft.ops.Hashing.duckMd5Long(
+        "'ab:' || CAST(user_id AS VARCHAR)")}) % 2 AS variant FROM u),
+      c AS (SELECT
+              CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_a,
+              CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_b FROM v)
+      SELECT n_a, n_b,
+        round(CASE WHEN n_a + n_b > 0 THEN
+          CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) /
+          CAST(n_a + n_b AS DOUBLE) END, 6) AS chi2,
+        CAST(CASE WHEN n_a + n_b > 0 AND
+          CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) /
+          CAST(n_a + n_b AS DOUBLE) > 10.828 THEN 1 ELSE 0 END
+          AS BIGINT) AS srm_flag
+      FROM c""")),
+
+    // ---- Poisson-bootstrap CI (Stats.bootstrapCi): percentile CI for
+    // the mean extended price — each row draws its multiplicity per
+    // replicate from a 20-bit inverse-CDF Poisson(1) on the md5 family
+    // (integer cutoffs: both engines compare in pure BIGINT), 200
+    // replicate means ride the map-side partial aggregate, the
+    // interval is the 5th smallest / 5th largest replicate mean.
+    QueryDef("a_bootstrap_ci", (s, d) => {
+      graft.ops.Stats.bootstrapCi(t(s, d, "lineitem"),
+        "l_extendedprice", Seq("l_orderkey", "l_linenumber"))
+    }, Some(s"""
+      WITH r AS (SELECT l_orderkey, l_linenumber,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS x
+             FROM lineitem),
+      e AS (SELECT x, l_orderkey, l_linenumber,
+              unnest(range(0, 200)) AS b FROM r),
+      d AS (SELECT x, b, (${graft.ops.Hashing.duckMd5Long(
+        "'boot:' || CAST(l_orderkey AS VARCHAR) || ':' || " +
+          "CAST(l_linenumber AS VARCHAR) || ':' || CAST(b AS VARCHAR)")})
+              % 1048576 AS u FROM e),
+      w AS (SELECT x, b,
+              (CASE WHEN u >= 385749 THEN 1 ELSE 0 END +
+               CASE WHEN u >= 771499 THEN 1 ELSE 0 END +
+               CASE WHEN u >= 964373 THEN 1 ELSE 0 END +
+               CASE WHEN u >= 1028665 THEN 1 ELSE 0 END +
+               CASE WHEN u >= 1044738 THEN 1 ELSE 0 END +
+               CASE WHEN u >= 1047952 THEN 1 ELSE 0 END +
+               CASE WHEN u >= 1048488 THEN 1 ELSE 0 END) AS w
+            FROM d),
+      m AS (SELECT b, round(CAST(SUM(x * w) AS DOUBLE) /
+              CAST(SUM(w) AS DOUBLE), 6) AS mb FROM w GROUP BY 1),
+      o AS (SELECT b, mb, row_number() OVER (ORDER BY mb, b) AS rnk
+            FROM m),
+      f AS (SELECT round(CAST(SUM(CAST(l_extendedprice
+              AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+              6) AS mean_full FROM lineitem)
+      SELECT CAST(200 AS BIGINT) AS n_reps, mean_full,
+        MIN(CASE WHEN rnk = 5 THEN mb END) AS ci_lo,
+        MIN(CASE WHEN rnk = 196 THEN mb END) AS ci_hi
+      FROM o CROSS JOIN f GROUP BY 2"""))
   )
 }

@@ -256,6 +256,32 @@ object Pipeline extends QueryModule {
       FROM tsh JOIN bench USING (shg)
       GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- THRESHOLDED contamination fraction (Dedup.
+    // contaminationFraction): the PaLM/GPT-4 refinement — per training
+    // doc, the fraction of its distinct shingles found in the benchmark
+    // set, so the cut can keep low-overlap docs the any-hit rule would
+    // drop. Benchmark shingles broadcast; misses count via the left
+    // join; one doc_id-keyed aggregate.
+    QueryDef("d_contamination_frac", (s, d) => {
+      val all = docs(s, d)
+      Dedup.contaminationFraction(all.filter(col("doc_id") % 37 =!= 0),
+          all.filter(col("doc_id") % 37 === 0), 3)
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH $duckShingleCtes,
+      bench AS (SELECT DISTINCT unnest(shingles) AS shg FROM sh
+                WHERE doc_id % 37 = 0),
+      tsh AS (SELECT doc_id, unnest(shingles) AS shg FROM sh
+              WHERE doc_id % 37 <> 0),
+      agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                CAST(SUM(CASE WHEN shg IN (SELECT shg FROM bench)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+              FROM tsh GROUP BY 1)
+      SELECT doc_id, n_shingles, n_hits,
+        round(CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
+          AS frac
+      FROM agg ORDER BY doc_id""")),
+
     // ---- Full MinHash-LSH near-dup pipeline (k=8, 4 bands × 2 rows,
     // exact-Jaccard verify at 0.5): candidates only ever meet inside an
     // LSH band bucket — the O(n²) pair space is never materialized.
@@ -2063,6 +2089,29 @@ object Pipeline extends QueryModule {
                  / greatest(len(toks), 1) >= 0.01 AS BIGINT) AS passes_quality
       FROM w ORDER BY doc_id"""
     }),
+
+    // ---- Flesch reading-ease readability (TextAnalysis.readability):
+    // the classic quality-filter signal over vowel-group / sentence-run
+    // / word-run regexp counts — pure per-row expressions, scan speed;
+    // the regex subset behaves identically in Java regex and RE2.
+    QueryDef("t_readability", (s, d) => {
+      TextAnalysis.readability(docs(s, d)).orderBy("doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                AS n_words,
+              CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                AS BIGINT) AS n_sentences,
+              CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                AS BIGINT) AS n_syllables
+            FROM documents)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+        round(CASE WHEN n_words > 0 THEN 206.835 -
+            1.015 * (CAST(n_words AS DOUBLE) /
+              CAST(n_sentences AS DOUBLE)) -
+            84.6 * (CAST(n_syllables AS DOUBLE) /
+              CAST(n_words AS DOUBLE)) END, 6) AS flesch
+      FROM w ORDER BY doc_id""")),
 
     // ---- Per-SOURCE curation rollup (TextAnalysis.sourceStats): the
     // crawl-triage table — per origin, doc count, quality-pass count,

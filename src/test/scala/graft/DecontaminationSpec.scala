@@ -47,4 +47,24 @@ class DecontaminationSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("doc_id", "text", "payload"))
     assert(out.count() == 1)
   }
+
+  test("contamination fraction: per-doc overlap share, misses count") {
+    val train = df(
+      // 5 distinct shingles, 2 ("the quick brown", "quick brown fox")
+      // in the benchmark
+      2L -> "see the quick brown fox runs far",
+      // zero overlap: frac 0.0, still reported
+      6L -> "completely unrelated text about spark partitions",
+      // full containment: every shingle is a benchmark shingle
+      7L -> "the quick brown fox")
+    val out = Dedup.contaminationFraction(train, benchmark, 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(2L)._1 === 5L && out(2L)._2 === 2L &&
+      out(2L)._3 === 0.4)
+    assert(out(6L)._2 === 0L && out(6L)._3 === 0.0)
+    assert(out(7L) === ((2L, 2L, 1.0)))
+    // the any-hit rule would drop BOTH 2 and 7; a 0.5 threshold keeps 2
+    assert(out.filter(_._2._3 >= 0.5).keySet === Set(7L))
+  }
 }

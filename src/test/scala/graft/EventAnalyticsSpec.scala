@@ -375,6 +375,20 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out === Map("A" -> 1.0, "B" -> 0.0))
   }
 
+  test("srm: arms partition distinct users; chi2 matches the counts") {
+    // 30 users, one with duplicate events (must count once)
+    val rows = (1 to 30).map(u =>
+      (u.toLong, u.toLong, "view", 1L, 0.0)) :+
+      ((1L, 99L, "click", 2L, 0.0))
+    val out = EventAnalytics.srmCheck(ev(rows: _*)).collect().head
+    val (na, nb) = (out.getLong(0), out.getLong(1))
+    assert(na + nb === 30L) // duplicates collapse
+    val chi2 = (na - nb).toDouble * (na - nb) / 30.0
+    // the op emits round(chi2, 6)
+    assert(math.abs(out.getDouble(2) - chi2) < 1e-6)
+    assert(out.getLong(3) === (if (chi2 > 10.828) 1L else 0L))
+  }
+
   test("cuped: y = 2x exactly → theta 2, rho2 1, adjusted lift 0") {
     import org.apache.spark.sql.functions.col
     // 40 users, pre value v (ts 1), post value 2v (ts 100): post is

@@ -128,7 +128,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // crosses the 1-row (n_a, n_b) totals frame into the per-value
     // CDF gap; e_cuped: the 1-row temporal-midpoint frame crossed
     // into the pre/post split (the e_survival_km 1-row-frame shape)
-    "a_roc_auc", "a_ks_test", "e_cuped")
+    "a_roc_auc", "a_ks_test", "e_cuped",
+    // a_bootstrap_ci: the 1-row full-mean frame crossed into the
+    // 1-row interval readout
+    "a_bootstrap_ci")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -237,7 +240,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // over the two-phase running sum (the a_mann_whitney shape);
     // e_cuped: the one-row pooled-moment fold (the a_welch_ttest
     // shape, 11 bounded partials per partition)
-    "a_roc_auc", "a_ks_test", "e_cuped")
+    "a_roc_auc", "a_ks_test", "e_cuped",
+    // e_srm: the one-row arm-count fold; a_bootstrap_ci: the rank
+    // window over exactly `reps` replicate-mean rows (bounded by
+    // construction) + the 1-row full-mean fold
+    "e_srm", "a_bootstrap_ci")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

@@ -125,6 +125,25 @@ class SparkOpsSpec extends AnyFunSuite {
       5L -> "und"))
   }
 
+  test("readability: hand-counted Flesch score; wordless doc is null") {
+    val s = spark; import s.implicits._
+    val out = TextAnalysis.readability(Seq(
+      // 5 words, 2 sentence runs, 7 vowel groups:
+      // he-llo(2) world(1) how(1) are(2) you(1)
+      (1L, "Hello world. How are you?"),
+      (2L, "   "), // whitespace only: null score, sentence floor 1
+      (3L, "")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) === 5L && r1.getLong(2) === 2L &&
+      r1.getLong(3) === 7L)
+    // 206.835 − 1.015·(5/2) − 84.6·(7/5) = 85.8575
+    assert(r1.getDouble(4) === 85.8575)
+    assert(out(2L).getLong(1) === 0L && out(2L).getLong(2) === 1L &&
+      out(2L).isNullAt(4))
+    assert(out(3L).getLong(2) === 1L && out(3L).isNullAt(4))
+  }
+
   test("sourceStats rolls quality signals up per origin with " +
       "decimal-exact means") {
     val s = spark; import s.implicits._

@@ -231,6 +231,30 @@ class StatsSpec extends AnyFunSuite {
     assert(out.head._3 === 0.05)
   }
 
+  test("poisson bootstrap: constant column collapses the interval; " +
+    "interval brackets the mean and is partitioning-invariant") {
+    val s = spark; import s.implicits._
+    // constant data: every replicate mean is exactly the constant
+    val const = (1 to 100).map(i => (i.toLong, 5.0)).toDF("id", "v")
+    val c = Stats.bootstrapCi(const, "v", Seq("id"), reps = 50,
+      tailRank = 2).collect().head
+    assert(c.getLong(0) === 50L)
+    assert(c.getDouble(1) === 5.0 && c.getDouble(2) === 5.0 &&
+      c.getDouble(3) === 5.0)
+    // varied data: lo <= mean <= hi, and the result is identical on a
+    // different partitioning (the determinism claim)
+    val varied = (1 to 500).map(i => (i.toLong, i.toDouble))
+      .toDF("id", "v")
+    val r1 = Stats.bootstrapCi(varied, "v", Seq("id"), reps = 50,
+      tailRank = 2).collect().head
+    assert(r1.getDouble(2) <= r1.getDouble(1) &&
+      r1.getDouble(1) <= r1.getDouble(3))
+    assert(r1.getDouble(2) < r1.getDouble(3)) // genuine spread
+    val r2 = Stats.bootstrapCi(varied.repartition(7), "v", Seq("id"),
+      reps = 50, tailRank = 2).collect().head
+    assert(r1.toSeq === r2.toSeq)
+  }
+
   test("group z-score: per-group standardization, constant group null") {
     val s = spark; import s.implicits._
     val df = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 5.0))
