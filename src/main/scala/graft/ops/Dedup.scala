@@ -132,6 +132,46 @@ object Dedup {
         col("n_shingles").cast("double"), 6))
   }
 
+  /** SEMANTIC deduplication (the SemDeDup recipe, Abbas et al. 2023):
+    * cluster the embedding space with the deterministic spherical
+    * k-means of [[Similarity.kmeansCells]], then compare vectors ONLY
+    * within their cluster — a vector is a semantic duplicate when some
+    * SMALLER-vec_id cluster-mate sits at cosine ≥ `threshold`. The
+    * cluster step is what makes the quadratic pairwise comparison
+    * tractable: the pair space is Σ|cellᵢ|² instead of |corpus|², and
+    * each cell's self-join is an equi-join on the cell key.
+    *
+    * Keep rule: one pass, keep-smallest-id — v is dropped iff ∃ u < v
+    * in the same cell with round(cos(u,v),6) ≥ threshold (the witness
+    * need not itself be kept; the one-pass variant of SemDeDup's
+    * greedy, chosen because it is order-free and oracle-replayable).
+    * Returns every vector: (vec_id, cell, dup_of = min witness or
+    * NULL, kept 1/0). Cosines compare at round-6 so both engines cut
+    * at the identical grid.
+    *
+    * SCALE SHAPE: k-means is per-round one broadcast join + one (cell,
+    * dim) aggregate; the dedup step shuffles once on `cell` and
+    * aggregates once on `vec_id`. Cluster count k is the knob that
+    * bounds per-cell pair cost — production corpora run k ≈ √n.
+    */
+  def semanticDedup(corpus: DataFrame, k: Int, iters: Int,
+      threshold: Double): DataFrame = {
+    val clustered = Similarity.kmeansCells(corpus, k, iters)
+      .localCheckpoint(true) // both sides of the self-join read it
+    val a = clustered.select(col("cell"), col("vec_id").as("u"),
+      col("embedding").as("ue"))
+    val b = clustered.select(col("cell"), col("vec_id").as("v"),
+      col("embedding").as("ve"))
+    val witnesses = a.join(b, Seq("cell"))
+      .filter(col("u") < col("v"))
+      .filter(round(expr(Similarity.cosineSql("ue", "ve")), 6)
+        >= threshold)
+      .groupBy(col("v").as("vec_id")).agg(min(col("u")).as("dup_of"))
+    clustered.select("vec_id", "cell")
+      .join(witnesses, Seq("vec_id"), "left")
+      .withColumn("kept", when(col("dup_of").isNull, 1L).otherwise(0L))
+  }
+
   /** [[decontaminate]] in its 100 TB shape: the benchmark side
     * compresses to ONE broadcast m-bit Bloom row
     * ([[graft.functions.BloomSketch]], OR-merge) and each training

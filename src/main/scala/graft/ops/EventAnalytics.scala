@@ -845,4 +845,133 @@ object EventAnalytics {
         coalesce(abs(col("z")) > threshold, lit(false)).as("is_anomaly"))
       .orderBy(keyCol, "day")
   }
+
+  /** EWMA-8 one-step-ahead forecast of the daily event count per
+    * series: the final calendar day's actual count is compared to an
+    * exponentially weighted mean of the 8 days before it, weights
+    * 4ʲ for recency offset j (α = 3/4 smoothing ⇒ decay ratio 1/4).
+    * Integer weights make the whole numerator EXACT BIGINT — a day
+    * with no events contributes 0 to the numerator and its weight to
+    * the fixed denominator Σⱼ₌₀⁷ 4ʲ = 21845, so no calendar gap-fill
+    * is needed at all: the op is one filtered aggregate over the raw
+    * event rows. Output per series: (key, day, n_actual, forecast,
+    * resid), forecast = round(num/21845, 6), both divisions single
+    * IEEE expressions the oracle mirrors.
+    *
+    * The anchor day is the GLOBAL max day (one 1-row frame, broadcast)
+    * so every series forecasts the same calendar day — the shape of a
+    * daily run. SCALE SHAPE: one scalar max + one (key) hash aggregate
+    * over an 9-day slice of the log; nothing grows past |keys|.
+    */
+  def ewmaForecast(events: DataFrame, keyCol: String): DataFrame = {
+    val days = events.select(col(keyCol).as("k"),
+      expr(s"ts_us div $DayUs").as("day"))
+    val anchor = days.agg(max("day").as("d1"))
+    days.crossJoin(broadcast(anchor))
+      .filter(col("day") >= col("d1") - 8)
+      .groupBy(col("k"), col("d1"))
+      .agg(
+        sum(when(col("day") === col("d1"), 1L).otherwise(0L))
+          .as("n_actual"),
+        // recency offset j = day − (d1 − 8) ∈ 0..7 for history days
+        sum(when(col("day") < col("d1"),
+          expr("cast(pow(4.0, cast(day - (d1 - 8) as int)) as bigint)"))
+          .otherwise(0L)).as("num"))
+      .select(col("k").as(keyCol), col("d1").as("day"), col("n_actual"),
+        round(expr("cast(num as double) / 21845.0"), 6).as("forecast"))
+      .withColumn("resid", round(expr(
+        "cast(n_actual as double) - forecast"), 6))
+  }
+
+  /** Benjamini–Hochberg FDR-controlled A/B readout across MANY metrics
+    * at once — the multiple-comparisons guard a real experimentation
+    * platform applies before anyone cherry-picks "the significant
+    * metric": one two-proportion z-test per metric (per-user conversion
+    * = did ≥ `minPerUser` events of that type, arms = the [[abTest]]
+    * md5 split), two-sided p from |z| via the Zelen–Severo normal-CDF
+    * polynomial (identical IEEE arithmetic in both engines — the
+    * approximation IS the spec), then the BH step-up at FDR level
+    * `qNum/qDen`: rank the m p-values ascending, find the largest rank
+    * i with p₍ᵢ₎ ≤ i·q/m (an exact-rational threshold), reject every
+    * rank at or below it. Degenerate metrics (pooled rate 0 or 1 ⇒
+    * null z) are excluded from m and never rejected.
+    *
+    * SCALE SHAPE: one (user, metric) aggregate + one per-metric fold;
+    * the BH sweep runs over m rows (a handful) via a 1-row max-rank
+    * frame. Output: (event_type, n_a, conv_a, n_b, conv_b, z, p, rnk,
+    * rejected), p rounded to 6 so both engines cut the BH grid
+    * identically.
+    */
+  def fdrBh(events: DataFrame, minPerUser: Long = 14L,
+      qNum: Int = 5, qDen: Int = 100): DataFrame = {
+    Hashing.ensureRegistered(events)
+    val perUser = events.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("conv", when(col("n") >= minPerUser, 1L).otherwise(0L))
+      .withColumn("variant", pmod(Hashing.md5Long(
+        concat(lit("ab:"), col("user_id").cast("string"))), lit(2L)))
+    // NOTE: a user with zero events of a type is absent from that
+    // metric's rows — the per-metric population is users-with-any;
+    // documented denominator choice shared with the oracle.
+    val byMetric = perUser.groupBy("event_type")
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0L))
+          .as("conv_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0L))
+          .as("conv_b"))
+      .withColumn("z", expr(zExprSql))
+      .withColumn("p", expr(pExprSql))
+    val ranked = byMetric.withColumn("rnk",
+      when(col("p").isNotNull, row_number().over(
+        Window.partitionBy(col("p").isNull)
+          .orderBy(col("p"), col("event_type"))).cast("long")))
+    val m = ranked.agg(sum(when(col("p").isNotNull, 1L).otherwise(0L))
+      .as("m"))
+    val withThr = ranked.crossJoin(broadcast(m))
+    val kmax = withThr.agg(coalesce(max(when(
+        col("p") * lit(qDen) * col("m") <= col("rnk") * lit(qNum),
+        col("rnk"))), lit(0L)).as("kmax"))
+    withThr.crossJoin(broadcast(kmax))
+      .select(col("event_type"), col("n_a"), col("conv_a"), col("n_b"),
+        col("conv_b"), col("z"), col("p"), col("rnk"),
+        coalesce(col("rnk") <= col("kmax"), lit(false)).as("rejected"))
+  }
+
+  /** Two-proportion pooled z over (n_a, conv_a, n_b, conv_b) columns —
+    * the [[abTest]] statistic as an ENGINE-NEUTRAL SQL fragment (null
+    * on degenerate pooled rates, round(,6)): decimal literals promote
+    * to double identically in Spark and DuckDB, so the oracle embeds
+    * this very string and the two engines cannot drift.
+    */
+  private[graft] val zExprSql: String = {
+    val pa = "(cast(conv_a as double) / cast(n_a as double))"
+    val pb = "(cast(conv_b as double) / cast(n_b as double))"
+    val pp = "(cast(conv_a + conv_b as double) / cast(n_a + n_b as double))"
+    s"case when n_a > 0 and n_b > 0 and $pp > 0.0 and $pp < 1.0 " +
+      s"then round(($pb - $pa) / sqrt($pp * (1.0 - $pp) * " +
+      "(1.0 / cast(n_a as double) + 1.0 / cast(n_b as double))), 6) end"
+  }
+
+  /** Two-sided normal p-value of the round-6 `z` column via the
+    * Zelen–Severo (Abramowitz–Stegun 26.2.17) polynomial:
+    * 1 − Φ(x) = φ(x)·t·(b₁ + t·(b₂ + t·(b₃ + t·(b₄ + t·b₅)))),
+    * t = 1/(1 + 0.2316419x) — Horner-parenthesized so both engines
+    * evaluate the identical IEEE op sequence; constants enter via
+    * string casts so both parse correctly-rounded doubles. |ε| < 7.5e-8,
+    * and the approximation (not the true Φ) is the cross-engine spec.
+    * Engine-neutral like [[zExprSql]]; shared with the oracle verbatim.
+    */
+  private[graft] val pExprSql: String = {
+    val t = "(1.0 / (1.0 + cast('0.2316419' as double) * abs(z)))"
+    val poly = s"($t * (cast('0.319381530' as double) + $t * " +
+      s"(cast('-0.356563782' as double) + $t * " +
+      s"(cast('1.781477937' as double) + $t * " +
+      s"(cast('-1.821255978' as double) + $t * " +
+      "cast('1.330274429' as double))))))"
+    val pdf = "(cast('0.3989422804014327' as double) * " +
+      "exp(-0.5 * z * z))"
+    s"case when z is not null then round(2.0 * $pdf * $poly, 6) end"
+  }
 }

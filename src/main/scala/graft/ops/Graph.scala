@@ -143,6 +143,55 @@ object Graph {
     r
   }
 
+  /** PERSONALIZED PageRank (Jeh & Widom, WWW 2003 shape): the teleport
+    * mass lands ONLY on the `seeds` node set, so ranks measure
+    * proximity to the seeds rather than global centrality — the
+    * recommendation / related-entity primitive ("entities close to
+    * THIS one in the link structure"). Same integer micro-unit
+    * recurrence as [[pageRank]] with two changes: r₀ = 10⁶ on seeds
+    * and 0 elsewhere, and the per-round teleport term
+    * (100−damp)·10⁴ is gated on seed membership:
+    *
+    *   rank'(v) = [v ∈ S]·teleport + (damp · Σᵤ rank(u)·w(u,v) div W(u)) div 100.
+    *
+    * Ranks are proportional to restart-to-uniform-over-S PPR (the
+    * absolute scale is the same convention as [[pageRank]], not a
+    * probability); exact BIGINT arithmetic keeps every round
+    * bit-stable under any partitioning, so the whole loop is
+    * oracle-replayable.
+    *
+    * SCALE SHAPE: identical to [[pageRank]] — per round one edge ⋈ rank
+    * equi-join plus one dst-keyed hash aggregate; the seed flag rides
+    * the checkpointed node frame (|nodes| rows, one boolean wider).
+    */
+  def personalizedPageRank(nodes: DataFrame, edges: DataFrame,
+      seeds: DataFrame, iters: Int, damp: Int = 85,
+      checkpointEvery: Int = 8): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(damp >= 0 && damp <= 100, s"damp must be in [0,100], got $damp")
+    val ew = pinnedEdges(edges)
+    val ns = nodes.select(col("node"))
+      .join(seeds.select(col("node"), lit(1L).as("__seed")).distinct(),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(0L)).as("is_seed"))
+      .localCheckpoint(true)
+    val teleport = (100L - damp) * 10000L
+    var r = ns.select(col("node"),
+      (col("is_seed") * 1000000L).as("rank"))
+    for (i <- 1 to iters) {
+      val contrib = ew.join(r, ew("src") === r("node"))
+        .select(col("dst").as("node"), expr("(rank * w) div ow").as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      r = ns.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (col("is_seed") * teleport +
+            expr(s"($damp * coalesce(s, 0L)) div 100")).as("rank"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        r = r.localCheckpoint(true)
+    }
+    r
+  }
+
   /** Connected components over an arbitrary undirected edge list
     * (`src`, `dst`, any orderable node type): returns (component, node)
     * with component = the smallest member — delegates to the

@@ -283,4 +283,37 @@ object TextAnalysis {
         round(expr("case when den > 0 and deny > 0 then " +
           "(num * num) / (den * deny) end"), 6).as("r2"))
   }
+
+  /** Pre-training MIXTURE WEIGHTS per corpus domain — the α-temperature
+    * upsampling rule of multilingual pre-training (Conneau & Lample
+    * 2019; the same shape as GPT-3's domain weighting): a domain with
+    * nᵢ tokens samples proportionally to nᵢ^α, α < 1 flattening the
+    * head so low-resource domains are not drowned. Emits per (lang,
+    * source): n_docs, n_tokens, tok_share (the raw share), mix_weight
+    * (the α=0.3 tempered share).
+    *
+    * DETERMINISM: pow(n, 0.3) rounds to 6 then fixes to DECIMAL(18,6)
+    * BEFORE the normalizing sum, so the denominator is an exact
+    * decimal fold (order-free in both engines); the final shares are
+    * single IEEE divisions rounded 6. SCALE SHAPE: one scan-aggregate
+    * to (domain) grain — the weight table is |domains| rows, the thing
+    * the sampler broadcasts.
+    */
+  def domainMixWeights(docs: DataFrame): DataFrame = {
+    val perDomain = docs
+      .select(col("lang"), col("source"),
+        size(expr(Hashing.tokensSql)).cast("long").as("nt"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      .withColumn("w6", expr("cast(round(pow(cast(n_tokens as double), " +
+        "cast('0.3' as double)), 6) as decimal(18,6))"))
+    val totals = perDomain.agg(sum("n_tokens").as("tt"),
+      sum("w6").as("tw"))
+    perDomain.crossJoin(broadcast(totals))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        round(expr("cast(n_tokens as double) / cast(tt as double)"), 6)
+          .as("tok_share"),
+        round(expr("cast(w6 as double) / cast(tw as double)"), 6)
+          .as("mix_weight"))
+  }
 }

@@ -709,6 +709,71 @@ object Insights extends QueryModule {
       SELECT CAST(200 AS BIGINT) AS n_reps, mean_full,
         MIN(CASE WHEN rnk = 5 THEN mb END) AS ci_lo,
         MIN(CASE WHEN rnk = 196 THEN mb END) AS ci_hi
-      FROM o CROSS JOIN f GROUP BY 2"""))
+      FROM o CROSS JOIN f GROUP BY 2""")),
+
+    // ---- EWMA-8 daily forecast (EventAnalytics.ewmaForecast): last
+    // calendar day's count per event type vs the 4ʲ-weighted mean of
+    // the 8 days before it — integer weights keep the numerator exact
+    // BIGINT and the fixed denominator 21845 means no gap-fill at all.
+    QueryDef("e_ewma_forecast", (s, d) => {
+      EventAnalytics.ewmaForecast(Tables.events(s, d), "event_type")
+        .orderBy("event_type")
+    }, Some("""
+      WITH e AS (SELECT event_type,
+              epoch_us(ts) // 86400000000 AS day FROM events),
+      a AS (SELECT MAX(day) AS d1 FROM e),
+      f AS (SELECT event_type, d1,
+              CAST(SUM(CASE WHEN day = d1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_actual,
+              CAST(SUM(CASE WHEN day < d1 THEN
+                CAST(pow(4.0, CAST(day - (d1 - 8) AS INT)) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS num
+            FROM e CROSS JOIN a WHERE day >= d1 - 8 GROUP BY 1, 2)
+      SELECT event_type, d1 AS day, n_actual,
+        round(CAST(num AS DOUBLE) / 21845.0, 6) AS forecast,
+        round(CAST(n_actual AS DOUBLE) -
+          round(CAST(num AS DOUBLE) / 21845.0, 6), 6) AS resid
+      FROM f ORDER BY event_type""")),
+
+    // ---- Benjamini–Hochberg FDR across the per-event-type A/B metric
+    // family (EventAnalytics.fdrBh): one two-proportion z per metric
+    // (conversion = ≥14 events of that type), two-sided p via the
+    // Zelen–Severo polynomial — the z and p SQL fragments below are
+    // THE SAME STRINGS the Spark op evaluates (engine-neutral SQL), so
+    // the transcendental spec cannot drift — then the BH step-up at
+    // q = 5/100 over exact-rational thresholds.
+    QueryDef("e_fdr_bh", (s, d) => {
+      EventAnalytics.fdrBh(Tables.events(s, d)).orderBy("event_type")
+    }, Some(s"""
+      WITH pu AS (SELECT user_id, event_type, COUNT(*) AS n
+                  FROM events GROUP BY 1, 2),
+      c AS (SELECT user_id, event_type,
+              CASE WHEN n >= 14 THEN 1 ELSE 0 END AS conv,
+              (${graft.ops.Hashing.duckMd5Long(
+                "'ab:' || CAST(user_id AS VARCHAR)")}) % 2 AS variant
+            FROM pu),
+      bm AS (SELECT event_type,
+               CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END)
+                 AS BIGINT) AS conv_a,
+               CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END)
+                 AS BIGINT) AS conv_b
+             FROM c GROUP BY 1),
+      zz AS (SELECT *, ${EventAnalytics.zExprSql} AS z FROM bm),
+      pp AS (SELECT *, ${EventAnalytics.pExprSql} AS p FROM zz),
+      r AS (SELECT *, CASE WHEN p IS NOT NULL THEN
+              CAST(ROW_NUMBER() OVER (PARTITION BY p IS NULL
+                ORDER BY p, event_type) AS BIGINT) END AS rnk
+            FROM pp),
+      m AS (SELECT CAST(SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS m FROM r),
+      k AS (SELECT COALESCE(MAX(CASE WHEN p * 100 * m <= rnk * 5
+              THEN rnk END), 0) AS kmax FROM r CROSS JOIN m)
+      SELECT event_type, n_a, conv_a, n_b, conv_b, z, p, rnk,
+        COALESCE(rnk <= kmax, FALSE) AS rejected
+      FROM r CROSS JOIN k ORDER BY event_type"""))
   )
 }

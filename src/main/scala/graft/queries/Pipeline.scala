@@ -53,6 +53,55 @@ object Pipeline extends QueryModule {
     s"((${dot(a, b)}) / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
   }
 
+  /** DuckDB twin of one [[Similarity.centroids]] update (decimal-exact
+    * elementwise mean per cell) from an assignment CTE `asg(cell, e)`.
+    * Shared by sim_ivf_kmeans_topk and d_semantic_dedup so the two
+    * k-means replays cannot drift.
+    */
+  private def duckKmMean(asg: String, out: String) =
+    s"""d_$out AS (SELECT cell, unnest(range(0, len(e))) AS j,
+       |         unnest(e) AS x FROM $asg),
+       |m_$out AS (SELECT cell, j,
+       |         CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE)
+       |           / COUNT(*) AS m
+       |       FROM d_$out GROUP BY 1, 2),
+       |$out AS (SELECT cell, list(m ORDER BY j) AS centroid
+       |       FROM m_$out GROUP BY cell)""".stripMargin
+
+  /** DuckDB twin of one nearest-centroid assignment (cosine desc, cell
+    * asc tie-break) of corpus CTE `c0(vec_id, e)` against `$cent`
+    * (shared, as above).
+    */
+  private def duckKmAsg(cent: String, out: String) =
+    s"""$out AS (SELECT vec_id, e, cell FROM (
+       |    SELECT c0.vec_id, c0.e, $cent.cell,
+       |      ${duckCos("e", "centroid")} AS ccos,
+       |      ROW_NUMBER() OVER (PARTITION BY c0.vec_id
+       |        ORDER BY ${duckCos("e", "centroid")} DESC, $cent.cell)
+       |        AS pr
+       |    FROM c0 CROSS JOIN $cent) WHERE pr = 1)""".stripMargin
+
+  /** Full [[Similarity.kmeansCells]](corpus, k, iters) replay: CTE
+    * chain `c0` (doubled corpus) → md5-ranked `seeds` → `cent0` →
+    * `iters` Lloyd rounds → final assignment `asgf(vec_id, e, cell)`.
+    */
+  private def duckKmeansChain(k: Int, iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = s"cent${i - 1}"
+      s"${duckKmAsg(prev, s"asg$i")},\n${duckKmMean(s"asg$i", s"cent$i")}"
+    }.mkString(",\n")
+    s"""c0 AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |      FROM embeddings),
+       |seeds AS (SELECT vec_id, e,
+       |            ${duckMd5Long("CAST(vec_id AS VARCHAR)")} AS h
+       |          FROM c0 ORDER BY h, vec_id LIMIT $k),
+       |cent0 AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1
+       |            AS cell, e AS centroid FROM seeds),
+       |$rounds,
+       |${duckKmAsg(s"cent$iters", "asgf")}""".stripMargin
+  }
+
   /** DuckDB twin of [[Similarity.hyperplaneBucketSql]]. */
   private def duckBucket(vec: String, nPlanes: Int,
       planeOffset: String = "0"): String = {
@@ -281,6 +330,30 @@ object Pipeline extends QueryModule {
         round(CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
           AS frac
       FROM agg ORDER BY doc_id""")),
+
+    // ---- SEMANTIC dedup (Dedup.semanticDedup — the SemDeDup recipe):
+    // deterministic spherical k-means clusters the embedding space,
+    // then duplicates are found ONLY within a cluster (the pair space
+    // shrinks from n² to Σ|cell|²); v is dropped when a smaller-id
+    // cluster-mate sits at round-6 cosine ≥ τ. τ = 0.4 here exercises
+    // the mechanics on this corpus (max pairwise cosine ≈ 0.51;
+    // production text embeddings run τ ≈ 0.95+). The oracle replays
+    // the ENTIRE pipeline — training, assignment, and the
+    // within-cell witness join — through the shared k-means CTEs.
+    QueryDef("d_semantic_dedup", (s, d) => {
+      Dedup.semanticDedup(emb(s, d), 8, 2, 0.4).orderBy("vec_id")
+    }, Some(s"""
+      WITH ${duckKmeansChain(8, 2)},
+      wit AS (SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
+              FROM asgf a JOIN asgf b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE round(${duckCos("a.e", "b.e")}, 6) >= 0.4
+              GROUP BY 1)
+      SELECT c.vec_id, c.cell, w.dup_of,
+        CAST(CASE WHEN w.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT)
+          AS kept
+      FROM asgf c LEFT JOIN wit w USING (vec_id)
+      ORDER BY c.vec_id""")),
 
     // ---- Full MinHash-LSH near-dup pipeline (k=8, 4 bands × 2 rows,
     // exact-Jaccard verify at 0.5): candidates only ever meet inside an
@@ -1796,42 +1869,9 @@ object Pipeline extends QueryModule {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }, Some {
-      // decimal-exact elementwise mean per cell (mirrors
-      // Similarity.centroids) from an assignment CTE
-      def meanCte(asg: String, out: String) =
-        s"""d_$out AS (SELECT cell, unnest(range(0, len(e))) AS j,
-           |         unnest(e) AS x FROM $asg),
-           |m_$out AS (SELECT cell, j,
-           |         CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE)
-           |           / COUNT(*) AS m
-           |       FROM d_$out GROUP BY 1, 2),
-           |$out AS (SELECT cell, list(m ORDER BY j) AS centroid
-           |       FROM m_$out GROUP BY cell)""".stripMargin
-      // nearest-centroid assignment (cosine desc, cell asc tie-break)
-      def asgCte(cent: String, out: String) =
-        s"""$out AS (SELECT vec_id, e, cell FROM (
-           |    SELECT c0.vec_id, c0.e, $cent.cell,
-           |      ${duckCos("e", "centroid")} AS ccos,
-           |      ROW_NUMBER() OVER (PARTITION BY c0.vec_id
-           |        ORDER BY ${duckCos("e", "centroid")} DESC, $cent.cell)
-           |        AS pr
-           |    FROM c0 CROSS JOIN $cent) WHERE pr = 1)""".stripMargin
       s"""
-      WITH c0 AS (SELECT vec_id,
-                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-                  FROM embeddings),
-      seeds AS (SELECT vec_id, e,
-                  ${duckMd5Long("CAST(vec_id AS VARCHAR)")} AS h
-                FROM c0 ORDER BY h, vec_id LIMIT 8),
-      cent0 AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell,
-                  e AS centroid
-                FROM seeds),
-      ${asgCte("cent0", "asg1")},
-      ${meanCte("asg1", "cent1")},
-      ${asgCte("cent1", "asg2")},
-      ${meanCte("asg2", "cent2")},
-      ${asgCte("cent2", "asgf")},
-      ${meanCte("asgf", "cents")},
+      WITH ${duckKmeansChain(8, 2)},
+      ${duckKmMean("asgf", "cents")},
       pc AS (SELECT query_id, qe, cell, ${duckCos("qe", "centroid")} AS ccos
              FROM (SELECT vec_id AS query_id, e AS qe
                    FROM c0 WHERE vec_id < 10) q
@@ -2112,6 +2152,30 @@ object Pipeline extends QueryModule {
             84.6 * (CAST(n_syllables AS DOUBLE) /
               CAST(n_words AS DOUBLE)) END, 6) AS flesch
       FROM w ORDER BY doc_id""")),
+
+    // ---- α-temperature domain mixture weights (TextAnalysis.
+    // domainMixWeights): per (lang, source), sampling weight ∝
+    // n_tokens^0.3 — the multilingual upsampling rule. The tempered
+    // weights fix to DECIMAL(18,6) before the normalizing sum so the
+    // denominator folds exactly in both engines.
+    QueryDef("t_domain_mix", (s, d) => {
+      TextAnalysis.domainMixWeights(docs(s, d)).orderBy("lang", "source")
+    }, Some("""
+      WITH pd AS (SELECT lang, source,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(len(regexp_extract_all(lower(text),
+                '[a-z0-9]+'))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY 1, 2),
+      w AS (SELECT *, CAST(round(pow(CAST(n_tokens AS DOUBLE),
+              CAST('0.3' AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w6
+            FROM pd),
+      t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt, SUM(w6) AS tw
+            FROM w)
+      SELECT lang, source, n_docs, n_tokens,
+        round(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 6)
+          AS tok_share,
+        round(CAST(w6 AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS mix_weight
+      FROM w CROSS JOIN t ORDER BY lang, source""")),
 
     // ---- Per-SOURCE curation rollup (TextAnalysis.sourceStats): the
     // crawl-triage table — per origin, doc count, quality-pass count,
@@ -3041,7 +3105,48 @@ object Pipeline extends QueryModule {
         LEFT JOIN d2 z ON adj.b = z.node WHERE z.node IS NULL),
       d3 AS MATERIALIZED (SELECT * FROM d2
         UNION ALL SELECT node, 3 FROM f3)
-      SELECT node, dist FROM d3 ORDER BY node"""))
+      SELECT node, dist FROM d3 ORDER BY node""")),
+
+    // ---- Personalized PageRank (Graph.personalizedPageRank): teleport
+    // mass restricted to the two most-frequent tokens as the seed set
+    // — ranks measure link-structure proximity to the seeds, the
+    // related-entity primitive. Same exact-BIGINT recurrence as
+    // g_textrank with a seed-gated teleport; the oracle unrolls all
+    // four rounds.
+    QueryDef("g_ppr", (s, d) => {
+      val dd = docs(s, d)
+      val srcs = dd
+        .select(explode(expr(Hashing.tokensSql)).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("w")).limit(2)
+        .select(col("w").as("node"))
+      graft.ops.Graph.personalizedPageRank(
+        graft.ops.Graph.wordNodes(dd), graft.ops.Graph.wordGraph(dd),
+        srcs, 4)
+        .orderBy(desc("rank"), asc("node"))
+    }, Some(s"""
+      WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+')
+                      AS tk FROM documents),
+      pairs AS (SELECT unnest(list_transform(range(1, len(tk)),
+                  i -> {'src': tk[i], 'dst': tk[i+1]})) AS p FROM toks),
+      e AS (SELECT p.src AS src, p.dst AS dst,
+              CAST(COUNT(*) AS BIGINT) AS w
+            FROM pairs WHERE p.src <> p.dst GROUP BY 1, 2),
+      ow AS (SELECT src, SUM(w) AS ow FROM e GROUP BY 1),
+      ew AS (SELECT e.src, e.dst, e.w, ow.ow FROM e JOIN ow USING (src)),
+      uni AS (SELECT unnest(tk) AS w FROM toks),
+      srcs AS (SELECT w AS node FROM (
+        SELECT w, COUNT(*) AS cnt FROM uni GROUP BY 1
+        ORDER BY cnt DESC, w LIMIT 2)),
+      nodes AS (SELECT node,
+                  CASE WHEN node IN (SELECT node FROM srcs)
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                    AS is_seed
+                FROM (SELECT DISTINCT unnest(tk) AS node FROM toks)),
+      r0 AS (SELECT node, CAST(is_seed * 1000000 AS BIGINT) AS rank
+             FROM nodes),
+      ${duckPprRounds(4)}
+      SELECT node, rank FROM r4 ORDER BY rank DESC, node"""))
   )
 
   /** DuckDB twin of [[graft.ops.Pq]]'s squared-L2 sequential fold. */
@@ -3147,6 +3252,25 @@ object Pipeline extends QueryModule {
       s"""r$i AS (SELECT n.node,
          |  CAST($teleport + ($damp * COALESCE(s.s, 0)) // 100 AS BIGINT)
          |    AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT ew.dst AS node, SUM((r.rank * ew.w) // ew.ow) AS s
+         |    FROM ew JOIN r${i - 1} r ON ew.src = r.node GROUP BY 1) s
+         |  ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+  }
+
+  /** DuckDB twin of one [[graft.ops.Graph.personalizedPageRank]] round,
+    * unrolled: identical to [[duckPageRankRounds]] except the teleport
+    * term is gated on the `nodes.is_seed` flag. Expects CTEs
+    * `nodes(node, is_seed)`, `ew(src, dst, w, ow)`, `r0(node, rank)`.
+    */
+  private[queries] def duckPprRounds(iters: Int, damp: Int = 85)
+      : String = {
+    val teleport = (100L - damp) * 10000L
+    (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.node,
+         |  CAST(n.is_seed * $teleport +
+         |    ($damp * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
          |  FROM nodes n LEFT JOIN (
          |    SELECT ew.dst AS node, SUM((r.rank * ew.w) // ew.ow) AS s
          |    FROM ew JOIN r${i - 1} r ON ew.src = r.node GROUP BY 1) s

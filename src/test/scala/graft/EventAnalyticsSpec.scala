@@ -389,6 +389,65 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.getLong(3) === (if (chi2 > 10.828) 1L else 0L))
   }
 
+  test("ewma forecast: 4^j recency weights over the 8-day history, " +
+    "missing days weigh zero, fixed denominator") {
+    // series A: 2 events on anchor day 10, history: 3 on day 9 (j=7),
+    // 1 on day 2 (j=0), nothing else (gap days contribute 0).
+    // series B: anchor-day only (forecast 0).
+    val e = ev(
+      (1L, 1L, "A", 10L * DayUs + 5L, 0.0),
+      (1L, 2L, "A", 10L * DayUs + 6L, 0.0),
+      (1L, 3L, "A", 9L * DayUs + 1L, 0.0),
+      (1L, 4L, "A", 9L * DayUs + 2L, 0.0),
+      (1L, 5L, "A", 9L * DayUs + 3L, 0.0),
+      (1L, 6L, "A", 2L * DayUs, 0.0),
+      (1L, 7L, "A", 1L * DayUs, 0.0), // day 1 < d1-8: outside window
+      (2L, 8L, "B", 10L * DayUs, 0.0))
+    val out = EventAnalytics.ewmaForecast(e, "event_type")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // num(A) = 3*4^7 + 1*4^0 = 49153; forecast = 49153/21845
+    val fA = BigDecimal(49153.0 / 21845.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("A")._1 === 10L && out("A")._2 === 2L)
+    assert(out("A")._3 === fA)
+    assert(out("B") === ((10L, 1L, 0.0, 1.0)))
+  }
+
+  test("fdr bh: planted one-sided effect is rejected, null metrics " +
+    "are excluded from m") {
+    val s = spark
+    import org.apache.spark.sql.functions.{col, expr, explode, lit, pmod}
+    import s.implicits._
+    // 400 users; metric "hot": conv iff variant-1 user (arms from the
+    // md5 split itself, so the effect is maximal); metric "flat": conv
+    // for user_id % 2 (independent of arm); metric "allconv": everyone
+    // converts (degenerate pooled rate 1 → null z, excluded).
+    val base = (1 to 400).map(_.toLong).flatMap { u =>
+      Seq(("hot", u), ("flat", u), ("allconv", u))
+    }
+    val perUser = base.toDF("event_type", "user_id")
+      .withColumn("variant", pmod(graft.ops.Hashing.md5Long(
+        expr("concat('ab:', cast(user_id as string))")), lit(2L)))
+      // event count per (user, metric): ≥14 ⇔ converted
+      .withColumn("n", expr("case " +
+        "when event_type = 'hot' and variant = 1 then 20 " +
+        "when event_type = 'flat' and user_id % 2 = 0 then 20 " +
+        "when event_type = 'allconv' then 20 else 1 end"))
+    val events = perUser.select(col("user_id"), col("event_type"),
+        explode(expr("sequence(1, n)")).as("i"))
+      .select(col("user_id"), col("i").cast("long").as("event_id"),
+        col("event_type"), lit(0L).as("ts_us"), lit(0.0).as("value"))
+    val out = EventAnalytics.fdrBh(events)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("hot").getBoolean(8)) // the planted effect is rejected
+    assert(!out("flat").getBoolean(8))
+    assert(out("allconv").isNullAt(5) && out("allconv").isNullAt(7) &&
+      !out("allconv").getBoolean(8)) // degenerate: null z, null rank
+    assert(out("hot").getLong(7) === 1L) // smallest p ranks first
+  }
+
   test("cuped: y = 2x exactly → theta 2, rho2 1, adjusted lift 0") {
     import org.apache.spark.sql.functions.col
     // 40 users, pre value v (ts 1), post value 2v (ts 100): post is

@@ -42,6 +42,43 @@ class GraphSpec extends AnyFunSuite {
     assert(r("a") === 150000L) // dangling mass dropped; no inlinks
   }
 
+  test("personalizedPageRank: teleport lands only on seeds; " +
+    "unreached nodes stay at zero") {
+    val s = spark; import s.implicits._
+    // a -> b -> c chain; seed = a. r0: a=1e6, b=c=0.
+    val seeds = Seq("a").toDF("node")
+    val r1 = Graph.personalizedPageRank(nodesDf("a", "b", "c"),
+      edgesDf(("a", "b", 1L), ("b", "c", 1L)), seeds, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // round 1: a = teleport 150000 (seed, no inlinks);
+    // b = 0 + 85*(1e6*1 div 1) div 100 = 850000; c = 0 (b had rank 0)
+    assert(r1 === Map("a" -> 150000L, "b" -> 850000L, "c" -> 0L))
+    val r2 = Graph.personalizedPageRank(nodesDf("a", "b", "c"),
+      edgesDf(("a", "b", 1L), ("b", "c", 1L)), seeds, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // round 2: a = 150000; b = 85*150000 div 100 = 127500;
+    // c = 85*850000 div 100 = 722500
+    assert(r2 === Map("a" -> 150000L, "b" -> 127500L, "c" -> 722500L))
+  }
+
+  test("personalizedPageRank is invariant under repartitioning and " +
+    "ranks seed-adjacent nodes above distant ones at equilibrium") {
+    val s = spark; import s.implicits._
+    val nodes = nodesDf("a", "b", "c", "d", "e")
+    val edges = edgesDf(("a", "b", 1L), ("b", "a", 1L), ("b", "c", 1L),
+      ("c", "d", 1L), ("d", "e", 1L), ("e", "c", 2L))
+    val seeds = Seq("a").toDF("node")
+    val base = Graph.personalizedPageRank(nodes, edges, seeds, iters = 8)
+      .orderBy("node").collect().map(_.toSeq)
+    val shuf = Graph.personalizedPageRank(nodes.repartition(7),
+        edges.repartition(5), seeds.repartition(2), iters = 8)
+      .orderBy("node").collect().map(_.toSeq)
+    assert(base.toSeq === shuf.toSeq)
+    val m = base.map(r => r.head.toString -> r(1).asInstanceOf[Long]).toMap
+    // b (adjacent to the seed) outranks d (two+ hops out)
+    assert(m("b") > m("d"))
+  }
+
   test("pageRank is invariant under repartitioning") {
     val nodes = nodesDf("a", "b", "c", "d", "e")
     val edges = edgesDf(("a", "b", 3L), ("b", "c", 1L), ("c", "a", 2L),

@@ -131,7 +131,19 @@ class PlanAuditSpec extends AnyFunSuite {
     "a_roc_auc", "a_ks_test", "e_cuped",
     // a_bootstrap_ci: the 1-row full-mean frame crossed into the
     // 1-row interval readout
-    "a_bootstrap_ci")
+    "a_bootstrap_ci",
+    // t_domain_mix: the 1-row (token-total, weight-total) frame
+    // broadcast into the |domains|-row share projection
+    "t_domain_mix",
+    // e_ewma_forecast: the 1-row anchor-day frame broadcast into the
+    // 9-day event slice (the e_survival_km study-end shape)
+    "e_ewma_forecast",
+    // e_fdr_bh: the 1-row m and kmax frames crossed into the m-row
+    // BH readout
+    "e_fdr_bh",
+    // d_semantic_dedup: the broadcast centroid table against the
+    // corpus (the sim_ivf_kmeans_topk shape)
+    "d_semantic_dedup")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -244,7 +256,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // e_srm: the one-row arm-count fold; a_bootstrap_ci: the rank
     // window over exactly `reps` replicate-mean rows (bounded by
     // construction) + the 1-row full-mean fold
-    "e_srm", "a_bootstrap_ci")
+    "e_srm", "a_bootstrap_ci",
+    // t_domain_mix / e_ewma_forecast: the 1-row normalizing-total /
+    // anchor-day scalar folds
+    "t_domain_mix", "e_ewma_forecast",
+    // e_fdr_bh: the 1-row m and kmax folds plus the BH rank window
+    // over exactly m metric rows (bounded by construction)
+    "e_fdr_bh")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

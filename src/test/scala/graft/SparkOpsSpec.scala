@@ -144,6 +144,34 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(out(3L).getLong(2) === 1L && out(3L).isNullAt(4))
   }
 
+  test("domainMixWeights: alpha-tempering lifts the small domain's " +
+    "share; weights sum to ~1") {
+    val s = spark; import s.implicits._
+    // big domain: 9 docs x 10 tokens = 90; small: 1 doc x 10 tokens
+    val docs = ((1 to 9).map(i => (i.toLong,
+      "a b c d e f g h i j", "en", "big")) :+
+      ((10L, "a b c d e f g h i j", "en", "small")))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.domainMixWeights(docs)
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out("big")._1 === 9L && out("big")._2 === 90L)
+    assert(out("big")._3 === 0.9 && out("small")._3 === 0.1)
+    // tempered: 90^0.3 vs 10^0.3 — the small domain's weight rises
+    // above its raw share, the big one's falls
+    assert(out("small")._4 > 0.1 && out("big")._4 < 0.9)
+    val total = out.values.map(_._4).sum
+    assert(math.abs(total - 1.0) < 2e-6) // round-6 residue only
+    // hand value: w_small = 10^.3 / (90^.3 + 10^.3)
+    val expSmall = math.pow(10, 0.3) /
+      (BigDecimal(math.pow(90, 0.3)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble +
+       BigDecimal(math.pow(10, 0.3)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(math.abs(out("small")._4 - expSmall) < 1e-5)
+  }
+
   test("sourceStats rolls quality signals up per origin with " +
       "decimal-exact means") {
     val s = spark; import s.implicits._
