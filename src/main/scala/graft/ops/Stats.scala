@@ -204,8 +204,19 @@ object Stats {
     val key = concat_ws(":", lit("boot") +:
       keyCols.map(c => col(c).cast("string")) :+
       col("b").cast("string"): _*)
-    val drawn = df
-      .select(keyCols.map(col) :+ xDec.as("x"): _*)
+    val base = df.select(keyCols.map(col) :+ xDec.as("x"): _*)
+    // The reps× explode multiplies PER-PARTITION work: a small input
+    // that scans as fewer splits than cores would run the whole
+    // expansion on those few cores (measured: 78 s on 3 of 32 at
+    // sf0.1). Spread the base rows first when under-partitioned; at
+    // production scale the scan already yields ≥ cores splits and
+    // this is a no-op, so the 100 TB shape is untouched.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (base.rdd.getNumPartitions < par)
+        base.repartition(par, keyCols.map(col): _*)
+      else base
+    val drawn = spread
       .withColumn("b", explode(expr(s"sequence(0, ${reps - 1})")))
       .withColumn("u", Hashing.md5Long(key) % lit(1048576L))
     val w = poissonCuts.map(c => when(col("u") >= c, 1L).otherwise(0L))

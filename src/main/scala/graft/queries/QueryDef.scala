@@ -51,9 +51,29 @@ object Scratch {
 }
 
 object Tables {
+  /** Spread an under-partitioned scan across the session's cores.
+    *
+    * The driver-generated test tables are single-row-group parquet
+    * files, so Spark's split planner hands the ENTIRE table to one
+    * task — every scan-side narrow chain (tokenize, shingle, hash,
+    * explode) in the suite was running 1-way on a 32-core session
+    * (measured: the bootstrap gate spent 78 s on 3 of 32 cores;
+    * 5.4 s once spread). At production scale inputs arrive as many
+    * files × many row groups, the partition count exceeds the core
+    * count, and this is a NO-OP by construction — the guard exists
+    * exactly so the 100 TB plan shape is untouched while small
+    * fixtures exercise the same parallelism the real cluster would.
+    * Filters/pruning still push to the scan (Catalyst pushes
+    * predicates through Repartition).
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** All queries read the driver-generated parquet tables rooted at `dir`. */
   def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    spread(s.read.parquet(s"$dir/$name.parquet"))
 
   /** `events.parquet` has stored `ts` as TIMESTAMP(NANOS) (which Spark's
     * vectorized reader only accepts as a raw long via the legacy conf) in
@@ -73,7 +93,7 @@ object Tables {
       // MICROS (NTZ or not): sessions run UTC, so the cast is exact
       case _ => unix_micros(col("ts").cast(TimestampType))
     }
-    raw.withColumn("ts_us", tsUs)
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    spread(raw.withColumn("ts_us", tsUs)
+      .withColumn("ts", timestamp_micros(col("ts_us"))))
   }
 }
