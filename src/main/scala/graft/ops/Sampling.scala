@@ -180,6 +180,45 @@ object Sampling {
       .filter(col("cnt") * lit(1000L) >= lit(perMille.toLong) * col("__n"))
       .select(col(keyCol), col("cnt"))
   }
+
+  /** Deterministic EPOCH SHUFFLE — the training-data-loader primitive:
+    * each epoch e reads the corpus in a DIFFERENT pseudo-random order,
+    * and that order must be reproducible (restart mid-epoch, resume at
+    * position p) without any RNG state. Position of a row in epoch e =
+    * its rank by md5("epoch:e:key") — a hash-rank sort, the standard
+    * distributed shuffle that needs no coordinated seed.
+    *
+    * Returns (key, epoch, pos): per epoch, `pos` is an exact 0..N−1
+    * permutation; different epochs permute independently (distinct
+    * hash salts). The rank runs as ONE two-phase global ordinal over
+    * the composite (epoch, hash, key) total order — epoch is the
+    * leading sort key, so per-epoch positions fall out of the global
+    * ordinal as `ord − e·N` with no per-epoch window (a
+    * Window.partitionBy(epoch) would funnel each epoch through ONE
+    * task — the unpartitioned-NTILE anti-pattern this repo bans).
+    *
+    * SCALE SHAPE: the epochs× explode rides the scan; the ordinal is
+    * a ranged exchange on (epoch, hash) — uniformly distributed by
+    * construction — plus the bounded triangular offset join. Nothing
+    * is per-epoch single-task; the 1-row N frame broadcasts.
+    */
+  def epochShuffle(df: DataFrame, keyCol: String, epochs: Int,
+      salt: String = "epoch:"): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    Hashing.ensureRegistered(df)
+    val expanded = df.select(col(keyCol))
+      .withColumn("epoch", explode(expr(s"sequence(0, ${epochs - 1})")))
+      .withColumn("epoch", col("epoch").cast("long"))
+      .withColumn("__h", Hashing.md5Long(concat(lit(salt),
+        col("epoch").cast("string"), lit(":"),
+        col(keyCol).cast("string"))))
+    val n = df.select(col(keyCol)).agg(count(lit(1)).as("__n"))
+    Rank.globalOrdinal(expanded,
+        Seq(col("epoch"), col("__h"), col(keyCol)), "__ord")
+      .crossJoin(broadcast(n))
+      .select(col(keyCol), col("epoch"),
+        (col("__ord") - col("epoch") * col("__n")).as("pos"))
+  }
 }
 
 /** Column-level data profiling — the data-quality pass an ingest runs

@@ -223,6 +223,37 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** ANN RECALL evaluation — the number that decides whether an
+    * approximate index is shippable: for each query, what fraction of
+    * the TRUE cosine top-k ([[bruteForceTopK]], the oracle-exact
+    * ground truth) does the IVF probe search ([[ivfTopK]]) surface?
+    * Returns per query (query_id, n_true, n_hits, recall): ground
+    * truth LEFT-joins the ANN result on (query, neighbor) so misses
+    * count, one query-keyed aggregate, recall = n_hits/n_true
+    * round(,6). The classic recall/nprobe trade-off curve is this
+    * operator swept over nprobe.
+    *
+    * SCALE SHAPE: both retrievals are per-query top-k limits (k rows
+    * per query each side); the overlap join and aggregate run on
+    * |queries|·k rows — evaluation cost is independent of corpus
+    * size beyond the retrievals themselves. At 100 TB ground truth
+    * comes from the same brute pass on a SAMPLED query set (the
+    * standard recall-audit protocol); the sample is the caller's cut.
+    */
+  def annRecall(queries: DataFrame, corpus: DataFrame, cellCol: String,
+      nprobe: Int, k: Int): DataFrame = {
+    val truth = bruteForceTopK(queries, corpus, k)
+      .select("query_id", "neighbor_id")
+    val approx = ivfTopK(queries, corpus, cellCol, nprobe, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+      .withColumn("recall", round(col("n_hits").cast("double") /
+        col("n_true").cast("double"), 6))
+  }
+
   /** md5-derived hyperplane weight for global plane index `p`, dimension
     * `j`: (md5Long("p,j") mod 2001 − 1000) / 1000 — the identical value
     * [[hyperplaneBucketSql]] (and the DuckDB oracle) derives per row.

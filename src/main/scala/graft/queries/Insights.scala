@@ -456,6 +456,32 @@ object Insights extends QueryModule {
         MIN(d) AS first_key, MAX(d) AS last_key
       FROM g GROUP BY 1 ORDER BY 1""")),
 
+    // ---- Deterministic epoch shuffle (Sampling.epochShuffle): per
+    // epoch, every document's data-loader position = its hash-rank —
+    // reproducible without RNG state, distinct permutation per epoch.
+    // ONE two-phase ordinal over the composite (epoch, hash, key)
+    // order; per-epoch positions fall out as ord − e·N (never a
+    // per-epoch single-task window).
+    QueryDef("o17_epoch_shuffle", (s, d) => {
+      graft.ops.Sampling.epochShuffle(t(s, d, "documents"), "doc_id", 2)
+        .orderBy("epoch", "pos")
+    }, Some(s"""
+      WITH b AS (SELECT doc_id, epoch FROM documents
+                 CROSS JOIN (SELECT unnest(range(0, 2)) AS epoch) e),
+      h AS (SELECT doc_id, epoch,
+              (${graft.ops.Hashing.duckMd5Long(
+                "'epoch:' || CAST(epoch AS VARCHAR) || ':' || " +
+                  "CAST(doc_id AS VARCHAR)")}) AS h
+            FROM b),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      o AS (SELECT doc_id, epoch,
+              CAST(ROW_NUMBER() OVER (ORDER BY epoch, h, doc_id) - 1
+                AS BIGINT) AS ord
+            FROM h)
+      SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+        ord - epoch * n AS pos
+      FROM o CROSS JOIN n ORDER BY epoch, pos""")),
+
     // ---- ROC AUC (Stats.rocAuc): does the event value rank purchases
     // above other events? The rank-sum identity AUC = U₊/(n₊n₋) over
     // average ranks — the a_mann_whitney machinery re-read as a model

@@ -1857,6 +1857,69 @@ object Pipeline extends QueryModule {
              round(cos, 6) AS cos
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- ANN recall audit (Similarity.annRecall): per query, the
+    // fraction of the TRUE cosine top-5 the nprobe=2 IVF search
+    // surfaces — the number that decides whether the approximate
+    // index is shippable. The oracle replays BOTH retrievals (the
+    // sim_topk_bruteforce and sim_ivf_topk pipelines, same helpers)
+    // and the miss-counting overlap join.
+    QueryDef("sim_recall_eval", (s, d) => {
+      val e = emb(s, d)
+      val corpus = Similarity.assignCells(e, 4, embDims)
+      Similarity.annRecall(e.filter(col("vec_id") < 10), corpus,
+        "cell", 2, 5).orderBy("query_id")
+    }, Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                 FROM embeddings WHERE vec_id < 10),
+      cc AS (SELECT vec_id AS neighbor_id, embedding AS ce
+             FROM embeddings),
+      bsc AS (SELECT query_id, neighbor_id, ${duckCos("qe", "ce")} AS cos
+              FROM q CROSS JOIN cc WHERE query_id <> neighbor_id),
+      bfk AS (SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rank
+                FROM bsc) WHERE rank <= 5),
+      c0 AS (SELECT vec_id, embedding,
+               ${duckBucket("embedding", 4)} AS cell
+             FROM embeddings),
+      dims AS (SELECT cell, unnest(range(0, len(embedding))) AS j,
+                 unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                   AS x
+               FROM c0),
+      cm AS (SELECT cell, j,
+               CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*)
+                 AS m
+             FROM dims GROUP BY 1, 2),
+      cents AS (SELECT cell, list(m ORDER BY j) AS centroid
+                FROM cm GROUP BY cell),
+      pc AS (SELECT query_id, qe, cell, ${duckCos("qe", "centroid")} AS ccos
+             FROM q CROSS JOIN cents),
+      probed AS (SELECT query_id, qe, cell FROM (
+                   SELECT query_id, qe, cell,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY ccos DESC, cell) AS pr
+                   FROM pc)
+                 WHERE pr <= 2),
+      isc AS (SELECT p.query_id, c0.vec_id AS neighbor_id,
+                ${duckCos("qe", "embedding")} AS cos
+              FROM probed p JOIN c0 ON p.cell = c0.cell
+              WHERE p.query_id <> c0.vec_id),
+      ivk AS (SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rank
+                FROM isc) WHERE rank <= 5)
+      SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+        CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_hits,
+        round(CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1
+            ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+          AS recall
+      FROM bfk b LEFT JOIN ivk i
+        ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+      GROUP BY 1 ORDER BY 1""")),
+
     // ---- IVF with a TRAINED coarse quantizer: deterministic spherical
     // k-means (md5-seeded init, cosine assignment with cell-id
     // tie-break, decimal-exact means, 2 Lloyd rounds) → probe search.

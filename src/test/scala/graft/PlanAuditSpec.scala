@@ -108,11 +108,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // g_hits: the 1-row L∞-max frame broadcast into each half-round's
     // rescale (the idf shape, ×2 per round)
     "g_hits",
-    // a_mann_whitney / e_rfm_segments / o16_compaction_plan: the
-    // two-phase ordinal/running-sum triangular offset join over the
-    // ≤ numPartitions-row per-partition totals (the q_skew_report
-    // shape), plus 1-row N/max frames
+    // a_mann_whitney / e_rfm_segments / o16_compaction_plan /
+    // o17_epoch_shuffle: the two-phase ordinal/running-sum triangular
+    // offset join over the ≤ numPartitions-row per-partition totals
+    // (the q_skew_report shape), plus 1-row N/max frames
     "a_mann_whitney", "e_rfm_segments", "o16_compaction_plan",
+    "o17_epoch_shuffle",
     // sim_mips_topk: the broadcast query set against the corpus
     // (non-equi self-exclusion — the sim_topk_bruteforce shape)
     "sim_mips_topk",
@@ -143,7 +144,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "e_fdr_bh",
     // d_semantic_dedup: the broadcast centroid table against the
     // corpus (the sim_ivf_kmeans_topk shape)
-    "d_semantic_dedup")
+    "d_semantic_dedup",
+    // sim_recall_eval: composes the sim_topk_bruteforce broadcast
+    // query set AND the sim_ivf_topk broadcast centroid table
+    "sim_recall_eval")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -260,6 +264,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // t_domain_mix / e_ewma_forecast: the 1-row normalizing-total /
     // anchor-day scalar folds
     "t_domain_mix", "e_ewma_forecast",
+    // o17_epoch_shuffle: the 1-row corpus-count fold (per-epoch pos =
+    // ord − e·N)
+    "o17_epoch_shuffle",
     // e_fdr_bh: the 1-row m and kmax folds plus the BH rank window
     // over exactly m metric rows (bounded by construction)
     "e_fdr_bh")

@@ -89,4 +89,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(shards(10)._2 == 1L && shards.last._2 == 9L)
     assert(shards.map(_._2).sliding(2).forall(p => p(0) <= p(1)))
   }
+
+  test("epochShuffle: each epoch is an exact 0..N-1 permutation, " +
+    "epochs permute differently, partitioning-invariant") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 100L).map(i => (i, s"doc$i")).toDF("doc_id", "x")
+    val out = graft.ops.Sampling.epochShuffle(docs, "doc_id", 3)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))
+    assert(out.length === 300)
+    for (e <- 0L to 2L) {
+      val pos = out.filter(_._1 == e).map(_._3).sorted
+      assert(pos.toSeq === (0L until 100L)) // exact permutation
+    }
+    // different epochs order the corpus differently
+    val order0 = out.filter(_._1 == 0L).sortBy(_._3).map(_._2).toSeq
+    val order1 = out.filter(_._1 == 1L).sortBy(_._3).map(_._2).toSeq
+    assert(order0 !== order1)
+    // deterministic under repartitioning
+    val again = graft.ops.Sampling
+      .epochShuffle(docs.repartition(7), "doc_id", 3)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))
+      .sortBy(t => (t._1, t._3))
+    assert(again.toSeq === out.sortBy(t => (t._1, t._3)).toSeq)
+  }
 }

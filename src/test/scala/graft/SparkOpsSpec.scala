@@ -112,6 +112,31 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(top.head == 2L)
   }
 
+  test("annRecall: full probe recovers recall 1.0; a missed cell " +
+    "costs exactly the neighbors it holds") {
+    val s = spark; import s.implicits._
+    // two well-separated direction groups; hyperplane cells follow sign
+    // structure, so probing ALL cells (nprobe >= #cells) must equal
+    // the brute-force set exactly
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.8f, 0.2f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (5L, Array(0.0f, 0.0f, 0.9f, 0.1f)),
+      (6L, Array(0.0f, 0.0f, 0.8f, 0.2f))).toDF("vec_id", "embedding")
+    val corpus = Similarity.assignCells(e, 3, 4)
+    val full = Similarity.annRecall(e.filter(col("vec_id") === 1),
+      corpus, "cell", nprobe = 8, k = 3).collect().head
+    assert(full.getLong(1) === 3L && full.getLong(2) === 3L &&
+      full.getDouble(3) === 1.0)
+    // recall is monotone in nprobe, and n_hits never exceeds n_true
+    val narrow = Similarity.annRecall(e.filter(col("vec_id") === 1),
+      corpus, "cell", nprobe = 1, k = 3).collect().head
+    assert(narrow.getLong(2) <= narrow.getLong(1))
+    assert(narrow.getDouble(3) <= full.getDouble(3))
+  }
+
   test("langId picks the profile language, und on no hits") {
     val s = spark; import s.implicits._
     val out = TextAnalysis.langId(Seq(
