@@ -866,7 +866,13 @@ object Pipeline extends QueryModule {
     // 10 genuinely-new adds (token order reversed: same token counts,
     // disjoint shingles — near-dup must NOT drop them).
     QueryDef("pipe_incremental_refresh", (s, d) => {
+      // LAZY checkpoint: the snapshot feeds ~8 plan paths (old/new
+      // fingerprints, the dedup self-join, three delta token counts) —
+      // without the cut each path re-runs the scan chain (the
+      // pipe_llm_corpus fan-in lesson); lazy so plan BUILD stays
+      // job-free (PlanAuditSpec audits this gate).
       val old = docs(s, d).select("doc_id", "text")
+        .localCheckpoint(false)
       val kept = old.filter(col("doc_id") % 41 =!= 0)
         .select(col("doc_id"),
           when(col("doc_id") % 31 === 0,
@@ -878,6 +884,7 @@ object Pipeline extends QueryModule {
         .unionByName(old.filter(col("doc_id") >= 10 && col("doc_id") < 20)
           .select((col("doc_id") + 600000).as("doc_id"),
             expr(s"concat_ws(' ', reverse($tokensSql))").as("text")))
+        .localCheckpoint(false) // same fan-in cut for the new snapshot
       // 1. snapshot diff (d_snapshot_diff shape)
       val of = old.select(col("doc_id"),
         md5(col("text").cast("binary")).as("fp_old"))
