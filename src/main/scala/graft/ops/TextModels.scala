@@ -344,6 +344,91 @@ object TextModels {
           .as("recall_at_k"))
   }
 
+  /** JOIN-FORM BM25 — the production shape of [[bm25TopK]]: query
+    * terms arrive as a DATAFRAME (column `term`) instead of literals,
+    * so the term set can be data-dependent (relevance feedback, query
+    * logs, multi-query batches) and arbitrarily large. Scoring is one
+    * token-explode ⋈ broadcast(terms) equi-join → (doc, term) tf
+    * aggregate → df/len/stats joins — no per-term plan columns, no
+    * driver round-trip.
+    *
+    * DETERMINISM: the per-term contribution rounds to 6 and fixes to
+    * DECIMAL(18,6) BEFORE the per-doc sum (a double SUM over term rows
+    * would be addition-order-dependent; [[bm25TopK]] sums a fixed
+    * expression tree so it never faced this); idf rounds to 6 exactly
+    * as [[bm25TopK]] does. Corpus stats (nd, sl) count docs with ≥ 1
+    * token — identical to [[bm25TopK]]'s population.
+    */
+  def bm25Join(docs: DataFrame, terms: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tk = docs.select(col("doc_id"),
+      explode(expr(Hashing.tokensSql)).as("tok"))
+    val lens = tk.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val stats = lens.agg(sum(col("len")).as("sl"), count(lit(1)).as("nd"))
+    val tf = tk.join(broadcast(terms.select(col("term").as("tok"))
+        .distinct()), Seq("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfc), Seq("tok"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore", expr(
+        "cast(round(round(ln(1.0 + (cast(nd as double) - " +
+          "cast(df as double) + 0.5) / (cast(df as double) + 0.5)), 6)" +
+          s" * (cast(tf as double) * ${k1 + 1.0})" +
+          s" / (cast(tf as double) + $k1 * (1.0 - $b + $b *" +
+          " (cast(len as double) / (cast(sl as double) /" +
+          " cast(nd as double))))), 6) as decimal(18,6))"))
+      .groupBy("doc_id").agg(sum(col("tscore")).as("s"))
+      .select(col("doc_id"), round(col("s").cast("double"), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** PSEUDO-RELEVANCE FEEDBACK query expansion (Rocchio/RM3-lite) —
+    * the classic recall lever of sparse retrieval: run the seed query,
+    * take the top `nDocs` feedback documents, mine their most
+    * informative terms, and re-query with the expanded term set.
+    * Expansion term score = Σ_{d ∈ feedback} tf(t,d) · idf(t) with the
+    * [[bm25TopK]] idf (round-6); the top `mTerms` non-seed terms by
+    * (score desc, term asc) join the seeds; the second pass is
+    * [[bm25Join]] (the term set is now DATA, not literals). Returns
+    * the final top-`k` (doc_id, score) — fully distributed end to end,
+    * no driver-side term list.
+    *
+    * SCALE SHAPE: feedback docs are a ≤ nDocs-row broadcast; corpus df
+    * is one vocab aggregate (the m2_term_idfs shape); the expanded
+    * term table (≤ mTerms + |seeds| rows) broadcasts into the scoring
+    * join.
+    */
+  def prfExpand(docs: DataFrame, seedTerms: Seq[String], nDocs: Int = 5,
+      mTerms: Int = 5, k: Int = 10): DataFrame = {
+    val seeds = seedTerms.distinct.sorted
+    val feedback = bm25TopK(docs, seeds, nDocs).select("doc_id")
+    val allTk = docs.select(col("doc_id"),
+      explode(expr(Hashing.tokensSql)).as("tok"))
+    val nd = allTk.select("doc_id").distinct()
+      .agg(count(lit(1)).as("nd"))
+    val dfAll = allTk.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val fbTf = allTk.join(broadcast(feedback), Seq("doc_id"))
+      .groupBy("tok").agg(count(lit(1)).as("ftf"))
+    val expansion = fbTf
+      .filter(!col("tok").isInCollection(seeds))
+      .join(dfAll, Seq("tok"))
+      .crossJoin(broadcast(nd))
+      .withColumn("escore", expr(
+        "round(cast(ftf as double) * round(ln(1.0 + " +
+          "(cast(nd as double) - cast(df as double) + 0.5) / " +
+          "(cast(df as double) + 0.5)), 6), 6)"))
+      .orderBy(desc("escore"), asc("tok")).limit(mTerms)
+      .select(col("tok").as("term"))
+    val terms = expansion.unionByName(
+      docs.sparkSession.createDataFrame(seeds.map(Tuple1(_)))
+        .toDF("term"))
+    bm25Join(docs, terms, k)
+  }
+
   /** Feature-hashing vectorization (the "hashing trick", Weinberger et
     * al. 2009): each token maps to bucket `md5(tok) mod dim` with a
     * ±1 sign from an independent hash bit (debiases the collision

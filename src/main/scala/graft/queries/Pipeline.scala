@@ -2858,6 +2858,90 @@ object Pipeline extends QueryModule {
       WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
       ORDER BY score DESC, doc_id LIMIT 10""")),
 
+    // ---- Pseudo-relevance-feedback expansion (TextModels.prfExpand):
+    // seed query → top-5 feedback docs (the m_bm25_topk pass) → top-5
+    // expansion terms by Σtf·idf — the term set is now DATA — →
+    // join-form BM25 re-query (TextModels.bm25Join: per-term
+    // contributions round-6 into DECIMAL before the per-doc sum, since
+    // a double SUM over term rows is addition-order-dependent). The
+    // oracle replays all three stages.
+    QueryDef("m_prf_expansion", (s, d) => {
+      graft.ops.TextModels.prfExpand(docs(s, d),
+        Seq("hash", "join", "stream"), 5, 5, 10)
+    }, Some("""
+      WITH tok AS (SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents),
+      pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len,
+               CAST(SUM(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS BIGINT) AS tf_0,
+               CAST(SUM(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS tf_1,
+               CAST(SUM(CASE WHEN tok = 'stream' THEN 1 ELSE 0 END) AS BIGINT) AS tf_2
+             FROM tok GROUP BY 1),
+      st AS (SELECT CAST(SUM(len) AS BIGINT) AS sl,
+               CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+               CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+               CAST(SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_2
+             FROM pd),
+      fb AS (SELECT doc_id FROM (
+               SELECT doc_id, round(
+                   round(ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5)
+                       / (CAST(df_0 AS DOUBLE) + 0.5)), 6)
+                     * (CAST(tf_0 AS DOUBLE) * 2.2)
+                     / (CAST(tf_0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+                        (CAST(len AS DOUBLE) / (CAST(sl AS DOUBLE) / CAST(nd AS DOUBLE)))))
+                 + round(ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5)
+                       / (CAST(df_1 AS DOUBLE) + 0.5)), 6)
+                     * (CAST(tf_1 AS DOUBLE) * 2.2)
+                     / (CAST(tf_1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+                        (CAST(len AS DOUBLE) / (CAST(sl AS DOUBLE) / CAST(nd AS DOUBLE)))))
+                 + round(ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df_2 AS DOUBLE) + 0.5)
+                       / (CAST(df_2 AS DOUBLE) + 0.5)), 6)
+                     * (CAST(tf_2 AS DOUBLE) * 2.2)
+                     / (CAST(tf_2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+                        (CAST(len AS DOUBLE) / (CAST(sl AS DOUBLE) / CAST(nd AS DOUBLE)))))
+                 , 6) AS score
+               FROM pd CROSS JOIN st
+               WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
+               ORDER BY score DESC, doc_id LIMIT 5) z),
+      nd1 AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+              FROM tok),
+      dfa AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tok GROUP BY 1),
+      ftf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS ftf
+              FROM tok JOIN fb USING (doc_id) GROUP BY 1),
+      expn AS (SELECT tok AS term FROM (
+                 SELECT f.tok,
+                   round(CAST(f.ftf AS DOUBLE) * round(ln(1.0 +
+                     (CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+                     (CAST(df AS DOUBLE) + 0.5)), 6), 6) AS escore
+                 FROM ftf f JOIN dfa USING (tok) CROSS JOIN nd1
+                 WHERE f.tok NOT IN ('hash', 'join', 'stream')
+                 ORDER BY escore DESC, tok LIMIT 5) z),
+      terms AS (SELECT term FROM expn
+                UNION
+                SELECT unnest(['hash', 'join', 'stream']) AS term),
+      lens AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len
+               FROM tok GROUP BY 1),
+      st2 AS (SELECT CAST(SUM(len) AS BIGINT) AS sl,
+                CAST(COUNT(*) AS BIGINT) AS nd FROM lens),
+      tf2 AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM tok JOIN terms ON tok = term GROUP BY 1, 2),
+      df2 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tf2 GROUP BY 1),
+      sc AS (SELECT tf2.doc_id,
+               CAST(round(
+                 round(ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df AS DOUBLE)
+                     + 0.5) / (CAST(df AS DOUBLE) + 0.5)), 6)
+                   * (CAST(tf AS DOUBLE) * 2.2)
+                   / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+                      (CAST(len AS DOUBLE) / (CAST(sl AS DOUBLE) /
+                       CAST(nd AS DOUBLE))))), 6) AS DECIMAL(18,6)) AS ts
+             FROM tf2 JOIN df2 USING (tok) JOIN lens USING (doc_id)
+             CROSS JOIN st2)
+      SELECT doc_id, round(CAST(SUM(ts) AS DOUBLE), 6) AS score
+      FROM sc GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""")),
+
     // ---- Retrieval-quality evaluation (TextModels.rankEval): NDCG@10
     // / MRR / recall@10 of the BM25 ranking against the deterministic
     // graded relevance rel = #distinct query terms present — the

@@ -53,6 +53,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "m_bigram_pmi", "d_bloom_decontaminate", "o11_sequence_pack",
     "o12_temperature_sample", "m_bm25_topk", "a_heavy_hitters",
     "pipe_corpus_curation", "m_hybrid_rrf",
+    // m_prf_expansion: the m_bm25_topk stats shape three times over
+    // (feedback pass, expansion idf, join-form re-query)
+    "m_prf_expansion",
     // t_trigram_backoff: the corpus-total 1-row frame broadcast into
     // the per-position probability (the idf shape)
     "t_trigram_backoff",
@@ -177,7 +180,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "a_sample_quantiles", "g_triangles", "t_unigram_nll", "m_bigram_pmi",
     "q_profile_lineitem", "q_profile_sketch", "d_bloom_decontaminate",
     "o12_temperature_sample", "m_bm25_topk", "a_heavy_hitters",
-    "pipe_corpus_curation", "m_hybrid_rrf",
+    "pipe_corpus_curation", "m_hybrid_rrf", "m_prf_expansion",
     // q_quality_suite: every row-local check fuses into ONE scalar
     // aggregate whose single-partition combine receives one bounded
     // metrics row per partition; each uniqueness/referential check

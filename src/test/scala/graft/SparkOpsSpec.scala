@@ -238,6 +238,44 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(again.toSeq == out.toSeq) // term order must not matter
   }
 
+  test("bm25Join equals bm25TopK scores on the same term set") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "spark join spark join"),
+      (2L, "spark join spark join filler filler filler filler filler " +
+        "filler filler filler filler filler filler filler"),
+      (3L, "join only here"),
+      (4L, "nothing relevant at all")).toDF("doc_id", "text")
+    val fixed = TextModels.bm25TopK(docs, Seq("join", "spark"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val joined = TextModels.bm25Join(docs,
+        Seq("join", "spark").toDF("term"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(joined.keySet === fixed.keySet)
+    // per-term round-6-into-decimal vs fixed-tree sum: equal to 2e-6
+    for ((k, v) <- fixed)
+      assert(math.abs(joined(k) - v) < 2e-6, s"doc $k: $v vs ${joined(k)}")
+  }
+
+  test("prfExpand pulls in feedback-doc vocabulary: a doc with only " +
+    "expansion terms enters the final ranking") {
+    val s = spark; import s.implicits._
+    // seed 'spark' hits docs 1-2, whose salient companion term is
+    // 'shuffle'; doc 3 contains ONLY 'shuffle' so the seed query can
+    // never retrieve it — PRF must.
+    val docs = Seq(
+      (1L, "spark shuffle spark shuffle exchange"),
+      (2L, "spark shuffle partition exchange"),
+      (3L, "shuffle shuffle exchange tuning notes"),
+      (4L, "unrelated text about nothing")).toDF("doc_id", "text")
+    val out = TextModels.prfExpand(docs, Seq("spark"), nDocs = 2,
+        mTerms = 2, k = 10)
+      .collect().map(_.getLong(0))
+    assert(out.contains(3L), s"expansion failed to reach doc 3: " +
+      s"${out.toSeq}")
+    assert(!out.contains(4L))
+  }
+
   test("tfidfNeighbors pairs only docs sharing index terms; " +
     "identical docs score 1") {
     val s = spark; import s.implicits._
