@@ -123,6 +123,30 @@ object StreamML extends QueryModule {
              END AS BIGINT) AS est
       FROM mins""")),
 
+    // ---- §2.9 + forecast family: the EWMA-8 daily forecast with its
+    // counts accumulated as a STREAMING windowed aggregation — the
+    // oracle is char-identical to e_ewma_forecast's, so this gate is
+    // stream-vs-batch parity on the hard signal (the st_transitions
+    // shape applied to the forecast family).
+    QueryDef("st_ewma_daily", (s, d) => {
+      graft.streaming.Events.ewmaDaily(s, d).orderBy("event_type")
+    }, Some("""
+      WITH e AS (SELECT event_type,
+              epoch_us(ts) // 86400000000 AS day FROM events),
+      a AS (SELECT MAX(day) AS d1 FROM e),
+      f AS (SELECT event_type, d1,
+              CAST(SUM(CASE WHEN day = d1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_actual,
+              CAST(SUM(CASE WHEN day < d1 THEN
+                CAST(pow(4.0, CAST(day - (d1 - 8) AS INT)) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS num
+            FROM e CROSS JOIN a WHERE day >= d1 - 8 GROUP BY 1, 2)
+      SELECT event_type, d1 AS day, n_actual,
+        round(CAST(num AS DOUBLE) / 21845.0, 6) AS forecast,
+        round(CAST(n_actual AS DOUBLE) -
+          round(CAST(num AS DOUBLE) / 21845.0, 6), 6) AS resid
+      FROM f ORDER BY event_type""")),
+
     // ---- §2.9 + sketch family: the Bloom filter under the streaming
     // state store — micro-batches OR into the fixed m-bit state
     // (idempotent: replayed batches cannot corrupt it). The bounded

@@ -568,6 +568,40 @@ object Events {
       "(acc, w) -> acc + cast(bit_count(w) as bigint))").as("n_bits_set"))
   }
 
+  /** Streaming twin of [[graft.ops.EventAnalytics.ewmaForecast]]: the
+    * per-(day, event_type) counts accumulate as a watermarked windowed
+    * streaming aggregation — identical counts regardless of
+    * micro-batch slicing — and the EWMA-8 readout (4ʲ integer recency
+    * weights over the 8 days before the anchor, fixed denominator
+    * 21845) folds the tiny |days|×|types| result exactly as the batch
+    * op does over raw rows. The gate's oracle is CHAR-IDENTICAL to
+    * e_ewma_forecast's: stream-vs-batch parity on the hard signal.
+    */
+  def ewmaDaily(s: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val out = runToCompletion(s, ss => {
+      stream(ss, dir)
+        .groupBy(window(col("t"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }, "st_ewma_mem")
+    val days = out.select(col("event_type"),
+      expr(s"unix_micros(window.start) div $DayUs").as("day"), col("n"))
+    val anchor = days.agg(max("day").as("d1"))
+    days.crossJoin(broadcast(anchor))
+      .filter(col("day") >= col("d1") - 8)
+      .groupBy(col("event_type"), col("d1"))
+      .agg(
+        sum(when(col("day") === col("d1"), col("n")).otherwise(0L))
+          .as("n_actual"),
+        sum(when(col("day") < col("d1"),
+          expr("cast(pow(4.0, cast(day - (d1 - 8) as int)) as bigint)")
+            * col("n")).otherwise(0L)).as("num"))
+      .select(col("event_type"), col("d1").as("day"), col("n_actual"),
+        round(expr("cast(num as double) / 21845.0"), 6).as("forecast"))
+      .withColumn("resid", round(expr(
+        "cast(n_actual as double) - forecast"), 6))
+  }
+
   def sketchDistinct(s: SparkSession, dir: String, k: Int = 256)
       : DataFrame = {
     val out = runToCompletion(s, ss => {
