@@ -284,6 +284,49 @@ object TextAnalysis {
           "(num * num) / (den * deny) end"), 6).as("r2"))
   }
 
+  /** One-row DATASET CARD — the datasheet a corpus release ships with
+    * (Gebru et al., "Datasheets for Datasets"): corpus size (docs,
+    * tokens, chars), domain breadth (distinct langs/sources), quality
+    * composition (pass rate under the [[qualityScore]] gate, mean
+    * type-token ratio) and redundancy (exact-duplicate rate via
+    * content fingerprints). Everything a consumer needs to sanity-check
+    * a drop before training on it, computed in ONE pass plus one
+    * distinct-fingerprint aggregate.
+    *
+    * DETERMINISM: means divide exact BIGINT/DECIMAL sums (the ratios
+    * are round-6 fixed-point before the decimal fold). SCALE SHAPE:
+    * one scan-aggregate + one distinct over 128-bit fingerprints +
+    * one |domains|-row distinct fold; lang/source distinct counts run
+    * over the TINY (lang, source) grid, never an Expand over the
+    * corpus.
+    */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val q = qualityScore(docs, Seq("lang", "source"))
+    val tot = q.agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("n_tokens"),
+      sum("n_chars").as("n_chars"),
+      sum(when(col("passes_quality"), 1L).otherwise(0L)).as("n_pass"),
+      sum(col("type_token_ratio").cast("decimal(12,6)")).as("sttr"))
+    val dom = q.groupBy("lang", "source").agg(count(lit(1)).as("__c"))
+      .agg(countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"))
+    val dup = docs.agg((count(lit(1)) -
+      countDistinct(md5(col("text").cast("binary")))).as("n_exact_dups"))
+    tot.crossJoin(broadcast(dom)).crossJoin(broadcast(dup))
+      .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_langs"), col("n_sources"), col("n_pass"),
+        round(expr("cast(n_pass as double) / cast(n_docs as double)"), 6)
+          .as("quality_pass_rate"),
+        round(expr("cast(n_tokens as double) / cast(n_docs as double)"),
+          6).as("mean_doc_tokens"),
+        round(expr("cast(sttr as double) / cast(n_docs as double)"), 6)
+          .as("mean_ttr"),
+        col("n_exact_dups"),
+        round(expr("cast(n_exact_dups as double) / " +
+          "cast(n_docs as double)"), 6).as("exact_dup_rate"))
+  }
+
   /** Pre-training MIXTURE WEIGHTS per corpus domain — the α-temperature
     * upsampling rule of multilingual pre-training (Conneau & Lample
     * 2019; the same shape as GPT-3's domain weighting): a domain with

@@ -2284,6 +2284,56 @@ object Pipeline extends QueryModule {
       FROM q GROUP BY 1 ORDER BY 1"""
     }),
 
+    // ---- One-row dataset card (TextAnalysis.datasetCard): the
+    // datasheet a corpus release ships with — size, domain breadth,
+    // quality composition, exact-duplicate rate — one scan-aggregate
+    // + one fingerprint distinct; lang/source distincts fold over the
+    // tiny (lang, source) grid, never an Expand over the corpus.
+    QueryDef("pipe_dataset_card", (s, d) => {
+      TextAnalysis.datasetCard(docs(s, d))
+    }, Some {
+      val enStops = TextAnalysis.langProfiles.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""
+      WITH w AS (SELECT lang, source, text,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+                   CAST(greatest(length(text), 1) AS DOUBLE) AS n
+                 FROM documents),
+      q AS (SELECT lang, source,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                / greatest(len(toks), 1), 6) AS ttr,
+          CAST(len(toks) >= 10
+               AND (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) / n >= 0.6
+               AND CAST(len(list_filter(toks, tt -> list_contains($enStops, tt))) AS DOUBLE)
+                   / greatest(len(toks), 1) >= 0.01 AS BIGINT) AS pass
+        FROM w),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                CAST(SUM(pass) AS BIGINT) AS n_pass,
+                SUM(CAST(ttr AS DECIMAL(12,6))) AS sttr
+              FROM q),
+      dom AS (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+              FROM documents),
+      dup AS (SELECT CAST(COUNT(*) - COUNT(DISTINCT md5(text))
+                AS BIGINT) AS n_exact_dups
+              FROM documents)
+      SELECT n_docs, n_tokens, n_chars, n_langs, n_sources, n_pass,
+        round(CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+          AS quality_pass_rate,
+        round(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+          AS mean_doc_tokens,
+        round(CAST(sttr AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+          AS mean_ttr,
+        n_exact_dups,
+        round(CAST(n_exact_dups AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+          AS exact_dup_rate
+      FROM tot CROSS JOIN dom CROSS JOIN dup"""
+    }),
+
     // ---- RAG-style overlapping chunking (Pack.chunkOverlap): token
     // windows of 20 every 15 per document (5-token overlap), with the
     // md5 chunk fingerprint a retrieval index stores. Pure per-row

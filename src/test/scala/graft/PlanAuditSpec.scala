@@ -150,7 +150,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "d_semantic_dedup",
     // sim_recall_eval: composes the sim_topk_bruteforce broadcast
     // query set AND the sim_ivf_topk broadcast centroid table
-    "sim_recall_eval")
+    "sim_recall_eval",
+    // pipe_dataset_card: three 1-row frames (totals × domain counts ×
+    // dup count) crossed into the one-row datasheet
+    "pipe_dataset_card")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -270,6 +273,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // o17_epoch_shuffle: the 1-row corpus-count fold (per-epoch pos =
     // ord − e·N)
     "o17_epoch_shuffle",
+    // pipe_dataset_card: the 1-row totals/domain/dup folds
+    "pipe_dataset_card",
     // e_fdr_bh: the 1-row m and kmax folds plus the BH rank window
     // over exactly m metric rows (bounded by construction)
     "e_fdr_bh")

@@ -238,6 +238,25 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(again.toSeq == out.toSeq) // term order must not matter
   }
 
+  test("datasetCard: hand-counted one-row datasheet") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog sat on the mat with it here now", "en", "a"),
+      (2L, "the cat and the dog sat on the mat with it here now", "en", "a"),
+      (3L, "tiny", "en", "b"),
+      (4L, "der hund und die katze sind nicht mit mir hier jetzt ja",
+        "de", "b")).toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.datasetCard(docs).collect().head
+    assert(r.getLong(0) === 4L)  // n_docs
+    assert(r.getLong(3) === 2L && r.getLong(4) === 2L) // langs, sources
+    // docs 1 and 2 are identical -> one exact dup
+    assert(r.getLong(9) === 1L)
+    assert(r.getDouble(10) === 0.25)
+    // docs 1/2 pass quality (>=10 tokens, alpha, stopwords); 3 fails
+    // (too short); 4 fails (no EN stopwords)
+    assert(r.getLong(5) === 2L && r.getDouble(6) === 0.5)
+  }
+
   test("bm25Join equals bm25TopK scores on the same term set") {
     val s = spark; import s.implicits._
     val docs = Seq(
