@@ -68,6 +68,10 @@ object Tables {
     */
   private def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
+    // round robin, deliberately: hash-over-all-columns was measured
+    // WORSE (hashing wide text rows costs more than round robin's
+    // defensive local sort), and hash-on-first-column risks collapsing
+    // onto low-cardinality keys
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
 
