@@ -284,6 +284,58 @@ object TextAnalysis {
           "(num * num) / (den * deny) end"), 6).as("r2"))
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010) — per-document key
+    * phrases without any model: the token stream splits into candidate
+    * phrases at stopword boundaries, each word scores degree/freq over
+    * the document's candidates (degree = Σ lengths of phrases
+    * containing it — co-occurrence reach; freq = its candidate
+    * occurrences), and a phrase scores the sum of its member words.
+    * Top `k` phrases per document by (score desc, phrase asc).
+    *
+    * DETERMINISM: word scores round-6 into DECIMAL before the phrase
+    * sum (member order must not matter); duplicate phrase occurrences
+    * in a doc collapse via max (identical member multiset ⇒ identical
+    * score). Phrases longer than `maxPhraseLen` are dropped (the RAKE
+    * convention — unbroken stopword-free runs are noise).
+    *
+    * SCALE SHAPE: per-doc windows and aggregates only — the phrase
+    * grouping is one running count over (doc, pos), never global; the
+    * rank window partitions by doc_id.
+    */
+  def rakeKeywords(docs: DataFrame, k: Int = 3, maxPhraseLen: Int = 4)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val enStops = langProfiles.toMap.apply("en")
+    val toks = docs.select(col("doc_id"),
+      posexplode(expr(tokensSql)).as(Seq("pos", "tok")))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val grouped = toks
+      .withColumn("stop", col("tok").isin(enStops: _*))
+      .withColumn("grp",
+        sum(when(col("stop"), 1L).otherwise(0L)).over(byPos))
+      .filter(!col("stop"))
+    val phrases = grouped.groupBy("doc_id", "grp")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, tok)))," +
+        " x -> x.tok)").as("ws"))
+      .filter(size(col("ws")) <= maxPhraseLen)
+      .withColumn("phrase", array_join(col("ws"), " "))
+    val members = phrases.select(col("doc_id"), col("grp"),
+      col("phrase"), explode(col("ws")).as("wd"),
+      size(col("ws")).cast("long").as("plen"))
+    val wstats = members.groupBy("doc_id", "wd")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("degree"))
+      .withColumn("wscore", expr("cast(round(cast(degree as double) /" +
+        " cast(freq as double), 6) as decimal(18,6))"))
+    val byOcc = members.join(wstats, Seq("doc_id", "wd"))
+      .groupBy("doc_id", "grp", "phrase").agg(sum("wscore").as("ps"))
+    byOcc.groupBy("doc_id", "phrase")
+      .agg(round(max("ps").cast("double"), 6).as("score"))
+      .withColumn("rank", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(desc("score"), asc("phrase"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "phrase", "score")
+  }
+
   /** One-row DATASET CARD — the datasheet a corpus release ships with
     * (Gebru et al., "Datasheets for Datasets"): corpus size (docs,
     * tokens, chars), domain breadth (distinct langs/sources), quality

@@ -2200,6 +2200,58 @@ object Pipeline extends QueryModule {
       FROM w ORDER BY doc_id"""
     }),
 
+    // ---- RAKE keyword extraction (TextAnalysis.rakeKeywords): top-3
+    // key phrases per doc from stopword-boundary candidates, word
+    // score degree/freq round-6 into DECIMAL before the phrase sum.
+    // Per-doc windows only; the oracle replays splitting, scoring and
+    // ranking in full.
+    QueryDef("t_rake_keywords", (s, d) => {
+      TextAnalysis.rakeKeywords(docs(s, d), 3, 4)
+        .orderBy("doc_id", "rank")
+    }, Some {
+      val enStops = TextAnalysis.langProfiles.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""
+      WITH w AS (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                 FROM documents),
+      tok AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(tk) + 1),
+                  i -> {'pos': i, 'tok': tk[i]})) AS p
+              FROM w),
+      fl AS (SELECT doc_id, p.pos AS pos, p.tok AS tok,
+               list_contains($enStops, p.tok) AS stop
+             FROM tok),
+      gr AS (SELECT doc_id, pos, tok, stop,
+               SUM(CASE WHEN stop THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             FROM fl),
+      ph AS (SELECT doc_id, grp, list(tok ORDER BY pos) AS ws
+             FROM gr WHERE NOT stop GROUP BY 1, 2
+             HAVING COUNT(*) <= 4),
+      ph2 AS (SELECT doc_id, grp, ws,
+                array_to_string(ws, ' ') AS phrase FROM ph),
+      mem AS (SELECT doc_id, grp, phrase, unnest(ws) AS wd,
+                CAST(len(ws) AS BIGINT) AS plen FROM ph2),
+      wst AS (SELECT doc_id, wd,
+                CAST(round(CAST(SUM(plen) AS DOUBLE) / COUNT(*), 6)
+                  AS DECIMAL(18,6)) AS wscore
+              FROM mem GROUP BY 1, 2),
+      occ AS (SELECT m.doc_id, m.grp, m.phrase, SUM(s.wscore) AS ps
+              FROM mem m JOIN wst s
+                ON m.doc_id = s.doc_id AND m.wd = s.wd
+              GROUP BY 1, 2, 3),
+      byp AS (SELECT doc_id, phrase,
+                round(CAST(MAX(ps) AS DOUBLE), 6) AS score
+              FROM occ GROUP BY 1, 2),
+      rk AS (SELECT doc_id, phrase, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, phrase) AS BIGINT) AS rank
+             FROM byp)
+      SELECT doc_id, rank, phrase, score FROM rk WHERE rank <= 3
+      ORDER BY doc_id, rank"""
+    }),
+
     // ---- Flesch reading-ease readability (TextAnalysis.readability):
     // the classic quality-filter signal over vowel-group / sentence-run
     // / word-run regexp counts — pure per-row expressions, scan speed;

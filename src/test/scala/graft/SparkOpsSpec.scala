@@ -238,6 +238,32 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(again.toSeq == out.toSeq) // term order must not matter
   }
 
+  test("rakeKeywords: hand-computed degree/freq phrase scores; " +
+    "overlong runs dropped") {
+    val s = spark; import s.implicits._
+    // stopwords 'and'/'the' split: [deep learning models], [deep
+    // learning]. deep/learning: freq 2, degree 3+2=5 -> 2.5;
+    // models: freq 1, degree 3 -> 3.0. Scores: dlm 8.0, dl 5.0.
+    val out1 = TextAnalysis.rakeKeywords(Seq(
+      (1L, "deep learning models and the deep learning"))
+      .toDF("doc_id", "text"), 3, 4)
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(out1.toSeq === Seq((1L, "deep learning models", 8.0),
+      (2L, "deep learning", 5.0)))
+    // a stopword-free 5-token run exceeds maxPhraseLen=4: no output
+    val out2 = TextAnalysis.rakeKeywords(Seq(
+      (2L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"),
+      3, 4)
+    assert(out2.count() === 0L)
+    // per-doc scoring: identical docs score independently
+    val out3 = TextAnalysis.rakeKeywords(Seq(
+      (3L, "fast query engine"), (4L, "fast query engine"))
+      .toDF("doc_id", "text"), 1, 4)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getDouble(3)))
+    assert(out3.toSet === Set((3L, "fast query engine", 9.0),
+      (4L, "fast query engine", 9.0)))
+  }
+
   test("datasetCard: hand-counted one-row datasheet") {
     val s = spark; import s.implicits._
     val docs = Seq(
