@@ -34,7 +34,62 @@ object Stats {
     * mirrors textually. One hash aggregate, one 1-row fold.
     */
   def welchTTest(df: DataFrame, groupCol: String, valueCol: String,
-      groupA: String, groupB: String): DataFrame = {
+      groupA: String, groupB: String): DataFrame =
+    twoSampleMoments(df, groupCol, valueCol, groupA, groupB)
+      .select(col("n_a"), col("n_b"),
+        round(col("m_a"), 6).as("mean_a"),
+        round(col("m_b"), 6).as("mean_b"),
+        round(expr("(m_a - m_b) / " +
+          "sqrt(v_a / cast(n_a as double) + v_b / cast(n_b as double))"),
+          6).as("t"),
+        round(expr("power(v_a / cast(n_a as double) + " +
+          "v_b / cast(n_b as double), 2) / " +
+          "(power(v_a / cast(n_a as double), 2) / " +
+          "(cast(n_a as double) - 1.0D) + " +
+          "power(v_b / cast(n_b as double), 2) / " +
+          "(cast(n_b as double) - 1.0D))"), 4).as("df"))
+
+  /** TOST equivalence test (Schuirmann 1987), large-sample normal
+    * form — the flip side of [[welchTTest]]: instead of asking "are
+    * the means different?", asks "are they provably WITHIN ±delta of
+    * each other?" — the question a no-regression launch review
+    * actually needs answered (failure to reject a difference is NOT
+    * evidence of equivalence). Two one-sided z-tests against the
+    * margin: t_lower = (diff + δ)/se, t_upper = (δ − diff)/se;
+    * equivalent at α=0.05 iff BOTH exceed 1.645 (the large-sample
+    * critical value — stated as part of the spec, not a t quantile).
+    * Returns one row (n_a, n_b, mean_a, mean_b, diff, se, t_lower,
+    * t_upper, equivalent 0/1).
+    *
+    * Shares [[twoSampleMoments]] with Welch — identical decimal-exact
+    * accumulation, different readout; one hash aggregate, one 1-row
+    * fold.
+    */
+  def tostEquivalence(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String, delta: Double): DataFrame = {
+    require(delta > 0, s"delta must be positive, got $delta")
+    twoSampleMoments(df, groupCol, valueCol, groupA, groupB)
+      .withColumn("se", expr("sqrt(v_a / cast(n_a as double) + " +
+        "v_b / cast(n_b as double))"))
+      .select(col("n_a"), col("n_b"),
+        round(col("m_a"), 6).as("mean_a"),
+        round(col("m_b"), 6).as("mean_b"),
+        round(expr("m_a - m_b"), 6).as("diff"),
+        round(col("se"), 6).as("se"),
+        round(expr(s"((m_a - m_b) + $delta) / se"), 6).as("t_lower"),
+        round(expr(s"($delta - (m_a - m_b)) / se"), 6).as("t_upper"),
+        expr(s"cast(case when ((m_a - m_b) + $delta) / se > 1.645 " +
+          s"and ($delta - (m_a - m_b)) / se > 1.645 " +
+          "then 1 else 0 end as bigint)").as("equivalent"))
+  }
+
+  /** Exact two-sample moment frame shared by [[welchTTest]] and
+    * [[tostEquivalence]]: one decimal-exact aggregate producing
+    * (n, Σv, Σv²) per side plus the derived means/variances — the
+    * tests differ only in the readout off these columns.
+    */
+  private def twoSampleMoments(df: DataFrame, groupCol: String,
+      valueCol: String, groupA: String, groupB: String): DataFrame = {
     require(groupA != groupB, "groups must differ")
     val rows = df
       .filter(col(groupCol).isin(groupA, groupB) &&
@@ -57,18 +112,6 @@ object Stats {
       .withColumn("v_b", expr("(cast(ss_b as double) - " +
         "cast(s_b as double) * cast(s_b as double) / " +
         "cast(n_b as double)) / (cast(n_b as double) - 1.0D)"))
-      .select(col("n_a"), col("n_b"),
-        round(col("m_a"), 6).as("mean_a"),
-        round(col("m_b"), 6).as("mean_b"),
-        round(expr("(m_a - m_b) / " +
-          "sqrt(v_a / cast(n_a as double) + v_b / cast(n_b as double))"),
-          6).as("t"),
-        round(expr("power(v_a / cast(n_a as double) + " +
-          "v_b / cast(n_b as double), 2) / " +
-          "(power(v_a / cast(n_a as double), 2) / " +
-          "(cast(n_a as double) - 1.0D) + " +
-          "power(v_b / cast(n_b as double), 2) / " +
-          "(cast(n_b as double) - 1.0D))"), 4).as("df"))
   }
 
   /** Mann–Whitney U rank-sum test (Mann & Whitney 1947) between two

@@ -291,6 +291,52 @@ object Insights extends QueryModule {
             (CAST(n_b AS DOUBLE) - 1.0)), 4) AS df
       FROM b""")),
 
+    // ---- TOST equivalence (Stats.tostEquivalence): are click and
+    // view values provably within ±5.0 of each other? Two one-sided
+    // z-tests against the margin, both must clear 1.645 — the
+    // no-regression launch question the plain t-test cannot answer.
+    // Shares the Welch decimal-moment CTE shape; different readout.
+    QueryDef("a_tost_equivalence", (s, d) => {
+      graft.ops.Stats.tostEquivalence(Tables.events(s, d), "event_type",
+        "value", "click", "view", 5.0)
+    }, Some("""
+      WITH r AS (SELECT event_type AS g,
+               CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(28,6)) AS v
+             FROM events
+             WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+      a AS (SELECT
+              CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_a,
+              SUM(CASE WHEN g = 'click' THEN v END) AS s_a,
+              SUM(CASE WHEN g = 'click'
+                THEN CAST(v * v AS DECIMAL(38,12)) END) AS ss_a,
+              CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_b,
+              SUM(CASE WHEN g = 'view' THEN v END) AS s_b,
+              SUM(CASE WHEN g = 'view'
+                THEN CAST(v * v AS DECIMAL(38,12)) END) AS ss_b
+            FROM r),
+      b AS (SELECT *,
+              CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS m_a,
+              CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS m_b,
+              (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) *
+                CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) /
+                (CAST(n_a AS DOUBLE) - 1.0) AS v_a,
+              (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) *
+                CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+                (CAST(n_b AS DOUBLE) - 1.0) AS v_b
+            FROM a),
+      c AS (SELECT *, sqrt(v_a / CAST(n_a AS DOUBLE) +
+              v_b / CAST(n_b AS DOUBLE)) AS se FROM b)
+      SELECT n_a, n_b, round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+        round(m_a - m_b, 6) AS diff, round(se, 6) AS se,
+        round(((m_a - m_b) + 5.0) / se, 6) AS t_lower,
+        round((5.0 - (m_a - m_b)) / se, 6) AS t_upper,
+        CAST(CASE WHEN ((m_a - m_b) + 5.0) / se > 1.645
+          AND (5.0 - (m_a - m_b)) / se > 1.645
+          THEN 1 ELSE 0 END AS BIGINT) AS equivalent
+      FROM c""")),
+
     // ---- Bloom-prefiltered star join (RuntimeFilter.bloomFilteredJoin):
     // the dimension predicate compresses to ONE broadcast m-bit Bloom
     // row that pre-filters the fact scan BEFORE its shuffle — no false

@@ -255,9 +255,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // m_rank_eval: the 1-row metric folds + the ≤k-row rank windows
     // (the e_funnel_steps shape)
     "m_rank_eval",
-    // a_welch_ttest: the 1-row moment fold; j_bloom_prefilter: the
+    // a_welch_ttest / a_tost_equivalence: the shared 1-row moment
+    // fold; j_bloom_prefilter: the
     // 1-row Bloom combine (one m-bit buffer per partition)
-    "a_welch_ttest", "j_bloom_prefilter",
+    "a_welch_ttest", "a_tost_equivalence", "j_bloom_prefilter",
     // a_roc_auc / a_ks_test: the one-row rank-sum / CDF-gap folds
     // over the two-phase running sum (the a_mann_whitney shape);
     // e_cuped: the one-row pooled-moment fold (the a_welch_ttest

@@ -231,6 +231,27 @@ class StatsSpec extends AnyFunSuite {
     assert(out.head._3 === 0.05)
   }
 
+  test("tost: near-equal groups pass a generous margin and fail a " +
+    "tight one; welch readout unchanged by the shared moments") {
+    val s = spark; import s.implicits._
+    // two groups, means 10.0 vs 10.2, sd ~0.4, n=50 each
+    val rows = (1 to 50).flatMap(i => Seq(
+      ("a", 10.0 + (i % 5) * 0.2), ("b", 10.2 + (i % 5) * 0.2)))
+    val df = rows.toDF("g", "v")
+    val wide = graft.ops.Stats.tostEquivalence(df, "g", "v", "a", "b",
+      delta = 1.0).collect().head
+    assert(wide.getLong(0) === 50L && wide.getLong(1) === 50L)
+    assert(math.abs(wide.getDouble(4) + 0.2) < 1e-9) // diff = -0.2
+    assert(wide.getLong(8) === 1L) // |diff| far inside ±1.0
+    val tight = graft.ops.Stats.tostEquivalence(df, "g", "v", "a", "b",
+      delta = 0.05).collect().head
+    assert(tight.getLong(8) === 0L) // margin tighter than |diff|
+    // the refactor onto twoSampleMoments must not move welch's numbers
+    val w = graft.ops.Stats.welchTTest(df, "g", "v", "a", "b")
+      .collect().head
+    assert(w.getDouble(2) === 10.4 && w.getDouble(3) === 10.6)
+  }
+
   test("poisson bootstrap: constant column collapses the interval; " +
     "interval brackets the mean and is partitioning-invariant") {
     val s = spark; import s.implicits._
