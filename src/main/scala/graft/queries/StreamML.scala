@@ -147,6 +147,34 @@ object StreamML extends QueryModule {
           round(CAST(num AS DOUBLE) / 21845.0, 6), 6) AS resid
       FROM f ORDER BY event_type""")),
 
+    // ---- §2.9 + sketch family: the count-min sketch under the
+    // streaming state store — micro-batches fold into the bounded
+    // depth×width grid; the per-key estimates off the finished state
+    // must land bit-exactly on the batch CMS (overcount-only
+    // guarantee included), regardless of batch slicing.
+    QueryDef("st_cms_counts", (s, d) => {
+      graft.streaming.Events.cmsCounts(s, d)
+    }, Some("""
+      WITH cells AS (
+        SELECT ii.i,
+          CAST(('0x' || substring(md5(CAST(ii.i AS VARCHAR) || ':' ||
+            CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) % 64 AS j,
+          CAST(COUNT(*) AS BIGINT) AS c
+        FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ii
+        GROUP BY 1, 2),
+      exact AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+                FROM events WHERE user_id <= 20 GROUP BY 1),
+      est AS (
+        SELECT e.user_id, MIN(c.c) AS est
+        FROM exact e CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ii
+        JOIN cells c ON c.i = ii.i
+          AND c.j = CAST(('0x' || substring(md5(CAST(ii.i AS VARCHAR) ||
+            ':' || CAST(e.user_id AS VARCHAR)),1,15)) AS BIGINT) % 64
+        GROUP BY 1)
+      SELECT e.user_id, est, n_exact, est >= n_exact AS overcount_only
+      FROM exact e JOIN est USING (user_id)
+      ORDER BY user_id""")),
+
     // ---- §2.9 + sketch family: the Bloom filter under the streaming
     // state store — micro-batches OR into the fixed m-bit state
     // (idempotent: replayed batches cannot corrupt it). The bounded

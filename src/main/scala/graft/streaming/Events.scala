@@ -602,6 +602,42 @@ object Events {
         "cast(n_actual as double) - forecast"), 6))
   }
 
+  /** Count–min sketch under the streaming state store — the frequency
+    * companion of [[sketchDistinct]]: micro-batches fold into the
+    * bounded depth×width grid through the associative cell-wise sum,
+    * so the streaming state IS the sketch; the per-key estimates read
+    * off the finished grid must land bit-exactly on the batch-built
+    * CMS regardless of batch slicing (the agg_cms_counts readout over
+    * events.user_id, overcount-only guarantee included).
+    */
+  def cmsCounts(s: SparkSession, dir: String, depth: Int = 4,
+      width: Int = 64): DataFrame = {
+    val out = runToCompletion(s, ss => {
+      graft.functions.GraftFunctions.registerAll(ss)
+      stream(ss, dir)
+        .select(expr(s"transform(sequence(0, ${depth - 1}), i -> " +
+          "graft_md5long(concat(cast(i as string), ':', " +
+          "cast(user_id as string))))").as("hs"))
+        .agg(expr(s"graft_cms(hs, $width)").as("cms"))
+    }, "st_cms_mem")
+    def est(key: String) =
+      s"array_min(transform(sequence(0, ${depth - 1}), i -> " +
+        s"element_at(cms, cast(i * $width + pmod(graft_md5long(" +
+        s"concat(cast(i as string), ':', cast($key as string)))" +
+        s", $width) + 1 as int))))"
+    val exact = graft.queries.Tables.events(s, dir)
+      .filter(col("user_id") <= 20)
+      .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+    // the readout plan resolves on the CALLER's session, not the
+    // isolated stream clone — register the hash family there
+    graft.ops.Hashing.ensureRegistered(exact)
+    exact.join(broadcast(out))
+      .select(col("user_id"), expr(est("user_id")).as("est"),
+        col("n_exact"),
+        (expr(est("user_id")) >= col("n_exact")).as("overcount_only"))
+      .orderBy("user_id")
+  }
+
   def sketchDistinct(s: SparkSession, dir: String, k: Int = 256)
       : DataFrame = {
     val out = runToCompletion(s, ss => {
