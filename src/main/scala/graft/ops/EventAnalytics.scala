@@ -801,6 +801,87 @@ object EventAnalytics {
       .orderBy("touch")
   }
 
+  /** U-SHAPED (position-based) multi-touch attribution — the 40/20/40
+    * rule beside [[lastTouchAttribution]] and [[linearAttribution]]:
+    * per conversion with m preceding touches, the FIRST touch earns
+    * 0.4, the LAST 0.4, and the middles split 0.2 evenly (m = 1 →
+    * 1.0; m = 2 → 0.5/0.5). A conversion with no preceding touch
+    * credits `__none__` whole.
+    *
+    * SHAPE — still NO touch×conversion pair join: positional credit
+    * decomposes into three linear components over the per-user touch
+    * index i (the running touch count):
+    *   • first: every conversion's first-touch weight lands on i = 1
+    *     (one per-user sum, equi-joined);
+    *   • last: weight lands exactly on i = m (an equi-join on
+    *     (user, m));
+    *   • middles: each conversion spreads the CONSTANT 0.2/(m−2) over
+    *     the contiguous index range [2, m−1] — a DIFFERENCE ARRAY:
+    *     +v at 2 and −v at m per conversion, then one per-user prefix
+    *     sum over i recovers every touch's middle credit.
+    * Two per-user windows + equi-joins + a |types|-bounded aggregate.
+    *
+    * DETERMINISM: all weights fix to DECIMAL(18,6) (the middle value
+    * rounds to 6 first), so every sum — including the prefix window —
+    * is order-exact; conservation holds to round-6 residue per middle
+    * span (the spec pins it).
+    */
+  def uShapeAttribution(events: DataFrame, convType: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val marked = events.select("user_id", "event_id", "event_type", "ts_us")
+      .withColumn("__t",
+        when(col("event_type") =!= convType, col("event_type")))
+      .withColumn("__m", count(col("__t")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val touches = marked.filter(col("__t").isNotNull)
+      .select(col("user_id"), col("__m").as("i"), col("__t"))
+    val convs = marked
+      .filter(col("event_type") === convType && col("__m") > 0)
+      .select(col("user_id"), col("__m").as("m"))
+    val dec = "decimal(18,6)"
+    val firstC = convs
+      .withColumn("w", expr(s"cast(case when m = 1 then 1.0 " +
+        s"when m = 2 then 0.5 else 0.4 end as $dec)"))
+      .groupBy("user_id").agg(sum("w").as("fc"))
+      .withColumn("i", lit(1L))
+    val lastC = convs.filter(col("m") >= 2)
+      .withColumn("w", expr(s"cast(case when m = 2 then 0.5 " +
+        s"else 0.4 end as $dec)"))
+      .groupBy(col("user_id"), col("m").as("i")).agg(sum("w").as("lc"))
+    val midV = expr(s"cast(round(0.2 / cast(m - 2 as double), 6) as $dec)")
+    val midDeltas = convs.filter(col("m") >= 3)
+      .select(col("user_id"), lit(2L).as("i"), midV.as("d"))
+      .unionByName(convs.filter(col("m") >= 3)
+        .select(col("user_id"), col("m").as("i"),
+          (midV * -1).as("d")))
+      .groupBy("user_id", "i").agg(sum("d").as("dd"))
+    val byIdx = Window.partitionBy("user_id").orderBy("i")
+    val perTouch = touches
+      .join(firstC, Seq("user_id", "i"), "left")
+      .join(lastC, Seq("user_id", "i"), "left")
+      .join(midDeltas, Seq("user_id", "i"), "left")
+      .withColumn("mid", sum(coalesce(col("dd"),
+        expr(s"cast(0.0 as $dec)"))).over(byIdx))
+      .withColumn("credit",
+        coalesce(col("fc"), expr(s"cast(0.0 as $dec)")) +
+        coalesce(col("lc"), expr(s"cast(0.0 as $dec)")) + col("mid"))
+    val touchCredit = perTouch.groupBy(col("__t").as("touch"))
+      .agg(sum("credit").as("__sum"))
+      .select(col("touch"), col("__sum").cast("double").as("__sum"))
+    val orphan = marked
+      .filter(col("event_type") === convType && col("__m") === 0)
+      .groupBy(lit("__none__").as("touch"))
+      .agg(count(lit(1)).cast("double").as("__sum"))
+    val tot = marked.filter(col("event_type") === convType)
+      .agg(count(lit(1)).as("__n"))
+    touchCredit.unionByName(orphan)
+      .crossJoin(broadcast(tot))
+      .select(col("touch"), round(col("__sum"), 6).as("credit"),
+        round(col("__sum") / col("__n").cast("double"), 6).as("share"))
+      .orderBy("touch")
+  }
+
   /** Rolling z-score anomaly flags over the gap-filled daily count
     * series: each day scores against the trailing `window`-day mean
     * and sample stddev (current day EXCLUDED — an anomalous day must

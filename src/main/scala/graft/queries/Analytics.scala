@@ -1014,6 +1014,69 @@ object Analytics extends QueryModule {
       FROM (SELECT * FROM tc UNION ALL SELECT * FROM orphan)
       CROSS JOIN tot ORDER BY touch""")),
 
+    // ---- U-shaped (position-based) attribution (EventAnalytics.
+    // uShapeAttribution): 40/20/40 first/middles/last per conversion,
+    // decomposed into three LINEAR components over the per-user touch
+    // index — first (equi at i=1), last (equi at i=m), middles via a
+    // DIFFERENCE ARRAY (+v at 2, −v at m, one per-user prefix sum) —
+    // never a touch×conversion pair join. Weights fix to DECIMAL(18,6)
+    // so every fold is order-exact.
+    QueryDef("e_attribution_ushape", (s, d) => {
+      EventAnalytics.uShapeAttribution(Tables.events(s, d), "purchase")
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts)
+                   AS ts_us FROM events),
+      m AS (SELECT *, CASE WHEN event_type <> 'purchase'
+              THEN event_type END AS t FROM e),
+      c AS (SELECT *, COUNT(t) OVER (PARTITION BY user_id
+              ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS mm
+            FROM m),
+      touches AS (SELECT user_id, mm AS i, t FROM c WHERE t IS NOT NULL),
+      convs AS (SELECT user_id, mm AS m FROM c
+                WHERE event_type = 'purchase' AND mm > 0),
+      firstc AS (SELECT user_id, CAST(1 AS BIGINT) AS i,
+                   SUM(CAST(CASE WHEN m = 1 THEN 1.0
+                     WHEN m = 2 THEN 0.5 ELSE 0.4 END
+                     AS DECIMAL(18,6))) AS fc
+                 FROM convs GROUP BY 1),
+      lastc AS (SELECT user_id, m AS i,
+                  SUM(CAST(CASE WHEN m = 2 THEN 0.5 ELSE 0.4 END
+                    AS DECIMAL(18,6))) AS lc
+                FROM convs WHERE m >= 2 GROUP BY 1, 2),
+      midd AS (SELECT user_id, i, SUM(d) AS dd FROM (
+                 SELECT user_id, CAST(2 AS BIGINT) AS i,
+                   CAST(round(0.2 / CAST(m - 2 AS DOUBLE), 6)
+                     AS DECIMAL(18,6)) AS d
+                 FROM convs WHERE m >= 3
+                 UNION ALL
+                 SELECT user_id, m AS i,
+                   CAST(round(0.2 / CAST(m - 2 AS DOUBLE), 6)
+                     AS DECIMAL(18,6)) * -1 AS d
+                 FROM convs WHERE m >= 3) z
+               GROUP BY 1, 2),
+      pt AS (SELECT tch.user_id, tch.i, tch.t,
+               COALESCE(fc, CAST(0.0 AS DECIMAL(18,6))) AS fc,
+               COALESCE(lc, CAST(0.0 AS DECIMAL(18,6))) AS lc,
+               SUM(COALESCE(dd, CAST(0.0 AS DECIMAL(18,6))))
+                 OVER (PARTITION BY tch.user_id ORDER BY tch.i
+                   ROWS UNBOUNDED PRECEDING) AS mid
+             FROM touches tch
+             LEFT JOIN firstc USING (user_id, i)
+             LEFT JOIN lastc USING (user_id, i)
+             LEFT JOIN midd USING (user_id, i)),
+      tc AS (SELECT t AS touch,
+               CAST(SUM(fc + lc + mid) AS DOUBLE) AS sm
+             FROM pt GROUP BY 1),
+      orphan AS (SELECT '__none__' AS touch,
+               CAST(COUNT(*) AS DOUBLE) AS sm FROM c
+             WHERE event_type = 'purchase' AND mm = 0 GROUP BY 1),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e
+              WHERE event_type = 'purchase')
+      SELECT touch, round(sm, 6) AS credit,
+        round(sm / CAST(n AS DOUBLE), 6) AS share
+      FROM (SELECT * FROM tc UNION ALL SELECT * FROM orphan)
+      CROSS JOIN tot ORDER BY touch""")),
+
     // ---- Pearson χ² independence test between two categoricals
     // (Stats.chiSquareIndependence): the FULL |X|×|Y| grid (zero cells
     // contribute their expectation) from cross-joined broadcast

@@ -389,6 +389,31 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.getLong(3) === (if (chi2 > 10.828) 1L else 0L))
   }
 
+  test("ushape attribution: 40/20/40 hand-computed; m=1/m=2 edge " +
+    "weights; conservation to round-6 residue") {
+    // user 1: A B C D purchase  -> A 0.4, B 0.1, C 0.1, D 0.4
+    // user 2: A purchase        -> A 1.0
+    // user 3: A B purchase      -> A 0.5, B 0.5
+    // user 4: purchase          -> __none__ 1.0
+    val e = ev(
+      (1L, 1L, "A", 10L, 0.0), (1L, 2L, "B", 20L, 0.0),
+      (1L, 3L, "C", 30L, 0.0), (1L, 4L, "D", 40L, 0.0),
+      (1L, 5L, "purchase", 50L, 0.0),
+      (2L, 6L, "A", 10L, 0.0), (2L, 7L, "purchase", 20L, 0.0),
+      (3L, 8L, "A", 10L, 0.0), (3L, 9L, "B", 20L, 0.0),
+      (3L, 10L, "purchase", 30L, 0.0),
+      (4L, 11L, "purchase", 5L, 0.0))
+    val out = EventAnalytics.uShapeAttribution(e, "purchase")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("A") === 0.4 + 1.0 + 0.5)
+    assert(out("B") === 0.1 + 0.5)
+    assert(out("C") === 0.1)
+    assert(out("D") === 0.4)
+    assert(out("__none__") === 1.0)
+    // conservation: total credit = total conversions
+    assert(math.abs(out.values.sum - 4.0) < 1e-5)
+  }
+
   test("ewma forecast: 4^j recency weights over the 8-day history, " +
     "missing days weigh zero, fixed denominator") {
     // series A: 2 events on anchor day 10, history: 3 on day 9 (j=7),
