@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-model family over mention contexts (ref sift/models/text.py and
@@ -640,5 +641,88 @@ object TextModels {
       .agg(count(lit(1)).as("n_scored"),
         round(sum(col("nll")).cast("double") / count(lit(1)), 6)
           .as("mean_nll"))
+  }
+
+  /** Multinomial Naive Bayes classifier (McCallum & Nigam 1998) —
+    * the classic count-table text classifier (the CCNet/GPT-3-era
+    * quality/langID filter shape): train on the even-md5-hash half
+    * of the corpus, predict `labelCol` for the odd half, emit the
+    * confusion grid.
+    *
+    *   score(l | d) = ln P(l) + Σ_t n_t(d) · ln((c(t,l)+1)/(T_l+V))
+    *
+    * with add-1 (Laplace) smoothing over the train vocabulary V.
+    * Every test token scores under EVERY label — including tokens
+    * absent from (t,l) or from the vocab entirely, which take the
+    * floor 1/(T_l+V) (c = 0); a token-less test doc falls back to
+    * the prior-only argmax.
+    *
+    * SCALE SHAPE: the model IS one (term,label) count table built by
+    * a hash aggregate over the train half — never collected. Scoring
+    * is one equi-join of test (doc,term,cnt) triples against that
+    * table after a broadcast cross with the |labels|-row label frame
+    * (priors + totals + V); the argmax is a per-doc window over
+    * |labels| rows. DETERMINISM: per-term log-likelihoods round(,9)
+    * into DECIMAL(24,9) before the integer-count multiply and the
+    * per-(doc,label) sum, so every fold is order-exact and the
+    * argmax (score desc, label asc) has no float races.
+    */
+  def naiveBayes(docs: DataFrame, labelCol: String): DataFrame = {
+    Hashing.ensureRegistered(docs)
+    val labeled = docs.filter(col(labelCol).isNotNull)
+      .select(col("doc_id"), col(labelCol).as("lbl"),
+        expr(Hashing.tokensSql).as("tk"))
+      .withColumn("par",
+        pmod(Hashing.md5Long(col("doc_id").cast("string")), lit(2L)))
+    val train = labeled.filter(col("par") === 0)
+    val test = labeled.filter(col("par") === 1)
+
+    val trainTok = train.select(col("lbl"), explode(col("tk")).as("term"))
+    val ctl = trainTok.groupBy("term", "lbl").agg(count(lit(1)).as("c"))
+    // label frame: doc prior + token total per label; V and the train
+    // doc total attach as broadcast scalars
+    val byLabel = train.groupBy("lbl").agg(count(lit(1)).as("nl"))
+      .join(trainTok.groupBy("lbl").agg(count(lit(1)).as("tl")),
+        Seq("lbl"), "left")
+      .na.fill(0L, Seq("tl"))
+    val scalars = ctl.agg(countDistinct(col("term")).as("v"))
+      .crossJoin(train.agg(count(lit(1)).as("ntr")))
+    val labelFrame = byLabel.crossJoin(scalars)
+      .withColumn("logprior", expr(
+        "cast(round(ln(cast(nl as double) / cast(ntr as double)), 9) " +
+          "as decimal(12,9))"))
+      .select("lbl", "tl", "v", "logprior")
+
+    val testTok = test
+      .select(col("doc_id"), explode(col("tk")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+    val termScores = testTok
+      .crossJoin(broadcast(labelFrame.select(col("lbl").as("slbl"),
+        col("tl"), col("v"))))
+      .join(ctl.select(col("term"), col("lbl").as("slbl"), col("c")),
+        Seq("term", "slbl"), "left")
+      // (9,0)×(12,9) keeps the product inside exact DECIMAL range in
+      // BOTH engines (a wider pair overflows DuckDB's 38-digit
+      // multiply to DOUBLE and costs Spark scale) — cnt and the
+      // round-9 log both fit with room
+      .select(col("doc_id"), col("slbl"), expr(
+        "cast(cnt as decimal(9,0)) * cast(round(ln(" +
+          "cast(coalesce(c, 0) + 1 as double) / " +
+          "cast(tl + v as double)), 9) as decimal(12,9))").as("w"))
+      .groupBy("doc_id", "slbl").agg(sum(col("w")).as("toksum"))
+    // every test doc × every label (prior-only fallback for empty docs)
+    val scored = test.select(col("doc_id"), col("lbl").as("actual"))
+      .crossJoin(broadcast(labelFrame.select(col("lbl").as("slbl"),
+        col("logprior"))))
+      .join(termScores, Seq("doc_id", "slbl"), "left")
+      .withColumn("score", col("logprior") +
+        coalesce(col("toksum"), expr("cast(0 as decimal(12,9))")))
+    val win = Window.partitionBy("doc_id")
+      .orderBy(desc("score"), asc("slbl"))
+    scored.withColumn("rk", row_number().over(win))
+      .filter(col("rk") === 1)
+      .groupBy(col("actual"), col("slbl").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("actual", "predicted")
   }
 }

@@ -1270,6 +1270,60 @@ object Analytics extends QueryModule {
         CROSS JOIN tot)
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
         round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS mean_nll
-      FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+      FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- Multinomial Naive Bayes language classifier (TextModels.
+    // naiveBayes): train (term,label) counts on the even-md5 half,
+    // add-1-smoothed log-likelihood argmax on the odd half, confusion
+    // grid out. Per-term logs round(,9) into DECIMAL(12,9) before the
+    // (9,0)-count multiply and per-(doc,label) sum — exact in both
+    // engines, so the argmax (score desc, label asc) cannot race.
+    QueryDef("m_naive_bayes", (s, d) => {
+      TextModels.naiveBayes(docs(s, d), "lang")
+    }, Some("""
+      WITH lab AS (SELECT doc_id, lang AS lbl,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS tk,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))
+               AS BIGINT) % 2 AS par
+           FROM documents WHERE lang IS NOT NULL),
+      tr AS (SELECT * FROM lab WHERE par = 0),
+      te AS (SELECT * FROM lab WHERE par = 1),
+      trtok AS (SELECT lbl, unnest(tk) AS term FROM tr),
+      ctl AS (SELECT term, lbl, CAST(COUNT(*) AS BIGINT) AS c
+              FROM trtok GROUP BY 1, 2),
+      bylbl AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS nl
+                FROM tr GROUP BY 1),
+      ltot AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS tl
+               FROM trtok GROUP BY 1),
+      sc AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM ctl),
+      ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntr FROM tr),
+      lf AS (SELECT b.lbl, COALESCE(t.tl, 0) AS tl, v,
+               CAST(round(ln(CAST(nl AS DOUBLE) / CAST(ntr AS DOUBLE)),
+                 9) AS DECIMAL(12,9)) AS logprior
+             FROM bylbl b LEFT JOIN ltot t ON b.lbl = t.lbl
+             CROSS JOIN sc CROSS JOIN ntr),
+      tetok AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM (SELECT doc_id, unnest(tk) AS term FROM te)
+                GROUP BY 1, 2),
+      ts AS (SELECT doc_id, slbl, SUM(w) AS toksum FROM (
+               SELECT tt.doc_id, lf.lbl AS slbl,
+                 CAST(cnt AS DECIMAL(9,0)) * CAST(round(ln(
+                   CAST(COALESCE(c, 0) + 1 AS DOUBLE) /
+                   CAST(tl + v AS DOUBLE)), 9) AS DECIMAL(12,9)) AS w
+               FROM tetok tt CROSS JOIN lf
+               LEFT JOIN ctl ON tt.term = ctl.term AND lf.lbl = ctl.lbl)
+             GROUP BY 1, 2),
+      scored AS (SELECT te.doc_id, te.lbl AS actual, lf.lbl AS slbl,
+                   lf.logprior + COALESCE(toksum,
+                     CAST(0 AS DECIMAL(12,9))) AS score
+                 FROM te CROSS JOIN lf
+                 LEFT JOIN ts ON te.doc_id = ts.doc_id
+                   AND lf.lbl = ts.slbl),
+      pred AS (SELECT doc_id, actual, slbl AS predicted,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, slbl ASC) AS rk
+               FROM scored)
+      SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM pred WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

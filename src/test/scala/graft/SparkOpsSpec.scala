@@ -425,6 +425,52 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(streamed.toSet == batch.toSet)
     assert(streamed.nonEmpty)
   }
+
+  /** Test-side twin of the gate's md5 split: first 15 hex chars of
+    * md5(doc_id) as a long, % 2 (parity 1 = held-out/test half).
+    */
+  private def md5Parity(id: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.map("%02x".format(_)).mkString.substring(0, 15), 16) % 2
+  }
+
+  test("TextModels.naiveBayes: disjoint vocabularies classify to the " +
+    "diagonal; planted cross-vocab doc lands off-diagonal") {
+    val s = spark; import s.implicits._
+    // labels with fully disjoint vocabularies: any test doc scores
+    // its own label's terms far above the add-1 floor of the other
+    val base = (1L to 30L).map(i => (i, "alpha beta alpha gamma", "en")) ++
+      (31L to 50L).map(i => (i, "rouge bleu rouge vert", "fr"))
+    // planted confusion: an fr-labeled doc written in en vocabulary,
+    // with a doc_id picked to land in the held-out (parity-1) half
+    val oddId = (1000L to 1100L).find(md5Parity(_) == 1).get
+    val docs = (base :+ ((oddId, "alpha beta gamma", "fr")))
+      .toDF("doc_id", "text", "lang")
+    val out = TextModels.naiveBayes(docs, "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nTest = (1L to 50L).count(md5Parity(_) == 1)
+    assert(out(("fr", "en")) == 1L) // the planted doc, misclassified
+    assert(out.getOrElse(("en", "fr"), 0L) == 0L)
+    assert(out.filter { case ((a, p), _) => a == p }.values.sum == nTest)
+    assert(out.values.sum == nTest + 1)
+  }
+
+  test("TextModels.naiveBayes: token-less test doc falls back to the " +
+    "prior argmax") {
+    val s = spark; import s.implicits._
+    // en has the larger train prior (more docs); the empty doc gives
+    // every label only its logprior -> argmax = en
+    val emptyId = (2000L to 2100L).find(md5Parity(_) == 1).get
+    val base = (1L to 30L).map(i => (i, "alpha beta", "en")) ++
+      (31L to 40L).map(i => (i, "rouge bleu", "fr"))
+    val docs = (base :+ ((emptyId, "!!!", "fr")))
+      .toDF("doc_id", "text", "lang")
+    val out = TextModels.naiveBayes(docs, "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("fr", "en")) >= 1L) // empty doc predicted by prior
+  }
 }
 
 class MultimodalSpec extends org.scalatest.funsuite.AnyFunSuite {
