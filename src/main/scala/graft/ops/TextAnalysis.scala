@@ -411,4 +411,49 @@ object TextAnalysis {
         round(expr("cast(w6 as double) / cast(tw as double)"), 6)
           .as("mix_weight"))
   }
+
+  /** Bigram PMI collocation mining (Church & Hanks 1990) — the classic
+    * "strongly associated adjacent word pair" detector (multi-word
+    * expressions, named entities, tokenizer-merge candidates):
+    *
+    *   pmi(a,b) = ln( (c_ab / B) / ((c_a / T) · (c_b / T)) )
+    *
+    * with c_ab the adjacent-bigram count over the corpus (B total
+    * bigrams) and c_a/c_b unigram token counts (T total tokens).
+    * Bigrams below `minCount` are dropped (the standard sparse-count
+    * guard — PMI of a once-seen pair is pure noise); top-`k` by
+    * (pmi desc, a asc, b asc).
+    *
+    * SCALE SHAPE: two hash-aggregated count tables (bigram + unigram)
+    * over explode streams; the bigram frame equi-joins the unigram
+    * counts twice on single word keys; the two scalar totals attach
+    * as one broadcast 1-row frame; the top-k is a sort-limit (driver
+    * receives k rows only). DETERMINISM: pmi round(,6) BEFORE the
+    * order-by, so libm ulp differences cannot reorder the cut; ties
+    * break on the pair text.
+    */
+  def collocations(docs: DataFrame, minCount: Int = 5, k: Int = 20)
+      : DataFrame = {
+    val toks = docs.select(expr(Hashing.tokensSql).as("tk"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val bi = toks.filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(" +
+          "element_at(tk, i) as a, element_at(tk, i + 1) as b))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cab"))
+    val totals = bi.agg(sum(col("cab")).as("bb"))
+      .crossJoin(uni.agg(sum(col("cu")).as("tt")))
+    bi.filter(col("cab") >= minCount)
+      .join(uni.select(col("w").as("a"), col("cu").as("ca")), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("cu").as("cb")), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("cab"),
+        round(expr("ln((cast(cab as double) / cast(bb as double)) / " +
+          "((cast(ca as double) / cast(tt as double)) * " +
+          "(cast(cb as double) / cast(tt as double))))"), 6).as("pmi"))
+      .orderBy(desc("pmi"), asc("a"), asc("b")).limit(k)
+  }
 }

@@ -1324,6 +1324,32 @@ object Analytics extends QueryModule {
                    ORDER BY score DESC, slbl ASC) AS rk
                FROM scored)
       SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
-      FROM pred WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2"""))
+      FROM pred WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- Bigram PMI collocations (TextAnalysis.collocations, Church
+    // & Hanks 1990): adjacent-bigram vs unigram count tables, PMI =
+    // ln((c_ab/B)/((c_a/T)(c_b/T))), min-count 5, top-20. PMI rounds
+    // (,6) BEFORE the order-by so libm ulps cannot reorder the cut.
+    QueryDef("t_collocations", (s, d) => {
+      graft.ops.TextAnalysis.collocations(docs(s, d), 5, 20)
+    }, Some("""
+      WITH tkk AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+')
+               AS tk FROM documents),
+      uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu
+              FROM (SELECT unnest(tk) AS w FROM tkk) GROUP BY 1),
+      bi AS (SELECT p.a AS a, p.b AS b, CAST(COUNT(*) AS BIGINT) AS cab
+             FROM (SELECT unnest(list_transform(range(1, len(tk)),
+                     i -> {'a': tk[i], 'b': tk[i+1]})) AS p
+                   FROM tkk WHERE len(tk) >= 2) GROUP BY 1, 2),
+      tot AS (SELECT (SELECT CAST(SUM(cab) AS BIGINT) FROM bi) AS bb,
+                (SELECT CAST(SUM(cu) AS BIGINT) FROM uni) AS tt)
+      SELECT bg.a, bg.b, cab,
+        round(ln((CAST(cab AS DOUBLE) / CAST(bb AS DOUBLE)) /
+          ((CAST(ca.cu AS DOUBLE) / CAST(tt AS DOUBLE)) *
+           (CAST(cb.cu AS DOUBLE) / CAST(tt AS DOUBLE)))), 6) AS pmi
+      FROM bi bg JOIN uni ca ON bg.a = ca.w
+      JOIN uni cb ON bg.b = cb.w CROSS JOIN tot
+      WHERE cab >= 5
+      ORDER BY pmi DESC, bg.a, bg.b LIMIT 20"""))
   )
 }

@@ -436,6 +436,25 @@ class SparkOpsSpec extends AnyFunSuite {
       d.map("%02x".format(_)).mkString.substring(0, 15), 16) % 2
   }
 
+  test("TextAnalysis.collocations: hand-computed PMI, min-count drop, " +
+    "round-6 tie order") {
+    // 5x "new york is big": bigrams (new,york)/(york,is)/(is,big) at
+    // count 5 each; one "foo bar" doc adds T += 2, B += 1 and a
+    // below-min-count pair that must NOT appear. T = 22, B = 16,
+    // every unigram count 5 -> pmi = ln((5/16)/((5/22)^2)) for all
+    // three survivors; ties break (a asc, b asc).
+    val docs = docsDf((1L to 5L).map(i => i -> "new york is big") :+
+      (6L -> "foo bar"): _*)
+    val out = TextAnalysis.collocations(docs, minCount = 5, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+    val expPmi = BigDecimal(math.log((5.0 / 16) / math.pow(5.0 / 22, 2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(t => (t._1, t._2)).toSeq ==
+      Seq(("is", "big"), ("new", "york"), ("york", "is")))
+    assert(out.forall(t => t._3 == 5L && t._4 == expPmi))
+  }
+
   test("TextModels.naiveBayes: disjoint vocabularies classify to the " +
     "diagonal; planted cross-vocab doc lands off-diagonal") {
     val s = spark; import s.implicits._
