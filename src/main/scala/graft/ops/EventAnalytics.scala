@@ -326,6 +326,41 @@ object EventAnalytics {
       .orderBy(desc("n"), asc("path")).limit(k)
   }
 
+  /** Gapped sequential-pattern support (the 2-length PrefixSpan/GSP
+    * core, Pei et al. 2001) — [[topPaths]]' complement: "x then LATER
+    * y" with any gap, counted once per user (support = distinct users
+    * exhibiting the pattern), the metric sequence miners cut on.
+    *
+    * A user exhibits x>y iff some x-event strictly precedes some
+    * y-event IN TIMESTAMP (first_us(x) < last_us(y); equal-µs pairs
+    * do not count — the documented tie convention, identical in both
+    * engines). x = y reads "repeat behavior": two occurrences at
+    * distinct timestamps.
+    *
+    * SCALE SHAPE: one per-(user, type) min/max hash aggregate shrinks
+    * the stream to ≤|types| rows per user, then a user-key self-join
+    * builds the ≤|types|² within-user grid — NEVER an event×event
+    * pair join; support is one hash aggregate over patterns and the
+    * user total attaches broadcast. Top-k by (support desc, pattern
+    * asc) — pure BIGINT ordering, no float in the cut.
+    */
+  def sequencePatterns(events: DataFrame, k: Int = 20): DataFrame = {
+    val spans = events.select("user_id", "event_type", "ts_us")
+      .groupBy("user_id", "event_type")
+      .agg(min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"))
+    val totals = events.agg(countDistinct(col("user_id")).as("nu"))
+    spans.as("x").join(spans.as("y"), "user_id")
+      .filter(col("x.first_us") < col("y.last_us"))
+      .select(concat_ws(">", col("x.event_type"), col("y.event_type"))
+        .as("pattern"))
+      .groupBy("pattern").agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(totals))
+      .select(col("pattern"), col("n_users"),
+        round(col("n_users").cast("double") / col("nu").cast("double"), 6)
+          .as("support"))
+      .orderBy(desc("n_users"), asc("pattern")).limit(k)
+  }
+
   /** Active-user engagement rollup: per calendar day, DAU plus
     * rolling 7-day (WAU) and 28-day (MAU) distinct actives and the
     * DAU/MAU stickiness ratio — the standard growth dashboard.

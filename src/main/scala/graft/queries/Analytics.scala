@@ -1350,6 +1350,31 @@ object Analytics extends QueryModule {
       FROM bi bg JOIN uni ca ON bg.a = ca.w
       JOIN uni cb ON bg.b = cb.w CROSS JOIN tot
       WHERE cab >= 5
-      ORDER BY pmi DESC, bg.a, bg.b LIMIT 20"""))
+      ORDER BY pmi DESC, bg.a, bg.b LIMIT 20""")),
+
+    // ---- Gapped sequential-pattern support (EventAnalytics.
+    // sequencePatterns): "x then later y" with any gap, once per user;
+    // per-(user,type) min/max aggregate then the bounded within-user
+    // type grid — never an event×event pair join. Equal-µs pairs do
+    // not count (strict first_us < last_us, both engines).
+    QueryDef("e_seq_patterns", (s, d) => {
+      EventAnalytics.sequencePatterns(Tables.events(s, d), 20)
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+                 FROM events),
+      sp AS (SELECT user_id, event_type, MIN(ts_us) AS first_us,
+               MAX(ts_us) AS last_us
+             FROM e GROUP BY 1, 2),
+      tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
+              FROM e),
+      pats AS (SELECT x.event_type || '>' || y.event_type AS pattern,
+                 CAST(COUNT(*) AS BIGINT) AS n_users
+               FROM sp x JOIN sp y ON x.user_id = y.user_id
+               WHERE x.first_us < y.last_us GROUP BY 1)
+      SELECT pattern, n_users,
+        round(CAST(n_users AS DOUBLE) / CAST(nu AS DOUBLE), 6)
+          AS support
+      FROM pats CROSS JOIN tot
+      ORDER BY n_users DESC, pattern LIMIT 20"""))
   )
 }

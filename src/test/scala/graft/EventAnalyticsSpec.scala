@@ -389,6 +389,24 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.getLong(3) === (if (chi2 > 10.828) 1L else 0L))
   }
 
+  test("sequencePatterns: gapped before-relation per user; equal-us " +
+    "pairs excluded; repeat behavior needs two distinct timestamps") {
+    // user 1: A@10 B@20            -> A>B only
+    // user 2: A@10 A@30 B@20      -> A>B, B>A (gapped), A>A (repeat)
+    // user 3: C@5                  -> nothing (single occurrence)
+    // user 4: A@10 B@10            -> nothing (equal-us tie excluded)
+    val e = ev(
+      (1L, 1L, "A", 10L, 0.0), (1L, 2L, "B", 20L, 0.0),
+      (2L, 3L, "A", 10L, 0.0), (2L, 4L, "A", 30L, 0.0),
+      (2L, 5L, "B", 20L, 0.0),
+      (3L, 6L, "C", 5L, 0.0),
+      (4L, 7L, "A", 10L, 0.0), (4L, 8L, "B", 10L, 0.0))
+    val out = EventAnalytics.sequencePatterns(e).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("A>B", 2L, 0.5),
+      ("A>A", 1L, 0.25), ("B>A", 1L, 0.25)))
+  }
+
   test("ushape attribution: 40/20/40 hand-computed; m=1/m=2 edge " +
     "weights; conservation to round-6 residue") {
     // user 1: A B C D purchase  -> A 0.4, B 0.1, C 0.1, D 0.4
