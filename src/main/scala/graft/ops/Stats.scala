@@ -658,4 +658,55 @@ object Stats {
           round(expr(s"(cast($valueCol as double) - __mu) / __sigma"), 6)))
       .drop("__n", "__s1", "__s2", "__mu", "__sigma")
   }
+
+  /** Cohen's kappa inter-rater agreement (Cohen 1960) — the label-
+    * quality gate for any annotated training set: chance-corrected
+    * agreement between two categorical rater columns.
+    *
+    *   κ = (p_o − p_e) / (1 − p_e)
+    *
+    * with p_o the observed agreement and p_e the chance agreement
+    * Σ_c (row_c/n)(col_c/n). Rows where EITHER rater is null are
+    * excluded (complete-case, the chiSquareIndependence convention).
+    *
+    * DETERMINISM: both probabilities keep exact BIGINT numerators
+    * (diag·n and Σ row_c·col_c over n²), so κ reduces to ONE double
+    * division (diag·n − pe_num)/(n² − pe_num) — identical IEEE in
+    * both engines; round(,6) on the emitted values only. Perfect
+    * chance agreement (p_e = 1) yields NULL κ, not a division error.
+    * SCALE SHAPE: one |C|²-bounded hash aggregate + two |C|-row
+    * marginal folds — aggregate-sized frames only.
+    */
+  def cohensKappa(df: DataFrame, r1: String, r2: String): DataFrame = {
+    val cc = df.filter(col(r1).isNotNull && col(r2).isNotNull)
+      .select(col(r1).as("a"), col(r2).as("b"))
+    val grid = cc.groupBy("a", "b").agg(count(lit(1)).as("nab"))
+    grid.agg(
+      sum(col("nab")).as("n"),
+      sum(when(col("a") === col("b"), col("nab")).otherwise(0L))
+        .as("diag"))
+      .crossJoin(broadcast(
+        grid.groupBy("a").agg(sum(col("nab")).as("ra"))
+          .join(grid.groupBy("b").agg(sum(col("nab")).as("cb")),
+            col("a") === col("b"), "full_outer")
+          .select(coalesce(col("ra"), lit(0L)).as("ra"),
+            coalesce(col("cb"), lit(0L)).as("cb"))
+          // (18,0)×(18,0) DECIMAL products: n·n and Σ row·col exceed
+          // BIGINT once n > ~3e9 (ANSI Spark would throw, DuckDB
+          // error) — a plausible 100 TB row count
+          .agg(sum(expr("cast(ra as decimal(18,0)) * " +
+            "cast(cb as decimal(18,0))")).as("pe_num"))))
+      .withColumn("nn", expr(
+        "cast(n as decimal(18,0)) * cast(n as decimal(18,0))"))
+      .withColumn("dn", expr(
+        "cast(diag as decimal(18,0)) * cast(n as decimal(18,0))"))
+      .select(col("n"), col("diag"),
+        round(expr("cast(diag as double) / cast(n as double)"), 6)
+          .as("po"),
+        round(expr("cast(pe_num as double) / cast(nn as double)"), 6)
+          .as("pe"),
+        round(expr("case when nn > pe_num then " +
+          "cast(dn - pe_num as double) / " +
+          "cast(nn - pe_num as double) end"), 6).as("kappa"))
+  }
 }

@@ -1375,6 +1375,60 @@ object Analytics extends QueryModule {
         round(CAST(n_users AS DOUBLE) / CAST(nu AS DOUBLE), 6)
           AS support
       FROM pats CROSS JOIN tot
-      ORDER BY n_users DESC, pattern LIMIT 20"""))
+      ORDER BY n_users DESC, pattern LIMIT 20""")),
+
+    // ---- Cohen's kappa inter-rater agreement (Stats.cohensKappa):
+    // two deterministic heuristic quality raters — n_chars >= 306
+    // (the corpus median) vs type-token ratio >= 0.6 — and the
+    // chance-corrected agreement between them. Exact BIGINT/DECIMAL
+    // numerators reduce kappa to ONE double division; token-less
+    // docs rate NULL and drop complete-case.
+    QueryDef("a_cohens_kappa", (s, d) => {
+      val dd = docs(s, d).select(
+        when(col("n_chars") >= 306, lit("good")).otherwise(lit("bad"))
+          .as("r_len"),
+        expr("case when size(" + graft.ops.Hashing.tokensSql +
+          ") > 0 then case when " +
+          "cast(size(array_distinct(" + graft.ops.Hashing.tokensSql +
+          ")) as double) / cast(size(" + graft.ops.Hashing.tokensSql +
+          ") as double) >= 0.6D then 'good' else 'bad' end end")
+          .as("r_ttr"))
+      graft.ops.Stats.cohensKappa(dd, "r_len", "r_ttr")
+    }, Some("""
+      WITH r AS (SELECT
+             CASE WHEN n_chars >= 306 THEN 'good' ELSE 'bad' END AS a,
+             CASE WHEN len(tk) > 0 THEN CASE WHEN
+               CAST(len(list_distinct(tk)) AS DOUBLE) /
+               CAST(len(tk) AS DOUBLE) >= 0.6 THEN 'good'
+               ELSE 'bad' END END AS b
+           FROM (SELECT n_chars,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                 FROM documents)),
+      cc AS (SELECT a, b FROM r
+             WHERE a IS NOT NULL AND b IS NOT NULL),
+      grid AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nab
+               FROM cc GROUP BY 1, 2),
+      t AS (SELECT CAST(SUM(nab) AS BIGINT) AS n,
+              CAST(SUM(CASE WHEN a = b THEN nab ELSE 0 END) AS BIGINT)
+                AS diag
+            FROM grid),
+      rm AS (SELECT a, CAST(SUM(nab) AS BIGINT) AS ra
+             FROM grid GROUP BY 1),
+      cm AS (SELECT b, CAST(SUM(nab) AS BIGINT) AS cb
+             FROM grid GROUP BY 1),
+      pe AS (SELECT SUM(CAST(COALESCE(ra, 0) AS DECIMAL(18,0)) *
+               CAST(COALESCE(cb, 0) AS DECIMAL(18,0))) AS pe_num
+             FROM rm FULL OUTER JOIN cm ON rm.a = cm.b)
+      SELECT n, diag,
+        round(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+        round(CAST(pe_num AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS pe,
+        round(CASE WHEN nn > pe_num THEN
+          CAST(dn - pe_num AS DOUBLE) / CAST(nn - pe_num AS DOUBLE)
+          END, 6) AS kappa
+      FROM (SELECT *,
+              CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0)) AS nn,
+              CAST(diag AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0))
+                AS dn
+            FROM t CROSS JOIN pe)"""))
   )
 }

@@ -9,6 +9,26 @@ import graft.ops.Stats
 class StatsSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.session
 
+  test("cohensKappa: textbook 2x2 kappa; nulls drop complete-case; " +
+    "perfect chance agreement yields NULL kappa") {
+    val s = spark; import s.implicits._
+    // 45 (y,y), 15 (y,n), 15 (n,y), 25 (n,n): po = 0.70,
+    // pe = (60*60 + 40*40)/100^2 = 0.52, kappa = 0.18/0.48 = 0.375
+    val rows = Seq.fill(45)(("y", "y")) ++ Seq.fill(15)(("y", "n")) ++
+      Seq.fill(15)(("n", "y")) ++ Seq.fill(25)(("n", "n")) ++
+      Seq.fill(7)((null: String, "y")) // must not shift any number
+    val out = Stats.cohensKappa(rows.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(out.getLong(0) === 100L && out.getLong(1) === 70L)
+    assert(out.getDouble(2) === 0.70 && out.getDouble(3) === 0.52)
+    assert(out.getDouble(4) === 0.375)
+    // single shared category: pe = 1 -> kappa NULL, not a div error
+    val degen = Stats.cohensKappa(
+      Seq.fill(9)(("x", "x")).toDF("a", "b"), "a", "b").collect().head
+    assert(degen.getDouble(2) === 1.0 && degen.getDouble(3) === 1.0)
+    assert(degen.isNullAt(4))
+  }
+
   test("histogram: max lands in the top bin, edges tile [min, max]") {
     val s = spark; import s.implicits._
     val df = (0 to 100).map(i => Tuple1(i.toDouble)).toDF("v")
