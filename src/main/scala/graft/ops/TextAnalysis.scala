@@ -456,4 +456,53 @@ object TextAnalysis {
           "(cast(cb as double) / cast(tt as double))))"), 6).as("pmi"))
       .orderBy(desc("pmi"), asc("a"), asc("b")).limit(k)
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") — score every doc in
+    * the raw pool by how target-like its hashed unigram bag is:
+    *
+    *   w(d) = Σ_tokens [ ln p_tgt(bucket) − ln p_raw(bucket) ]
+    *
+    * with bucket = md5(term) mod `buckets` (the paper's hashed-ngram
+    * trick: model size is BOUNDED at `buckets` rows no matter the
+    * vocabulary — that is the 100 TB story) and add-0.5 smoothing
+    * p(k) = (c_k + 0.5)/(T + 0.5·B). High-w docs resemble the target
+    * distribution; resample the pool ∝ exp(w) downstream.
+    *
+    * SCALE SHAPE: the two models are ONE `buckets`-row count table
+    * each (hash aggregates), joined into a broadcast log-ratio table;
+    * scoring is a per-token equi-join on bucket + one per-doc fold.
+    * DETERMINISM: each ln rounds (,9) into DECIMAL(12,9) before the
+    * subtraction and the per-doc sum — order-exact folds; only raw-
+    * observed buckets are scored (every scored token lands in one).
+    */
+  def dsirWeights(docs: DataFrame, targetPred: Column,
+      buckets: Int = 1024): DataFrame = {
+    Hashing.ensureRegistered(docs)
+    val toks = docs
+      .select(col("doc_id"), targetPred.as("is_t"),
+        explode(expr(Hashing.tokensSql)).as("term"))
+      .withColumn("bkt", pmod(Hashing.md5Long(col("term")),
+        lit(buckets.toLong)))
+    val rawC = toks.groupBy("bkt").agg(count(lit(1)).as("cr"))
+    val tgtC = toks.filter(col("is_t")).groupBy("bkt")
+      .agg(count(lit(1)).as("ct"))
+    val totals = rawC.agg(sum(col("cr")).as("tr"))
+      .crossJoin(tgtC.agg(sum(col("ct")).as("tt")))
+    val halfB = buckets * 0.5
+    val ratio = rawC.join(tgtC, Seq("bkt"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(totals)
+      .select(col("bkt"), expr(
+        "cast(round(ln((cast(ct as double) + 0.5D) / " +
+          s"(cast(tt as double) + ${halfB}D)), 9) as decimal(12,9)) - " +
+        "cast(round(ln((cast(cr as double) + 0.5D) / " +
+          s"(cast(tr as double) + ${halfB}D)), 9) as decimal(12,9))")
+        .as("lr"))
+    toks.join(broadcast(ratio), Seq("bkt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lr")).cast("double"), 6).as("weight"))
+      .orderBy("doc_id")
+  }
 }

@@ -1429,6 +1429,41 @@ object Analytics extends QueryModule {
               CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0)) AS nn,
               CAST(diag AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0))
                 AS dn
-            FROM t CROSS JOIN pe)"""))
+            FROM t CROSS JOIN pe)""")),
+
+    // ---- DSIR importance weights (TextAnalysis.dsirWeights, Xie et
+    // al. 2023): hashed-unigram (1024-bucket) target-vs-raw log-ratio
+    // models with add-0.5 smoothing, per-doc importance weight; the
+    // model is a bounded broadcast table regardless of vocabulary.
+    // Target = lang 'en'. Round-9 DECIMAL per-token terms.
+    QueryDef("t_dsir_weights", (s, d) => {
+      graft.ops.TextAnalysis.dsirWeights(docs(s, d),
+        col("lang") === "en", 1024)
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, lang = 'en' AS is_t,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS term
+           FROM documents),
+      tb AS (SELECT doc_id, is_t,
+               (${Hashing.duckMd5Long("term")}) % 1024 AS bkt
+             FROM toks),
+      rawc AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS cr
+               FROM tb GROUP BY 1),
+      tgtc AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS ct
+               FROM tb WHERE is_t GROUP BY 1),
+      tot AS (SELECT
+               (SELECT CAST(SUM(cr) AS BIGINT) FROM rawc) AS tr,
+               (SELECT CAST(SUM(ct) AS BIGINT) FROM tgtc) AS tt),
+      ratio AS (SELECT rawc.bkt,
+          CAST(round(ln((CAST(COALESCE(ct, 0) AS DOUBLE) + 0.5) /
+            (CAST(tt AS DOUBLE) + 512.0)), 9) AS DECIMAL(12,9)) -
+          CAST(round(ln((CAST(cr AS DOUBLE) + 0.5) /
+            (CAST(tr AS DOUBLE) + 512.0)), 9) AS DECIMAL(12,9)) AS lr
+        FROM rawc LEFT JOIN tgtc ON rawc.bkt = tgtc.bkt
+        CROSS JOIN tot)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        round(CAST(SUM(lr) AS DOUBLE), 6) AS weight
+      FROM tb JOIN ratio ON tb.bkt = ratio.bkt
+      GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -455,6 +455,29 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(out.forall(t => t._3 == 5L && t._4 == expPmi))
   }
 
+  test("TextAnalysis.dsirWeights: target-vocab docs score positive, " +
+    "off-target negative; token-less docs absent") {
+    val s = spark; import s.implicits._
+    // target (en-flagged) docs speak {alpha beta}; the rest {zulu}.
+    // Corpora must OUTWEIGH the add-0.5 smoothing mass (0.5·64 = 32
+    // pseudo-tokens) for the sign intuition to hold — hence ×20.
+    val docs = Seq(
+      (1L, "alpha beta " * 20, "en"),
+      (2L, "beta alpha " * 20, "en"),
+      (3L, "zulu " * 40, "xx"),
+      (4L, "alpha beta", "xx"),   // target-like but off-target: scored
+      (5L, "", "xx"))             // token-less: absent from output
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.dsirWeights(docs, col("lang") === "en", 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!out.contains(5L))
+    assert(out(4L)._1 == 2L)
+    assert(out(1L)._2 > 0 && out(2L)._2 > 0) // target-like -> up
+    assert(out(3L)._2 < 0)                   // off-target -> down
+    assert(out(4L)._2 > 0)                   // weight follows CONTENT
+  }
+
   test("TextModels.naiveBayes: disjoint vocabularies classify to the " +
     "diagonal; planted cross-vocab doc lands off-diagonal") {
     val s = spark; import s.implicits._
