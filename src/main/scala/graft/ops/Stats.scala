@@ -709,4 +709,56 @@ object Stats {
           "cast(dn - pe_num as double) / " +
           "cast(nn - pe_num as double) end"), 6).as("kappa"))
   }
+
+  /** Decision-stump training — the best single threshold split of a
+    * numeric feature against a boolean target by Gini impurity gain
+    * (the CART root step; also the workhorse weak learner):
+    *
+    *   gain(t) = gini(root) − [ n_l/n · gini(left≤t) + n_r/n · gini(right) ]
+    *
+    * Candidate thresholds are the feature's DISTINCT values (split
+    * "x ≤ t"); the max-x candidate (empty right child) is excluded.
+    *
+    * SCALE SHAPE: one hash aggregate shrinks the scan to the distinct
+    * value frame; left-child counts come from ONE packed-BIGINT
+    * two-phase running sum (pos·2³² + total, the ksTest pack — holds
+    * to ~4·10⁹ rows per side; split the pack into two passes beyond);
+    * the argmax is a sort-limit over the candidate frame.
+    * DETERMINISM: the argmax orders on round(gain, 9) — every gain is
+    * a few fixed IEEE divisions, identical in both engines — with
+    * threshold asc tie-break; the emitted gain rounds (,6).
+    */
+  def decisionStump(df: DataFrame, feature: String, positive: Column)
+      : DataFrame = {
+    val Pack = 4294967296L // 2^32
+    val rows = df.filter(col(feature).isNotNull)
+      .select(col(feature).cast("double").as("x"),
+        when(positive, 1L).otherwise(0L).as("p"))
+    val byVal = rows.groupBy("x").agg(
+      count(lit(1)).as("t"), sum(col("p")).as("pv"))
+      .withColumn("packed", col("pv") * Pack + col("t"))
+    val cum = Rank.globalRunningSum(byVal, Seq(col("x")), "packed", "cum")
+      .withColumn("pl", expr(s"cum div ${Pack}L"))
+      .withColumn("nl", expr(s"cum % ${Pack}L"))
+    val tot = byVal.agg(sum(col("t")).as("n"), sum(col("pv")).as("np"))
+    // gini algebra: weighted child impurity collapses to
+    // 2·[p(n−p)/n]_l + 2·[p(n−p)/n]_r over n — fixed IEEE divisions
+    cum.crossJoin(broadcast(tot))
+      .filter(col("nl") < col("n")) // empty right child: not a split
+      .withColumn("pr", col("np") - col("pl"))
+      .withColumn("nr", col("n") - col("nl"))
+      .withColumn("gain", expr(
+        "2.0D * cast(np as double) * cast(n - np as double) / " +
+          "(cast(n as double) * cast(n as double)) - " +
+        "2.0D * (cast(pl as double) * cast(nl - pl as double) / " +
+          "cast(nl as double) + " +
+        "cast(pr as double) * cast(nr - pr as double) / " +
+          "cast(nr as double)) / cast(n as double)"))
+      .orderBy(round(col("gain"), 9).desc, col("x").asc)
+      .limit(1)
+      .select(col("n"), col("x").as("threshold"),
+        col("nl").as("n_left"), col("pl").as("pos_left"),
+        col("nr").as("n_right"), col("pr").as("pos_right"),
+        round(col("gain"), 6).as("gain"))
+  }
 }

@@ -1464,6 +1464,40 @@ object Analytics extends QueryModule {
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
         round(CAST(SUM(lr) AS DOUBLE), 6) AS weight
       FROM tb JOIN ratio ON tb.bkt = ratio.bkt
-      GROUP BY doc_id ORDER BY doc_id"""))
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- Decision-stump training (Stats.decisionStump): best single
+    // n_chars threshold for lang='en' by Gini gain over the distinct-
+    // value candidate frame; left counts from one packed-BIGINT
+    // two-phase running sum; argmax on round(gain,9), threshold asc.
+    QueryDef("m_decision_stump", (s, d) => {
+      graft.ops.Stats.decisionStump(docs(s, d), "n_chars",
+        col("lang") === "en")
+    }, Some("""
+      WITH rws AS (SELECT CAST(n_chars AS DOUBLE) AS x,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+           FROM documents WHERE n_chars IS NOT NULL),
+      bv AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(SUM(p) AS BIGINT) AS pv
+             FROM rws GROUP BY 1),
+      cum AS (SELECT x, CAST(SUM(pv) OVER w AS BIGINT) AS pl,
+                CAST(SUM(t) OVER w AS BIGINT) AS nl
+              FROM bv
+              WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)),
+      tot AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+                CAST(SUM(pv) AS BIGINT) AS np FROM bv),
+      cand AS (SELECT x, pl, nl, np - pl AS pr, n - nl AS nr, n, np
+               FROM cum CROSS JOIN tot WHERE nl < n),
+      g AS (SELECT *,
+              2.0 * CAST(np AS DOUBLE) * CAST(n - np AS DOUBLE) /
+                (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) -
+              2.0 * (CAST(pl AS DOUBLE) * CAST(nl - pl AS DOUBLE) /
+                  CAST(nl AS DOUBLE) +
+                CAST(pr AS DOUBLE) * CAST(nr - pr AS DOUBLE) /
+                  CAST(nr AS DOUBLE)) / CAST(n AS DOUBLE) AS gain
+            FROM cand)
+      SELECT n, x AS threshold, nl AS n_left, pl AS pos_left,
+        nr AS n_right, pr AS pos_right, round(gain, 6) AS gain
+      FROM g ORDER BY round(gain, 9) DESC, x LIMIT 1"""))
   )
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.Stats
 
@@ -27,6 +28,27 @@ class StatsSpec extends AnyFunSuite {
       Seq.fill(9)(("x", "x")).toDF("a", "b"), "a", "b").collect().head
     assert(degen.getDouble(2) === 1.0 && degen.getDouble(3) === 1.0)
     assert(degen.isNullAt(4))
+  }
+
+  test("decisionStump: perfectly separable split found with gain = " +
+    "root gini; degenerate target ties to the smallest threshold") {
+    val s = spark; import s.implicits._
+    // pos at x in {1,2}, neg at {5,6}: threshold 2 separates exactly
+    // (gain = root gini = 0.5); thresholds 1 and 5 tie at 1/6 below;
+    // max x (6) is no candidate (empty right child)
+    val df = Seq((1.0, "y"), (2.0, "y"), (5.0, "n"), (6.0, "n"))
+      .toDF("x", "lbl")
+    val out = Stats.decisionStump(df, "x", col("lbl") === "y")
+      .collect().head
+    assert(out.getDouble(1) === 2.0)
+    assert(out.getLong(2) === 2L && out.getLong(3) === 2L)
+    assert(out.getLong(4) === 2L && out.getLong(5) === 0L)
+    assert(out.getDouble(6) === 0.5)
+    // all-positive target: every gain 0 -> smallest threshold wins
+    val degen = Stats.decisionStump(
+      Seq((3.0, "y"), (7.0, "y")).toDF("x", "lbl"), "x",
+      col("lbl") === "y").collect().head
+    assert(degen.getDouble(1) === 3.0 && degen.getDouble(6) === 0.0)
   }
 
   test("histogram: max lands in the top bin, edges tile [min, max]") {
