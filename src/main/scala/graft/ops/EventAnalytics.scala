@@ -999,6 +999,51 @@ object EventAnalytics {
         "cast(n_actual as double) - forecast"), 6))
   }
 
+  /** Holt double-exponential (level + trend) daily forecast — the
+    * trend-aware sibling of [[ewmaForecast]] (which a drifting series
+    * systematically lags). α = β = 0.5 over the 8 gap-filled history
+    * days y₁..y₈ (missing days are EXPLICIT zeros — the recursion
+    * needs the full spine, unlike EWMA's skip-missing weights):
+    *
+    *   l₁ = y₁,  b₁ = y₂ − y₁
+    *   lₜ = ½(yₜ + lₜ₋₁ + bₜ₋₁),  bₜ = ½(lₜ − lₜ₋₁) + ½bₜ₋₁
+    *   ŷ(d₁) = l₈ + b₈
+    *
+    * DETERMINISM: with α = β = ½ every intermediate is a dyadic
+    * rational (≤14 fractional bits); counts below ~2³⁹ make every
+    * double add/halve EXACT IEEE in both engines — no rounding until
+    * the emitted round(,6). SCALE SHAPE: one 9-day-filtered scan into
+    * a per-key pivot aggregate (8 conditional sums); the unrolled
+    * recursion is a per-row column expression chain — |keys| rows.
+    */
+  def holtForecast(events: DataFrame, keyCol: String): DataFrame = {
+    val days = events.select(col(keyCol).as("k"),
+      expr(s"ts_us div $DayUs").as("day"))
+    val anchor = days.agg(max("day").as("d1"))
+    val pivotCols = (1 to 8).map(i =>
+      sum(when(col("day") === col("d1") - 9 + i, 1L).otherwise(0L))
+        .as(s"y$i"))
+    var df = days.crossJoin(broadcast(anchor))
+      .filter(col("day") >= col("d1") - 8)
+      .groupBy("k", "d1")
+      .agg(sum(when(col("day") === col("d1"), 1L).otherwise(0L))
+        .as("n_actual"), pivotCols: _*)
+      .withColumn("l1", col("y1").cast("double"))
+      .withColumn("b1", (col("y2") - col("y1")).cast("double"))
+    for (t <- 2 to 8) {
+      df = df
+        .withColumn(s"l$t", (col(s"y$t").cast("double") +
+          col(s"l${t - 1}") + col(s"b${t - 1}")) * 0.5)
+        .withColumn(s"b$t", (col(s"l$t") - col(s"l${t - 1}")) * 0.5 +
+          col(s"b${t - 1}") * 0.5)
+    }
+    df.select(col("k").as(keyCol), col("d1").as("day"), col("n_actual"),
+      round(col("l8"), 6).as("level"), round(col("b8"), 6).as("trend"),
+      round(col("l8") + col("b8"), 6).as("forecast"),
+      round(col("n_actual").cast("double") - (col("l8") + col("b8")), 6)
+        .as("resid"))
+  }
+
   /** Benjamini–Hochberg FDR-controlled A/B readout across MANY metrics
     * at once — the multiple-comparisons guard a real experimentation
     * platform applies before anyone cherry-picks "the significant

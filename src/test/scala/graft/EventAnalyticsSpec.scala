@@ -432,6 +432,36 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(math.abs(out.values.sum - 4.0) < 1e-5)
   }
 
+  test("holt forecast: perfect linear trend tracked exactly " +
+    "(forecast = next point); gappy series matches the unrolled fold") {
+    val dayUs = 86400000000L
+    var id = 0L
+    def mk(tpe: String, day: Long, n: Int) = (1 to n).map { _ =>
+      id += 1; (1L, id, tpe, (100L + day) * dayUs, 0.0)
+    }
+    // A: y_t = t on days 101..108, 9 actuals on day 109 (on-trend)
+    val rows = (1 to 8).flatMap(t => mk("A", t.toLong, t)) ++
+      mk("A", 9L, 9) ++
+      // B: only y2 = 3 (day 102) in the history window, 1 actual
+      mk("B", 2L, 3) ++ mk("B", 9L, 1)
+    val out = EventAnalytics.holtForecast(ev(rows: _*), "event_type")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    // Holt on y = 1..8: l_t = t, b_t = 1 by induction -> forecast 9
+    assert(out("A") == ((9L, 8.0, 1.0, 9.0, 0.0)))
+    // replay the recursion for B: y = (0,3,0,0,0,0,0,0)
+    val ys = Seq(0.0, 3.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val (l8, b8) = ys.drop(1).foldLeft((ys.head, ys(1) - ys.head)) {
+      case ((l, b), y) =>
+        val l2 = (y + l + b) * 0.5; (l2, (l2 - l) * 0.5 + b * 0.5)
+    }
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("B")._4 == r6(l8 + b8))
+    assert(out("B")._5 == r6(1.0 - (l8 + b8)))
+  }
+
   test("ewma forecast: 4^j recency weights over the 8-day history, " +
     "missing days weigh zero, fixed denominator") {
     // series A: 2 events on anchor day 10, history: 3 on day 9 (j=7),
