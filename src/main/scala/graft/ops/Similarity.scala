@@ -174,7 +174,16 @@ object Similarity {
     * driver. (At production scale checkpoint between rounds to keep
     * lineage flat; the gate runs a fixed small `iters`.)
     */
-  def kmeansCells(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansCells(corpus: DataFrame, k: Int, iters: Int): DataFrame =
+    assignByCosine(corpus, kmeansCentroids(corpus, k, iters))
+
+  /** The trained centroid frame behind [[kmeansCells]] — exposed so
+    * model-quality metrics ([[daviesBouldin]]) can measure against the
+    * SAME centroids the assignment used (a re-derived mean would be
+    * one Lloyd round ahead of the assignment).
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int)
+      : DataFrame = {
     ensureRegistered(corpus)
     val seeds = corpus
       .select(col("vec_id"), col("embedding"),
@@ -188,7 +197,61 @@ object Similarity {
         expr("transform(embedding, x -> cast(x as double))").as("centroid"))
     for (_ <- 1 to iters)
       cent = centroids(assignByCosine(corpus, cent), "cell")
-    assignByCosine(corpus, cent)
+    cent
+  }
+
+  /** Davies–Bouldin cluster-quality index (Davies & Bouldin 1979) in
+    * the COSINE metric of the spherical k-means it audits: per
+    * cluster i, scatter Sᵢ = mean(1 − cos(member, centroidᵢ));
+    * separation Mᵢⱼ = 1 − cos(centroidᵢ, centroidⱼ); the per-cluster
+    * term is max_{j≠i} (Sᵢ+Sⱼ)/Mᵢⱼ and the index is the mean term —
+    * lower = tighter, better-separated clusters.
+    *
+    * Empty cells (possible after Lloyd rounds) drop from BOTH sides
+    * of the pair grid; coincident centroids (Mᵢⱼ = 0) are excluded
+    * from the max (a guard, not a convention — they do not occur on
+    * separated data).
+    *
+    * SCALE SHAPE: one broadcast-centroid member pass (the big join) +
+    * a k×k centroid grid + k-row folds. DETERMINISM: member and
+    * centroid distances round(,9) into DECIMAL before any fold; the
+    * per-cluster max is over identical double sets in both engines;
+    * db terms fix to DECIMAL(18,6) before the final mean.
+    */
+  def daviesBouldin(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val cent = kmeansCentroids(corpus, k, iters)
+    val asg = assignByCosine(corpus, cent)
+    val scatter = asg.join(broadcast(cent), Seq("cell"))
+      .select(col("cell"), expr("cast(round(1.0D - " +
+        cosineSql("embedding", "centroid") + ", 9) as decimal(12,9))")
+        .as("dist"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("dist")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("s"))
+    val pairs = cent.select(col("cell").as("ci"), col("centroid").as("ei"))
+      .crossJoin(cent.select(col("cell").as("cj"),
+        col("centroid").as("ej")))
+      .filter(col("ci") =!= col("cj"))
+      .select(col("ci"), col("cj"), expr("cast(round(1.0D - " +
+        cosineSql("ei", "ej") + ", 9) as decimal(12,9))").as("m"))
+      .filter(col("m") > 0)
+    val terms = pairs
+      .join(scatter.select(col("cell").as("ci"), col("s").as("si"),
+        col("n")), Seq("ci"))
+      .join(scatter.select(col("cell").as("cj"), col("s").as("sj")),
+        Seq("cj"))
+      .groupBy(col("ci").as("cell"), col("n"))
+      .agg(max(expr("(si + sj) / cast(m as double)")).as("mx"))
+      .select(col("cell"), col("n"),
+        expr("cast(round(mx, 6) as decimal(18,6))").as("db_term"))
+    val idx = terms.agg(
+      round(sum(col("db_term")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("db_index"))
+    terms.crossJoin(broadcast(idx))
+      .select(col("cell"), col("n"),
+        col("db_term").cast("double").as("db_term"), col("db_index"))
+      .orderBy("cell")
   }
 
   /** IVF probe search: route each query to its `nprobe` nearest centroids,

@@ -1965,6 +1965,42 @@ object Pipeline extends QueryModule {
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
     }),
 
+    // ---- Davies–Bouldin cluster-quality index (Similarity.
+    // daviesBouldin) over the SAME k=8/iters=2 spherical k-means the
+    // IVF gate trains — cosine scatter vs centroid separation, the
+    // model-audit companion to sim_recall_eval. The oracle replays
+    // training via the shared duckKmeansChain CTEs so the two k-means
+    // replays cannot drift.
+    QueryDef("sim_davies_bouldin", (s, d) => {
+      Similarity.daviesBouldin(emb(s, d), 8, 2)
+    }, Some {
+      s"""
+      WITH ${duckKmeansChain(8, 2)},
+      scat AS (SELECT asgf.cell, CAST(COUNT(*) AS BIGINT) AS n,
+                 round(CAST(SUM(CAST(round(1.0 -
+                     ${duckCos("e", "centroid")}, 9) AS DECIMAL(12,9)))
+                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS s
+               FROM asgf JOIN cent2 ON asgf.cell = cent2.cell
+               GROUP BY 1),
+      pp AS (SELECT i.cell AS ci, j.cell AS cj,
+               CAST(round(1.0 - ${duckCos("i.centroid", "j.centroid")},
+                 9) AS DECIMAL(12,9)) AS m
+             FROM cent2 i CROSS JOIN cent2 j
+             WHERE i.cell <> j.cell),
+      tm AS (SELECT pp.ci AS cell, si.n AS n,
+               CAST(round(MAX((si.s + sj.s) / CAST(m AS DOUBLE)), 6)
+                 AS DECIMAL(18,6)) AS db_term
+             FROM pp
+             JOIN scat si ON pp.ci = si.cell
+             JOIN scat sj ON pp.cj = sj.cell
+             WHERE m > 0
+             GROUP BY 1, 2),
+      ix AS (SELECT round(CAST(SUM(db_term) AS DOUBLE) /
+               CAST(COUNT(*) AS DOUBLE), 6) AS db_index FROM tm)
+      SELECT cell, n, CAST(db_term AS DOUBLE) AS db_term, db_index
+      FROM tm CROSS JOIN ix ORDER BY cell"""
+    }),
+
     // ---- Product quantization ANN (graft.ops.Pq): 2 Lloyd rounds of
     // per-subspace k-means (m=4 x 16 dims, 8 cells), corpus compressed
     // to 4 codes/vector, ADC top-5 — the memory-compression search path

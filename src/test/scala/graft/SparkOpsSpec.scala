@@ -455,6 +455,31 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(out.forall(t => t._3 == 5L && t._4 == expPmi))
   }
 
+  test("Similarity.daviesBouldin: two identical-member orthogonal " +
+    "clusters read zero scatter, zero index; n per cell correct") {
+    val s = spark; import s.implicits._
+    // seeds are the k smallest md5Long(vec_id): give the two smallest
+    // hashes one group each so cent0 starts split; identical members
+    // per group make scatter exactly 0 and M = 1 (orthogonal), so
+    // every db_term and the index are exactly 0.0
+    def h(id: Long): BigInt = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      BigInt(d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    val ids = (1L to 6L).sortBy(h)
+    val a = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val b = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    // smallest-hash id -> group a, second -> group b, rest alternate
+    val e = ids.zipWithIndex.map { case (id, i) =>
+      (id, if (i % 2 == 0) a else b) }.toSeq.toDF("vec_id", "embedding")
+    val out = Similarity.daviesBouldin(e, 2, 2).collect()
+    assert(out.length == 2)
+    assert(out.forall(r => r.getLong(1) == 3L))
+    assert(out.forall(r => r.getDouble(2) == 0.0 &&
+      r.getDouble(3) == 0.0))
+  }
+
   test("TextAnalysis.dsirWeights: target-vocab docs score positive, " +
     "off-target negative; token-less docs absent") {
     val s = spark; import s.implicits._
