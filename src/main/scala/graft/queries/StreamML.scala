@@ -175,6 +175,31 @@ object StreamML extends QueryModule {
       FROM exact e JOIN est USING (user_id)
       ORDER BY user_id""")),
 
+    // ---- §2.9 + sequence family: gapped sequential-pattern support
+    // with per-(user, type) spans accumulated as a STREAMING
+    // aggregation (min/max fold associatively — the state IS the span
+    // frame), pattern grid read off the finished state; the oracle is
+    // char-identical to e_seq_patterns' -> stream-vs-batch parity.
+    QueryDef("st_seq_patterns", (s, d) => {
+      graft.streaming.Events.seqPatterns(s, d)
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+                 FROM events),
+      sp AS (SELECT user_id, event_type, MIN(ts_us) AS first_us,
+               MAX(ts_us) AS last_us
+             FROM e GROUP BY 1, 2),
+      tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
+              FROM e),
+      pats AS (SELECT x.event_type || '>' || y.event_type AS pattern,
+                 CAST(COUNT(*) AS BIGINT) AS n_users
+               FROM sp x JOIN sp y ON x.user_id = y.user_id
+               WHERE x.first_us < y.last_us GROUP BY 1)
+      SELECT pattern, n_users,
+        round(CAST(n_users AS DOUBLE) / CAST(nu AS DOUBLE), 6)
+          AS support
+      FROM pats CROSS JOIN tot
+      ORDER BY n_users DESC, pattern LIMIT 20""")),
+
     // ---- §2.9 + sketch family: the Bloom filter under the streaming
     // state store — micro-batches OR into the fixed m-bit state
     // (idempotent: replayed batches cannot corrupt it). The bounded

@@ -602,6 +602,38 @@ object Events {
         "cast(n_actual as double) - forecast"), 6))
   }
 
+  /** Gapped sequential-pattern support with the per-(user, type) spans
+    * accumulated as a STREAMING aggregation — min/max fold
+    * associatively, so the streaming state IS the span frame the
+    * batch op ([[graft.ops.EventAnalytics.sequencePatterns]]) builds;
+    * the pattern grid + support readout runs batch on the finished
+    * state and must land char-identically on e_seq_patterns' oracle
+    * regardless of batch slicing (stream-vs-batch parity).
+    */
+  def seqPatterns(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    // localCheckpoint: a MemorySink-backed view cannot self-join (the
+    // two sides resolve to the SAME attribute ids -> conflicting-
+    // references INTERNAL_ERROR); cutting lineage renumbers one side.
+    // The span frame is |users|x|types| — aggregate-sized.
+    val out = runToCompletion(s, ss => {
+      stream(ss, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(expr("unix_micros(t)")).as("first_us"),
+          max(expr("unix_micros(t)")).as("last_us"))
+    }, "st_seq_mem").localCheckpoint()
+    val totals = out.agg(countDistinct(col("user_id")).as("nu"))
+    out.as("x").join(out.as("y"), "user_id")
+      .filter(col("x.first_us") < col("y.last_us"))
+      .select(concat_ws(">", col("x.event_type"), col("y.event_type"))
+        .as("pattern"))
+      .groupBy("pattern").agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(totals))
+      .select(col("pattern"), col("n_users"),
+        round(col("n_users").cast("double") / col("nu").cast("double"), 6)
+          .as("support"))
+      .orderBy(desc("n_users"), asc("pattern")).limit(k)
+  }
+
   /** Count–min sketch under the streaming state store — the frequency
     * companion of [[sketchDistinct]]: micro-batches fold into the
     * bounded depth×width grid through the associative cell-wise sum,
