@@ -917,6 +917,216 @@ object EventAnalytics {
       .orderBy("touch")
   }
 
+  /** Markov-chain (data-driven) multi-touch attribution — the removal-
+    * effect model (Anderl et al. 2014) completing the heuristic family
+    * ([[lastTouchAttribution]]/[[linearAttribution]]/
+    * [[uShapeAttribution]]): build the first-order chain over per-user
+    * journeys (START → touches → CONV/NULL, truncated at the FIRST
+    * conversion), then for each channel c measure how much conversion
+    * mass disappears when c is removed (every transition INTO c
+    * reroutes to the absorbing NULL; row denominators unchanged — the
+    * standard removal construction):
+    *
+    *   effect(c) = 1 − P_removed(CONV) / P_full(CONV)
+    *   share(c)  = effect(c) / Σ effects
+    *
+    * P(CONV) is the TRUNCATED-`iters`-step absorption mass — the
+    * fixed-horizon value IS the spec (deterministic, oracle-
+    * replayable), monotone-converging to the absorbing limit.
+    *
+    * SCALE SHAPE: journeys/transitions are one window pass + hash
+    * aggregates over the event stream (the heavy part); the chain
+    * itself is an aggregate-sized (|states|² ≤ dozens) edge table.
+    * Removal chains are DATA, not a driver loop: a `scenario` column
+    * ('__full__' + one per channel) crosses the edge table and all
+    * chains advance in ONE keyed recurrence per iteration. The
+    * iterate is [[Graph.personalizedPageRank]]'s exact-BIGINT
+    * micro-unit recurrence: p in units of 1e−12, per-edge
+    * (p·w) div ow truncation — identical integers in both engines,
+    * doubles only in the final readout. (Exactness bound: p·w needs
+    * w ≤ ~9·10⁶ per edge in BIGINT; drop Unit to 1e9 beyond.)
+    * Effects fix to DECIMAL(18,6) before the share-normalizing fold.
+    */
+  def markovAttribution(events: DataFrame, convType: String,
+      iters: Int = 12): DataFrame = {
+    val Unit_ = 1000000000000L
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val marked = events.select("user_id", "event_id", "event_type", "ts_us")
+      .withColumn("cc",
+        sum(when(col("event_type") === convType, 1L).otherwise(0L))
+          .over(byUser.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+    val journey = marked
+      .filter(col("cc") === 0 && col("event_type") =!= convType)
+      .withColumn("i", row_number().over(byUser))
+    val users = marked.groupBy("user_id")
+      .agg(max(when(col("event_type") === convType, 1L).otherwise(0L))
+        .as("cv"))
+      .join(journey.groupBy("user_id").agg(max(col("i")).as("m")),
+        Seq("user_id"), "left")
+      .na.fill(0L, Seq("m"))
+    val steps = journey.select(col("user_id"), col("i"),
+      col("event_type").as("src"))
+    val mids = steps
+      .join(steps.select(col("user_id"), (col("i") - 1).as("i"),
+        col("src").as("dst")), Seq("user_id", "i"))
+      .select("src", "dst")
+    val starts = users
+      .join(journey.filter(col("i") === 1)
+        .select(col("user_id"), col("event_type").as("first_t")),
+        Seq("user_id"), "left")
+      .select(lit("__start__").as("src"),
+        coalesce(col("first_t"), when(col("cv") === 1, "__conv__")
+          .otherwise("__null__")).as("dst"))
+    val lasts = users.filter(col("m") > 0)
+      .join(steps, Seq("user_id")).filter(col("i") === col("m"))
+      .select(col("src"),
+        when(col("cv") === 1, "__conv__").otherwise("__null__").as("dst"))
+    val trans = mids.unionByName(starts).unionByName(lasts)
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val ew = trans
+      .join(trans.groupBy("src").agg(sum(col("w")).as("ow")), "src")
+    val scenarios = journey.select(col("event_type").as("scenario"))
+      .distinct()
+      .unionByName(journey.sparkSession.range(1)
+        .select(lit("__full__").as("scenario")))
+    val absorbing = journey.sparkSession.range(1).select(
+      explode(array(lit("__conv__"), lit("__null__"))).as("src"))
+      .select(col("src"), col("src").as("dst"), lit(1L).as("w"),
+        lit(1L).as("ow"))
+    // eager checkpoint: the recurrence references this frame `iters`
+    // times — without the cut the whole event scan re-executes per
+    // round (the documented plan-path fan-in hazard)
+    val se = scenarios.crossJoin(ew)
+      .filter(col("src") =!= col("scenario"))
+      .select(col("scenario"), col("src"),
+        when(col("dst") === col("scenario"), lit("__null__"))
+          .otherwise(col("dst")).as("dst"), col("w"), col("ow"))
+      .groupBy("scenario", "src", "dst")
+      .agg(sum(col("w")).as("w"), max(col("ow")).as("ow"))
+      .unionByName(scenarios.crossJoin(absorbing))
+      .localCheckpoint(true)
+    var p = se.select(col("scenario")).distinct()
+      .select(col("scenario"), lit("__start__").as("node"),
+        lit(Unit_).as("p"))
+    for (_ <- 1 to iters)
+      // p derives from se after round 1 — renamed join keys keep the
+      // self-join unambiguous
+      p = se.join(p.select(col("scenario").as("__ps"),
+          col("node").as("__pn"), col("p")),
+          col("scenario") === col("__ps") && col("src") === col("__pn"))
+        .select(col("scenario"), col("dst").as("node"),
+          expr("(p * w) div ow").as("c"))
+        .groupBy("scenario", "node").agg(sum(col("c")).as("p"))
+    val convMass = p.filter(col("node") === "__conv__")
+      .select(col("scenario"), col("p"))
+    val pFull = convMass.filter(col("scenario") === "__full__")
+      .select(coalesce(max(col("p")), lit(0L)).as("p_full"))
+    val effects = se.select(col("scenario")).distinct()
+      .filter(col("scenario") =!= "__full__")
+      .join(convMass, Seq("scenario"), "left")
+      .na.fill(0L, Seq("p"))
+      .crossJoin(broadcast(pFull))
+      .select(col("scenario").as("channel"), col("p_full"),
+        col("p").as("p_rm"),
+        expr("cast(round(case when p_full > 0 then " +
+          "1.0D - cast(p as double) / cast(p_full as double) end, 6) " +
+          "as decimal(18,6))").as("eff"))
+    val tot = effects.agg(sum(col("eff")).as("te"))
+    effects.crossJoin(broadcast(tot))
+      .select(col("channel"),
+        round(expr(s"cast(p_full as double) / ${Unit_}D"), 6)
+          .as("p_conv_full"),
+        round(expr(s"cast(p_rm as double) / ${Unit_}D"), 6)
+          .as("p_conv_removed"),
+        col("eff").cast("double").as("removal_effect"),
+        round(expr("case when te > 0 then " +
+          "cast(eff as double) / cast(te as double) end"), 6)
+          .as("share"))
+      .orderBy("channel")
+  }
+
+  /** CUSUM changepoint detection over the gap-filled daily count
+    * series (Page 1954) — the sequential level-shift detector that
+    * complements [[rollingAnomalies]]' single-day spike flags: a
+    * sustained small drift accumulates in the CUSUM statistic long
+    * before any one day's z-score trips.
+    *
+    * Per key, the first `baseline` calendar days fix the reference
+    * level μ₀ = s_base/B (their exact count sum over B). Every later
+    * day accumulates the classic one-sided statistics
+    *
+    *   S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (nᵢ − μ₀ − k))   (upward shift)
+    *   S⁻ᵢ = max(0, S⁻ᵢ₋₁ + (μ₀ − nᵢ − k))   (downward shift)
+    *
+    * with slack k = s_base div `slackDiv` / B (a tenth of the baseline
+    * mean by default — the self-tuning "half the shift you care
+    * about" convention) and alarm when S > h = `thresholdDays`·μ₀
+    * (a full thresholdDays-days'-mean of accumulated excess). This is
+    * the NON-RESET monitoring form — the statistic keeps accumulating
+    * past an alarm; reset-on-alarm is a downstream policy choice.
+    *
+    * DETERMINISM: the max(0,·) recursion looks inherently sequential,
+    * but the non-reset form has the exact closed form
+    * S_i = P_i − min(0, min_{j≤i} P_j) over prefix sums P of the
+    * deviations — scale every deviation by B (d = B·n − s_base −
+    * s_base div slackDiv: pure BIGINT) and BOTH statistics become two
+    * integer window functions (running sum + running min); doubles
+    * appear only in the final /B readout. The oracle replays the same
+    * integers, so the match is exact.
+    *
+    * SCALE SHAPE: one (key, day) hash aggregate over the event log
+    * (the heavy part), then per-key windows over the (keys × days)
+    * aggregate — the [[gapFillDaily]] contract; the baseline frame is
+    * |keys| rows joined back on the key. No global sort, no
+    * single-partition exchange.
+    */
+  def cusumChangepoint(events: DataFrame, keyCol: String,
+      baseline: Int = 7, slackDiv: Int = 10,
+      thresholdDays: Int = 2): DataFrame = {
+    val daily = events
+      .select(col(keyCol).as("k"), expr(s"ts_us div $DayUs").as("day"))
+      .groupBy("k", "day").agg(count(lit(1)).as("n"))
+    val grid = daily.groupBy("k")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("k"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val byDay = Window.partitionBy("k").orderBy("day")
+    val idx = grid.join(daily, Seq("k", "day"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("i", row_number().over(byDay))
+    val base = idx.filter(col("i") <= baseline).groupBy("k")
+      .agg(sum(col("n")).as("s_base"), count(lit(1)).as("n_base"))
+    // scaled deviations, units of 1/B events: slack = s_base div
+    // slackDiv; alarm threshold = thresholdDays·s_base (h = that many
+    // baseline-day means of accumulated excess)
+    val mon = idx.join(base, Seq("k"))
+      .filter(col("n_base") === baseline && col("i") > baseline)
+      .withColumn("slack", expr(s"s_base div $slackDiv"))
+      .withColumn("d_up",
+        lit(baseline.toLong) * col("n") - col("s_base") - col("slack"))
+      .withColumn("d_dn",
+        col("s_base") - lit(baseline.toLong) * col("n") - col("slack"))
+    val pre = Window.partitionBy("k").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = baseline.toDouble
+    mon
+      .withColumn("p_up", sum(col("d_up")).over(pre))
+      .withColumn("p_dn", sum(col("d_dn")).over(pre))
+      .withColumn("s_up",
+        col("p_up") - least(lit(0L), min(col("p_up")).over(pre)))
+      .withColumn("s_dn",
+        col("p_dn") - least(lit(0L), min(col("p_dn")).over(pre)))
+      .select(col("k").as(keyCol), col("day"), col("n").as("n_events"),
+        round(col("s_up").cast("double") / b, 6).as("cusum_up"),
+        round(col("s_dn").cast("double") / b, 6).as("cusum_dn"),
+        (col("s_up") > lit(thresholdDays.toLong) * col("s_base"))
+          .as("alarm_up"),
+        (col("s_dn") > lit(thresholdDays.toLong) * col("s_base"))
+          .as("alarm_dn"))
+      .orderBy(keyCol, "day")
+  }
+
   /** Rolling z-score anomaly flags over the gap-filled daily count
     * series: each day scores against the trailing `window`-day mean
     * and sample stddev (current day EXCLUDED — an anomalous day must

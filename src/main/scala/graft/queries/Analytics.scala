@@ -1498,6 +1498,106 @@ object Analytics extends QueryModule {
             FROM cand)
       SELECT n, x AS threshold, nl AS n_left, pl AS pos_left,
         nr AS n_right, pr AS pos_right, round(gain, 6) AS gain
-      FROM g ORDER BY round(gain, 9) DESC, x LIMIT 1"""))
+      FROM g ORDER BY round(gain, 9) DESC, x LIMIT 1""")),
+
+    // ---- Markov-chain removal-effect attribution (EventAnalytics.
+    // markovAttribution): first-order chain over per-user journeys
+    // (truncated at the first purchase), removal chains as a scenario
+    // column, 12 rounds of the exact-BIGINT micro-unit recurrence
+    // (the g_ppr iterate). The oracle unrolls ALL 12 rounds per
+    // scenario — integers identical by construction.
+    QueryDef("e_attribution_markov", (s, d) => {
+      EventAnalytics.markovAttribution(Tables.events(s, d), "purchase")
+    }, Some {
+      val rounds = (1 to 12).map { i =>
+        s"""p$i AS (SELECT sed.scenario, dst AS node,
+           |    CAST(SUM((p * w) // ow) AS BIGINT) AS p
+           |  FROM sed JOIN p${i - 1}
+           |    ON sed.scenario = p${i - 1}.scenario
+           |    AND sed.src = p${i - 1}.node
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""
+      WITH e0 AS (SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS ts_us FROM events),
+      mk AS (SELECT *, SUM(CASE WHEN event_type = 'purchase'
+               THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS cc
+             FROM e0),
+      j AS (SELECT user_id, event_type,
+              ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY ts_us, event_id) AS i
+            FROM mk WHERE cc = 0 AND event_type <> 'purchase'),
+      us AS (SELECT user_id, MAX(CASE WHEN event_type = 'purchase'
+               THEN 1 ELSE 0 END) AS cv
+             FROM mk GROUP BY 1),
+      mm AS (SELECT user_id, MAX(i) AS m FROM j GROUP BY 1),
+      uu AS (SELECT us.user_id, cv, COALESCE(m, 0) AS m
+             FROM us LEFT JOIN mm USING (user_id)),
+      mids AS (SELECT a.event_type AS src, b.event_type AS dst
+               FROM j a JOIN j b ON a.user_id = b.user_id
+                 AND b.i = a.i + 1),
+      starts AS (SELECT '__start__' AS src,
+                   COALESCE(f.event_type, CASE WHEN cv = 1
+                     THEN '__conv__' ELSE '__null__' END) AS dst
+                 FROM uu LEFT JOIN (SELECT user_id, event_type
+                   FROM j WHERE i = 1) f USING (user_id)),
+      lasts AS (SELECT j.event_type AS src,
+                  CASE WHEN cv = 1 THEN '__conv__' ELSE '__null__' END
+                    AS dst
+                FROM uu JOIN j ON uu.user_id = j.user_id
+                  AND j.i = uu.m
+                WHERE uu.m > 0),
+      tr AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM
+               (SELECT * FROM mids UNION ALL SELECT * FROM starts
+                UNION ALL SELECT * FROM lasts)
+             GROUP BY 1, 2),
+      owt AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow
+              FROM tr GROUP BY 1),
+      ew AS (SELECT tr.src, tr.dst, tr.w, owt.ow
+             FROM tr JOIN owt USING (src)),
+      scen AS (SELECT DISTINCT event_type AS scenario FROM j
+               UNION ALL SELECT '__full__'),
+      sed AS (SELECT scenario, src, dst, CAST(SUM(w) AS BIGINT) AS w,
+                MAX(ow) AS ow
+              FROM (SELECT scenario, src,
+                      CASE WHEN dst = scenario THEN '__null__'
+                        ELSE dst END AS dst, w, ow
+                    FROM scen CROSS JOIN ew WHERE src <> scenario)
+              GROUP BY 1, 2, 3
+              UNION ALL
+              SELECT scenario, s, s, CAST(1 AS BIGINT),
+                CAST(1 AS BIGINT)
+              FROM scen CROSS JOIN
+                (SELECT unnest(['__conv__', '__null__']) AS s)),
+      p0 AS (SELECT scenario, '__start__' AS node,
+               CAST(1000000000000 AS BIGINT) AS p FROM scen),
+      $rounds,
+      pf AS (SELECT COALESCE(MAX(p), 0) AS p_full FROM p12
+             WHERE scenario = '__full__' AND node = '__conv__'),
+      ch AS (SELECT DISTINCT scenario FROM sed
+             WHERE scenario <> '__full__'),
+      eff AS (SELECT ch.scenario AS channel, p_full,
+                COALESCE(pm.p, 0) AS p_rm,
+                CAST(round(CASE WHEN p_full > 0 THEN
+                  1.0 - CAST(COALESCE(pm.p, 0) AS DOUBLE) /
+                  CAST(p_full AS DOUBLE) END, 6) AS DECIMAL(18,6))
+                  AS eff
+              FROM ch
+              LEFT JOIN (SELECT scenario, p FROM p12
+                WHERE node = '__conv__') pm
+                ON ch.scenario = pm.scenario
+              CROSS JOIN pf),
+      tot AS (SELECT SUM(eff) AS te FROM eff)
+      SELECT channel,
+        round(CAST(p_full AS DOUBLE) / 1000000000000.0, 6)
+          AS p_conv_full,
+        round(CAST(p_rm AS DOUBLE) / 1000000000000.0, 6)
+          AS p_conv_removed,
+        CAST(eff AS DOUBLE) AS removal_effect,
+        round(CASE WHEN te > 0 THEN
+          CAST(eff AS DOUBLE) / CAST(te AS DOUBLE) END, 6) AS share
+      FROM eff CROSS JOIN tot ORDER BY channel"""
+    })
   )
 }

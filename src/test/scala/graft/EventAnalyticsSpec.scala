@@ -407,6 +407,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("A>A", 1L, 0.25), ("B>A", 1L, 0.25)))
   }
 
+  test("markov attribution: hand-solved removal effects on a " +
+    "4-user chain; shares normalize; dyadic chain is exact") {
+    // chain: START->A 2/4, START->B 1/4, START->CONV 1/4;
+    //        A->B 1/2, A->CONV 1/2; B->CONV 1/2, B->NULL 1/2
+    // P_full = 1/4 + 1/2*(1/2 + 1/4) + 1/4*1/2       = 0.75
+    // remove A: 1/4 + 1/4*1/2                         = 0.375 -> eff 0.5
+    // remove B: 1/4 + 1/2*1/2                         = 0.5   -> eff 1/3
+    // shares 0.6 / 0.4
+    val e = ev(
+      (1L, 1L, "A", 10L, 0.0), (1L, 2L, "B", 20L, 0.0),
+      (1L, 3L, "purchase", 30L, 0.0),
+      (2L, 4L, "A", 10L, 0.0), (2L, 5L, "purchase", 20L, 0.0),
+      (3L, 6L, "B", 10L, 0.0),
+      (4L, 7L, "purchase", 5L, 0.0))
+    val out = EventAnalytics.markovAttribution(e, "purchase")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("A", 0.75, 0.375, 0.5, 0.6),
+      ("B", 0.75, 0.5, 0.333333, 0.4)))
+  }
+
   test("ushape attribution: 40/20/40 hand-computed; m=1/m=2 edge " +
     "weights; conservation to round-6 residue") {
     // user 1: A B C D purchase  -> A 0.4, B 0.1, C 0.1, D 0.4
@@ -551,5 +573,70 @@ class EventAnalyticsSpec extends AnyFunSuite {
       col("ts_us") < 50L).collect().head
     assert(out.isNullAt(4) && out.isNullAt(7)) // theta, rho2
     assert(out.getDouble(6) === out.getDouble(5)) // falls back to raw
+  }
+
+  test("cusum: closed form equals the max(0,·) recursion; level shift " +
+      "alarms, stable series stays quiet") {
+    // key A: baseline week 5,5,5,5,5,5,5 (s_base=35, μ₀=5, slack=3/7),
+    // then a +3 level shift: 8,8,8,8,8 — CUSUM ramps and crosses
+    // h = 2·μ₀ = 10 events; key B stays at 5 throughout (quiet).
+    val countsA = Seq(5, 5, 5, 5, 5, 5, 5, 8, 8, 8, 8, 8)
+    val countsB = Seq.fill(12)(5)
+    def rowsOf(key: String, counts: Seq[Int], idBase: Long) =
+      counts.zipWithIndex.flatMap { case (n, d) =>
+        (0 until n).map(j => (100L + j, idBase + d * 100 + j, key,
+          d * DayUs + j, 0.0))
+      }
+    val e = ev((rowsOf("A", countsA, 0L) ++
+      rowsOf("B", countsB, 100000L)): _*)
+    val out = EventAnalytics.cusumChangepoint(e, "event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5), r.getBoolean(6)))
+    // reference: the literal non-reset recursion in plain Scala
+    def recur(counts: Seq[Int]): Seq[(Double, Double)] = {
+      val sBase = counts.take(7).sum.toLong // 35
+      val slack = sBase / 10                // 3 (scaled by B=7)
+      var su = 0L; var sd = 0L
+      counts.drop(7).map { n =>
+        su = math.max(0L, su + (7L * n - sBase - slack))
+        sd = math.max(0L, sd + (sBase - 7L * n - slack))
+        (su / 7.0, sd / 7.0)
+      }
+    }
+    val expA = recur(countsA)
+    val gotA = out.filter(_._1 == "A")
+    assert(gotA.length === 5)
+    for (((eu, ed), i) <- expA.zipWithIndex) {
+      assert(math.abs(gotA(i)._4 - eu) < 1e-6, s"cusum_up day $i")
+      assert(math.abs(gotA(i)._5 - ed) < 1e-6, s"cusum_dn day $i")
+    }
+    // shift day k: S⁺ = k·(3 − 3/7) = k·18/7 → crosses 10 at day 4
+    assert(gotA.map(_._6) === Seq(false, false, false, true, true))
+    assert(gotA.forall(!_._7)) // no downward alarm
+    val gotB = out.filter(_._1 == "B")
+    assert(gotB.forall(r => r._4 == 0.0 && r._5 == 0.0 && !r._6 && !r._7))
+  }
+
+  test("cusum: dip below a noisy baseline trips the downward side " +
+      "only; missing days read as zero counts") {
+    // baseline 4,6,4,6,4,6,5 (s_base=35 again), then day 8-9 present
+    // at 5, days 10-12 MISSING (gap-fill zeros) — the outage ramps S⁻
+    // by (35−3)/7 per day and never touches S⁺
+    val counts = Seq(4, 6, 4, 6, 4, 6, 5, 5, 5)
+    val rows = counts.zipWithIndex.flatMap { case (n, d) =>
+      (0 until n).map(j => (100L + j, d * 100L + j, "C",
+        d * DayUs + j, 0.0))
+    } :+ (999L, 99999L, "C", 12L * DayUs, 0.0) // day 12: one event
+    val out = EventAnalytics.cusumChangepoint(ev(rows: _*), "event_type")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5), r.getBoolean(6)))
+    assert(out.length === 6) // days 7..12
+    assert(out.map(_._2) === Seq(5L, 5L, 0L, 0L, 0L, 1L))
+    // S⁻ scaled: day7 0−3→0, day8 0, then +32 per zero day: 32,64,96;
+    // day12 n=1 → +25 ⇒ 121; alarm at > 70
+    assert(out.map(_._4) === Seq(0.0, 0.0, 32 / 7.0, 64 / 7.0, 96 / 7.0,
+      121 / 7.0).map(v => math.round(v * 1e6) / 1e6))
+    assert(out.map(_._6) === Seq(false, false, false, false, true, true))
+    assert(out.forall(r => r._3 == 0.0 && !r._5)) // upward side silent
   }
 }

@@ -153,7 +153,31 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_recall_eval",
     // pipe_dataset_card: three 1-row frames (totals × domain counts ×
     // dup count) crossed into the one-row datasheet
-    "pipe_dataset_card")
+    "pipe_dataset_card",
+    // e_attribution_ushape / e_seq_patterns / e_holt_forecast: the
+    // 1-row conversion-total / distinct-user / anchor-day frame
+    // crossed into the aggregate-sized readout (the
+    // e_attribution_linear / e_ewma_forecast shapes)
+    "e_attribution_ushape", "e_seq_patterns", "e_holt_forecast",
+    // m_naive_bayes: the |labels|-row model frame (+1-row V/N scalars)
+    // broadcast into per-token scoring — the whole point of the
+    // count-table classifier; t_dsir_weights: the bounded 1024-bucket
+    // log-ratio table + 1-row totals, broadcast (the model IS bounded)
+    "m_naive_bayes", "t_dsir_weights",
+    // t_collocations / a_cohens_kappa: the 1-row corpus-total /
+    // pe-numerator frame crossed into the bounded readout
+    "t_collocations", "a_cohens_kappa",
+    // m_decision_stump: the two-phase running-sum triangular offset
+    // join (the a_mann_whitney shape) + the 1-row (n, np) totals
+    "m_decision_stump",
+    // sim_davies_bouldin: the broadcast k-row centroid table (the
+    // sim_ivf_kmeans_topk shape) + the 1-row index frame
+    "sim_davies_bouldin",
+    // e_attribution_markov: the 1-row p_full frame and the 1-row
+    // effect-total frame crossed into the |channels|-row readout —
+    // the chain itself is aggregate-sized (|states|² edges) and the
+    // per-iteration recurrence is a key-partitioned hash join
+    "e_attribution_markov")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -278,7 +302,21 @@ class PlanAuditSpec extends AnyFunSuite {
     "pipe_dataset_card",
     // e_fdr_bh: the 1-row m and kmax folds plus the BH rank window
     // over exactly m metric rows (bounded by construction)
-    "e_fdr_bh")
+    "e_fdr_bh",
+    // e_attribution_ushape / e_seq_patterns / e_holt_forecast /
+    // t_collocations / a_cohens_kappa / m_naive_bayes /
+    // t_dsir_weights / m_decision_stump: the 1-row totals combines
+    // feeding the broadcast frames allowed above (conversion total /
+    // nu / anchor day / B·T / n·pe_num / V·N / tr·tt / n·np)
+    "e_attribution_ushape", "e_seq_patterns", "e_holt_forecast",
+    "t_collocations", "a_cohens_kappa", "m_naive_bayes",
+    "t_dsir_weights", "m_decision_stump",
+    // sim_davies_bouldin: the k-row seed-ranking window collapse (the
+    // sim_ivf_kmeans_topk shape) + the 1-row index fold
+    "sim_davies_bouldin",
+    // e_attribution_markov: the 1-row p_full / effect-total combines
+    // feeding the crosses allowed above
+    "e_attribution_markov")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —
