@@ -164,6 +164,63 @@ object Stats {
           "((n + 1) - ties / (n * (n - 1.0)))), 6)").as("z"))
   }
 
+  /** Spearman rank correlation between two numeric columns — Pearson
+    * over TIE-AVERAGED ranks, the monotone-association measure that
+    * survives outliers and nonlinear (but monotone) relationships
+    * Pearson's r misses. The rank machinery is [[mannWhitney]]'s
+    * verbatim, applied twice: per column, one hash aggregate to the
+    * distinct-value table, the two-phase [[Rank.globalRunningSum]]
+    * for cumulative counts, and the DOUBLED average rank
+    * 2r̄(v) = 2·below(v) + t(v) + 1 — a pure-BIGINT half-integer
+    * encoding (the ×2 cancels in the correlation).
+    *
+    * DETERMINISM: doubled ranks join back to rows by value (two hash
+    * equi-joins); the five moment sums (Σx, Σy, Σxy, Σx², Σy²) are
+    * BIGINT-exact on any partitioning (safe to ~10⁶ rows; 4n³ must
+    * stay under 2⁶³ — larger inputs should pre-bucket, the
+    * [[mannWhitney]] caveat), the n·Sxy − Sx·Sy combination fixes to
+    * DECIMAL(38,0) where BIGINT would wrap, and ρ is ONE final IEEE
+    * expression mirrored textually by the oracle.
+    *
+    * SCALE SHAPE: two distinct-value aggregates + two two-phase
+    * running sums (no unpartitioned window), two equi-joins on the
+    * value key, one scalar fold. Returns one row (n, rho).
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val rows = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))
+    def doubledRanks(c: String) = {
+      val byVal = rows.groupBy(col(c).as("v"))
+        .agg(count(lit(1)).as("t"))
+      Rank.globalRunningSum(byVal, Seq(col("v")), "t", "cum_t")
+        .select(col("v").as(c),
+          (lit(2L) * (col("cum_t") - col("t")) + col("t") + 1L)
+            .as(s"r_$c"))
+    }
+    rows
+      .join(doubledRanks("x"), Seq("x"))
+      .join(doubledRanks("y"), Seq("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r_x")).as("sx"), sum(col("r_y")).as("sy"),
+        sum(col("r_x") * col("r_y")).as("sxy"),
+        sum(col("r_x") * col("r_x")).as("sxx"),
+        sum(col("r_y") * col("r_y")).as("syy"))
+      .select(col("n"),
+        expr("cast(n as decimal(38,0)) * sxy - " +
+          "cast(sx as decimal(38,0)) * sy").as("cov"),
+        expr("cast(n as decimal(38,0)) * sxx - " +
+          "cast(sx as decimal(38,0)) * sx").as("vx"),
+        expr("cast(n as decimal(38,0)) * syy - " +
+          "cast(sy as decimal(38,0)) * sy").as("vy"))
+      .select(col("n"),
+        // a constant column has zero rank variance: null, not NaN
+        when(col("vx") > 0 && col("vy") > 0,
+          round(expr("cast(cov as double) / (sqrt(cast(vx as double)) " +
+            "* sqrt(cast(vy as double)))"), 6)).as("rho"))
+  }
+
   /** ROC AUC of a score against a binary label via the rank-sum
     * identity AUC = (R₊ − n₊(n₊+1)/2) / (n₊·n₋) over AVERAGE ranks —
     * the probability a random positive outscores a random negative,

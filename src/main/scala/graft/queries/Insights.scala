@@ -903,6 +903,49 @@ object Insights extends QueryModule {
               THEN rnk END), 0) AS kmax FROM r CROSS JOIN m)
       SELECT event_type, n_a, conv_a, n_b, conv_b, z, p, rnk,
         COALESCE(rnk <= kmax, FALSE) AS rejected
-      FROM r CROSS JOIN k ORDER BY event_type"""))
+      FROM r CROSS JOIN k ORDER BY event_type""")),
+
+    // ---- Spearman rank correlation (Stats.spearman): the monotone
+    // twin of a_correlation — quantity vs extendedprice on lineitem.
+    // Doubled tie-averaged ranks (2·below + t + 1, pure BIGINT — the
+    // a_mann_whitney encoding) join back by value; the five moment
+    // sums are BIGINT-exact, the n·Sxy − Sx·Sy combination fixes to
+    // DECIMAL(38,0), and ρ is one mirrored IEEE expression.
+    QueryDef("a_spearman", (s, d) => {
+      graft.ops.Stats.spearman(t(s, d, "lineitem"),
+        "l_quantity", "l_extendedprice")
+    }, Some("""
+      WITH r AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+               CAST(l_extendedprice AS DOUBLE) AS y
+             FROM lineitem
+             WHERE l_quantity IS NOT NULL
+               AND l_extendedprice IS NOT NULL),
+      bx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS t FROM r GROUP BY 1),
+      rx AS (SELECT x, 2 * (SUM(t) OVER (ORDER BY x
+               ROWS UNBOUNDED PRECEDING) - t) + t + 1 AS r_x FROM bx),
+      by_ AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS t FROM r GROUP BY 1),
+      ry AS (SELECT y, 2 * (SUM(t) OVER (ORDER BY y
+               ROWS UNBOUNDED PRECEDING) - t) + t + 1 AS r_y FROM by_),
+      j AS (SELECT CAST(r_x AS BIGINT) AS r_x, CAST(r_y AS BIGINT) AS r_y
+            FROM r JOIN rx USING (x) JOIN ry USING (y)),
+      a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(r_x) AS BIGINT) AS sx,
+              CAST(SUM(r_y) AS BIGINT) AS sy,
+              CAST(SUM(r_x * r_y) AS BIGINT) AS sxy,
+              CAST(SUM(r_x * r_x) AS BIGINT) AS sxx,
+              CAST(SUM(r_y * r_y) AS BIGINT) AS syy
+            FROM j),
+      c AS (SELECT n,
+              CAST(n AS DECIMAL(38,0)) * sxy -
+                CAST(sx AS DECIMAL(38,0)) * sy AS cov,
+              CAST(n AS DECIMAL(38,0)) * sxx -
+                CAST(sx AS DECIMAL(38,0)) * sx AS vx,
+              CAST(n AS DECIMAL(38,0)) * syy -
+                CAST(sy AS DECIMAL(38,0)) * sy AS vy
+            FROM a)
+      SELECT n, CASE WHEN vx > 0 AND vy > 0 THEN
+        round(CAST(cov AS DOUBLE) / (sqrt(CAST(vx AS DOUBLE)) *
+          sqrt(CAST(vy AS DOUBLE))), 6) END AS rho
+      FROM c"""))
   )
 }

@@ -177,7 +177,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // effect-total frame crossed into the |channels|-row readout —
     // the chain itself is aggregate-sized (|states|² edges) and the
     // per-iteration recurrence is a key-partitioned hash join
-    "e_attribution_markov")
+    "e_attribution_markov",
+    // a_spearman: the two-phase running-sum triangular offset join
+    // (the a_mann_whitney shape), TWICE — one per ranked column
+    "a_spearman")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -316,7 +319,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_davies_bouldin",
     // e_attribution_markov: the 1-row p_full / effect-total combines
     // feeding the crosses allowed above
-    "e_attribution_markov")
+    "e_attribution_markov",
+    // a_spearman: the one-row five-moment fold (one bounded partial
+    // per partition — the a_mann_whitney shape)
+    "a_spearman")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

@@ -219,6 +219,30 @@ class StatsSpec extends AnyFunSuite {
       .getDouble(2) === 0.875)
   }
 
+  test("spearman: monotone nonlinear 1; tie-averaged reversal -1; " +
+      "textbook 0.6; constant column null") {
+    val s = spark; import s.implicits._
+    // cubic is monotone: rank-perfect even though Pearson r < 1
+    val mono = Seq((1.0, 1.0), (2.0, 8.0), (3.0, 27.0), (4.0, 64.0))
+      .toDF("x", "y")
+    assert(Stats.spearman(mono, "x", "y").collect().head
+      .getDouble(1) === 1.0)
+    // doubled tie-averaged ranks: x→(2,5,5,8), y→(8,5,5,2) ⇒ ρ = −1
+    val anti = Seq((1.0, 30.0), (2.0, 20.0), (2.0, 20.0), (3.0, 10.0))
+      .toDF("x", "y")
+    assert(Stats.spearman(anti, "x", "y").collect().head
+      .getDouble(1) === -1.0)
+    // no ties: ρ = 1 − 6Σd²/(n(n²−1)) = 1 − 24/60 = 0.6
+    val mix = Seq((1.0, 2.0), (2.0, 1.0), (3.0, 4.0), (4.0, 3.0))
+      .toDF("x", "y")
+    assert(Stats.spearman(mix, "x", "y").collect().head
+      .getDouble(1) === 0.6)
+    // constant y: zero rank variance → null, not NaN
+    val const = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "y")
+    val c = Stats.spearman(const, "x", "y").collect().head
+    assert(c.getLong(0) === 3L && c.isNullAt(1))
+  }
+
   test("ks test: identical samples D=0, disjoint D=1, step CDFs exact") {
     val s = spark; import s.implicits._
     val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
