@@ -495,6 +495,62 @@ object Graph {
     labels
   }
 
+  /** Newman–Girvan MODULARITY of a node labeling (Newman 2006) — the
+    * standard quality score for a community assignment (e.g.
+    * [[labelPropagation]]'s): over the simple undirected graph,
+    *
+    *   Q = Σ_c [ e_c/m − (deg_c / 2m)² ]
+    *
+    * with m the edge count, e_c the edges INSIDE community c, deg_c
+    * the community's degree mass. Q ∈ [−½, 1); ~0 means the labeling
+    * is no better than random, dense well-separated communities score
+    * high.
+    *
+    * DETERMINISM: each contribution is the exact rational
+    * (4m·e_c − deg_c²) / 4m² — numerators combine in DECIMAL(38,0)
+    * (deg_c² wraps BIGINT once deg_c exceeds ~3·10⁹, plausible at
+    * claimed scale), ONE double division per community, round(,6).
+    *
+    * SCALE SHAPE: edge dedup + two label equi-joins on the endpoint
+    * keys + two hash aggregates keyed by community; the 1-row m frame
+    * broadcasts. Output is |communities| rows — aggregate-sized.
+    * Unlabeled endpoints drop (inner joins): scores the labeled
+    * subgraph, callers wanting strict coverage assert it upstream.
+    *
+    * Returns (lbl, n_nodes, e_inside, deg_sum, dq) ordered by lbl;
+    * Q = Σ dq.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val lbl = labels.select(col("node"), col("lbl"))
+    val lu = und
+      .join(lbl.select(col("node").as("u"), col("lbl").as("cu")),
+        Seq("u"))
+      .join(lbl.select(col("node").as("v"), col("lbl").as("cv")),
+        Seq("v"))
+    // m counts the LABELED subgraph's edges, so e_c/deg_c/m agree
+    val m = lu.agg(count(lit(1)).as("m"))
+    val inside = lu.filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("lbl")).agg(count(lit(1)).as("e_inside"))
+    val degC = lu
+      .select(explode(array(col("cu"), col("cv"))).as("lbl"))
+      .groupBy("lbl").agg(count(lit(1)).as("deg_sum"))
+    val nodesC = lbl.groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
+    nodesC
+      .join(degC, Seq("lbl"), "left").na.fill(0L, Seq("deg_sum"))
+      .join(inside, Seq("lbl"), "left").na.fill(0L, Seq("e_inside"))
+      .crossJoin(broadcast(m))
+      .select(col("lbl"), col("n_nodes"), col("e_inside"), col("deg_sum"),
+        round(expr(
+          "cast(4 * cast(m as decimal(38,0)) * e_inside - " +
+            "cast(deg_sum as decimal(38,0)) * deg_sum as double) / " +
+          "(4.0D * cast(m as double) * cast(m as double))"), 6).as("dq"))
+      .orderBy("lbl")
+  }
+
   /** ADAMIC–ADAR link prediction (Adamic & Adar 2003): score each
     * non-adjacent node pair by its shared neighbors, weighting each
     * shared neighbor z by 1/ln(deg(z)) — a rare mutual contact says

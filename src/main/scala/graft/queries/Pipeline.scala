@@ -3316,6 +3316,66 @@ object Pipeline extends QueryModule {
       GROUP BY 1 ORDER BY 1"""
     }),
 
+    // ---- Modularity of the LPA communities (Graph.modularity): the
+    // quality score for g_label_prop's labeling on the SAME graph —
+    // per community the exact rational (4m·e_c − deg_c²)/4m²
+    // (DECIMAL(38,0) numerators, one double division). The planted
+    // cliques must score positive dq; Q = Σ dq.
+    QueryDef("g_modularity", (s, d) => {
+      val sp = s; import sp.implicits._
+      val planted = (for {
+        x <- 1 to 5; y <- (x + 1) to 5
+      } yield Seq((s"q$x", s"q$y"), (s"r$x", s"r$y"))).flatten ++
+        Seq(("q1", "r1"))
+      val e = graft.ops.Graph.wordGraph(docs(s, d)).select("src", "dst")
+        .unionByName(planted.toDF("src", "dst"))
+      graft.ops.Graph.modularity(e,
+        graft.ops.Graph.labelPropagation(e, 4))
+    }, Some {
+      val plantedSql = ((for {
+        x <- 1 to 5; y <- (x + 1) to 5
+      } yield Seq(s"('q$x','q$y')", s"('r$x','r$y')")).flatten ++
+        Seq("('q1','r1')")).mkString(", ")
+      s"""
+      WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                    FROM documents),
+      pairs AS (SELECT unnest(list_transform(range(1, len(tk)),
+                  i -> {'src': tk[i], 'dst': tk[i+1]})) AS p FROM toks),
+      de AS (SELECT p.src AS src, p.dst AS dst FROM pairs
+             WHERE p.src <> p.dst
+             UNION ALL
+             SELECT * FROM (VALUES $plantedSql) pl(src, dst)),
+      und AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM de WHERE src <> dst),
+      adj AS MATERIALIZED (
+        SELECT u AS a, v AS b FROM und
+        UNION ALL SELECT v AS a, u AS b FROM und),
+      l0 AS MATERIALIZED (SELECT node, node AS lbl FROM (
+        SELECT DISTINCT a AS node FROM adj) z),
+      ${duckLpaRounds(4)},
+      lu AS MATERIALIZED (SELECT und.u, und.v, cu.lbl AS cu, cv.lbl AS cv
+            FROM und JOIN l4 cu ON und.u = cu.node
+                     JOIN l4 cv ON und.v = cv.node),
+      mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM lu),
+      ins AS (SELECT cu AS lbl, CAST(COUNT(*) AS BIGINT) AS e_inside
+              FROM lu WHERE cu = cv GROUP BY 1),
+      dg AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS deg_sum FROM (
+               SELECT cu AS lbl FROM lu UNION ALL SELECT cv FROM lu) z
+             GROUP BY 1),
+      nc AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_nodes
+             FROM l4 GROUP BY 1)
+      SELECT nc.lbl, n_nodes,
+        COALESCE(e_inside, 0) AS e_inside,
+        COALESCE(deg_sum, 0) AS deg_sum,
+        round(CAST(4 * CAST(m AS DECIMAL(38,0)) * COALESCE(e_inside, 0) -
+          CAST(COALESCE(deg_sum, 0) AS DECIMAL(38,0)) *
+          COALESCE(deg_sum, 0) AS DOUBLE) /
+          (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6) AS dq
+      FROM nc LEFT JOIN dg USING (lbl) LEFT JOIN ins USING (lbl)
+      CROSS JOIN mm ORDER BY nc.lbl"""
+    }),
+
     // ---- k-CORE decomposition (Graph.kCore): iterative peeling of
     // nodes with degree < 2 over the word graph plus a PLANTED 5-node
     // path tail hung off 'scan' — the tail must peel node-by-node in a

@@ -343,7 +343,9 @@ class PlanAuditSpec extends AnyFunSuite {
   private val skipBuildExecutes = Set(
     "m1_entity_skipgram_vocab", "m_indexed_mentions", "sim_neardup_pairs",
     "m_bpe_merges", "m_bpe_encode", "g_kcore", "g_label_prop",
-    "g_bfs_dist", "pipe_llm_corpus")
+    "g_bfs_dist", "pipe_llm_corpus",
+    // g_modularity composes labelPropagation (per-round checkpoints)
+    "g_modularity")
 
   private val modules = Seq(Relational, Functions, Pipeline, Corpus,
     Analytics, Insights)

@@ -92,4 +92,34 @@ class TriangleSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq && a.length == 3)
     assert(Graph.kCore(edges, 3, 3).count() == 0L)
   }
+
+  test("modularity: hand-computed two-clique split; all-one-community " +
+      "zero; unlabeled endpoints drop") {
+    val s = spark; import s.implicits._
+    // two K4s + one bridge: m = 13; per clique e_c = 6, deg_c = 13
+    // (12 internal half-edges + the bridge end) ⇒ dq = (4·13·6 − 169)
+    // / (4·169) = 143/676 per side, Q = 286/676 = 0.423077
+    val cliques = (for {
+      x <- 1 to 4; y <- (x + 1) to 4
+    } yield Seq((s"a$x", s"a$y"), (s"b$x", s"b$y"))).flatten ++
+      Seq(("a1", "b1"))
+    val e = cliques.toDF("src", "dst")
+    val twoWay = (1 to 4).flatMap(i =>
+      Seq((s"a$i", "A"), (s"b$i", "B"))).toDF("node", "lbl")
+    val out = Graph.modularity(e, twoWay).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out === Seq(("A", 4L, 6L, 13L, 0.211538),
+      ("B", 4L, 6L, 13L, 0.211538)))
+    // everything in one community: Q = m/m − (2m/2m)² = 0
+    val oneWay = ((1 to 4).map(i => s"a$i") ++ (1 to 4).map(i => s"b$i"))
+      .map((_, "X")).toDF("node", "lbl")
+    assert(Graph.modularity(e, oneWay).collect()
+      .map(_.getDouble(4)).toSeq === Seq(0.0))
+    // an edge to an unlabeled node contributes nothing anywhere
+    val withStray = e.unionByName(Seq(("a1", "zzz")).toDF("src", "dst"))
+    assert(Graph.modularity(withStray, twoWay).collect()
+      .map(r => (r.getString(0), r.getDouble(4))).toSeq ===
+      Seq(("A", 0.211538), ("B", 0.211538)))
+  }
 }
