@@ -254,6 +254,53 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** SIMPLIFIED silhouette (Hruschka et al. 2004) of the spherical
+    * k-means clustering, cosine metric — the per-POINT quality twin of
+    * [[daviesBouldin]]'s per-cluster index: for each point, a = the
+    * distance to its OWN centroid, b = the min distance to any OTHER
+    * centroid, s = (b − a)/max(a, b) ∈ [−1, 1]. The full silhouette's
+    * mean-pairwise-distance a/b is O(n²); the centroid form is the
+    * standard linear-cost surrogate (what Spark MLlib's evaluator
+    * computes too) — one broadcast pass, exact here.
+    *
+    * CONVENTIONS: max(a,b) = 0 (a point coincident with two
+    * centroids) reads s = 0; a cluster left ALONE after Lloyd
+    * collapse (no other centroid ⇒ b null) reads null — undefined,
+    * not zero. DETERMINISM: distances round(,9) into DECIMAL before
+    * the compare; s rounds(,6) into DECIMAL(18,6) before the exact
+    * per-cluster sum; one double division per mean.
+    *
+    * SCALE SHAPE: one corpus × broadcast-k-centroid pass + one
+    * (vec, cell) fold + one |cells| rollup — the [[daviesBouldin]]
+    * shape. Returns (cell, n, sil_mean, sil_overall) ordered by cell.
+    */
+  def silhouette(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val cent = kmeansCentroids(corpus, k, iters)
+    val asg = assignByCosine(corpus, cent)
+    val dists = asg
+      .join(broadcast(cent.select(col("cell").as("c2"), col("centroid"))))
+      .select(col("vec_id"), col("cell"), col("c2"),
+        expr("cast(round(1.0D - " + cosineSql("embedding", "centroid") +
+          ", 9) as decimal(12,9))").as("dist"))
+    val perPoint = dists.groupBy("vec_id", "cell")
+      .agg(max(when(col("c2") === col("cell"), col("dist"))).as("a"),
+        min(when(col("c2") =!= col("cell"), col("dist"))).as("b"))
+      .select(col("cell"), expr(
+        "cast(round(case when greatest(a, b) > 0 then " +
+          "cast(b - a as double) / cast(greatest(a, b) as double) " +
+          "else 0.0D end, 6) as decimal(18,6))").as("s"))
+    val per = perPoint.groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("s")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("sil_mean"))
+    val overall = perPoint.agg(
+      round(sum(col("s")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("sil_overall"))
+    per.crossJoin(broadcast(overall))
+      .select(col("cell"), col("n"), col("sil_mean"), col("sil_overall"))
+      .orderBy("cell")
+  }
+
   /** IVF probe search: route each query to its `nprobe` nearest centroids,
     * then brute-force only within those cells. Exact within the probed
     * fraction; recall governed by nprobe (classic IVF trade-off).

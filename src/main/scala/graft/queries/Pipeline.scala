@@ -2001,6 +2001,38 @@ object Pipeline extends QueryModule {
       FROM tm CROSS JOIN ix ORDER BY cell"""
     }),
 
+    // ---- Simplified silhouette (Similarity.silhouette) over the SAME
+    // k=8/iters=2 k-means — the per-point quality twin of
+    // sim_davies_bouldin (linear centroid form, not the O(n²) full
+    // silhouette). Distances round(,9) into DECIMAL, per-point s
+    // rounds(,6) into DECIMAL(18,6) before the exact cluster folds.
+    QueryDef("sim_silhouette", (s, d) => {
+      Similarity.silhouette(emb(s, d), 8, 2)
+    }, Some {
+      s"""
+      WITH ${duckKmeansChain(8, 2)},
+      dd AS (SELECT asgf.vec_id, asgf.cell, c.cell AS c2,
+               CAST(round(1.0 - ${duckCos("e", "c.centroid")}, 9)
+                 AS DECIMAL(12,9)) AS dist
+             FROM asgf CROSS JOIN cent2 c),
+      ab AS (SELECT vec_id, cell,
+               MAX(CASE WHEN c2 = cell THEN dist END) AS a,
+               MIN(CASE WHEN c2 <> cell THEN dist END) AS b
+             FROM dd GROUP BY 1, 2),
+      ss AS (SELECT cell, CAST(round(CASE WHEN greatest(a, b) > 0 THEN
+               CAST(b - a AS DOUBLE) / CAST(greatest(a, b) AS DOUBLE)
+               ELSE 0.0 END, 6) AS DECIMAL(18,6)) AS s
+             FROM ab),
+      pc AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+               round(CAST(SUM(s) AS DOUBLE) /
+                 CAST(COUNT(*) AS DOUBLE), 6) AS sil_mean
+             FROM ss GROUP BY 1),
+      ov AS (SELECT round(CAST(SUM(s) AS DOUBLE) /
+               CAST(COUNT(*) AS DOUBLE), 6) AS sil_overall FROM ss)
+      SELECT cell, n, sil_mean, sil_overall
+      FROM pc CROSS JOIN ov ORDER BY cell"""
+    }),
+
     // ---- Product quantization ANN (graft.ops.Pq): 2 Lloyd rounds of
     // per-subspace k-means (m=4 x 16 dims, 8 cells), corpus compressed
     // to 4 codes/vector, ADC top-5 — the memory-compression search path

@@ -180,7 +180,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "e_attribution_markov",
     // a_spearman: the two-phase running-sum triangular offset join
     // (the a_mann_whitney shape), TWICE — one per ranked column
-    "a_spearman")
+    "a_spearman",
+    // sim_silhouette: the broadcast k-row centroid table crossed per
+    // point + the 1-row overall-mean frame (the sim_davies_bouldin
+    // shape)
+    "sim_silhouette")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -322,7 +326,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "e_attribution_markov",
     // a_spearman: the one-row five-moment fold (one bounded partial
     // per partition — the a_mann_whitney shape)
-    "a_spearman")
+    "a_spearman",
+    // sim_silhouette: the k-row seed-ranking window collapse + the
+    // 1-row overall-mean fold (the sim_davies_bouldin shape)
+    "sim_silhouette")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

@@ -480,6 +480,35 @@ class SparkOpsSpec extends AnyFunSuite {
       r.getDouble(3) == 0.0))
   }
 
+  test("Similarity.silhouette: orthogonal identical-member clusters " +
+    "score 1; a collapsed single cell reads zero") {
+    val s = spark; import s.implicits._
+    def h(id: Long): BigInt = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      BigInt(d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    val ids = (1L to 6L).sortBy(h)
+    val a = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val b = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    // alternate by hash order so the two seeds start one per group;
+    // identical members ⇒ a = 0, b = 1 (orthogonal) ⇒ s = 1 per point
+    val e = ids.zipWithIndex.map { case (id, i) =>
+      (id, if (i % 2 == 0) a else b) }.toSeq.toDF("vec_id", "embedding")
+    val out = Similarity.silhouette(e, 2, 2).collect()
+    assert(out.length == 2)
+    assert(out.forall(r => r.getLong(1) == 3L))
+    assert(out.forall(r => r.getDouble(2) == 1.0 &&
+      r.getDouble(3) == 1.0))
+    // all-identical corpus: assignment ties collapse to one cell after
+    // the first Lloyd round; b is null-free only via greatest(0,null)=0
+    // ⇒ the s = 0 convention, one surviving row
+    val same = (1L to 6L).map(i => (i, a)).toDF("vec_id", "embedding")
+    val deg = Similarity.silhouette(same, 2, 2).collect()
+    assert(deg.length == 1 && deg.head.getLong(1) == 6L)
+    assert(deg.head.getDouble(2) == 0.0 && deg.head.getDouble(3) == 0.0)
+  }
+
   test("TextAnalysis.dsirWeights: target-vocab docs score positive, " +
     "off-target negative; token-less docs absent") {
     val s = spark; import s.implicits._
