@@ -45,6 +45,58 @@ object Survival {
     */
   def kaplanMeier(events: DataFrame, unitUs: Long,
       censorLagUnits: Int = 2): DataFrame = {
+    val withRisk = riskTable(events, unitUs, censorLagUnits)
+      .withColumn("__factor", lit(1.0) -
+        col("n_deaths").cast("double") / col("n_at_risk"))
+    withRisk
+      .withColumn("__hit_zero",
+        max((col("__factor") === 0.0).cast("int")).over(wAll) === 1)
+      .withColumn("survival", when(col("__hit_zero"), lit(0.0))
+        .otherwise(round(exp(sum(log(col("__factor"))).over(wAll)), 6)))
+      .select("t", "n_at_risk", "n_deaths", "n_censored", "survival")
+  }
+
+  /** Nelson–Aalen cumulative hazard (Nelson 1972, Aalen 1978) over the
+    * SAME lifetime/censoring extraction as [[kaplanMeier]]:
+    *
+    *   H(t) = Σ_{s ≤ t} d_s / n_s
+    *
+    * plus the Fleming–Harrington survival S̃(t) = exp(−H(t)) — the KM
+    * alternative that behaves better at small risk sets (it never
+    * hits an absorbing 0 on a d = n step, where KM collapses).
+    *
+    * DETERMINISM: each hazard increment rounds(,9) into DECIMAL(18,9)
+    * and the cumulative sum is EXACT — unlike KM's exp(Σ ln factor),
+    * which both engines evaluate in the same t-order; here no order
+    * assumption is needed at all. One double exp/round per row at
+    * readout. Scale contract: the object doc's — everything past the
+    * per-user aggregate is horizon-sized.
+    *
+    * Returns (t, n_at_risk, n_deaths, n_censored, cum_hazard,
+    * survival_fh).
+    */
+  def nelsonAalen(events: DataFrame, unitUs: Long,
+      censorLagUnits: Int = 2): DataFrame =
+    riskTable(events, unitUs, censorLagUnits)
+      .withColumn("__h", expr("cast(round(cast(n_deaths as double) " +
+        "/ n_at_risk, 9) as decimal(18,9))"))
+      .withColumn("__ch", sum(col("__h")).over(wAll))
+      .select(col("t"), col("n_at_risk"), col("n_deaths"),
+        col("n_censored"),
+        round(col("__ch").cast("double"), 6).as("cum_hazard"),
+        round(exp(-col("__ch").cast("double")), 6).as("survival_fh"))
+
+  // Horizon-sized by construction (see object doc): unpartitioned
+  // windows past the per-user aggregate are deliberate and safe.
+  private val wAll = Window.partitionBy().orderBy("t")
+    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  /** Shared lifetime → (t, n_deaths, n_censored, n_at_risk) extraction
+    * behind [[kaplanMeier]] and [[nelsonAalen]] — one hash aggregate
+    * on the user key, then the horizon-sized duration table.
+    */
+  private def riskTable(events: DataFrame, unitUs: Long,
+      censorLagUnits: Int): DataFrame = {
     val users = events.groupBy("user_id")
       .agg(min("ts_us").as("__first"), max("ts_us").as("__last"))
     val end = users.agg(max("__last").as("__end"))
@@ -57,25 +109,12 @@ object Survival {
     val byT = lifetimes.groupBy("t").agg(
       sum("__dead").cast("long").as("n_deaths"),
       sum(lit(1) - col("__dead")).cast("long").as("n_censored"))
-    // From here the data is horizon-sized: unpartitioned windows are
-    // deliberate and safe (see object doc).
-    val wAll = Window.partitionBy().orderBy("t")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wPrev = Window.partitionBy().orderBy("t")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val withRisk = byT
-      .withColumn("n_at_risk",
-        sum(col("n_deaths") + col("n_censored")).over(
-          Window.partitionBy()) -
-          coalesce(sum(col("n_deaths") + col("n_censored")).over(wPrev),
-            lit(0L)))
-      .withColumn("__factor", lit(1.0) -
-        col("n_deaths").cast("double") / col("n_at_risk"))
-    withRisk
-      .withColumn("__hit_zero",
-        max((col("__factor") === 0.0).cast("int")).over(wAll) === 1)
-      .withColumn("survival", when(col("__hit_zero"), lit(0.0))
-        .otherwise(round(exp(sum(log(col("__factor"))).over(wAll)), 6)))
-      .select("t", "n_at_risk", "n_deaths", "n_censored", "survival")
+    byT.withColumn("n_at_risk",
+      sum(col("n_deaths") + col("n_censored")).over(
+        Window.partitionBy()) -
+        coalesce(sum(col("n_deaths") + col("n_censored")).over(wPrev),
+          lit(0L)))
   }
 }

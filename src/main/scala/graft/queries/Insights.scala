@@ -214,6 +214,39 @@ object Insights extends QueryModule {
                ROWS UNBOUNDED PRECEDING)), 6) END AS survival
       FROM f2""")),
 
+    // ---- Nelson–Aalen cumulative hazard (Survival.nelsonAalen): the
+    // KM alternative over the SAME weekly lifetime extraction — hazard
+    // increments round(,9) into DECIMAL(18,9) so the cumulative sum is
+    // EXACT (no cross-engine double-order assumption at all), with the
+    // Fleming–Harrington survival exp(−H) readout.
+    QueryDef("e_hazard_na", (s, d) => {
+      Survival.nelsonAalen(Tables.events(s, d), WeekUs,
+        censorLagUnits = 2)
+    }, Some("""
+      WITH u AS (SELECT user_id, MIN(epoch_us(ts)) AS f,
+                   MAX(epoch_us(ts)) AS l FROM events GROUP BY 1),
+      se AS (SELECT MAX(l) AS study_end FROM u),
+      lt AS (SELECT (l - f) // 604800000000 AS t,
+               CASE WHEN l < study_end - 2 * 604800000000 THEN 1 ELSE 0
+                 END AS dead
+             FROM u CROSS JOIN se),
+      bt AS (SELECT t, CAST(SUM(dead) AS BIGINT) AS n_deaths,
+               CAST(SUM(1 - dead) AS BIGINT) AS n_censored
+             FROM lt GROUP BY 1),
+      r AS (SELECT *, CAST(SUM(n_deaths + n_censored) OVER () -
+               COALESCE(SUM(n_deaths + n_censored) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_at_risk FROM bt),
+      h AS (SELECT *, CAST(round(CAST(n_deaths AS DOUBLE) / n_at_risk,
+               9) AS DECIMAL(18,9)) AS hterm FROM r),
+      c AS (SELECT t, n_at_risk, n_deaths, n_censored,
+              SUM(hterm) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                AS ch FROM h)
+      SELECT t, n_at_risk, n_deaths, n_censored,
+        round(CAST(ch AS DOUBLE), 6) AS cum_hazard,
+        round(exp(-CAST(ch AS DOUBLE)), 6) AS survival_fh
+      FROM c""")),
+
     // ---- Mann–Whitney U rank-sum test (Stats.mannWhitney): the
     // nonparametric two-sample twin of pipe_ab_test — click vs view
     // event values compared by ranks (tie-corrected normal

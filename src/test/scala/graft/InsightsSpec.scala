@@ -156,4 +156,36 @@ class InsightsSpec extends AnyFunSuite {
     assert(out(0).getAs[Double]("survival") === 0.0)
     assert(out(0).getAs[Long]("n_deaths") === 2L)
   }
+
+  test("nelsonAalen: hand-summed hazard on the KM fixture; exhausted " +
+      "risk set stays finite where KM pins 0") {
+    val s = spark; import s.implicits._
+    val e = Seq(
+      (1L, 0L), (1L, 5L),     // t=0, dead
+      (2L, 0L), (2L, 35L),    // t=3, dead
+      (3L, 0L), (3L, 100L),   // t=10, censored (defines study end)
+      (4L, 0L), (4L, 95L))    // t=9, censored
+      .toDF("user_id", "ts_us")
+    val out = Survival.nelsonAalen(e, unitUs = 10L, censorLagUnits = 2)
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    // H: 1/4 = .25, +1/3 → .583333 (terms round(,9) first), flat after
+    val h2 = 0.25 + BigDecimal(1.0 / 3)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq === Seq(
+      (0L, 4L, 1L, 0L, 0.25, r6(math.exp(-0.25))),
+      (3L, 3L, 1L, 0L, r6(h2), r6(math.exp(-h2))),
+      (9L, 2L, 0L, 1L, r6(h2), r6(math.exp(-h2))),
+      (10L, 1L, 0L, 1L, r6(h2), r6(math.exp(-h2)))))
+    // d = n step: KM collapses to 0, NA reads finite exp(-1)
+    val all = Seq((1L, 0L), (2L, 0L), (2L, 0L)).toDF("user_id", "ts_us")
+    val deg = Survival.nelsonAalen(all, unitUs = 10L,
+      censorLagUnits = -1).collect()
+    assert(deg.length === 1)
+    assert(deg(0).getAs[Double]("cum_hazard") === 1.0)
+    assert(deg(0).getAs[Double]("survival_fh") === r6(math.exp(-1.0)))
+  }
 }

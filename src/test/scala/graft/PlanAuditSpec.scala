@@ -184,7 +184,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // sim_silhouette: the broadcast k-row centroid table crossed per
     // point + the 1-row overall-mean frame (the sim_davies_bouldin
     // shape)
-    "sim_silhouette")
+    "sim_silhouette",
+    // e_hazard_na: the 1-row study-end frame broadcast into the
+    // lifetime extraction (the e_survival_km shape)
+    "e_hazard_na")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -329,7 +332,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "a_spearman",
     // sim_silhouette: the k-row seed-ranking window collapse + the
     // 1-row overall-mean fold (the sim_davies_bouldin shape)
-    "sim_silhouette")
+    "sim_silhouette",
+    // e_hazard_na: the 1-row study-end combine plus the at-risk /
+    // hazard windows on the HORIZON-sized duration table (the
+    // e_survival_km shape)
+    "e_hazard_na")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —
