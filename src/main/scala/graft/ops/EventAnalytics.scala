@@ -1254,6 +1254,51 @@ object EventAnalytics {
         .as("resid"))
   }
 
+  /** Seasonal-naive (day-of-week) daily forecast — the weekly-cycle
+    * sibling of [[ewmaForecast]]/[[holtForecast]], which both lag a
+    * strong weekday pattern: the forecast for a day is the MEAN of the
+    * counts on the SAME WEEKDAY over the `cycles` prior weeks (the
+    * "seasonal naive with averaging" baseline every forecasting bakeoff
+    * starts from; a week with no events contributes an honest zero —
+    * no gap-fill needed, absent days ARE zero counts).
+    *
+    * Emits per series BOTH the backtest at the global anchor day d₁
+    * (forecast from d₁−7·j vs the actual) and the d₁+1 forecast (from
+    * d₁+1−7·j) a daily run would publish. DETERMINISM: counts are
+    * BIGINT conditional sums over one 4-week-filtered scan; each
+    * forecast is ONE division by `cycles`, round(,6).
+    *
+    * SCALE SHAPE: the [[ewmaForecast]] contract — one scalar max +
+    * one per-key hash aggregate over a ≤29-day slice; |keys| rows out.
+    */
+  def seasonalNaiveForecast(events: DataFrame, keyCol: String,
+      cycles: Int = 4): DataFrame = {
+    val days = events.select(col(keyCol).as("k"),
+      expr(s"ts_us div $DayUs").as("day"))
+    val anchor = days.agg(max("day").as("d1"))
+    val histDays = (1 to cycles)
+    val c = cycles.toDouble
+    days.crossJoin(broadcast(anchor))
+      .filter(col("day") >= col("d1") - (7 * cycles) &&
+        col("day") <= col("d1"))
+      .groupBy("k", "d1")
+      .agg(
+        sum(when(col("day") === col("d1"), 1L).otherwise(0L))
+          .as("n_actual"),
+        sum(when(histDays.map(j => col("day") === col("d1") - 7 * j)
+          .reduce(_ || _), 1L).otherwise(0L)).as("hist_sum"),
+        sum(when(histDays.map(j => col("day") === col("d1") + 1 - 7 * j)
+          .reduce(_ || _), 1L).otherwise(0L)).as("next_sum"))
+      .select(col("k").as(keyCol), col("d1").as("day"), col("n_actual"),
+        round(expr(s"cast(hist_sum as double) / ${c}D"), 6)
+          .as("forecast"),
+        round(expr(s"cast(n_actual as double) - " +
+          s"cast(hist_sum as double) / ${c}D"), 6).as("resid"),
+        (col("d1") + 1).as("next_day"),
+        round(expr(s"cast(next_sum as double) / ${c}D"), 6)
+          .as("next_forecast"))
+  }
+
   /** Benjamini–Hochberg FDR-controlled A/B readout across MANY metrics
     * at once — the multiple-comparisons guard a real experimentation
     * platform applies before anyone cherry-picks "the significant

@@ -575,6 +575,29 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.getDouble(6) === out.getDouble(5)) // falls back to raw
   }
 
+  test("seasonal naive: same-weekday means, off-cycle days ignored, " +
+      "sparse key reads zero history") {
+    // anchor d1 = 28; same-weekday history {21,14,7,0} counts 2,4,0,6
+    // → forecast 3.0; next-day history {22,15,8,1} counts 1,0,2,1 →
+    // next 1.0; day 27 (off-cycle) must not count anywhere
+    def burst(key: String, day: Long, n: Int, idBase: Long) =
+      (0 until n).map(j => (50L + j, idBase + j, key,
+        day * DayUs + j, 0.0))
+    val rows =
+      burst("A", 28, 3, 0) ++ burst("A", 21, 2, 100) ++
+        burst("A", 14, 4, 200) ++ burst("A", 0, 6, 300) ++
+        burst("A", 22, 1, 400) ++ burst("A", 8, 2, 500) ++
+        burst("A", 1, 1, 600) ++ burst("A", 27, 9, 700) ++
+        burst("B", 28, 1, 800)
+    val out = EventAnalytics.seasonalNaiveForecast(ev(rows: _*),
+      "event_type").orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5), r.getDouble(6)))
+    assert(out.toSeq === Seq(
+      ("A", 28L, 3L, 3.0, 0.0, 29L, 1.0),
+      ("B", 28L, 1L, 0.0, 1.0, 29L, 0.0)))
+  }
+
   test("cusum: closed form equals the max(0,·) recursion; level shift " +
       "alarms, stable series stays quiet") {
     // key A: baseline week 5,5,5,5,5,5,5 (s_base=35, μ₀=5, slack=3/7),

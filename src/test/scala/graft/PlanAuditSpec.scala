@@ -187,7 +187,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_silhouette",
     // e_hazard_na: the 1-row study-end frame broadcast into the
     // lifetime extraction (the e_survival_km shape)
-    "e_hazard_na")
+    "e_hazard_na",
+    // e_seasonal_forecast: the 1-row anchor-day frame broadcast into
+    // the 4-week slice (the e_ewma_forecast shape)
+    "e_seasonal_forecast")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -336,7 +339,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // e_hazard_na: the 1-row study-end combine plus the at-risk /
     // hazard windows on the HORIZON-sized duration table (the
     // e_survival_km shape)
-    "e_hazard_na")
+    "e_hazard_na",
+    // e_seasonal_forecast: the 1-row anchor-day scalar fold (the
+    // e_ewma_forecast shape)
+    "e_seasonal_forecast")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —
