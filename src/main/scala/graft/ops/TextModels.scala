@@ -386,6 +386,59 @@ object TextModels {
       .limit(k)
   }
 
+  /** Dirichlet-smoothed QUERY-LIKELIHOOD retrieval (Zhai & Lafferty
+    * 2001) — the language-modeling alternative to [[bm25Join]], same
+    * join-form contract (terms arrive as a DataFrame column `term`).
+    * Scored in the rank-equivalent match-only decomposition
+    *
+    *   score(q,d) = Σ_{t ∈ q∩d} ln(1 + tf·C / (μ·cf_t))
+    *              + |q|·ln(μ / (len_d + μ))
+    *
+    * (C = collection token count, cf_t = collection frequency), which
+    * lets the engine score only matching docs while keeping the full
+    * QL length normalization. CONVENTIONS: query terms absent from
+    * the collection drop from the query (cf = 0 has no defined LM
+    * mass — the standard treatment), and only docs matching ≥ 1
+    * surviving term are candidates (the [[bm25Join]] population).
+    *
+    * DETERMINISM: both the per-term match contribution and the
+    * length term round(,6) into DECIMAL(18,6) before the per-doc
+    * fold (|q| × length-term multiplies INTEGER × DECIMAL — exact);
+    * one double round at readout.
+    *
+    * SCALE SHAPE: the [[bm25Join]] plan — token explode ⋈ broadcast
+    * terms, (doc, term) tf aggregate, broadcast cf/|q|/C frames, one
+    * TakeOrdered cut.
+    */
+  def qldJoin(docs: DataFrame, terms: DataFrame, k: Int,
+      mu: Double = 2000.0): DataFrame = {
+    val tk = docs.select(col("doc_id"),
+      explode(expr(Hashing.tokensSql)).as("tok"))
+    val lens = tk.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val ctot = tk.agg(count(lit(1)).as("ct"))
+    val qterms = terms.select(col("term").as("tok")).distinct()
+    val matched = tk.join(broadcast(qterms), Seq("tok"))
+    val cf = matched.groupBy("tok").agg(count(lit(1)).as("cf"))
+    val nq = cf.agg(count(lit(1)).as("nq"))
+    val tf = matched.groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(cf), Seq("tok"))
+      .crossJoin(broadcast(ctot))
+      .withColumn("tscore", expr(
+        "cast(round(ln(1.0D + (cast(tf as double) * " +
+          s"cast(ct as double)) / ($mu * cast(cf as double))), 6) " +
+          "as decimal(18,6))"))
+      .groupBy("doc_id").agg(sum(col("tscore")).as("ms"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(nq))
+      .select(col("doc_id"),
+        round((col("ms") + col("nq") * expr(
+          s"cast(round(ln($mu / (cast(len as double) + $mu)), 6) " +
+            "as decimal(18,6))")).cast("double"), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** PSEUDO-RELEVANCE FEEDBACK query expansion (Rocchio/RM3-lite) —
     * the classic recall lever of sparse retrieval: run the seed query,
     * take the top `nDocs` feedback documents, mine their most

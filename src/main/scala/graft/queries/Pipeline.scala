@@ -3028,6 +3028,41 @@ object Pipeline extends QueryModule {
       WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
       ORDER BY score DESC, doc_id LIMIT 10""")),
 
+    // ---- Dirichlet query-likelihood retrieval (TextModels.qldJoin):
+    // the language-modeling twin of m_bm25_topk over the same query,
+    // join-form (terms as data). Match-only rank-equivalent
+    // decomposition: per-term ln(1 + tf·C/(μ·cf)) and the |q|·ln(μ/
+    // (len+μ)) length term both round(,6) into DECIMAL before the
+    // per-doc fold.
+    QueryDef("m_qld_topk", (s, d) => {
+      val sp = s; import sp.implicits._
+      graft.ops.TextModels.qldJoin(docs(s, d),
+        Seq("hash", "join", "stream").toDF("term"), 10)
+    }, Some("""
+      WITH tok AS (SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents),
+      lens AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len
+               FROM tok GROUP BY 1),
+      ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM tok),
+      q AS (SELECT unnest(['hash', 'join', 'stream']) AS tok),
+      m AS (SELECT t.doc_id, t.tok FROM tok t JOIN q USING (tok)),
+      cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf
+             FROM m GROUP BY 1),
+      nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS nq FROM cf),
+      tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM m GROUP BY 1, 2),
+      sc AS (SELECT doc_id, SUM(CAST(round(ln(1.0 +
+               (CAST(tf AS DOUBLE) * CAST(c AS DOUBLE)) /
+               (2000.0 * CAST(cf AS DOUBLE))), 6) AS DECIMAL(18,6)))
+               AS ms
+             FROM tf JOIN cf USING (tok) CROSS JOIN ct GROUP BY 1)
+      SELECT sc.doc_id, round(CAST(ms + nq *
+          CAST(round(ln(2000.0 / (CAST(len AS DOUBLE) + 2000.0)), 6)
+            AS DECIMAL(18,6)) AS DOUBLE), 6) AS score
+      FROM sc JOIN lens USING (doc_id) CROSS JOIN nq
+      ORDER BY score DESC, doc_id LIMIT 10""")),
+
     // ---- Pseudo-relevance-feedback expansion (TextModels.prfExpand):
     // seed query → top-5 feedback docs (the m_bm25_topk pass) → top-5
     // expansion terms by Σtf·idf — the term set is now DATA — →

@@ -190,7 +190,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "e_hazard_na",
     // e_seasonal_forecast: the 1-row anchor-day frame broadcast into
     // the 4-week slice (the e_ewma_forecast shape)
-    "e_seasonal_forecast")
+    "e_seasonal_forecast",
+    // m_qld_topk: the 1-row collection-count and |q| frames crossed
+    // into the scoring join (the m_bm25_topk stats shape)
+    "m_qld_topk")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -342,7 +345,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "e_hazard_na",
     // e_seasonal_forecast: the 1-row anchor-day scalar fold (the
     // e_ewma_forecast shape)
-    "e_seasonal_forecast")
+    "e_seasonal_forecast",
+    // m_qld_topk: the 1-row C/|q| combines (the m_bm25_topk shape)
+    "m_qld_topk")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

@@ -302,6 +302,23 @@ class SparkOpsSpec extends AnyFunSuite {
       assert(math.abs(joined(k) - v) < 2e-6, s"doc $k: $v vs ${joined(k)}")
   }
 
+  test("qldJoin: hand-computed Dirichlet scores, absent query terms " +
+    "drop from |q|, non-matching docs absent") {
+    val s = spark; import s.implicits._
+    // C = 9 tokens; cf(apple)=3, cf(banana)=1; 'zzz' absent → nq = 2.
+    // μ=2: d1 = ln4 + ln5.5 + 2·ln(2/5) = 1.386294 + 1.704748 −
+    // 1.832582 = 1.258460; d2 = ln2.5 + 2·ln(2/6) = 0.916291 −
+    // 2.197224 = −1.280933; d3 matches nothing → absent
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry cherry cherry"),
+      (3L, "durian durian")).toDF("doc_id", "text")
+    val out = TextModels.qldJoin(docs,
+        Seq("apple", "banana", "zzz").toDF("term"), 10, mu = 2.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq === Seq((1L, 1.25846), (2L, -1.280933)))
+  }
+
   test("prfExpand pulls in feedback-doc vocabulary: a doc with only " +
     "expansion terms enters the final ranking") {
     val s = spark; import s.implicits._
