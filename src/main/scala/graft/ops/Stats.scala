@@ -258,6 +258,55 @@ object Stats {
           6).as("gini"))
   }
 
+  /** Cumulative gains / lift decile table — the model-evaluation
+    * readout next to [[rocAuc]] (AUC summarizes ranking quality in one
+    * number; the gains chart says WHERE the lift lives: "the top
+    * decile captures 31% of positives at 3.1× lift", the table every
+    * targeting/propensity model ships with).
+    *
+    * Rows rank by (`scoreCol` DESC, `idCol` ASC — the total order that
+    * makes decile boundaries deterministic under score ties) on the
+    * two-phase [[Rank.globalOrdinal]] (no unpartitioned rank window);
+    * decile = (ord·nBins) div N + 1. Per decile: n, positives,
+    * cumulative positives, gain = cum_pos/P, lift = n_pos·N/(n·P).
+    *
+    * DETERMINISM: everything is BIGINT until the two final divisions
+    * (round ,6); the cumulative window runs over exactly `nBins` rows
+    * (bounded by construction). Null scores drop.
+    */
+  def gainsDeciles(df: DataFrame, isPositive: Column, scoreCol: String,
+      idCol: String, nBins: Int = 10): DataFrame = {
+    val rows = df.filter(col(scoreCol).isNotNull)
+      .select(isPositive.cast("boolean").cast("int").cast("long")
+        .as("pos"), col(scoreCol).cast("double").as("v"),
+        col(idCol).as("id"))
+    val ord = Rank.globalOrdinal(rows,
+      Seq(col("v").desc, col("id").asc), "ord")
+    val n = ord.groupBy().agg(count(lit(1)).as("n_total"))
+    val byDecile = ord.crossJoin(broadcast(n))
+      .withColumn("decile",
+        expr(s"(ord * $nBins) div n_total") + 1L)
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+    // nBins rows from here: unpartitioned windows are bounded
+    val wCum = Window.partitionBy().orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    byDecile
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .withColumn("p_total", sum(col("n_pos")).over(wAll))
+      .withColumn("nn", sum(col("n")).over(wAll))
+      .select(col("decile"), col("n"), col("n_pos"), col("cum_pos"),
+        round(expr("case when p_total > 0 then " +
+          "cast(cum_pos as double) / cast(p_total as double) end"), 6)
+          .as("gain"),
+        round(expr("case when p_total > 0 then " +
+          "cast(n_pos as double) * cast(nn as double) / " +
+          "(cast(n as double) * cast(p_total as double)) end"), 6)
+          .as("lift"))
+      .orderBy("decile")
+  }
+
   /** Poisson(1) inverse-CDF cutoffs at 2⁻²⁰ grain: a 20-bit hash
     * uniform u scores weight w = #{k : u ≥ cut(k)} ∈ 0..7 — floor of
     * cdf(k)·2²⁰ for k = 0..6, the tail past 7 (P ≈ 8·10⁻⁵) folded

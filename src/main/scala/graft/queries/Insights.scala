@@ -979,6 +979,37 @@ object Insights extends QueryModule {
       SELECT n, CASE WHEN vx > 0 AND vy > 0 THEN
         round(CAST(cov AS DOUBLE) / (sqrt(CAST(vx AS DOUBLE)) *
           sqrt(CAST(vy AS DOUBLE))), 6) END AS rho
-      FROM c"""))
+      FROM c""")),
+
+    // ---- Cumulative gains / lift deciles (Stats.gainsDeciles): the
+    // targeting-model readout next to a_roc_auc, same (value score,
+    // purchase label) pair — rank by (score desc, event_id) on the
+    // two-phase global ordinal, BIGINT counts, two final divisions.
+    QueryDef("m_gains_deciles", (s, d) => {
+      graft.ops.Stats.gainsDeciles(Tables.events(s, d),
+        col("event_type") === "purchase", "value", "event_id")
+    }, Some("""
+      WITH r AS (SELECT CAST(value AS DOUBLE) AS v, event_id AS id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                 AS pos
+             FROM events WHERE value IS NOT NULL),
+      o AS (SELECT pos, ROW_NUMBER() OVER (ORDER BY v DESC, id) - 1
+              AS ord FROM r),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM o),
+      b AS (SELECT (ord * 10) // n_total + 1 AS decile, pos
+            FROM o CROSS JOIN n),
+      g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(pos) AS BIGINT) AS n_pos FROM b GROUP BY 1),
+      w AS (SELECT *, CAST(SUM(n_pos) OVER (ORDER BY decile
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+              CAST(SUM(n_pos) OVER () AS BIGINT) AS p_total,
+              CAST(SUM(n) OVER () AS BIGINT) AS nn FROM g)
+      SELECT decile, n, n_pos, cum_pos,
+        round(CASE WHEN p_total > 0 THEN CAST(cum_pos AS DOUBLE) /
+          CAST(p_total AS DOUBLE) END, 6) AS gain,
+        round(CASE WHEN p_total > 0 THEN CAST(n_pos AS DOUBLE) *
+          CAST(nn AS DOUBLE) / (CAST(n AS DOUBLE) *
+          CAST(p_total AS DOUBLE)) END, 6) AS lift
+      FROM w ORDER BY decile"""))
   )
 }

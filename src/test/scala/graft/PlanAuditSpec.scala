@@ -193,7 +193,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "e_seasonal_forecast",
     // m_qld_topk: the 1-row collection-count and |q| frames crossed
     // into the scoring join (the m_bm25_topk stats shape)
-    "m_qld_topk")
+    "m_qld_topk",
+    // m_gains_deciles: the 1-row N frame crossed into the decile
+    // bucketing (the a_histogram_equidepth ordinal shape)
+    "m_gains_deciles")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -347,7 +350,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // e_ewma_forecast shape)
     "e_seasonal_forecast",
     // m_qld_topk: the 1-row C/|q| combines (the m_bm25_topk shape)
-    "m_qld_topk")
+    "m_qld_topk",
+    // m_gains_deciles: the 1-row N combine + the cumulative window
+    // over exactly nBins decile rows (bounded by construction)
+    "m_gains_deciles")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

@@ -219,6 +219,29 @@ class StatsSpec extends AnyFunSuite {
       .getDouble(2) === 0.875)
   }
 
+  test("gainsDeciles: hand-computed 20-row table; score ties rank by " +
+      "id so deciles are deterministic") {
+    val s = spark; import s.implicits._
+    // score = 21 − id (rank order = id order); positives 1,2,3 and 20
+    val rows = (1L to 20L).map(i =>
+      (i, 21.0 - i, Seq(1L, 2L, 3L, 20L).contains(i)))
+      .toDF("id", "sc", "p")
+    val out = Stats.gainsDeciles(rows, col("p"), "sc", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.length === 10)
+    assert(out(0) === ((1L, 2L, 2L, 2L, 0.5, 5.0)))
+    assert(out(1) === ((2L, 2L, 1L, 3L, 0.75, 2.5)))
+    for (i <- 2 to 8)
+      assert(out(i) === (((i + 1).toLong, 2L, 0L, 3L, 0.75, 0.0)))
+    assert(out(9) === ((10L, 2L, 1L, 4L, 1.0, 2.5)))
+    // all-tied scores: the id tiebreak buckets 1,2 into the top half
+    val tied = (1L to 4L).map(i => (i, 7.0, i <= 2)).toDF("id", "sc", "p")
+    val t = Stats.gainsDeciles(tied, col("p"), "sc", "id", nBins = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(5)))
+    assert(t.toSeq === Seq((1L, 2L, 2.0), (2L, 0L, 0.0)))
+  }
+
   test("spearman: monotone nonlinear 1; tie-averaged reversal -1; " +
       "textbook 0.6; constant column null") {
     val s = spark; import s.implicits._
