@@ -1084,10 +1084,19 @@ object EventAnalytics {
     */
   def cusumChangepoint(events: DataFrame, keyCol: String,
       baseline: Int = 7, slackDiv: Int = 10,
-      thresholdDays: Int = 2): DataFrame = {
-    val daily = events
+      thresholdDays: Int = 2): DataFrame =
+    cusumFromDaily(events
       .select(col(keyCol).as("k"), expr(s"ts_us div $DayUs").as("day"))
-      .groupBy("k", "day").agg(count(lit(1)).as("n"))
+      .groupBy("k", "day").agg(count(lit(1)).as("n")),
+      keyCol, baseline, slackDiv, thresholdDays)
+
+  /** The CUSUM chain from an already-aggregated (k, day, n) daily
+    * frame — shared verbatim by [[cusumChangepoint]] and its streaming
+    * twin (`streaming/Events.cusumDaily`, where the daily counts come
+    * out of the state store), so stream-vs-batch parity is structural.
+    */
+  private[graft] def cusumFromDaily(daily: DataFrame, keyCol: String,
+      baseline: Int, slackDiv: Int, thresholdDays: Int): DataFrame = {
     val grid = daily.groupBy("k")
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("k"), explode(sequence(col("d0"), col("d1"))).as("day"))

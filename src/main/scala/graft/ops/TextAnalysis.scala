@@ -239,6 +239,38 @@ object TextAnalysis {
           .as("mean_nll"))
   }
 
+  /** Chao1 vocabulary-richness estimate (Chao 1984) plus the
+    * Good–Turing coverage estimate — "how much vocabulary has this
+    * corpus NOT seen yet", the corpus-growth diagnostic next to
+    * [[zipfFit]]: from the token frequency-of-frequencies,
+    *
+    *   V̂ = V_obs + F₁(F₁ − 1) / (2(F₂ + 1))   (bias-corrected Chao1,
+    *                                            defined even at F₂ = 0)
+    *   Ĉ = 1 − F₁/N                            (Good–Turing coverage)
+    *
+    * with F₁/F₂ the hapax/dis legomena counts. DETERMINISM: every
+    * input is a BIGINT count; the two estimates are single IEEE
+    * divisions, round(,6). SCALE SHAPE: one token-count aggregate →
+    * one frequency-of-frequencies fold → one scalar row; nothing
+    * bigger than the vocab table ever shuffles.
+    *
+    * Returns one row (n_tokens, v_obs, f1, f2, v_chao1, coverage).
+    */
+  def vocabChao1(docs: DataFrame): DataFrame =
+    docs.select(explode(expr(tokensSql)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("v_obs"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("n_tokens"), col("v_obs"), col("f1"), col("f2"),
+        round(expr("cast(v_obs as double) + " +
+          "cast(f1 as double) * (cast(f1 as double) - 1.0D) / " +
+          "(2.0D * (cast(f2 as double) + 1.0D))"), 6).as("v_chao1"),
+        round(expr("case when n_tokens > 0 then " +
+          "1.0D - cast(f1 as double) / cast(n_tokens as double) end"),
+          6).as("coverage"))
+
   /** Zipf-law fit of the corpus token frequency table: least-squares
     * line through (ln rank, ln count) — the classic corpus-health
     * diagnostic (natural text slopes near −1; boilerplate-heavy or

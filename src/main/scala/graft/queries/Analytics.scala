@@ -910,6 +910,33 @@ object Analytics extends QueryModule {
           (num * num) / (den * deny) END, 6) AS r2
       FROM d""")),
 
+    // ---- Chao1 vocabulary richness + Good–Turing coverage
+    // (TextAnalysis.vocabChao1): hapax/dis legomena folds off the
+    // token frequency table — "how much vocabulary is unseen", the
+    // corpus-growth diagnostic next to t_zipf_fit. BIGINT counts,
+    // two final IEEE divisions.
+    QueryDef("t_vocab_chao1", (s, d) => {
+      graft.ops.TextAnalysis.vocabChao1(docs(s, d))
+    }, Some("""
+      WITH tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+              SELECT unnest(regexp_extract_all(lower(text),
+                '[a-z0-9]+')) AS tok FROM documents) GROUP BY 1),
+      a AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+              CAST(COUNT(*) AS BIGINT) AS v_obs,
+              CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS f1,
+              CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS f2
+            FROM tc)
+      SELECT n_tokens, v_obs, f1, f2,
+        round(CAST(v_obs AS DOUBLE) + CAST(f1 AS DOUBLE) *
+          (CAST(f1 AS DOUBLE) - 1.0) /
+          (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6) AS v_chao1,
+        round(CASE WHEN n_tokens > 0 THEN
+          1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 6)
+          AS coverage
+      FROM a""")),
+
     // ---- Last-touch conversion attribution
     // (EventAnalytics.lastTouchAttribution): purchases credit the
     // nearest strictly-preceding non-purchase event via the portable

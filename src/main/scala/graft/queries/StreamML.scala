@@ -367,6 +367,50 @@ object StreamML extends QueryModule {
         .orderBy("probe")
     }, Some("""
       SELECT * FROM (VALUES ('syn_a', 'syn_b'), ('syn_b', 'syn_a'))
-        AS t(probe, neighbor) ORDER BY probe"""))
+        AS t(probe, neighbor) ORDER BY probe""")),
+
+    // ---- §2.9 + monitoring family: CUSUM changepoint with its daily
+    // counts accumulated as a STREAMING windowed aggregation, the
+    // closed-form readout running on the finished state through the
+    // SAME shared chain as the batch op (EventAnalytics.
+    // cusumFromDaily). Oracle char-identical to e_cusum_changepoint's
+    // -> stream-vs-batch parity.
+    QueryDef("st_cusum_daily", (s, d) => {
+      graft.streaming.Events.cusumDaily(s, d)
+    }, Some("""
+      WITH daily AS (
+        SELECT event_type AS k, epoch_us(ts) // 86400000000 AS day,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      grid AS (SELECT k, unnest(generate_series(d0, d1)) AS day
+               FROM (SELECT k, MIN(day) AS d0, MAX(day) AS d1
+                     FROM daily GROUP BY 1)),
+      g AS (SELECT gr.k, gr.day, COALESCE(d.n, 0) AS n,
+              ROW_NUMBER() OVER (PARTITION BY gr.k ORDER BY gr.day) AS i
+            FROM grid gr LEFT JOIN daily d
+              ON gr.k = d.k AND gr.day = d.day),
+      b AS (SELECT k, CAST(SUM(n) AS BIGINT) AS s_base,
+              COUNT(*) AS n_base
+            FROM g WHERE i <= 7 GROUP BY 1),
+      m AS (SELECT g.k, g.day, g.n, s_base,
+              7 * g.n - s_base - (s_base // 10) AS d_up,
+              s_base - 7 * g.n - (s_base // 10) AS d_dn
+            FROM g JOIN b USING (k) WHERE n_base = 7 AND i > 7),
+      w AS (SELECT k, day, n, s_base,
+              CAST(SUM(d_up) OVER t AS BIGINT) AS p_up,
+              CAST(SUM(d_dn) OVER t AS BIGINT) AS p_dn
+            FROM m WINDOW t AS (PARTITION BY k ORDER BY day
+              ROWS UNBOUNDED PRECEDING)),
+      s AS (SELECT k, day, n, s_base,
+              p_up - least(CAST(0 AS BIGINT), MIN(p_up) OVER t) AS s_up,
+              p_dn - least(CAST(0 AS BIGINT), MIN(p_dn) OVER t) AS s_dn
+            FROM w WINDOW t AS (PARTITION BY k ORDER BY day
+              ROWS UNBOUNDED PRECEDING))
+      SELECT k AS event_type, day, n AS n_events,
+        round(CAST(s_up AS DOUBLE) / 7.0, 6) AS cusum_up,
+        round(CAST(s_dn AS DOUBLE) / 7.0, 6) AS cusum_dn,
+        s_up > 2 * s_base AS alarm_up,
+        s_dn > 2 * s_base AS alarm_dn
+      FROM s ORDER BY event_type, day"""))
   )
 }

@@ -602,6 +602,29 @@ object Events {
         "cast(n_actual as double) - forecast"), 6))
   }
 
+  /** Streaming twin of [[graft.ops.EventAnalytics.cusumChangepoint]]:
+    * the per-(day, type) counts accumulate as a watermarked windowed
+    * streaming aggregation — identical regardless of micro-batch
+    * slicing — and the CUSUM closed form (integer-scaled prefix sums −
+    * running min) runs on the tiny finished state through the SAME
+    * shared chain the batch op uses (`EventAnalytics.cusumFromDaily`),
+    * so stream-vs-batch parity is structural, not coincidental. The
+    * gate's oracle is CHAR-IDENTICAL to e_cusum_changepoint's.
+    */
+  def cusumDaily(s: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val out = runToCompletion(s, ss => {
+      stream(ss, dir)
+        .groupBy(window(col("t"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }, "st_cusum_mem")
+    graft.ops.EventAnalytics.cusumFromDaily(
+      out.select(col("event_type").as("k"),
+        expr(s"unix_micros(window.start) div $DayUs").as("day"),
+        col("n")),
+      "event_type", baseline = 7, slackDiv = 10, thresholdDays = 2)
+  }
+
   /** Gapped sequential-pattern support with the per-(user, type) spans
     * accumulated as a STREAMING aggregation — min/max fold
     * associatively, so the streaming state IS the span frame the

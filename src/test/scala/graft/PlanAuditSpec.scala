@@ -353,7 +353,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "m_qld_topk",
     // m_gains_deciles: the 1-row N combine + the cumulative window
     // over exactly nBins decile rows (bounded by construction)
-    "m_gains_deciles")
+    "m_gains_deciles",
+    // t_vocab_chao1: the 1-row frequency-of-frequencies fold (one
+    // bounded partial per partition — the a7_corpus_stats shape)
+    "t_vocab_chao1")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

@@ -302,6 +302,22 @@ class SparkOpsSpec extends AnyFunSuite {
       assert(math.abs(joined(k) - v) < 2e-6, s"doc $k: $v vs ${joined(k)}")
   }
 
+  test("vocabChao1: hapax/dis folds and the bias-corrected estimate; " +
+    "hapax-free corpus reads full coverage") {
+    val s = spark; import s.implicits._
+    // counts a:2 b:1 c:2 d:1 → N=6 V=4 F1=2 F2=2;
+    // chao1 = 4 + 2·1/(2·3) = 4.333333; coverage = 1 − 2/6
+    val docs = Seq((1L, "a a b c"), (2L, "c d")).toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.vocabChao1(docs).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((6L, 4L, 2L, 2L)))
+    assert(r.getDouble(4) === 4.333333 && r.getDouble(5) === 0.666667)
+    // no hapaxes: chao1 = V exactly, coverage 1
+    val dup = Seq((1L, "x x y y")).toDF("doc_id", "text")
+    val r2 = graft.ops.TextAnalysis.vocabChao1(dup).collect().head
+    assert(r2.getDouble(4) === 2.0 && r2.getDouble(5) === 1.0)
+  }
+
   test("qldJoin: hand-computed Dirichlet scores, absent query terms " +
     "drop from |q|, non-matching docs absent") {
     val s = spark; import s.implicits._
@@ -416,6 +432,17 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(out.find(_._1 == "solo").get._2 === 3L)
     // top-1 is the most dependent term
     assert(out.head._1 === "solo")
+  }
+
+  test("streaming CUSUM equals the batch op row-for-row (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.Events.cusumDaily(spark, dir)
+      .collect().map(_.toSeq)
+    val batch = graft.ops.EventAnalytics.cusumChangepoint(
+        graft.queries.Tables.events(spark, dir), "event_type")
+      .collect().map(_.toSeq)
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.nonEmpty)
   }
 
   test("streaming EWMA forecast equals the batch op row-for-row " +
