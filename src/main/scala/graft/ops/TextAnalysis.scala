@@ -489,6 +489,68 @@ object TextAnalysis {
       .orderBy(desc("pmi"), asc("a"), asc("b")).limit(k)
   }
 
+  /** Jensen–Shannon divergence between two corpus slices over hashed
+    * unigram models — "how different is slice P's language from slice
+    * Q's", the symmetric bounded companion of [[dsirWeights]]' log-
+    * ratio scoring and the text twin of the PSI drift report
+    * (`ops/Drift`): buckets = md5(term) mod `buckets` (model size
+    * bounded regardless of vocabulary — the 100 TB story), add-0.5
+    * smoothing over the FULL bucket spine (the Drift spine lesson:
+    * with Laplace smoothing an empty bucket is NOT a zero term), then
+    *
+    *   KL(P‖Q) = Σ_b p_b ln(p_b/q_b)
+    *   JS      = ½ KL(P‖M) + ½ KL(Q‖M),  M = (P+Q)/2
+    *
+    * JS ∈ [0, ln 2]: 0 = indistinguishable slices, ln 2 = disjoint.
+    *
+    * DETERMINISM: p_b/q_b are single IEEE expressions over integer
+    * counts; each per-bucket term rounds(,9) into DECIMAL(18,9), so
+    * the four folds are exact; round(,6) at readout. SCALE SHAPE: one
+    * token hash-aggregate to 2·`buckets` cells, a `buckets`-row spine
+    * join, 1-row folds.
+    *
+    * Returns one row (n_buckets, t_p, t_q, kl_pq, kl_qp, js).
+    */
+  def jsDivergence(docs: DataFrame, slicePred: Column,
+      buckets: Int = 1024): DataFrame = {
+    Hashing.ensureRegistered(docs)
+    val toks = docs.select(slicePred.as("is_p"),
+        explode(expr(tokensSql)).as("term"))
+      .withColumn("bkt", pmod(Hashing.md5Long(col("term")),
+        lit(buckets.toLong)))
+    val counts = toks.groupBy("bkt").agg(
+      sum(when(col("is_p"), 1L).otherwise(0L)).as("cp"),
+      sum(when(!col("is_p"), 1L).otherwise(0L)).as("cq"))
+    val spine = docs.sparkSession.range(buckets.toLong)
+      .select(col("id").as("bkt"))
+    val halfB = buckets * 0.5
+    val full = spine.join(counts, Seq("bkt"), "left")
+      .na.fill(0L, Seq("cp", "cq"))
+    val totals = full.agg(sum(col("cp")).as("tp"), sum(col("cq")).as("tq"))
+    full.crossJoin(broadcast(totals))
+      .select(col("tp"), col("tq"),
+        expr(s"(cast(cp as double) + 0.5D) / " +
+          s"(cast(tp as double) + ${halfB}D)").as("p"),
+        expr(s"(cast(cq as double) + 0.5D) / " +
+          s"(cast(tq as double) + ${halfB}D)").as("q"))
+      .select(col("tp"), col("tq"),
+        expr("cast(round(p * ln(p / q), 9) as decimal(18,9))").as("tpq"),
+        expr("cast(round(q * ln(q / p), 9) as decimal(18,9))").as("tqp"),
+        expr("cast(round(p * ln(2.0D * p / (p + q)), 9) " +
+          "as decimal(18,9))").as("tpm"),
+        expr("cast(round(q * ln(2.0D * q / (p + q)), 9) " +
+          "as decimal(18,9))").as("tqm"))
+      .groupBy("tp", "tq")
+      .agg(sum(col("tpq")).as("spq"), sum(col("tqp")).as("sqp"),
+        sum(col("tpm")).as("spm"), sum(col("tqm")).as("sqm"))
+      .select(lit(buckets.toLong).as("n_buckets"),
+        col("tp").as("t_p"), col("tq").as("t_q"),
+        round(col("spq").cast("double"), 6).as("kl_pq"),
+        round(col("sqp").cast("double"), 6).as("kl_qp"),
+        round(expr("0.5D * cast(spm as double) + " +
+          "0.5D * cast(sqm as double)"), 6).as("js"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling") — score every doc in
     * the raw pool by how target-like its hashed unigram bag is:

@@ -1493,6 +1493,56 @@ object Analytics extends QueryModule {
       FROM tb JOIN ratio ON tb.bkt = ratio.bkt
       GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- Jensen–Shannon slice divergence (TextAnalysis.jsDivergence):
+    // EN vs non-EN language distance over the hashed 1024-bucket
+    // unigram models — the symmetric bounded companion of
+    // t_dsir_weights and the text twin of q_drift_psi. Full-spine
+    // smoothing (empty buckets are NOT zero terms under Laplace),
+    // round-9 DECIMAL per-bucket terms, exact folds.
+    QueryDef("t_js_divergence", (s, d) => {
+      graft.ops.TextAnalysis.jsDivergence(docs(s, d),
+        col("lang") === "en", 1024)
+    }, Some(s"""
+      WITH toks AS (SELECT lang = 'en' AS is_p,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS term
+           FROM documents),
+      tb AS (SELECT is_p,
+               (${graft.ops.Hashing.duckMd5Long("term")}) % 1024 AS bkt
+             FROM toks),
+      cnt AS (SELECT bkt,
+                CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT)
+                  AS cp,
+                CAST(SUM(CASE WHEN is_p THEN 0 ELSE 1 END) AS BIGINT)
+                  AS cq
+              FROM tb GROUP BY 1),
+      spine AS (SELECT unnest(range(0, 1024)) AS bkt),
+      fb AS (SELECT spine.bkt, COALESCE(cp, 0) AS cp,
+                 COALESCE(cq, 0) AS cq
+               FROM spine LEFT JOIN cnt ON spine.bkt = cnt.bkt),
+      tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS tp,
+                CAST(SUM(cq) AS BIGINT) AS tq FROM fb),
+      pq AS (SELECT tp, tq,
+               (CAST(cp AS DOUBLE) + 0.5) / (CAST(tp AS DOUBLE) + 512.0)
+                 AS p,
+               (CAST(cq AS DOUBLE) + 0.5) / (CAST(tq AS DOUBLE) + 512.0)
+                 AS q
+             FROM fb CROSS JOIN tot),
+      tm AS (SELECT tp, tq,
+               CAST(round(p * ln(p / q), 9) AS DECIMAL(18,9)) AS tpq,
+               CAST(round(q * ln(q / p), 9) AS DECIMAL(18,9)) AS tqp,
+               CAST(round(p * ln(2.0 * p / (p + q)), 9)
+                 AS DECIMAL(18,9)) AS tpm,
+               CAST(round(q * ln(2.0 * q / (p + q)), 9)
+                 AS DECIMAL(18,9)) AS tqm
+             FROM pq)
+      SELECT CAST(1024 AS BIGINT) AS n_buckets, tp AS t_p, tq AS t_q,
+        round(CAST(SUM(tpq) AS DOUBLE), 6) AS kl_pq,
+        round(CAST(SUM(tqp) AS DOUBLE), 6) AS kl_qp,
+        round(0.5 * CAST(SUM(tpm) AS DOUBLE) +
+          0.5 * CAST(SUM(tqm) AS DOUBLE), 6) AS js
+      FROM tm GROUP BY tp, tq""")),
+
     // ---- Decision-stump training (Stats.decisionStump): best single
     // n_chars threshold for lang='en' by Gini gain over the distinct-
     // value candidate frame; left counts from one packed-BIGINT

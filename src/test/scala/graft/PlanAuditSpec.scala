@@ -196,7 +196,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "m_qld_topk",
     // m_gains_deciles: the 1-row N frame crossed into the decile
     // bucketing (the a_histogram_equidepth ordinal shape)
-    "m_gains_deciles")
+    "m_gains_deciles",
+    // t_js_divergence: the 1-row totals frame crossed into the
+    // bounded 1024-bucket spine (the q_drift_psi grid shape)
+    "t_js_divergence")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -356,7 +359,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "m_gains_deciles",
     // t_vocab_chao1: the 1-row frequency-of-frequencies fold (one
     // bounded partial per partition — the a7_corpus_stats shape)
-    "t_vocab_chao1")
+    "t_vocab_chao1",
+    // t_js_divergence: the 1-row totals/divergence folds over the
+    // bounded bucket spine (the q_drift_psi shape)
+    "t_js_divergence")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

@@ -302,6 +302,30 @@ class SparkOpsSpec extends AnyFunSuite {
       assert(math.abs(joined(k) - v) < 2e-6, s"doc $k: $v vs ${joined(k)}")
   }
 
+  test("jsDivergence: identical slices read exactly zero; disjoint " +
+    "vocabularies approach ln 2 symmetrically") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // same token multiset in both slices → p_b = q_b in every bucket
+    val same = Seq((1L, "alpha beta gamma alpha", "en"),
+      (2L, "alpha beta gamma alpha", "xx")).toDF("doc_id", "text", "lang")
+    val r = graft.ops.TextAnalysis.jsDivergence(same,
+      col("lang") === "en").collect().head
+    assert(r.getLong(1) === 4L && r.getLong(2) === 4L)
+    assert(r.getDouble(3) === 0.0 && r.getDouble(4) === 0.0 &&
+      r.getDouble(5) === 0.0)
+    // disjoint vocabularies, mirrored counts → kl_pq = kl_qp exactly,
+    // js large but < ln 2 (smoothing mass keeps it off the bound)
+    // 5000 tokens per slice so the corpora outweigh the 0.5·1024
+    // smoothing mass (the dsirWeights lesson)
+    val disj = Seq((1L, "aaa " * 5000, "en"), (2L, "bbb " * 5000, "xx"))
+      .toDF("doc_id", "text", "lang")
+    val d = graft.ops.TextAnalysis.jsDivergence(disj,
+      col("lang") === "en").collect().head
+    assert(d.getDouble(3) === d.getDouble(4))
+    assert(d.getDouble(5) > 0.6 && d.getDouble(5) < math.log(2.0))
+  }
+
   test("vocabChao1: hapax/dis folds and the bias-corrected estimate; " +
     "hapax-free corpus reads full coverage") {
     val s = spark; import s.implicits._
