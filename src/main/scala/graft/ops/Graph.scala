@@ -495,6 +495,52 @@ object Graph {
     labels
   }
 
+  /** Degree ASSORTATIVITY coefficient (Newman 2002) — the Pearson
+    * correlation of endpoint degrees over the edge list: positive =
+    * hubs link to hubs (social nets), negative = hubs link to leaves
+    * (tech/biological nets). The standard one-number mixing
+    * diagnostic next to [[modularity]].
+    *
+    * Computed over the simple undirected graph with each edge counted
+    * in BOTH orientations (the symmetric convention, so x- and y-
+    * marginals coincide). DETERMINISM: degrees and the five moment
+    * sums are BIGINT-exact on any partitioning; the n·Sxy − Sx·Sy
+    * combination fixes to DECIMAL(38,0) (degree sums of squares wrap
+    * BIGINT past ~10⁶ average degree); r is ONE IEEE expression.
+    * Degree-regular graphs (zero variance) read null.
+    *
+    * SCALE SHAPE: edge dedup + one degree aggregate + two endpoint
+    * equi-joins + a 1-row fold. Returns (n_edges, r).
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val adj = und.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(und.select(col("v").as("a"), col("u").as("b")))
+    val deg = adj.groupBy(col("a").as("n")).agg(count(lit(1)).as("deg"))
+    adj
+      .join(deg.select(col("n").as("a"), col("deg").as("dx")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("deg").as("dy")), Seq("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(expr("n div 2").as("n_edges"),
+        expr("cast(n as decimal(38,0)) * sxy - " +
+          "cast(sx as decimal(38,0)) * sy").as("cov"),
+        expr("cast(n as decimal(38,0)) * sxx - " +
+          "cast(sx as decimal(38,0)) * sx").as("vx"),
+        expr("cast(n as decimal(38,0)) * syy - " +
+          "cast(sy as decimal(38,0)) * sy").as("vy"))
+      .select(col("n_edges"),
+        when(col("vx") > 0 && col("vy") > 0,
+          round(expr("cast(cov as double) / (sqrt(cast(vx as double)) " +
+            "* sqrt(cast(vy as double)))"), 6)).as("r"))
+  }
+
   /** Newman–Girvan MODULARITY of a node labeling (Newman 2006) — the
     * standard quality score for a community assignment (e.g.
     * [[labelPropagation]]'s): over the simple undirected graph,

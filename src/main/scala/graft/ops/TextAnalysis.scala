@@ -239,6 +239,38 @@ object TextAnalysis {
           .as("mean_nll"))
   }
 
+  /** Distinct-n n-gram diversity (the "distinct-1/2/3" metrics of Li
+    * et al. 2016) — the mode-collapse diagnostic for synthetic /
+    * LLM-generated corpora: for each n, the ratio of DISTINCT n-grams
+    * to total n-grams. Natural corpora stay high at n ≥ 2; template
+    * or degenerate generations collapse toward 0. The diversity
+    * companion of [[repetitionScore]] (which flags per-DOC repetition;
+    * this catches cross-corpus sameness single docs can't show).
+    *
+    * DETERMINISM: pure BIGINT counts, one division per row, round(,6).
+    * SCALE SHAPE: one explode per n into a (gram) hash aggregate —
+    * the [[collocations]] shape; output is `maxN` rows.
+    *
+    * Returns (n, total, n_distinct, distinct_ratio) for n = 1..maxN.
+    */
+  def distinctNgrams(docs: DataFrame, maxN: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"), expr(tokensSql).as("tk"))
+    (1 to maxN).map { n =>
+      val grams = toks.select(explode(expr(
+        s"transform(slice(tk, 1, greatest(size(tk) - ${n - 1}, 0)), " +
+          s"(x, i) -> array_join(slice(tk, i + 1, $n), ' '))"))
+        .as("gram"))
+      // via the gram-count table, not COUNT DISTINCT: one hash
+      // aggregate + a 1-row fold, no Expand over the corpus
+      grams.groupBy("gram").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("total"), count(lit(1)).as("n_distinct"))
+        .select(lit(n.toLong).as("n"), col("total"), col("n_distinct"),
+          round(expr("case when total > 0 then " +
+            "cast(n_distinct as double) / cast(total as double) end"),
+            6).as("distinct_ratio"))
+    }.reduce(_ unionAll _).orderBy("n")
+  }
+
   /** Chao1 vocabulary-richness estimate (Chao 1984) plus the
     * Good–Turing coverage estimate — "how much vocabulary has this
     * corpus NOT seen yet", the corpus-growth diagnostic next to

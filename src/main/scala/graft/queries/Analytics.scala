@@ -1493,6 +1493,27 @@ object Analytics extends QueryModule {
       FROM tb JOIN ratio ON tb.bkt = ratio.bkt
       GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- Distinct-n n-gram diversity (TextAnalysis.distinctNgrams):
+    // the mode-collapse diagnostic for synthetic corpora — distinct/
+    // total per n = 1..3 via the gram-count table (one hash aggregate
+    // + a 1-row fold per n, never COUNT DISTINCT's Expand).
+    QueryDef("t_distinct_ngrams", (s, d) => {
+      graft.ops.TextAnalysis.distinctNgrams(docs(s, d))
+    }, Some((1 to 3).map { n =>
+      s"""SELECT CAST($n AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           round(CASE WHEN SUM(c) > 0 THEN CAST(COUNT(*) AS DOUBLE) /
+             CAST(SUM(c) AS DOUBLE) END, 6) AS distinct_ratio
+         FROM (SELECT gram, COUNT(*) AS c FROM (
+           SELECT unnest(list_transform(
+             range(1, greatest(len(tk) - ${n - 1}, 0) + 1),
+             i -> array_to_string(tk[i:i+${n - 1}], ' '))) AS gram
+           FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+')
+                   AS tk FROM documents) z) g
+           GROUP BY gram) gc"""
+    }.mkString("\nUNION ALL\n") + "\nORDER BY n")),
+
     // ---- Jensen–Shannon slice divergence (TextAnalysis.jsDivergence):
     // EN vs non-EN language distance over the hashed 1024-bucket
     // unigram models — the symmetric bounded companion of

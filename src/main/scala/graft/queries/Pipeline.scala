@@ -3443,6 +3443,50 @@ object Pipeline extends QueryModule {
       CROSS JOIN mm ORDER BY nc.lbl"""
     }),
 
+    // ---- Degree assortativity (Graph.assortativity) of the word
+    // graph: the Pearson mixing coefficient over endpoint degrees,
+    // both orientations — BIGINT moments, DECIMAL(38,0) combination,
+    // one IEEE readout (word graphs are disassortative: hubs like
+    // 'the' link to leaves).
+    QueryDef("g_assortativity", (s, d) => {
+      graft.ops.Graph.assortativity(
+        graft.ops.Graph.wordGraph(docs(s, d)).select("src", "dst"))
+    }, Some("""
+      WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                    FROM documents),
+      pairs AS (SELECT unnest(list_transform(range(1, len(tk)),
+                  i -> {'src': tk[i], 'dst': tk[i+1]})) AS p FROM toks),
+      de AS (SELECT p.src AS src, p.dst AS dst FROM pairs
+             WHERE p.src <> p.dst),
+      und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM de WHERE src <> dst),
+      adj AS (SELECT u AS a, v AS b FROM und
+              UNION ALL SELECT v AS a, u AS b FROM und),
+      deg AS (SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM adj GROUP BY 1),
+      j AS (SELECT dx.deg AS dx, dy.deg AS dy
+            FROM adj JOIN deg dx ON adj.a = dx.n
+                     JOIN deg dy ON adj.b = dy.n),
+      a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(dx) AS BIGINT) AS sx,
+              CAST(SUM(dy) AS BIGINT) AS sy,
+              CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+              CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+              CAST(SUM(dy * dy) AS BIGINT) AS syy
+            FROM j),
+      c AS (SELECT n // 2 AS n_edges,
+              CAST(n AS DECIMAL(38,0)) * sxy -
+                CAST(sx AS DECIMAL(38,0)) * sy AS cov,
+              CAST(n AS DECIMAL(38,0)) * sxx -
+                CAST(sx AS DECIMAL(38,0)) * sx AS vx,
+              CAST(n AS DECIMAL(38,0)) * syy -
+                CAST(sy AS DECIMAL(38,0)) * sy AS vy
+            FROM a)
+      SELECT n_edges, CASE WHEN vx > 0 AND vy > 0 THEN
+        round(CAST(cov AS DOUBLE) / (sqrt(CAST(vx AS DOUBLE)) *
+          sqrt(CAST(vy AS DOUBLE))), 6) END AS r
+      FROM c""")),
+
     // ---- k-CORE decomposition (Graph.kCore): iterative peeling of
     // nodes with degree < 2 over the word graph plus a PLANTED 5-node
     // path tail hung off 'scan' — the tail must peel node-by-node in a

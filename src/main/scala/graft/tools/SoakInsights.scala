@@ -65,12 +65,15 @@ object SoakInsights {
     // baseline the later scales' planted observables are asserted
     // against.
     var kmBase: Option[(Int, Long, Double)] = None
+    var mkBase: Option[Seq[(String, Double, Double, Double)]] = None
 
     val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
     val ev0 = graft.queries.Tables.events(spark, sfDir)
       .select("user_id", "ts_us")
+    val evFull0 = graft.queries.Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "event_type", "ts_us")
 
     for (scale <- scales) {
 
@@ -196,6 +199,33 @@ object SoakInsights {
           assert(kmFirst.getLong(1) * s0 == atRisk0 * scale,
             s"KM at-risk not ×scale at $scale: ${kmFirst.getLong(1)} " +
               s"vs baseline $atRisk0 at scale $s0")
+      }
+
+      // --- Markov attribution: user-offset copies preserve every
+      // journey, so each edge (w, ow) scales uniformly and cancels in
+      // the (p·w) div ow rational — the WHOLE output (p_conv, removal
+      // effects, shares) must be bit-identical at every scale. (The
+      // BIGINT exactness bound p·w < 2⁶³ holds to w ≈ 9·10⁶ per edge;
+      // the 50× leg stays well under it on sf0.1.)
+      val sevm = (0 until scale).map { i =>
+        evFull0.select((col("user_id") + i * 100000000L).as("user_id"),
+          (col("event_id") + i * 1000000000L).as("event_id"),
+          col("event_type"), col("ts_us"))
+      }.reduce(_ unionByName _)
+      val (mkRows, mkSec) = timed {
+        graft.ops.EventAnalytics.markovAttribution(sevm, "purchase")
+          .collect().map(r => (r.getString(0), r.getDouble(1),
+            r.getDouble(3), r.getDouble(4))).toSeq
+      }
+      emit("e_attribution_markov", scale, mkSec,
+        "n_channels" -> mkRows.length.toString,
+        "p_conv_full" -> mkRows.head._2.toString)
+      mkBase match {
+        case None => mkBase = Some(mkRows)
+        case Some(base) =>
+          assert(mkRows == base,
+            s"Markov effects not scale-invariant at $scale:\n" +
+              s"$mkRows\nvs baseline\n$base")
       }
     }
     spark.stop()

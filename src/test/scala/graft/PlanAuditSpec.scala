@@ -362,7 +362,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "t_vocab_chao1",
     // t_js_divergence: the 1-row totals/divergence folds over the
     // bounded bucket spine (the q_drift_psi shape)
-    "t_js_divergence")
+    "t_js_divergence",
+    // g_assortativity: the 1-row five-moment fold (one bounded
+    // partial per partition — the a_spearman shape);
+    // t_distinct_ngrams: the 1-row total/distinct fold per n over the
+    // gram-count table (the a7_corpus_stats shape, three times)
+    "g_assortativity", "t_distinct_ngrams")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

@@ -302,6 +302,19 @@ class SparkOpsSpec extends AnyFunSuite {
       assert(math.abs(joined(k) - v) < 2e-6, s"doc $k: $v vs ${joined(k)}")
   }
 
+  test("distinctNgrams: hand-counted ratios per n; empty docs " +
+    "contribute nothing") {
+    val s = spark; import s.implicits._
+    // "a b a b" + "a b": uni 2/6, bi {ab×3, ba×1} 2/4, tri 2/2
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.distinctNgrams(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, 6L, 2L, 0.333333),
+      (2L, 4L, 2L, 0.5), (3L, 2L, 2L, 1.0)))
+  }
+
   test("jsDivergence: identical slices read exactly zero; disjoint " +
     "vocabularies approach ln 2 symmetrically") {
     val s = spark; import s.implicits._

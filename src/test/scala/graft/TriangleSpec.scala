@@ -93,6 +93,24 @@ class TriangleSpec extends AnyFunSuite {
     assert(Graph.kCore(edges, 3, 3).count() == 0L)
   }
 
+  test("assortativity: star is exactly −1, path P4 is −0.5, " +
+      "degree-regular graphs read null") {
+    // star K1,3: every edge joins deg 3 to deg 1 → r = −1
+    val star = Graph.assortativity(
+      edges(("h", "a"), ("h", "b"), ("h", "c"))).collect().head
+    assert(star.getLong(0) === 3L && star.getDouble(1) === -1.0)
+    // path a-b-c-d: directed pairs (1,2)(2,1)(2,2)(2,2)(2,1)(1,2)
+    // → cov = 6·16 − 100 = −4, var = 8 → r = −0.5
+    val path = Graph.assortativity(
+      edges(("a", "b"), ("b", "c"), ("c", "d"))).collect().head
+    assert(path.getLong(0) === 3L && path.getDouble(1) === -0.5)
+    // cycle: all degrees 2 → zero variance → null, not NaN
+    val cyc = Graph.assortativity(
+      edges(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")))
+      .collect().head
+    assert(cyc.getLong(0) === 4L && cyc.isNullAt(1))
+  }
+
   test("modularity: hand-computed two-clique split; all-one-community " +
       "zero; unlabeled endpoints drop") {
     val s = spark; import s.implicits._
