@@ -1281,23 +1281,33 @@ object EventAnalytics {
     * one per-key hash aggregate over a ≤29-day slice; |keys| rows out.
     */
   def seasonalNaiveForecast(events: DataFrame, keyCol: String,
-      cycles: Int = 4): DataFrame = {
-    val days = events.select(col(keyCol).as("k"),
-      expr(s"ts_us div $DayUs").as("day"))
-    val anchor = days.agg(max("day").as("d1"))
+      cycles: Int = 4): DataFrame =
+    seasonalFromDaily(events
+      .select(col(keyCol).as("k"), expr(s"ts_us div $DayUs").as("day"))
+      .groupBy("k", "day").agg(count(lit(1)).as("n")),
+      keyCol, cycles)
+
+  /** The seasonal-naive chain from an already-aggregated (k, day, n)
+    * daily frame — shared by [[seasonalNaiveForecast]] and its
+    * streaming twin (`streaming/Events.seasonalDaily`), the
+    * [[cusumFromDaily]] pattern.
+    */
+  private[graft] def seasonalFromDaily(daily: DataFrame, keyCol: String,
+      cycles: Int): DataFrame = {
+    val anchor = daily.agg(max("day").as("d1"))
     val histDays = (1 to cycles)
     val c = cycles.toDouble
-    days.crossJoin(broadcast(anchor))
+    daily.crossJoin(broadcast(anchor))
       .filter(col("day") >= col("d1") - (7 * cycles) &&
         col("day") <= col("d1"))
       .groupBy("k", "d1")
       .agg(
-        sum(when(col("day") === col("d1"), 1L).otherwise(0L))
+        sum(when(col("day") === col("d1"), col("n")).otherwise(0L))
           .as("n_actual"),
         sum(when(histDays.map(j => col("day") === col("d1") - 7 * j)
-          .reduce(_ || _), 1L).otherwise(0L)).as("hist_sum"),
+          .reduce(_ || _), col("n")).otherwise(0L)).as("hist_sum"),
         sum(when(histDays.map(j => col("day") === col("d1") + 1 - 7 * j)
-          .reduce(_ || _), 1L).otherwise(0L)).as("next_sum"))
+          .reduce(_ || _), col("n")).otherwise(0L)).as("next_sum"))
       .select(col("k").as(keyCol), col("d1").as("day"), col("n_actual"),
         round(expr(s"cast(hist_sum as double) / ${c}D"), 6)
           .as("forecast"),

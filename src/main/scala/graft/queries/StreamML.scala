@@ -411,6 +411,35 @@ object StreamML extends QueryModule {
         round(CAST(s_dn AS DOUBLE) / 7.0, 6) AS cusum_dn,
         s_up > 2 * s_base AS alarm_up,
         s_dn > 2 * s_base AS alarm_dn
-      FROM s ORDER BY event_type, day"""))
+      FROM s ORDER BY event_type, day""")),
+
+    // ---- §2.9 + forecast family: the seasonal-naive day-of-week
+    // forecast with its daily counts accumulated as a STREAMING
+    // windowed aggregation, the readout running through the SAME
+    // shared seasonalFromDaily chain as the batch op. Oracle
+    // char-identical to e_seasonal_forecast's -> parity.
+    QueryDef("st_seasonal_daily", (s, d) => {
+      graft.streaming.Events.seasonalDaily(s, d)
+    }, Some("""
+      WITH e0 AS (SELECT event_type AS k,
+             epoch_us(ts) // 86400000000 AS day FROM events),
+      a AS (SELECT MAX(day) AS d1 FROM e0),
+      g AS (SELECT k, d1,
+              CAST(SUM(CASE WHEN day = d1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_actual,
+              CAST(SUM(CASE WHEN day IN (d1-7, d1-14, d1-21, d1-28)
+                THEN 1 ELSE 0 END) AS BIGINT) AS hist_sum,
+              CAST(SUM(CASE WHEN day IN (d1-6, d1-13, d1-20, d1-27)
+                THEN 1 ELSE 0 END) AS BIGINT) AS next_sum
+            FROM e0 CROSS JOIN a
+            WHERE day >= d1 - 28 AND day <= d1
+            GROUP BY 1, 2)
+      SELECT k AS event_type, d1 AS day, n_actual,
+        round(CAST(hist_sum AS DOUBLE) / 4.0, 6) AS forecast,
+        round(CAST(n_actual AS DOUBLE) -
+          CAST(hist_sum AS DOUBLE) / 4.0, 6) AS resid,
+        d1 + 1 AS next_day,
+        round(CAST(next_sum AS DOUBLE) / 4.0, 6) AS next_forecast
+      FROM g"""))
   )
 }

@@ -625,6 +625,27 @@ object Events {
       "event_type", baseline = 7, slackDiv = 10, thresholdDays = 2)
   }
 
+  /** Streaming twin of [[graft.ops.EventAnalytics
+    * .seasonalNaiveForecast]] — daily counts out of the state store,
+    * the same-weekday readout through the shared
+    * `EventAnalytics.seasonalFromDaily` chain (the [[cusumDaily]]
+    * pattern); the gate's oracle is char-identical to
+    * e_seasonal_forecast's.
+    */
+  def seasonalDaily(s: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val out = runToCompletion(s, ss => {
+      stream(ss, dir)
+        .groupBy(window(col("t"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }, "st_seasonal_mem")
+    graft.ops.EventAnalytics.seasonalFromDaily(
+      out.select(col("event_type").as("k"),
+        expr(s"unix_micros(window.start) div $DayUs").as("day"),
+        col("n")),
+      "event_type", cycles = 4)
+  }
+
   /** Gapped sequential-pattern support with the per-(user, type) spans
     * accumulated as a STREAMING aggregation — min/max fold
     * associatively, so the streaming state IS the span frame the

@@ -471,6 +471,18 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(out.head._1 === "solo")
   }
 
+  test("streaming seasonal forecast equals the batch op row-for-row " +
+    "(sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.Events.seasonalDaily(spark, dir)
+      .orderBy("event_type").collect().map(_.toSeq)
+    val batch = graft.ops.EventAnalytics.seasonalNaiveForecast(
+        graft.queries.Tables.events(spark, dir), "event_type")
+      .orderBy("event_type").collect().map(_.toSeq)
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming CUSUM equals the batch op row-for-row (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = graft.streaming.Events.cusumDaily(spark, dir)
