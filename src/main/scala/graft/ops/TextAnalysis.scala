@@ -348,6 +348,59 @@ object TextAnalysis {
           "(num * num) / (den * deny) end"), 6).as("r2"))
   }
 
+  /** Heaps'-law fit of vocabulary growth (Heaps 1978) — the GROWTH
+    * companion of [[zipfFit]]'s frequency law and [[vocabChao1]]'s
+    * endpoint estimate: V(N) ≈ K·N^β, fitted as the least-squares
+    * line through (ln p_v, ln v) where p_v is the corpus position at
+    * which the v-th NEW type first appears. Natural text sits near
+    * β ≈ 0.5; β drifting up as a corpus grows flags vocabulary churn
+    * (OCR noise, boilerplate ids), β collapsing flags template text.
+    *
+    * The corpus order is (doc_id, token position) — a total order, so
+    * both the token ordinal and the first-appearance rank come from
+    * the two-phase [[Rank.globalOrdinal]] (no unpartitioned window
+    * ever sees token-scale data; first-occurrence positions are
+    * DISTINCT, making the second order total too). Moments follow the
+    * [[zipfFit]] recipe: per-point ln rounds(,9) into DECIMAL, exact
+    * sums, closed-form slope/intercept/r² in one IEEE expression.
+    *
+    * Returns one row (n_types, n_tokens, beta, intercept, r2) —
+    * K = exp(intercept).
+    */
+  def heapsFit(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(expr(tokensSql)).as(Seq("pos", "tok")))
+    val ord = Rank.globalOrdinal(toks,
+      Seq(col("doc_id").asc, col("pos").asc), "__i")
+    val nTok = ord.agg(count(lit(1)).as("n_tokens"))
+    val firsts = ord.groupBy("tok")
+      .agg((min(col("__i")) + 1L).as("p"))
+    val pts = Rank.globalOrdinal(firsts, Seq(col("p").asc), "__v")
+      .select(
+        expr("cast(round(ln(cast(p as double)), 9) " +
+          "as decimal(12,9))").as("x"),
+        expr("cast(round(ln(cast(__v as double) + 1.0D), 9) " +
+          "as decimal(12,9))").as("y"))
+    pts
+      .agg(count(lit(1)).as("kk"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"))
+      .crossJoin(broadcast(nTok))
+      .withColumn("dk", expr("cast(kk as double)"))
+      .withColumn("dsx", expr("cast(sx as double)"))
+      .withColumn("dsy", expr("cast(sy as double)"))
+      .withColumn("num", expr("dk * cast(sxy as double) - dsx * dsy"))
+      .withColumn("den", expr("dk * cast(sxx as double) - dsx * dsx"))
+      .withColumn("deny", expr("dk * cast(syy as double) - dsy * dsy"))
+      .select(col("kk").as("n_types"), col("n_tokens"),
+        round(expr("case when den > 0 then num / den end"), 6)
+          .as("beta"),
+        round(expr("case when den > 0 then " +
+          "(dsy - (num / den) * dsx) / dk end"), 6).as("intercept"),
+        round(expr("case when den > 0 and deny > 0 then " +
+          "(num * num) / (den * deny) end"), 6).as("r2"))
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010) — per-document key
     * phrases without any model: the token stream splits into candidate
     * phrases at stopword boundaries, each word scores degree/freq over

@@ -1493,6 +1493,52 @@ object Analytics extends QueryModule {
       FROM tb JOIN ratio ON tb.bkt = ratio.bkt
       GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- Heaps'-law vocabulary-growth fit (TextAnalysis.heapsFit):
+    // least squares through (ln first-occurrence position, ln type
+    // rank) — the growth companion of t_zipf_fit; both ordinals run
+    // two-phase (token order AND first-appearance rank), decimal
+    // moments, closed-form readout.
+    QueryDef("t_heaps_fit", (s, d) => {
+      graft.ops.TextAnalysis.heapsFit(docs(s, d))
+    }, Some("""
+      WITH tp AS (SELECT doc_id, unnest(list_transform(
+               range(1, len(tk) + 1), i -> {'pos': i, 'tok': tk[i]}))
+               AS u
+             FROM (SELECT doc_id, regexp_extract_all(lower(text),
+                     '[a-z0-9]+') AS tk FROM documents) z),
+      toks AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM tp),
+      o AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY doc_id, pos) AS i
+            FROM toks),
+      nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM o),
+      f AS (SELECT tok, MIN(i) AS p FROM o GROUP BY 1),
+      v AS (SELECT p, ROW_NUMBER() OVER (ORDER BY p) AS v FROM f),
+      pts AS (SELECT
+                CAST(round(ln(CAST(p AS DOUBLE)), 9) AS DECIMAL(12,9))
+                  AS x,
+                CAST(round(ln(CAST(v AS DOUBLE)), 9) AS DECIMAL(12,9))
+                  AS y
+              FROM v),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS kk, SUM(x) AS sx,
+              SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+              SUM(y * y) AS syy
+            FROM pts),
+      d AS (SELECT kk, CAST(kk AS DOUBLE) AS dk,
+              CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy,
+              CAST(kk AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+              CAST(kk AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+              CAST(kk AS DOUBLE) * CAST(syy AS DOUBLE) -
+                CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+            FROM m)
+      SELECT kk AS n_types, n_tokens,
+        round(CASE WHEN den > 0 THEN num / den END, 6) AS beta,
+        round(CASE WHEN den > 0 THEN (dsy - (num / den) * dsx) / dk END,
+          6) AS intercept,
+        round(CASE WHEN den > 0 AND deny > 0 THEN
+          (num * num) / (den * deny) END, 6) AS r2
+      FROM d CROSS JOIN nt""")),
+
     // ---- Distinct-n n-gram diversity (TextAnalysis.distinctNgrams):
     // the mode-collapse diagnostic for synthetic corpora — distinct/
     // total per n = 1..3 via the gram-count table (one hash aggregate

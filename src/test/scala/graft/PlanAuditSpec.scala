@@ -199,7 +199,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "m_gains_deciles",
     // t_js_divergence: the 1-row totals frame crossed into the
     // bounded 1024-bucket spine (the q_drift_psi grid shape)
-    "t_js_divergence")
+    "t_js_divergence",
+    // t_heaps_fit: the two-phase ordinal's triangular offset join,
+    // TWICE (token order + first-appearance rank — the t_zipf_fit
+    // shape)
+    "t_heaps_fit")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -367,7 +371,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // partial per partition — the a_spearman shape);
     // t_distinct_ngrams: the 1-row total/distinct fold per n over the
     // gram-count table (the a7_corpus_stats shape, three times)
-    "g_assortativity", "t_distinct_ngrams")
+    "g_assortativity", "t_distinct_ngrams",
+    // t_heaps_fit: the 1-row moment/token-count combines (the
+    // t_zipf_fit shape)
+    "t_heaps_fit")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

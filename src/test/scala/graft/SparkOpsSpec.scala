@@ -302,6 +302,23 @@ class SparkOpsSpec extends AnyFunSuite {
       assert(math.abs(joined(k) - v) < 2e-6, s"doc $k: $v vs ${joined(k)}")
   }
 
+  test("heapsFit: all-distinct tokens fit beta exactly 1; single " +
+    "type reads null; counts exact") {
+    val s = spark; import s.implicits._
+    // every token new → p_v = v → points (ln v, ln v): slope 1,
+    // intercept 0, r2 = 1, all EXACT
+    val docs = Seq((1L, "t1 t2 t3 t4 t5"), (2L, "t6 t7 t8 t9 t10"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.heapsFit(docs).collect().head
+    assert(r.getLong(0) === 10L && r.getLong(1) === 10L)
+    assert(r.getDouble(2) === 1.0 && r.getDouble(3) === 0.0 &&
+      r.getDouble(4) === 1.0)
+    // one type: no x spread → null fit, counts still exact
+    val one = Seq((1L, "x x x")).toDF("doc_id", "text")
+    val o = graft.ops.TextAnalysis.heapsFit(one).collect().head
+    assert(o.getLong(0) === 1L && o.getLong(1) === 3L && o.isNullAt(2))
+  }
+
   test("distinctNgrams: hand-counted ratios per n; empty docs " +
     "contribute nothing") {
     val s = spark; import s.implicits._
