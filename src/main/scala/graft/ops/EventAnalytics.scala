@@ -638,6 +638,58 @@ object EventAnalytics {
           "end"), 6).as("z"))
   }
 
+  /** Heterogeneous-treatment-effect (uplift-by-segment) readout — the
+    * [[abTest]] two-proportion analysis per USER SEGMENT: "the feature
+    * helped power users and hurt everyone else" is invisible in the
+    * pooled z. Users segment by their FIRST event type (a
+    * deterministic pre-treatment attribute — segmenting on
+    * post-treatment behavior would bias the contrast), arms are the
+    * same md5 split, and each segment reads its own rates, uplift
+    * (p_b − p_a) and z.
+    *
+    * DETERMINISM: the [[abTest]] contract per segment — BIGINT
+    * counts, one IEEE expression chain, degenerate pooled rates (0 or
+    * 1) read null z. SCALE SHAPE: one per-user first-event window +
+    * one user aggregate + one |segments|-row rollup.
+    */
+  def upliftSegments(events: DataFrame, isConversion: Column)
+      : DataFrame = {
+    Hashing.ensureRegistered(events)
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val seg = events
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("segment"))
+    val perUser = events.groupBy("user_id")
+      .agg(max(when(isConversion, 1L).otherwise(0L)).as("conv"))
+      .withColumn("variant", pmod(Hashing.md5Long(
+        concat(lit("ab:"), col("user_id").cast("string"))), lit(2L)))
+      .join(seg, Seq("user_id"))
+    perUser.groupBy("segment").agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0L))
+          .as("conv_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0L))
+          .as("conv_b"))
+      .withColumn("p_a", expr("case when n_a > 0 then " +
+        "cast(conv_a as double) / cast(n_a as double) end"))
+      .withColumn("p_b", expr("case when n_b > 0 then " +
+        "cast(conv_b as double) / cast(n_b as double) end"))
+      .withColumn("pp", expr("case when n_a + n_b > 0 then " +
+        "cast(conv_a + conv_b as double) / cast(n_a + n_b as double) end"))
+      .select(col("segment"), col("n_a"), col("conv_a"),
+        round(col("p_a"), 6).as("rate_a"),
+        col("n_b"), col("conv_b"), round(col("p_b"), 6).as("rate_b"),
+        round(expr("p_b - p_a"), 6).as("uplift"),
+        round(expr("case when pp > 0.0D and pp < 1.0D and n_a > 0 " +
+          "and n_b > 0 then (p_b - p_a) / sqrt(pp * (1.0D - pp) * " +
+          "(1.0D / cast(n_a as double) + 1.0D / cast(n_b as double))) " +
+          "end"), 6).as("z"))
+      .orderBy("segment")
+  }
+
   /** Sample-ratio-mismatch (SRM) guard — the first thing a trustworthy
     * experimentation platform checks before ANY readout: under the
     * [[abTest]] md5 assignment the arms should split 50/50, and a

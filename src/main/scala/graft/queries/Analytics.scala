@@ -1789,6 +1789,59 @@ object Analytics extends QueryModule {
         s_dn > 2 * s_base AS alarm_dn
       FROM s ORDER BY event_type, day""")),
 
+    // ---- Uplift by segment (EventAnalytics.upliftSegments):
+    // heterogeneous treatment effects — the pipe_ab_test readout per
+    // first-event-type segment (a pre-treatment attribute; the same
+    // md5 arm split). BIGINT counts, one IEEE chain, null z on
+    // degenerate pooled rates.
+    QueryDef("e_uplift_segments", (s, d) => {
+      EventAnalytics.upliftSegments(Tables.events(s, d),
+        col("event_type") === "purchase" && col("value") > 100.0)
+    }, Some(s"""
+      WITH e AS (SELECT user_id, event_id, event_type, value,
+             epoch_us(ts) AS ts_us FROM events),
+      fe AS (SELECT user_id, event_type AS segment FROM (
+               SELECT user_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id) AS rn FROM e) z
+             WHERE rn = 1),
+      pu AS (SELECT user_id,
+               CAST(MAX(CASE WHEN event_type = 'purchase'
+                 AND value > 100.0 THEN 1
+                 ELSE 0 END) AS BIGINT) AS conv,
+               (${graft.ops.Hashing.duckMd5Long(
+                 "'ab:' || CAST(user_id AS VARCHAR)")}) % 2 AS variant
+             FROM e GROUP BY user_id),
+      pv AS (SELECT segment, conv, variant
+             FROM pu JOIN fe USING (user_id)),
+      g AS (SELECT segment,
+              CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_a,
+              CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END)
+                AS BIGINT) AS conv_a,
+              CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_b,
+              CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END)
+                AS BIGINT) AS conv_b
+            FROM pv GROUP BY 1),
+      x AS (SELECT *,
+              CASE WHEN n_a > 0 THEN
+                CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS p_a,
+              CASE WHEN n_b > 0 THEN
+                CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS p_b,
+              CASE WHEN n_a + n_b > 0 THEN
+                CAST(conv_a + conv_b AS DOUBLE) /
+                CAST(n_a + n_b AS DOUBLE) END AS pp
+            FROM g)
+      SELECT segment, n_a, conv_a, round(p_a, 6) AS rate_a,
+        n_b, conv_b, round(p_b, 6) AS rate_b,
+        round(p_b - p_a, 6) AS uplift,
+        round(CASE WHEN pp > 0.0 AND pp < 1.0 AND n_a > 0 AND n_b > 0
+          THEN (p_b - p_a) / sqrt(pp * (1.0 - pp) *
+          (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) END,
+          6) AS z
+      FROM x ORDER BY segment""")),
+
     // ---- Seasonal-naive day-of-week forecast (EventAnalytics.
     // seasonalNaiveForecast): same-weekday 4-cycle means — the
     // weekly-cycle sibling of e_ewma_forecast/e_holt_forecast. BIGINT

@@ -575,6 +575,39 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.getDouble(6) === out.getDouble(5)) // falls back to raw
   }
 
+  test("uplift segments: per-segment arms partition users; planted " +
+      "arm-1 conversions read uplift 1; quiet segment null z") {
+    import org.apache.spark.sql.functions.col
+    def variant(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$id".getBytes("UTF-8"))
+      (BigInt(d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+        % 2).toLong
+    }
+    // segment x: users 1..20, variant-1 users convert; segment y:
+    // users 101..120, nobody converts
+    val rows =
+      (1L to 20L).flatMap { u =>
+        Seq((u, u * 10, "x", 1L, 0.0)) ++
+          (if (variant(u) == 1) Seq((u, u * 10 + 1, "purchase",
+            100L, 0.0)) else Nil)
+      } ++ (101L to 120L).map(u => (u, u * 10, "y", 1L, 0.0))
+    val out = EventAnalytics.upliftSegments(ev(rows: _*),
+      col("event_type") === "purchase")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getLong(5), r.getDouble(7)))
+    val x = out.find(_._1 == "x").get
+    assert(x._2 + x._4 === 20L)       // arms partition the segment
+    assert(x._3 === 0L && x._5 === x._4) // only arm 1 converts
+    assert(x._6 === 1.0)              // uplift = rate_b − rate_a = 1
+    val y = out.find(_._1 == "y").get
+    assert(y._2 + y._4 === 20L && y._6 === 0.0)
+    val yr = EventAnalytics.upliftSegments(ev(rows: _*),
+      col("event_type") === "purchase")
+      .filter(col("segment") === "y").collect().head
+    assert(yr.isNullAt(8)) // pooled rate 0 → null z, not a div error
+  }
+
   test("seasonal naive: same-weekday means, off-cycle days ignored, " +
       "sparse key reads zero history") {
     // anchor d1 = 28; same-weekday history {21,14,7,0} counts 2,4,0,6
