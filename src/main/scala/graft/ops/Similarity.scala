@@ -61,6 +61,64 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** MAXIMAL-MARGINAL-RELEVANCE re-ranking (Carbonell & Goldstein
+    * 1998) — the diversity pass every retrieval stack runs after its
+    * similarity top-k: greedily pick the candidate maximizing
+    *
+    *   MMR(c) = (λn·rel(c) − λd·max_{s ∈ selected} cos(c, s)) / 10
+    *
+    * so near-duplicates of already-selected results are penalized
+    * (λn/λd as INTEGER tenths — 7/3, not 0.7/0.3, because 1 − 0.7 is
+    * not 0.3 in IEEE and the oracle must agree bit-for-bit).
+    *
+    * `cands`: (query_id, cand_id, rel, emb) — e.g. [[bruteForceTopK]]
+    * output joined back to its vectors. Returns the top `m` per query
+    * as (query_id, rank, cand_id, score).
+    *
+    * DETERMINISM: pairwise cosines round(,6); the round-r score is
+    * ONE mirrored expression with (score desc, cand_id) tie order;
+    * rounds unroll identically in the oracle. SCALE SHAPE: the greedy
+    * loop is INHERENTLY sequential in m, but each round touches only
+    * the (candidates × selected) frame — per-query k·m rows, keyed by
+    * query_id; per-round lineage cut (the labelPropagation pattern;
+    * runs m jobs at call time). Candidate generation upstream is
+    * where the data scale lives.
+    */
+  def mmrRerank(cands: DataFrame, m: Int, lamNum: Int = 7,
+      lamDen: Int = 3): DataFrame = {
+    ensureRegistered(cands)
+    val base = cands
+      .select(col("query_id"), col("cand_id"), col("rel"), col("emb"))
+      .localCheckpoint() // referenced every round (fan-in hazard)
+    var sel = base.limit(0)
+      .select(col("query_id"), col("cand_id"), col("emb"),
+        lit(0).as("rank"), lit(0.0).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("score"), asc("cand_id"))
+    for (r <- 1 to m) {
+      val mx = base
+        .join(sel.select(col("query_id"), col("emb").as("se")),
+          Seq("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(max(round(expr(cosineSql("emb", "se")), 6)).as("mx"))
+      val pick = base
+        .join(sel.select("query_id", "cand_id"),
+          Seq("query_id", "cand_id"), "left_anti")
+        .join(mx, Seq("query_id", "cand_id"), "left")
+        .withColumn("score", round(expr(
+          s"(${lamNum}D * rel - ${lamDen}D * coalesce(mx, 0.0D)) " +
+            "/ 10.0D"), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id"), col("emb"),
+          lit(r).as("rank"), col("score"))
+      sel = sel.unionByName(pick).localCheckpoint()
+    }
+    sel.select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Brute-force MAXIMUM-INNER-PRODUCT top-k (MIPS) — the retrieval
     * order a recommender's user×item factor model actually wants
     * (cosine discards magnitude; an item's popularity lives in its

@@ -1669,6 +1669,63 @@ object Pipeline extends QueryModule {
              round(cos, 6) AS cos
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- MMR diversity re-ranking (Similarity.mmrRerank): the greedy
+    // relevance-vs-redundancy pass over the brute-force top-20, λ =
+    // 7/3 tenths (integer tenths — 1−0.7 ≠ 0.3 in IEEE and the oracle
+    // must agree). The oracle unrolls all 5 greedy rounds; scores and
+    // pairwise cosines round(,6) before every comparison.
+    QueryDef("sim_mmr_rerank", (s, d) => {
+      val e = emb(s, d)
+      val top = Similarity.bruteForceTopK(e.filter(col("vec_id") < 5),
+        e, 20)
+      val cands = top.join(
+          e.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("emb")), Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id").as("cand_id"),
+          col("cos").as("rel"), col("emb"))
+      Similarity.mmrRerank(cands, 5)
+    }, Some {
+      val rounds = (1 to 5).map { r =>
+        s"""mx$r AS (SELECT c.query_id, c.cand_id,
+           |    MAX(round(${duckCos("c.emb", "s.emb")}, 6)) AS mx
+           |  FROM cand c JOIN sel${r - 1} s ON c.query_id = s.query_id
+           |  GROUP BY 1, 2),
+           |pk$r AS (SELECT query_id, cand_id, emb, $r AS rank, score
+           |  FROM (SELECT c.query_id, c.cand_id, c.emb,
+           |      round((7.0 * c.rel - 3.0 * COALESCE(m.mx, 0.0))
+           |        / 10.0, 6) AS score,
+           |      ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+           |        round((7.0 * c.rel - 3.0 * COALESCE(m.mx, 0.0))
+           |          / 10.0, 6) DESC, c.cand_id) AS rn
+           |    FROM cand c
+           |    LEFT JOIN mx$r m ON c.query_id = m.query_id
+           |      AND c.cand_id = m.cand_id
+           |    WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s
+           |      WHERE s.query_id = c.query_id
+           |        AND s.cand_id = c.cand_id)) z
+           |  WHERE rn = 1),
+           |sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1}
+           |  UNION ALL SELECT * FROM pk$r)""".stripMargin
+      }.mkString(",\n")
+      s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                 FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+      scored AS (SELECT query_id, cand_id, ce,
+                   ${duckCos("qe", "ce")} AS cos
+                 FROM q CROSS JOIN c WHERE query_id <> cand_id),
+      cand AS MATERIALIZED (
+        SELECT query_id, cand_id, round(cos, 6) AS rel, ce AS emb
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, cand_id) AS rk FROM scored) z
+        WHERE rk <= 20),
+      sel0 AS (SELECT query_id, cand_id, emb, 0 AS rank, 0.0 AS score
+               FROM cand WHERE FALSE),
+      $rounds
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, score
+      FROM sel5 ORDER BY query_id, rank"""
+    }),
+
     // ---- Brute-force MIPS top-k (Similarity.mipsTopK): ranking by
     // raw inner product — what a factor-model recommender retrieves
     // by (norms carry popularity; cosine discards them). The

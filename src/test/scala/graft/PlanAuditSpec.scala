@@ -397,7 +397,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "m_bpe_merges", "m_bpe_encode", "g_kcore", "g_label_prop",
     "g_bfs_dist", "pipe_llm_corpus",
     // g_modularity composes labelPropagation (per-round checkpoints)
-    "g_modularity")
+    "g_modularity",
+    // sim_mmr_rerank: the greedy loop checkpoints per round (the
+    // labelPropagation pattern)
+    "sim_mmr_rerank")
 
   private val modules = Seq(Relational, Functions, Pipeline, Corpus,
     Analytics, Insights)

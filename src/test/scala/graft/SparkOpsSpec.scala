@@ -590,6 +590,23 @@ class SparkOpsSpec extends AnyFunSuite {
       r.getDouble(3) == 0.0))
   }
 
+  test("Similarity.mmrRerank: a duplicate of the top result is " +
+    "demoted below a diverse lower-relevance candidate") {
+    val s = spark; import s.implicits._
+    val e1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val e3 = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    // c2 duplicates c1's vector at nearly its relevance; c3 is
+    // orthogonal at rel 0.5 — pure-relevance order (c1,c2,c3) must
+    // become (c1,c3,c2): r2 scores c3 0.35 > c2 (7·0.89−3·1)/10
+    val cands = Seq(
+      (0L, 1L, 0.9, e1), (0L, 2L, 0.89, e1), (0L, 3L, 0.5, e3))
+      .toDF("query_id", "cand_id", "rel", "emb")
+    val out = Similarity.mmrRerank(cands, 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, 1L, 0.63), (2L, 3L, 0.35),
+      (3L, 2L, 0.323)))
+  }
+
   test("Similarity.silhouette: orthogonal identical-member clusters " +
     "score 1; a collapsed single cell reads zero") {
     val s = spark; import s.implicits._
