@@ -160,4 +160,51 @@ object Quality {
         array_sort(filter(array(marks: _*), x => x.isNotNull)))
       .withColumn("dq_pass", size(col("dq_reasons")) === 0)
   }
+
+  /** Benford's-law first-digit audit (Newcomb 1881, Benford 1938) —
+    * the forensic-accounting screen for fabricated or truncated
+    * numeric columns: naturally-occurring multi-scale magnitudes put
+    * digit d first with probability log₁₀(1 + 1/d); uniform synthetic
+    * data, capped values, or hand-entered figures deviate loudly.
+    *
+    * The first significant digit is extracted from the DECIMAL(18,2)
+    * string rendering (both engines print plain decimal — a DOUBLE's
+    * string can go scientific and disagree), first `[1-9]` match, so
+    * zero/null values drop. Per digit: observed count, share, the
+    * Benford expectation, and the χ² term (obs − exp)²/exp; the
+    * 8-df χ² total rides every row. DETERMINISM: counts are BIGINT;
+    * expectation and χ² are single IEEE expressions off the shared
+    * round-9 log₁₀ constant per digit.
+    *
+    * SCALE SHAPE: one codegen'd scan into a ≤9-row hash aggregate +
+    * a 1-row total; the digit table is bounded by construction.
+    */
+  def benford(df: DataFrame, column: String): DataFrame = {
+    val digits = df
+      .select(regexp_extract(
+        abs(col(column)).cast("decimal(18,2)").cast("string"),
+        "[1-9]", 0).as("digit"))
+      .filter(col("digit") =!= "")
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("nn"))
+    val terms = digits.crossJoin(broadcast(tot))
+      .withColumn("p_benford", expr(
+        "cast(round(log10(1.0D + 1.0D / cast(digit as double)), 9) " +
+          "as decimal(12,9))"))
+      .withColumn("expected", expr(
+        "cast(nn as double) * cast(p_benford as double)"))
+      .withColumn("chi2_term", expr(
+        "cast(round((cast(n as double) - expected) * " +
+          "(cast(n as double) - expected) / expected, 6) " +
+          "as decimal(18,6))"))
+    val chi2 = terms.agg(
+      round(sum(col("chi2_term")).cast("double"), 6).as("chi2"))
+    terms.crossJoin(broadcast(chi2))
+      .select(col("digit").cast("long").as("digit"), col("n"),
+        round(expr("cast(n as double) / cast(nn as double)"), 6)
+          .as("share"),
+        col("p_benford").cast("double").as("p_benford"),
+        col("chi2_term").cast("double").as("chi2_term"), col("chi2"))
+      .orderBy("digit")
+  }
 }

@@ -1412,6 +1412,42 @@ object Relational extends QueryModule {
       FROM part
       UNION ALL
       SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
-      ORDER BY p_partkey, metric"""))
+      ORDER BY p_partkey, metric""")),
+
+    // ---- Benford first-digit audit (Quality.benford): the forensic
+    // screen for fabricated/truncated numerics over l_extendedprice —
+    // digit from the DECIMAL(18,2) string rendering (a DOUBLE's string
+    // can go scientific and disagree across engines), per-digit share
+    // vs the log10(1+1/d) expectation, χ² terms round-6 into DECIMAL
+    // before the 8-df total.
+    QueryDef("q_benford", (s, d) => {
+      graft.ops.Quality.benford(t(s, d, "lineitem"), "l_extendedprice")
+    }, Some("""
+      WITH dd AS (SELECT regexp_extract(CAST(CAST(abs(l_extendedprice)
+               AS DECIMAL(18,2)) AS VARCHAR), '[1-9]', 0) AS digit
+             FROM lineitem),
+      g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM dd
+            WHERE digit <> '' GROUP BY 1),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM g),
+      tm AS (SELECT digit, n, nn,
+               CAST(round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 9)
+                 AS DECIMAL(12,9)) AS p_benford
+             FROM g CROSS JOIN t),
+      tm2 AS (SELECT *,
+                CAST(nn AS DOUBLE) * CAST(p_benford AS DOUBLE)
+                  AS expected
+              FROM tm),
+      tm3 AS (SELECT *,
+                CAST(round((CAST(n AS DOUBLE) - expected) *
+                  (CAST(n AS DOUBLE) - expected) / expected, 6)
+                  AS DECIMAL(18,6)) AS chi2_term
+              FROM tm2),
+      c AS (SELECT round(CAST(SUM(chi2_term) AS DOUBLE), 6) AS chi2
+            FROM tm3)
+      SELECT CAST(digit AS BIGINT) AS digit, n,
+        round(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS share,
+        CAST(p_benford AS DOUBLE) AS p_benford,
+        CAST(chi2_term AS DOUBLE) AS chi2_term, chi2
+      FROM tm3 CROSS JOIN c ORDER BY digit"""))
   )
 }

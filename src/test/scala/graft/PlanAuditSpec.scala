@@ -203,7 +203,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // t_heaps_fit: the two-phase ordinal's triangular offset join,
     // TWICE (token order + first-appearance rank — the t_zipf_fit
     // shape)
-    "t_heaps_fit")
+    "t_heaps_fit",
+    // q_benford: the 1-row total and χ² frames crossed into the
+    // ≤9-row digit table (bounded by construction)
+    "q_benford")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -374,7 +377,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "g_assortativity", "t_distinct_ngrams",
     // t_heaps_fit: the 1-row moment/token-count combines (the
     // t_zipf_fit shape)
-    "t_heaps_fit")
+    "t_heaps_fit",
+    // q_benford: the 1-row total/χ² combines over the ≤9-row digit
+    // table
+    "q_benford")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

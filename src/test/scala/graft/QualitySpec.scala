@@ -118,4 +118,31 @@ class QualitySpec extends AnyFunSuite {
     }
     assert(scans.length === 1, s"expected one scan of the input:\n$plan")
   }
+
+  test("benford: first significant digit via decimal rendering; sign " +
+      "and leading zeros ignored, exact zeros drop") {
+    val s = spark; import s.implicits._
+    // digits: 1 ← {1.0, 12.3, 150.0}, 2 ← {2.5, −245.5}, 3 ← {30.1};
+    // 0.0 contributes nothing
+    val vals = Seq(1.0, 12.3, 150.0, 2.5, 30.1, -245.5, 0.0)
+      .toDF("x")
+    val out = Quality.benford(vals, "x").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.map(t => (t._1, t._2)).toSeq ===
+      Seq((1L, 3L), (2L, 2L), (3L, 1L)))
+    assert(out(0)._3 === 0.5)
+    // χ² terms mirror the op's IEEE chain exactly
+    def r9(v: Double) =
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expTerms = Seq((1, 3L), (2, 2L), (3, 1L)).map { case (d, n) =>
+      val e = 6.0 * r9(math.log10(1.0 + 1.0 / d))
+      r6((n - e) * (n - e) / e)
+    }
+    assert(out.map(_._4).toSeq === expTerms)
+    val chi2 = r6(expTerms.map(BigDecimal(_)).sum.toDouble)
+    assert(out.forall(_._5 === chi2))
+  }
 }
