@@ -258,6 +258,73 @@ object Stats {
           6).as("gini"))
   }
 
+  /** PERMUTATION (randomization) test for a two-group difference in
+    * means — the assumption-free companion of [[welchTTest]] (no
+    * normality, no variance model: the null distribution IS the data
+    * under relabeling). Classical permutation draws random
+    * relabelings; here permutation b assigns unit u to group
+    * md5("perm:b:u") mod 2 — deterministic, coordination-free, and
+    * reproducible on any engine (the [[bootstrapCi]] philosophy
+    * applied to randomization inference).
+    *
+    *   p = (1 + #{b : |diff_b| ≥ |diff_obs|}) / (reps + 1)
+    *
+    * (the add-one convention — a permutation p-value of exactly 0 is
+    * never reported). Degenerate permutations that empty a group read
+    * a null diff and count as NOT extreme.
+    *
+    * DETERMINISM: values fix to DECIMAL(18,`decScale`); per-b sums
+    * are exact; each diff rounds(,6) before the comparison; p is one
+    * division. SCALE SHAPE: the reps× expansion flows through the
+    * map-side partial aggregate — each partition emits ≤ reps cells
+    * (the [[bootstrapCi]] contract, including the under-partitioned
+    * spread guard).
+    *
+    * Returns one row (n_treated, n_control, diff_obs, n_perms,
+    * n_extreme, p_value).
+    */
+  def permutationTest(df: DataFrame, unitCol: String, valueCol: String,
+      isTreated: Column, reps: Int = 200, decScale: Int = 6)
+      : DataFrame = {
+    Hashing.ensureRegistered(df)
+    val base = df.select(col(unitCol).cast("string").as("unit"),
+      col(valueCol).cast(s"decimal(18,$decScale)").as("x"),
+      isTreated.cast("boolean").cast("int").as("g"))
+    val obs = base.agg(
+        sum(when(col("g") === 1, col("x"))).as("s1"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === 0, col("x"))).as("s0"),
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("n0"))
+      .select(col("n1"), col("n0"),
+        round(expr("cast(s1 as double) / cast(n1 as double) - " +
+          "cast(s0 as double) / cast(n0 as double)"), 6).as("diff_obs"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (base.rdd.getNumPartitions < par) base.repartition(par)
+      else base
+    val diffs = spread
+      .withColumn("b", explode(expr(s"sequence(0, ${reps - 1})")))
+      .withColumn("gp", pmod(Hashing.md5Long(concat_ws(":",
+        lit("perm"), col("b").cast("string"), col("unit"))), lit(2L)))
+      .groupBy("b")
+      .agg(sum(when(col("gp") === 1, col("x"))).as("s1"),
+        sum(when(col("gp") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("gp") === 0, col("x"))).as("s0"),
+        sum(when(col("gp") === 0, 1L).otherwise(0L)).as("n0"))
+      .select(round(expr("case when n1 > 0 and n0 > 0 then " +
+        "cast(s1 as double) / cast(n1 as double) - " +
+        "cast(s0 as double) / cast(n0 as double) end"), 6).as("db"))
+    diffs.crossJoin(broadcast(obs))
+      .agg(max(col("n1")).as("n_treated"), max(col("n0")).as("n_control"),
+        max(col("diff_obs")).as("diff_obs"),
+        sum(when(abs(col("db")) >= abs(col("diff_obs")), 1L)
+          .otherwise(0L)).as("n_extreme"))
+      .select(col("n_treated"), col("n_control"), col("diff_obs"),
+        lit(reps.toLong).as("n_perms"), col("n_extreme"),
+        round(expr(s"cast(1 + n_extreme as double) / ${reps + 1}.0D"),
+          6).as("p_value"))
+  }
+
   /** Cumulative gains / lift decile table — the model-evaluation
     * readout next to [[rocAuc]] (AUC summarizes ranking quality in one
     * number; the gains chart says WHERE the lift lives: "the top

@@ -981,6 +981,62 @@ object Insights extends QueryModule {
           sqrt(CAST(vy AS DOUBLE))), 6) END AS rho
       FROM c""")),
 
+    // ---- Permutation test (Stats.permutationTest): randomization
+    // inference for the pipe_ab_test contrast — 200 deterministic
+    // md5 relabelings of the per-user conversion, add-one p-value.
+    // DECIMAL sums per permutation, round-6 diffs before the
+    // comparison, degenerate permutations count as not extreme.
+    QueryDef("e_permutation_test", (s, d) => {
+      val pu = Tables.events(s, d).groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 100.0, 1L).otherwise(0L)).as("conv"))
+      graft.ops.Stats.permutationTest(pu, "user_id", "conv",
+        pmod(graft.ops.Hashing.md5Long(concat(lit("ab:"),
+          col("user_id").cast("string"))), lit(2L)) === 1)
+    }, Some(s"""
+      WITH pu AS (SELECT CAST(user_id AS VARCHAR) AS unit,
+             CAST(MAX(CASE WHEN event_type = 'purchase'
+               AND value > 100.0 THEN 1 ELSE 0 END) AS DECIMAL(18,6))
+               AS x,
+             (${graft.ops.Hashing.duckMd5Long(
+               "'ab:' || CAST(user_id AS VARCHAR)")}) % 2 AS g
+           FROM events GROUP BY user_id),
+      obs AS (SELECT
+              CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n1,
+              CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n0,
+              round(CAST(SUM(CASE WHEN g = 1 THEN x END) AS DOUBLE) /
+                CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS DOUBLE) -
+                CAST(SUM(CASE WHEN g = 0 THEN x END) AS DOUBLE) /
+                CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS DOUBLE),
+                6) AS diff_obs
+            FROM pu),
+      dr AS (SELECT bb.b, pu.x,
+              (${graft.ops.Hashing.duckMd5Long(
+                "'perm:' || CAST(bb.b AS VARCHAR) || ':' || unit")})
+                % 2 AS gp
+            FROM pu CROSS JOIN (SELECT unnest(range(0, 200)) AS b) bb),
+      pf AS (SELECT b,
+              round(CASE WHEN n1 > 0 AND n0 > 0 THEN
+                CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+                CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) END, 6) AS db
+            FROM (SELECT b,
+                    SUM(CASE WHEN gp = 1 THEN x END) AS s1,
+                    CAST(SUM(CASE WHEN gp = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n1,
+                    SUM(CASE WHEN gp = 0 THEN x END) AS s0,
+                    CAST(SUM(CASE WHEN gp = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n0
+                  FROM dr GROUP BY b) z),
+      c AS (SELECT CAST(SUM(CASE WHEN abs(db) >= abs(diff_obs)
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+            FROM pf CROSS JOIN obs)
+      SELECT n1 AS n_treated, n0 AS n_control, diff_obs,
+        CAST(200 AS BIGINT) AS n_perms, n_extreme,
+        round(CAST(1 + n_extreme AS DOUBLE) / 201.0, 6) AS p_value
+      FROM obs CROSS JOIN c""")),
+
     // ---- Cumulative gains / lift deciles (Stats.gainsDeciles): the
     // targeting-model readout next to a_roc_auc, same (value score,
     // purchase label) pair — rank by (score desc, event_id) on the

@@ -206,7 +206,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "t_heaps_fit",
     // q_benford: the 1-row total and χ² frames crossed into the
     // ≤9-row digit table (bounded by construction)
-    "q_benford")
+    "q_benford",
+    // e_permutation_test: the 1-row observed-diff frame crossed into
+    // the reps-row permutation diffs (the a_bootstrap_ci shape)
+    "e_permutation_test")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -380,7 +383,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "t_heaps_fit",
     // q_benford: the 1-row total/χ² combines over the ≤9-row digit
     // table
-    "q_benford")
+    "q_benford",
+    // e_permutation_test: the 1-row observed/extreme-count folds over
+    // the bounded reps-row permutation frame
+    "e_permutation_test")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

@@ -219,6 +219,28 @@ class StatsSpec extends AnyFunSuite {
       .getDouble(2) === 0.875)
   }
 
+  test("permutationTest: constant values read p = 1; a perfect " +
+      "separation reads the add-one minimum") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // all values equal → diff_obs 0 and every |db| ≥ 0 → p = 1.0
+    val const = (1L to 30L).map(u => (u, 5.0, u <= 15))
+      .toDF("u", "v", "t")
+    val c = Stats.permutationTest(const, "u", "v", col("t"))
+      .collect().head
+    assert(c.getLong(0) === 15L && c.getLong(1) === 15L)
+    assert(c.getDouble(2) === 0.0 && c.getDouble(5) === 1.0)
+    // treated units carry 1.0, controls 0.0: diff_obs = 1; no hash
+    // permutation of 40 units reproduces the exact split → n_extreme
+    // 0, p = 1/201
+    val sep = (1L to 40L).map(u => (u, if (u <= 20) 1.0 else 0.0,
+      u <= 20)).toDF("u", "v", "t")
+    val p = Stats.permutationTest(sep, "u", "v", col("t"))
+      .collect().head
+    assert(p.getDouble(2) === 1.0 && p.getLong(4) === 0L)
+    assert(p.getDouble(5) === 0.004975)
+  }
+
   test("gainsDeciles: hand-computed 20-row table; score ties rank by " +
       "id so deciles are deterministic") {
     val s = spark; import s.implicits._
