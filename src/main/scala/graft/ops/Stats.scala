@@ -258,6 +258,169 @@ object Stats {
           6).as("gini"))
   }
 
+  /** BROWN–FORSYTHE test for equality of VARIANCES across groups
+    * (Brown & Forsythe 1974 — the robust Levene variant): one-way
+    * ANOVA F over the absolute deviations from each group's MEDIAN.
+    * Completes the test family: means have [[welchTTest]]/
+    * [[mannWhitney]]/[[permutationTest]], equivalence has
+    * [[tostEquivalence]] — variance homogeneity (the assumption
+    * behind pooled tests) had no check.
+    *
+    * Group medians are the exact LOWER median (rank ⌈n/2⌉ under the
+    * per-group value order — a per-GROUP window, keyed, never
+    * global). z = round(|v − med|, 6) fixes to DECIMAL(18,6); group
+    * sums and squared sums are exact; each s²/n term rounds(,9) into
+    * DECIMAL before the k-row fold, so SSB/SSW derive from
+    * order-free exact sums; SSB/SSW round(,6) and F computes FROM
+    * THE ROUNDED pair (one mirrored expression). Degenerate inputs
+    * (k < 2 or SSW = 0) read null F.
+    *
+    * Returns one row (k, n, ssb, ssw, f).
+    */
+  def brownForsythe(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+    val wOrd = Window.partitionBy("g").orderBy("v")
+    val wAll = Window.partitionBy("g")
+    val med = rows
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("g")
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("v")))
+        .as("med"))
+    val z = rows.join(med, Seq("g"))
+      .select(col("g"),
+        expr("cast(round(abs(v - med), 6) as decimal(18,6))").as("z"))
+    val grp = z.groupBy("g").agg(count(lit(1)).as("n"),
+      sum(col("z")).as("s"),
+      sum(expr("cast(z * z as decimal(38,12))")).as("ss"))
+    val tot = grp.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+      sum(col("s")).as("st"), sum(col("ss")).as("sst"))
+    val bsum = grp
+      .select(expr("cast(round(cast(s as double) * cast(s as double) " +
+        "/ cast(n as double), 9) as decimal(28,9))").as("t"))
+      .agg(sum(col("t")).as("bt"))
+    tot.crossJoin(broadcast(bsum))
+      .select(col("k"), col("nn").as("n"),
+        round(expr("cast(bt as double) - cast(st as double) * " +
+          "cast(st as double) / cast(nn as double)"), 6).as("ssb"),
+        round(expr("cast(sst as double) - cast(bt as double)"), 6)
+          .as("ssw"))
+      .select(col("k"), col("n"), col("ssb"), col("ssw"),
+        round(expr("case when k > 1 and n > k and ssw > 0 then " +
+          "(ssb / cast(k - 1 as double)) / " +
+          "(ssw / cast(n - k as double)) end"), 6).as("f"))
+  }
+
+  /** ISOTONIC (monotone non-decreasing) recalibration of a [0,1]
+    * score via weighted least-squares isotonic regression over the
+    * [[calibrationBins]] bin table — the classic post-hoc calibrator
+    * (Zadrozny & Elkan 2002). Instead of the sequential
+    * pool-adjacent-violators loop, the fit uses PAVA's MINIMAX closed
+    * form (Robertson, Wright & Dykstra 1988):
+    *
+    *   fit(i) = max_{j ≤ i} min_{k ≥ i} mean(npos_j..k) / mean(n_j..k)
+    *
+    * — order-free, so it distributes as three bounded joins over the
+    * ≤ `bins`-row bin frame (intervals are the triangular (j,k)
+    * cross, ≤ bins²/2 rows; membership is a BETWEEN join; max-of-min
+    * is two hash aggregates). No window, no recursion, no driver
+    * loop.
+    *
+    * DETERMINISM: each interval mean is one BIGINT/BIGINT division
+    * round(,9) into DECIMAL(18,9), so min/max compare exact decimals
+    * — never raw IEEE doubles whose ordering could differ across
+    * engines; the display round(,6) happens last. Returns
+    * (bin, n, frac_pos, iso_fit) ordered by bin; iso_fit is
+    * non-decreasing by construction.
+    */
+  def isotonicCalibration(df: DataFrame, isPositive: Column,
+      scoreCol: String, bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val b = df.filter(col(scoreCol).isNotNull)
+      .select(isPositive.cast("boolean").as("pos"),
+        col(scoreCol).cast("double").as("sc"))
+      .withColumn("bin", least(
+        expr(s"cast(floor(sc * $bins.0D) as int)"), lit(bins - 1)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("npos"))
+    // interval means over every contiguous [j, k] bin span — the
+    // triangular pair spine joined to its member bins (≤ bins³/6
+    // membership rows: bounded by construction, never data-sized)
+    val iv = b.select(col("bin").as("jb")).as("j")
+      .join(b.select(col("bin").as("kb")).as("k"),
+        col("jb") <= col("kb"))
+      .join(b.select(col("bin").as("mb"), col("n"), col("npos")).as("m"),
+        col("mb").between(col("jb"), col("kb")))
+      .groupBy("jb", "kb")
+      .agg(expr("cast(round(cast(sum(npos) as double) / " +
+        "cast(sum(n) as double), 9) as decimal(18,9))").as("mu"))
+    val fit = b.select(col("bin")).as("i")
+      .join(iv, col("jb") <= col("bin") && col("kb") >= col("bin"))
+      .groupBy("bin", "jb").agg(min(col("mu")).as("lo"))
+      .groupBy("bin").agg(max(col("lo")).as("fit"))
+    b.join(fit, Seq("bin"))
+      .select(col("bin"), col("n"),
+        round(expr("cast(npos as double) / cast(n as double)"), 6)
+          .as("frac_pos"),
+        round(col("fit").cast("double"), 6).as("iso_fit"))
+      .orderBy("bin")
+  }
+
+  /** KRUSKAL–WALLIS rank test for a location difference across k
+    * groups — the k-sample generalization of [[mannWhitney]] (one-way
+    * ANOVA on ranks), sharing its machinery verbatim: one hash
+    * aggregate to the distinct-value table, the two-phase
+    * [[Rank.globalRunningSum]] for cumulative counts (no unpartitioned
+    * window), and the DOUBLED average-rank encoding 2r̄(v) =
+    * 2·below(v) + t(v) + 1 — pure BIGINT, exact on any partitioning.
+    *
+    * H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1), tie-corrected by
+    * C = 1 − Σ(t³−t)/(N³−N). In doubled terms R_g²/n_g =
+    * S2_g²/(4n_g) where S2_g = Σ_v n_gv·(2·below+t+1): S2_g² computes
+    * in DECIMAL(38,0) (a BIGINT square wraps past N ≈ 2e9 half-ranks),
+    * the per-group term rounds(,9) into DECIMAL before the k-row fold
+    * (the [[brownForsythe]] recipe), and H is ONE final IEEE
+    * expression off the exact (bt, n, ties) triple, mirrored textually
+    * by the oracle. Degenerate inputs (k < 2, N < 3, or all values
+    * tied so C = 0) read a null H.
+    *
+    * SCALE SHAPE: a (group, value) hash aggregate, a distinct-value
+    * aggregate + two-phase running sum, one equi-join on value, one
+    * k-row fold. Returns one row (k, n, h).
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+    val byVal = rows.groupBy("v").agg(count(lit(1)).as("t"))
+    val ranks = Rank.globalRunningSum(byVal, Seq(col("v")), "t", "cum_t")
+      .select(col("v"),
+        (lit(2L) * (col("cum_t") - col("t")) + col("t") + 1L).as("r2"),
+        (expr("t * t * t - t")).as("tie"))
+    val grp = rows.groupBy("g", "v").agg(count(lit(1)).as("n_gv"))
+      .join(ranks, Seq("v"))
+      .groupBy("g")
+      .agg(sum(col("n_gv")).as("n_g"),
+        sum(col("n_gv") * col("r2")).as("s2"))
+      .select(col("n_g"),
+        expr("cast(round(cast(cast(s2 as decimal(19,0)) * s2 as double)" +
+          " / (4.0 * cast(n_g as double)), 9) as decimal(28,9))").as("t"))
+    val ties = ranks.agg(sum(col("tie")).as("ties"))
+    grp.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("t")).as("bt"))
+      .crossJoin(broadcast(ties))
+      .select(col("k"), col("n"),
+        round(expr("case when k > 1 and n > 2 and " +
+          "ties < cast(n as double) * n * n - n then " +
+          "(12.0 * cast(bt as double) / (cast(n as double) * (n + 1)) " +
+          "- 3.0 * (n + 1)) / " +
+          "(1.0 - cast(ties as double) / " +
+          "(cast(n as double) * n * n - n)) end"), 6).as("h"))
+  }
+
   /** PERMUTATION (randomization) test for a two-group difference in
     * means — the assumption-free companion of [[welchTTest]] (no
     * normality, no variance model: the null distribution IS the data

@@ -690,6 +690,46 @@ object Insights extends QueryModule {
           CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS gap
       FROM b ORDER BY 1""")),
 
+    // ---- Isotonic recalibration (Stats.isotonicCalibration): PAVA
+    // via the minimax closed form over the m_calibration_bins table —
+    // max_{j<=i} min_{k>=i} of exact interval means, three bounded
+    // joins over the 10-row bin frame. Interval means round(,9) into
+    // DECIMAL so min/max compare exact values in both engines.
+    QueryDef("m_isotonic_calibration", (s, d) => {
+      val e = Tables.events(s, d)
+      graft.ops.Hashing.ensureRegistered(e)
+      graft.ops.Stats.isotonicCalibration(
+        e.withColumn("sc", pmod(graft.ops.Hashing.md5Long(
+          concat(lit("cal:"), col("event_id").cast("string"))),
+          lit(1000L)).cast("double") / 1000.0),
+        col("event_type") === "purchase", "sc", bins = 10)
+    }, Some(s"""
+      WITH r AS (SELECT
+               CAST((${graft.ops.Hashing.duckMd5Long(
+                 "'cal:' || CAST(event_id AS VARCHAR)")}) % 1000
+                 AS DOUBLE) / 1000.0 AS sc,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+             FROM events),
+      b AS (SELECT LEAST(CAST(FLOOR(sc * 10.0) AS INT), 9) AS bin,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(p) AS BIGINT) AS npos
+            FROM r GROUP BY 1),
+      iv AS (SELECT j.bin AS jb, k.bin AS kb,
+               CAST(round(CAST(SUM(m.npos) AS DOUBLE) /
+                 CAST(SUM(m.n) AS DOUBLE), 9) AS DECIMAL(18,9)) AS mu
+             FROM b j JOIN b k ON j.bin <= k.bin
+               JOIN b m ON m.bin BETWEEN j.bin AND k.bin
+             GROUP BY 1, 2),
+      mn AS (SELECT i.bin, iv.jb, MIN(iv.mu) AS lo
+             FROM b i JOIN iv ON iv.jb <= i.bin AND iv.kb >= i.bin
+             GROUP BY 1, 2),
+      ft AS (SELECT bin, MAX(lo) AS fit FROM mn GROUP BY 1)
+      SELECT b.bin, b.n,
+        round(CAST(b.npos AS DOUBLE) / CAST(b.n AS DOUBLE), 6)
+          AS frac_pos,
+        round(CAST(ft.fit AS DOUBLE), 6) AS iso_fit
+      FROM b JOIN ft USING (bin) ORDER BY 1""")),
+
     // ---- CUPED variance-reduced experiment readout
     // (EventAnalytics.cupedAdjust): per-user revenue in the second
     // temporal half adjusted by the user's own first-half revenue —
@@ -980,6 +1020,87 @@ object Insights extends QueryModule {
         round(CAST(cov AS DOUBLE) / (sqrt(CAST(vx AS DOUBLE)) *
           sqrt(CAST(vy AS DOUBLE))), 6) END AS rho
       FROM c""")),
+
+    // ---- Brown–Forsythe variance-equality test (Stats.
+    // brownForsythe): one-way F over |value − group median| across
+    // ALL event types — the homogeneity check behind pooled tests.
+    // Exact lower medians per group (keyed window), DECIMAL z sums,
+    // round-9 s²/n terms, F off the ROUNDED SSB/SSW pair.
+    QueryDef("a_brown_forsythe", (s, d) => {
+      graft.ops.Stats.brownForsythe(Tables.events(s, d),
+        "event_type", "value")
+    }, Some("""
+      WITH r AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+             FROM events WHERE value IS NOT NULL),
+      w AS (SELECT g, v,
+              ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+              COUNT(*) OVER (PARTITION BY g) AS n
+            FROM r),
+      md AS (SELECT g, MAX(CASE WHEN rn = (n + 1) // 2 THEN v END)
+               AS med
+             FROM w GROUP BY 1),
+      z AS (SELECT r.g,
+              CAST(round(abs(v - med), 6) AS DECIMAL(18,6)) AS z
+            FROM r JOIN md ON r.g = md.g),
+      grp AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, SUM(z) AS s,
+                SUM(CAST(z * z AS DECIMAL(38,12))) AS ss
+              FROM z GROUP BY 1),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                CAST(SUM(n) AS BIGINT) AS nn, SUM(s) AS st,
+                SUM(ss) AS sst
+              FROM grp),
+      bs AS (SELECT SUM(CAST(round(CAST(s AS DOUBLE) *
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9)
+               AS DECIMAL(28,9))) AS bt
+             FROM grp),
+      ab AS (SELECT k, nn AS n,
+               round(CAST(bt AS DOUBLE) - CAST(st AS DOUBLE) *
+                 CAST(st AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS ssb,
+               round(CAST(sst AS DOUBLE) - CAST(bt AS DOUBLE), 6)
+                 AS ssw
+             FROM tot CROSS JOIN bs)
+      SELECT k, n, ssb, ssw,
+        round(CASE WHEN k > 1 AND n > k AND ssw > 0 THEN
+          (ssb / CAST(k - 1 AS DOUBLE)) /
+          (ssw / CAST(n - k AS DOUBLE)) END, 6) AS f
+      FROM ab""")),
+
+    // ---- Kruskal–Wallis rank test (Stats.kruskalWallis): the k-group
+    // generalization of a_mann_whitney over ALL event types — doubled
+    // BIGINT ranks from the two-phase running sum, S2² in
+    // DECIMAL(38,0), round-9 per-group terms, one mirrored IEEE H off
+    // the exact (bt, n, ties) triple with tie correction.
+    QueryDef("a_kruskal_wallis", (s, d) => {
+      graft.ops.Stats.kruskalWallis(Tables.events(s, d),
+        "event_type", "value")
+    }, Some("""
+      WITH r AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+                 FROM events WHERE value IS NOT NULL),
+      bv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM r GROUP BY 1),
+      rk AS (SELECT v, 2 * (cum_t - t) + t + 1 AS r2,
+               t * t * t - t AS tie
+             FROM (SELECT v, t, SUM(t) OVER (ORDER BY v
+                     ROWS UNBOUNDED PRECEDING) AS cum_t FROM bv)),
+      gv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS n_gv
+             FROM r GROUP BY 1, 2),
+      gr AS (SELECT g, CAST(SUM(n_gv) AS BIGINT) AS n_g,
+               CAST(SUM(n_gv * r2) AS BIGINT) AS s2
+             FROM gv JOIN rk USING (v) GROUP BY 1),
+      tm AS (SELECT n_g,
+               CAST(round(CAST(CAST(s2 AS DECIMAL(19,0)) * s2 AS DOUBLE)
+                 / (4.0 * CAST(n_g AS DOUBLE)), 9) AS DECIMAL(28,9)) AS t
+             FROM gr),
+      ts AS (SELECT CAST(SUM(tie) AS BIGINT) AS ties FROM rk),
+      ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_g) AS BIGINT) AS n, SUM(t) AS bt FROM tm)
+      SELECT k, n,
+        round(CASE WHEN k > 1 AND n > 2 AND
+          ties < CAST(n AS DOUBLE) * n * n - n THEN
+          (12.0 * CAST(bt AS DOUBLE) / (CAST(n AS DOUBLE) * (n + 1))
+            - 3.0 * (n + 1)) /
+          (1.0 - CAST(ties AS DOUBLE) /
+            (CAST(n AS DOUBLE) * n * n - n)) END, 6) AS h
+      FROM ag CROSS JOIN ts""")),
 
     // ---- Permutation test (Stats.permutationTest): randomization
     // inference for the pipe_ab_test contrast — 200 deterministic

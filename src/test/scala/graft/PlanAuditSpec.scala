@@ -209,7 +209,18 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_benford",
     // e_permutation_test: the 1-row observed-diff frame crossed into
     // the reps-row permutation diffs (the a_bootstrap_ci shape)
-    "e_permutation_test")
+    "e_permutation_test",
+    // a_brown_forsythe: the 1-row k-group moment frame crossed with
+    // the 1-row s²/n fold
+    "a_brown_forsythe",
+    // m_isotonic_calibration: the triangular (j,k) interval spine and
+    // the per-bin BETWEEN membership join over the 10-row bin frame —
+    // bounded by construction (the j_cross_grid dimension shape)
+    "m_isotonic_calibration",
+    // a_kruskal_wallis: the two-phase running-sum triangular offset
+    // join (the a_mann_whitney shape) + the 1-row tie-total frame
+    // crossed into the 1-row H readout
+    "a_kruskal_wallis")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -386,7 +397,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_benford",
     // e_permutation_test: the 1-row observed/extreme-count folds over
     // the bounded reps-row permutation frame
-    "e_permutation_test")
+    "e_permutation_test",
+    // a_brown_forsythe: the 1-row totals/s²-per-group folds over the
+    // |groups|-row moment table
+    "a_brown_forsythe",
+    // a_kruskal_wallis: the 1-row tie-total and H folds over the
+    // |groups|-row term table (the a_brown_forsythe shape)
+    "a_kruskal_wallis")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

@@ -219,6 +219,76 @@ class StatsSpec extends AnyFunSuite {
       .getDouble(2) === 0.875)
   }
 
+  test("brownForsythe: hand-computed two-group F off lower medians; " +
+      "equal-spread groups read F 0") {
+    val s = spark; import s.implicits._
+    // A: {1,2,3} med 2 → z {1,0,1}; B: {10,20,30} med 20 → z {10,0,10}
+    // Σs²/n = 4/3 + 400/3 = 134.666666666 (round-9 terms); S=22 N=6
+    // SSB = 134.666666666 − 484/6 → 54.0; SSW = 202 − ... → 67.333333
+    // F = (54/1)/(67.333333/4) = 3.207921
+    val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 10.0), ("b", 20.0), ("b", 30.0)).toDF("g", "v")
+    val r = Stats.brownForsythe(d, "g", "v").collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 6L)
+    assert(r.getDouble(2) === 54.0 && r.getDouble(3) === 67.333333)
+    assert(r.getDouble(4) === 3.207921)
+    // identical spread around different centers: all z equal per
+    // group AND across groups → SSB 0 → F 0
+    val eq = Seq(("a", 1.0), ("a", 3.0), ("b", 101.0), ("b", 103.0))
+      .toDF("g", "v")
+    val e = Stats.brownForsythe(eq, "g", "v").collect().head
+    assert(e.getDouble(2) === 0.0 && e.getDouble(4) === 0.0)
+  }
+
+  test("isotonicCalibration: violating bins pool to their weighted " +
+      "mean; monotone input is unchanged") {
+    val s = spark; import s.implicits._
+    // bins 0..3 (equal weight 5): fracs 0.2, 0.6, 0.4, 0.8 — PAVA
+    // pools bins 1,2 to (3+2)/10 = 0.5; ends untouched
+    def rows(bin: Int, n: Int, pos: Int) =
+      (0 until n).map(i => (i < pos, bin / 10.0 + 0.05))
+    val d = (rows(0, 5, 1) ++ rows(1, 5, 3) ++ rows(2, 5, 2) ++
+      rows(3, 5, 4)).toDF("p", "sc")
+    val r = Stats.isotonicCalibration(d, col("p"), "sc")
+      .collect().map(x => (x.getInt(0), x.getDouble(3)))
+    assert(r.toSeq === Seq((0, 0.2), (1, 0.5), (2, 0.5), (3, 0.8)))
+    // weighted pooling: bin1 n=10 frac 0.6, bin2 n=5 frac 0.4 →
+    // pooled (6+2)/15 = 0.533333 (round-9 interval mean, display 6)
+    val w = (rows(0, 5, 1) ++ rows(1, 10, 6) ++ rows(2, 5, 2) ++
+      rows(3, 5, 4)).toDF("p", "sc")
+    val rw = Stats.isotonicCalibration(w, col("p"), "sc")
+      .collect().map(x => (x.getInt(0), x.getDouble(3)))
+    assert(rw.toSeq === Seq((0, 0.2), (1, 0.533333), (2, 0.533333),
+      (3, 0.8)))
+    // already-monotone input: fit == frac everywhere
+    val m = (rows(0, 5, 1) ++ rows(1, 5, 2) ++ rows(2, 5, 3)).toDF("p", "sc")
+    val rm = Stats.isotonicCalibration(m, col("p"), "sc")
+      .collect().map(x => (x.getDouble(2), x.getDouble(3)))
+    assert(rm.forall { case (f, g) => f === g })
+  }
+
+  test("kruskalWallis: textbook no-tie H; tie-corrected pair; " +
+      "all-tied degenerate null") {
+    val s = spark; import s.implicits._
+    // a {1,2,3} b {4,5,6}: ranks 1..6, ΣR²/n = 36/3+225/3 = 87,
+    // H = 12/42·87 − 21 = 3.857143 (no ties)
+    val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val r = Stats.kruskalWallis(d, "g", "v").collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 6L)
+    assert(r.getDouble(2) === 3.857143)
+    // a {1,1} b {2,2}: doubled ranks 3,3,7,7 → bt = 36/8+196/8 = 29,
+    // H_unadj = 12·29/20 − 15 = 2.4; C = 1 − 12/60 = 0.8 → H = 3.0
+    val t = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0))
+      .toDF("g", "v")
+    assert(Stats.kruskalWallis(t, "g", "v").collect().head
+      .getDouble(2) === 3.0)
+    // every value tied: C = 0 → null H, not a division blowup
+    val c = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0))
+      .toDF("g", "v")
+    assert(Stats.kruskalWallis(c, "g", "v").collect().head.isNullAt(2))
+  }
+
   test("permutationTest: constant values read p = 1; a perfect " +
       "separation reads the add-one minimum") {
     val s = spark; import s.implicits._
