@@ -1188,6 +1188,76 @@ object EventAnalytics {
       .orderBy(keyCol, "day")
   }
 
+  /** AUTOCORRELATION function of the zero-filled daily count series
+    * per key, lags 1..`maxLag`, with the cumulative LJUNG–BOX Q
+    * portmanteau statistic — the standard whiteness check behind every
+    * forecasting gate here ([[ewmaForecast]]/[[holtForecast]]/
+    * [[seasonalNaiveForecast]] all assume residual structure is worth
+    * modeling; ACF is how you see it).
+    *
+    * r_ℓ = Σᵢ dᵢ·dᵢ₊ℓ / Σᵢ dᵢ² over deviations from the series mean;
+    * Q_m = N(N+2)·Σ_{ℓ≤m} r_ℓ²/(N−ℓ).
+    *
+    * DETERMINISM: deviations live in integer MICRO-UNITS — mu6 =
+    * (10⁶·Σn) div N is a floor-truncated integer micro-mean and
+    * dᵢ = 10⁶·nᵢ − mu6 is pure BIGINT, so numerator and denominator
+    * are exact DECIMAL(38,0) sums of integer products on any
+    * partitioning (the 10⁶ scaling cancels in the ratio); r_ℓ is one
+    * double division round(,6); the Q terms round(,12) into DECIMAL
+    * before the per-key cumulative window. A constant series has
+    * den = 0 and reads null r/Q, not a blowup.
+    *
+    * SCALE SHAPE: one (key, day) hash aggregate over the log; the day
+    * spine, lag spine (≤ maxLag copies) and the self-join on
+    * day+lag all run on the DAYS×KEYS-row aggregate — bounded by
+    * calendar, not data. Per-key windows only. Returns
+    * (key, lag, n_days, acf, q) ordered by (key, lag).
+    */
+  def acfLjungBox(events: DataFrame, keyCol: String, maxLag: Int = 10)
+      : DataFrame = {
+    require(maxLag > 0, "maxLag must be positive")
+    val daily = events
+      .select(col(keyCol).as("k"), expr(s"ts_us div $DayUs").as("day"))
+      .groupBy("k", "day").agg(count(lit(1)).as("n"))
+    val grid = daily.groupBy("k")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("k"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val filled = grid.join(daily, Seq("k", "day"), "left")
+      .na.fill(0L, Seq("n"))
+    val stats = filled.groupBy("k")
+      .agg(count(lit(1)).as("nd"), sum(col("n")).as("s"))
+      .withColumn("mu6", expr("(1000000 * s) div nd"))
+    val dev = filled.join(stats, Seq("k"))
+      .select(col("k"), col("day"), col("nd"),
+        (lit(1000000L) * col("n") - col("mu6")).as("d"))
+    val den = dev.groupBy("k")
+      .agg(sum(expr("cast(d as decimal(19,0)) * d")).as("den"))
+    val rhs = dev.select(col("k").as("k2"), col("day").as("day2"),
+      col("d").as("d2"))
+    val num = dev
+      .select(col("k"), col("day"), col("nd"), col("d"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))
+      .filter(col("lag") < col("nd"))
+      .join(rhs, col("k2") === col("k") &&
+        col("day2") === col("day") + col("lag"))
+      .groupBy("k", "lag", "nd")
+      .agg(sum(expr("cast(d as decimal(19,0)) * d2")).as("num"))
+    val acf = num.join(den, Seq("k"))
+      .withColumn("acf", when(col("den") > 0,
+        round(expr("cast(num as double) / cast(den as double)"), 6)))
+    val cum = Window.partitionBy("k").orderBy("lag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    acf
+      .withColumn("term", expr("cast(round(acf * acf / " +
+        "cast(nd - lag as double), 12) as decimal(28,12))"))
+      .withColumn("qsum", sum(col("term")).over(cum))
+      .select(col("k").as(keyCol), col("lag").cast("long").as("lag"),
+        col("nd").as("n_days"), col("acf"),
+        round(expr("cast(nd as double) * (nd + 2) * " +
+          "cast(qsum as double)"), 6).as("q"))
+      .orderBy(keyCol, "lag")
+  }
+
   /** Rolling z-score anomaly flags over the gap-filled daily count
     * series: each day scores against the trailing `window`-day mean
     * and sample stddev (current day EXCLUDED — an anomalous day must

@@ -695,4 +695,31 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.map(_._6) === Seq(false, false, false, false, true, true))
     assert(out.forall(r => r._3 == 0.0 && !r._5)) // upward side silent
   }
+
+  test("acfLjungBox: hand-computed ramp ACF and Q; lag capped below " +
+      "series length; constant series reads null; gaps zero-fill") {
+    // counts [1,2,3,4]: d = [-1.5,-0.5,0.5,1.5]e6, den = 5e12
+    // r1 = 1.25/5 = 0.25, r2 = -1.5/5 = -0.3, r3 = -2.25/5 = -0.45
+    // Q1 = 24·(0.0625/3) = 0.5; Q2 = 24·(term1+0.045) = 1.58;
+    // Q3 = +0.2025 → 6.44
+    val rows = (0 until 4).flatMap(d =>
+      (0 to d).map(i => (1L, d * 10L + i, "a", d * DayUs + i, 0.0))) ++
+      // constant series b: 2 events/day over 3 days
+      (0 until 3).flatMap(d =>
+        (0 until 2).map(i => (2L, 100L + d * 10 + i, "b",
+          d * DayUs + i, 0.0))) ++
+      // gap series c: events on day 0 and day 2 only → 3 filled days
+      Seq((3L, 200L, "c", 0L, 0.0), (3L, 201L, "c", 2L * DayUs, 0.0))
+    val out = EventAnalytics.acfLjungBox(ev(rows: _*), "event_type")
+      .collect()
+    val a = out.filter(_.getString(0) == "a")
+      .map(r => (r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(a.toSeq === Seq((1L, 0.25, 0.5), (2L, -0.3, 1.58),
+      (3L, -0.45, 6.44))) // no lag ≥ nd rows
+    val b = out.filter(_.getString(0) == "b")
+    assert(b.nonEmpty && b.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+    val c = out.filter(_.getString(0) == "c")
+    assert(c.forall(_.getLong(2) == 3L)) // the gap day is in the spine
+    assert(c.head.getDouble(3) < 0) // spike-gap-spike anticorrelates
+  }
 }
