@@ -1213,17 +1213,26 @@ object EventAnalytics {
     * calendar, not data. Per-key windows only. Returns
     * (key, lag, n_days, acf, q) ordered by (key, lag).
     */
-  def acfLjungBox(events: DataFrame, keyCol: String, maxLag: Int = 10)
+  /** The zero-filled (k, day, n) daily count frame every series op
+    * here starts from: one (key, day) hash aggregate over the log,
+    * then the calendar spine per key with absent days as honest
+    * zeros. DAYS×KEYS rows — bounded by calendar, not data.
+    */
+  private def zeroFilledDaily(events: DataFrame, keyCol: String)
       : DataFrame = {
-    require(maxLag > 0, "maxLag must be positive")
     val daily = events
       .select(col(keyCol).as("k"), expr(s"ts_us div $DayUs").as("day"))
       .groupBy("k", "day").agg(count(lit(1)).as("n"))
     val grid = daily.groupBy("k")
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("k"), explode(sequence(col("d0"), col("d1"))).as("day"))
-    val filled = grid.join(daily, Seq("k", "day"), "left")
-      .na.fill(0L, Seq("n"))
+    grid.join(daily, Seq("k", "day"), "left").na.fill(0L, Seq("n"))
+  }
+
+  def acfLjungBox(events: DataFrame, keyCol: String, maxLag: Int = 10)
+      : DataFrame = {
+    require(maxLag > 0, "maxLag must be positive")
+    val filled = zeroFilledDaily(events, keyCol)
     val stats = filled.groupBy("k")
       .agg(count(lit(1)).as("nd"), sum(col("n")).as("s"))
       .withColumn("mu6", expr("(1000000 * s) div nd"))
@@ -1256,6 +1265,62 @@ object EventAnalytics {
         round(expr("cast(nd as double) * (nd + 2) * " +
           "cast(qsum as double)"), 6).as("q"))
       .orderBy(keyCol, "lag")
+  }
+
+  /** THEIL–SEN robust trend estimate of each zero-filled daily count
+    * series: slope = the median of all pairwise slopes
+    * (n_j − n_i)/(day_j − day_i), intercept = the median residual
+    * n_i − slope·day_i — the estimator that shrugs off the outlier
+    * days [[rollingAnomalies]] flags (up to ~29% contamination),
+    * where OLS ([[Stats.olsRegression]]) gets dragged.
+    *
+    * DETERMINISM: pairwise slopes round(,9) into DECIMAL(18,9) so the
+    * median-selection ORDER compares exact decimals, tie-broken by
+    * (day_i, day_j); medians are the exact LOWER median at rank
+    * ⌈n/2⌉ (the [[graft.ops.Stats.brownForsythe]] idiom); residuals
+    * are exact DECIMAL products of the selected slope. Display
+    * rounds(,6) last.
+    *
+    * SCALE SHAPE: the pair frame is the triangular self-join of the
+    * DAYS-row daily aggregate per key — (days choose 2)·keys rows,
+    * bounded by CALENDAR (a year is ~66k pairs/key), never by event
+    * count; all windows are keyed. Returns one row per key:
+    * (key, n_days, n_pairs, slope, intercept).
+    */
+  def theilSen(events: DataFrame, keyCol: String): DataFrame = {
+    val filled = zeroFilledDaily(events, keyCol)
+    val rhs = filled.select(col("k").as("k2"), col("day").as("db"),
+      col("n").as("nb"))
+    val pairs = filled
+      .select(col("k"), col("day").as("da"), col("n").as("na"))
+      .join(rhs, col("k2") === col("k") && col("db") > col("da"))
+      .select(col("k"), col("da"), col("db"),
+        expr("cast(round(cast(nb - na as double) / " +
+          "cast(db - da as double), 9) as decimal(18,9))").as("sl"))
+    val wS = Window.partitionBy("k").orderBy("sl", "da", "db")
+    val wK = Window.partitionBy("k")
+    val med = pairs
+      .withColumn("rn", row_number().over(wS))
+      .withColumn("np", count(lit(1)).over(wK))
+      .groupBy("k")
+      .agg(max(col("np")).as("n_pairs"),
+        max(when(col("rn") === expr("(np + 1) div 2"), col("sl")))
+          .as("slope"))
+    val wR = Window.partitionBy("k").orderBy("res", "day")
+    filled.join(med, Seq("k"))
+      .select(col("k"), col("day"), col("n_pairs"), col("slope"),
+        (col("n").cast("decimal(18,9)") - col("slope") * col("day"))
+          .as("res"))
+      .withColumn("rn", row_number().over(wR))
+      .withColumn("ndays", count(lit(1)).over(wK))
+      .groupBy("k", "n_pairs", "slope")
+      .agg(max(col("ndays")).as("n_days"),
+        max(when(col("rn") === expr("(ndays + 1) div 2"), col("res")))
+          .as("itc"))
+      .select(col("k").as(keyCol), col("n_days"), col("n_pairs"),
+        round(col("slope").cast("double"), 6).as("slope"),
+        round(col("itc").cast("double"), 6).as("intercept"))
+      .orderBy(keyCol)
   }
 
   /** Rolling z-score anomaly flags over the gap-filled daily count

@@ -198,6 +198,51 @@ object Analytics extends QueryModule {
           AS q
       FROM cq ORDER BY 1, 2""")),
 
+    // ---- Theil–Sen robust daily trend (EventAnalytics.theilSen):
+    // median pairwise slope + median residual intercept per zero-filled
+    // daily count series — slopes round(,9) into DECIMAL, exact lower
+    // medians with (da, db) tie-breaks, residuals exact DECIMAL
+    // products of the selected slope.
+    QueryDef("e_theil_sen", (s, d) => {
+      EventAnalytics.theilSen(Tables.events(s, d), "event_type")
+    }, Some("""
+      WITH daily AS (
+        SELECT event_type AS k, epoch_us(ts) // 86400000000 AS day,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      grid AS (SELECT k, unnest(generate_series(d0, d1)) AS day
+               FROM (SELECT k, MIN(day) AS d0, MAX(day) AS d1
+                     FROM daily GROUP BY 1)),
+      g AS (SELECT gr.k, gr.day, COALESCE(d.n, 0) AS n
+            FROM grid gr LEFT JOIN daily d
+              ON gr.k = d.k AND gr.day = d.day),
+      p AS (SELECT a.k, a.day AS da, b.day AS db,
+              CAST(round(CAST(b.n - a.n AS DOUBLE) /
+                CAST(b.day - a.day AS DOUBLE), 9) AS DECIMAL(18,9)) AS sl
+            FROM g a JOIN g b ON b.k = a.k AND b.day > a.day),
+      w AS (SELECT k, sl,
+              ROW_NUMBER() OVER (PARTITION BY k ORDER BY sl, da, db)
+                AS rn,
+              COUNT(*) OVER (PARTITION BY k) AS np
+            FROM p),
+      md AS (SELECT k, CAST(MAX(np) AS BIGINT) AS n_pairs,
+               MAX(CASE WHEN rn = (np + 1) // 2 THEN sl END) AS slope
+             FROM w GROUP BY 1),
+      r AS (SELECT g.k, g.day, md.n_pairs, md.slope,
+              CAST(g.n AS DECIMAL(18,9)) - md.slope * g.day AS res
+            FROM g JOIN md ON g.k = md.k),
+      wr AS (SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY res, day)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY k) AS ndays
+             FROM r)
+      SELECT k AS event_type, CAST(MAX(ndays) AS BIGINT) AS n_days,
+        n_pairs,
+        round(CAST(slope AS DOUBLE), 6) AS slope,
+        round(CAST(MAX(CASE WHEN rn = (ndays + 1) // 2 THEN res END)
+          AS DOUBLE), 6) AS intercept
+      FROM wr GROUP BY k, n_pairs, slope ORDER BY 1""")),
+
     // ---- Fixed-width histogram: 20 bins over the global [min, max]
     // (Stats.histogram — a 1-row range frame broadcast into one
     // binning aggregate; empty bins are absent by construction).

@@ -722,4 +722,21 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(c.forall(_.getLong(2) == 3L)) // the gap day is in the spine
     assert(c.head.getDouble(3) < 0) // spike-gap-spike anticorrelates
   }
+
+  test("theilSen: one outlier day cannot drag the slope; a perfect " +
+      "line recovers exactly") {
+    // a: counts [1,2,3,100,5] — 10 pairwise slopes, lower median 1;
+    // residuals [1,1,1,97,1] → intercept 1 (OLS slope would be ~9.7)
+    val rows = Seq((0, 1), (1, 2), (2, 3), (3, 100), (4, 5)).flatMap {
+      case (d, c) => (0 until c).map(i =>
+        (1L, d * 1000L + i, "a", d * DayUs + i, 0.0)) } ++
+      Seq((0, 1), (1, 2), (2, 3)).flatMap { case (d, c) =>
+        (0 until c).map(i => (2L, 9000L + d * 10 + i, "b",
+          d * DayUs + i, 0.0)) }
+    val out = EventAnalytics.theilSen(ev(rows: _*), "event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq === Seq(("a", 5L, 10L, 1.0, 1.0),
+      ("b", 3L, 3L, 1.0, 1.0)))
+  }
 }
