@@ -421,6 +421,52 @@ object Stats {
           "(cast(n as double) * n * n - n)) end"), 6).as("h"))
   }
 
+  /** KENDALL τ-b rank correlation between two columns, per group —
+    * the concordant-vs-discordant pair measure, tie-adjusted. The
+    * third monotone-association lens after [[spearman]] (which needs
+    * global ranks) and Pearson ([[correlationMatrix]]): τ reads
+    * directly as P(concordant) − P(discordant).
+    *
+    * τ_b = (C − D) / (√(n₀−n₁)·√(n₀−n₂)) with n₁/n₂ = pairs tied in
+    * x/y (both-tied pairs count in each).
+    *
+    * CONTRACT: pairs are the triangular self-join on `orderCol`
+    * (unique per group) — O(rows²) per group, so feed this an
+    * AGGREGATE-sized frame (a daily series, a bin table), never the
+    * raw log; the gate rides the calendar-bounded daily frame. All
+    * counts are exact BIGINTs (sign comparisons of identical round-6
+    * doubles); τ is one mirrored IEEE expression, null when either
+    * tie factor collapses to zero. Returns
+    * (group, n_rows, n_pairs, concordant, discordant, tau_b).
+    */
+  def kendallTau(df: DataFrame, groupCol: String, orderCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("k"), col(orderCol).as("o"),
+        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+    val rhs = base.select(col("k").as("k2"), col("o").as("o2"),
+      col("x").as("x2"), col("y").as("y2"))
+    val pr = base.join(rhs, col("k2") === col("k") && col("o2") > col("o"))
+      .select(col("k"), signum(col("x2") - col("x")).as("dx"),
+        signum(col("y2") - col("y")).as("dy"))
+    val nd = base.groupBy("k").agg(count(lit(1)).as("n_rows"))
+    pr.groupBy("k").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L)).as("c"),
+        sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).as("d"),
+        sum(when(col("dx") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("dy") === 0, 1L).otherwise(0L)).as("n2"))
+      .join(nd, Seq("k"))
+      .select(col("k").as(groupCol), col("n_rows"), col("n_pairs"),
+        col("c").as("concordant"), col("d").as("discordant"),
+        round(expr("case when n_pairs > n1 and n_pairs > n2 then " +
+          "cast(c - d as double) / " +
+          "(sqrt(cast(n_pairs - n1 as double)) * " +
+          "sqrt(cast(n_pairs - n2 as double))) end"), 6).as("tau_b"))
+      .orderBy(groupCol)
+  }
+
   /** PERMUTATION (randomization) test for a two-group difference in
     * means — the assumption-free companion of [[welchTTest]] (no
     * normality, no variance model: the null distribution IS the data

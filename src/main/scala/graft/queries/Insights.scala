@@ -1102,6 +1102,50 @@ object Insights extends QueryModule {
             (CAST(n AS DOUBLE) * n * n - n)) END, 6) AS h
       FROM ag CROSS JOIN ts""")),
 
+    // ---- Kendall τ-b rank correlation (Stats.kendallTau): daily mean
+    // value vs daily event count per series, over the calendar-bounded
+    // daily frame (the op's contract: triangular pairs on an
+    // AGGREGATE, never the raw log). Exact BIGINT concordance counts
+    // off sign comparisons of identical round-6 doubles.
+    QueryDef("a_kendall_tau", (s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("ts_us div 86400000000").as("day"), col("value"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("v"))
+      graft.ops.Stats.kendallTau(daily, "event_type", "day", "v", "n")
+    }, Some("""
+      WITH daily AS (
+        SELECT event_type AS k, epoch_us(ts) // 86400000000 AS day,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) /
+            CAST(COUNT(*) AS DOUBLE), 6) AS v
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT k, day AS o, v AS x, CAST(n AS DOUBLE) AS y
+            FROM daily WHERE v IS NOT NULL),
+      pr AS (SELECT a.k, sign(b2.x - a.x) AS dx, sign(b2.y - a.y) AS dy
+             FROM b a JOIN b b2 ON b2.k = a.k AND b2.o > a.o),
+      ag AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n2
+             FROM pr GROUP BY 1),
+      nd AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_rows
+             FROM b GROUP BY 1)
+      SELECT ag.k AS event_type, n_rows, n_pairs,
+        c AS concordant, d AS discordant,
+        round(CASE WHEN n_pairs > n1 AND n_pairs > n2 THEN
+          CAST(c - d AS DOUBLE) / (sqrt(CAST(n_pairs - n1 AS DOUBLE)) *
+          sqrt(CAST(n_pairs - n2 AS DOUBLE))) END, 6) AS tau_b
+      FROM ag JOIN nd ON ag.k = nd.k ORDER BY 1""")),
+
     // ---- Permutation test (Stats.permutationTest): randomization
     // inference for the pipe_ab_test contrast — 200 deterministic
     // md5 relabelings of the per-user conversion, add-one p-value.

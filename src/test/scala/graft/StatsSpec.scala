@@ -289,6 +289,25 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.kruskalWallis(c, "g", "v").collect().head.isNullAt(2))
   }
 
+  test("kendallTau: perfect agreement 1, reversal -1, x-ties adjust " +
+      "the denominator, constant column null") {
+    val s = spark; import s.implicits._
+    // g=a: y = x → τ 1; g=b: y reversed → τ −1
+    // g=c: x {1,1,2} y {1,2,3}: C=2 D=0 n1=1 n2=0 → 2/√(2·3) = 0.816497
+    // g=d: x constant → n_pairs == n1 → null
+    val d = Seq(
+      ("a", 1L, 1.0, 1.0), ("a", 2L, 2.0, 2.0), ("a", 3L, 3.0, 3.0),
+      ("b", 1L, 1.0, 3.0), ("b", 2L, 2.0, 2.0), ("b", 3L, 3.0, 1.0),
+      ("c", 1L, 1.0, 1.0), ("c", 2L, 1.0, 2.0), ("c", 3L, 2.0, 3.0),
+      ("d", 1L, 5.0, 1.0), ("d", 2L, 5.0, 2.0))
+      .toDF("g", "o", "x", "y")
+    val r = Stats.kendallTau(d, "g", "o", "x", "y").collect()
+      .map(x => (x.getString(0), x.getLong(2),
+        if (x.isNullAt(5)) None else Some(x.getDouble(5))))
+    assert(r.toSeq === Seq(("a", 3L, Some(1.0)), ("b", 3L, Some(-1.0)),
+      ("c", 3L, Some(0.816497)), ("d", 1L, None)))
+  }
+
   test("permutationTest: constant values read p = 1; a perfect " +
       "separation reads the add-one minimum") {
     val s = spark; import s.implicits._
