@@ -467,6 +467,95 @@ object Stats {
       .orderBy(groupCol)
   }
 
+  /** LOGISTIC REGRESSION (one feature + intercept) fit by `rounds`
+    * NEWTON–RAPHSON iterations — distributed IRLS, the textbook GLM
+    * fit: each round is ONE aggregate over the data computing the
+    * exact gradient (g0, g1) and Hessian (h00, h01, h11) of the
+    * log-likelihood at the current β, then a closed-form 2×2 solve.
+    * Emits the per-round β trajectory so convergence is an observable,
+    * not an assertion.
+    *
+    * DETERMINISM (the cross-engine replay contract): the feature
+    * standardizes through round-9 (μ, σ) off exact DECIMAL moments;
+    * x fixes to DECIMAL(18,6); per-row p = round(σ(β₀+β₁x), 6) into
+    * DECIMAL — the only transcendental, rounded BEFORE any sum — so
+    * every gradient/Hessian entry is an exact DECIMAL sum of DECIMAL
+    * products on any partitioning; the Newton step runs in mirrored
+    * IEEE doubles and the new β rounds(,9) back into DECIMAL(18,9).
+    * A singular Hessian (constant feature ⇒ x ≡ 0 ⇒ det = 0) keeps
+    * the previous β instead of dividing by zero.
+    *
+    * SCALE SHAPE: one pass per round (a scalar aggregate — partial
+    * combines, nothing keyed), β rides a broadcast 1-row frame; the
+    * standardized frame is stage-cut with a lazy localCheckpoint so
+    * the `rounds` passes re-read a materialized projection, not the
+    * full upstream plan (the pipe_llm_corpus fan-in lesson). Returns
+    * `rounds` rows (round, b0, b1) — round-6 display off the exact
+    * round-9 trajectory.
+    */
+  def logisticNewton(df: DataFrame, isPositive: Column, xCol: String,
+      rounds: Int = 6): DataFrame = {
+    require(rounds > 0 && rounds <= 20, "rounds in 1..20")
+    val raw = df.filter(expr(xCol).isNotNull)
+      .select(when(isPositive, 1L).otherwise(0L).as("y"),
+        expr(s"cast(round(cast($xCol as double), 6) as decimal(18,6))")
+          .as("xr"))
+    val st = raw.agg(count(lit(1)).as("n"), sum(col("xr")).as("s"),
+        sum(expr("cast(xr * xr as decimal(38,12))")).as("ss"))
+      .select(
+        expr("cast(round(cast(s as double) / cast(n as double), 9) " +
+          "as decimal(18,9))").as("mu"),
+        expr("cast(round(sqrt(greatest((cast(ss as double) - " +
+          "cast(s as double) * cast(s as double) / cast(n as double)) " +
+          "/ cast(n - 1 as double), 0.0)), 9) as decimal(18,9))")
+          .as("sd"))
+    val data = raw.crossJoin(broadcast(st))
+      .select(col("y"),
+        expr("case when sd > 0 then cast(round((cast(xr as double) - " +
+          "cast(mu as double)) / cast(sd as double), 6) " +
+          "as decimal(18,6)) else cast(0 as decimal(18,6)) end").as("x"))
+      .localCheckpoint(false) // one materialization feeds every round
+    var beta = df.sparkSession.range(1).select(
+      expr("cast(0 as decimal(18,9))").as("b0"),
+      expr("cast(0 as decimal(18,9))").as("b1"))
+    val trail = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      beta = data.crossJoin(broadcast(beta))
+        .select(col("y"), col("x"), col("b0"), col("b1"),
+          expr("cast(round(1.0 / (1.0 + exp(-(cast(b0 as double) + " +
+            "cast(b1 as double) * cast(x as double)))), 6) " +
+            "as decimal(18,6))").as("p"))
+        .agg(max(col("b0")).as("b0p"), max(col("b1")).as("b1p"),
+          sum(expr("cast(y as decimal(18,6)) - p")).as("g0"),
+          sum(expr("(cast(y as decimal(18,6)) - p) * x")).as("g1"),
+          sum(expr("cast((1 - p) * p as decimal(18,12))")).as("h00"),
+          sum(expr("cast((1 - p) * p as decimal(18,12)) * x")).as("h01"),
+          sum(expr("cast((1 - p) * p as decimal(18,12)) * " +
+            "cast(x * x as decimal(18,12))")).as("h11"))
+        .select(
+          expr("case when cast(h00 as double) * cast(h11 as double) - " +
+            "cast(h01 as double) * cast(h01 as double) != 0 then " +
+            "cast(round(cast(b0p as double) + " +
+            "(cast(h11 as double) * cast(g0 as double) - " +
+            "cast(h01 as double) * cast(g1 as double)) / " +
+            "(cast(h00 as double) * cast(h11 as double) - " +
+            "cast(h01 as double) * cast(h01 as double)), 9) " +
+            "as decimal(18,9)) else b0p end").as("b0"),
+          expr("case when cast(h00 as double) * cast(h11 as double) - " +
+            "cast(h01 as double) * cast(h01 as double) != 0 then " +
+            "cast(round(cast(b1p as double) + " +
+            "(cast(h00 as double) * cast(g1 as double) - " +
+            "cast(h01 as double) * cast(g0 as double)) / " +
+            "(cast(h00 as double) * cast(h11 as double) - " +
+            "cast(h01 as double) * cast(h01 as double)), 9) " +
+            "as decimal(18,9)) else b1p end").as("b1"))
+      trail += beta.select(lit(r.toLong).as("round"),
+        round(col("b0").cast("double"), 6).as("b0"),
+        round(col("b1").cast("double"), 6).as("b1"))
+    }
+    trail.result().reduce(_ unionByName _).orderBy("round")
+  }
+
   /** PERMUTATION (randomization) test for a two-group difference in
     * means — the assumption-free companion of [[welchTTest]] (no
     * normality, no variance model: the null distribution IS the data

@@ -1146,6 +1146,74 @@ object Insights extends QueryModule {
           sqrt(CAST(n_pairs - n2 AS DOUBLE))) END, 6) AS tau_b
       FROM ag JOIN nd ON ag.k = nd.k ORDER BY 1""")),
 
+    // ---- Logistic regression by Newton–Raphson (Stats.
+    // logisticNewton): P(purchase | ln(1+value)) fit in 6 distributed
+    // IRLS rounds — per-row p round-6 into DECIMAL (the only
+    // transcendental), exact DECIMAL gradient/Hessian sums, mirrored
+    // IEEE 2×2 solve, β round-9 per round. The oracle unrolls all six
+    // rounds as CTEs; the gate emits the convergence trajectory.
+    QueryDef("m_logistic_newton", (s, d) => {
+      graft.ops.Stats.logisticNewton(Tables.events(s, d),
+        col("event_type") === "purchase", "ln(1 + value)")
+    }, Some {
+      val det = "CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE) - " +
+        "CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE)"
+      val rounds = (1 to 6).map { r =>
+        s"""g$r AS (SELECT MAX(b0) AS b0p, MAX(b1) AS b1p,
+        SUM(CAST(y AS DECIMAL(18,6)) - p) AS g0,
+        SUM((CAST(y AS DECIMAL(18,6)) - p) * x) AS g1,
+        SUM(CAST((1 - p) * p AS DECIMAL(18,12))) AS h00,
+        SUM(CAST((1 - p) * p AS DECIMAL(18,12)) * x) AS h01,
+        SUM(CAST((1 - p) * p AS DECIMAL(18,12)) *
+          CAST(x * x AS DECIMAL(18,12))) AS h11
+      FROM (SELECT y, x, b0, b1,
+          CAST(round(1.0 / (1.0 + exp(-(CAST(b0 AS DOUBLE) +
+            CAST(b1 AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+            AS DECIMAL(18,6)) AS p
+        FROM dat CROSS JOIN r${r - 1})),
+      r$r AS (SELECT
+        CASE WHEN $det != 0 THEN CAST(round(CAST(b0p AS DOUBLE) +
+          (CAST(h11 AS DOUBLE) * CAST(g0 AS DOUBLE) -
+           CAST(h01 AS DOUBLE) * CAST(g1 AS DOUBLE)) / ($det), 9)
+          AS DECIMAL(18,9)) ELSE b0p END AS b0,
+        CASE WHEN $det != 0 THEN CAST(round(CAST(b1p AS DOUBLE) +
+          (CAST(h00 AS DOUBLE) * CAST(g1 AS DOUBLE) -
+           CAST(h01 AS DOUBLE) * CAST(g0 AS DOUBLE)) / ($det), 9)
+          AS DECIMAL(18,9)) ELSE b1p END AS b1
+      FROM g$r)"""
+      }.mkString(",\n      ")
+      val emit = (1 to 6).map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS "round",
+          round(CAST(b0 AS DOUBLE), 6) AS b0,
+          round(CAST(b1 AS DOUBLE), 6) AS b1 FROM r$r""")
+        .mkString("\n      UNION ALL ")
+      s"""
+      WITH raw AS (SELECT
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+          CAST(round(CAST(ln(1 + value) AS DOUBLE), 6)
+            AS DECIMAL(18,6)) AS xr
+        FROM events WHERE ln(1 + value) IS NOT NULL),
+      stt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(xr) AS s,
+          SUM(CAST(xr * xr AS DECIMAL(38,12))) AS ss FROM raw),
+      sm AS (SELECT
+          CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9)
+            AS DECIMAL(18,9)) AS mu,
+          CAST(round(sqrt(greatest((CAST(ss AS DOUBLE) -
+            CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+            / CAST(n - 1 AS DOUBLE), 0.0)), 9) AS DECIMAL(18,9)) AS sd
+        FROM stt),
+      dat AS (SELECT y, CASE WHEN sd > 0 THEN
+            CAST(round((CAST(xr AS DOUBLE) - CAST(mu AS DOUBLE)) /
+              CAST(sd AS DOUBLE), 6) AS DECIMAL(18,6))
+          ELSE CAST(0 AS DECIMAL(18,6)) END AS x
+        FROM raw CROSS JOIN sm),
+      r0 AS (SELECT CAST(0 AS DECIMAL(18,9)) AS b0,
+               CAST(0 AS DECIMAL(18,9)) AS b1),
+      $rounds
+      $emit
+      ORDER BY 1"""
+    }),
+
     // ---- Permutation test (Stats.permutationTest): randomization
     // inference for the pipe_ab_test contrast — 200 deterministic
     // md5 relabelings of the per-user conversion, add-one p-value.

@@ -220,7 +220,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // a_kruskal_wallis: the two-phase running-sum triangular offset
     // join (the a_mann_whitney shape) + the 1-row tie-total frame
     // crossed into the 1-row H readout
-    "a_kruskal_wallis")
+    "a_kruskal_wallis",
+    // m_logistic_newton: the 1-row (mu, sd) frame and the six 1-row β
+    // frames crossed into per-row scoring (the e_cuped 1-row-frame
+    // shape, once per Newton round)
+    "m_logistic_newton")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -403,7 +407,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "a_brown_forsythe",
     // a_kruskal_wallis: the 1-row tie-total and H folds over the
     // |groups|-row term table (the a_brown_forsythe shape)
-    "a_kruskal_wallis")
+    "a_kruskal_wallis",
+    // m_logistic_newton: the per-round 1-row gradient/Hessian folds
+    // (one bounded partial per partition) + the 1-row moment fold
+    "m_logistic_newton")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

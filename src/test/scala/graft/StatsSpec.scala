@@ -308,6 +308,28 @@ class StatsSpec extends AnyFunSuite {
       ("c", 3L, Some(0.816497)), ("d", 1L, None)))
   }
 
+  test("logisticNewton: symmetric two-level design converges to the " +
+      "closed-form MLE; constant feature freezes at the origin") {
+    val s = spark; import s.implicits._
+    // x = ±1 (4 rows each), P(y|x=-1) = 1/4, P(y|x=+1) = 3/4.
+    // Standardized x = ±0.935414; the MLE has b0 = 0 (symmetry) and
+    // b1 = ln(3)/0.935414 = 1.174465
+    val d = (Seq(1, 0, 0, 0).map(y => (y == 1, -1.0)) ++
+      Seq(1, 1, 1, 0).map(y => (y == 1, 1.0))).toDF("pos", "x")
+    val out = Stats.logisticNewton(d, col("pos"), "x")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq === (1L to 6L))
+    assert(out.forall(_._2 === 0.0)) // b0 exactly 0 every round
+    assert(math.abs(out.last._3 - 1.174465) < 1e-3)
+    // converged: the display-6 trajectory is flat by round 5
+    assert(out(4)._3 === out(5)._3)
+    // constant feature → x ≡ 0 → singular Hessian → frozen (0, 0)
+    val c = Seq((true, 7.0), (false, 7.0), (true, 7.0)).toDF("pos", "x")
+    val oc = Stats.logisticNewton(c, col("pos"), "x").collect()
+    assert(oc.forall(r => r.getDouble(1) === 0.0 &&
+      r.getDouble(2) === 0.0))
+  }
+
   test("permutationTest: constant values read p = 1; a perfect " +
       "separation reads the add-one minimum") {
     val s = spark; import s.implicits._
