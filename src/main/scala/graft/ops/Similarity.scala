@@ -119,6 +119,61 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** GREEDY k-CENTER (farthest-point-first) CORESET selection —
+    * Gonzalez's 2-approximation to the k-center cover, the standard
+    * diversity-maximizing data-selection pass (pick the point farthest
+    * from everything already kept, k times): the coreset a training
+    * pipeline keeps when it can afford k examples and wants coverage,
+    * where [[bruteForceTopK]]-style similarity sampling would keep
+    * near-duplicates.
+    *
+    * Distance is cosine distance round(1 − cos, 6); each round picks
+    * the candidate maximizing its distance to the NEAREST selected
+    * point, ties broken by smallest vec_id; the seed is the smallest
+    * vec_id. Returns k rows (rank, vec_id, dmin) where dmin is the
+    * selection-time covering radius — non-increasing in rank (a
+    * monotone observable), null for the seed.
+    *
+    * SCALE SHAPE: the selected set is ≤ k rows and rides broadcast;
+    * each round is one corpus×selected cross (n·|sel| rows) into a
+    * keyed min — O(n·k) total, the k-center lower bound — followed by
+    * two 1-row folds (global max, then min-id among the argmax ties:
+    * two scalar aggregates, NOT a global sort). The greedy loop is
+    * inherently sequential in k; per-round lineage cuts (the
+    * [[mmrRerank]] pattern; runs k jobs at call time).
+    */
+  def kCenterCoreset(corpus: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    ensureRegistered(corpus)
+    val base = corpus.select(col("vec_id"), col("embedding"))
+      .localCheckpoint() // referenced every round (fan-in hazard)
+    val seed = base.agg(min(col("vec_id")).as("vec_id"))
+    var sel = base.join(broadcast(seed), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), lit(1L).as("rank"),
+        lit(null).cast("double").as("dmin"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val dmin = base
+        .join(broadcast(sel.select(col("vec_id"))), Seq("vec_id"),
+          "left_anti")
+        .crossJoin(broadcast(sel.select(col("embedding").as("se"))))
+        .groupBy("vec_id")
+        .agg(min(round(expr(s"1.0 - (${cosineSql("embedding", "se")})"),
+          6)).as("dmin"))
+      val mx = dmin.agg(max(col("dmin")).as("mx"))
+      val pick = dmin.crossJoin(broadcast(mx))
+        .filter(col("dmin") === col("mx"))
+        .agg(min(col("vec_id")).as("vec_id"), max(col("mx")).as("dmin"))
+      sel = sel.unionByName(
+        base.join(broadcast(pick.select(col("vec_id"))), Seq("vec_id"))
+          .crossJoin(broadcast(pick.select(col("dmin"))))
+          .select(col("vec_id"), col("embedding"),
+            lit(r.toLong).as("rank"), col("dmin")))
+        .localCheckpoint()
+    }
+    sel.select(col("rank"), col("vec_id"), col("dmin")).orderBy("rank")
+  }
+
   /** Brute-force MAXIMUM-INNER-PRODUCT top-k (MIPS) — the retrieval
     * order a recommender's user×item factor model actually wants
     * (cosine discards magnitude; an item's popularity lives in its

@@ -1669,6 +1669,43 @@ object Pipeline extends QueryModule {
              round(cos, 6) AS cos
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- Greedy k-center coreset (Similarity.kCenterCoreset):
+    // farthest-point-first diversity selection over the embedding
+    // corpus (Gonzalez 2-approximation) — the data-selection pass that
+    // keeps coverage where similarity sampling keeps near-duplicates.
+    // Oracle unrolls all 7 greedy rounds; covering radius is a
+    // monotone observable.
+    QueryDef("sim_kcenter_coreset", (s, d) => {
+      Similarity.kCenterCoreset(emb(s, d), 8)
+    }, Some {
+      val rounds = (2 to 8).map { r =>
+        val p = r - 1
+        s"""d$r AS MATERIALIZED (SELECT c.vec_id,
+          MIN(round(1.0 - ${duckCos("c.embedding", "s.embedding")}, 6))
+            AS dmin
+        FROM embeddings c JOIN s$p s ON true
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM s$p)
+        GROUP BY 1),
+      p$r AS MATERIALIZED (SELECT MIN(vec_id) AS vec_id,
+                MAX(dmin) AS dmin
+              FROM d$r WHERE dmin = (SELECT MAX(dmin) FROM d$r)),
+      s$r AS MATERIALIZED (SELECT vec_id, embedding, rank, dmin
+              FROM s$p
+              UNION ALL
+              SELECT e.vec_id, e.embedding, CAST($r AS BIGINT) AS rank,
+                p$r.dmin
+              FROM embeddings e JOIN p$r ON e.vec_id = p$r.vec_id)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH s1 AS MATERIALIZED (SELECT vec_id, embedding,
+               CAST(1 AS BIGINT) AS rank,
+               CAST(NULL AS DOUBLE) AS dmin
+             FROM embeddings
+             WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+      $rounds
+      SELECT rank, vec_id, dmin FROM s8 ORDER BY 1"""
+    }),
+
     // ---- MMR diversity re-ranking (Similarity.mmrRerank): the greedy
     // relevance-vs-redundancy pass over the brute-force top-20, λ =
     // 7/3 tenths (integer tenths — 1−0.7 ≠ 0.3 in IEEE and the oracle

@@ -436,7 +436,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "g_modularity",
     // sim_mmr_rerank: the greedy loop checkpoints per round (the
     // labelPropagation pattern)
-    "sim_mmr_rerank")
+    "sim_mmr_rerank",
+    // sim_kcenter_coreset: the farthest-point greedy loop checkpoints
+    // per round (the sim_mmr_rerank pattern)
+    "sim_kcenter_coreset")
 
   private val modules = Seq(Relational, Functions, Pipeline, Corpus,
     Analytics, Insights)

@@ -607,6 +607,25 @@ class SparkOpsSpec extends AnyFunSuite {
       (3L, 2L, 0.323)))
   }
 
+  test("Similarity.kCenterCoreset: farthest-point order with " +
+    "non-increasing covering radius; min-id seed and tie-breaks") {
+    val s = spark; import s.implicits._
+    // seed = id 1 (1,0). Farthest: id 4 (0,1), dist 1.0. Then id 3
+    // (1,1): cos 0.707107 to both → 0.292893. Last id 2 (1,0.1):
+    // nearest selected is id 1, cos = 1/√1.01 → dist 0.004963.
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.1f)),
+      (3L, Array(1.0f, 1.0f)), (4L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kCenterCoreset(e, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out.toSeq === Seq((1L, 1L, None), (2L, 4L, Some(1.0)),
+      (3L, 3L, Some(0.292893)), (4L, 2L, Some(0.004963))))
+    val ds = out.drop(1).map(_._3.get)
+    assert(ds.zip(ds.drop(1)).forall { case (a, b) => a >= b })
+  }
+
   test("Similarity.silhouette: orthogonal identical-member clusters " +
     "score 1; a collapsed single cell reads zero") {
     val s = spark; import s.implicits._
