@@ -1422,17 +1422,26 @@ object EventAnalytics {
     * a per-key pivot aggregate (8 conditional sums); the unrolled
     * recursion is a per-row column expression chain — |keys| rows.
     */
-  def holtForecast(events: DataFrame, keyCol: String): DataFrame = {
-    val days = events.select(col(keyCol).as("k"),
-      expr(s"ts_us div $DayUs").as("day"))
-    val anchor = days.agg(max("day").as("d1"))
+  def holtForecast(events: DataFrame, keyCol: String): DataFrame =
+    holtFromDaily(events
+      .select(col(keyCol).as("k"), expr(s"ts_us div $DayUs").as("day"))
+      .groupBy("k", "day").agg(count(lit(1)).as("n")),
+      keyCol)
+
+  /** The Holt level+trend chain from an already-aggregated (k, day, n)
+    * daily frame — shared by [[holtForecast]] and its streaming twin
+    * (`streaming/Events.holtDaily`), the [[cusumFromDaily]] pattern.
+    */
+  private[graft] def holtFromDaily(daily: DataFrame, keyCol: String)
+      : DataFrame = {
+    val anchor = daily.agg(max("day").as("d1"))
     val pivotCols = (1 to 8).map(i =>
-      sum(when(col("day") === col("d1") - 9 + i, 1L).otherwise(0L))
+      sum(when(col("day") === col("d1") - 9 + i, col("n")).otherwise(0L))
         .as(s"y$i"))
-    var df = days.crossJoin(broadcast(anchor))
+    var df = daily.crossJoin(broadcast(anchor))
       .filter(col("day") >= col("d1") - 8)
       .groupBy("k", "d1")
-      .agg(sum(when(col("day") === col("d1"), 1L).otherwise(0L))
+      .agg(sum(when(col("day") === col("d1"), col("n")).otherwise(0L))
         .as("n_actual"), pivotCols: _*)
       .withColumn("l1", col("y1").cast("double"))
       .withColumn("b1", (col("y2") - col("y1")).cast("double"))

@@ -418,6 +418,60 @@ object StreamML extends QueryModule {
     // windowed aggregation, the readout running through the SAME
     // shared seasonalFromDaily chain as the batch op. Oracle
     // char-identical to e_seasonal_forecast's -> parity.
+    // ---- Streaming Holt level+trend twin: daily counts as a
+    // watermarked windowed aggregation, the dyadic double unroll
+    // running through the SAME shared holtFromDaily chain as the
+    // batch op. Oracle char-identical to e_holt_forecast's -> parity.
+    QueryDef("st_holt_daily", (s, d) => {
+      graft.streaming.Events.holtDaily(s, d).orderBy("event_type")
+    }, Some("""
+      WITH e AS (SELECT event_type,
+              epoch_us(ts) // 86400000000 AS day FROM events),
+      a AS (SELECT MAX(day) AS d1 FROM e),
+      g AS (SELECT event_type, d1,
+              CAST(SUM(CASE WHEN day = d1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_actual,
+              CAST(SUM(CASE WHEN day = d1 - 8 THEN 1 ELSE 0 END)
+                AS BIGINT) AS y1,
+              CAST(SUM(CASE WHEN day = d1 - 7 THEN 1 ELSE 0 END)
+                AS BIGINT) AS y2,
+              CAST(SUM(CASE WHEN day = d1 - 6 THEN 1 ELSE 0 END)
+                AS BIGINT) AS y3,
+              CAST(SUM(CASE WHEN day = d1 - 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS y4,
+              CAST(SUM(CASE WHEN day = d1 - 4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS y5,
+              CAST(SUM(CASE WHEN day = d1 - 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS y6,
+              CAST(SUM(CASE WHEN day = d1 - 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS y7,
+              CAST(SUM(CASE WHEN day = d1 - 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS y8
+            FROM e CROSS JOIN a WHERE day >= d1 - 8 GROUP BY 1, 2),
+      h AS (SELECT event_type, d1, n_actual,
+              CAST(y1 AS DOUBLE) AS l1,
+              CAST(y2 - y1 AS DOUBLE) AS b1,
+              (CAST(y2 AS DOUBLE) + l1 + b1) * 0.5 AS l2,
+              (l2 - l1) * 0.5 + b1 * 0.5 AS b2,
+              (CAST(y3 AS DOUBLE) + l2 + b2) * 0.5 AS l3,
+              (l3 - l2) * 0.5 + b2 * 0.5 AS b3,
+              (CAST(y4 AS DOUBLE) + l3 + b3) * 0.5 AS l4,
+              (l4 - l3) * 0.5 + b3 * 0.5 AS b4,
+              (CAST(y5 AS DOUBLE) + l4 + b4) * 0.5 AS l5,
+              (l5 - l4) * 0.5 + b4 * 0.5 AS b5,
+              (CAST(y6 AS DOUBLE) + l5 + b5) * 0.5 AS l6,
+              (l6 - l5) * 0.5 + b5 * 0.5 AS b6,
+              (CAST(y7 AS DOUBLE) + l6 + b6) * 0.5 AS l7,
+              (l7 - l6) * 0.5 + b6 * 0.5 AS b7,
+              (CAST(y8 AS DOUBLE) + l7 + b7) * 0.5 AS l8,
+              (l8 - l7) * 0.5 + b7 * 0.5 AS b8
+            FROM g)
+      SELECT event_type, d1 AS day, n_actual,
+        round(l8, 6) AS level, round(b8, 6) AS trend,
+        round(l8 + b8, 6) AS forecast,
+        round(CAST(n_actual AS DOUBLE) - (l8 + b8), 6) AS resid
+      FROM h ORDER BY event_type""")),
+
     QueryDef("st_seasonal_daily", (s, d) => {
       graft.streaming.Events.seasonalDaily(s, d)
     }, Some("""

@@ -646,6 +646,26 @@ object Events {
       "event_type", cycles = 4)
   }
 
+  /** Streaming twin of [[graft.ops.EventAnalytics.holtForecast]] —
+    * daily counts out of the state store, the dyadic level+trend
+    * unroll through the shared `EventAnalytics.holtFromDaily` chain
+    * (the [[cusumDaily]] pattern); the gate's oracle is char-identical
+    * to e_holt_forecast's.
+    */
+  def holtDaily(s: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val out = runToCompletion(s, ss => {
+      stream(ss, dir)
+        .groupBy(window(col("t"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }, "st_holt_mem")
+    graft.ops.EventAnalytics.holtFromDaily(
+      out.select(col("event_type").as("k"),
+        expr(s"unix_micros(window.start) div $DayUs").as("day"),
+        col("n")),
+      "event_type")
+  }
+
   /** Gapped sequential-pattern support with the per-(user, type) spans
     * accumulated as a STREAMING aggregation — min/max fold
     * associatively, so the streaming state IS the span frame the
