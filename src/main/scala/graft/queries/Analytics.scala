@@ -821,6 +821,95 @@ object Analytics extends QueryModule {
       FROM g WHERE w2 IS NOT NULL
       GROUP BY 1 ORDER BY n DESC, path LIMIT 20""")),
 
+    // ---- Leakage-safe feature-store build (composition): temporal
+    // train/test split at the global ts midpoint (the e_cuped shape),
+    // smoothed target encoding (Stats.targetEncode) and value z-score
+    // parameters fit on the TRAIN SPLIT ONLY, applied to both splits —
+    // the oracle replays the fit-on-train discipline, so feature
+    // leakage would hash-mismatch. Bounded output: splits × types.
+    QueryDef("pipe_feature_store", (s, d) => {
+      val e = Tables.events(s, d)
+      val mid = e.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("__mid"))
+      val base = e.crossJoin(broadcast(mid))
+        .select(col("event_type"), col("value"),
+          when(col("ts_us") < col("__mid"), "train").otherwise("test")
+            .as("split"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("y"))
+      val train = base.filter(col("split") === "train")
+      val enc = graft.ops.Stats
+        .targetEncode(train, "event_type", "y", m = 50.0, decScale = 0)
+        .select(col("event_type"), col("enc"))
+      val v6 = "cast(round(cast(value as double), 6) as decimal(18,6))"
+      val zs = train.filter(col("value").isNotNull)
+        .agg(count(lit(1)).as("n"), sum(expr(v6)).as("sv"),
+          sum(expr(s"cast($v6 * $v6 as decimal(38,12))")).as("svv"))
+        .select(
+          expr("cast(round(cast(sv as double) / cast(n as double), 9) " +
+            "as decimal(18,9))").as("mu"),
+          expr("cast(round(sqrt(greatest((cast(svv as double) - " +
+            "cast(sv as double) * cast(sv as double) / " +
+            "cast(n as double)) / cast(n - 1 as double), 0.0)), 9) " +
+            "as decimal(18,9))").as("sd"))
+      base.join(broadcast(enc), Seq("event_type"), "left")
+        .crossJoin(broadcast(zs))
+        .withColumn("vz", when(col("sd") > 0,
+          round(expr("(cast(value as double) - cast(mu as double)) / " +
+            "cast(sd as double)"), 6)))
+        .groupBy("split", "event_type")
+        .agg(count(lit(1)).as("n"),
+          max(col("enc")).as("enc_purchase_rate"),
+          round(sum(expr("cast(vz as decimal(18,6))")).cast("double") /
+            count(col("vz")).cast("double"), 6).as("mean_vz"),
+          round(sum(col("y")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("conv_rate"))
+        .orderBy("split", "event_type")
+    }, Some("""
+      WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+                   AS mid FROM events),
+      base AS (SELECT event_type, value,
+          CASE WHEN epoch_us(ts) < mid THEN 'train' ELSE 'test' END
+            AS split,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events CROSS JOIN b),
+      tr AS (SELECT * FROM base WHERE split = 'train'),
+      g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_all,
+              CAST(SUM(CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS s_all
+            FROM tr),
+      enc AS (SELECT event_type,
+                round((CAST(SUM(CAST(y AS DECIMAL(18,0))) AS DOUBLE) +
+                  50.0 * (s_all / n_all)) /
+                  (CAST(COUNT(*) AS DOUBLE) + 50.0), 6) AS enc
+              FROM tr CROSS JOIN g GROUP BY event_type, n_all, s_all),
+      zs AS (SELECT
+          CAST(round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 9)
+            AS DECIMAL(18,9)) AS mu,
+          CAST(round(sqrt(greatest((CAST(svv AS DOUBLE) -
+            CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) /
+            CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE), 0.0)), 9)
+            AS DECIMAL(18,9)) AS sd
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(round(CAST(value AS DOUBLE), 6)
+              AS DECIMAL(18,6))) AS sv,
+            SUM(CAST(CAST(round(CAST(value AS DOUBLE), 6)
+                AS DECIMAL(18,6)) *
+              CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6))
+              AS DECIMAL(38,12))) AS svv
+          FROM tr WHERE value IS NOT NULL)),
+      f AS (SELECT base.split, base.event_type, base.y, base.value,
+              enc.enc,
+              CASE WHEN sd > 0 THEN
+                round((CAST(value AS DOUBLE) - CAST(mu AS DOUBLE)) /
+                  CAST(sd AS DOUBLE), 6) END AS vz
+            FROM base LEFT JOIN enc USING (event_type) CROSS JOIN zs)
+      SELECT split, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        MAX(enc) AS enc_purchase_rate,
+        round(CAST(SUM(CAST(vz AS DECIMAL(18,6))) AS DOUBLE) /
+          CAST(COUNT(vz) AS DOUBLE), 6) AS mean_vz,
+        round(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+          AS conv_rate
+      FROM f GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- Row-level data-quality quarantine (Quality.quarantine, the
     // routing half of q_quality_suite): every event gains the sorted
     // names of the row-local checks it fails; the gate emits the

@@ -224,7 +224,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // m_logistic_newton: the 1-row (mu, sd) frame and the six 1-row β
     // frames crossed into per-row scoring (the e_cuped 1-row-frame
     // shape, once per Newton round)
-    "m_logistic_newton")
+    "m_logistic_newton",
+    // pipe_feature_store: the 1-row midpoint and (mu, sd) frames +
+    // the |types|-row encoding table, broadcast into the split scoring
+    // (the e_cuped / m_naive_bayes shapes)
+    "pipe_feature_store")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -410,7 +414,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "a_kruskal_wallis",
     // m_logistic_newton: the per-round 1-row gradient/Hessian folds
     // (one bounded partial per partition) + the 1-row moment fold
-    "m_logistic_newton")
+    "m_logistic_newton",
+    // pipe_feature_store: the 1-row midpoint / train-moment / global
+    // target-rate folds (one bounded partial per partition)
+    "pipe_feature_store")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —
