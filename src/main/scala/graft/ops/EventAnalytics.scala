@@ -1323,6 +1323,53 @@ object EventAnalytics {
       .orderBy(keyCol)
   }
 
+  /** STL-LITE seasonal decomposition of each zero-filled daily count
+    * series: n = trend + seasonal + resid, with trend = the CENTERED
+    * 7-day moving average (null at the 3-day edges — an honest "not
+    * enough context", never a shrunk window), seasonal = the per-
+    * (key, day-of-cycle) mean of the detrended values over trend-
+    * defined days, resid = the rest. The additive classical
+    * decomposition every forecasting bakeoff starts from — one level
+    * simpler than LOESS-based STL, one level richer than
+    * [[seasonalNaiveForecast]] (which models no trend).
+    *
+    * DETERMINISM: trend is one exact integer window sum / 7.0
+    * round(,6); detrended values fix to DECIMAL(18,6) so the seasonal
+    * means are exact-DECIMAL-sum / count divisions round(,6); resid
+    * is one mirrored IEEE expression. Day-of-cycle is epoch-day mod 7.
+    *
+    * SCALE SHAPE: one (key, day) hash aggregate over the log; the
+    * spine, the centered window and the |keys|×7 seasonal aggregate
+    * all run on the calendar-bounded daily frame. Returns
+    * (key, day, n, trend, seasonal, resid) ordered by (key, day).
+    */
+  def stlDecompose(events: DataFrame, keyCol: String): DataFrame = {
+    val filled = zeroFilledDaily(events, keyCol)
+    val ctr = Window.partitionBy("k").orderBy("day").rowsBetween(-3, 3)
+    val t = filled
+      .withColumn("n_obs", count(lit(1)).over(ctr))
+      .withColumn("trend", when(col("n_obs") === 7,
+        round(sum(col("n")).over(ctr).cast("double") / 7.0, 6)))
+      .withColumn("det", expr("cast(round(cast(n as double) - trend, 6) " +
+        "as decimal(18,6))"))
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+    // the mean of 6-decimal values over a small count can land ON a
+    // round-6 tie (e.g. Σ=16.285714, n=4 → 4.07142850): fix to a
+    // round-9 DECIMAL first so both engines round the same exact
+    // value, not a binary double sitting a hair below the tie
+    val seas = t.filter(col("det").isNotNull)
+      .groupBy("k", "dow")
+      .agg(round(expr("cast(round(cast(sum(det) as double) / " +
+        "cast(count(1) as double), 9) as decimal(18,9))"), 6)
+        .cast("double").as("seasonal"))
+    t.join(seas, Seq("k", "dow"), "left")
+      .select(col("k").as(keyCol), col("day"), col("n"), col("trend"),
+        col("seasonal"),
+        round(expr("cast(n as double) - trend - seasonal"), 6)
+          .as("resid"))
+      .orderBy(keyCol, "day")
+  }
+
   /** Rolling z-score anomaly flags over the gap-filled daily count
     * series: each day scores against the trailing `window`-day mean
     * and sample stddev (current day EXCLUDED — an anomalous day must

@@ -243,6 +243,44 @@ object Analytics extends QueryModule {
           AS DOUBLE), 6) AS intercept
       FROM wr GROUP BY k, n_pairs, slope ORDER BY 1""")),
 
+    // ---- STL-lite seasonal decomposition (EventAnalytics.
+    // stlDecompose): n = centered-7-day-MA trend + day-of-cycle
+    // seasonal + resid per zero-filled daily series. Exact integer
+    // window sums, DECIMAL detrended values, honest null edges.
+    QueryDef("e_stl_decompose", (s, d) => {
+      EventAnalytics.stlDecompose(Tables.events(s, d), "event_type")
+    }, Some("""
+      WITH daily AS (
+        SELECT event_type AS k, epoch_us(ts) // 86400000000 AS day,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      grid AS (SELECT k, unnest(generate_series(d0, d1)) AS day
+               FROM (SELECT k, MIN(day) AS d0, MAX(day) AS d1
+                     FROM daily GROUP BY 1)),
+      g AS (SELECT gr.k, gr.day, COALESCE(d.n, 0) AS n
+            FROM grid gr LEFT JOIN daily d
+              ON gr.k = d.k AND gr.day = d.day),
+      t AS (SELECT k, day, n,
+              COUNT(*) OVER c AS n_obs, SUM(n) OVER c AS s7
+            FROM g WINDOW c AS (PARTITION BY k ORDER BY day
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      tt AS (SELECT k, day, n,
+               CASE WHEN n_obs = 7 THEN
+                 round(CAST(s7 AS DOUBLE) / 7.0, 6) END AS trend,
+               day % 7 AS dow
+             FROM t),
+      dt AS (SELECT *, CAST(round(CAST(n AS DOUBLE) - trend, 6)
+               AS DECIMAL(18,6)) AS det FROM tt),
+      se AS (SELECT k, dow,
+               CAST(round(CAST(round(CAST(SUM(det) AS DOUBLE) /
+                 CAST(COUNT(*) AS DOUBLE), 9) AS DECIMAL(18,9)), 6)
+                 AS DOUBLE) AS seasonal
+             FROM dt WHERE det IS NOT NULL GROUP BY 1, 2)
+      SELECT dt.k AS event_type, dt.day, dt.n, dt.trend, se.seasonal,
+        round(CAST(dt.n AS DOUBLE) - dt.trend - se.seasonal, 6) AS resid
+      FROM dt LEFT JOIN se ON dt.k = se.k AND dt.dow = se.dow
+      ORDER BY 1, 2""")),
+
     // ---- Fixed-width histogram: 20 bins over the global [min, max]
     // (Stats.histogram — a 1-row range frame broadcast into one
     // binning aggregate; empty bins are absent by construction).
@@ -859,8 +897,12 @@ object Analytics extends QueryModule {
         .groupBy("split", "event_type")
         .agg(count(lit(1)).as("n"),
           max(col("enc")).as("enc_purchase_rate"),
-          round(sum(expr("cast(vz as decimal(18,6))")).cast("double") /
-            count(col("vz")).cast("double"), 6).as("mean_vz"),
+          // the round-9-DECIMAL fix before the display round: a mean
+          // of 6-decimal values over a power-of-two count can land ON
+          // a round-6 tie (the e_stl_decompose lesson)
+          round(expr("cast(round(cast(sum(cast(vz as decimal(18,6))) " +
+            "as double) / cast(count(vz) as double), 9) " +
+            "as decimal(18,9))"), 6).cast("double").as("mean_vz"),
           round(sum(col("y")).cast("double") /
             count(lit(1)).cast("double"), 6).as("conv_rate"))
         .orderBy("split", "event_type")
@@ -904,8 +946,9 @@ object Analytics extends QueryModule {
             FROM base LEFT JOIN enc USING (event_type) CROSS JOIN zs)
       SELECT split, event_type, CAST(COUNT(*) AS BIGINT) AS n,
         MAX(enc) AS enc_purchase_rate,
-        round(CAST(SUM(CAST(vz AS DECIMAL(18,6))) AS DOUBLE) /
-          CAST(COUNT(vz) AS DOUBLE), 6) AS mean_vz,
+        CAST(round(CAST(round(CAST(SUM(CAST(vz AS DECIMAL(18,6)))
+            AS DOUBLE) / CAST(COUNT(vz) AS DOUBLE), 9)
+          AS DECIMAL(18,9)), 6) AS DOUBLE) AS mean_vz,
         round(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
           AS conv_rate
       FROM f GROUP BY 1, 2 ORDER BY 1, 2""")),

@@ -723,6 +723,27 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(c.head.getDouble(3) < 0) // spike-gap-spike anticorrelates
   }
 
+  test("stlDecompose: a pure weekly pattern reads constant trend, " +
+      "exact seasonal effects, zero residuals; 3-day edges are null") {
+    // 21 days: 17 events on dow 0, 10 otherwise → any centered 7-day
+    // mean is (6·10 + 17)/7 = 11; detrended = +6 on dow0, −1 else;
+    // seasonal means recover those exactly; resid 0 wherever defined
+    val rows = (0 until 21).flatMap { d =>
+      val c = if (d % 7 == 0) 17 else 10
+      (0 until c).map(i => (1L, d * 100L + i, "a", d * DayUs + i, 0.0))
+    }
+    val out = EventAnalytics.stlDecompose(ev(rows: _*), "event_type")
+      .collect()
+    assert(out.length === 21)
+    val edge = out.filter(r => r.getLong(1) < 3 || r.getLong(1) > 17)
+    assert(edge.forall(r => r.isNullAt(3) && r.isNullAt(5)))
+    val mid = out.filter(r => r.getLong(1) >= 3 && r.getLong(1) <= 17)
+    assert(mid.forall(_.getDouble(3) === 11.0))
+    assert(mid.forall(r => r.getDouble(4) ===
+      (if (r.getLong(1) % 7 == 0) 6.0 else -1.0)))
+    assert(mid.forall(_.getDouble(5) === 0.0))
+  }
+
   test("theilSen: one outlier day cannot drag the slope; a perfect " +
       "line recovers exactly") {
     // a: counts [1,2,3,100,5] — 10 pairwise slopes, lower median 1;
