@@ -1219,10 +1219,13 @@ object EventAnalytics {
     * zeros. DAYS×KEYS rows — bounded by calendar, not data.
     */
   private def zeroFilledDaily(events: DataFrame, keyCol: String)
-      : DataFrame = {
-    val daily = events
+      : DataFrame =
+    fillDaily(events
       .select(col(keyCol).as("k"), expr(s"ts_us div $DayUs").as("day"))
-      .groupBy("k", "day").agg(count(lit(1)).as("n"))
+      .groupBy("k", "day").agg(count(lit(1)).as("n")))
+
+  /** Calendar-spine zero-fill of an observed (k, day, n) frame. */
+  private def fillDaily(daily: DataFrame): DataFrame = {
     val grid = daily.groupBy("k")
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("k"), explode(sequence(col("d0"), col("d1"))).as("day"))
@@ -1230,9 +1233,19 @@ object EventAnalytics {
   }
 
   def acfLjungBox(events: DataFrame, keyCol: String, maxLag: Int = 10)
-      : DataFrame = {
+      : DataFrame =
+    acfFromDaily(events
+      .select(col(keyCol).as("k"), expr(s"ts_us div $DayUs").as("day"))
+      .groupBy("k", "day").agg(count(lit(1)).as("n")), keyCol, maxLag)
+
+  /** The ACF/Ljung–Box chain from an already-aggregated (k, day, n)
+    * daily frame — shared by [[acfLjungBox]] and its streaming twin
+    * (`streaming/Events.acfDaily`), the [[cusumFromDaily]] pattern.
+    */
+  private[graft] def acfFromDaily(daily: DataFrame, keyCol: String,
+      maxLag: Int): DataFrame = {
     require(maxLag > 0, "maxLag must be positive")
-    val filled = zeroFilledDaily(events, keyCol)
+    val filled = fillDaily(daily)
     val stats = filled.groupBy("k")
       .agg(count(lit(1)).as("nd"), sum(col("n")).as("s"))
       .withColumn("mu6", expr("(1000000 * s) div nd"))

@@ -418,6 +418,54 @@ object StreamML extends QueryModule {
     // windowed aggregation, the readout running through the SAME
     // shared seasonalFromDaily chain as the batch op. Oracle
     // char-identical to e_seasonal_forecast's -> parity.
+    // ---- Streaming ACF/Ljung–Box twin: daily counts as a watermarked
+    // windowed aggregation, the whiteness readout through the SAME
+    // shared acfFromDaily chain as the batch op. Oracle char-identical
+    // to e_acf_ljung_box's -> parity.
+    QueryDef("st_acf_daily", (s, d) => {
+      graft.streaming.Events.acfDaily(s, d)
+    }, Some("""
+      WITH daily AS (
+        SELECT event_type AS k, epoch_us(ts) // 86400000000 AS day,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      grid AS (SELECT k, unnest(generate_series(d0, d1)) AS day
+               FROM (SELECT k, MIN(day) AS d0, MAX(day) AS d1
+                     FROM daily GROUP BY 1)),
+      g AS (SELECT gr.k, gr.day, COALESCE(d.n, 0) AS n
+            FROM grid gr LEFT JOIN daily d
+              ON gr.k = d.k AND gr.day = d.day),
+      st AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS nd,
+               (1000000 * CAST(SUM(n) AS BIGINT)) //
+                 CAST(COUNT(*) AS BIGINT) AS mu6
+             FROM g GROUP BY 1),
+      dv AS (SELECT g.k, g.day, st.nd, 1000000 * g.n - st.mu6 AS d
+             FROM g JOIN st ON g.k = st.k),
+      dn AS (SELECT k, SUM(CAST(d AS DECIMAL(19,0)) * d) AS den
+             FROM dv GROUP BY 1),
+      lg AS (SELECT a.k, a.nd, l.lag,
+               SUM(CAST(a.d AS DECIMAL(19,0)) * b.d) AS num
+             FROM dv a
+               JOIN (SELECT unnest(generate_series(1, 10)) AS lag) l
+                 ON l.lag < a.nd
+               JOIN dv b ON b.k = a.k AND b.day = a.day + l.lag
+             GROUP BY 1, 2, 3),
+      ac AS (SELECT lg.k, lg.lag, lg.nd,
+               CASE WHEN dn.den > 0 THEN
+                 round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+               END AS acf
+             FROM lg JOIN dn ON lg.k = dn.k),
+      cq AS (SELECT k, lag, nd, acf,
+               SUM(CAST(round(acf * acf / CAST(nd - lag AS DOUBLE), 12)
+                 AS DECIMAL(28,12))) OVER (PARTITION BY k ORDER BY lag
+                 ROWS UNBOUNDED PRECEDING) AS qsum
+             FROM ac)
+      SELECT k AS event_type, CAST(lag AS BIGINT) AS lag,
+        nd AS n_days, acf,
+        round(CAST(nd AS DOUBLE) * (nd + 2) * CAST(qsum AS DOUBLE), 6)
+          AS q
+      FROM cq ORDER BY 1, 2""")),
+
     // ---- Streaming Holt level+trend twin: daily counts as a
     // watermarked windowed aggregation, the dyadic double unroll
     // running through the SAME shared holtFromDaily chain as the

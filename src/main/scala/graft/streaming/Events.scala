@@ -666,6 +666,26 @@ object Events {
       "event_type")
   }
 
+  /** Streaming twin of [[graft.ops.EventAnalytics.acfLjungBox]] —
+    * daily counts out of the state store, the ACF/Ljung–Box readout
+    * through the shared `EventAnalytics.acfFromDaily` chain (the
+    * [[cusumDaily]] pattern); the gate's oracle is char-identical to
+    * e_acf_ljung_box's.
+    */
+  def acfDaily(s: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val out = runToCompletion(s, ss => {
+      stream(ss, dir)
+        .groupBy(window(col("t"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }, "st_acf_mem")
+    graft.ops.EventAnalytics.acfFromDaily(
+      out.select(col("event_type").as("k"),
+        expr(s"unix_micros(window.start) div $DayUs").as("day"),
+        col("n")),
+      "event_type", maxLag = 10)
+  }
+
   /** Gapped sequential-pattern support with the per-(user, type) spans
     * accumulated as a STREAMING aggregation — min/max fold
     * associatively, so the streaming state IS the span frame the
