@@ -174,6 +174,76 @@ object Similarity {
     sel.select(col("rank"), col("vec_id"), col("dmin")).orderBy("rank")
   }
 
+  /** TOP PRINCIPAL COMPONENT of the embedding corpus by `rounds`
+    * POWER ITERATIONS on the centered data — distributed PCA without
+    * ever materializing the d×d covariance: each round computes
+    * w = Σ_rows c·(c·v) in long (vec_id, dim, value) form — one keyed
+    * join + two hash aggregates — then normalizes. The first PC is
+    * the workhorse of embedding hygiene (dominant-direction removal,
+    * whitening diagnostics, drift detection on the spectral axis).
+    *
+    * DETERMINISM: components and the per-dim mean fix to DECIMAL, so
+    * the per-row dot products AND the per-dim recombination are exact
+    * DECIMAL sums — order-free on any partitioning, no IEEE fold
+    * anywhere; each round's dot/weight/norm rounds(,9) back into
+    * DECIMAL, the loading display rounds(,6). The start vector is the
+    * deterministic ALL-ONES direction (a component exactly orthogonal
+    * to it is unreachable — measure-zero for real data; determinism
+    * is the trade, and the degenerate w = 0 round resets to the start
+    * rather than dividing by zero). The sign of the result is the
+    * deterministic artifact of that start.
+    *
+    * SCALE SHAPE: the long form is rows×dims; each round is one
+    * broadcast join with the d-row v frame, one per-row aggregate,
+    * one per-dim aggregate, one 1-row norm fold — O(rows·dims) per
+    * round with nothing keyed wider than vec_id. The centered frame
+    * is stage-cut with a lazy localCheckpoint so the `rounds` passes
+    * re-read one materialization. Returns dims rows
+    * (dim, loading, lambda) with λ = the final pre-normalization
+    * norm (the Rayleigh eigenvalue estimate once v is unit).
+    */
+  def pcaPower(corpus: DataFrame, rounds: Int = 6): DataFrame = {
+    require(rounds > 0 && rounds <= 20, "rounds in 1..20")
+    val xs = corpus
+      .select(col("vec_id"),
+        posexplode(expr("cast(embedding as array<double>)")))
+      .toDF("vec_id", "dim", "xr")
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        expr("cast(round(xr, 6) as decimal(18,6))").as("x"))
+    val mu = xs.groupBy("dim")
+      .agg(expr("cast(round(cast(sum(x) as double) / " +
+        "cast(count(1) as double), 9) as decimal(18,9))").as("mu"))
+    val cx = xs.join(broadcast(mu), Seq("dim"))
+      .select(col("vec_id"), col("dim"),
+        expr("cast(x - mu as decimal(18,9))").as("c"))
+      .localCheckpoint(false) // one materialization feeds every round
+    var v = mu.select(col("dim"),
+      expr("cast(1 as decimal(18,6))").as("v"))
+    var lam: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val dots = cx.join(broadcast(v), Seq("dim"))
+        .groupBy("vec_id")
+        .agg(expr("cast(round(cast(sum(cast(c * v as decimal(38,15))) " +
+          "as double), 9) as decimal(18,9))").as("d"))
+      val w = cx.join(dots, Seq("vec_id"))
+        .groupBy("dim")
+        .agg(expr("cast(round(cast(sum(cast(c * d as decimal(38,18))) " +
+          "as double), 9) as decimal(18,9))").as("w"))
+      val nrm = w.agg(expr("cast(round(sqrt(cast(sum(cast(w * w as " +
+        "decimal(38,18))) as double)), 9) as decimal(18,9))").as("nrm"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("dim"),
+          expr("case when nrm > 0 then cast(round(cast(w as double) / " +
+            "cast(nrm as double), 6) as decimal(18,6)) " +
+            "else cast(1 as decimal(18,6)) end").as("v"))
+      lam = nrm
+    }
+    v.crossJoin(broadcast(lam))
+      .select(col("dim"), round(col("v").cast("double"), 6).as("loading"),
+        round(col("nrm").cast("double"), 6).as("lambda"))
+      .orderBy("dim")
+  }
+
   /** Brute-force MAXIMUM-INNER-PRODUCT top-k (MIPS) — the retrieval
     * order a recommender's user×item factor model actually wants
     * (cosine discards magnitude; an item's popularity lives in its

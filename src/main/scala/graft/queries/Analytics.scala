@@ -433,6 +433,58 @@ object Analytics extends QueryModule {
     // entrywise from md5(plane, dim) — nothing broadcast, nothing
     // trained. Per-term products round(,9) into DECIMAL so the
     // (vec, plane) sums are order-independent.
+    // ---- Distributed PCA: top principal component by 6 power
+    // iterations in long (vec_id, dim) form (Similarity.pcaPower) —
+    // exact DECIMAL dot products and recombinations (no IEEE fold
+    // anywhere), round-9 per round, deterministic all-ones start.
+    // The oracle unrolls all six rounds (MATERIALIZED — plain CTEs
+    // inline exponentially, the sim_kcenter_coreset lesson).
+    QueryDef("sim_pca_power", (s, d) => {
+      graft.ops.Similarity.pcaPower(t(s, d, "embeddings"))
+    }, Some {
+      val rounds = (1 to 6).map { r =>
+        val p = r - 1
+        s"""dt$r AS MATERIALIZED (SELECT vec_id,
+          CAST(round(CAST(SUM(CAST(c * v AS DECIMAL(38,15)))
+            AS DOUBLE), 9) AS DECIMAL(18,9)) AS d
+        FROM cx JOIN v$p USING (dim) GROUP BY 1),
+      w$r AS MATERIALIZED (SELECT dim,
+          CAST(round(CAST(SUM(CAST(c * d AS DECIMAL(38,18)))
+            AS DOUBLE), 9) AS DECIMAL(18,9)) AS w
+        FROM cx JOIN dt$r USING (vec_id) GROUP BY 1),
+      nm$r AS MATERIALIZED (SELECT
+          CAST(round(sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,18)))
+            AS DOUBLE)), 9) AS DECIMAL(18,9)) AS nrm FROM w$r),
+      v$r AS MATERIALIZED (SELECT dim,
+          CASE WHEN nrm > 0 THEN CAST(round(CAST(w AS DOUBLE) /
+            CAST(nrm AS DOUBLE), 6) AS DECIMAL(18,6))
+          ELSE CAST(1 AS DECIMAL(18,6)) END AS v
+        FROM w$r CROSS JOIN nm$r)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH xs AS MATERIALIZED (
+        SELECT vec_id, t.i AS dim,
+          CAST(round(CAST(t.v AS DOUBLE), 6) AS DECIMAL(18,6)) AS x
+        FROM (SELECT vec_id, unnest(list_transform(
+                range(1, len(embedding) + 1),
+                k -> {'i': CAST(k - 1 AS BIGINT), 'v': embedding[k]}))
+                AS t
+              FROM embeddings)),
+      mu AS MATERIALIZED (SELECT dim,
+          CAST(round(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+            9) AS DECIMAL(18,9)) AS mu
+        FROM xs GROUP BY 1),
+      cx AS MATERIALIZED (SELECT vec_id, xs.dim,
+          CAST(x - mu AS DECIMAL(18,9)) AS c
+        FROM xs JOIN mu ON xs.dim = mu.dim),
+      v0 AS MATERIALIZED (SELECT dim, CAST(1 AS DECIMAL(18,6)) AS v
+        FROM mu),
+      $rounds
+      SELECT dim, round(CAST(v AS DOUBLE), 6) AS loading,
+        round(CAST(nrm AS DOUBLE), 6) AS lambda
+      FROM v6 CROSS JOIN nm6 ORDER BY 1"""
+    }),
+
     QueryDef("sim_random_projection", (s, d) => {
       // Driver-comparable boundary: the comparator handles scalar
       // columns only, so the projected vector leaves as a fixed-scale

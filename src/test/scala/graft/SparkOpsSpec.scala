@@ -626,6 +626,27 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(ds.zip(ds.drop(1)).forall { case (a, b) => a >= b })
   }
 
+  test("Similarity.pcaPower: rank-1 data recovers the exact direction " +
+    "and eigenvalue; a start-orthogonal component degrades loudly") {
+    val s = spark; import s.implicits._
+    // ±(3,4), ±(6,8): mean 0, C = [[90,120],[120,160]] = 250·uuᵀ with
+    // u = (0.6, 0.8); from (1,1) one round lands exactly on u, λ = 250
+    val e = Seq(
+      (1L, Array(3.0f, 4.0f)), (2L, Array(-3.0f, -4.0f)),
+      (3L, Array(6.0f, 8.0f)), (4L, Array(-6.0f, -8.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pcaPower(e).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((0L, 0.6, 250.0), (1L, 0.8, 250.0)))
+    // data along (1,−1): C·(1,1) = 0 — the documented all-ones blind
+    // spot reads the degenerate reset (loading 1, λ 0), not a blowup
+    val o = Seq((1L, Array(1.0f, -1.0f)), (2L, Array(-1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val oo = Similarity.pcaPower(o).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(oo.toSeq === Seq((1.0, 0.0), (1.0, 0.0)))
+  }
+
   test("Similarity.silhouette: orthogonal identical-member clusters " +
     "score 1; a collapsed single cell reads zero") {
     val s = spark; import s.implicits._
