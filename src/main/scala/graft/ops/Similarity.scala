@@ -203,6 +203,19 @@ object Similarity {
     * norm (the Rayleigh eigenvalue estimate once v is unit).
     */
   def pcaPower(corpus: DataFrame, rounds: Int = 6): DataFrame = {
+    val (_, v, lam) = pcaTopComponent(corpus, rounds)
+    v.crossJoin(broadcast(lam))
+      .select(col("dim"), round(col("v").cast("double"), 6).as("loading"),
+        round(col("nrm").cast("double"), 6).as("lambda"))
+      .orderBy("dim")
+  }
+
+  /** The power-iteration core shared by [[pcaPower]] and
+    * [[pcaDebias]]: returns (centered long frame (vec_id, dim, c),
+    * component frame (dim, v DECIMAL(18,6)), 1-row norm frame (nrm)).
+    */
+  private def pcaTopComponent(corpus: DataFrame, rounds: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(rounds > 0 && rounds <= 20, "rounds in 1..20")
     val xs = corpus
       .select(col("vec_id"),
@@ -238,10 +251,49 @@ object Similarity {
             "else cast(1 as decimal(18,6)) end").as("v"))
       lam = nrm
     }
-    v.crossJoin(broadcast(lam))
-      .select(col("dim"), round(col("v").cast("double"), 6).as("loading"),
-        round(col("nrm").cast("double"), 6).as("lambda"))
-      .orderBy("dim")
+    (cx, v, lam)
+  }
+
+  /** DOMINANT-DIRECTION REMOVAL (Mu & Viswanath 2018's "all-but-the-
+    * top", first component): project each centered embedding off the
+    * [[pcaPower]] top component — the post-processing that measurably
+    * sharpens similarity search on anisotropic embedding corpora
+    * (most of a corpus's cosine mass hides in one common direction).
+    * Emits per vector the before/after norms and the removed fraction
+    * — the variance-removal observable; residual norms are ZERO
+    * exactly on rank-1 data.
+    *
+    * DETERMINISM: the projection coefficient p = Σ c·v and both norm
+    * sums are exact DECIMAL aggregates (the [[pcaPower]] discipline);
+    * p rounds(,9) before the rank-1 subtraction so c − p·v is an
+    * exact DECIMAL row value. SCALE SHAPE: one broadcast join of the
+    * d-row component + two per-vector aggregates on top of the
+    * power-iteration core. Returns (vec_id, norm, resid_norm,
+    * removed_frac) ordered by vec_id.
+    */
+  def pcaDebias(corpus: DataFrame, rounds: Int = 6): DataFrame = {
+    val (cx, v, _) = pcaTopComponent(corpus, rounds)
+    // p rounds(,6) so p·v has exactly 12 decimals and c − p·v is an
+    // EXACT decimal with no mid-cast rounding anywhere (a round-9 p
+    // would force a 15-decimal product through a rounding cast — an
+    // engine-divergence hazard on cast-rounding ties)
+    val p = cx.join(broadcast(v), Seq("dim"))
+      .groupBy("vec_id")
+      .agg(expr("cast(round(cast(sum(cast(c * v as decimal(38,15))) " +
+        "as double), 6) as decimal(18,6))").as("p"))
+    cx.join(p, Seq("vec_id")).join(broadcast(v), Seq("dim"))
+      .groupBy("vec_id")
+      .agg(
+        expr("sum(cast(c * c as decimal(38,18)))").as("ss"),
+        expr("sum(cast(cast(c - p * v as decimal(18,12)) * " +
+          "cast(c - p * v as decimal(18,12)) as decimal(38,24)))")
+          .as("rr"))
+      .select(col("vec_id"),
+        round(expr("sqrt(cast(ss as double))"), 6).as("norm"),
+        round(expr("sqrt(cast(rr as double))"), 6).as("resid_norm"),
+        round(expr("case when ss > 0 then 1.0 - cast(rr as double) / " +
+          "cast(ss as double) end"), 6).as("removed_frac"))
+      .orderBy("vec_id")
   }
 
   /** Brute-force MAXIMUM-INNER-PRODUCT top-k (MIPS) — the retrieval

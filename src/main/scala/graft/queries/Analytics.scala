@@ -17,6 +17,51 @@ object Analytics extends QueryModule {
   private def docs(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
 
+  /** Shared WITH-body of the sim_pca_power / sim_pca_debias oracles:
+    * the long-form decomposition, centering, and all six unrolled
+    * power-iteration rounds (each CTE MATERIALIZED — plain CTEs inline
+    * exponentially, the sim_kcenter_coreset lesson). Ends at v6/nm6.
+    */
+  private val pcaOracleCtes: String = {
+    val rounds = (1 to 6).map { r =>
+      val p = r - 1
+      s"""dt$r AS MATERIALIZED (SELECT vec_id,
+          CAST(round(CAST(SUM(CAST(c * v AS DECIMAL(38,15)))
+            AS DOUBLE), 9) AS DECIMAL(18,9)) AS d
+        FROM cx JOIN v$p USING (dim) GROUP BY 1),
+      w$r AS MATERIALIZED (SELECT dim,
+          CAST(round(CAST(SUM(CAST(c * d AS DECIMAL(38,18)))
+            AS DOUBLE), 9) AS DECIMAL(18,9)) AS w
+        FROM cx JOIN dt$r USING (vec_id) GROUP BY 1),
+      nm$r AS MATERIALIZED (SELECT
+          CAST(round(sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,18)))
+            AS DOUBLE)), 9) AS DECIMAL(18,9)) AS nrm FROM w$r),
+      v$r AS MATERIALIZED (SELECT dim,
+          CASE WHEN nrm > 0 THEN CAST(round(CAST(w AS DOUBLE) /
+            CAST(nrm AS DOUBLE), 6) AS DECIMAL(18,6))
+          ELSE CAST(1 AS DECIMAL(18,6)) END AS v
+        FROM w$r CROSS JOIN nm$r)"""
+    }.mkString(",\n      ")
+    s"""xs AS MATERIALIZED (
+        SELECT vec_id, t.i AS dim,
+          CAST(round(CAST(t.v AS DOUBLE), 6) AS DECIMAL(18,6)) AS x
+        FROM (SELECT vec_id, unnest(list_transform(
+                range(1, len(embedding) + 1),
+                k -> {'i': CAST(k - 1 AS BIGINT), 'v': embedding[k]}))
+                AS t
+              FROM embeddings)),
+      mu AS MATERIALIZED (SELECT dim,
+          CAST(round(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+            9) AS DECIMAL(18,9)) AS mu
+        FROM xs GROUP BY 1),
+      cx AS MATERIALIZED (SELECT vec_id, xs.dim,
+          CAST(x - mu AS DECIMAL(18,9)) AS c
+        FROM xs JOIN mu ON xs.dim = mu.dim),
+      v0 AS MATERIALIZED (SELECT dim, CAST(1 AS DECIMAL(18,6)) AS v
+        FROM mu),
+      $rounds"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Ordered-step funnel over the event log: users reaching
@@ -441,49 +486,38 @@ object Analytics extends QueryModule {
     // inline exponentially, the sim_kcenter_coreset lesson).
     QueryDef("sim_pca_power", (s, d) => {
       graft.ops.Similarity.pcaPower(t(s, d, "embeddings"))
-    }, Some {
-      val rounds = (1 to 6).map { r =>
-        val p = r - 1
-        s"""dt$r AS MATERIALIZED (SELECT vec_id,
-          CAST(round(CAST(SUM(CAST(c * v AS DECIMAL(38,15)))
-            AS DOUBLE), 9) AS DECIMAL(18,9)) AS d
-        FROM cx JOIN v$p USING (dim) GROUP BY 1),
-      w$r AS MATERIALIZED (SELECT dim,
-          CAST(round(CAST(SUM(CAST(c * d AS DECIMAL(38,18)))
-            AS DOUBLE), 9) AS DECIMAL(18,9)) AS w
-        FROM cx JOIN dt$r USING (vec_id) GROUP BY 1),
-      nm$r AS MATERIALIZED (SELECT
-          CAST(round(sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,18)))
-            AS DOUBLE)), 9) AS DECIMAL(18,9)) AS nrm FROM w$r),
-      v$r AS MATERIALIZED (SELECT dim,
-          CASE WHEN nrm > 0 THEN CAST(round(CAST(w AS DOUBLE) /
-            CAST(nrm AS DOUBLE), 6) AS DECIMAL(18,6))
-          ELSE CAST(1 AS DECIMAL(18,6)) END AS v
-        FROM w$r CROSS JOIN nm$r)"""
-      }.mkString(",\n      ")
-      s"""
-      WITH xs AS MATERIALIZED (
-        SELECT vec_id, t.i AS dim,
-          CAST(round(CAST(t.v AS DOUBLE), 6) AS DECIMAL(18,6)) AS x
-        FROM (SELECT vec_id, unnest(list_transform(
-                range(1, len(embedding) + 1),
-                k -> {'i': CAST(k - 1 AS BIGINT), 'v': embedding[k]}))
-                AS t
-              FROM embeddings)),
-      mu AS MATERIALIZED (SELECT dim,
-          CAST(round(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
-            9) AS DECIMAL(18,9)) AS mu
-        FROM xs GROUP BY 1),
-      cx AS MATERIALIZED (SELECT vec_id, xs.dim,
-          CAST(x - mu AS DECIMAL(18,9)) AS c
-        FROM xs JOIN mu ON xs.dim = mu.dim),
-      v0 AS MATERIALIZED (SELECT dim, CAST(1 AS DECIMAL(18,6)) AS v
-        FROM mu),
-      $rounds
+    }, Some(s"""
+      WITH $pcaOracleCtes
       SELECT dim, round(CAST(v AS DOUBLE), 6) AS loading,
         round(CAST(nrm AS DOUBLE), 6) AS lambda
-      FROM v6 CROSS JOIN nm6 ORDER BY 1"""
-    }),
+      FROM v6 CROSS JOIN nm6 ORDER BY 1""")),
+
+    // ---- Dominant-direction removal (Similarity.pcaDebias — Mu &
+    // Viswanath's "all-but-the-top", first component): each centered
+    // embedding projected off the sim_pca_power component; emits the
+    // before/after norms and removed variance fraction. p rounds(,6)
+    // so c − p·v is an EXACT decimal with no mid-cast rounding.
+    QueryDef("sim_pca_debias", (s, d) => {
+      graft.ops.Similarity.pcaDebias(t(s, d, "embeddings"))
+    }, Some(s"""
+      WITH $pcaOracleCtes,
+      pp AS MATERIALIZED (SELECT vec_id,
+          CAST(round(CAST(SUM(CAST(c * v AS DECIMAL(38,15)))
+            AS DOUBLE), 6) AS DECIMAL(18,6)) AS p
+        FROM cx JOIN v6 USING (dim) GROUP BY 1),
+      nr AS (SELECT cx.vec_id,
+               SUM(CAST(c * c AS DECIMAL(38,18))) AS ss,
+               SUM(CAST(CAST(c - p * v AS DECIMAL(18,12)) *
+                 CAST(c - p * v AS DECIMAL(18,12)) AS DECIMAL(38,24)))
+                 AS rr
+             FROM cx JOIN pp ON cx.vec_id = pp.vec_id
+               JOIN v6 ON cx.dim = v6.dim
+             GROUP BY 1)
+      SELECT vec_id, round(sqrt(CAST(ss AS DOUBLE)), 6) AS norm,
+        round(sqrt(CAST(rr AS DOUBLE)), 6) AS resid_norm,
+        round(CASE WHEN ss > 0 THEN 1.0 - CAST(rr AS DOUBLE) /
+          CAST(ss AS DOUBLE) END, 6) AS removed_frac
+      FROM nr ORDER BY vec_id""")),
 
     QueryDef("sim_random_projection", (s, d) => {
       // Driver-comparable boundary: the comparator handles scalar

@@ -229,9 +229,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // the |types|-row encoding table, broadcast into the split scoring
     // (the e_cuped / m_naive_bayes shapes)
     "pipe_feature_store",
-    // sim_pca_power: the six 1-row norm frames crossed into the d-row
-    // normalization (the m_logistic_newton per-round 1-row shape)
-    "sim_pca_power")
+    // sim_pca_power / sim_pca_debias: the six 1-row norm frames
+    // crossed into the d-row normalization (the m_logistic_newton
+    // per-round 1-row shape)
+    "sim_pca_power", "sim_pca_debias")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -421,9 +422,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // pipe_feature_store: the 1-row midpoint / train-moment / global
     // target-rate folds (one bounded partial per partition)
     "pipe_feature_store",
-    // sim_pca_power: the six 1-row norm folds over the d-row weight
-    // frame (one bounded partial per partition)
-    "sim_pca_power")
+    // sim_pca_power / sim_pca_debias: the six 1-row norm folds over
+    // the d-row weight frame (one bounded partial per partition)
+    "sim_pca_power", "sim_pca_debias")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

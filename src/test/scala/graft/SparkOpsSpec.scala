@@ -647,6 +647,34 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(oo.toSeq === Seq((1.0, 0.0), (1.0, 0.0)))
   }
 
+  test("Similarity.pcaDebias: rank-1 data leaves zero residual; an " +
+    "orthogonal point keeps its full norm") {
+    val s = spark; import s.implicits._
+    // ±(3,4)/±(6,8) are rank-1 along (0.6, 0.8): p·v reproduces every
+    // centered row exactly → resid 0, removed_frac 1
+    val e = Seq(
+      (1L, Array(3.0f, 4.0f)), (2L, Array(-3.0f, -4.0f)),
+      (3L, Array(6.0f, 8.0f)), (4L, Array(-6.0f, -8.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pcaDebias(e).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, 5.0, 0.0, 1.0), (2L, 5.0, 0.0, 1.0),
+      (3L, 10.0, 0.0, 1.0), (4L, 10.0, 0.0, 1.0)))
+    // add an orthogonal pair (±(−4,3)·ε skipped — use exact (−4,3)):
+    // the dominant direction stays (0.6,0.8) (λ 250 vs 25), and the
+    // orthogonal points project to p = 0 → resid_norm = norm
+    val e2 = e.unionByName(Seq(
+      (5L, Array(-4.0f, 3.0f)), (6L, Array(4.0f, -3.0f)))
+      .toDF("vec_id", "embedding"))
+    val o2 = Similarity.pcaDebias(e2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    val ortho = o2.filter(r => r._1 >= 5L)
+    assert(ortho.forall(r => r._2 === 5.0 && r._3 === 5.0 &&
+      r._4 === 0.0))
+  }
+
   test("Similarity.silhouette: orthogonal identical-member clusters " +
     "score 1; a collapsed single cell reads zero") {
     val s = spark; import s.implicits._
