@@ -1015,12 +1015,24 @@ object Stats {
     * per-cell terms round(,9) into DECIMAL.
     */
   def chiSquareIndependence(df: DataFrame, xCol: String, yCol: String)
+      : DataFrame =
+    chi2Terms(df, xCol, yCol)
+      .groupBy("n")
+      .agg(((countDistinct(col("x")) - 1) *
+        (countDistinct(col("y")) - 1)).as("dof"),
+        round(sum(col("term")).cast("double"), 6).as("chi2"))
+      .select(col("n"), col("dof"), col("chi2"))
+
+  /** The per-cell (n, x, y, term) χ² frame shared by
+    * [[chiSquareIndependence]] and [[cramersV]]. Rows with a NULL in
+    * either column are EXCLUDED (the standard complete-case
+    * contingency test): a null level would count into the marginals
+    * yet never match the grid's equi-join, turning its observed count
+    * into a spurious (0 − E)²/E dependence signal — callers wanting
+    * null-as-category coalesce to a sentinel upstream.
+    */
+  private def chi2Terms(df: DataFrame, xCol: String, yCol: String)
       : DataFrame = {
-    // rows with a NULL in either column are EXCLUDED (the standard
-    // complete-case contingency test): a null level would count into
-    // the marginals yet never match the grid's equi-join, turning its
-    // observed count into a spurious (0 − E)²/E dependence signal —
-    // callers wanting null-as-category coalesce to a sentinel upstream
     val joint = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(xCol).as("x"), col(yCol).as("y"))
@@ -1037,12 +1049,27 @@ object Stats {
       .select(col("n"), col("x"), col("y"), expr(
         "cast(round((cast(o as double) - e) * (cast(o as double) - e)" +
           " / e, 9) as decimal(24,9))").as("term"))
+  }
+
+  /** CRAMÉR'S V — the [0, 1] effect size the χ² statistic lacks
+    * (χ² grows with n; V = √(χ²/(n·min(r−1, c−1))) does not, so it is
+    * the number you compare across slices of different sizes). Same
+    * machinery as [[chiSquareIndependence]] via the shared
+    * [[chi2Terms]] grid; V computes FROM THE ROUNDED χ² (one mirrored
+    * expression), null when either dimension is constant. Returns one
+    * row (n, dof, chi2, v).
+    */
+  def cramersV(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    chi2Terms(df, xCol, yCol)
       .groupBy("n")
       .agg(((countDistinct(col("x")) - 1) *
         (countDistinct(col("y")) - 1)).as("dof"),
+        (least(countDistinct(col("x")), countDistinct(col("y"))) - 1)
+          .as("mindim"),
         round(sum(col("term")).cast("double"), 6).as("chi2"))
-      .select(col("n"), col("dof"), col("chi2"))
-  }
+      .select(col("n"), col("dof"), col("chi2"),
+        round(expr("case when mindim > 0 and n > 0 then " +
+          "sqrt(chi2 / (cast(n as double) * mindim)) end"), 6).as("v"))
 
   /** Smoothed target (mean) encoding of a categorical column — the
     * classic high-cardinality feature encoder: enc(c) = (Σ_c y + m·ȳ)

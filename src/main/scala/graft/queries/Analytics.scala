@@ -1421,6 +1421,43 @@ object Analytics extends QueryModule {
     // (Stats.chiSquareIndependence): the FULL |X|×|Y| grid (zero cells
     // contribute their expectation) from cross-joined broadcast
     // marginals; decimal-rounded cell terms; one (n, dof, chi2) row.
+    // ---- Cramér's V effect size (Stats.cramersV): the χ² machinery
+    // over a richer (returnflag × linenumber) grid, normalized into the
+    // [0,1] number comparable across slice sizes; V computes from the
+    // ROUNDED χ² (one mirrored expression).
+    QueryDef("a_cramers_v", (s, d) => {
+      graft.ops.Stats.cramersV(t(s, d, "lineitem"),
+        "l_returnflag", "l_linenumber")
+    }, Some("""
+      WITH joint AS (SELECT l_returnflag AS x, l_linenumber AS y,
+              CAST(COUNT(*) AS BIGINT) AS nxy
+            FROM lineitem GROUP BY 1, 2),
+      mx AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM joint
+             GROUP BY 1),
+      my AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM joint
+             GROUP BY 1),
+      tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM joint),
+      grid AS (SELECT mx.x, my.y, nx, ny, COALESCE(nxy, 0) AS o
+               FROM mx CROSS JOIN my
+               LEFT JOIN joint ON mx.x = joint.x AND my.y = joint.y),
+      terms AS (SELECT n, CAST(round((CAST(o AS DOUBLE) - e) *
+                  (CAST(o AS DOUBLE) - e) / e, 9) AS DECIMAL(24,9))
+                  AS term
+                FROM (SELECT *, CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+                        / CAST(n AS DOUBLE) AS e
+                      FROM grid CROSS JOIN tot)),
+      ag AS (SELECT n,
+               CAST(((SELECT COUNT(*) FROM mx) - 1) *
+                 ((SELECT COUNT(*) FROM my) - 1) AS BIGINT) AS dof,
+               CAST(least((SELECT COUNT(*) FROM mx),
+                 (SELECT COUNT(*) FROM my)) - 1 AS BIGINT) AS mindim,
+               round(CAST(SUM(term) AS DOUBLE), 6) AS chi2
+             FROM terms GROUP BY 1)
+      SELECT n, dof, chi2,
+        round(CASE WHEN mindim > 0 AND n > 0 THEN
+          sqrt(chi2 / (CAST(n AS DOUBLE) * mindim)) END, 6) AS v
+      FROM ag""")),
+
     QueryDef("a_chi2_independence", (s, d) => {
       graft.ops.Stats.chiSquareIndependence(t(s, d, "lineitem"),
         "l_returnflag", "l_linestatus")

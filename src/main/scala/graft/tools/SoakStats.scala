@@ -27,7 +27,9 @@ import org.apache.spark.sql.functions._
   *    zero-distance twins with LARGER ids, so the greedy
   *    farthest-point trajectory (ids and radii both) must be
   *    IDENTICAL at every scale while the per-round cross covers
-  *    ×scale vectors.
+  *    ×scale vectors;
+  *  - PCA power iteration: replication leaves the mean and the
+  *    normalized direction unchanged — loadings IDENTICAL, λ ×scale.
   *
   * Usage: runMain graft.tools.SoakStats [scale ...] (default 1 10 50;
   * SPARK_GRAFT_SF_DIR selects the base dir, default sf0.1).
@@ -70,6 +72,7 @@ object SoakStats {
     var tsBase: Option[Seq[(String, Long, Long, Double)]] = None
     var acBase: Option[Map[(String, Long), Double]] = None
     var kcBase: Option[Seq[(Long, Long, Option[Double])]] = None
+    var pcBase: Option[Seq[(Long, Double, Double)]] = None
 
     for (scale <- scales) {
       val sev = (0 until scale).map { i =>
@@ -177,6 +180,29 @@ object SoakStats {
         case Some(b) => assert(kcRows == b,
           s"k-center trajectory not scale-invariant at $scale:\n" +
             s"$kcRows\nvs baseline\n$b")
+      }
+
+      // --- PCA power iteration: replication leaves the per-dim mean
+      // and the normalized direction unchanged (every moment sum
+      // scales ×scale and cancels in the normalize), so the loading
+      // vector must be IDENTICAL while λ (the unnormalized norm)
+      // grows ×scale up to the round-9/display-6 quanta
+      val (pcRows, pcSec) = timed {
+        graft.ops.Similarity.pcaPower(semb).collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+      }
+      emit("sim_pca_power", scale, pcSec,
+        "lambda" -> pcRows.head._3.toString)
+      pcBase match {
+        case None => pcBase = Some(pcRows)
+        case Some(b) =>
+          assert(pcRows.map(r => (r._1, r._2)) ==
+            b.map(r => (r._1, r._2)),
+            s"PCA loadings not scale-invariant at $scale")
+          assert(math.abs(pcRows.head._3 - b.head._3 * scale) <=
+            1e-5 * scale,
+            s"PCA lambda not ×scale at $scale: ${pcRows.head._3} vs " +
+              s"${b.head._3} × $scale")
       }
     }
     spark.stop()

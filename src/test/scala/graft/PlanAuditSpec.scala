@@ -80,7 +80,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // a_chi2_independence / m_chi2_terms: the contingency grid is the
     // broadcast marginal frames' cross join (|X|·|Y| / vocab×|labels|
     // rows) plus the 1-row total — the j_cross_grid dimension shape
-    "a_chi2_independence", "m_chi2_terms",
+    "a_chi2_independence", "m_chi2_terms", "a_cramers_v",
     // q_skew_report / t_zipf_fit: the two-phase ordinal's triangular
     // offset join + 1-row summary frames cross-joined
     "q_skew_report", "t_zipf_fit",
@@ -292,7 +292,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "m_target_encoding",
     // e_attribution / a_chi2_independence / m_chi2_terms: the 1-row
     // total combines (share denominator / N / corpus size)
-    "e_attribution", "a_chi2_independence", "m_chi2_terms",
+    "e_attribution", "a_chi2_independence", "m_chi2_terms", "a_cramers_v",
     // q_skew_report / t_zipf_fit: 1-row summary/moment combines (plus
     // the top-10 TakeOrdered reduce over 10 rows)
     "q_skew_report", "t_zipf_fit",

@@ -330,6 +330,22 @@ class StatsSpec extends AnyFunSuite {
       r.getDouble(2) === 0.0))
   }
 
+  test("cramersV: perfect 2x2 association reads 1, a uniform grid " +
+      "reads 0, a constant column reads null") {
+    val s = spark; import s.implicits._
+    val perfect = Seq(("a", "p"), ("a", "p"), ("b", "q"), ("b", "q"))
+      .toDF("x", "y")
+    val r = Stats.cramersV(perfect, "x", "y").collect().head
+    assert(r.getLong(0) === 4L && r.getLong(1) === 1L)
+    assert(r.getDouble(2) === 4.0 && r.getDouble(3) === 1.0)
+    val indep = Seq(("a", "p"), ("a", "q"), ("b", "p"), ("b", "q"))
+      .toDF("x", "y")
+    assert(Stats.cramersV(indep, "x", "y").collect().head
+      .getDouble(3) === 0.0)
+    val const = Seq(("a", "p"), ("b", "p")).toDF("x", "y")
+    assert(Stats.cramersV(const, "x", "y").collect().head.isNullAt(3))
+  }
+
   test("permutationTest: constant values read p = 1; a perfect " +
       "separation reads the add-one minimum") {
     val s = spark; import s.implicits._
