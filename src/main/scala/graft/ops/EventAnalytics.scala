@@ -1336,6 +1336,59 @@ object EventAnalytics {
       .orderBy(keyCol)
   }
 
+  /** DURBIN–WATSON serial-correlation test of each zero-filled daily
+    * count series: OLS of count on the day ordinal (the parametric
+    * trend [[theilSen]] robustifies), then
+    * DW = Σ(eₜ−eₜ₋₁)² / Σeₜ² over the residuals — ≈2 when residuals
+    * are white, →0 under positive autocorrelation (the same question
+    * [[acfLjungBox]] asks lag-by-lag, folded into one number).
+    *
+    * DETERMINISM: x = day − min(day) and y = count are exact BIGINTs,
+    * so all five OLS moments are exact and slope/intercept are
+    * engine-identical doubles; the residual-square and
+    * difference-square per-row terms round(,9) into DECIMAL(28,9)
+    * before summing (order-free on any partitioning). The lag window
+    * is keyed and CALENDAR-bounded like every series op here. A
+    * single-day series (zero OLS denominator) reads null slope/dw.
+    * Returns one row per key: (key, n_days, slope, intercept, dw).
+    */
+  def durbinWatson(events: DataFrame, keyCol: String): DataFrame = {
+    val filled = zeroFilledDaily(events, keyCol)
+    val d0 = filled.groupBy("k").agg(min(col("day")).as("d0"))
+    val xy = filled.join(d0, Seq("k"))
+      .select(col("k"), col("day"), (col("day") - col("d0")).as("x"),
+        col("n").as("y"))
+    val ab = xy.groupBy("k").agg(count(lit(1)).as("nd"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+      .withColumn("b", expr("case when nd * sxx - sx * sx > 0 then " +
+        "cast(nd * sxy - sx * sy as double) / " +
+        "cast(nd * sxx - sx * sx as double) end"))
+      .withColumn("a", expr("(cast(sy as double) - " +
+        "b * cast(sx as double)) / cast(nd as double)"))
+      .select(col("k"), col("nd"), col("b"), col("a"))
+    val wD = Window.partitionBy("k").orderBy("day")
+    xy.join(ab, Seq("k"))
+      .select(col("k"), col("day"), col("nd"), col("b"), col("a"),
+        expr("cast(y as double) - a - b * cast(x as double)").as("e"))
+      .withColumn("ep", lag(col("e"), 1).over(wD))
+      .select(col("k"), col("nd"), col("b"), col("a"),
+        expr("cast(round(e * e, 9) as decimal(28,9))").as("dent"),
+        expr("case when ep is not null then cast(round(" +
+          "(e - ep) * (e - ep), 9) as decimal(28,9)) end").as("numt"))
+      .groupBy("k")
+      .agg(max(col("nd")).as("n_days"),
+        round(max(col("b")), 6).as("slope"),
+        round(max(col("a")), 6).as("intercept"),
+        sum(col("numt")).as("num"), sum(col("dent")).as("den"))
+      .select(col("k").as(keyCol), col("n_days"), col("slope"),
+        col("intercept"),
+        round(expr("case when den > 0 then cast(num as double) / " +
+          "cast(den as double) end"), 6).as("dw"))
+      .orderBy(keyCol)
+  }
+
   /** STL-LITE seasonal decomposition of each zero-filled daily count
     * series: n = trend + seasonal + resid, with trend = the CENTERED
     * 7-day moving average (null at the 3-day edges — an honest "not

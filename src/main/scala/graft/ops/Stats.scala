@@ -289,9 +289,33 @@ object Stats {
       .groupBy("g")
       .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("v")))
         .as("med"))
-    val z = rows.join(med, Seq("g"))
+    oneWayF(rows.join(med, Seq("g"))
       .select(col("g"),
-        expr("cast(round(abs(v - med), 6) as decimal(18,6))").as("z"))
+        expr("cast(round(abs(v - med), 6) as decimal(18,6))").as("z")))
+  }
+
+  /** CLASSICAL ONE-WAY ANOVA F for a difference in MEANS across k
+    * groups — the parametric sibling of [[kruskalWallis]] (which
+    * ranks) and of [[brownForsythe]] (which tests the variances this
+    * test assumes equal); [[welchTTest]] is its k = 2 unequal-variance
+    * special case. Shares [[brownForsythe]]'s moment machinery
+    * verbatim through [[oneWayF]]: z is the raw value round(,6) into
+    * DECIMAL rather than the median deviation. Returns one row
+    * (k, n, ssb, ssw, f).
+    */
+  def anovaOneWay(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame =
+    oneWayF(df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        expr(s"cast(round(cast($valueCol as double), 6) " +
+          "as decimal(18,6))").as("z")))
+
+  /** The one-way F fold shared by [[brownForsythe]] and
+    * [[anovaOneWay]]: exact DECIMAL group moments over (g, z), round-9
+    * s²/n terms before the k-row fold, F off the ROUNDED SSB/SSW pair;
+    * degenerate inputs (k < 2 or SSW = 0) read null F.
+    */
+  private def oneWayF(z: DataFrame): DataFrame = {
     val grp = z.groupBy("g").agg(count(lit(1)).as("n"),
       sum(col("z")).as("s"),
       sum(expr("cast(z * z as decimal(38,12))")).as("ss"))
@@ -312,6 +336,57 @@ object Stats {
           "(ssb / cast(k - 1 as double)) / " +
           "(ssw / cast(n - k as double)) end"), 6).as("f"))
   }
+
+  /** JARQUE–BERA normality test: JB = n/6·(S² + (K−3)²/4) from the
+    * sample skewness S and kurtosis K of `valueCol` — the
+    * moment-based "is this distribution Gaussian?" screen that pairs
+    * with [[ksTest]] (distribution-shape) and [[madOutliers]]
+    * (tail mass). ONE hash aggregate: values round(,6) into
+    * DECIMAL(18,6); z and z² sum exactly (the [[oneWayF]]
+    * convention); the cubic and quartic per-row terms are IEEE double
+    * products of that 6dp value round(,9) into DECIMAL(38,9) before
+    * summing — order-free on any partitioning, and engine-identical
+    * because both sides multiply the same nearest-double of the same
+    * 6dp decimal (the mutualInformation transcendental convention).
+    * Central moments come from the raw sums in double; zero variance
+    * reads null S/K/JB rather than a division blowup. Returns one row
+    * (n, skewness, kurtosis, jb); K is raw (not excess) kurtosis, 3
+    * under normality.
+    */
+  def jarqueBera(df: DataFrame, valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(expr(s"cast(round(cast($valueCol as double), 6) " +
+        "as decimal(18,6))").as("z"))
+      .select(col("z"),
+        expr("cast(z as double)").as("zd"))
+      .select(col("z"),
+        expr("cast(round(zd * zd * zd, 9) as decimal(38,9))").as("z3"),
+        expr("cast(round(zd * zd * zd * zd, 9) as decimal(38,9))")
+          .as("z4"))
+      .agg(count(lit(1)).as("n"), sum(col("z")).as("s1"),
+        sum(expr("cast(z * z as decimal(38,12))")).as("s2"),
+        sum(col("z3")).as("s3"), sum(col("z4")).as("s4"))
+      .select(col("n"),
+        expr("cast(s1 as double) / cast(n as double)").as("m"),
+        col("s2"), col("s3"), col("s4"))
+      .select(col("n"), col("m"),
+        expr("cast(s2 as double) / cast(n as double) - m * m")
+          .as("m2"),
+        expr("cast(s3 as double) / cast(n as double) - " +
+          "3.0D * m * cast(s2 as double) / cast(n as double) + " +
+          "2.0D * m * m * m").as("m3"),
+        expr("cast(s4 as double) / cast(n as double) - " +
+          "4.0D * m * cast(s3 as double) / cast(n as double) + " +
+          "6.0D * m * m * cast(s2 as double) / cast(n as double) - " +
+          "3.0D * m * m * m * m").as("m4"))
+      .select(col("n"),
+        expr("case when m2 > 0 then m3 / (m2 * sqrt(m2)) end")
+          .as("sk"),
+        expr("case when m2 > 0 then m4 / (m2 * m2) end").as("ku"))
+      .select(col("n"), round(col("sk"), 6).as("skewness"),
+        round(col("ku"), 6).as("kurtosis"),
+        round(expr("cast(n as double) / 6.0D * (sk * sk + " +
+          "(ku - 3.0D) * (ku - 3.0D) / 4.0D)"), 6).as("jb"))
 
   /** ISOTONIC (monotone non-decreasing) recalibration of a [0,1]
     * score via weighted least-squares isotonic regression over the
@@ -938,6 +1013,35 @@ object Stats {
       .select(col("r.col_x"), col("r.col_y"), col("r.corr"))
       .orderBy("col_x", "col_y")
   }
+
+  /** FIRST-ORDER PARTIAL CORRELATION r_xy·z — the linear association
+    * of x and y with the confounder z held fixed:
+    * (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)). Shares
+    * [[correlationMatrix]]'s single exact-DECIMAL moment fold
+    * verbatim (the three pairwise rows pivot to one row with a
+    * bounded 3-row aggregate); the partial is computed from the
+    * ROUNDED pairwise correlations — the [[cramersV]] convention, so
+    * the displayed inputs and the derived readout never disagree. A
+    * degenerate input (zero variance anywhere, or |r·z| = 1 making
+    * the denominator 0) reads null. Returns one row
+    * (col_x, col_y, col_z, r_xy, r_xz, r_yz, r_partial).
+    */
+  def partialCorrelation(df: DataFrame, xCol: String, yCol: String,
+      zCol: String, decScale: Int = 2): DataFrame =
+    correlationMatrix(df, Seq(xCol, yCol, zCol), decScale)
+      .agg(
+        max(when(col("col_x") === xCol && col("col_y") === yCol,
+          col("corr"))).as("r_xy"),
+        max(when(col("col_x") === xCol && col("col_y") === zCol,
+          col("corr"))).as("r_xz"),
+        max(when(col("col_x") === yCol && col("col_y") === zCol,
+          col("corr"))).as("r_yz"))
+      .select(lit(xCol).as("col_x"), lit(yCol).as("col_y"),
+        lit(zCol).as("col_z"), col("r_xy"), col("r_xz"), col("r_yz"),
+        round(expr("case when (1.0D - r_xz * r_xz) * " +
+          "(1.0D - r_yz * r_yz) > 0 then (r_xy - r_xz * r_yz) / " +
+          "sqrt((1.0D - r_xz * r_xz) * (1.0D - r_yz * r_yz)) end"), 6)
+          .as("r_partial"))
 
   /** Mutual information I(X;Y) in nats between two categorical
     * columns — the feature-selection dependence measure. The joint

@@ -288,6 +288,60 @@ object Analytics extends QueryModule {
           AS DOUBLE), 6) AS intercept
       FROM wr GROUP BY k, n_pairs, slope ORDER BY 1""")),
 
+    // ---- Durbin–Watson serial-correlation test (EventAnalytics.
+    // durbinWatson): OLS trend per zero-filled daily series from five
+    // exact-BIGINT moments, DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² with per-row terms
+    // round(,9) into DECIMAL — the one-number fold of what
+    // e_acf_ljung_box asks lag-by-lag.
+    QueryDef("e_durbin_watson", (s, d) => {
+      EventAnalytics.durbinWatson(Tables.events(s, d), "event_type")
+    }, Some("""
+      WITH daily AS (
+        SELECT event_type AS k, epoch_us(ts) // 86400000000 AS day,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      grid AS (SELECT k, unnest(generate_series(d0, d1)) AS day
+               FROM (SELECT k, MIN(day) AS d0, MAX(day) AS d1
+                     FROM daily GROUP BY 1)),
+      g AS (SELECT gr.k, gr.day, COALESCE(d.n, 0) AS n
+            FROM grid gr LEFT JOIN daily d
+              ON gr.k = d.k AND gr.day = d.day),
+      m0 AS (SELECT k, MIN(day) AS d0 FROM g GROUP BY 1),
+      xy AS (SELECT g.k, g.day, g.day - m0.d0 AS x, g.n AS y
+             FROM g JOIN m0 ON g.k = m0.k),
+      mo AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+             FROM xy GROUP BY 1),
+      ab AS (SELECT k, nd, sx, sy,
+               CASE WHEN nd * sxx - sx * sx > 0 THEN
+                 CAST(nd * sxy - sx * sy AS DOUBLE) /
+                 CAST(nd * sxx - sx * sx AS DOUBLE) END AS b
+             FROM mo),
+      ab2 AS (SELECT k, nd, b,
+                (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) /
+                  CAST(nd AS DOUBLE) AS a
+              FROM ab),
+      e AS (SELECT xy.k, xy.day, nd, b, a,
+              CAST(y AS DOUBLE) - a - b * CAST(x AS DOUBLE) AS e
+            FROM xy JOIN ab2 ON xy.k = ab2.k),
+      l AS (SELECT k, nd, b, a, e,
+              lag(e) OVER (PARTITION BY k ORDER BY day) AS ep
+            FROM e),
+      t AS (SELECT k, nd, b, a,
+              CAST(round(e * e, 9) AS DECIMAL(28,9)) AS dent,
+              CASE WHEN ep IS NOT NULL THEN CAST(round(
+                (e - ep) * (e - ep), 9) AS DECIMAL(28,9)) END AS numt
+            FROM l)
+      SELECT k AS event_type, CAST(MAX(nd) AS BIGINT) AS n_days,
+        round(MAX(b), 6) AS slope, round(MAX(a), 6) AS intercept,
+        round(CASE WHEN SUM(dent) > 0 THEN
+          CAST(SUM(numt) AS DOUBLE) / CAST(SUM(dent) AS DOUBLE)
+        END, 6) AS dw
+      FROM t GROUP BY k ORDER BY 1""")),
+
     // ---- STL-lite seasonal decomposition (EventAnalytics.
     // stlDecompose): n = centered-7-day-MA trend + day-of-cycle
     // seasonal + resid per zero-filled daily series. Exact integer
@@ -391,6 +445,42 @@ object Analytics extends QueryModule {
           round((n * p_23 - s_2 * s_3) / (sqrt(n * p_22 - s_2 * s_2) *
             sqrt(n * p_33 - s_3 * s_3)), 6) FROM m)
       SELECT col_x, col_y, corr FROM prs ORDER BY col_x, col_y""")),
+
+    // ---- First-order partial correlation (Stats.partialCorrelation):
+    // quantity vs extendedprice with discount held fixed — the SAME
+    // correlationMatrix moment fold pivoted to one row, the partial
+    // computed from the ROUNDED pairwise correlations (the cramersV
+    // convention).
+    QueryDef("a_partial_corr", (s, d) => {
+      graft.ops.Stats.partialCorrelation(t(s, d, "lineitem"),
+        "l_quantity", "l_extendedprice", "l_discount")
+    }, Some("""
+      WITH m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_0,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_1,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_2,
+        CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS p_00,
+        CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS p_01,
+        CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS p_02,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS p_11,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS p_12,
+        CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS p_22
+        FROM lineitem),
+      r AS (SELECT
+        round((n * p_01 - s_0 * s_1) / (sqrt(n * p_00 - s_0 * s_0) *
+          sqrt(n * p_11 - s_1 * s_1)), 6) AS r_xy,
+        round((n * p_02 - s_0 * s_2) / (sqrt(n * p_00 - s_0 * s_0) *
+          sqrt(n * p_22 - s_2 * s_2)), 6) AS r_xz,
+        round((n * p_12 - s_1 * s_2) / (sqrt(n * p_11 - s_1 * s_1) *
+          sqrt(n * p_22 - s_2 * s_2)), 6) AS r_yz
+        FROM m)
+      SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+        'l_discount' AS col_z, r_xy, r_xz, r_yz,
+        round(CASE WHEN (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz) > 0
+          THEN (r_xy - r_xz * r_yz) /
+            sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)) END, 6)
+          AS r_partial
+      FROM r""")),
 
     // ---- Mutual information I(returnflag; linestatus) in nats
     // (Stats.mutualInformation): joint = one (x,y) aggregate, marginals

@@ -1065,6 +1065,84 @@ object Insights extends QueryModule {
           (ssw / CAST(n - k AS DOUBLE)) END, 6) AS f
       FROM ab""")),
 
+    // ---- Classical one-way ANOVA (Stats.anovaOneWay): F for a mean
+    // difference across ALL event types — the parametric sibling of
+    // a_kruskal_wallis, through the SAME shared oneWayF moment fold as
+    // a_brown_forsythe (z = the raw round-6 value, not the median
+    // deviation).
+    QueryDef("a_anova_oneway", (s, d) => {
+      graft.ops.Stats.anovaOneWay(Tables.events(s, d),
+        "event_type", "value")
+    }, Some("""
+      WITH z AS (SELECT event_type AS g,
+              CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6))
+                AS z
+            FROM events WHERE value IS NOT NULL),
+      grp AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, SUM(z) AS s,
+                SUM(CAST(z * z AS DECIMAL(38,12))) AS ss
+              FROM z GROUP BY 1),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                CAST(SUM(n) AS BIGINT) AS nn, SUM(s) AS st,
+                SUM(ss) AS sst
+              FROM grp),
+      bs AS (SELECT SUM(CAST(round(CAST(s AS DOUBLE) *
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9)
+               AS DECIMAL(28,9))) AS bt
+             FROM grp),
+      ab AS (SELECT k, nn AS n,
+               round(CAST(bt AS DOUBLE) - CAST(st AS DOUBLE) *
+                 CAST(st AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS ssb,
+               round(CAST(sst AS DOUBLE) - CAST(bt AS DOUBLE), 6)
+                 AS ssw
+             FROM tot CROSS JOIN bs)
+      SELECT k, n, ssb, ssw,
+        round(CASE WHEN k > 1 AND n > k AND ssw > 0 THEN
+          (ssb / CAST(k - 1 AS DOUBLE)) /
+          (ssw / CAST(n - k AS DOUBLE)) END, 6) AS f
+      FROM ab""")),
+
+    // ---- Jarque–Bera normality test (Stats.jarqueBera): skewness,
+    // kurtosis and JB = n/6·(S² + (K−3)²/4) of the event value column
+    // from ONE moment aggregate — z/z² exact DECIMAL sums, the
+    // cubic/quartic per-row terms round(,9) into DECIMAL before
+    // summing (order-free; both engines multiply the same
+    // nearest-double of the same 6dp decimal).
+    QueryDef("a_jarque_bera", (s, d) => {
+      graft.ops.Stats.jarqueBera(Tables.events(s, d), "value")
+    }, Some("""
+      WITH z AS (SELECT CAST(round(CAST(value AS DOUBLE), 6)
+              AS DECIMAL(18,6)) AS z
+            FROM events WHERE value IS NOT NULL),
+      t AS (SELECT z, CAST(z AS DOUBLE) AS zd FROM z),
+      mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(z) AS s1,
+               SUM(CAST(z * z AS DECIMAL(38,12))) AS s2,
+               SUM(CAST(round(zd * zd * zd, 9) AS DECIMAL(38,9)))
+                 AS s3,
+               SUM(CAST(round(zd * zd * zd * zd, 9)
+                 AS DECIMAL(38,9))) AS s4
+             FROM t),
+      c AS (SELECT n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+              s2, s3, s4
+            FROM mo),
+      ce AS (SELECT n, m,
+               CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - m * m AS m2,
+               CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) -
+                 3.0 * m * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) +
+                 2.0 * m * m * m AS m3,
+               CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) -
+                 4.0 * m * CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) +
+                 6.0 * m * m * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) -
+                 3.0 * m * m * m * m AS m4
+             FROM c),
+      sk AS (SELECT n,
+               CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END AS sk,
+               CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END AS ku
+             FROM ce)
+      SELECT n, round(sk, 6) AS skewness, round(ku, 6) AS kurtosis,
+        round(CAST(n AS DOUBLE) / 6.0 * (sk * sk +
+          (ku - 3.0) * (ku - 3.0) / 4.0), 6) AS jb
+      FROM sk""")),
+
     // ---- Kruskal–Wallis rank test (Stats.kruskalWallis): the k-group
     // generalization of a_mann_whitney over ALL event types — doubled
     // BIGINT ranks from the two-phase running sum, S2² in

@@ -744,6 +744,26 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(mid.forall(_.getDouble(5) === 0.0))
   }
 
+  test("durbinWatson: alternating residuals read DW near 4; a " +
+      "perfect line reads null DW; gaps zero-fill into the spine") {
+    // a: counts [1..5] — exact line, residuals 0 → dw null
+    // b: counts [2,0,2,0,2] — slope 0, a = 1.2, e = ±{0.8,−1.2},
+    //    den = 4.8, num = 4·4 → DW = 16/4.8 (strong negative AC);
+    //    days 1 and 3 have NO events: the calendar spine supplies them
+    val rows = (0 until 5).flatMap(d => (0 to d).map(i =>
+      (1L, d * 100L + i, "a", d * DayUs + i, 0.0))) ++
+      Seq(0, 2, 4).flatMap(d => (0 until 2).map(i =>
+        (2L, 900L + d * 10 + i, "b", d * DayUs + i, 0.0)))
+    val out = EventAnalytics.durbinWatson(ev(rows: _*), "event_type")
+      .collect()
+    val a = out.filter(_.getString(0) == "a").head
+    assert(a.getLong(1) === 5L && a.getDouble(2) === 1.0 &&
+      a.getDouble(3) === 1.0 && a.isNullAt(4))
+    val b = out.filter(_.getString(0) == "b").head
+    assert(b.getLong(1) === 5L && b.getDouble(2) === 0.0 &&
+      b.getDouble(3) === 1.2 && b.getDouble(4) === 3.333333)
+  }
+
   test("theilSen: one outlier day cannot drag the slope; a perfect " +
       "line recovers exactly") {
     // a: counts [1,2,3,100,5] — 10 pairwise slopes, lower median 1;

@@ -210,9 +210,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // e_permutation_test: the 1-row observed-diff frame crossed into
     // the reps-row permutation diffs (the a_bootstrap_ci shape)
     "e_permutation_test",
-    // a_brown_forsythe: the 1-row k-group moment frame crossed with
-    // the 1-row s²/n fold
-    "a_brown_forsythe",
+    // a_brown_forsythe / a_anova_oneway: the 1-row k-group moment
+    // frame crossed with the 1-row s²/n fold
+    "a_brown_forsythe", "a_anova_oneway",
     // m_isotonic_calibration: the triangular (j,k) interval spine and
     // the per-bin BETWEEN membership join over the 10-row bin frame —
     // bounded by construction (the j_cross_grid dimension shape)
@@ -280,6 +280,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // a_histogram / a_correlation: the [min,max] frame / the moments
     // frame are scalar aggregates (1-row combines)
     "a_histogram", "a_correlation",
+    // a_partial_corr: the SAME a_correlation moments combine plus the
+    // 3-row pair-pivot reduce; a_jarque_bera: the 1-row five-moment
+    // combine (partials are map-side, the final fold is 5 numbers)
+    "a_partial_corr", "a_jarque_bera",
     // a_mutual_info: the joint-total 1-row combine
     "a_mutual_info",
     // pipe_event_insights: the day-grid 1-row [min,max] reduce and the
@@ -410,9 +414,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // e_permutation_test: the 1-row observed/extreme-count folds over
     // the bounded reps-row permutation frame
     "e_permutation_test",
-    // a_brown_forsythe: the 1-row totals/s²-per-group folds over the
-    // |groups|-row moment table
-    "a_brown_forsythe",
+    // a_brown_forsythe / a_anova_oneway: the 1-row totals/s²-per-group
+    // folds over the |groups|-row moment table
+    "a_brown_forsythe", "a_anova_oneway",
     // a_kruskal_wallis: the 1-row tie-total and H folds over the
     // |groups|-row term table (the a_brown_forsythe shape)
     "a_kruskal_wallis",

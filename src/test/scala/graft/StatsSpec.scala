@@ -346,6 +346,54 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.cramersV(const, "x", "y").collect().head.isNullAt(3))
   }
 
+  test("anovaOneWay: textbook two-group F; zero within-variance " +
+      "reads null not a blowup") {
+    val s = spark; import s.implicits._
+    // a {1,2,3} b {7,8,9}: SSB = 54, SSW = 4 → F = 54/(4/4) = 54
+    val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 7.0), ("b", 8.0), ("b", 9.0)).toDF("g", "v")
+    val r = Stats.anovaOneWay(d, "g", "v").collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 6L)
+    assert(r.getDouble(2) === 54.0 && r.getDouble(3) === 4.0)
+    assert(r.getDouble(4) === 54.0)
+    val c = Seq(("a", 5.0), ("a", 5.0), ("b", 9.0), ("b", 9.0))
+      .toDF("g", "v")
+    assert(Stats.anovaOneWay(c, "g", "v").collect().head.isNullAt(4))
+  }
+
+  test("partialCorrelation: z-orthogonal x keeps r_xy (up to the " +
+      "rounded-input convention); x == z reads null") {
+    val s = spark; import s.implicits._
+    // x ⊥ z, y = x + z: r_xy = r_yz = 1/√2 → .707107 rounded;
+    // partial = .707107 / √(1 − .707107²) = 1.000001 — the ±1e-6
+    // excursion is the documented from-ROUNDED-inputs convention
+    val d = Seq((0.0, 0.0, 0.0), (1.0, 1.0, 0.0), (0.0, 1.0, 1.0),
+      (1.0, 2.0, 1.0)).toDF("x", "y", "z")
+    val r = Stats.partialCorrelation(d, "x", "y", "z").collect().head
+    assert(r.getDouble(3) === 0.707107 && r.getDouble(4) === 0.0 &&
+      r.getDouble(5) === 0.707107)
+    assert(r.getDouble(6) === 1.000001)
+    val dg = Seq((0.0, 1.0, 0.0), (1.0, 3.0, 1.0), (0.0, 1.5, 0.0))
+      .toDF("x", "y", "z")
+    assert(Stats.partialCorrelation(dg, "x", "y", "z")
+      .collect().head.isNullAt(6)) // r_xz = 1 → zero denominator
+  }
+
+  test("jarqueBera: dyadic-exact moments match the closed form; " +
+      "zero variance reads null") {
+    val s = spark; import s.implicits._
+    // {0,0,0,1}: m2=.1875 m3=.09375 m4=.08203125 (all dyadic-exact)
+    val d = Seq(0.0, 0.0, 0.0, 1.0).toDF("v")
+    val r = Stats.jarqueBera(d, "v").collect().head
+    assert(r.getLong(0) === 4L)
+    assert(r.getDouble(1) === 1.154701) // m3/m2^1.5
+    assert(r.getDouble(2) === 2.333333) // m4/m2^2
+    assert(r.getDouble(3) === 0.962963) // 4/6*(S^2+(K-3)^2/4)
+    val c = Seq(5.0, 5.0, 5.0).toDF("v")
+    val rc = Stats.jarqueBera(c, "v").collect().head
+    assert(rc.isNullAt(1) && rc.isNullAt(2) && rc.isNullAt(3))
+  }
+
   test("permutationTest: constant values read p = 1; a perfect " +
       "separation reads the add-one minimum") {
     val s = spark; import s.implicits._
