@@ -929,7 +929,24 @@ object Stats {
     * mirrors.
     */
   def calibrationBins(df: DataFrame, isPositive: Column,
-      scoreCol: String, bins: Int = 10): DataFrame = {
+      scoreCol: String, bins: Int = 10): DataFrame =
+    calBinned(df, isPositive, scoreCol, bins)
+      .select(col("bin"), col("n"),
+        round(expr("cast(ssum as double) / cast(n as double)"), 6)
+          .as("mean_score"),
+        round(expr("cast(npos as double) / cast(n as double)"), 6)
+          .as("frac_pos"),
+        round(expr("abs(cast(ssum as double) / cast(n as double) - " +
+          "cast(npos as double) / cast(n as double))"), 6).as("gap"))
+      .orderBy("bin")
+
+  /** The equal-width (bin, n, ssum, npos) score-bin fold shared by
+    * [[calibrationBins]], [[isotonicCalibration]] (via the former)
+    * and [[hosmerLemeshow]]: scores round(,6) sum as exact DECIMALs,
+    * positives as exact BIGINTs, the top bin closes at 1.
+    */
+  private def calBinned(df: DataFrame, isPositive: Column,
+      scoreCol: String, bins: Int): DataFrame = {
     require(bins > 0, "bins must be positive")
     df.filter(col(scoreCol).isNotNull)
       .select(isPositive.cast("boolean").as("pos"),
@@ -940,15 +957,31 @@ object Stats {
       .agg(count(lit(1)).as("n"),
         sum(expr("cast(round(sc, 6) as decimal(28,6))")).as("ssum"),
         sum(when(col("pos"), 1L).otherwise(0L)).as("npos"))
-      .select(col("bin"), col("n"),
-        round(expr("cast(ssum as double) / cast(n as double)"), 6)
-          .as("mean_score"),
-        round(expr("cast(npos as double) / cast(n as double)"), 6)
-          .as("frac_pos"),
-        round(expr("abs(cast(ssum as double) / cast(n as double) - " +
-          "cast(npos as double) / cast(n as double))"), 6).as("gap"))
-      .orderBy("bin")
   }
+
+  /** HOSMER–LEMESHOW goodness-of-calibration chi-square over the
+    * SAME [[calBinned]] score-bin fold as [[calibrationBins]]:
+    * HL = Σ_bins (O−E)² / (E·(1−E/n)) with O = observed positives
+    * and E = the exact-DECIMAL score sum (expected positives under
+    * the model). Per-bin terms round(,9) into DECIMAL before the
+    * ≤ bins-row fold; bins with E ≤ 0 or E ≥ n (where the classical
+    * denominator degenerates) are excluded and reported via n_bins —
+    * the conventional df is n_bins − 2, left to the caller with the
+    * lookup. Returns one row (n, n_bins, hl).
+    */
+  def hosmerLemeshow(df: DataFrame, isPositive: Column,
+      scoreCol: String, bins: Int = 10): DataFrame =
+    calBinned(df, isPositive, scoreCol, bins)
+      .select(col("n"),
+        expr("case when cast(ssum as double) > 0 and " +
+          "cast(ssum as double) < cast(n as double) then " +
+          "cast(round((cast(npos as double) - cast(ssum as double)) * " +
+          "(cast(npos as double) - cast(ssum as double)) / " +
+          "(cast(ssum as double) * (1.0D - cast(ssum as double) / " +
+          "cast(n as double))), 9) as decimal(28,9)) end").as("term"))
+      .agg(sum(col("n")).as("n"),
+        count(col("term")).as("n_bins"),
+        round(expr("cast(sum(term) as double)"), 6).as("hl"))
 
   /** Fixed-width histogram of `valueCol` over [min, max] with `bins`
     * buckets (the top bucket closes at max). Two scans: a 1-row
@@ -1012,6 +1045,82 @@ object Stats {
     moments.select(explode(array(pairStructs: _*)).as("r"))
       .select(col("r.col_x"), col("r.col_y"), col("r.corr"))
       .orderBy("col_x", "col_y")
+  }
+
+  /** GRUBBS' TEST statistic for a single outlier:
+    * G = max|xᵢ − x̄| / s with the (n−1)-denominator sample s — the
+    * parametric sibling of [[madOutliers]] (which robustifies the
+    * center and scale this test takes at face value). Two passes:
+    * ONE exact-DECIMAL moment fold (the [[jarqueBera]] z prep), then
+    * the data re-scanned against the broadcast 1-row moments for the
+    * max absolute deviation and its witness value — the max is
+    * order-free, and the witness ties break upward via max over the
+    * bit-identical deviation (both engines subtract the same double
+    * mean from the same 6dp decimals). The caller compares G to the
+    * t-based critical value for their n and α — the statistic, not
+    * the verdict, is the distributed part. Zero variance reads null
+    * G; the witness then reads the max value (every deviation ties
+    * at 0). Returns one row (n, mean, sd, g, extreme).
+    */
+  def grubbs(df: DataFrame, valueCol: String): DataFrame = {
+    val z = df.filter(col(valueCol).isNotNull)
+      .select(expr(s"cast(round(cast($valueCol as double), 6) " +
+        "as decimal(18,6))").as("z"))
+    val mo = z.agg(count(lit(1)).as("n"), sum(col("z")).as("s1"),
+      sum(expr("cast(z * z as decimal(38,12))")).as("s2"))
+      .withColumn("m", expr("cast(s1 as double) / cast(n as double)"))
+      .withColumn("sd", expr("case when n > 1 and " +
+        "cast(s2 as double) - cast(n as double) * m * m > 0 then " +
+        "sqrt((cast(s2 as double) - cast(n as double) * m * m) / " +
+        "cast(n - 1 as double)) end"))
+      .select(col("n"), col("m"), col("sd"))
+    val ad = z.crossJoin(broadcast(mo))
+      .select(col("n"), col("m"), col("sd"), col("z"),
+        expr("abs(cast(z as double) - m)").as("ad"))
+    val am = ad.agg(max(col("ad")).as("admax"))
+    ad.crossJoin(broadcast(am))
+      .agg(max(col("n")).as("n"), round(max(col("m")), 6).as("mean"),
+        round(max(col("sd")), 6).as("sd"),
+        round(expr("max(ad) / max(sd)"), 6).as("g"),
+        round(max(expr("case when ad = admax then " +
+          "cast(z as double) end")), 6).as("extreme"))
+  }
+
+  /** WILSON SCORE INTERVAL for a per-group proportion — the
+    * asymmetric binomial CI that stays inside [0,1] and behaves at
+    * small n where the Wald interval collapses (the readout
+    * [[graft.ops.EventAnalytics]]'s A/B gates quote rates without).
+    * ONE hash aggregate per group (n, k exact BIGINTs); the
+    * center/half-width closed form runs in double off those exact
+    * counts, so both engines agree bit-for-bit. `zCrit` defaults to
+    * the two-sided 95% normal quantile round(,6) — a fixed literal,
+    * never an engine's own quantile function. Empty groups cannot
+    * occur (no rows → no group); n ≥ 1 always, so no degenerate arm.
+    * Returns (group, n, k, p_hat, ci_lo, ci_hi) ordered by group.
+    */
+  def wilsonCi(df: DataFrame, groupCol: String, success: Column,
+      zCrit: Double = 1.959964): DataFrame = {
+    // a DOUBLE literal in both engines — a bare 1.959964 would parse
+    // as DECIMAL and ride each engine's own decimal-promotion rules
+    val zc = s"cast($zCrit as double)"
+    df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("k"))
+      .select(col("g"), col("n"), col("k"),
+        expr("cast(k as double) / cast(n as double)").as("p"),
+        expr(s"(cast(k as double) / cast(n as double) + " +
+          s"$zc * $zc / (2.0D * cast(n as double)))" +
+          s" / (1.0D + $zc * $zc / cast(n as double))").as("c"),
+        expr(s"$zc * sqrt(cast(k as double) / cast(n as double) * " +
+          s"(1.0D - cast(k as double) / cast(n as double)) / " +
+          s"cast(n as double) + $zc * $zc / " +
+          s"(4.0D * cast(n as double) * cast(n as double))) / " +
+          s"(1.0D + $zc * $zc / cast(n as double))").as("h"))
+      .select(col("g").as(groupCol), col("n"), col("k"),
+        round(col("p"), 6).as("p_hat"),
+        round(expr("c - h"), 6).as("ci_lo"),
+        round(expr("c + h"), 6).as("ci_hi"))
+      .orderBy(groupCol)
   }
 
   /** FIRST-ORDER PARTIAL CORRELATION r_xy·z — the linear association

@@ -482,6 +482,39 @@ object Analytics extends QueryModule {
           AS r_partial
       FROM r""")),
 
+    // ---- Wilson score interval (Stats.wilsonCi): per-priority
+    // proportion of high-value orders with the asymmetric binomial CI
+    // — one hash aggregate of exact BIGINT (n, k), the closed form in
+    // double off those exact counts.
+    QueryDef("a_wilson_ci", (s, d) => {
+      graft.ops.Stats.wilsonCi(t(s, d, "orders"), "o_orderpriority",
+        col("o_totalprice") > 150000)
+    }, Some("""
+      WITH g AS (SELECT o_orderpriority AS g,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1
+                 ELSE 0 END) AS BIGINT) AS k
+             FROM orders GROUP BY 1),
+      w AS (SELECT g, n, k,
+              CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+              (CAST(k AS DOUBLE) / CAST(n AS DOUBLE) +
+                CAST(1.959964 AS DOUBLE) * CAST(1.959964 AS DOUBLE) /
+                (2.0 * CAST(n AS DOUBLE))) /
+                (1.0 + CAST(1.959964 AS DOUBLE) *
+                CAST(1.959964 AS DOUBLE) / CAST(n AS DOUBLE)) AS c,
+              CAST(1.959964 AS DOUBLE) *
+                sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE) *
+                (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) /
+                CAST(n AS DOUBLE) + CAST(1.959964 AS DOUBLE) *
+                CAST(1.959964 AS DOUBLE) / (4.0 * CAST(n AS DOUBLE) *
+                CAST(n AS DOUBLE))) /
+                (1.0 + CAST(1.959964 AS DOUBLE) *
+                CAST(1.959964 AS DOUBLE) / CAST(n AS DOUBLE)) AS h
+            FROM g)
+      SELECT g AS o_orderpriority, n, k, round(p, 6) AS p_hat,
+        round(c - h, 6) AS ci_lo, round(c + h, 6) AS ci_hi
+      FROM w ORDER BY 1""")),
+
     // ---- Mutual information I(returnflag; linestatus) in nats
     // (Stats.mutualInformation): joint = one (x,y) aggregate, marginals
     // derived from the joint and broadcast, per-cell terms round(,9)

@@ -690,6 +690,43 @@ object Insights extends QueryModule {
           CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS gap
       FROM b ORDER BY 1""")),
 
+    // ---- Hosmer–Lemeshow calibration chi-square (Stats.
+    // hosmerLemeshow): HL = Σ(O−E)²/(E·(1−E/n)) over the SAME
+    // calBinned score-bin fold as m_calibration_bins — per-bin terms
+    // round(,9) into DECIMAL, degenerate bins excluded via n_bins.
+    QueryDef("m_hosmer_lemeshow", (s, d) => {
+      val e = Tables.events(s, d)
+      graft.ops.Hashing.ensureRegistered(e)
+      graft.ops.Stats.hosmerLemeshow(
+        e.withColumn("sc", pmod(graft.ops.Hashing.md5Long(
+          concat(lit("cal:"), col("event_id").cast("string"))),
+          lit(1000L)).cast("double") / 1000.0),
+        col("event_type") === "purchase", "sc", bins = 10)
+    }, Some(s"""
+      WITH r AS (SELECT
+               CAST((${graft.ops.Hashing.duckMd5Long(
+                 "'cal:' || CAST(event_id AS VARCHAR)")}) % 1000
+                 AS DOUBLE) / 1000.0 AS sc,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+             FROM events),
+      b AS (SELECT LEAST(CAST(FLOOR(sc * 10.0) AS INT), 9) AS bin,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              SUM(CAST(round(sc, 6) AS DECIMAL(28,6))) AS ssum,
+              CAST(SUM(p) AS BIGINT) AS npos
+            FROM r GROUP BY 1),
+      t AS (SELECT n,
+              CASE WHEN CAST(ssum AS DOUBLE) > 0 AND
+                  CAST(ssum AS DOUBLE) < CAST(n AS DOUBLE) THEN
+                CAST(round((CAST(npos AS DOUBLE) - CAST(ssum AS DOUBLE))
+                  * (CAST(npos AS DOUBLE) - CAST(ssum AS DOUBLE)) /
+                  (CAST(ssum AS DOUBLE) * (1.0 - CAST(ssum AS DOUBLE) /
+                  CAST(n AS DOUBLE))), 9) AS DECIMAL(28,9)) END AS term
+            FROM b)
+      SELECT CAST(SUM(n) AS BIGINT) AS n,
+        CAST(COUNT(term) AS BIGINT) AS n_bins,
+        round(CAST(SUM(term) AS DOUBLE), 6) AS hl
+      FROM t""")),
+
     // ---- Isotonic recalibration (Stats.isotonicCalibration): PAVA
     // via the minimax closed form over the m_calibration_bins table —
     // max_{j<=i} min_{k>=i} of exact interval means, three bounded
@@ -1142,6 +1179,37 @@ object Insights extends QueryModule {
         round(CAST(n AS DOUBLE) / 6.0 * (sk * sk +
           (ku - 3.0) * (ku - 3.0) / 4.0), 6) AS jb
       FROM sk""")),
+
+    // ---- Grubbs' outlier test (Stats.grubbs): G = max|x−x̄|/s over
+    // the event value column — one exact-DECIMAL moment fold, then the
+    // data re-scanned against the broadcast moments for the max
+    // deviation and its witness value.
+    QueryDef("a_grubbs", (s, d) => {
+      graft.ops.Stats.grubbs(Tables.events(s, d), "value")
+    }, Some("""
+      WITH z AS (SELECT CAST(round(CAST(value AS DOUBLE), 6)
+              AS DECIMAL(18,6)) AS z
+            FROM events WHERE value IS NOT NULL),
+      mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(z) AS s1,
+               SUM(CAST(z * z AS DECIMAL(38,12))) AS s2
+             FROM z),
+      m0 AS (SELECT n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m, s2
+             FROM mo),
+      ms AS (SELECT n, m,
+               CASE WHEN n > 1 AND CAST(s2 AS DOUBLE) -
+                   CAST(n AS DOUBLE) * m * m > 0 THEN
+                 sqrt((CAST(s2 AS DOUBLE) - CAST(n AS DOUBLE) * m * m)
+                   / CAST(n - 1 AS DOUBLE)) END AS sd
+             FROM m0),
+      ad AS (SELECT ms.n, ms.m, ms.sd, z.z,
+               abs(CAST(z.z AS DOUBLE) - ms.m) AS ad
+             FROM z CROSS JOIN ms),
+      am AS (SELECT MAX(ad) AS admax FROM ad)
+      SELECT MAX(n) AS n, round(MAX(m), 6) AS mean,
+        round(MAX(sd), 6) AS sd, round(MAX(ad) / MAX(sd), 6) AS g,
+        round(MAX(CASE WHEN ad = admax THEN CAST(z AS DOUBLE) END), 6)
+          AS extreme
+      FROM ad CROSS JOIN am""")),
 
     // ---- Kruskal–Wallis rank test (Stats.kruskalWallis): the k-group
     // generalization of a_mann_whitney over ALL event types — doubled

@@ -213,6 +213,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // a_brown_forsythe / a_anova_oneway: the 1-row k-group moment
     // frame crossed with the 1-row s²/n fold
     "a_brown_forsythe", "a_anova_oneway",
+    // a_grubbs: the data crossed with the broadcast 1-row moments,
+    // then with the 1-row max-deviation fold (the a_histogram shape)
+    "a_grubbs",
     // m_isotonic_calibration: the triangular (j,k) interval spine and
     // the per-bin BETWEEN membership join over the 10-row bin frame —
     // bounded by construction (the j_cross_grid dimension shape)
@@ -284,6 +287,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // 3-row pair-pivot reduce; a_jarque_bera: the 1-row five-moment
     // combine (partials are map-side, the final fold is 5 numbers)
     "a_partial_corr", "a_jarque_bera",
+    // a_grubbs: the 1-row moments / max-deviation / readout combines;
+    // m_hosmer_lemeshow: the 1-row fold over the ≤ bins-row bin table
+    "a_grubbs", "m_hosmer_lemeshow",
     // a_mutual_info: the joint-total 1-row combine
     "a_mutual_info",
     // pipe_event_insights: the day-grid 1-row [min,max] reduce and the

@@ -379,6 +379,62 @@ class StatsSpec extends AnyFunSuite {
       .collect().head.isNullAt(6)) // r_xz = 1 → zero denominator
   }
 
+  test("grubbs: hand-computed G and witness; constant data reads " +
+      "null G with the max value as witness") {
+    val s = spark; import s.implicits._
+    // {1,2,3,10}: mean 4, var (114-64)/3, admax |10-4| = 6
+    val d = Seq(1.0, 2.0, 3.0, 10.0).toDF("v")
+    val r = Stats.grubbs(d, "v").collect().head
+    assert(r.getLong(0) === 4L && r.getDouble(1) === 4.0)
+    assert(r.getDouble(2) === 4.082483) // sqrt(50/3)
+    assert(r.getDouble(3) === 1.469694) // 6/sd
+    assert(r.getDouble(4) === 10.0)
+    val c = Seq(5.0, 5.0).toDF("v")
+    val rc = Stats.grubbs(c, "v").collect().head
+    assert(rc.isNullAt(2) && rc.isNullAt(3) && rc.getDouble(4) === 5.0)
+  }
+
+  test("wilsonCi: closed form matches a Scala replica; k = 0 reads " +
+      "a zero lower bound and a positive upper bound") {
+    val s = spark; import s.implicits._
+    val d = Seq(("a", 1), ("a", 0), ("a", 0), ("a", 0),
+      ("b", 0), ("b", 0), ("b", 0)).toDF("g", "y")
+    val out = Stats.wilsonCi(d, "g", col("y") === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def wilson(n: Long, k: Long) = {
+      val z = 1.959964; val nd = n.toDouble; val p = k.toDouble / nd
+      val c = (p + z * z / (2.0 * nd)) / (1.0 + z * z / nd)
+      val h = z * math.sqrt(p * (1.0 - p) / nd +
+        z * z / (4.0 * nd * nd)) / (1.0 + z * z / nd)
+      (r6(c - h), r6(c + h))
+    }
+    val (alo, ahi) = wilson(4, 1)
+    assert(out(0) === (("a", 4L, 1L, 0.25, alo, ahi)))
+    val (blo, bhi) = wilson(3, 0)
+    assert(out(1)._4 === 0.0 && out(1)._5 === blo && out(1)._6 === bhi)
+    assert(out(1)._5 === 0.0 && out(1)._6 > 0.0)
+  }
+
+  test("hosmerLemeshow: hand-computed two-bin HL; a degenerate " +
+      "all-zero-score bin is excluded via n_bins") {
+    val s = spark; import s.implicits._
+    // bin0: n=2 E=.4 O=1 -> .36/.32; bin1: n=2 E=1.4 O=2 -> .36/.42
+    val d = Seq((0.2, false), (0.2, true), (0.7, true), (0.7, true))
+      .toDF("sc", "y")
+    val r = Stats.hosmerLemeshow(d, col("y"), "sc", bins = 2)
+      .collect().head
+    assert(r.getLong(0) === 4L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 1.982143) // 1.125 + 6/7
+    val dg = Seq((0.0, false), (0.6, true)).toDF("sc", "y")
+    val rg = Stats.hosmerLemeshow(dg, col("y"), "sc", bins = 2)
+      .collect().head
+    assert(rg.getLong(0) === 2L && rg.getLong(1) === 1L)
+    assert(rg.getDouble(2) === 0.666667) // E=0 bin contributes nothing
+  }
+
   test("jarqueBera: dyadic-exact moments match the closed form; " +
       "zero variance reads null") {
     val s = spark; import s.implicits._
