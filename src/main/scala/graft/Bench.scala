@@ -49,6 +49,28 @@ object Bench {
       // context noise remains inherent to single-JVM sweeps — §11;
       // IsoBench is the arbiter for any suspicious gate.)
       spark.catalog.clearCache()
+      // clearCache() only drops the SQL cache — localCheckpoint blocks
+      // are persistent RDDs it never touches, and they COMPOUND across
+      // reps (r10 driver capture: pipe_incremental_refresh reps ran
+      // 10.8 → 51.3 → 104.6 s purely from leaked checkpoint blocks;
+      // j_bucketed_colocated 82.6/14.2/11.0 the same class). Unpersist
+      // them all so rep N starts from rep-1 block-manager state.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      // streaming gates load HDFS-backed state-store providers keyed by
+      // their (per-run, already-deleted) checkpoint dirs; the providers'
+      // in-memory state maps linger until the maintenance task notices.
+      // Across 304 gates × 4 executions that residue is heap pressure in
+      // everyone else's timed span — unload eagerly, it's a no-op when
+      // nothing is loaded.
+      // (reflective: unloadAll is private[sql] to Scala but public in
+      // bytecode; a bench-harness hygiene call doesn't justify a shim
+      // object inside Spark's package namespace)
+      try {
+        val cls = Class.forName(
+          "org.apache.spark.sql.execution.streaming.state.StateStore$")
+        cls.getMethod("unloadAll").invoke(cls.getField("MODULE$").get(null))
+      } catch { case _: Throwable => () }
       sec
     }
 

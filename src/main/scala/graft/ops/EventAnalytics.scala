@@ -1683,6 +1683,135 @@ object EventAnalytics {
         coalesce(col("rnk") <= col("kmax"), lit(false)).as("rejected"))
   }
 
+  /** PAGE–HINKLEY drift detection (Page 1954; the running-mean form
+    * stream-ML libraries ship) over each key's zero-filled daily count
+    * series — the third sequential monitor next to [[cusumChangepoint]]
+    * (fixed baseline) and [[rollingAnomalies]] (single-day spikes): PH
+    * tracks the cumulated deviation from the RUNNING mean, so it fires
+    * on slow drifts that started before any fixed baseline window.
+    *
+    *   m_t = Σ_{s≤t} (n_s − x̄_s − δ),  x̄_s = prefix mean,
+    *   deficit_t = m_t − min_{s≤t} m_s,  alarm at deficit > λ
+    *
+    * Both knobs self-tune to the key's own level (the [[cusumChangepoint]]
+    * convention): δ = deltaFrac·μ and λ = lambdaMeans·μ over the key's
+    * full-series mean μ.
+    *
+    * DETERMINISM: prefix sums are BIGINT windows; each term rounds(,9)
+    * into DECIMAL(28,9) so the running sum and running min are exact
+    * decimal comparisons on both engines; μ/δ/λ round(,9) once. The
+    * display rounds(,6) last. SCALE SHAPE: one (key, day) hash
+    * aggregate over the log, then keyed windows over the calendar-
+    * bounded daily frame — no global sort. Returns one row per key:
+    * (key, n_days, mu, max_deficit, alarm_day — null when λ never
+    * trips).
+    */
+  def pageHinkley(events: DataFrame, keyCol: String,
+      deltaFrac: String = "0.05", lambdaMeans: String = "2.0")
+      : DataFrame =
+    pageHinkleyFromDaily(events
+      .select(col(keyCol).as("k"), expr(s"ts_us div $DayUs").as("day"))
+      .groupBy("k", "day").agg(count(lit(1)).as("n")),
+      keyCol, deltaFrac, lambdaMeans)
+
+  /** The Page–Hinkley chain from an already-aggregated (k, day, n)
+    * daily frame — the [[cusumFromDaily]] shared-chain discipline, so
+    * a streaming twin computes its daily counts in the state store and
+    * reads out through THIS code.
+    */
+  private[graft] def pageHinkleyFromDaily(daily: DataFrame,
+      keyCol: String, deltaFrac: String, lambdaMeans: String)
+      : DataFrame = {
+    val filled = fillDaily(daily)
+    val mu = filled.groupBy("k")
+      .agg(count(lit(1)).as("nd"), sum(col("n")).as("s"))
+      .withColumn("mu9", expr(
+        "cast(round(cast(s as double) / cast(nd as double), 9) " +
+          "as decimal(28,9))"))
+      .withColumn("del9", expr(
+        s"cast(round(cast(mu9 as double) * " +
+          s"cast('$deltaFrac' as double), 9) as decimal(28,9))"))
+      .withColumn("lam9", expr(
+        s"cast(round(cast(mu9 as double) * " +
+          s"cast('$lambdaMeans' as double), 9) as decimal(28,9))"))
+    val byDay = Window.partitionBy("k").orderBy("day")
+    val run = Window.partitionBy("k").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled.join(mu, Seq("k"))
+      .withColumn("ps", sum(col("n")).over(byDay))
+      .withColumn("i", row_number().over(byDay))
+      .withColumn("term", expr(
+        "cast(round(cast(n as double) - cast(ps as double) / " +
+          "cast(i as double) - cast(del9 as double), 9) " +
+          "as decimal(28,9))"))
+      .withColumn("m", sum(col("term")).over(run))
+      .withColumn("m_min", min(col("m")).over(run))
+      .withColumn("deficit", col("m") - col("m_min"))
+      .groupBy("k")
+      .agg(max(col("nd")).as("n_days"),
+        round(max(col("mu9")).cast("double"), 6).as("mu"),
+        round(max(col("deficit")).cast("double"), 6).as("max_deficit"),
+        min(when(col("deficit") > col("lam9"), col("day")))
+          .as("alarm_day"))
+      .select(col("k").as(keyCol), col("n_days"), col("mu"),
+        col("max_deficit"), col("alarm_day"))
+      .orderBy(keyCol)
+  }
+
+  /** PACF (lags 1–3, Durbin–Levinson closed forms) + the Yule–Walker
+    * AR(2) fit from each key's daily-count autocorrelations — the
+    * model-identification readout next to [[acfLjungBox]]'s raw ACF:
+    * PACF cutting off after lag p is THE textbook AR(p) signature, and
+    * (φ₁, φ₂) are the level-2 coefficients themselves:
+    *
+    *   φ₁₁ = ρ₁,   φ₂₂ = (ρ₂ − ρ₁²)/(1 − ρ₁²),  φ₂₁ = ρ₁(1 − φ₂₂),
+    *   φ₃₃ = (ρ₃ − φ₂₁ρ₂ − φ₂₂ρ₁)/(1 − φ₂₁ρ₁ − φ₂₂ρ₂)
+    *
+    * and AR(2): x̂_t = φ₂₁·x_{t−1} + φ₂₂·x_{t−2} (in deviations).
+    *
+    * DETERMINISM: ρ₁..ρ₃ come from the shared [[acfFromDaily]] chain
+    * already rounded(,6); each φ is ONE IEEE expression over those
+    * fixed inputs with unrounded intermediates INLINED TEXTUALLY (the
+    * SQL fragments below are embedded verbatim in the oracle, so the
+    * two engines execute the identical op sequence); degenerate
+    * denominators read null, never a blowup. SCALE SHAPE: the ACF
+    * chain's + a |keys|-row pivot. Returns one row per key
+    * (key, n_days, rho1, rho2, rho3, pacf1, pacf2, pacf3, ar1, ar2).
+    */
+  def pacfYuleWalker(events: DataFrame, keyCol: String): DataFrame = {
+    val a = acfLjungBox(events, keyCol, maxLag = 3)
+    val wide = a.groupBy(keyCol)
+      .agg(max(col("n_days")).as("n_days"),
+        max(when(col("lag") === 1, col("acf"))).as("rho1"),
+        max(when(col("lag") === 2, col("acf"))).as("rho2"),
+        max(when(col("lag") === 3, col("acf"))).as("rho3"))
+    wide.select(col(keyCol), col("n_days"),
+        col("rho1"), col("rho2"), col("rho3"),
+        round(col("rho1"), 6).as("pacf1"),
+        round(expr(s"$phi22Sql"), 6).as("pacf2"),
+        round(expr(s"$phi33Sql"), 6).as("pacf3"),
+        round(expr(s"$phi21Sql"), 6).as("ar1"),
+        round(expr(s"$phi22Sql"), 6).as("ar2"))
+      .orderBy(keyCol)
+  }
+
+  /** Durbin–Levinson stage-2/3 closed forms over (rho1, rho2, rho3)
+    * columns as ENGINE-NEUTRAL SQL fragments (the [[zExprSql]]
+    * convention: the oracle embeds these very strings). Guarded null
+    * on |ρ₁| = 1 and on a zero stage-3 denominator.
+    */
+  private[graft] val phi22Sql: String =
+    "(case when rho1 is not null and rho2 is not null and " +
+      "1.0 - rho1 * rho1 <> 0.0 then " +
+      "(rho2 - rho1 * rho1) / (1.0 - rho1 * rho1) end)"
+  private[graft] val phi21Sql: String =
+    s"(rho1 * (1.0 - $phi22Sql))"
+  private[graft] val phi33Sql: String =
+    s"(case when rho3 is not null and $phi22Sql is not null and " +
+      s"1.0 - $phi21Sql * rho1 - $phi22Sql * rho2 <> 0.0 then " +
+      s"(rho3 - $phi21Sql * rho2 - $phi22Sql * rho1) / " +
+      s"(1.0 - $phi21Sql * rho1 - $phi22Sql * rho2) end)"
+
   /** Two-proportion pooled z over (n_a, conv_a, n_b, conv_b) columns —
     * the [[abTest]] statistic as an ENGINE-NEUTRAL SQL fragment (null
     * on degenerate pooled rates, round(,6)): decimal literals promote

@@ -86,4 +86,51 @@ object Pack {
         size(col("chunk")).cast("long").as("n_toks"),
         md5(array_join(col("chunk"), " ")).as("fp"))
   }
+
+  /** TOKEN-BUDGET SELECTION — the curation step every fixed-compute
+    * training run ends with: rank documents by a quality score
+    * (descending, doc id tie-break) and keep the prefix whose
+    * cumulative token count fits the budget B. Greedy-by-quality is
+    * the standard practice (quality scores are ordinal, not additive,
+    * so knapsack optimality is not a meaningful target). A document
+    * that would straddle the boundary is EXCLUDED (budget is a hard
+    * cap), so tokens_selected ≤ B always.
+    *
+    * DETERMINISM: the running token sum is the exact two-phase
+    * [[Rank.globalRunningSum]] over the total (score desc, id asc)
+    * order; the summary is one scalar fold of BIGINT counts plus the
+    * boundary document's (score, id) — no floats anywhere but the
+    * score display. SCALE SHAPE: range-partition + local window +
+    * broadcast offsets (never a single-partition global window), one
+    * filter, one fold. Returns one row (n_docs, total_tokens,
+    * budget, n_selected, tokens_selected, cutoff_score,
+    * cutoff_doc_id) — the cutoff pair names the LAST selected doc so
+    * a rerun can verify the boundary.
+    */
+  def tokenBudgetSelect(counts: DataFrame, idCol: String, nCol: String,
+      scoreCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val cum = Rank.globalRunningSum(
+        counts.select(col(idCol), col(nCol),
+          col(scoreCol).cast("decimal(18,6)").as("__score")),
+        Seq(col("__score").desc, col(idCol).asc), nCol, "__cum")
+      .localCheckpoint(false) // feeds the totals fold + the selection
+    val tot = cum.agg(count(lit(1)).as("n_docs"),
+      coalesce(max(col("__cum")), lit(0L)).as("total_tokens"))
+    // the boundary doc: the LAST selected row in the (score desc, id
+    // asc) order = the first row of the reversed order over the
+    // selected prefix — a bounded top-1, not a global sort
+    val boundary = cum.filter(col("__cum") <= budget)
+      .orderBy(col("__score").asc, col(idCol).desc).limit(1)
+      .select(col("__score").cast("double").as("cutoff_score"),
+        col(idCol).cast("long").as("cutoff_doc_id"))
+    val selN = cum.filter(col("__cum") <= budget)
+      .agg(count(lit(1)).as("n_selected"),
+        coalesce(max(col("__cum")), lit(0L)).as("tokens_selected"))
+    tot.crossJoin(broadcast(selN)).crossJoin(broadcast(boundary))
+      .select(col("n_docs"), col("total_tokens"),
+        lit(budget).as("budget"), col("n_selected"),
+        col("tokens_selected"), col("cutoff_score"),
+        col("cutoff_doc_id"))
+  }
 }

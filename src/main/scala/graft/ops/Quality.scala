@@ -170,22 +170,35 @@ object Quality {
     * The first significant digit is extracted from the DECIMAL(18,2)
     * string rendering (both engines print plain decimal — a DOUBLE's
     * string can go scientific and disagree), first `[1-9]` match, so
-    * zero/null values drop. Per digit: observed count, share, the
+    * zero/null values drop. Observed counts left-join onto the fixed
+    * 1..9 digit spine (n = 0 where a digit never occurs — an absent
+    * digit has positive expectation and its (0−exp)²/exp term is
+    * exactly the strongest-violation signal, and the 8-df reading
+    * needs all nine rows). Per digit: observed count, share, the
     * Benford expectation, and the χ² term (obs − exp)²/exp; the
     * 8-df χ² total rides every row. DETERMINISM: counts are BIGINT;
     * expectation and χ² are single IEEE expressions off the shared
     * round-9 log₁₀ constant per digit.
     *
-    * SCALE SHAPE: one codegen'd scan into a ≤9-row hash aggregate +
+    * SCALE SHAPE: one codegen'd scan into a 9-row hash aggregate +
     * a 1-row total; the digit table is bounded by construction.
     */
   def benford(df: DataFrame, column: String): DataFrame = {
-    val digits = df
+    val observed = df
       .select(regexp_extract(
         abs(col(column)).cast("decimal(18,2)").cast("string"),
         "[1-9]", 0).as("digit"))
       .filter(col("digit") =!= "")
       .groupBy("digit").agg(count(lit(1)).as("n"))
+    // Fixed 1..9 digit spine: a digit that NEVER occurs still has a
+    // positive expectation nn·p_benford, and its (0 − exp)²/exp term is
+    // exactly the strongest-violation signal — an observed-only grid
+    // would understate χ² precisely when the law is most broken, and
+    // the 8-df interpretation only holds over all nine digits.
+    val spine = df.sparkSession.range(1, 10)
+      .select(col("id").cast("string").as("digit"))
+    val digits = spine.join(observed, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
     val tot = digits.agg(sum(col("n")).as("nn"))
     val terms = digits.crossJoin(broadcast(tot))
       .withColumn("p_benford", expr(

@@ -244,12 +244,22 @@ object Similarity {
           "as double), 9) as decimal(18,9))").as("w"))
       val nrm = w.agg(expr("cast(round(sqrt(cast(sum(cast(w * w as " +
         "decimal(38,18))) as double)), 9) as decimal(18,9))").as("nrm"))
-      v = w.crossJoin(broadcast(nrm))
+      // Pin EACH round's d-row result (lazy localCheckpoint, the cx
+      // discipline): without the cut, round r's broadcast(v) carries
+      // the full unmaterialized lineage of rounds 1..r−1 and the loop
+      // re-executes rounds(rounds+1)/2 ≈ 21 aggregate passes over cx
+      // instead of 6 — the r10 driver capture's 16–24 s PCA gates were
+      // exactly this. nrm rides in the same tiny frame so the final
+      // λ readout doesn't replay the last round's chain either.
+      val vn = w.crossJoin(broadcast(nrm))
         .select(col("dim"),
           expr("case when nrm > 0 then cast(round(cast(w as double) / " +
             "cast(nrm as double), 6) as decimal(18,6)) " +
-            "else cast(1 as decimal(18,6)) end").as("v"))
-      lam = nrm
+            "else cast(1 as decimal(18,6)) end").as("v"),
+          col("nrm"))
+        .localCheckpoint(false)
+      v = vn.select(col("dim"), col("v"))
+      lam = vn.agg(min(col("nrm")).as("nrm")) // constant across dims
     }
     (cx, v, lam)
   }

@@ -157,11 +157,13 @@ object Stats {
         sum(expr("na_v * (2 * below + t + 1)")).as("ra2"),
         sum(expr("t * t * t - t")).as("ties"))
       .select(col("n_a"), (col("n") - col("n_a")).as("n_b"),
-        expr("round(ra2 / 2.0 - n_a * (n_a + 1) / 2.0, 6)").as("u"),
-        expr("round((ra2 / 2.0 - n_a * (n_a + 1) / 2.0 - " +
-          "n_a * (n - n_a) / 2.0) / " +
-          "sqrt((n_a * (n - n_a) / 12.0) * " +
-          "((n + 1) - ties / (n * (n - 1.0)))), 6)").as("z"))
+        expr("round(cast(ra2 as double) / 2.0 - " +
+          "cast(n_a as double) * (n_a + 1) / 2.0, 6)").as("u"),
+        expr("round((cast(ra2 as double) / 2.0 - " +
+          "cast(n_a as double) * (n_a + 1) / 2.0 - " +
+          "cast(n_a as double) * (n - n_a) / 2.0) / " +
+          "sqrt((cast(n_a as double) * (n - n_a) / 12.0) * " +
+          "((n + 1) - cast(ties as double) / (n * (n - 1.0)))), 6)").as("z"))
   }
 
   /** Spearman rank correlation between two numeric columns — Pearson
@@ -624,6 +626,12 @@ object Stats {
             "(cast(h00 as double) * cast(h11 as double) - " +
             "cast(h01 as double) * cast(h01 as double)), 9) " +
             "as decimal(18,9)) else b1p end").as("b1"))
+        // pin each round's 1-row beta (lazy localCheckpoint): without
+        // the cut, round r's crossJoin(broadcast(beta)) replays rounds
+        // 1..r−1 and the trail union executes rounds(rounds+1)/2
+        // aggregate passes over the checkpointed data instead of one
+        // per round (the pcaTopComponent lesson)
+        .localCheckpoint(false)
       trail += beta.select(lit(r.toLong).as("round"),
         round(col("b0").cast("double"), 6).as("b0"),
         round(col("b1").cast("double"), 6).as("b1"))
@@ -789,11 +797,17 @@ object Stats {
       : DataFrame = {
     require(reps >= 2 * tailRank, "reps must cover both tails")
     Hashing.ensureRegistered(df)
+    // null measures are NOT observations: an unfiltered null x would
+    // still draw a Poisson weight that counts into the replicate
+    // denominator Σw (while Σx·w skips it), and the full mean would
+    // divide by a count including null rows — both biased toward zero.
+    // Filter first, the welchTTest/ksTest convention.
+    val obs = df.filter(col(valueCol).isNotNull)
     val xDec = col(valueCol).cast(s"decimal(18,$decScale)")
     val key = concat_ws(":", lit("boot") +:
       keyCols.map(c => col(c).cast("string")) :+
       col("b").cast("string"): _*)
-    val base = df.select(keyCols.map(col) :+ xDec.as("x"): _*)
+    val base = obs.select(keyCols.map(col) :+ xDec.as("x"): _*)
     // The reps× explode multiplies PER-PARTITION work: a small input
     // that scans as fewer splits than cores would run the whole
     // expansion on those few cores (measured: 78 s on 3 of 32 at
@@ -823,7 +837,7 @@ object Stats {
       .agg(min(when(col("rnk") === tailRank, col("mb"))).as("ci_lo"),
         min(when(col("rnk") === reps - tailRank + 1, col("mb")))
           .as("ci_hi"))
-    val full = df.agg(round(sum(xDec).cast("double") /
+    val full = obs.agg(round(sum(xDec).cast("double") /
       count(lit(1)).cast("double"), 6).as("mean_full"))
     ci.crossJoin(broadcast(full))
       .select(lit(reps.toLong).as("n_reps"), col("mean_full"),
@@ -1471,5 +1485,243 @@ object Stats {
         col("nl").as("n_left"), col("pl").as("pos_left"),
         col("nr").as("n_right"), col("pr").as("pos_right"),
         round(col("gain"), 6).as("gain"))
+  }
+
+  /** GINI COEFFICIENT + THEIL INDEX of a non-negative measure — the
+    * two standard inequality readouts of a training corpus's token
+    * (or cost, or click) distribution: Gini for the rank-weighted
+    * concentration (0 = uniform, →1 = one row holds everything),
+    * Theil for the entropy-based view that DECOMPOSES across groups.
+    * A corpus whose token mass hides in 1% of documents trains very
+    * differently from a flat one — this is the one-row audit.
+    *
+    *   G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx)    (i = ascending rank)
+    *   T = (1/n⁺)·Σ_{x>0} (x/μ⁺)·ln(x/μ⁺)        (μ⁺ = positive mean)
+    *
+    * DETERMINISM: the rank-weighted sum collapses per distinct value
+    * to x·(t·below + t(t+1)/2) — the [[mannWhitney]] rank-run trick —
+    * which is EXACT DECIMAL on any partitioning (products fixed to
+    * DECIMAL(38,6); the t(t+1) div 2 is integer-exact); each Theil
+    * term rounds(,9) into DECIMAL before the order-free sum; G and T
+    * are ONE final IEEE expression each, mirrored textually by the
+    * oracle. ANSI throws (never wraps) if t(t+1) overflows BIGINT —
+    * ~3·10⁹ duplicates of one value; pre-bucket wider corpora.
+    *
+    * SCALE SHAPE: one hash aggregate to the distinct-value table, one
+    * two-phase [[Rank.globalRunningSum]] (no unpartitioned window),
+    * one broadcast of the 1-row totals, one scalar fold. Returns one
+    * row (n, mean, gini, n_pos, theil).
+    */
+  def giniTheil(df: DataFrame, valueCol: String): DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .select(col(valueCol).cast("decimal(18,6)").as("v"))
+    val byVal = rows.groupBy("v").agg(count(lit(1)).as("t"))
+    val cum = Rank.globalRunningSum(byVal, Seq(col("v")), "t", "cum_t")
+      .withColumn("below", col("cum_t") - col("t"))
+    val tot = byVal.agg(
+      sum(col("t")).as("n"),
+      sum(expr("cast(v * t as decimal(38,6))")).as("sx"),
+      sum(when(col("v") > 0, col("t")).otherwise(0L)).as("n_pos"),
+      sum(when(col("v") > 0, expr("cast(v * t as decimal(38,6))"))
+        .otherwise(expr("cast(0 as decimal(38,6))"))).as("sx_pos"))
+    val terms = cum.crossJoin(broadcast(tot))
+      .withColumn("rank_sum", expr(
+        "cast(v as decimal(38,6)) * " +
+          "(t * below + t * (t + 1) div 2)"))
+      .withColumn("theil_term", expr(
+        "case when v > 0 then cast(round(" +
+          "cast(t as double) * " +
+          "(cast(v as double) / (cast(sx_pos as double) / " +
+          "cast(n_pos as double))) * " +
+          "ln(cast(v as double) / (cast(sx_pos as double) / " +
+          "cast(n_pos as double))), 9) as decimal(28,9)) " +
+          "else cast(0 as decimal(28,9)) end"))
+    terms.agg(sum(col("rank_sum")).as("s_rank"),
+        sum(col("theil_term")).as("s_theil"))
+      .crossJoin(broadcast(tot))
+      .select(col("n"),
+        round(expr("cast(sx as double) / cast(n as double)"), 6)
+          .as("mean"),
+        round(expr("(2.0D * cast(s_rank as double) - " +
+          "cast(n + 1 as double) * cast(sx as double)) / " +
+          "(cast(n as double) * cast(sx as double))"), 6).as("gini"),
+        col("n_pos"),
+        round(expr("cast(s_theil as double) / cast(n_pos as double)"),
+          6).as("theil"))
+  }
+
+  /** TRIMMED + WINSORIZED MEAN of a measure at a symmetric `trimFrac`
+    * per tail — the robust location estimates a corpus-quality
+    * dashboard wants next to the raw mean (one viral 10 M-token
+    * document should not move the "typical document length" readout).
+    * Trimmed drops the lo = ⌊n·f⌋ smallest and largest observations;
+    * winsorized CLAMPS them to the surviving boundary values
+    * x₍lo+1₎ and x₍n−lo₎ instead.
+    *
+    * DETERMINISM: per distinct value the kept multiplicity is the
+    * exact BIGINT interval overlap max(0, min(below+t, hi) −
+    * max(below, lo)); kept sums fix to DECIMAL(38,6); the two clip
+    * values are exact order statistics off the same cumulative table;
+    * the two means are ONE IEEE division each. lo = ⌊n·f⌋ is computed
+    * in exact decimal (f at DECIMAL(10,6)).
+    *
+    * SCALE SHAPE: one distinct-value aggregate, one two-phase
+    * [[Rank.globalRunningSum]], one broadcast 1-row totals frame, two
+    * 1-row order-statistic lookups (broadcast), one scalar fold.
+    * Returns one row (n, n_kept, lo_clip, hi_clip, trimmed_mean,
+    * winsorized_mean).
+    */
+  def trimmedMean(df: DataFrame, valueCol: String,
+      trimFrac: Double = 0.1): DataFrame = {
+    require(trimFrac >= 0 && trimFrac < 0.5, "trimFrac in [0, 0.5)")
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("decimal(18,6)").as("v"))
+    val byVal = rows.groupBy("v").agg(count(lit(1)).as("t"))
+    val cum = Rank.globalRunningSum(byVal, Seq(col("v")), "t", "cum_t")
+      .withColumn("below", col("cum_t") - col("t"))
+      .localCheckpoint(false) // feeds the totals fold + 2 order stats
+    val bounds = cum.agg(max(col("cum_t")).as("n"))
+      .select(col("n"),
+        expr(s"cast(floor(n * cast($trimFrac as decimal(10,6))) " +
+          "as bigint)").as("lo"))
+      .withColumn("hi", col("n") - col("lo"))
+    val kept = cum.crossJoin(broadcast(bounds))
+      .withColumn("k", greatest(lit(0L),
+        least(col("cum_t"), col("hi")) - greatest(col("below"), col("lo"))))
+      .agg(sum(expr("cast(v * k as decimal(38,6))")).as("ksum"))
+    // exact order statistics: the run containing rank lo+1 / rank hi
+    val loClip = cum.crossJoin(broadcast(bounds))
+      .filter(col("below") < col("lo") + 1 && col("lo") + 1 <= col("cum_t"))
+      .select(col("v").as("lo_clip"))
+    val hiClip = cum.crossJoin(broadcast(bounds))
+      .filter(col("below") < col("hi") && col("hi") <= col("cum_t"))
+      .select(col("v").as("hi_clip"))
+    kept.crossJoin(broadcast(bounds))
+      .crossJoin(broadcast(loClip)).crossJoin(broadcast(hiClip))
+      .select(col("n"), (col("hi") - col("lo")).as("n_kept"),
+        col("lo_clip").cast("double").as("lo_clip"),
+        col("hi_clip").cast("double").as("hi_clip"),
+        round(expr("cast(ksum as double) / cast(hi - lo as double)"), 6)
+          .as("trimmed_mean"),
+        round(expr("(cast(ksum as double) + cast(lo as double) * " +
+          "(cast(lo_clip as double) + cast(hi_clip as double))) / " +
+          "cast(n as double)"), 6).as("winsorized_mean"))
+  }
+
+  /** McNEMAR'S TEST (McNemar 1947) for two PAIRED binary verdicts on
+    * the same rows — the right test for "did classifier B beat
+    * classifier A on the same eval set?" (a χ² over the pooled 2×2
+    * table is wrong there: the pairing must be respected, and only
+    * the DISCORDANT pairs carry signal). Uses the continuity-
+    * corrected form χ² = (|b−c|−1)²/(b+c) over b = #(A∧¬B),
+    * c = #(¬A∧B); compare to χ²₁ critical values (3.841 at α=0.05).
+    *
+    * DETERMINISM: four BIGINT counts in one hash-free scalar
+    * aggregate; χ² is ONE IEEE expression. Null verdicts drop (a row
+    * that cannot vote is not a pair). Returns one row
+    * (n, n10, n01, chi2).
+    */
+  def mcnemar(df: DataFrame, aPass: Column, bPass: Column): DataFrame =
+    df.filter(aPass.isNotNull && bPass.isNotNull)
+      .select(aPass.cast("boolean").as("a"), bPass.cast("boolean").as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"))
+      .select(col("n"), col("n10"), col("n01"),
+        round(expr("case when n10 + n01 > 0 then " +
+          "power(abs(cast(n10 as double) - cast(n01 as double)) - 1.0D, " +
+          "2) / cast(n10 + n01 as double) end"), 6).as("chi2"))
+
+  /** CLASSIFICATION REPORT for a binary verdict — per class the
+    * support / predicted / true-positive counts and precision /
+    * recall / F1, plus overall accuracy on every row: the standard
+    * eval table next to [[rocAuc]]'s threshold-free view (a
+    * quality-filter cascade is tuned on exactly this readout).
+    *
+    * DETERMINISM: six BIGINT counts in one scalar aggregate; each
+    * metric is ONE IEEE expression (null on zero denominators, never
+    * a blowup); the two class rows come from a 2-row literal spine,
+    * so the output shape is fixed. Null labels/predictions drop.
+    * Returns (class, support, predicted, tp, precision, recall, f1,
+    * accuracy) ordered by class — 'positive' first.
+    */
+  def classificationReport(df: DataFrame, label: Column, pred: Column)
+      : DataFrame = {
+    val counts = df.filter(label.isNotNull && pred.isNotNull)
+      .select(label.cast("boolean").as("y"), pred.cast("boolean").as("p"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
+        sum(when(col("p"), 1L).otherwise(0L)).as("ppos"),
+        sum(when(col("y") && col("p"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("y") && !col("p"), 1L).otherwise(0L)).as("tn"))
+      .withColumn("accuracy", round(expr("case when n > 0 then " +
+        "cast(tp + tn as double) / cast(n as double) end"), 6))
+    val spine = df.sparkSession.range(2)
+      .select(when(col("id") === 0, "positive").otherwise("negative")
+        .as("class"))
+    spine.crossJoin(broadcast(counts))
+      .select(col("class"),
+        when(col("class") === "positive", col("pos"))
+          .otherwise(col("n") - col("pos")).as("support"),
+        when(col("class") === "positive", col("ppos"))
+          .otherwise(col("n") - col("ppos")).as("predicted"),
+        when(col("class") === "positive", col("tp"))
+          .otherwise(col("tn")).as("tp"),
+        col("accuracy"))
+      .withColumn("precision", round(expr("case when predicted > 0 " +
+        "then cast(tp as double) / cast(predicted as double) end"), 6))
+      .withColumn("recall", round(expr("case when support > 0 " +
+        "then cast(tp as double) / cast(support as double) end"), 6))
+      .withColumn("f1", round(expr(
+        "case when predicted > 0 and support > 0 and " +
+          "cast(tp as double) / cast(predicted as double) + " +
+          "cast(tp as double) / cast(support as double) > 0.0 then " +
+          "2.0D * (cast(tp as double) / cast(predicted as double)) * " +
+          "(cast(tp as double) / cast(support as double)) / " +
+          "(cast(tp as double) / cast(predicted as double) + " +
+          "cast(tp as double) / cast(support as double)) end"), 6))
+      .select(col("class"), col("support"), col("predicted"), col("tp"),
+        col("precision"), col("recall"), col("f1"), col("accuracy"))
+      .orderBy(desc("class"))
+  }
+
+  /** HILL ESTIMATOR (Hill 1975) of the power-law tail index over the
+    * top-k order statistics of a positive measure — the standard
+    * "how heavy is this tail?" readout for document lengths, degree
+    * distributions, and user-activity counts (α ≈ 1–2 means the top
+    * documents dominate total token mass; α > 3 behaves Gaussian-ish
+    * for most purposes):
+    *
+    *   α̂ = k / Σ_{i=1..k} ln(x₍n−i+1₎ / x₍n−k₎)
+    *
+    * DETERMINISM: the top-(k+1) VALUE multiset is order-free (a
+    * bounded TakeOrdered, no tie-break needed — only values enter);
+    * each log ratio rounds(,9) into DECIMAL before the exact sum
+    * (rows equal to the threshold contribute ln 1 = 0, so the sum
+    * over k+1 rows equals the sum over the top k); α is one IEEE
+    * division. SCALE SHAPE: one distributed top-(k+1) (map-side
+    * heaps, k+1 rows to the driver plan — never a global sort), one
+    * broadcast 1-row threshold, one scalar fold. Returns one row
+    * (k, x_min, h_mean, alpha).
+    */
+  def hillTail(df: DataFrame, valueCol: String, k: Int = 100)
+      : DataFrame = {
+    require(k >= 2, "k >= 2")
+    val top = df.filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(col(valueCol).cast("decimal(18,6)").as("v"))
+      .orderBy(desc("v")).limit(k + 1)
+      .localCheckpoint(false) // feeds the threshold fold + the terms
+    val thr = top.agg(min(col("v")).as("x_min"),
+      count(lit(1)).as("n_top"))
+    top.crossJoin(broadcast(thr))
+      .agg(sum(expr("cast(round(ln(cast(v as double) / " +
+        "cast(x_min as double)), 9) as decimal(28,9))")).as("h"),
+        min(col("x_min")).as("x_min"), min(col("n_top")).as("n_top"))
+      .select(lit(k.toLong).as("k"),
+        col("x_min").cast("double").as("x_min"),
+        round(expr("cast(h as double) / cast(k as double)"), 6)
+          .as("h_mean"),
+        round(expr("case when h > 0 then cast(k as double) / " +
+          "cast(h as double) end"), 6).as("alpha"))
   }
 }

@@ -243,6 +243,111 @@ object Analytics extends QueryModule {
           AS q
       FROM cq ORDER BY 1, 2""")),
 
+    // ---- PACF lags 1–3 + Yule–Walker AR(2) (EventAnalytics.
+    // pacfYuleWalker): Durbin–Levinson closed forms over the SHARED
+    // acfFromDaily chain's round-6 ρ₁..ρ₃ — the φ fragments are the
+    // very SQL strings the Spark side executes (the zExprSql
+    // convention), so the two engines run the identical IEEE op
+    // sequence over identical fixed inputs.
+    QueryDef("e_pacf_ar2", (s, d) => {
+      EventAnalytics.pacfYuleWalker(Tables.events(s, d), "event_type")
+    }, Some(s"""
+      WITH daily AS (
+        SELECT event_type AS k, epoch_us(ts) // 86400000000 AS day,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      grid AS (SELECT k, unnest(generate_series(d0, d1)) AS day
+               FROM (SELECT k, MIN(day) AS d0, MAX(day) AS d1
+                     FROM daily GROUP BY 1)),
+      g AS (SELECT gr.k, gr.day, COALESCE(d.n, 0) AS n
+            FROM grid gr LEFT JOIN daily d
+              ON gr.k = d.k AND gr.day = d.day),
+      st AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS nd,
+               (1000000 * CAST(SUM(n) AS BIGINT)) //
+                 CAST(COUNT(*) AS BIGINT) AS mu6
+             FROM g GROUP BY 1),
+      dv AS (SELECT g.k, g.day, st.nd, 1000000 * g.n - st.mu6 AS d
+             FROM g JOIN st ON g.k = st.k),
+      dn AS (SELECT k, SUM(CAST(d AS DECIMAL(19,0)) * d) AS den
+             FROM dv GROUP BY 1),
+      lg AS (SELECT a.k, a.nd, l.lag,
+               SUM(CAST(a.d AS DECIMAL(19,0)) * b.d) AS num
+             FROM dv a
+               JOIN (SELECT unnest(generate_series(1, 3)) AS lag) l
+                 ON l.lag < a.nd
+               JOIN dv b ON b.k = a.k AND b.day = a.day + l.lag
+             GROUP BY 1, 2, 3),
+      ac AS (SELECT lg.k, lg.lag, lg.nd,
+               CASE WHEN dn.den > 0 THEN
+                 round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+               END AS acf
+             FROM lg JOIN dn ON lg.k = dn.k),
+      wd AS (SELECT k, MAX(nd) AS n_days,
+               MAX(CASE WHEN lag = 1 THEN acf END) AS rho1,
+               MAX(CASE WHEN lag = 2 THEN acf END) AS rho2,
+               MAX(CASE WHEN lag = 3 THEN acf END) AS rho3
+             FROM ac GROUP BY 1)
+      SELECT k AS event_type, n_days, rho1, rho2, rho3,
+        round(rho1, 6) AS pacf1,
+        round(${EventAnalytics.phi22Sql}, 6) AS pacf2,
+        round(${EventAnalytics.phi33Sql}, 6) AS pacf3,
+        round(${EventAnalytics.phi21Sql}, 6) AS ar1,
+        round(${EventAnalytics.phi22Sql}, 6) AS ar2
+      FROM wd ORDER BY 1""")),
+
+    // ---- Page–Hinkley drift monitor (EventAnalytics.pageHinkley):
+    // cumulated deviation from the RUNNING mean per zero-filled daily
+    // series, self-tuned δ = 0.05·μ and λ = 2·μ; terms round(,9) into
+    // DECIMAL so the running sum / running min are exact on both
+    // engines.
+    QueryDef("e_page_hinkley", (s, d) => {
+      EventAnalytics.pageHinkley(Tables.events(s, d), "event_type")
+    }, Some("""
+      WITH daily AS (
+        SELECT event_type AS k, epoch_us(ts) // 86400000000 AS day,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      grid AS (SELECT k, unnest(generate_series(d0, d1)) AS day
+               FROM (SELECT k, MIN(day) AS d0, MAX(day) AS d1
+                     FROM daily GROUP BY 1)),
+      g AS (SELECT gr.k, gr.day, COALESCE(d.n, 0) AS n
+            FROM grid gr LEFT JOIN daily d
+              ON gr.k = d.k AND gr.day = d.day),
+      st AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(n) AS BIGINT) AS s,
+               CAST(round(CAST(SUM(n) AS DOUBLE) /
+                 CAST(COUNT(*) AS DOUBLE), 9) AS DECIMAL(28,9)) AS mu9
+             FROM g GROUP BY 1),
+      st2 AS (SELECT *,
+                CAST(round(CAST(mu9 AS DOUBLE) *
+                  CAST('0.05' AS DOUBLE), 9) AS DECIMAL(28,9)) AS del9,
+                CAST(round(CAST(mu9 AS DOUBLE) *
+                  CAST('2.0' AS DOUBLE), 9) AS DECIMAL(28,9)) AS lam9
+              FROM st),
+      w AS (SELECT g.k, g.day, g.n, st2.nd, st2.mu9, st2.del9, st2.lam9,
+              SUM(g.n) OVER (PARTITION BY g.k ORDER BY g.day
+                ROWS UNBOUNDED PRECEDING) AS ps,
+              ROW_NUMBER() OVER (PARTITION BY g.k ORDER BY g.day) AS i
+            FROM g JOIN st2 ON g.k = st2.k),
+      t AS (SELECT *,
+              CAST(round(CAST(n AS DOUBLE) - CAST(ps AS DOUBLE) /
+                CAST(i AS DOUBLE) - CAST(del9 AS DOUBLE), 9)
+                AS DECIMAL(28,9)) AS term
+            FROM w),
+      m AS (SELECT *,
+              SUM(term) OVER (PARTITION BY k ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS m
+            FROM t),
+      dq AS (SELECT *,
+               m - MIN(m) OVER (PARTITION BY k ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS deficit
+             FROM m)
+      SELECT k AS event_type, MAX(nd) AS n_days,
+        round(CAST(MAX(mu9) AS DOUBLE), 6) AS mu,
+        round(CAST(MAX(deficit) AS DOUBLE), 6) AS max_deficit,
+        MIN(CASE WHEN deficit > lam9 THEN day END) AS alarm_day
+      FROM dq GROUP BY 1 ORDER BY 1""")),
+
     // ---- Theil–Sen robust daily trend (EventAnalytics.theilSen):
     // median pairwise slope + median residual intercept per zero-filled
     // daily count series — slopes round(,9) into DECIMAL, exact lower

@@ -865,7 +865,7 @@ object Insights extends QueryModule {
     }, Some(s"""
       WITH r AS (SELECT l_orderkey, l_linenumber,
                CAST(l_extendedprice AS DECIMAL(18,2)) AS x
-             FROM lineitem),
+             FROM lineitem WHERE l_extendedprice IS NOT NULL),
       e AS (SELECT x, l_orderkey, l_linenumber,
               unnest(range(0, 200)) AS b FROM r),
       d AS (SELECT x, b, (${graft.ops.Hashing.duckMd5Long(
@@ -887,7 +887,8 @@ object Insights extends QueryModule {
             FROM m),
       f AS (SELECT round(CAST(SUM(CAST(l_extendedprice
               AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
-              6) AS mean_full FROM lineitem)
+              6) AS mean_full FROM lineitem
+            WHERE l_extendedprice IS NOT NULL)
       SELECT CAST(200 AS BIGINT) AS n_reps, mean_full,
         MIN(CASE WHEN rnk = 5 THEN mb END) AS ci_lo,
         MIN(CASE WHEN rnk = 196 THEN mb END) AS ci_hi
@@ -1291,6 +1292,115 @@ object Insights extends QueryModule {
           CAST(c - d AS DOUBLE) / (sqrt(CAST(n_pairs - n1 AS DOUBLE)) *
           sqrt(CAST(n_pairs - n2 AS DOUBLE))) END, 6) AS tau_b
       FROM ag JOIN nd ON ag.k = nd.k ORDER BY 1""")),
+
+    // ---- Trimmed + winsorized mean (Stats.trimmedMean): robust
+    // location of the extended-price distribution at 10% per tail —
+    // exact BIGINT interval-overlap kept-multiplicities per distinct
+    // value off the two-phase running sum, exact order-statistic clip
+    // values, two mirrored IEEE divisions.
+    QueryDef("a_trimmed_mean", (s, d) => {
+      graft.ops.Stats.trimmedMean(t(s, d, "lineitem"),
+        "l_extendedprice", 0.1)
+    }, Some("""
+      WITH r AS (SELECT CAST(l_extendedprice AS DECIMAL(18,6)) AS v
+                 FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      bv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM r GROUP BY 1),
+      c AS (SELECT *, CAST(SUM(t) OVER (ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_t FROM bv),
+      c2 AS (SELECT *, cum_t - t AS below FROM c),
+      bd AS (SELECT MAX(cum_t) AS n,
+               CAST(floor(MAX(cum_t) * CAST(0.1 AS DECIMAL(10,6)))
+                 AS BIGINT) AS lo
+             FROM c2),
+      bd2 AS (SELECT *, n - lo AS hi FROM bd),
+      kp AS (SELECT SUM(CAST(v * greatest(0, least(cum_t, hi) -
+               greatest(below, lo)) AS DECIMAL(38,6))) AS ksum
+             FROM c2 CROSS JOIN bd2),
+      lc AS (SELECT v AS lo_clip FROM c2 CROSS JOIN bd2
+             WHERE below < lo + 1 AND lo + 1 <= cum_t),
+      hc AS (SELECT v AS hi_clip FROM c2 CROSS JOIN bd2
+             WHERE below < hi AND hi <= cum_t)
+      SELECT n, hi - lo AS n_kept,
+        CAST(lo_clip AS DOUBLE) AS lo_clip,
+        CAST(hi_clip AS DOUBLE) AS hi_clip,
+        round(CAST(ksum AS DOUBLE) / CAST(hi - lo AS DOUBLE), 6)
+          AS trimmed_mean,
+        round((CAST(ksum AS DOUBLE) + CAST(lo AS DOUBLE) *
+          (CAST(lo_clip AS DOUBLE) + CAST(hi_clip AS DOUBLE))) /
+          CAST(n AS DOUBLE), 6) AS winsorized_mean
+      FROM kp CROSS JOIN bd2 CROSS JOIN lc CROSS JOIN hc""")),
+
+    // ---- McNemar's paired test (Stats.mcnemar): do the discount
+    // flag (≥5%) and the tax flag (≥4%) fire on the SAME line items?
+    // Only the discordant cells carry signal; continuity-corrected
+    // χ² = (|b−c|−1)²/(b+c) against χ²₁.
+    QueryDef("a_mcnemar", (s, d) => {
+      graft.ops.Stats.mcnemar(t(s, d, "lineitem"),
+        col("l_discount") >= 0.05, col("l_tax") >= 0.04)
+    }, Some("""
+      WITH r AS (SELECT l_discount >= 0.05 AS a, l_tax >= 0.04 AS b
+                 FROM lineitem
+                 WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL),
+      c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                AS BIGINT) AS n10,
+              CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+                AS BIGINT) AS n01
+            FROM r)
+      SELECT n, n10, n01,
+        round(CASE WHEN n10 + n01 > 0 THEN
+          power(abs(CAST(n10 AS DOUBLE) - CAST(n01 AS DOUBLE)) - 1.0,
+          2) / CAST(n10 + n01 AS DOUBLE) END, 6) AS chi2
+      FROM c""")),
+
+    // ---- Classification report (Stats.classificationReport):
+    // per-class precision/recall/F1 + accuracy of the "high-value ⇒
+    // purchase" rule — six BIGINT counts in one fold, a fixed 2-row
+    // class spine, every metric one mirrored IEEE expression.
+    QueryDef("m_class_report", (s, d) => {
+      graft.ops.Stats.classificationReport(Tables.events(s, d),
+        col("event_type") === "purchase", col("value") >= 50.0)
+    }, Some("""
+      WITH r AS (SELECT event_type = 'purchase' AS y, value >= 50.0 AS p
+                 FROM events
+                 WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+              CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS ppos,
+              CAST(SUM(CASE WHEN y AND p THEN 1 ELSE 0 END) AS BIGINT)
+                AS tp,
+              CAST(SUM(CASE WHEN NOT y AND NOT p THEN 1 ELSE 0 END)
+                AS BIGINT) AS tn
+            FROM r),
+      c2 AS (SELECT *, round(CASE WHEN n > 0 THEN
+               CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE) END, 6)
+               AS accuracy FROM c),
+      sp AS (SELECT 'positive' AS class UNION ALL SELECT 'negative'),
+      g AS (SELECT sp.class,
+              CASE WHEN sp.class = 'positive' THEN c2.pos
+                ELSE c2.n - c2.pos END AS support,
+              CASE WHEN sp.class = 'positive' THEN c2.ppos
+                ELSE c2.n - c2.ppos END AS predicted,
+              CASE WHEN sp.class = 'positive' THEN c2.tp
+                ELSE c2.tn END AS tp,
+              c2.accuracy
+            FROM sp CROSS JOIN c2)
+      SELECT class, support, predicted, tp,
+        round(CASE WHEN predicted > 0 THEN
+          CAST(tp AS DOUBLE) / CAST(predicted AS DOUBLE) END, 6)
+          AS precision,
+        round(CASE WHEN support > 0 THEN
+          CAST(tp AS DOUBLE) / CAST(support AS DOUBLE) END, 6)
+          AS recall,
+        round(CASE WHEN predicted > 0 AND support > 0 AND
+          CAST(tp AS DOUBLE) / CAST(predicted AS DOUBLE) +
+          CAST(tp AS DOUBLE) / CAST(support AS DOUBLE) > 0.0 THEN
+          2.0 * (CAST(tp AS DOUBLE) / CAST(predicted AS DOUBLE)) *
+          (CAST(tp AS DOUBLE) / CAST(support AS DOUBLE)) /
+          (CAST(tp AS DOUBLE) / CAST(predicted AS DOUBLE) +
+           CAST(tp AS DOUBLE) / CAST(support AS DOUBLE)) END, 6) AS f1,
+        accuracy
+      FROM g ORDER BY class DESC""")),
 
     // ---- Logistic regression by Newton–Raphson (Stats.
     // logisticNewton): P(purchase | ln(1+value)) fit in 6 distributed

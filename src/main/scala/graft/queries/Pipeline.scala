@@ -2318,6 +2318,115 @@ object Pipeline extends QueryModule {
 
     // =================== text analysis =================================
 
+    // ---- Gini + Theil inequality of the per-doc token distribution
+    // (Stats.giniTheil): the corpus-concentration audit — the
+    // rank-weighted sum collapses per distinct count to exact DECIMAL
+    // run arithmetic over the two-phase running sum; Theil terms
+    // round(,9) into DECIMAL before the order-free fold.
+    QueryDef("t_gini_tokens", (s, d) => {
+      graft.ops.Stats.giniTheil(
+        docs(s, d).select(size(expr(tokensSql)).cast("long")
+          .as("n_tokens")), "n_tokens")
+    }, Some("""
+      WITH r AS (SELECT CAST(CAST(len(regexp_extract_all(lower(text),
+               '[a-z0-9]+')) AS BIGINT) AS DECIMAL(18,6)) AS v
+             FROM documents),
+      bv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM r GROUP BY 1),
+      c AS (SELECT *, CAST(SUM(t) OVER (ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_t FROM bv),
+      c2 AS (SELECT *, cum_t - t AS below FROM c),
+      tt AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+               SUM(CAST(v * t AS DECIMAL(38,6))) AS sx,
+               CAST(SUM(CASE WHEN v > 0 THEN t ELSE 0 END) AS BIGINT)
+                 AS n_pos,
+               SUM(CASE WHEN v > 0 THEN CAST(v * t AS DECIMAL(38,6))
+                 ELSE CAST(0 AS DECIMAL(38,6)) END) AS sx_pos
+             FROM bv),
+      tm AS (SELECT
+               SUM(CAST(v AS DECIMAL(38,6)) *
+                 (t * below + t * (t + 1) // 2)) AS s_rank,
+               SUM(CASE WHEN v > 0 THEN CAST(round(
+                 CAST(t AS DOUBLE) *
+                 (CAST(v AS DOUBLE) / (CAST(sx_pos AS DOUBLE) /
+                 CAST(n_pos AS DOUBLE))) *
+                 ln(CAST(v AS DOUBLE) / (CAST(sx_pos AS DOUBLE) /
+                 CAST(n_pos AS DOUBLE))), 9) AS DECIMAL(28,9))
+                 ELSE CAST(0 AS DECIMAL(28,9)) END) AS s_theil
+             FROM c2 CROSS JOIN tt)
+      SELECT n,
+        round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+        round((2.0 * CAST(s_rank AS DOUBLE) -
+          CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE)) /
+          (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini,
+        n_pos,
+        round(CAST(s_theil AS DOUBLE) / CAST(n_pos AS DOUBLE), 6)
+          AS theil
+      FROM tm CROSS JOIN tt""")),
+
+    // ---- Hill power-law tail index of per-doc token counts
+    // (Stats.hillTail): top-101 order statistics, log ratios
+    // round(,9) into DECIMAL, one mirrored IEEE division.
+    QueryDef("t_hill_tail", (s, d) => {
+      graft.ops.Stats.hillTail(
+        docs(s, d).select(size(expr(tokensSql)).cast("long")
+          .as("n_tokens")), "n_tokens", 100)
+    }, Some("""
+      WITH r AS (SELECT CAST(CAST(len(regexp_extract_all(lower(text),
+               '[a-z0-9]+')) AS BIGINT) AS DECIMAL(18,6)) AS v
+             FROM documents
+             WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+      tp AS (SELECT v FROM r ORDER BY v DESC LIMIT 101),
+      th AS (SELECT MIN(v) AS x_min FROM tp),
+      h AS (SELECT SUM(CAST(round(ln(CAST(v AS DOUBLE) /
+              CAST(x_min AS DOUBLE)), 9) AS DECIMAL(28,9))) AS h
+            FROM tp CROSS JOIN th)
+      SELECT CAST(100 AS BIGINT) AS k,
+        CAST(x_min AS DOUBLE) AS x_min,
+        round(CAST(h AS DOUBLE) / CAST(100 AS DOUBLE), 6) AS h_mean,
+        round(CASE WHEN h > 0 THEN CAST(100 AS DOUBLE) /
+          CAST(h AS DOUBLE) END, 6) AS alpha
+      FROM h CROSS JOIN th""")),
+
+    // ---- Token-budget curation cut (Pack.tokenBudgetSelect): keep
+    // the best-stopword-ratio documents whose cumulative tokens fit a
+    // 10k budget — the two-phase running sum over the total
+    // (score desc, id asc) order; the boundary doc names the cut.
+    QueryDef("o18_token_budget", (s, d) => {
+      val counts = TextAnalysis.qualityScore(docs(s, d))
+        .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"))
+      graft.ops.Pack.tokenBudgetSelect(counts, "doc_id", "n_tokens",
+        "stopword_ratio", 10000L)
+    }, Some {
+      val enStops = TextAnalysis.langProfiles.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""
+      WITH w AS (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             FROM documents),
+      q AS (SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              CAST(round(CAST(len(list_filter(toks,
+                tt -> list_contains($enStops, tt))) AS DOUBLE)
+                / greatest(len(toks), 1), 6) AS DECIMAL(18,6)) AS sc
+            FROM w),
+      c AS (SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY sc DESC,
+              doc_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM q),
+      tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               COALESCE(MAX(cum), 0) AS total_tokens
+             FROM c),
+      sel AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_selected,
+                CAST(COALESCE(MAX(cum), 0) AS BIGINT) AS tokens_selected
+              FROM c WHERE cum <= 10000),
+      bd AS (SELECT CAST(sc AS DOUBLE) AS cutoff_score,
+               CAST(doc_id AS BIGINT) AS cutoff_doc_id
+             FROM c WHERE cum <= 10000
+             ORDER BY sc ASC, doc_id DESC LIMIT 1)
+      SELECT n_docs, total_tokens, CAST(10000 AS BIGINT) AS budget,
+        n_selected, tokens_selected, cutoff_score, cutoff_doc_id
+      FROM tt CROSS JOIN sel CROSS JOIN bd"""
+    }),
+
     QueryDef("t_token_stats", (s, d) => {
       TextAnalysis.tokenStats(docs(s, d)).orderBy("doc_id")
     }, Some("""

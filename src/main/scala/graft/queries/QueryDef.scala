@@ -79,6 +79,19 @@ object Tables {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     spread(s.read.parquet(s"$dir/$name.parquet"))
 
+  /** Plain read, NO spread — for gates whose first post-scan operator is
+    * already a shuffle (join / hash aggregate) and whose scan-side
+    * per-row work is trivial (plain column arithmetic, no tokenize /
+    * shingle / explode). There the spread's extra round trip is pure
+    * tax: the downstream shuffle parallelizes everything after the
+    * 1-task scan anyway (measured r10: q18 0.58 → 1.21 s, q3 0.59 →
+    * 0.97 s, set_union 0.23 → 0.41 s from the blanket spread). Gates
+    * with row-expanding or per-row-heavy scan chains must stay on
+    * [[t]] — the bootstrap gate ran 78 s single-core without it.
+    */
+  def tLight(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
   /** `events.parquet` has stored `ts` as TIMESTAMP(NANOS) (which Spark's
     * vectorized reader only accepts as a raw long via the legacy conf) in
     * some driver generations and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ)

@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
   *    libm implementations may differ across engines by ULPs.
   */
 object Relational extends QueryModule {
-  import Tables.t
+  import Tables.{t, tLight}
 
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(20, scale))).cast("double")
@@ -29,7 +29,7 @@ object Relational extends QueryModule {
     // ---- A1/P4/O1: scan → filter → hash agg (partial+final) → sort.
     // Ref: sift reduceByKey counts (sift/models/links.py:29-32).
     QueryDef("q1_pricing_summary", (s, d) => {
-      t(s, d, "lineitem")
+      tLight(s, d, "lineitem")
         .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -57,10 +57,10 @@ object Relational extends QueryModule {
     // sift/corpora/wikipedia.py:88-89). customer is broadcast-able: AQE /
     // autoBroadcastJoinThreshold picks that at runtime.
     QueryDef("q3_top_revenue", (s, d) => {
-      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
-      val o = t(s, d, "orders")
+      val c = tLight(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = tLight(s, d, "orders")
         .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
-      val l = t(s, d, "lineitem")
+      val l = tLight(s, d, "lineitem")
         .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
@@ -86,12 +86,12 @@ object Relational extends QueryModule {
     // 1-row region filter broadcasts; AQE picks broadcast for nation;
     // the fact-table joins shuffle on their keys.
     QueryDef("q5_local_supplier", (s, d) => {
-      val r = t(s, d, "region").filter(col("r_name") === "AMERICA")
-      val n = t(s, d, "nation")
-      val c = t(s, d, "customer")
-      val o = t(s, d, "orders")
-      val l = t(s, d, "lineitem")
-      val su = t(s, d, "supplier")
+      val r = tLight(s, d, "region").filter(col("r_name") === "AMERICA")
+      val n = tLight(s, d, "nation")
+      val c = tLight(s, d, "customer")
+      val o = tLight(s, d, "orders")
+      val l = tLight(s, d, "lineitem")
+      val su = tLight(s, d, "supplier")
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(su, l("l_suppkey") === su("s_suppkey") &&
@@ -116,10 +116,10 @@ object Relational extends QueryModule {
     // back to the order/customer chain (integer-valued quantities sum
     // exactly in doubles, so the threshold is partition-independent).
     QueryDef("q18_large_orders", (s, d) => {
-      val big = t(s, d, "lineitem").groupBy("l_orderkey")
+      val big = tLight(s, d, "lineitem").groupBy("l_orderkey")
         .agg(sum("l_quantity").as("qty")).filter(col("qty") > 220)
-      val o = t(s, d, "orders")
-      val c = t(s, d, "customer")
+      val o = tLight(s, d, "orders")
+      val c = tLight(s, d, "customer")
       o.join(big, o("o_orderkey") === big("l_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .select(c("c_name"), o("o_orderkey"), o("o_orderdate"),
@@ -137,9 +137,9 @@ object Relational extends QueryModule {
     // ---- J1: left-outer join + COALESCE fallback (redirect-resolution
     // pattern, sift/corpora/wikipedia.py:81-89).
     QueryDef("j1_left_outer_coalesce", (s, d) => {
-      val rich = t(s, d, "customer").filter(col("c_acctbal") > 5000)
+      val rich = tLight(s, d, "customer").filter(col("c_acctbal") > 5000)
         .select(col("c_custkey").as("rk"), col("c_name").as("rich_name"))
-      t(s, d, "orders")
+      tLight(s, d, "orders")
         .join(rich, col("o_custkey") === col("rk"), "left_outer")
         .select(col("o_orderkey"),
           coalesce(col("rich_name"), lit("UNRESOLVED")).as("cust"))
@@ -1334,24 +1334,24 @@ object Relational extends QueryModule {
 
     // ---- set ops.
     QueryDef("set_union", (s, d) => {
-      t(s, d, "customer").select(col("c_nationkey").as("k"))
-        .union(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+      tLight(s, d, "customer").select(col("c_nationkey").as("k"))
+        .union(tLight(s, d, "supplier").select(col("s_nationkey").as("k")))
         .distinct().orderBy("k")
     }, Some("""
       SELECT c_nationkey AS k FROM customer
       UNION SELECT s_nationkey FROM supplier ORDER BY k""")),
 
     QueryDef("set_intersect", (s, d) => {
-      t(s, d, "customer").select(col("c_nationkey").as("k"))
-        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+      tLight(s, d, "customer").select(col("c_nationkey").as("k"))
+        .intersect(tLight(s, d, "supplier").select(col("s_nationkey").as("k")))
         .orderBy("k")
     }, Some("""
       SELECT c_nationkey AS k FROM customer
       INTERSECT SELECT s_nationkey FROM supplier ORDER BY k""")),
 
     QueryDef("set_except", (s, d) => {
-      t(s, d, "customer").select(col("c_nationkey").as("k"))
-        .except(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+      tLight(s, d, "customer").select(col("c_nationkey").as("k"))
+        .except(tLight(s, d, "supplier").select(col("s_nationkey").as("k")))
         .orderBy("k")
     }, Some("""
       SELECT c_nationkey AS k FROM customer
@@ -1360,8 +1360,8 @@ object Relational extends QueryModule {
     // ---- Multiset (bag) set ops — EXCEPT ALL / INTERSECT ALL keep
     // duplicate cardinalities, the form dedup bookkeeping needs.
     QueryDef("set_except_all", (s, d) => {
-      t(s, d, "customer").select(col("c_nationkey").as("k"))
-        .exceptAll(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+      tLight(s, d, "customer").select(col("c_nationkey").as("k"))
+        .exceptAll(tLight(s, d, "supplier").select(col("s_nationkey").as("k")))
         .groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
     }, Some("""
       WITH x AS (SELECT c_nationkey AS k FROM customer
@@ -1369,9 +1369,9 @@ object Relational extends QueryModule {
       SELECT k, COUNT(*) AS n FROM x GROUP BY k ORDER BY k""")),
 
     QueryDef("set_intersect_all", (s, d) => {
-      t(s, d, "customer").select(col("c_nationkey").as("k"))
+      tLight(s, d, "customer").select(col("c_nationkey").as("k"))
         .intersectAll(
-          t(s, d, "supplier").select(col("s_nationkey").as("k")))
+          tLight(s, d, "supplier").select(col("s_nationkey").as("k")))
         .groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
     }, Some("""
       WITH x AS (SELECT c_nationkey AS k FROM customer
@@ -1426,8 +1426,12 @@ object Relational extends QueryModule {
       WITH dd AS (SELECT regexp_extract(CAST(CAST(abs(l_extendedprice)
                AS DECIMAL(18,2)) AS VARCHAR), '[1-9]', 0) AS digit
              FROM lineitem),
-      g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM dd
+      obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM dd
             WHERE digit <> '' GROUP BY 1),
+      g AS (SELECT CAST(sp.d AS VARCHAR) AS digit,
+              COALESCE(obs.n, CAST(0 AS BIGINT)) AS n
+            FROM (SELECT unnest(range(1, 10)) AS d) sp
+            LEFT JOIN obs ON CAST(sp.d AS VARCHAR) = obs.digit),
       t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM g),
       tm AS (SELECT digit, n, nn,
                CAST(round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 9)

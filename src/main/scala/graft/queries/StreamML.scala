@@ -369,6 +369,60 @@ object StreamML extends QueryModule {
       SELECT * FROM (VALUES ('syn_a', 'syn_b'), ('syn_b', 'syn_a'))
         AS t(probe, neighbor) ORDER BY probe""")),
 
+    // ---- §2.9 + monitoring family: Page–Hinkley drift with its
+    // daily counts accumulated as a STREAMING windowed aggregation,
+    // the running-mean readout on the finished state through the SAME
+    // shared chain as the batch op (EventAnalytics.
+    // pageHinkleyFromDaily). Oracle char-identical to
+    // e_page_hinkley's -> stream-vs-batch parity.
+    QueryDef("st_page_hinkley", (s, d) => {
+      graft.streaming.Events.pageHinkleyDaily(s, d)
+    }, Some("""
+      WITH daily AS (
+        SELECT event_type AS k, epoch_us(ts) // 86400000000 AS day,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      grid AS (SELECT k, unnest(generate_series(d0, d1)) AS day
+               FROM (SELECT k, MIN(day) AS d0, MAX(day) AS d1
+                     FROM daily GROUP BY 1)),
+      g AS (SELECT gr.k, gr.day, COALESCE(d.n, 0) AS n
+            FROM grid gr LEFT JOIN daily d
+              ON gr.k = d.k AND gr.day = d.day),
+      st AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(n) AS BIGINT) AS s,
+               CAST(round(CAST(SUM(n) AS DOUBLE) /
+                 CAST(COUNT(*) AS DOUBLE), 9) AS DECIMAL(28,9)) AS mu9
+             FROM g GROUP BY 1),
+      st2 AS (SELECT *,
+                CAST(round(CAST(mu9 AS DOUBLE) *
+                  CAST('0.05' AS DOUBLE), 9) AS DECIMAL(28,9)) AS del9,
+                CAST(round(CAST(mu9 AS DOUBLE) *
+                  CAST('2.0' AS DOUBLE), 9) AS DECIMAL(28,9)) AS lam9
+              FROM st),
+      w AS (SELECT g.k, g.day, g.n, st2.nd, st2.mu9, st2.del9, st2.lam9,
+              SUM(g.n) OVER (PARTITION BY g.k ORDER BY g.day
+                ROWS UNBOUNDED PRECEDING) AS ps,
+              ROW_NUMBER() OVER (PARTITION BY g.k ORDER BY g.day) AS i
+            FROM g JOIN st2 ON g.k = st2.k),
+      t AS (SELECT *,
+              CAST(round(CAST(n AS DOUBLE) - CAST(ps AS DOUBLE) /
+                CAST(i AS DOUBLE) - CAST(del9 AS DOUBLE), 9)
+                AS DECIMAL(28,9)) AS term
+            FROM w),
+      m AS (SELECT *,
+              SUM(term) OVER (PARTITION BY k ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS m
+            FROM t),
+      dq AS (SELECT *,
+               m - MIN(m) OVER (PARTITION BY k ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS deficit
+             FROM m)
+      SELECT k AS event_type, MAX(nd) AS n_days,
+        round(CAST(MAX(mu9) AS DOUBLE), 6) AS mu,
+        round(CAST(MAX(deficit) AS DOUBLE), 6) AS max_deficit,
+        MIN(CASE WHEN deficit > lam9 THEN day END) AS alarm_day
+      FROM dq GROUP BY 1 ORDER BY 1""")),
+
     // ---- §2.9 + monitoring family: CUSUM changepoint with its daily
     // counts accumulated as a STREAMING windowed aggregation, the
     // closed-form readout running on the finished state through the

@@ -625,6 +625,28 @@ object Events {
       "event_type", baseline = 7, slackDiv = 10, thresholdDays = 2)
   }
 
+  /** Streaming twin of [[graft.ops.EventAnalytics.pageHinkley]]: the
+    * per-(day, type) counts accumulate as a watermarked windowed
+    * streaming aggregation, then the running-mean drift statistic
+    * (round-9 DECIMAL terms → running sum − running min) reads out of
+    * the finished state through the SAME shared chain the batch op
+    * uses (`EventAnalytics.pageHinkleyFromDaily`). The gate's oracle
+    * is CHAR-IDENTICAL to e_page_hinkley's.
+    */
+  def pageHinkleyDaily(s: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val out = runToCompletion(s, ss => {
+      stream(ss, dir)
+        .groupBy(window(col("t"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }, "st_page_hinkley_mem")
+    graft.ops.EventAnalytics.pageHinkleyFromDaily(
+      out.select(col("event_type").as("k"),
+        expr(s"unix_micros(window.start) div $DayUs").as("day"),
+        col("n")),
+      "event_type", deltaFrac = "0.05", lambdaMeans = "2.0")
+  }
+
   /** Streaming twin of [[graft.ops.EventAnalytics
     * .seasonalNaiveForecast]] — daily counts out of the state store,
     * the same-weekday readout through the shared

@@ -204,6 +204,52 @@ object SoakStats {
             s"PCA lambda not ×scale at $scale: ${pcRows.head._3} vs " +
               s"${b.head._3} × $scale")
       }
+
+      // --- PCA debias on a PLANTED RANK-1 corpus: x = t·u with
+      // u = (0.6, 0.8, 0, 0) and t = id % 10 over N = 1000·scale rows.
+      // Every constant in the chain lands EXACTLY on the op's own
+      // rounding quanta: μ = 4.5·u (1dp·1dp), the component converges
+      // to u in round 1 (0.84S/1.4S rounds to 0.600000 exactly), the
+      // projection p = t − 4.5 is a half-integer, and p·v reproduces
+      // the centered row bit-for-bit — so after removing ONE component
+      // the residual is EXACTLY zero, removed_frac EXACTLY 1, the
+      // per-row norm EXACTLY |t − 4.5| (sqrt of the binary-exact
+      // (m+½)²), and λ = Σ(t−4.5)² = 8250·scale exactly. Absolute
+      // predictions, stronger than baseline-relative invariance.
+      val planted = spark.range(1000L * scale).select(
+        col("id").as("vec_id"),
+        expr("array(0.6D * (id % 10), 0.8D * (id % 10), 0D, 0D)")
+          .as("embedding"))
+      val (dbRows, dbSec) = timed {
+        graft.ops.Similarity.pcaDebias(planted).collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+            r.getDouble(3))).toSeq
+      }
+      emit("sim_pca_debias", scale, dbSec,
+        "n_vecs" -> dbRows.size.toString)
+      assert(dbRows.size == 1000 * scale,
+        s"debias row count ${dbRows.size} != ${1000 * scale}")
+      dbRows.foreach { case (id, nrm, resid, rem) =>
+        val tv = math.abs((id % 10).toDouble - 4.5)
+        assert(resid == 0.0,
+          s"rank-1 debias residual not exactly zero at $scale: " +
+            s"vec $id resid $resid")
+        assert(rem == 1.0,
+          s"rank-1 removed_frac not exactly 1 at $scale: vec $id $rem")
+        assert(nrm == tv,
+          s"centered norm mismatch at $scale: vec $id $nrm != $tv")
+      }
+      val (ppLam, ppSec) = timed {
+        graft.ops.Similarity.pcaPower(planted).collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+      }
+      emit("sim_pca_power_planted", scale, ppSec,
+        "lambda" -> ppLam.head._3.toString)
+      assert(ppLam.map(_._2) == Seq(0.6, 0.8, 0.0, 0.0),
+        s"planted component not (0.6, 0.8, 0, 0) at $scale: " +
+          ppLam.map(_._2))
+      assert(ppLam.head._3 == 8250.0 * scale,
+        s"planted lambda ${ppLam.head._3} != ${8250.0 * scale}")
     }
     spark.stop()
   }

@@ -780,4 +780,55 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(("a", 5L, 10L, 1.0, 1.0),
       ("b", 3L, 3L, 1.0, 1.0)))
   }
+
+  test("pageHinkley: hand-computed running-mean drift, self-tuned " +
+    "lambda, alarm on the shift day only when lambda allows") {
+    val s = spark; import s.implicits._
+    // daily counts 2,2,2,8: μ = 3.5, δ = 0.05·μ = 0.175; terms
+    // (n − prefix-mean − δ) = −.175, −.175, −.175, 4.325;
+    // m = −.175, −.35, −.525, 3.8; deficit = 0,0,0,4.325
+    val rows = Seq((0, 2), (1, 2), (2, 2), (3, 8)).flatMap {
+      case (d, c) => (0 until c).map(i =>
+        (1L, d * 100L + i, "a", d * DayUs + i, 0.0)) }
+    // λ = 2·μ = 7 never trips
+    val hi = EventAnalytics.pageHinkley(ev(rows: _*), "event_type")
+      .collect().head
+    assert(hi.getString(0) === "a" && hi.getLong(1) === 4L)
+    assert(hi.getDouble(2) === 3.5 && hi.getDouble(3) === 4.325)
+    assert(hi.isNullAt(4))
+    // λ = 1·μ = 3.5 trips on day 3 (4.325 > 3.5)
+    val lo = EventAnalytics.pageHinkley(ev(rows: _*), "event_type",
+      lambdaMeans = "1.0").collect().head
+    assert(lo.getLong(4) === 3L)
+  }
+
+  test("pacfYuleWalker: the AR(1) signature — geometric rho cuts " +
+    "PACF to zero past lag 1; fragments guard degenerate rho") {
+    val s = spark
+    // drive the closed forms directly off literal rho columns (the
+    // fragments are the cross-engine spec; the ACF chain feeding them
+    // has its own gate + oracle)
+    val wide = s.sql("SELECT CAST(0.5 AS DOUBLE) AS rho1, " +
+      "CAST(0.25 AS DOUBLE) AS rho2, CAST(0.125 AS DOUBLE) AS rho3")
+    val out = wide.selectExpr(
+      s"round(${EventAnalytics.phi22Sql}, 6) AS pacf2",
+      s"round(${EventAnalytics.phi33Sql}, 6) AS pacf3",
+      s"round(${EventAnalytics.phi21Sql}, 6) AS ar1").collect().head
+    assert(out.getDouble(0) === 0.0) // (0.25 − 0.25)/(1 − 0.25)
+    assert(out.getDouble(1) === 0.0) // AR(1): zero partial at lag 3
+    assert(out.getDouble(2) === 0.5) // φ21 = ρ1(1 − 0)
+    // |rho1| = 1 → null, not a division blowup
+    val degen = s.sql("SELECT CAST(1.0 AS DOUBLE) AS rho1, " +
+      "CAST(1.0 AS DOUBLE) AS rho2, CAST(1.0 AS DOUBLE) AS rho3")
+      .selectExpr(s"${EventAnalytics.phi22Sql} AS p").collect().head
+    assert(degen.isNullAt(0))
+    // end-to-end shape: one row per key, pacf1 == rho1
+    val rows = Seq((0, 1), (1, 3), (2, 2), (3, 5), (4, 4), (5, 6),
+      (6, 3), (7, 7)).flatMap { case (d, c) => (0 until c).map(i =>
+      (1L, d * 100L + i, "a", d * DayUs + i, 0.0)) }
+    val e2e = EventAnalytics.pacfYuleWalker(ev(rows: _*), "event_type")
+      .collect().head
+    assert(e2e.getString(0) === "a" && e2e.getLong(1) === 8L)
+    assert(e2e.getDouble(5) === e2e.getDouble(2)) // pacf1 = rho1
+  }
 }

@@ -93,4 +93,23 @@ class PackSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq === Seq((0L, 0L, 3L), (1L, 3L, 3L)))
   }
+
+  test("tokenBudgetSelect: greedy-by-score prefix under a hard cap; " +
+    "the straddling doc is excluded; boundary doc named") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, 5L, 0.9), (2L, 5L, 0.8), (3L, 5L, 0.7),
+      (4L, 5L, 0.6)).toDF("doc_id", "n_tokens", "score")
+    val out = Pack.tokenBudgetSelect(docs, "doc_id", "n_tokens",
+      "score", 12L).collect().head
+    assert(out.getLong(0) === 4L && out.getLong(1) === 20L)
+    assert(out.getLong(2) === 12L) // budget echoed
+    assert(out.getLong(3) === 2L && out.getLong(4) === 10L)
+    assert(out.getDouble(5) === 0.8 && out.getLong(6) === 2L)
+    // score ties break by ascending doc id
+    val tied = Seq((7L, 4L, 0.5), (5L, 4L, 0.5), (6L, 4L, 0.5))
+      .toDF("doc_id", "n_tokens", "score")
+    val t2 = Pack.tokenBudgetSelect(tied, "doc_id", "n_tokens",
+      "score", 8L).collect().head
+    assert(t2.getLong(3) === 2L && t2.getLong(6) === 6L)
+  }
 }

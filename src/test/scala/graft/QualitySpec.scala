@@ -120,24 +120,29 @@ class QualitySpec extends AnyFunSuite {
   }
 
   test("benford: first significant digit via decimal rendering; sign " +
-      "and leading zeros ignored, exact zeros drop") {
+      "and leading zeros ignored, exact zeros drop; absent digits " +
+      "ride the 1..9 spine with n = 0 and a full (0−exp)²/exp term") {
     val s = spark; import s.implicits._
     // digits: 1 ← {1.0, 12.3, 150.0}, 2 ← {2.5, −245.5}, 3 ← {30.1};
-    // 0.0 contributes nothing
+    // 0.0 contributes nothing; 4..9 never occur — the strongest-
+    // violation case the spine exists for
     val vals = Seq(1.0, 12.3, 150.0, 2.5, 30.1, -245.5, 0.0)
       .toDF("x")
     val out = Quality.benford(vals, "x").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         r.getDouble(4), r.getDouble(5)))
-    assert(out.map(t => (t._1, t._2)).toSeq ===
-      Seq((1L, 3L), (2L, 2L), (3L, 1L)))
+    val counts = Seq((1L, 3L), (2L, 2L), (3L, 1L), (4L, 0L), (5L, 0L),
+      (6L, 0L), (7L, 0L), (8L, 0L), (9L, 0L))
+    assert(out.map(t => (t._1, t._2)).toSeq === counts)
     assert(out(0)._3 === 0.5)
-    // χ² terms mirror the op's IEEE chain exactly
+    assert(out(3)._3 === 0.0) // absent digit's share
+    // χ² terms mirror the op's IEEE chain exactly — an absent digit's
+    // term (0 − e)²/e collapses to e itself
     def r9(v: Double) =
       BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     def r6(v: Double) =
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val expTerms = Seq((1, 3L), (2, 2L), (3, 1L)).map { case (d, n) =>
+    val expTerms = counts.map { case (d, n) =>
       val e = 6.0 * r9(math.log10(1.0 + 1.0 / d))
       r6((n - e) * (n - e) / e)
     }

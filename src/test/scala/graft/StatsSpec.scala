@@ -631,4 +631,82 @@ class StatsSpec extends AnyFunSuite {
     // group b constant → sigma 0 → null z
     assert(out.filter(_._1 == "b").forall(_._3.isEmpty))
   }
+
+  test("giniTheil: textbook extremes — uniform is 0, one-holder " +
+    "concentration is (n-1)/n scaled; Theil on a known 2-point split") {
+    val s = spark; import s.implicits._
+    // all equal → gini 0, theil 0
+    val eq = Stats.giniTheil(Seq(5L, 5L, 5L, 5L).toDF("x"), "x")
+      .collect().head
+    assert(eq.getLong(0) === 4L && eq.getDouble(2) === 0.0)
+    assert(eq.getDouble(4) === 0.0)
+    // 0,0,0,10: S = 4·10, G = (80 − 5·10)/(4·10) = 0.75; the single
+    // positive holder has x = μ⁺ → theil 0
+    val one = Stats.giniTheil(Seq(0L, 0L, 0L, 10L).toDF("x"), "x")
+      .collect().head
+    assert(one.getDouble(2) === 0.75 && one.getLong(3) === 1L)
+    assert(one.getDouble(4) === 0.0)
+    // 1,3: G = (2·(1+6) − 3·4)/(2·4) = 0.25;
+    // T = ½[0.5·ln0.5 + 1.5·ln1.5] = 0.130812 at the round-9 terms
+    val two = Stats.giniTheil(Seq(1L, 3L).toDF("x"), "x").collect().head
+    assert(two.getDouble(2) === 0.25)
+    assert(two.getDouble(4) === 0.130812)
+  }
+
+  test("trimmedMean: 10% of 1..10 drops one per tail; winsorized " +
+    "clamps to the rank-2/rank-9 values") {
+    val s = spark; import s.implicits._
+    val out = Stats.trimmedMean((1 to 10).map(_.toLong).toDF("x"), "x",
+      0.1).collect().head
+    assert(out.getLong(0) === 10L && out.getLong(1) === 8L)
+    assert(out.getDouble(2) === 2.0 && out.getDouble(3) === 9.0)
+    assert(out.getDouble(4) === 5.5) // (2+..+9)/8
+    assert(out.getDouble(5) === 5.5) // (44 + 1·(2+9))/10
+  }
+
+  test("mcnemar: discordant cells only; continuity correction zeroes " +
+    "a 2-vs-1 split; nulls drop") {
+    val s = spark; import s.implicits._
+    // Options carry the null row honestly
+    val rows = Seq((Some(true), Some(true)), (Some(true), Some(false)),
+      (Some(false), Some(true)), (Some(false), Some(false)),
+      (Some(true), Some(false)), (None, Some(true)))
+      .toDF("a", "b")
+    val out = Stats.mcnemar(rows, col("a"), col("b")).collect().head
+    assert(out.getLong(0) === 5L) // null pair dropped
+    assert(out.getLong(1) === 2L && out.getLong(2) === 1L)
+    assert(out.getDouble(3) === 0.0) // (|2−1|−1)²/3
+  }
+
+  test("hillTail: exact log-ratio fold on a known geometric top set") {
+    val s = spark; import s.implicits._
+    val out = Stats.hillTail(Seq(1L, 2L, 4L, 8L).toDF("x"), "x", k = 2)
+      .collect().head
+    assert(out.getLong(0) === 2L)
+    assert(out.getDouble(1) === 2.0) // x_min = 3rd largest
+    // h = ln(8/2) + ln(4/2) + ln(2/2) = 2.079441542 at round-9 terms
+    assert(out.getDouble(2) === 1.039721) // h/k
+    assert(out.getDouble(3) === 0.961797) // k/h
+  }
+
+  test("classificationReport: fixed 2-row spine, per-class P/R/F1 " +
+    "and shared accuracy from one confusion fold") {
+    val s = spark; import s.implicits._
+    // tp=3 fp=1 fn=2 tn=4 → precision+ 0.75, recall+ 0.6,
+    // f1+ = 2·.75·.6/1.35 = 0.666667, acc = 7/10
+    val rows = Seq.fill(3)((true, true)) ++ Seq.fill(1)((false, true)) ++
+      Seq.fill(2)((true, false)) ++ Seq.fill(4)((false, false))
+    val out = Stats.classificationReport(rows.toDF("y", "p"),
+      col("y"), col("p")).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("positive", "negative"))
+    val pos = out(0)
+    assert(pos.getLong(1) === 5L && pos.getLong(2) === 4L &&
+      pos.getLong(3) === 3L)
+    assert(pos.getDouble(4) === 0.75 && pos.getDouble(5) === 0.6)
+    assert(pos.getDouble(6) === 0.666667 && pos.getDouble(7) === 0.7)
+    val neg = out(1)
+    assert(neg.getLong(1) === 5L && neg.getLong(2) === 6L &&
+      neg.getLong(3) === 4L)
+    assert(neg.getDouble(4) === 0.666667 && neg.getDouble(5) === 0.8)
+  }
 }

@@ -8,9 +8,11 @@ SQL in DuckDB against the same parquet tables, canonicalizes both sides
 
 Usage: python3 tools/crosscheck.py <sfDir> <outDir>
 """
-import sys, os, json, hashlib
+import sys, os, json, hashlib, glob
 import duckdb
 import pandas as pd
+import pyarrow.parquet as pq
+import pyarrow as pa
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -34,6 +36,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if pd.isna(v) if not isinstance(v, (list, tuple, dict)) else False:
             return None
         if hasattr(v, "isoformat"):
+            # pyarrow-native reads hand Spark DATE cells over as
+            # datetime.date ('1995-01-31') while the DuckDB oracle side
+            # comes through pandas as midnight Timestamps
+            # ('1995-01-31T00:00:00'); the driver's comparator treats
+            # those as equal (f_date_battery passed r10), so canonicalize
+            # both to the midnight-timestamp render before hashing.
+            import datetime
+            if isinstance(v, datetime.date) and \
+                    not isinstance(v, datetime.datetime):
+                return pd.Timestamp(v).isoformat()
             return v.isoformat()
         return v
 
@@ -71,9 +83,15 @@ def main(sf_dir: str, out_dir: str) -> int:
             results[name] = "MISSING-DUMP (Spark query failed in Verify)"
             n_fail += 1
             continue
+        # Read the Spark dump NATIVELY with pyarrow (the driver does the
+        # equivalent): reading it through DuckDB coerces DECIMAL columns
+        # to float64 before canon(), which masked the r10 a_mann_whitney
+        # DECIMAL-vs-DOUBLE render drift. Decimal cells must survive to
+        # the hash as decimal.Decimal so the drift is visible here first.
         try:
-            got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+            tbl = pa.concat_tables([pq.read_table(f) for f in files])
+            got = tbl.to_pandas()
         except Exception as e:
             results[name] = f"SPARK-READ-FAIL {e}"
             n_fail += 1
@@ -82,11 +100,13 @@ def main(sf_dir: str, out_dir: str) -> int:
         # STRUCT cells (unhashable ndarray) — a gate emitting one is a
         # FAIL here even though canon() below would survive it, so the
         # local replay is at least as strict as the driver (VERDICT r9).
+        # DECIMAL is banned for the same reason: DuckDB renders it as
+        # DOUBLE, so the renders drift even when values match.
         complex_cols = [
-            f"{r[0]}:{r[1]}" for r in con.execute(
-                f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'"
-            ).fetchall()
-            if "[]" in r[1] or "STRUCT" in r[1] or "MAP" in r[1]]
+            f"{f.name}:{f.type}" for f in tbl.schema
+            if (pa.types.is_list(f.type) or pa.types.is_large_list(f.type)
+                or pa.types.is_struct(f.type) or pa.types.is_map(f.type)
+                or pa.types.is_decimal(f.type))]
         if complex_cols:
             results[name] = ("COMPLEX-TYPE-OUTPUT (driver comparator "
                              f"cannot sort these): {complex_cols}")
