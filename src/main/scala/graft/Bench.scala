@@ -55,8 +55,12 @@ object Bench {
       // 10.8 → 51.3 → 104.6 s purely from leaked checkpoint blocks;
       // j_bucketed_colocated 82.6/14.2/11.0 the same class). Unpersist
       // them all so rep N starts from rep-1 block-manager state.
+      // BLOCKING, deliberately: unpersist(false) enqueues async block
+      // removal that bleeds INTO the next timed span (measured:
+      // m_entity_pagerank 8.8 s with async vs 4.4 s blocking vs 5.0 s
+      // with no unpersist at all — the hygiene must finish out here).
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       // streaming gates load HDFS-backed state-store providers keyed by
       // their (per-run, already-deleted) checkpoint dirs; the providers'
       // in-memory state maps linger until the maintenance task notices.

@@ -1632,6 +1632,160 @@ object Stats {
           "power(abs(cast(n10 as double) - cast(n01 as double)) - 1.0D, " +
           "2) / cast(n10 + n01 as double) end"), 6).as("chi2"))
 
+  /** COCHRAN–ARMITAGE TREND TEST (Cochran 1954, Armitage 1955) for a
+    * monotone dose–response in proportions across ORDERED groups —
+    * the right test when "does the failure rate climb with priority
+    * tier?" is the question (a plain χ² ignores the ordering and
+    * throws away exactly the signal asked about):
+    *
+    *   T = Σ sᵢ(rᵢ − nᵢ·R/N),   Var = p(1−p)(Σ sᵢ²nᵢ − (Σ sᵢnᵢ)²/N)
+    *
+    * with group scores sᵢ, per-group trials nᵢ / successes rᵢ, and
+    * p = R/N; z = T/√Var against the standard normal.
+    *
+    * DETERMINISM: all six moments (N, R, Σsn, Σs²n, Σsr, groups) are
+    * exact BIGINT sums in one hash aggregate + one fold; T and z are
+    * ONE IEEE expression each, mirrored textually. Null scores or
+    * outcomes drop. Returns one row (n_groups, n, r, t_stat, z —
+    * null z on a degenerate p or zero variance).
+    */
+  def cochranArmitage(df: DataFrame, score: Column, outcome: Column)
+      : DataFrame =
+    df.filter(score.isNotNull && outcome.isNotNull)
+      .select(score.cast("long").as("s"),
+        outcome.cast("boolean").cast("long").as("y"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("ni"), sum(col("y")).as("ri"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("ni")).as("n"),
+        sum(col("ri")).as("r"),
+        sum(col("s") * col("ni")).as("sn"),
+        sum(col("s") * col("s") * col("ni")).as("s2n"),
+        sum(col("s") * col("ri")).as("sr"))
+      .select(col("n_groups"), col("n"), col("r"),
+        round(expr("cast(sr as double) - cast(r as double) / " +
+          "cast(n as double) * cast(sn as double)"), 6).as("t_stat"),
+        round(expr("case when r > 0 and r < n and " +
+          "cast(s2n as double) - cast(sn as double) * " +
+          "cast(sn as double) / cast(n as double) > 0.0 then " +
+          "(cast(sr as double) - cast(r as double) / " +
+          "cast(n as double) * cast(sn as double)) / " +
+          "sqrt((cast(r as double) / cast(n as double)) * " +
+          "(1.0D - cast(r as double) / cast(n as double)) * " +
+          "(cast(s2n as double) - cast(sn as double) * " +
+          "cast(sn as double) / cast(n as double))) end"), 6).as("z"))
+
+  /** MANTEL–HAENSZEL pooled odds ratio (Mantel & Haenszel 1959)
+    * across strata of 2×2 tables — the stratified exposure→outcome
+    * readout that a raw pooled table gets WRONG when strata differ in
+    * base rates (Simpson's reversal):
+    *
+    *   OR_MH = Σᵢ(aᵢdᵢ/nᵢ) / Σᵢ(bᵢcᵢ/nᵢ)
+    *
+    * over per-stratum cells a (exposed∧outcome), b (exposed∧¬outcome),
+    * c (¬exposed∧outcome), d (neither).
+    *
+    * Also emits the COCHRAN–MANTEL–HAENSZEL test of conditional
+    * independence (continuity-corrected):
+    *
+    *   χ²_CMH = (|Σaᵢ − ΣEᵢ| − ½)² / ΣVᵢ,
+    *   Eᵢ = (aᵢ+bᵢ)(aᵢ+cᵢ)/nᵢ,
+    *   Vᵢ = (aᵢ+bᵢ)(cᵢ+dᵢ)(aᵢ+cᵢ)(bᵢ+dᵢ)/(nᵢ²(nᵢ−1))
+    *
+    * DETERMINISM: cells are BIGINT counts in one hash aggregate; each
+    * stratum's ad/n, bc/n, E and V terms round(,9) into DECIMAL
+    * before the order-free sums; OR and χ² are single IEEE
+    * expressions. Single-row strata contribute no variance (the
+    * n > 1 guard). Null exposure/outcome rows drop. Returns one row
+    * (n_strata, n, sum_ad, sum_bc, or_mh, o_a, e_a, v_a, chi2_cmh —
+    * null readouts when the denominators vanish).
+    */
+  def mantelHaenszel(df: DataFrame, strataCol: String,
+      exposure: Column, outcome: Column): DataFrame =
+    df.filter(exposure.isNotNull && outcome.isNotNull)
+      .select(col(strataCol).as("g"), exposure.cast("boolean").as("e"),
+        outcome.cast("boolean").as("y"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("ni"),
+        sum(when(col("e") && col("y"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("e") && !col("y"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("e") && col("y"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("e") && !col("y"), 1L).otherwise(0L)).as("dd"))
+      .agg(count(lit(1)).as("n_strata"), sum(col("ni")).as("n"),
+        sum(expr("cast(round(cast(a as double) * cast(dd as double) / " +
+          "cast(ni as double), 9) as decimal(28,9))")).as("ad"),
+        sum(expr("cast(round(cast(b as double) * cast(c as double) / " +
+          "cast(ni as double), 9) as decimal(28,9))")).as("bc"),
+        sum(col("a")).as("oa"),
+        sum(expr("cast(round(cast(a + b as double) * " +
+          "cast(a + c as double) / cast(ni as double), 9) " +
+          "as decimal(28,9))")).as("ea"),
+        sum(expr("case when ni > 1 then cast(round(" +
+          "cast(a + b as double) * cast(c + dd as double) * " +
+          "cast(a + c as double) * cast(b + dd as double) / " +
+          "(cast(ni as double) * cast(ni as double) * " +
+          "cast(ni - 1 as double)), 9) as decimal(28,9)) " +
+          "else cast(0 as decimal(28,9)) end")).as("va"))
+      .select(col("n_strata"), col("n"),
+        round(col("ad").cast("double"), 6).as("sum_ad"),
+        round(col("bc").cast("double"), 6).as("sum_bc"),
+        round(expr("case when bc > 0 then cast(ad as double) / " +
+          "cast(bc as double) end"), 6).as("or_mh"),
+        col("oa").as("o_a"),
+        round(col("ea").cast("double"), 6).as("e_a"),
+        round(col("va").cast("double"), 6).as("v_a"),
+        round(expr("case when va > 0 then " +
+          "power(abs(cast(oa as double) - cast(ea as double)) - 0.5, " +
+          "2) / cast(va as double) end"), 6).as("chi2_cmh"))
+
+  /** THEIL INDEX DECOMPOSITION by group — the property [[giniTheil]]'s
+    * doc promises: T = Σ_g share_g·T_g + T_between, with
+    * share_g = S_g/S (the group's value share), T_g the within-group
+    * Theil, and T_between = Σ_g share_g·ln(share_g/(n_g/n)) — "is the
+    * corpus's token inequality BETWEEN sources or INSIDE them?", the
+    * question that decides whether to rebalance sources or filter
+    * documents.
+    *
+    * DETERMINISM: per-(group, value) count tables; every logarithmic
+    * term rounds(,9) into DECIMAL before its order-free sum; shares
+    * and the readouts are single IEEE expressions over exact DECIMAL
+    * totals. Only x > 0 rows participate (the Theil domain). SCALE
+    * SHAPE: one (group, value) hash aggregate, one |groups|-row
+    * moment frame broadcast back, one |groups|-row readout. Returns
+    * one row per group (group, n, mean, share, theil_within,
+    * between_term) ordered by group.
+    */
+  def theilDecompose(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(col(groupCol).as("g"),
+        col(valueCol).cast("decimal(18,6)").as("v"))
+    val byGv = rows.groupBy("g", "v").agg(count(lit(1)).as("t"))
+    val byG = byGv.groupBy("g").agg(sum(col("t")).as("ng"),
+      sum(expr("cast(v * t as decimal(38,6))")).as("sg"))
+    val tot = byG.agg(sum(col("ng")).as("n"), sum(col("sg")).as("s"))
+    val within = byGv.join(byG, Seq("g"))
+      .withColumn("term", expr(
+        "cast(round(cast(t as double) * " +
+          "(cast(v as double) / (cast(sg as double) / " +
+          "cast(ng as double))) * " +
+          "ln(cast(v as double) / (cast(sg as double) / " +
+          "cast(ng as double))), 9) as decimal(28,9))"))
+      .groupBy("g").agg(sum(col("term")).as("tw"))
+    byG.join(within, Seq("g")).crossJoin(broadcast(tot))
+      .select(col("g").as(groupCol), col("ng").as("n"),
+        round(expr("cast(sg as double) / cast(ng as double)"), 6)
+          .as("mean"),
+        round(expr("cast(sg as double) / cast(s as double)"), 6)
+          .as("share"),
+        round(expr("cast(tw as double) / cast(ng as double)"), 6)
+          .as("theil_within"),
+        round(expr("(cast(sg as double) / cast(s as double)) * " +
+          "ln((cast(sg as double) / cast(s as double)) / " +
+          "(cast(ng as double) / cast(n as double)))"), 6)
+          .as("between_term"))
+      .orderBy(groupCol)
+  }
+
   /** CLASSIFICATION REPORT for a binary verdict — per class the
     * support / predicted / true-positive counts and precision /
     * recall / F1, plus overall accuracy on every row: the standard

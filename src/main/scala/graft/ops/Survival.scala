@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -85,6 +85,75 @@ object Survival {
         col("n_censored"),
         round(col("__ch").cast("double"), 6).as("cum_hazard"),
         round(exp(-col("__ch").cast("double")), 6).as("survival_fh"))
+
+  /** LOG-RANK TEST (Mantel 1966) between two survival curves — the
+    * standard "do these arms churn differently?" significance readout
+    * next to [[kaplanMeier]]'s curves: at each event time t with d_t
+    * total deaths, n_t at risk and n_{A,t} at risk in arm A,
+    *
+    *   O_A = Σ d_{A,t},   E_A = Σ d_t·n_{A,t}/n_t,
+    *   V = Σ d_t·(n_{A,t}/n_t)(1 − n_{A,t}/n_t)(n_t − d_t)/(n_t − 1)
+    *
+    * and χ² = (O_A − E_A)²/V against χ²₁. A user belongs to arm A iff
+    * ANY of their events satisfies `isA` (a per-user max — the
+    * "ever purchased" style of arm assignment).
+    *
+    * DETERMINISM: the lifetime/censor extraction is [[kaplanMeier]]'s
+    * exactly, carrying the exact per-arm death/censor BIGINT counts;
+    * at-risk counts are exact integer window sums; each E and V term
+    * rounds(,9) into DECIMAL before the horizon-sized fold; χ² is one
+    * IEEE expression. SCALE SHAPE: one hash aggregate on the user key,
+    * then everything on the horizon-sized duration table (the object
+    * doc's contract). Returns one row
+    * (n_users, n_a, o_a, e_a, v_a, chi2 — null χ² on zero variance).
+    */
+  def logRank(events: DataFrame, unitUs: Long, isA: Column,
+      censorLagUnits: Int = 2): DataFrame = {
+    val users = events.groupBy("user_id")
+      .agg(min("ts_us").as("__first"), max("ts_us").as("__last"),
+        max(isA.cast("boolean").cast("int")).as("__ga"))
+    val end = users.agg(max("__last").as("__end"))
+    val lifetimes = users.crossJoin(broadcast(end))
+      .select(expr(s"(__last - __first) div ${unitUs}L").as("t"),
+        (col("__last") < col("__end") - lit(censorLagUnits * unitUs))
+          .cast("int").as("__dead"), col("__ga"))
+      .localCheckpoint(false) // feeds the risk table AND the n/n_a fold
+    val byT = lifetimes.groupBy("t").agg(
+      sum("__dead").cast("long").as("d"),
+      sum(col("__ga") * col("__dead")).cast("long").as("da"),
+      count(lit(1)).cast("long").as("leave"),
+      sum("__ga").cast("long").as("leave_a"))
+    val wPrev = Window.partitionBy().orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy()
+    val risk = byT
+      .withColumn("n_at", sum(col("leave")).over(wTot) -
+        coalesce(sum(col("leave")).over(wPrev), lit(0L)))
+      .withColumn("na_at", sum(col("leave_a")).over(wTot) -
+        coalesce(sum(col("leave_a")).over(wPrev), lit(0L)))
+    risk.filter(col("d") > 0)
+      .select(col("d"), col("da"), col("n_at"), col("na_at"))
+      .agg(sum(col("da")).as("o_a"),
+        sum(expr("cast(round(cast(d as double) * " +
+          "cast(na_at as double) / cast(n_at as double), 9) " +
+          "as decimal(28,9))")).as("e_a"),
+        sum(expr("case when n_at > 1 then cast(round(" +
+          "cast(d as double) * " +
+          "(cast(na_at as double) / cast(n_at as double)) * " +
+          "(1.0D - cast(na_at as double) / cast(n_at as double)) * " +
+          "cast(n_at - d as double) / cast(n_at - 1 as double), 9) " +
+          "as decimal(28,9)) else cast(0 as decimal(28,9)) end"))
+          .as("va"))
+      .crossJoin(broadcast(lifetimes.agg(
+        count(lit(1)).as("n_users"), sum(col("__ga")).as("n_a"))))
+      .select(col("n_users"), col("n_a").cast("long").as("n_a"),
+        col("o_a"),
+        round(col("e_a").cast("double"), 6).as("e_a"),
+        round(col("va").cast("double"), 6).as("v_a"),
+        round(expr("case when va > 0 then " +
+          "power(cast(o_a as double) - cast(e_a as double), 2) / " +
+          "cast(va as double) end"), 6).as("chi2"))
+  }
 
   // Horizon-sized by construction (see object doc): unpartitioned
   // windows past the per-user aggregate are deliberate and safe.

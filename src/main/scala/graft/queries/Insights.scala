@@ -214,6 +214,62 @@ object Insights extends QueryModule {
                ROWS UNBOUNDED PRECEDING)), 6) END AS survival
       FROM f2""")),
 
+    // ---- Log-rank two-arm survival test (Survival.logRank): do
+    // ever-purchasers churn on a different curve? Same weekly
+    // lifetime/censor extraction as e_survival_km with a per-user arm
+    // flag; per-event-time E and hypergeometric V terms round(,9)
+    // into DECIMAL before the horizon-sized fold.
+    QueryDef("e_logrank_test", (s, d) => {
+      Survival.logRank(Tables.events(s, d), WeekUs,
+        col("event_type") === "purchase", censorLagUnits = 2)
+    }, Some("""
+      WITH u AS (SELECT user_id, MIN(epoch_us(ts)) AS f,
+                   MAX(epoch_us(ts)) AS l,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1
+                     ELSE 0 END) AS ga
+                 FROM events GROUP BY 1),
+      se AS (SELECT MAX(l) AS study_end FROM u),
+      lt AS (SELECT (l - f) // 604800000000 AS t,
+               CASE WHEN l < study_end - 2 * 604800000000 THEN 1 ELSE 0
+                 END AS dead, ga
+             FROM u CROSS JOIN se),
+      bt AS (SELECT t, CAST(SUM(dead) AS BIGINT) AS d,
+               CAST(SUM(ga * dead) AS BIGINT) AS da,
+               CAST(COUNT(*) AS BIGINT) AS leave,
+               CAST(SUM(ga) AS BIGINT) AS leave_a
+             FROM lt GROUP BY 1),
+      r AS (SELECT *,
+              CAST(SUM(leave) OVER () -
+                COALESCE(SUM(leave) OVER (ORDER BY t ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS n_at,
+              CAST(SUM(leave_a) OVER () -
+                COALESCE(SUM(leave_a) OVER (ORDER BY t ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS na_at
+            FROM bt),
+      a AS (SELECT CAST(SUM(da) AS BIGINT) AS o_a,
+              SUM(CAST(round(CAST(d AS DOUBLE) *
+                CAST(na_at AS DOUBLE) / CAST(n_at AS DOUBLE), 9)
+                AS DECIMAL(28,9))) AS e_a,
+              SUM(CASE WHEN n_at > 1 THEN CAST(round(
+                CAST(d AS DOUBLE) *
+                (CAST(na_at AS DOUBLE) / CAST(n_at AS DOUBLE)) *
+                (1.0 - CAST(na_at AS DOUBLE) / CAST(n_at AS DOUBLE)) *
+                CAST(n_at - d AS DOUBLE) / CAST(n_at - 1 AS DOUBLE), 9)
+                AS DECIMAL(28,9))
+                ELSE CAST(0 AS DECIMAL(28,9)) END) AS va
+            FROM r WHERE d > 0),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(ga) AS BIGINT) AS n_a FROM lt)
+      SELECT n_users, n_a, o_a,
+        round(CAST(e_a AS DOUBLE), 6) AS e_a,
+        round(CAST(va AS DOUBLE), 6) AS v_a,
+        round(CASE WHEN va > 0 THEN
+          power(CAST(o_a AS DOUBLE) - CAST(e_a AS DOUBLE), 2) /
+          CAST(va AS DOUBLE) END, 6) AS chi2
+      FROM a CROSS JOIN nn""")),
+
     // ---- Nelson–Aalen cumulative hazard (Survival.nelsonAalen): the
     // KM alternative over the SAME weekly lifetime extraction — hazard
     // increments round(,9) into DECIMAL(18,9) so the cumulative sum is
@@ -1352,6 +1408,100 @@ object Insights extends QueryModule {
           power(abs(CAST(n10 AS DOUBLE) - CAST(n01 AS DOUBLE)) - 1.0,
           2) / CAST(n10 + n01 AS DOUBLE) END, 6) AS chi2
       FROM c""")),
+
+    // ---- Cochran–Armitage trend test (Stats.cochranArmitage): does
+    // the unfinished-order rate trend across the ordered priority
+    // tiers (score = the tier digit)? Exact BIGINT moment sums, one
+    // mirrored IEEE z.
+    QueryDef("a_cochran_armitage", (s, d) => {
+      graft.ops.Stats.cochranArmitage(t(s, d, "orders"),
+        substring(col("o_orderpriority"), 1, 1).cast("long"),
+        col("o_orderstatus") === "F")
+    }, Some("""
+      WITH r AS (SELECT CAST(substring(o_orderpriority, 1, 1)
+                   AS BIGINT) AS s,
+                   CAST(o_orderstatus = 'F' AS BIGINT) AS y
+                 FROM orders
+                 WHERE o_orderpriority IS NOT NULL
+                   AND o_orderstatus IS NOT NULL),
+      g AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS ni,
+              CAST(SUM(y) AS BIGINT) AS ri FROM r GROUP BY 1),
+      a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+              CAST(SUM(ni) AS BIGINT) AS n,
+              CAST(SUM(ri) AS BIGINT) AS r,
+              CAST(SUM(s * ni) AS BIGINT) AS sn,
+              CAST(SUM(s * s * ni) AS BIGINT) AS s2n,
+              CAST(SUM(s * ri) AS BIGINT) AS sr
+            FROM g)
+      SELECT n_groups, n, r,
+        round(CAST(sr AS DOUBLE) - CAST(r AS DOUBLE) /
+          CAST(n AS DOUBLE) * CAST(sn AS DOUBLE), 6) AS t_stat,
+        round(CASE WHEN r > 0 AND r < n AND
+          CAST(s2n AS DOUBLE) - CAST(sn AS DOUBLE) *
+          CAST(sn AS DOUBLE) / CAST(n AS DOUBLE) > 0.0 THEN
+          (CAST(sr AS DOUBLE) - CAST(r AS DOUBLE) /
+          CAST(n AS DOUBLE) * CAST(sn AS DOUBLE)) /
+          sqrt((CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) *
+          (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) *
+          (CAST(s2n AS DOUBLE) - CAST(sn AS DOUBLE) *
+          CAST(sn AS DOUBLE) / CAST(n AS DOUBLE))) END, 6) AS z
+      FROM a""")),
+
+    // ---- Mantel–Haenszel pooled odds ratio (Stats.mantelHaenszel):
+    // big-ticket → unfinished-status association pooled ACROSS
+    // priority strata — the Simpson-safe stratified 2×2 readout;
+    // per-stratum ad/n and bc/n round(,9) into DECIMAL before the
+    // order-free sums.
+    QueryDef("a_mantel_haenszel", (s, d) => {
+      graft.ops.Stats.mantelHaenszel(t(s, d, "orders"),
+        "o_orderpriority", col("o_totalprice") >= 150000,
+        col("o_orderstatus") === "F")
+    }, Some("""
+      WITH r AS (SELECT o_orderpriority AS g,
+                   o_totalprice >= 150000 AS e,
+                   o_orderstatus = 'F' AS y
+                 FROM orders
+                 WHERE o_totalprice IS NOT NULL
+                   AND o_orderstatus IS NOT NULL),
+      g2 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ni,
+               CAST(SUM(CASE WHEN e AND y THEN 1 ELSE 0 END)
+                 AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN e AND NOT y THEN 1 ELSE 0 END)
+                 AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN NOT e AND y THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN NOT e AND NOT y THEN 1 ELSE 0 END)
+                 AS BIGINT) AS dd
+             FROM r GROUP BY 1),
+      a2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+               CAST(SUM(ni) AS BIGINT) AS n,
+               SUM(CAST(round(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE) /
+                 CAST(ni AS DOUBLE), 9) AS DECIMAL(28,9))) AS ad,
+               SUM(CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) /
+                 CAST(ni AS DOUBLE), 9) AS DECIMAL(28,9))) AS bc,
+               CAST(SUM(a) AS BIGINT) AS oa,
+               SUM(CAST(round(CAST(a + b AS DOUBLE) *
+                 CAST(a + c AS DOUBLE) / CAST(ni AS DOUBLE), 9)
+                 AS DECIMAL(28,9))) AS ea,
+               SUM(CASE WHEN ni > 1 THEN CAST(round(
+                 CAST(a + b AS DOUBLE) * CAST(c + dd AS DOUBLE) *
+                 CAST(a + c AS DOUBLE) * CAST(b + dd AS DOUBLE) /
+                 (CAST(ni AS DOUBLE) * CAST(ni AS DOUBLE) *
+                 CAST(ni - 1 AS DOUBLE)), 9) AS DECIMAL(28,9))
+                 ELSE CAST(0 AS DECIMAL(28,9)) END) AS va
+             FROM g2)
+      SELECT n_strata, n,
+        round(CAST(ad AS DOUBLE), 6) AS sum_ad,
+        round(CAST(bc AS DOUBLE), 6) AS sum_bc,
+        round(CASE WHEN bc > 0 THEN CAST(ad AS DOUBLE) /
+          CAST(bc AS DOUBLE) END, 6) AS or_mh,
+        oa AS o_a,
+        round(CAST(ea AS DOUBLE), 6) AS e_a,
+        round(CAST(va AS DOUBLE), 6) AS v_a,
+        round(CASE WHEN va > 0 THEN
+          power(abs(CAST(oa AS DOUBLE) - CAST(ea AS DOUBLE)) - 0.5,
+          2) / CAST(va AS DOUBLE) END, 6) AS chi2_cmh
+      FROM a2""")),
 
     // ---- Classification report (Stats.classificationReport):
     // per-class precision/recall/F1 + accuracy of the "high-value ⇒

@@ -2363,6 +2363,45 @@ object Pipeline extends QueryModule {
           AS theil
       FROM tm CROSS JOIN tt""")),
 
+    // ---- Theil decomposition by source (Stats.theilDecompose): is
+    // token inequality BETWEEN sources or INSIDE them — the rebalance-
+    // vs-filter decision; log terms round(,9) into DECIMAL before
+    // every order-free sum.
+    QueryDef("t_theil_decompose", (s, d) => {
+      graft.ops.Stats.theilDecompose(
+        docs(s, d).select(col("source"),
+          size(expr(tokensSql)).cast("long").as("n_tokens")),
+        "source", "n_tokens")
+    }, Some("""
+      WITH r AS (SELECT source AS g,
+               CAST(CAST(len(regexp_extract_all(lower(text),
+                 '[a-z0-9]+')) AS BIGINT) AS DECIMAL(18,6)) AS v
+             FROM documents
+             WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+      gv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t
+             FROM r GROUP BY 1, 2),
+      bg AS (SELECT g, CAST(SUM(t) AS BIGINT) AS ng,
+               SUM(CAST(v * t AS DECIMAL(38,6))) AS sg
+             FROM gv GROUP BY 1),
+      tt AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, SUM(sg) AS s FROM bg),
+      wi AS (SELECT gv.g, SUM(CAST(round(
+               CAST(t AS DOUBLE) *
+               (CAST(v AS DOUBLE) / (CAST(sg AS DOUBLE) /
+               CAST(ng AS DOUBLE))) *
+               ln(CAST(v AS DOUBLE) / (CAST(sg AS DOUBLE) /
+               CAST(ng AS DOUBLE))), 9) AS DECIMAL(28,9))) AS tw
+             FROM gv JOIN bg ON gv.g = bg.g GROUP BY 1)
+      SELECT bg.g AS source, ng AS n,
+        round(CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE), 6) AS mean,
+        round(CAST(sg AS DOUBLE) / CAST(s AS DOUBLE), 6) AS share,
+        round(CAST(tw AS DOUBLE) / CAST(ng AS DOUBLE), 6)
+          AS theil_within,
+        round((CAST(sg AS DOUBLE) / CAST(s AS DOUBLE)) *
+          ln((CAST(sg AS DOUBLE) / CAST(s AS DOUBLE)) /
+          (CAST(ng AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS between_term
+      FROM bg JOIN wi ON bg.g = wi.g CROSS JOIN tt
+      ORDER BY source""")),
+
     // ---- Hill power-law tail index of per-doc token counts
     // (Stats.hillTail): top-101 order statistics, log ratios
     // round(,9) into DECIMAL, one mirrored IEEE division.

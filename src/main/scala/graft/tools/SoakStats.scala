@@ -196,9 +196,18 @@ object SoakStats {
       pcBase match {
         case None => pcBase = Some(pcRows)
         case Some(b) =>
-          assert(pcRows.map(r => (r._1, r._2)) ==
-            b.map(r => (r._1, r._2)),
-            s"PCA loadings not scale-invariant at $scale")
+          // loadings match to ONE display ulp, not bit-exactly: each
+          // round quantizes w and its norm at 9 decimals, and the
+          // ×scale sums land on different round-9 boundaries — the
+          // w/nrm ratio can flip the 6th display decimal (measured:
+          // dims 5 and 13 off by exactly 1e-6 at 10×). The Theil–Sen
+          // display-quantum precedent above; λ stays exact ×scale.
+          assert(pcRows.map(_._1) == b.map(_._1),
+            s"PCA dim grid changed at $scale")
+          pcRows.zip(b).foreach { case (r, rb) =>
+            assert(math.abs(r._2 - rb._2) <= 1e-6 + 1e-12,
+              s"PCA loading drifted beyond a display ulp at $scale: " +
+                s"dim ${r._1} ${r._2} vs ${rb._2}") }
           assert(math.abs(pcRows.head._3 - b.head._3 * scale) <=
             1e-5 * scale,
             s"PCA lambda not ×scale at $scale: ${pcRows.head._3} vs " +

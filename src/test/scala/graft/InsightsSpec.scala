@@ -145,6 +145,29 @@ class InsightsSpec extends AnyFunSuite {
       (10L, 1L, 0L, 1L, 0.5)))
   }
 
+  test("logRank: hand-computed two-arm O/E/V on the KM-style fixture") {
+    val s = spark; import s.implicits._
+    // unit=10us, lag=2, end=100 → dead iff last < 80. Arm A = users
+    // with a 'buy' event (1,2,3). Lifetimes: A: 0†,1†,10c; B: 0†,2†,9c
+    // event times t=0 (d=2, dA=1, n=6, nA=3), t=1 (1,1,4,2),
+    // t=2 (1,0,3,1) → O_A=2, E_A=1+.5+.333333333, V=.4+.25+.222222222
+    val e = Seq(
+      (1L, 0L, "buy"), (1L, 5L, "x"),
+      (2L, 0L, "buy"), (2L, 15L, "x"),
+      (3L, 0L, "x"), (3L, 100L, "buy"),
+      (4L, 0L, "x"), (4L, 5L, "x"),
+      (5L, 0L, "x"), (5L, 25L, "x"),
+      (6L, 0L, "x"), (6L, 95L, "x"))
+      .toDF("user_id", "ts_us", "etype")
+    val out = Survival.logRank(e, unitUs = 10L,
+      col("etype") === "buy", censorLagUnits = 2).collect().head
+    assert(out.getLong(0) === 6L && out.getLong(1) === 3L)
+    assert(out.getLong(2) === 2L)
+    assert(out.getDouble(3) === 1.833333)
+    assert(out.getDouble(4) === 0.872222)
+    assert(out.getDouble(5) === 0.031847)
+  }
+
   test("kaplanMeier: an exhausted risk set pins the curve at exactly 0") {
     val s = spark; import s.implicits._
     // negative lag marks even the study-end user dead → everyone dies

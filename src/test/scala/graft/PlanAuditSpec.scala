@@ -235,7 +235,23 @@ class PlanAuditSpec extends AnyFunSuite {
     // sim_pca_power / sim_pca_debias: the six 1-row norm frames
     // crossed into the d-row normalization (the m_logistic_newton
     // per-round 1-row shape)
-    "sim_pca_power", "sim_pca_debias")
+    "sim_pca_power", "sim_pca_debias",
+    // a_trimmed_mean / t_gini_tokens / o18_token_budget: the two-phase
+    // running-sum triangular offset join (the a_mann_whitney shape) +
+    // 1-row bounds/totals frames crossed into the readout
+    "a_trimmed_mean", "t_gini_tokens", "o18_token_budget",
+    // t_hill_tail: the 1-row threshold frame crossed into the bounded
+    // top-(k+1) set (the a_grubbs 1-row-moments shape)
+    "t_hill_tail",
+    // m_class_report: the 1-row confusion fold crossed into the fixed
+    // 2-row class spine (the q_benford bounded-spine shape)
+    "m_class_report",
+    // t_theil_decompose: the 1-row grand-totals frame crossed into
+    // the |groups|-row readout (the t_domain_mix shape)
+    "t_theil_decompose",
+    // e_logrank_test: the 1-row study-end and user-count frames
+    // crossed into the horizon-sized fold (the e_hazard_na shape)
+    "e_logrank_test")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -434,7 +450,25 @@ class PlanAuditSpec extends AnyFunSuite {
     "pipe_feature_store",
     // sim_pca_power / sim_pca_debias: the six 1-row norm folds over
     // the d-row weight frame (one bounded partial per partition)
-    "sim_pca_power", "sim_pca_debias")
+    "sim_pca_power", "sim_pca_debias",
+    // a_trimmed_mean / t_gini_tokens / o18_token_budget: the 1-row
+    // bounds / totals / kept-sum folds over the distinct-value or
+    // running-sum table (the a_mann_whitney one-row-fold shape)
+    "a_trimmed_mean", "t_gini_tokens", "o18_token_budget",
+    // t_hill_tail: the 1-row threshold/h folds over the bounded
+    // top-(k+1) set, plus the k+1-row TakeOrdered itself
+    "t_hill_tail",
+    // a_mcnemar / m_class_report: the 1-row confusion fold (one
+    // bounded partial per partition — the a_cohens_kappa shape)
+    "a_mcnemar", "m_class_report",
+    // a_cochran_armitage / a_mantel_haenszel: the 1-row six-moment /
+    // pooled-term folds over the |groups|/|strata|-row cell tables
+    // (the a_brown_forsythe shape); t_theil_decompose: the 1-row
+    // grand-totals fold over the |groups|-row moment frame
+    "a_cochran_armitage", "a_mantel_haenszel", "t_theil_decompose",
+    // e_logrank_test: the horizon-sized at-risk windows + the 1-row
+    // O/E/V fold (the e_survival_km / e_hazard_na shape)
+    "e_logrank_test")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

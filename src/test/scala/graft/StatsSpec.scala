@@ -689,6 +689,67 @@ class StatsSpec extends AnyFunSuite {
     assert(out.getDouble(3) === 0.961797) // k/h
   }
 
+  test("cochranArmitage: hand-computed linear dose-response; " +
+    "degenerate all-success reads null z") {
+    val s = spark; import s.implicits._
+    // s=1: 1/4, s=2: 2/4, s=3: 3/4 → T = 14 − 0.5·24 = 2,
+    // Var = 0.25·(56 − 48) = 2, z = √2
+    val rows = (1 to 3).flatMap(sc => (1 to 4).map(i =>
+      (sc.toLong, i <= sc)))
+    val out = Stats.cochranArmitage(rows.toDF("s", "y"), col("s"),
+      col("y")).collect().head
+    assert(out.getLong(0) === 3L && out.getLong(1) === 12L &&
+      out.getLong(2) === 6L)
+    assert(out.getDouble(3) === 2.0)
+    assert(out.getDouble(4) === 1.414214)
+    // every trial a success → p(1−p) = 0 → null z
+    val degen = Stats.cochranArmitage(
+      Seq((1L, true), (2L, true)).toDF("s", "y"), col("s"), col("y"))
+      .collect().head
+    assert(degen.isNullAt(4))
+  }
+
+  test("mantelHaenszel: two hand-built strata pool to OR 2.2; " +
+    "zero discordant mass reads null") {
+    val s = spark; import s.implicits._
+    // stratum A: a=2 b=1 c=1 d=2 (n=6); stratum B: a=b=c=d=1 (n=4)
+    // Σad/n = 2/3 + 1/4, Σbc/n = 1/6 + 1/4 → OR = 2.2
+    val rows =
+      Seq.fill(2)(("A", true, true)) ++ Seq(("A", true, false)) ++
+      Seq(("A", false, true)) ++ Seq.fill(2)(("A", false, false)) ++
+      Seq(("B", true, true), ("B", true, false), ("B", false, true),
+        ("B", false, false))
+    val out = Stats.mantelHaenszel(rows.toDF("g", "e", "y"), "g",
+      col("e"), col("y")).collect().head
+    assert(out.getLong(0) === 2L && out.getLong(1) === 10L)
+    assert(out.getDouble(2) === 0.916667 && out.getDouble(3) === 0.416667)
+    assert(out.getDouble(4) === 2.2)
+    // CMH: ΣO = 3, ΣE = 1.5 + 1, ΣV = 81/180 + 1/3 → the half-unit
+    // continuity correction exactly absorbs the 0.5 excess → χ² = 0
+    assert(out.getLong(5) === 3L)
+    assert(out.getDouble(6) === 2.5)
+    assert(out.getDouble(7) === 0.783333)
+    assert(out.getDouble(8) === 0.0)
+  }
+
+  test("theilDecompose: within-constant groups put ALL inequality in " +
+    "the between terms, which sum to the total Theil") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", 2L), ("a", 2L), ("b", 4L), ("b", 4L))
+      .toDF("g", "x")
+    val out = Stats.theilDecompose(df, "g", "x").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.map(_._1).toSeq === Seq("a", "b"))
+    assert(out.forall(_._4 === 0.0)) // constant within → zero T_g
+    assert(out(0)._3 === 0.333333 && out(1)._3 === 0.666667)
+    // decomposition identity: Σ between_term == total Theil (within 0)
+    val total = Stats.giniTheil(df, "x").collect().head.getDouble(4)
+    val between = out.map(_._5).sum
+    assert(math.abs(between - total) < 2e-6,
+      s"between sum $between != total $total")
+  }
+
   test("classificationReport: fixed 2-row spine, per-class P/R/F1 " +
     "and shared accuracy from one confusion fold") {
     val s = spark; import s.implicits._
