@@ -1758,6 +1758,54 @@ object EventAnalytics {
       .orderBy(keyCol)
   }
 
+  /** MANN–KENDALL TREND TEST (Mann 1945, Kendall 1975) per zero-filled
+    * daily count series — the significance companion of [[theilSen]]
+    * (Theil–Sen answers "how steep?", MK answers "is there a trend at
+    * all?" without assuming a distribution):
+    *
+    *   S = Σ_{i<j} sign(n_j − n_i),
+    *   Var(S) = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)) / 18,
+    *   z = (S ∓ 1)/√Var   (continuity-corrected, 0 at S = 0)
+    *
+    * with the tie term over runs of equal daily counts.
+    *
+    * DETERMINISM: S and the tie sum are exact BIGINT folds (signs of
+    * integer differences; tie runs off a per-key value-count
+    * aggregate); z is ONE IEEE expression. SCALE SHAPE: the pair
+    * frame is the triangular self-join of the CALENDAR-bounded daily
+    * table per key (the [[theilSen]] contract — days choose 2, never
+    * event-count-sized); the tie table is per-(key, count) — also
+    * bounded. Returns one row per key (key, n_days, s, var_s, z)
+    * ordered by key.
+    */
+  def mannKendall(events: DataFrame, keyCol: String): DataFrame = {
+    val filled = zeroFilledDaily(events, keyCol)
+    val rhs = filled.select(col("k").as("k2"), col("day").as("db"),
+      col("n").as("nb"))
+    val sFold = filled
+      .select(col("k"), col("day").as("da"), col("n").as("na"))
+      .join(rhs, col("k2") === col("k") && col("db") > col("da"))
+      .groupBy("k")
+      .agg(sum(signum(col("nb") - col("na")).cast("long")).as("s"))
+    val ties = filled.groupBy("k", "n").agg(count(lit(1)).as("t"))
+      .groupBy("k")
+      .agg(sum(col("t")).as("nd"),
+        sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie"))
+    sFold.join(ties, Seq("k"))
+      .select(col("k").as(keyCol), col("nd").as("n_days"), col("s"),
+        round(expr("(cast(nd as double) * (nd - 1) * (2 * nd + 5) - " +
+          "cast(tie as double)) / 18.0D"), 6).as("var_s"),
+        round(expr("case when " +
+          "(cast(nd as double) * (nd - 1) * (2 * nd + 5) - " +
+          "cast(tie as double)) / 18.0D > 0.0 then " +
+          "case when s > 0 then (cast(s as double) - 1.0D) else " +
+          "case when s < 0 then (cast(s as double) + 1.0D) " +
+          "else 0.0D end end / " +
+          "sqrt((cast(nd as double) * (nd - 1) * (2 * nd + 5) - " +
+          "cast(tie as double)) / 18.0D) end"), 6).as("z"))
+      .orderBy(keyCol)
+  }
+
   /** PACF (lags 1–3, Durbin–Levinson closed forms) + the Yule–Walker
     * AR(2) fit from each key's daily-count autocorrelations — the
     * model-identification readout next to [[acfLjungBox]]'s raw ACF:

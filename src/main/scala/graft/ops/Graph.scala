@@ -283,6 +283,49 @@ object Graph {
     * Returns (node, auth, hub) over the edge-incident node set; nodes
     * touching no edge carry no meaningful HITS score and are excluded.
     */
+  /** FIXED-ROUND KATZ CENTRALITY (Katz 1953) in the [[pageRank]]
+    * integer micro-unit scheme: r₀ = 10⁶ per node and
+    *
+    *   r'(v) = 10⁶ + (Σ_{u→v} r(u)·w(u,v)) div alphaDiv
+    *
+    * — the truncated Katz sum Σ_{k≤rounds} α^k (Aᵀ)^k·1 with
+    * α = 1/alphaDiv, counting weighted in-paths of every length with
+    * geometric decay. Unlike [[pageRank]] there is no out-degree
+    * normalization (a node's influence is NOT diluted by fan-out) and
+    * no teleport — the "how reachable is this node" reading.
+    *
+    * DETERMINISM: every round is pure BIGINT (multiply, sum, one
+    * truncating div) — bit-stable on any partitioning; the oracle
+    * unrolls every round. OVERFLOW BOUND: scores grow by up to a
+    * factor (max weighted in-degree)/alphaDiv per round; ANSI mode
+    * throws (never wraps) when a hub's level-k path mass exceeds
+    * 2⁶³/10⁶ — keep rounds small (3–4) on hub-heavy graphs or raise
+    * alphaDiv. SCALE SHAPE: per round one keyed equi-join of the rank
+    * table against the pinned edge list + one hash aggregate + one
+    * left join back to the node set — the [[pageRank]] round shape.
+    *
+    * Returns (node, rank) over the edge-incident node set.
+    */
+  def katz(edges: DataFrame, rounds: Int, alphaDiv: Int = 5)
+      : DataFrame = {
+    require(rounds >= 1 && rounds <= 8, "rounds in 1..8")
+    require(alphaDiv >= 2, "alphaDiv >= 2 (alpha < 1)")
+    val ew = pinnedEdges(edges)
+    val nodes = ew.select(col("src").as("node"))
+      .unionByName(ew.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    var r = nodes.select(col("node"), lit(1000000L).as("rank"))
+    for (_ <- 1 to rounds) {
+      val contrib = ew.join(r, ew("src") === r("node"))
+        .select(col("dst").as("node"), expr("rank * w").as("c"))
+        .groupBy("node").agg(sum("c").as("sc"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), (lit(1000000L) +
+          expr(s"coalesce(sc, 0L) div $alphaDiv")).as("rank"))
+    }
+    r
+  }
+
   def hits(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges

@@ -219,6 +219,37 @@ object Sampling {
       .select(col(keyCol), col("epoch"),
         (col("__ord") - col("epoch") * col("__n")).as("pos"))
   }
+
+  /** PROPORTIONAL SOURCE INTERLEAVE — the training-order layout that
+    * spreads every source evenly through one epoch instead of
+    * concatenating them (a model fed source-by-source drifts toward
+    * whatever came last): document o of n_s from a source lands at
+    * fractional position (2o − 1)/(2n_s) ∈ (0, 1), the midpoint rule,
+    * so each source's documents sit at its own uniform grid and the
+    * global (pos, source, id) order interleaves all sources
+    * proportionally — a 10%-of-corpus source appears ~every 10th
+    * document, deterministically.
+    *
+    * DETERMINISM: o and n_s are exact keyed window integers; pos
+    * rounds(,9) once and ties (only across sources) break on
+    * (source, id). SCALE SHAPE: one keyed row_number + one keyed
+    * count window per source — no global window, no shuffle beyond
+    * the source partitioning; the global interleave ORDER is the
+    * consumer's sort (training writers sort within shards anyway).
+    * Returns (pos, source, id) — one row per document.
+    */
+  def sourceInterleave(df: DataFrame, idCol: String, srcCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("id")
+    df.select(col(srcCol).as("source"), col(idCol).as("id"))
+      .withColumn("o", row_number().over(w).cast("long"))
+      .withColumn("ns", count(lit(1))
+        .over(Window.partitionBy("source")).cast("long"))
+      .select(round(expr("cast(2 * o - 1 as double) / " +
+        "cast(2 * ns as double)"), 9).as("pos"),
+        col("source"), col("id"))
+  }
 }
 
 /** Column-level data profiling — the data-quality pass an ingest runs

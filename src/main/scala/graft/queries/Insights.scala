@@ -617,6 +617,25 @@ object Insights extends QueryModule {
         ord - epoch * n AS pos
       FROM o CROSS JOIN n ORDER BY epoch, pos""")),
 
+    // ---- Proportional source interleave (Sampling.sourceInterleave):
+    // the training-order layout — doc o of n_s lands at the midpoint
+    // position (2o−1)/(2n_s), so every source spreads uniformly
+    // through one epoch; keyed windows only, pos round-9 once.
+    QueryDef("o19_source_interleave", (s, d) => {
+      graft.ops.Sampling.sourceInterleave(t(s, d, "documents"),
+        "doc_id", "source")
+        .orderBy("pos", "source", "id")
+    }, Some("""
+      WITH q AS (SELECT source,
+               CAST(doc_id AS BIGINT) AS id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY doc_id) AS BIGINT) AS o,
+               CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+             FROM documents)
+      SELECT round(CAST(2 * o - 1 AS DOUBLE) /
+          CAST(2 * ns AS DOUBLE), 9) AS pos, source, id
+      FROM q ORDER BY pos, source, id""")),
+
     // ---- ROC AUC (Stats.rocAuc): does the event value rank purchases
     // above other events? The rank-sum identity AUC = U₊/(n₊n₋) over
     // average ranks — the a_mann_whitney machinery re-read as a model

@@ -3508,6 +3508,38 @@ object Pipeline extends QueryModule {
       FROM a3 JOIN h3 USING (node)
       ORDER BY auth DESC, hub DESC, node""")),
 
+    // ---- Fixed-round Katz centrality over the bigram word graph
+    // (graft.ops.Graph.katz): the truncated Σ α^k (Aᵀ)^k·1 reachability
+    // score in pure BIGINT micro-units (α = 1/5, truncating div per
+    // round) — no out-degree dilution, no teleport; the oracle unrolls
+    // all 3 rounds.
+    QueryDef("g_katz_centrality", (s, d) => {
+      graft.ops.Graph.katz(graft.ops.Graph.wordGraph(docs(s, d)), 3)
+        .orderBy(desc("rank"), asc("node"))
+    }, Some("""
+      WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                    FROM documents),
+      pairs AS (SELECT unnest(list_transform(range(1, len(tk)),
+                  i -> {'src': tk[i], 'dst': tk[i+1]})) AS p FROM toks),
+      e AS (SELECT p.src AS src, p.dst AS dst, CAST(COUNT(*) AS BIGINT) AS w
+            FROM pairs WHERE p.src <> p.dst GROUP BY 1, 2),
+      nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e) z),
+      k0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+      k1 AS (SELECT n.node, CAST(1000000 + COALESCE(SUM(p.rank * e.w),
+               0) // 5 AS BIGINT) AS rank
+             FROM nodes n LEFT JOIN e ON e.dst = n.node
+               LEFT JOIN k0 p ON p.node = e.src GROUP BY 1),
+      k2 AS (SELECT n.node, CAST(1000000 + COALESCE(SUM(p.rank * e.w),
+               0) // 5 AS BIGINT) AS rank
+             FROM nodes n LEFT JOIN e ON e.dst = n.node
+               LEFT JOIN k1 p ON p.node = e.src GROUP BY 1),
+      k3 AS (SELECT n.node, CAST(1000000 + COALESCE(SUM(p.rank * e.w),
+               0) // 5 AS BIGINT) AS rank
+             FROM nodes n LEFT JOIN e ON e.dst = n.node
+               LEFT JOIN k2 p ON p.node = e.src GROUP BY 1)
+      SELECT node, rank FROM k3 ORDER BY rank DESC, node""")),
+
     // ---- Adamic–Adar link prediction over the bigram word graph
     // (graft.ops.Graph.linkPrediction): non-adjacent token pairs scored
     // by inverse-log-degree-weighted shared neighbors; hub centers

@@ -802,6 +802,29 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(lo.getLong(4) === 3L)
   }
 
+  test("mannKendall: strictly rising series reads S = pairs; " +
+    "constant series zeroes the variance to a null z") {
+    val s = spark; import s.implicits._
+    // daily counts 1,2,3,4,5 → S = 10, no ties, Var = 300/18,
+    // z = (10−1)/√16.6667
+    val rising = (0 to 4).flatMap(d => (0 to d).map(i =>
+      (1L, d * 100L + i, "a", d * DayUs + i, 0.0)))
+    val out = EventAnalytics.mannKendall(ev(rising: _*), "event_type")
+      .collect().head
+    assert(out.getString(0) === "a" && out.getLong(1) === 5L)
+    assert(out.getLong(2) === 10L)
+    assert(out.getDouble(3) === 16.666667)
+    assert(out.getDouble(4) === 2.204541)
+    // constant 2,2,2: S = 0 and the single tie run t=3 exactly
+    // cancels the variance → null z, not a blowup
+    val flat = (0 to 2).flatMap(d => (0 until 2).map(i =>
+      (1L, d * 100L + i, "b", d * DayUs + i, 0.0)))
+    val f = EventAnalytics.mannKendall(ev(flat: _*), "event_type")
+      .collect().head
+    assert(f.getLong(2) === 0L && f.getDouble(3) === 0.0)
+    assert(f.isNullAt(4))
+  }
+
   test("pacfYuleWalker: the AR(1) signature — geometric rho cuts " +
     "PACF to zero past lag 1; fragments guard degenerate rho") {
     val s = spark

@@ -218,6 +218,25 @@ class GraphSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("katz: hand-unrolled two rounds on a weighted chain; " +
+    "sources keep the base score") {
+    // a→b (w=1), b→c (w=2), α = 1/5:
+    // r1: a=1e6, b=1e6+1e6/5=1.2e6, c=1e6+2e6/5=1.4e6
+    // r2: a=1e6, b=1.2e6, c=1e6+(1.2e6·2)/5=1.48e6
+    val out = Graph.katz(edgesDf(("a", "b", 1L), ("b", "c", 2L)),
+      rounds = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq === Seq(("a", 1000000L), ("b", 1200000L),
+      ("c", 1480000L)))
+  }
+
+  test("katz rejects non-positive edge weights loudly") {
+    val ex = intercept[Exception] {
+      Graph.katz(edgesDf(("a", "b", 0L)), rounds = 1).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("linkPrediction: adjacent pairs and capped hubs are excluded") {
     // x—y are DIRECTLY connected and also share z → must not appear;
     // hub h (deg 3 > cap 2) is no wedge center, so (p,q) disappears

@@ -497,7 +497,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_mmr_rerank",
     // sim_kcenter_coreset: the farthest-point greedy loop checkpoints
     // per round (the sim_mmr_rerank pattern)
-    "sim_kcenter_coreset")
+    "sim_kcenter_coreset",
+    // g_katz_centrality: pinnedEdges eagerly checkpoints the edge list
+    // at plan build (the g_kcore pattern)
+    "g_katz_centrality")
 
   private val modules = Seq(Relational, Functions, Pipeline, Corpus,
     Analytics, Insights)

@@ -112,4 +112,17 @@ class SamplingSpec extends AnyFunSuite {
       .sortBy(t => (t._1, t._3))
     assert(again.toSeq === out.sortBy(t => (t._1, t._3)).toSeq)
   }
+  test("sourceInterleave: midpoint positions spread each source on " +
+    "its own uniform grid; global order interleaves proportionally") {
+    val s = spark; import s.implicits._
+    // x: 2 docs at .25/.75; y: 4 docs at .125/.375/.625/.875
+    val docs = Seq((1L, "x"), (2L, "x"), (10L, "y"), (11L, "y"),
+      (12L, "y"), (13L, "y")).toDF("doc_id", "source")
+    val out = graft.ops.Sampling.sourceInterleave(docs, "doc_id",
+      "source").orderBy("pos", "source", "id").collect()
+      .map(r => (r.getDouble(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (0.125, "y", 10L), (0.25, "x", 1L), (0.375, "y", 11L),
+      (0.625, "y", 12L), (0.75, "x", 2L), (0.875, "y", 13L)))
+  }
 }
