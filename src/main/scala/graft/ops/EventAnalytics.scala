@@ -1778,8 +1778,18 @@ object EventAnalytics {
     * bounded. Returns one row per key (key, n_days, s, var_s, z)
     * ordered by key.
     */
-  def mannKendall(events: DataFrame, keyCol: String): DataFrame = {
-    val filled = zeroFilledDaily(events, keyCol)
+  def mannKendall(events: DataFrame, keyCol: String): DataFrame =
+    mannKendallFromDaily(events
+      .select(col(keyCol).as("k"), expr(s"ts_us div $DayUs").as("day"))
+      .groupBy("k", "day").agg(count(lit(1)).as("n")), keyCol)
+
+  /** The Mann–Kendall chain from an already-aggregated (k, day, n)
+    * daily frame — the [[cusumFromDaily]] shared-chain discipline for
+    * the streaming twin.
+    */
+  private[graft] def mannKendallFromDaily(daily: DataFrame,
+      keyCol: String): DataFrame = {
+    val filled = fillDaily(daily)
     val rhs = filled.select(col("k").as("k2"), col("day").as("db"),
       col("n").as("nb"))
     val sFold = filled

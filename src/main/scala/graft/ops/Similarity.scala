@@ -61,6 +61,41 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** kNN MAJORITY-VOTE CLASSIFICATION over the labeled embedding
+    * corpus — the zero-training baseline every embedding-quality
+    * evaluation starts from (if kNN can't separate the labels, the
+    * embedding can't either): each query's top-k cosine neighbors
+    * ([[bruteForceTopK]], self excluded) vote with their labels;
+    * majority wins, ties break toward the SMALLER label.
+    *
+    * DETERMINISM: neighbor ranks inherit [[bruteForceTopK]]'s
+    * (cos desc, neighbor_id) total order; votes are BIGINT counts;
+    * the winner is a keyed row_number over (votes desc, label asc).
+    * SCALE SHAPE: the broadcast-query candidate join + two keyed
+    * aggregates/windows — nothing global. Returns one row per query
+    * (query_id, true_label, pred_label, votes, correct) ordered by
+    * query_id.
+    */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int)
+      : DataFrame = {
+    val nn = bruteForceTopK(queries, corpus, k)
+    val votes = nn
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("label").cast("long").as("label")), Seq("neighbor_id"))
+      .groupBy("query_id", "label")
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("votes"), asc("label"))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("label").cast("long").as("true_label")), Seq("query_id"))
+      .select(col("query_id"), col("true_label"),
+        col("label").as("pred_label"), col("votes"),
+        (col("label") === col("true_label")).as("correct"))
+      .orderBy("query_id")
+  }
+
   /** MAXIMAL-MARGINAL-RELEVANCE re-ranking (Carbonell & Goldstein
     * 1998) — the diversity pass every retrieval stack runs after its
     * similarity top-k: greedily pick the candidate maximizing

@@ -239,6 +239,52 @@ object TextAnalysis {
           .as("mean_nll"))
   }
 
+  /** TRAIN-FITTED LM QUALITY FILTER — the classic perplexity-based
+    * corpus filter (CCNet-style): fit a Laplace-smoothed unigram LM on
+    * the hash-designated TRAIN split (md5 'lmsplit:' ‖ doc_id, 80%),
+    * score every HELD-OUT document's mean negative log-likelihood
+    * under it, and keep documents under the threshold. Unlike
+    * [[unigramNll]] (which scores docs under the corpus's OWN model —
+    * a self-fit), the fit-on-train discipline means an outlier
+    * document cannot launder its own tokens into the model that
+    * judges it.
+    *
+    *   p(tok) = (cnt_train + 1) / (N_train + V_train)   (OOV ⇒ cnt 0)
+    *
+    * DETERMINISM: the split is a pure md5 function of doc_id; counts
+    * are BIGINT; each token's −ln p rounds(,6) into DECIMAL before
+    * the exact per-doc fold. SCALE SHAPE: one train-token hash
+    * aggregate, one broadcast 1-row (N, V) frame, one token→count
+    * equi-join for the test side, one per-doc aggregate. Token-free
+    * held-out docs emit nothing (no tokens to judge). Returns
+    * (doc_id, n_tokens, mean_nll, keep) ordered by doc_id.
+    */
+  def lmQualityFilter(docs: DataFrame, threshold: Double = 8.0)
+      : DataFrame = {
+    Hashing.ensureRegistered(docs)
+    val tagged = docs.select(col("doc_id"), expr(tokensSql).as("tk"),
+      (Hashing.md5Long(concat(lit("lmsplit:"),
+        col("doc_id").cast("string"))) % 5 =!= 0).as("is_train"))
+    val cnt = tagged.filter(col("is_train"))
+      .select(explode(col("tk")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val stats = cnt.agg(sum(col("cnt")).as("N"),
+      count(lit(1)).as("V"))
+    tagged.filter(!col("is_train"))
+      .select(col("doc_id"), explode(col("tk")).as("tok"))
+      .join(cnt, Seq("tok"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), expr(
+        "cast(round(-ln(cast(coalesce(cnt, 0L) + 1 as double) / " +
+          "cast(N + V as double)), 6) as decimal(12,6))").as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6)
+          .as("mean_nll"))
+      .withColumn("keep", col("mean_nll") <= threshold)
+      .orderBy("doc_id")
+  }
+
   /** Distinct-n n-gram diversity (the "distinct-1/2/3" metrics of Li
     * et al. 2016) — the mode-collapse diagnostic for synthetic /
     * LLM-generated corpora: for each n, the ratio of DISTINCT n-grams

@@ -1669,6 +1669,71 @@ object Pipeline extends QueryModule {
              round(cos, 6) AS cos
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- kNN majority-vote classification (Similarity.knnClassify):
+    // the zero-training embedding-quality baseline — top-5 cosine
+    // neighbors vote with their labels, ties toward the smaller
+    // label; shares sim_topk_bruteforce's ranked-candidate machinery.
+    QueryDef("sim_knn_classify", (s, d) => {
+      val e = emb(s, d)
+      Similarity.knnClassify(e.filter(col("vec_id") < 20), e, 5)
+    }, Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label
+                 FROM embeddings WHERE vec_id < 20),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label
+            FROM embeddings),
+      scored AS (SELECT query_id, neighbor_id, c.label,
+                   ${duckCos("qe", "ce")} AS cos
+                 FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+      ranked AS (SELECT query_id, neighbor_id, label, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS rank
+                 FROM scored),
+      votes AS (SELECT query_id, CAST(label AS BIGINT) AS label,
+                  CAST(COUNT(*) AS BIGINT) AS votes
+                FROM ranked WHERE rank <= 5 GROUP BY 1, 2),
+      win AS (SELECT query_id, label, votes,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY votes DESC, label ASC) AS rn
+              FROM votes)
+      SELECT w.query_id, CAST(q.label AS BIGINT) AS true_label,
+        w.label AS pred_label, w.votes,
+        w.label = CAST(q.label AS BIGINT) AS correct
+      FROM win w JOIN q ON q.query_id = w.query_id
+      WHERE w.rn = 1 ORDER BY w.query_id""")),
+
+    // ---- Train-fitted LM quality filter (TextAnalysis.
+    // lmQualityFilter): Laplace-smoothed unigram LM fit on the
+    // md5-designated 80% train split scores the held-out docs'
+    // mean NLL — fit-on-train so an outlier can't launder its own
+    // tokens into the model that judges it; keep iff ≤ 8.0.
+    QueryDef("t_lm_filter", (s, d) => {
+      TextAnalysis.lmQualityFilter(docs(s, d))
+        .withColumn("keep", col("keep").cast("long"))
+    }, Some(s"""
+      WITH tg AS (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS tk,
+               (${duckMd5Long("'lmsplit:' || CAST(doc_id AS VARCHAR)")})
+                 % 5 <> 0 AS is_train
+             FROM documents),
+      cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM (SELECT unnest(tk) AS tok FROM tg WHERE is_train)
+              GROUP BY 1),
+      st AS (SELECT CAST(SUM(cnt) AS BIGINT) AS N,
+               CAST(COUNT(*) AS BIGINT) AS V FROM cnt),
+      te AS (SELECT doc_id, unnest(tk) AS tok FROM tg
+             WHERE NOT is_train),
+      nl AS (SELECT doc_id, CAST(round(-ln(
+               CAST(COALESCE(cnt, 0) + 1 AS DOUBLE) /
+               CAST(N + V AS DOUBLE)), 6) AS DECIMAL(12,6)) AS nll
+             FROM te LEFT JOIN cnt USING (tok) CROSS JOIN st),
+      agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6)
+                  AS mean_nll
+              FROM nl GROUP BY 1)
+      SELECT doc_id, n_tokens, mean_nll,
+        CAST(mean_nll <= 8.0 AS BIGINT) AS keep
+      FROM agg ORDER BY doc_id""")),
+
     // ---- Greedy k-center coreset (Similarity.kCenterCoreset):
     // farthest-point-first diversity selection over the embedding
     // corpus (Gonzalez 2-approximation) — the data-selection pass that

@@ -369,6 +369,47 @@ object StreamML extends QueryModule {
       SELECT * FROM (VALUES ('syn_a', 'syn_b'), ('syn_b', 'syn_a'))
         AS t(probe, neighbor) ORDER BY probe""")),
 
+    // ---- §2.9 + monitoring family: Mann–Kendall trend with its
+    // daily counts accumulated as a STREAMING windowed aggregation,
+    // the exact BIGINT S/tie readout on the finished state through
+    // the SAME shared chain as the batch op (EventAnalytics.
+    // mannKendallFromDaily). Oracle char-identical to
+    // e_mann_kendall's -> stream-vs-batch parity.
+    QueryDef("st_mann_kendall", (s, d) => {
+      graft.streaming.Events.mannKendallDaily(s, d)
+    }, Some("""
+      WITH daily AS (
+        SELECT event_type AS k, epoch_us(ts) // 86400000000 AS day,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      grid AS (SELECT k, unnest(generate_series(d0, d1)) AS day
+               FROM (SELECT k, MIN(day) AS d0, MAX(day) AS d1
+                     FROM daily GROUP BY 1)),
+      g AS (SELECT gr.k, gr.day, COALESCE(d.n, 0) AS n
+            FROM grid gr LEFT JOIN daily d
+              ON gr.k = d.k AND gr.day = d.day),
+      sf AS (SELECT a.k,
+               CAST(SUM(CAST(sign(b.n - a.n) AS BIGINT)) AS BIGINT) AS s
+             FROM g a JOIN g b ON b.k = a.k AND b.day > a.day
+             GROUP BY 1),
+      tv AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS t
+             FROM g GROUP BY k, n),
+      ti AS (SELECT k, CAST(SUM(t) AS BIGINT) AS nd,
+               CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie
+             FROM tv GROUP BY 1)
+      SELECT sf.k AS event_type, nd AS n_days, s,
+        round((CAST(nd AS DOUBLE) * (nd - 1) * (2 * nd + 5) -
+          CAST(tie AS DOUBLE)) / 18.0, 6) AS var_s,
+        round(CASE WHEN
+          (CAST(nd AS DOUBLE) * (nd - 1) * (2 * nd + 5) -
+          CAST(tie AS DOUBLE)) / 18.0 > 0.0 THEN
+          CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) ELSE
+          CASE WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+          ELSE 0.0 END END /
+          sqrt((CAST(nd AS DOUBLE) * (nd - 1) * (2 * nd + 5) -
+          CAST(tie AS DOUBLE)) / 18.0) END, 6) AS z
+      FROM sf JOIN ti ON sf.k = ti.k ORDER BY 1""")),
+
     // ---- §2.9 + monitoring family: Page–Hinkley drift with its
     // daily counts accumulated as a STREAMING windowed aggregation,
     // the running-mean readout on the finished state through the SAME

@@ -647,6 +647,28 @@ object Events {
       "event_type", deltaFrac = "0.05", lambdaMeans = "2.0")
   }
 
+  /** Streaming twin of [[graft.ops.EventAnalytics.mannKendall]]: the
+    * per-(day, type) counts accumulate as a watermarked windowed
+    * streaming aggregation, then the trend statistics (exact BIGINT
+    * S and tie folds over the calendar-bounded pair frame) read out of
+    * the finished state through the SAME shared chain
+    * (`EventAnalytics.mannKendallFromDaily`). The gate's oracle is
+    * CHAR-IDENTICAL to e_mann_kendall's.
+    */
+  def mannKendallDaily(s: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val out = runToCompletion(s, ss => {
+      stream(ss, dir)
+        .groupBy(window(col("t"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }, "st_mann_kendall_mem")
+    graft.ops.EventAnalytics.mannKendallFromDaily(
+      out.select(col("event_type").as("k"),
+        expr(s"unix_micros(window.start) div $DayUs").as("day"),
+        col("n")),
+      "event_type")
+  }
+
   /** Streaming twin of [[graft.ops.EventAnalytics
     * .seasonalNaiveForecast]] — daily counts out of the state store,
     * the same-weekday readout through the shared

@@ -60,4 +60,26 @@ class MipsSpec extends AnyFunSuite {
     assert(norms.forall(n => math.abs(n - m) < 1e-9),
       s"augmented norms not constant: ${norms.toSeq}")
   }
+
+  test("knnClassify: majority vote among top-k cosine neighbors, " +
+    "self excluded, ties toward the smaller label") {
+    val s = spark; import s.implicits._
+    // two clean clusters on orthogonal axes + labels
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0), 0), (2L, Array(0.9, 0.1), 0),
+      (3L, Array(0.8, 0.2), 0),
+      (4L, Array(0.0, 1.0), 1), (5L, Array(0.1, 0.9), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(
+      corpus.filter(col("vec_id").isin(1L, 4L)), corpus, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    // query 1 (l0): top-3 = {2, 3, one of the l1s} → 2 votes l0
+    // query 4 (l1): top-3 = {5, two l0s}? cos(4,5)=.9..; cos(4,3)=.2;
+    // cos(4,2)≈.11; cos(4,1)=0 → top-3 = {5, 3, 2} → l0 2 votes WINS
+    // — the mislabel the test wants: a 2-vs-3 cluster imbalance at
+    // k=3 flips the minority query, which is exactly kNN behavior
+    assert(out.toSeq === Seq((1L, 0L, 0L, 2L, true),
+      (4L, 1L, 0L, 2L, false)))
+  }
 }

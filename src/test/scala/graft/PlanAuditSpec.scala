@@ -251,7 +251,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "t_theil_decompose",
     // e_logrank_test: the 1-row study-end and user-count frames
     // crossed into the horizon-sized fold (the e_hazard_na shape)
-    "e_logrank_test")
+    "e_logrank_test",
+    // sim_knn_classify: the broadcast query set against the corpus
+    // (the sim_topk_bruteforce non-equi self-exclusion shape)
+    "sim_knn_classify",
+    // t_lm_filter: the 1-row (N, V) train-LM stats frame crossed into
+    // the per-token scoring (the t_unigram_nll idf shape)
+    "t_lm_filter")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -468,7 +474,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "a_cochran_armitage", "a_mantel_haenszel", "t_theil_decompose",
     // e_logrank_test: the horizon-sized at-risk windows + the 1-row
     // O/E/V fold (the e_survival_km / e_hazard_na shape)
-    "e_logrank_test")
+    "e_logrank_test",
+    // t_lm_filter: the 1-row (N, V) train-vocab fold (one bounded
+    // partial per partition — the t_unigram_nll shape)
+    "t_lm_filter")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

@@ -987,4 +987,33 @@ class WatermarkSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out("2026-01-01 10:30:00") == 1L)
     assert(!out.contains("2026-01-01 10:50:00")) // still open at stop
   }
+
+  test("lmQualityFilter: fit-on-train split is a deterministic md5 " +
+    "partition; OOV-bearing held-out docs score strictly higher NLL") {
+    val s = spark; import s.implicits._
+    // 40 docs of one common sentence; half carry ONE gibberish token
+    // unique per doc (always OOV regardless of where the split lands)
+    val base = "the cat sat on the mat"
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) s"$base zzqx$i" else base)).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.lmQualityFilter(docs, 8.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    assert(out.nonEmpty && out.length < 40) // a real split happened
+    // deterministic under repartitioning
+    val again = graft.ops.TextAnalysis
+      .lmQualityFilter(docs.repartition(7), 8.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    assert(again.toSeq === out.toSeq)
+    // every OOV-bearing test doc outscores every clean test doc
+    val (oov, clean) = out.partition(_._1 % 2 == 0)
+    assert(clean.forall(c => c._2 === 6L))
+    if (oov.nonEmpty && clean.nonEmpty)
+      assert(oov.map(_._3).min > clean.map(_._3).max,
+        s"OOV docs must carry strictly higher mean NLL: $out")
+    // keep flag is exactly the threshold predicate
+    out.foreach { case (_, _, nll, keep) =>
+      assert(keep === (nll <= 8.0)) }
+  }
 }
