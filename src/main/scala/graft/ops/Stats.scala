@@ -1608,6 +1608,50 @@ object Stats {
           "cast(n as double)"), 6).as("winsorized_mean"))
   }
 
+  /** EXACT WEIGHTED QUANTILES — the discrete ("lower") quantile of a
+    * measure under per-row weights: the value whose cumulative weight
+    * first reaches ⌈q·W⌉ (integer weights; the token-weighted median
+    * document length is THE corpus statistic the unweighted median
+    * gets wrong — one 10 M-token document is 10 M tokens of training
+    * signal, not one vote).
+    *
+    * DETERMINISM: per distinct value the weight sum is BIGINT; the
+    * cumulative table is the two-phase [[Rank.globalRunningSum]]; the
+    * target rank ⌈q·W⌉ is computed in exact decimal (q at
+    * DECIMAL(20,10), the [[Rank.exactQuantiles]] discipline) and the
+    * pick is the run containing it — integer comparisons end to end.
+    * SCALE SHAPE: one distinct-value aggregate, one two-phase running
+    * sum, one broadcast |q|-row target table, one join. Returns one
+    * row per q (q, target_rank, value) ordered by q.
+    */
+  def weightedQuantiles(df: DataFrame, valueCol: String,
+      weightCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(x => x > 0 && x <= 1),
+      "quantiles in (0, 1]")
+    val byVal = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .select(col(valueCol).cast("decimal(18,6)").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy("v").agg(sum(col("w")).as("w"))
+    val cum = Rank.globalRunningSum(byVal, Seq(col("v")), "w", "cum_w")
+      .withColumn("below", col("cum_w") - col("w"))
+      .localCheckpoint(false) // feeds the total fold AND the pick join
+    val tot = cum.agg(max(col("cum_w")).as("W"))
+    val targets = df.sparkSession
+      .createDataFrame(qs.map(Tuple1(_))).toDF("q")
+      .select(col("q").cast("decimal(20,10)").as("q"))
+      .crossJoin(broadcast(tot))
+      .select(col("q").cast("double").as("q"),
+        expr("cast(ceil(q * W) as bigint)").as("target_rank"))
+    cum.join(broadcast(targets),
+        col("below") < col("target_rank") &&
+          col("target_rank") <= col("cum_w"))
+      .select(col("q"), col("target_rank"),
+        col("v").cast("double").as("value"))
+      .orderBy("q")
+  }
+
   /** McNEMAR'S TEST (McNemar 1947) for two PAIRED binary verdicts on
     * the same rows — the right test for "did classifier B beat
     * classifier A on the same eval set?" (a χ² over the pooled 2×2

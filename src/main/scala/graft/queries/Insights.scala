@@ -1405,6 +1405,34 @@ object Insights extends QueryModule {
           CAST(n AS DOUBLE), 6) AS winsorized_mean
       FROM kp CROSS JOIN bd2 CROSS JOIN lc CROSS JOIN hc""")),
 
+    // ---- Exact weighted quantiles (Stats.weightedQuantiles): the
+    // quantity-weighted price distribution — cumulative integer
+    // weights off the two-phase running sum, target rank ⌈q·W⌉ in
+    // exact decimal, integer comparisons end to end.
+    QueryDef("a_weighted_quantiles", (s, d) => {
+      graft.ops.Stats.weightedQuantiles(t(s, d, "lineitem"),
+        "l_extendedprice", "l_quantity", Seq(0.25, 0.5, 0.75, 0.95))
+    }, Some("""
+      WITH r AS (SELECT CAST(l_extendedprice AS DECIMAL(18,6)) AS v,
+               CAST(l_quantity AS BIGINT) AS w
+             FROM lineitem
+             WHERE l_extendedprice IS NOT NULL
+               AND l_quantity IS NOT NULL AND l_quantity > 0),
+      bv AS (SELECT v, CAST(SUM(w) AS BIGINT) AS w FROM r GROUP BY 1),
+      c AS (SELECT *, CAST(SUM(w) OVER (ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_w FROM bv),
+      c2 AS (SELECT *, cum_w - w AS below FROM c),
+      tt AS (SELECT MAX(cum_w) AS W FROM c2),
+      tg AS (SELECT CAST(q AS DOUBLE) AS q,
+               CAST(ceil(CAST(q AS DECIMAL(20,10)) * W) AS BIGINT)
+                 AS target_rank
+             FROM (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q)
+             CROSS JOIN tt)
+      SELECT q, target_rank, CAST(v AS DOUBLE) AS value
+      FROM c2 JOIN tg
+        ON below < target_rank AND target_rank <= cum_w
+      ORDER BY q""")),
+
     // ---- McNemar's paired test (Stats.mcnemar): do the discount
     // flag (≥5%) and the tax flag (≥4%) fire on the SAME line items?
     // Only the discordant cells carry signal; continuity-corrected

@@ -257,7 +257,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_knn_classify",
     // t_lm_filter: the 1-row (N, V) train-LM stats frame crossed into
     // the per-token scoring (the t_unigram_nll idf shape)
-    "t_lm_filter")
+    "t_lm_filter",
+    // a_weighted_quantiles: the running-sum triangular offset join +
+    // the broadcast |q|-row target table's non-equi interval pick
+    // (the a_exact_quantiles shape)
+    "a_weighted_quantiles")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -477,7 +481,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "e_logrank_test",
     // t_lm_filter: the 1-row (N, V) train-vocab fold (one bounded
     // partial per partition — the t_unigram_nll shape)
-    "t_lm_filter")
+    "t_lm_filter",
+    // a_weighted_quantiles: the 1-row total-weight fold (the
+    // a_exact_quantiles N shape)
+    "a_weighted_quantiles")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

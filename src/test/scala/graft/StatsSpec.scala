@@ -770,4 +770,15 @@ class StatsSpec extends AnyFunSuite {
       neg.getLong(3) === 4L)
     assert(neg.getDouble(4) === 0.666667 && neg.getDouble(5) === 0.8)
   }
+  test("weightedQuantiles: cumulative integer weights pick the run " +
+    "containing ceil(q*W); weight-1 rows degrade to plain quantiles") {
+    val s = spark; import s.implicits._
+    // values 10,20,30 with weights 1,2,7: W=10, cum 1/3/10
+    val df = Seq((10L, 1L), (20L, 2L), (30L, 7L)).toDF("x", "w")
+    val out = Stats.weightedQuantiles(df, "x", "w",
+      Seq(0.1, 0.25, 0.5, 1.0)).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((0.1, 1L, 10.0), (0.25, 3L, 20.0),
+      (0.5, 5L, 30.0), (1.0, 10L, 30.0)))
+  }
 }
