@@ -269,6 +269,49 @@ object Dedup {
         s"x -> cast(x as string)), ',')) as bkey))), 1)")).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
 
+  /** CROSS-RUN INCREMENTAL NEAR-DUP CHECK — the shape a 100 TB corpus
+    * actually dedups in: crawls arrive as monthly INCREMENTS and each
+    * new batch must be checked against the accumulated prior corpus
+    * WITHOUT re-banding it (the reference processes crawl increments
+    * as separate runs; reference README:52-53). The prior corpus is
+    * represented by its MinHash band-key INDEX (band, bkey,
+    * prior_doc) — built here in-plan from `prior`, but in production
+    * PERSISTED as parquet bucketed on (band, bkey) and appended per
+    * run, so the increment join is zero-exchange on the (huge) index
+    * side and only the (small) increment shuffles. The increment's
+    * band keys come from the SAME expressions ([[shingled]] →
+    * [[minhashSignatures]] → [[bandKeys]]), so index rows written by
+    * any previous run collide correctly with this run's keys.
+    *
+    * Returns one row per shingle-able increment doc: (doc_id, is_dup
+    * — any band collision with the prior corpus — first_prior_match =
+    * the smallest colliding prior doc, n_prior_matches = distinct
+    * colliding prior docs). Collisions are LSH candidates (Jaccard ≳
+    * the band threshold with LSH probability); chain
+    * [[exactJaccard]]-style verification downstream when the policy
+    * needs exact containment, exactly as [[minhashLsh]] does intra-run.
+    *
+    * DETERMINISM: is_dup is a max over {0,1}; first/count are
+    * min/COUNT DISTINCT — all order-free. SCALE SHAPE: one equi-join
+    * keyed on the uniform (band, bkey) hash + one per-doc aggregate;
+    * the prior corpus is touched only through its index.
+    */
+  def incrementalNearDup(prior: DataFrame, incr: DataFrame,
+      shingleN: Int = 3, k: Int = 8, bands: Int = 4, rows: Int = 2)
+      : DataFrame = {
+    val idx = bandKeys(minhashSignatures(shingled(prior, shingleN), k),
+      bands, rows)
+      .select(col("band"), col("bkey"), col("doc_id").as("prior_doc"))
+    val newKeys = bandKeys(minhashSignatures(shingled(incr, shingleN), k),
+      bands, rows)
+    newKeys.join(idx, Seq("band", "bkey"), "left")
+      .groupBy("doc_id")
+      .agg(max(when(col("prior_doc").isNotNull, 1L).otherwise(0L))
+          .as("is_dup"),
+        min(col("prior_doc")).as("first_prior_match"),
+        countDistinct(col("prior_doc")).as("n_prior_matches"))
+  }
+
   /** LSH candidate pairs: band the signature (`bands` × `rows` = k), hash
     * each band, self-join on (band, bandKey). Output (doc_a < doc_b),
     * distinct. The only shuffle key is the band hash — uniform on a

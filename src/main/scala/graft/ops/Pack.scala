@@ -118,19 +118,22 @@ object Pack {
     val tot = cum.agg(count(lit(1)).as("n_docs"),
       coalesce(max(col("__cum")), lit(0L)).as("total_tokens"))
     // the boundary doc: the LAST selected row in the (score desc, id
-    // asc) order = the first row of the reversed order over the
-    // selected prefix — a bounded top-1, not a global sort
-    val boundary = cum.filter(col("__cum") <= budget)
-      .orderBy(col("__score").asc, col(idCol).desc).limit(1)
-      .select(col("__score").cast("double").as("cutoff_score"),
-        col(idCol).cast("long").as("cutoff_doc_id"))
+    // asc) order = min score, max id among ties — folded as a 1-row
+    // min-of-struct AGGREGATE (id negated so the struct order's
+    // secondary min is the id max), NOT a limit-1 frame: an aggregate
+    // still emits its one (null) row when nothing fits the budget,
+    // where a limit-1 over an empty prefix would annihilate the whole
+    // output through the crossJoin (r11 advice).
     val selN = cum.filter(col("__cum") <= budget)
       .agg(count(lit(1)).as("n_selected"),
-        coalesce(max(col("__cum")), lit(0L)).as("tokens_selected"))
-    tot.crossJoin(broadcast(selN)).crossJoin(broadcast(boundary))
+        coalesce(max(col("__cum")), lit(0L)).as("tokens_selected"),
+        min(struct(col("__score").as("s"),
+          (-col(idCol).cast("long")).as("nid"))).as("bd"))
+    tot.crossJoin(broadcast(selN))
       .select(col("n_docs"), col("total_tokens"),
         lit(budget).as("budget"), col("n_selected"),
-        col("tokens_selected"), col("cutoff_score"),
-        col("cutoff_doc_id"))
+        col("tokens_selected"),
+        col("bd.s").cast("double").as("cutoff_score"),
+        (-col("bd.nid")).cast("long").as("cutoff_doc_id"))
   }
 }

@@ -230,23 +230,37 @@ object Sampling {
     * proportionally — a 10%-of-corpus source appears ~every 10th
     * document, deterministically.
     *
-    * DETERMINISM: o and n_s are exact keyed window integers; pos
-    * rounds(,9) once and ties (only across sources) break on
-    * (source, id). SCALE SHAPE: one keyed row_number + one keyed
-    * count window per source — no global window, no shuffle beyond
-    * the source partitioning; the global interleave ORDER is the
-    * consumer's sort (training writers sort within shards anyway).
-    * Returns (pos, source, id) — one row per document.
+    * DETERMINISM: o and n_s are exact integers from the two-phase
+    * ordinal; pos rounds(,9) once and ties (only across sources)
+    * break on (source, id). SCALE SHAPE: a training corpus has FEW
+    * sources (4 here, maybe dozens at 100 TB), so a
+    * Window.partitionBy(source) row_number would sort each source's
+    * entire row set in ONE task — effectively a global sort per
+    * source. Instead the per-source ordinal derives from one
+    * range-partitioned [[Rank.globalOrdinal]] over (source, id)
+    * minus each source's broadcast start offset (a triangular join
+    * over the tiny per-source count table): every operator stays
+    * range-parallel regardless of source cardinality; the global
+    * interleave ORDER is the consumer's sort (training writers sort
+    * within shards anyway). Returns (pos, source, id) — one row per
+    * document.
     */
   def sourceInterleave(df: DataFrame, idCol: String, srcCol: String)
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source").orderBy("id")
-    df.select(col(srcCol).as("source"), col(idCol).as("id"))
-      .withColumn("o", row_number().over(w).cast("long"))
-      .withColumn("ns", count(lit(1))
-        .over(Window.partitionBy("source")).cast("long"))
-      .select(round(expr("cast(2 * o - 1 as double) / " +
+    val rows = df.select(col(srcCol).as("source"), col(idCol).as("id"))
+    val ord = Rank.globalOrdinal(rows,
+      Seq(col("source"), col("id")), "__g")
+    val bySrc = rows.groupBy("source").agg(count(lit(1)).as("ns"))
+    val offs = bySrc.as("a")
+      .join(bySrc.select(col("source").as("__s2"), col("ns").as("__n2"))
+        .as("b"), col("__s2") < col("source"), "left_outer")
+      .groupBy(col("source"), col("ns"))
+      .agg(coalesce(sum("__n2"), lit(0L)).as("__off"))
+    // per-source 1-based o = global ordinal − rows in earlier sources
+    // + 1 (the (source, id) range order groups each source's rows
+    // contiguously by construction)
+    ord.join(broadcast(offs), "source")
+      .select(round(expr("cast(2 * (__g - __off + 1) - 1 as double) / " +
         "cast(2 * ns as double)"), 9).as("pos"),
         col("source"), col("id"))
   }

@@ -79,9 +79,14 @@ object Similarity {
   def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int)
       : DataFrame = {
     val nn = bruteForceTopK(queries, corpus, k)
+    // unlabeled corpus rows must not vote: a null label would form a
+    // vote group whose tie-break ORDER diverges cross-engine (Spark
+    // sorts nulls FIRST on asc, DuckDB's ORDER BY puts them LAST),
+    // and a null pred_label is useless to the caller anyway
     val votes = nn
-      .join(corpus.select(col("vec_id").as("neighbor_id"),
-        col("label").cast("long").as("label")), Seq("neighbor_id"))
+      .join(corpus.filter(col("label").isNotNull)
+        .select(col("vec_id").as("neighbor_id"),
+          col("label").cast("long").as("label")), Seq("neighbor_id"))
       .groupBy("query_id", "label")
       .agg(count(lit(1)).as("votes"))
     val w = Window.partitionBy("query_id")

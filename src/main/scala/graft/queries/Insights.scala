@@ -929,9 +929,11 @@ object Insights extends QueryModule {
       FROM c""")),
 
     // ---- Poisson-bootstrap CI (Stats.bootstrapCi): percentile CI for
-    // the mean extended price — each row draws its multiplicity per
-    // replicate from a 20-bit inverse-CDF Poisson(1) on the md5 family
-    // (integer cutoffs: both engines compare in pure BIGINT), 200
+    // the mean extended price — each row md5-hashes its key ONCE into
+    // a 30-bit seed, each replicate's 20-bit draw derives by two
+    // multiplicative-congruential rounds mod the prime 1073741789
+    // (pure BIGINT, no intermediate exceeds 2^63 — both engines exact),
+    // weights from the inverse-CDF Poisson(1) integer cutoffs, 200
     // replicate means ride the map-side partial aggregate, the
     // interval is the 5th smallest / 5th largest replicate mean.
     QueryDef("a_bootstrap_ci", (s, d) => {
@@ -941,12 +943,15 @@ object Insights extends QueryModule {
       WITH r AS (SELECT l_orderkey, l_linenumber,
                CAST(l_extendedprice AS DECIMAL(18,2)) AS x
              FROM lineitem WHERE l_extendedprice IS NOT NULL),
-      e AS (SELECT x, l_orderkey, l_linenumber,
-              unnest(range(0, 200)) AS b FROM r),
-      d AS (SELECT x, b, (${graft.ops.Hashing.duckMd5Long(
+      k AS (SELECT x, (${graft.ops.Hashing.duckMd5Long(
         "'boot:' || CAST(l_orderkey AS VARCHAR) || ':' || " +
-          "CAST(l_linenumber AS VARCHAR) || ':' || CAST(b AS VARCHAR)")})
-              % 1048576 AS u FROM e),
+          "CAST(l_linenumber AS VARCHAR)")})
+              % 1073741789 AS kseed FROM r),
+      e AS (SELECT x, kseed, unnest(range(0, 200)) AS b FROM k),
+      d AS (SELECT x, b,
+              (((((kseed + b * 2654435761) % 1073741789)
+                 * 2654435761) % 1073741789)
+                 * 997919 % 1073741789) % 1048576 AS u FROM e),
       w AS (SELECT x, b,
               (CASE WHEN u >= 385749 THEN 1 ELSE 0 END +
                CASE WHEN u >= 771499 THEN 1 ELSE 0 END +

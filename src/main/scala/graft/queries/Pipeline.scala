@@ -391,6 +391,39 @@ object Pipeline extends QueryModule {
       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
       ORDER BY doc_a, doc_b""")),
 
+    // ---- Cross-run incremental near-dup (Dedup.incrementalNearDup):
+    // the two-batch fixture — even doc_ids are the accumulated prior
+    // corpus (its band-key index), odd doc_ids the arriving increment;
+    // each increment doc reports whether it LSH-collides with ANY
+    // prior doc, the smallest such prior doc, and the distinct count.
+    QueryDef("d_incremental_neardup", (s, d) => {
+      val all = docs(s, d)
+      Dedup.incrementalNearDup(
+        all.filter(col("doc_id") % 2 === 0),
+        all.filter(col("doc_id") % 2 === 1))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH $duckShingleCtes,
+      sig AS (SELECT doc_id, list_transform(range(0, 8), i ->
+                list_min(list_transform(shingles, s ->
+                  ${duckMd5Long("CAST(i AS VARCHAR) || ':' || s")}))) AS sig
+              FROM sh),
+      banded AS (SELECT doc_id, bb.b AS band,
+                   md5(array_to_string(list_transform(
+                     sig[bb.b * 2 + 1 : bb.b * 2 + 2],
+                     x -> CAST(x AS VARCHAR)), ',')) AS bkey
+                 FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb),
+      idx AS (SELECT band, bkey, doc_id AS prior_doc FROM banded
+              WHERE doc_id % 2 = 0),
+      nk AS (SELECT doc_id, band, bkey FROM banded WHERE doc_id % 2 = 1)
+      SELECT nk.doc_id,
+        CAST(MAX(CASE WHEN prior_doc IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS is_dup,
+        MIN(prior_doc) AS first_prior_match,
+        CAST(COUNT(DISTINCT prior_doc) AS BIGINT) AS n_prior_matches
+      FROM nk LEFT JOIN idx USING (band, bkey)
+      GROUP BY 1 ORDER BY 1""")),
+
     // ---- All-pairs n-gram Jaccard with the df skew cap (filtered-universe
     // semantics: intersection AND sizes over df-capped shingles).
     QueryDef("d_jaccard_pairs", (s, d) => {
@@ -1690,7 +1723,8 @@ object Pipeline extends QueryModule {
                  FROM scored),
       votes AS (SELECT query_id, CAST(label AS BIGINT) AS label,
                   CAST(COUNT(*) AS BIGINT) AS votes
-                FROM ranked WHERE rank <= 5 GROUP BY 1, 2),
+                FROM ranked WHERE rank <= 5 AND label IS NOT NULL
+                GROUP BY 1, 2),
       win AS (SELECT query_id, label, votes,
                 ROW_NUMBER() OVER (PARTITION BY query_id
                   ORDER BY votes DESC, label ASC) AS rn
@@ -2419,12 +2453,15 @@ object Pipeline extends QueryModule {
                  ELSE CAST(0 AS DECIMAL(28,9)) END) AS s_theil
              FROM c2 CROSS JOIN tt)
       SELECT n,
-        round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
-        round((2.0 * CAST(s_rank AS DOUBLE) -
+        round(CASE WHEN n > 0 THEN
+          CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) END, 6) AS mean,
+        round(CASE WHEN n > 0 AND sx > 0 THEN
+          (2.0 * CAST(s_rank AS DOUBLE) -
           CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE)) /
-          (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini,
+          (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) END, 6) AS gini,
         n_pos,
-        round(CAST(s_theil AS DOUBLE) / CAST(n_pos AS DOUBLE), 6)
+        round(CASE WHEN n_pos > 0 THEN
+          CAST(s_theil AS DOUBLE) / CAST(n_pos AS DOUBLE) END, 6)
           AS theil
       FROM tm CROSS JOIN tt""")),
 
@@ -2480,14 +2517,16 @@ object Pipeline extends QueryModule {
              FROM documents
              WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
       tp AS (SELECT v FROM r ORDER BY v DESC LIMIT 101),
-      th AS (SELECT MIN(v) AS x_min FROM tp),
+      th AS (SELECT MIN(v) AS x_min,
+               CAST(COUNT(*) AS BIGINT) AS n_top FROM tp),
       h AS (SELECT SUM(CAST(round(ln(CAST(v AS DOUBLE) /
               CAST(x_min AS DOUBLE)), 9) AS DECIMAL(28,9))) AS h
             FROM tp CROSS JOIN th)
-      SELECT CAST(100 AS BIGINT) AS k,
+      SELECT CAST(100 AS BIGINT) AS k, th.n_top AS n_top,
         CAST(x_min AS DOUBLE) AS x_min,
-        round(CAST(h AS DOUBLE) / CAST(100 AS DOUBLE), 6) AS h_mean,
-        round(CASE WHEN h > 0 THEN CAST(100 AS DOUBLE) /
+        round(CASE WHEN n_top > 1 THEN CAST(h AS DOUBLE) /
+          CAST(n_top - 1 AS DOUBLE) END, 6) AS h_mean,
+        round(CASE WHEN h > 0 THEN CAST(n_top - 1 AS DOUBLE) /
           CAST(h AS DOUBLE) END, 6) AS alpha
       FROM h CROSS JOIN th""")),
 
@@ -2522,10 +2561,11 @@ object Pipeline extends QueryModule {
       sel AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_selected,
                 CAST(COALESCE(MAX(cum), 0) AS BIGINT) AS tokens_selected
               FROM c WHERE cum <= 10000),
-      bd AS (SELECT CAST(sc AS DOUBLE) AS cutoff_score,
-               CAST(doc_id AS BIGINT) AS cutoff_doc_id
-             FROM c WHERE cum <= 10000
-             ORDER BY sc ASC, doc_id DESC LIMIT 1)
+      bd AS (SELECT CAST(MIN(sc) AS DOUBLE) AS cutoff_score,
+               CAST(MAX(CASE WHEN sc = (SELECT MIN(sc) FROM c
+                                        WHERE cum <= 10000)
+                        THEN doc_id END) AS BIGINT) AS cutoff_doc_id
+             FROM c WHERE cum <= 10000)
       SELECT n_docs, total_tokens, CAST(10000 AS BIGINT) AS budget,
         n_selected, tokens_selected, cutoff_score, cutoff_doc_id
       FROM tt CROSS JOIN sel CROSS JOIN bd"""

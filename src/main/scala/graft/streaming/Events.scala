@@ -207,6 +207,13 @@ object Events {
     * watermark. They do here, their window sits far below it, and append
     * mode DROPS them: the output holds exactly the windows finalized by
     * the watermark (window.end ≤ watermark) with the late window ABSENT.
+    * (A round-12 attempt to merge body+head into one trigger — one fewer
+    * state-store commit cycle — FAILED the oracle by exactly the late
+    * window's rows: batch N's filter runs on the watermark as of batch
+    * N's PLANNING, which lags the previous batch's data by one trigger,
+    * so a 2-trigger layout lets the late rows through the filter and
+    * into the finalized emission. Three triggers is the semantic
+    * minimum for this gate, not a cost choice.)
     *
     * The split is rebuilt idempotently into one fixed scratch dir per
     * source dir (overwrite, no per-call temp leak); mtimes are pinned

@@ -111,5 +111,14 @@ class PackSpec extends AnyFunSuite {
     val t2 = Pack.tokenBudgetSelect(tied, "doc_id", "n_tokens",
       "score", 8L).collect().head
     assert(t2.getLong(3) === 2L && t2.getLong(6) === 6L)
+    // budget smaller than the best doc: the summary row must STILL
+    // emit (n_selected = 0, null cutoffs) — the r11 advice found the
+    // limit-1 boundary frame annihilated the whole output here
+    val none = Pack.tokenBudgetSelect(tied, "doc_id", "n_tokens",
+      "score", 3L).collect()
+    assert(none.length === 1)
+    assert(none.head.getLong(0) === 3L && none.head.getLong(1) === 12L)
+    assert(none.head.getLong(3) === 0L && none.head.getLong(4) === 0L)
+    assert(none.head.isNullAt(5) && none.head.isNullAt(6))
   }
 }

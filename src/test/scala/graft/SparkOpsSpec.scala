@@ -81,6 +81,27 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(out.toSet == Set((1L, 2L)))
   }
 
+  test("incrementalNearDup: increment docs collide with the prior " +
+    "index, uniques don't, and prior docs emit no rows") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val prior = docsDf(
+      2L -> base,
+      4L -> "some other prior corpus text about older crawls entirely")
+    val incr = docsDf(
+      1L -> base, // exact text twin of prior doc 2 → every band collides
+      3L -> "fresh unique increment content sharing nothing with prior")
+    val out = Dedup.incrementalNearDup(prior, incr).orderBy("doc_id")
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L)) // increment only
+    val dup = out.head
+    assert(dup.getLong(1) == 1L && dup.getLong(2) == 2L &&
+      dup.getLong(3) == 1L)
+    val uniq = out.last
+    assert(uniq.getLong(1) == 0L && uniq.isNullAt(2) &&
+      uniq.getLong(3) == 0L)
+  }
+
   test("jaccardAllPairs agrees with hand-computed Jaccard") {
     // doc1: shingles {a b c, b c d}; doc2: {a b c, b c e}; inter=1 union=3
     val out = Dedup.jaccardAllPairs(docsDf(

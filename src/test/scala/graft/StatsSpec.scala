@@ -651,6 +651,14 @@ class StatsSpec extends AnyFunSuite {
     val two = Stats.giniTheil(Seq(1L, 3L).toDF("x"), "x").collect().head
     assert(two.getDouble(2) === 0.25)
     assert(two.getDouble(4) === 0.130812)
+    // all-zero measure: valid rows but no mass — gini is 0/0 and
+    // there are no positive rows for theil; both must read NULL (the
+    // null-on-degenerate convention), never NaN (r11 advice)
+    val zero = Stats.giniTheil(Seq(0L, 0L, 0L).toDF("x"), "x")
+      .collect().head
+    assert(zero.getLong(0) === 3L && zero.getDouble(1) === 0.0)
+    assert(zero.isNullAt(2) && zero.getLong(3) === 0L &&
+      zero.isNullAt(4))
   }
 
   test("trimmedMean: 10% of 1..10 drops one per tail; winsorized " +
@@ -678,15 +686,26 @@ class StatsSpec extends AnyFunSuite {
     assert(out.getDouble(3) === 0.0) // (|2−1|−1)²/3
   }
 
-  test("hillTail: exact log-ratio fold on a known geometric top set") {
+  test("hillTail: exact log-ratio fold on a known geometric top set; " +
+    "short corpus normalizes by the realized n_top - 1, not k") {
     val s = spark; import s.implicits._
     val out = Stats.hillTail(Seq(1L, 2L, 4L, 8L).toDF("x"), "x", k = 2)
       .collect().head
     assert(out.getLong(0) === 2L)
-    assert(out.getDouble(1) === 2.0) // x_min = 3rd largest
+    assert(out.getLong(1) === 3L) // full top-(k+1) realized
+    assert(out.getDouble(2) === 2.0) // x_min = 3rd largest
     // h = ln(8/2) + ln(4/2) + ln(2/2) = 2.079441542 at round-9 terms
-    assert(out.getDouble(2) === 1.039721) // h/k
-    assert(out.getDouble(3) === 0.961797) // k/h
+    assert(out.getDouble(3) === 1.039721) // h/(n_top-1) = h/k here
+    assert(out.getDouble(4) === 0.961797) // k/h
+    // fewer than k+1 positive rows: n_top = 4 < 6, x_min degrades to
+    // the global min and the estimator divides by n_top - 1 = 3 —
+    // NOT the requested k = 5 (the r11 silent-mis-scale advice)
+    val short = Stats.hillTail(Seq(1L, 2L, 4L, 8L).toDF("x"), "x",
+      k = 5).collect().head
+    assert(short.getLong(0) === 5L && short.getLong(1) === 4L)
+    assert(short.getDouble(2) === 1.0)
+    assert(short.getDouble(3) === 1.386294) // h/3
+    assert(short.getDouble(4) === 0.721348) // 3/h
   }
 
   test("cochranArmitage: hand-computed linear dose-response; " +
