@@ -32,5 +32,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was 8g): the bench suite runs 325+ gates × 4
+  // executions in ONE 32-thread JVM — at 8g the aging heap (memory
+  // sinks, codegen classes, block-manager residue) tipped random gates
+  // into GC storms with monotone per-rep growth (r12 captures:
+  // sim_ivfpq_topk 8.7→16.5→23.4 in one run, st_transitions
+  // 3.2→18.4→27.5 in the next — DIFFERENT gates, same signature,
+  // totals equal). The box has 128 GiB; 24g is still conservative.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -68,15 +68,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Hygiene scope between runs: "all" unpersists EVERY persistent
+    // RDD; "delta" only those the run itself created. The r11 advice
+    // noted "all" would break a gate that deliberately caches a
+    // lineage-truncated frame ACROSS reps (missing-block instead of
+    // recompute) — no gate does, and that is now a DOCUMENTED
+    // AUTHORING INVARIANT (see QueryDef): every gate rebuilds its
+    // frames from scratch per call. "all" stays the default because
+    // it is the empirically cleaner protocol: under delta scoping the
+    // round-12 full-suite dry run showed sim_ivfpq_topk's reps
+    // compounding 8.7 → 16.5 → 23.4 s (isolated: flat ~8 s), the r10
+    // leak signature, while the r11 unpersist-all capture held it
+    // flat at 7.9 s.
+    val hygiene = sys.env.getOrElse("SPARK_GRAFT_BENCH_HYGIENE", "all")
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      // snapshot the persistent-RDD ids OUTSIDE the timed span: the
-      // post-run hygiene below must only unpersist blocks the run
-      // itself created (localCheckpoint blocks leak otherwise), never
-      // a frame deliberately cached ACROSS reps by some future gate —
-      // unpersisting a lineage-truncated checkpoint a caller still
-      // holds fails with missing-block instead of recomputing (r11
-      // advice).
-      val pre = spark.sparkContext.getPersistentRDDs.keySet
+      // snapshot OUTSIDE the timed span (used by the delta scope)
+      val pre = if (hygiene == "delta")
+        spark.sparkContext.getPersistentRDDs.keySet
+      else Set.empty[Int]
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -99,14 +108,14 @@ object Bench {
       // are persistent RDDs it never touches, and they COMPOUND across
       // reps (r10 driver capture: pipe_incremental_refresh reps ran
       // 10.8 → 51.3 → 104.6 s purely from leaked checkpoint blocks).
-      // Unpersist the DELTA this run created (see the `pre` snapshot).
       // BLOCKING, deliberately: unpersist(false) enqueues async block
       // removal that bleeds INTO the next timed span (measured:
       // m_entity_pagerank 8.8 s with async vs 4.4 s blocking vs 5.0 s
       // with no unpersist at all — the hygiene must finish out here).
       spark.sparkContext.getPersistentRDDs
         .foreach { case (id, rdd) =>
-          if (!pre.contains(id)) rdd.unpersist(blocking = true) }
+          if (hygiene != "delta" || !pre.contains(id))
+            rdd.unpersist(blocking = true) }
       // streaming gates load HDFS-backed state-store providers keyed by
       // their (per-run, already-deleted) checkpoint dirs; the providers'
       // in-memory state maps linger until the maintenance task notices.
@@ -194,7 +203,7 @@ object Bench {
           .mkString(""","reps_used":{""", ",", "}")
       val canary = if (!withRuns) "" else
         s""","budget_sec":$budgetSec,"wall_sec":$elapsedSec""" +
-        s""","warmup":"$warmupMode"""" +
+        s""","warmup":"$warmupMode","hygiene":"$hygiene"""" +
         s""","warmup_gates":${warmupNames.size}""" +
         s""","loadavg_pre":$loadPre,"loadavg_post":$loadPost""" +
         s""","calib_md5_per_sec_pre":$calibPre""" +

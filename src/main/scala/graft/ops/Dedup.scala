@@ -269,6 +269,56 @@ object Dedup {
         s"x -> cast(x as string)), ',')) as bkey))), 1)")).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
 
+  /** CROSS-CORPUS DUPLICATED-LINE REMOVAL (the C4 "discard more than
+    * once" / RefinedWeb line-dedup stage): any non-blank line whose
+    * TRIMMED form occurs in more than `maxDocs` distinct documents is
+    * boilerplate (nav bars, cookie banners, license footers) and is
+    * struck from EVERY document; each document is then reassembled
+    * with its surviving lines in original order. The one dedup class
+    * document-local ops can never catch — the duplication is only
+    * visible corpus-wide.
+    *
+    * Returns (doc_id, n_lines, n_kept, n_dropped, clean_text) — one
+    * row per input document, including documents whose every line was
+    * struck (n_kept 0, empty clean_text).
+    *
+    * DETERMINISM: the hot-line set is a pure count threshold; kept
+    * lines reassemble by the explicit line ordinal (array_sort over
+    * (line_no, line) structs — exact), so output is
+    * partitioning-invariant. SCALE SHAPE: one explode → hash
+    * aggregate on the line key (uniform), one anti-join keyed on the
+    * same, one per-doc regroup — the [[exact]] dedup shape applied at
+    * line grain; nothing global, no window. At 100 TB the hot-line
+    * table is the ONLY cross-partition state and it is count-bounded;
+    * swap the trimmed-line key for its xxhash64 to shrink shuffle
+    * bytes (md5 kept here for the DuckDB twin).
+    */
+  def lineDedup(docs: DataFrame, maxDocs: Int): DataFrame = {
+    require(maxDocs >= 1, "maxDocs must be >= 1")
+    val lines = docs
+      .select(col("doc_id"), posexplode(expr("split(text, '\n')"))
+        .as(Seq("line_no", "line")))
+      .withColumn("lkey", trim(col("line")))
+    val totals = docs.select(col("doc_id"),
+      expr("size(split(text, '\n'))").cast("long").as("n_lines"))
+    val hot = lines.filter(length(col("lkey")) > 0)
+      .groupBy("lkey").agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") > maxDocs)
+      .select("lkey")
+    val kept = lines.join(hot, Seq("lkey"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(line_no, line))), s -> s.line), '\n')")
+          .as("clean_text"))
+    totals.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** CROSS-RUN INCREMENTAL NEAR-DUP CHECK — the shape a 100 TB corpus
     * actually dedups in: crawls arrive as monthly INCREMENTS and each
     * new batch must be checked against the accumulated prior corpus

@@ -285,6 +285,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** C4-STYLE LINE-LEVEL CLEANING (Raffel et al. 2020 §2.2) — the
+    * rule battery the C4/mC4 pipelines run on every crawled page
+    * before any model sees it: a LINE survives iff it has at least
+    * `minWords` whitespace-separated words AND ends in terminal
+    * punctuation; the PAGE carries flags for the document-level
+    * rejection rules (the literal "lorem ipsum", a curly brace — the
+    * code-leak marker). Returns per doc (doc_id, n_lines, n_kept,
+    * has_lorem, has_brace, keep_doc — no page flag and ≥ 1 surviving
+    * line — and clean_text, the kept lines rejoined in order).
+    *
+    * DETERMINISM: pure per-row string/array expressions — no
+    * aggregation at all; the kept-line order is the original line
+    * order (filter preserves array order). SCALE SHAPE: embarrassingly
+    * parallel narrow map riding the scan, whole-stage codegen
+    * end-to-end; at 100 TB this is the cheapest pass in the pipeline
+    * and should be FIRST (everything downstream sees fewer bytes).
+    */
+  def lineClean(docs: DataFrame, minWords: Int = 3): DataFrame = {
+    val keptExpr =
+      s"""filter(split(text, '\n'), l ->
+         |  size(split(trim(l), '\\\\s+')) >= $minWords
+         |  and trim(l) rlike '[.!?"\\']$$')""".stripMargin
+    docs
+      .select(col("doc_id"),
+        expr("size(split(text, '\n'))").cast("long").as("n_lines"),
+        expr(keptExpr).as("__kept"),
+        lower(col("text")).contains("lorem ipsum").as("has_lorem"),
+        col("text").contains("{").as("has_brace"))
+      .select(col("doc_id"), col("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        col("has_lorem"), col("has_brace"),
+        (!col("has_lorem") && !col("has_brace") &&
+          size(col("__kept")) > 0).as("keep_doc"),
+        array_join(col("__kept"), "\n").as("clean_text"))
+  }
+
   /** Distinct-n n-gram diversity (the "distinct-1/2/3" metrics of Li
     * et al. 2016) — the mode-collapse diagnostic for synthetic /
     * LLM-generated corpora: for each n, the ratio of DISTINCT n-grams

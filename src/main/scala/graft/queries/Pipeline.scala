@@ -1270,6 +1270,38 @@ object Pipeline extends QueryModule {
     // 30 documents, so the detector must find exactly those spans plus
     // any organic repetition. Shuffles key only on the window hash; a
     // hot boilerplate window is one aggregate group, never a join blowup.
+    // ---- Cross-corpus duplicated-line removal (Dedup.lineDedup):
+    // the C4/RefinedWeb boilerplate stage — any trimmed non-blank
+    // line seen in more than ONE distinct document is struck from all
+    // of them (the C4 "discard all but none" line rule; the fixture
+    // corpus shares 8 lines pairwise at sf0.1); docs reassemble with
+    // surviving lines in order.
+    QueryDef("d_line_dedup", (s, d) => {
+      Dedup.lineDedup(docs(s, d), 1).orderBy("doc_id")
+    }, Some("""
+      WITH d AS (SELECT doc_id,
+               string_split(text, chr(10)) AS lines FROM documents),
+      l AS (SELECT doc_id, lines,
+              unnest(range(0, len(lines))) AS line_no FROM d),
+      x AS (SELECT doc_id, line_no,
+              lines[CAST(line_no AS INT) + 1] AS line,
+              trim(lines[CAST(line_no AS INT) + 1]) AS lkey FROM l),
+      hot AS (SELECT lkey FROM x WHERE len(lkey) > 0
+              GROUP BY lkey HAVING COUNT(DISTINCT doc_id) > 1),
+      kept AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                 string_agg(line, chr(10) ORDER BY line_no)
+                   AS clean_text
+               FROM x LEFT JOIN hot ON x.lkey = hot.lkey
+               WHERE hot.lkey IS NULL GROUP BY 1),
+      tot AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines
+              FROM d)
+      SELECT t.doc_id, n_lines,
+        COALESCE(k.n_kept, 0) AS n_kept,
+        n_lines - COALESCE(k.n_kept, 0) AS n_dropped,
+        COALESCE(k.clean_text, '') AS clean_text
+      FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
+      ORDER BY t.doc_id""")),
+
     QueryDef("d_substring_dup", (s, d) => {
       val base = docs(s, d).select("doc_id", "text")
       val planted = base.filter(col("doc_id") < 30)
@@ -2585,6 +2617,35 @@ object Pipeline extends QueryModule {
             (a, b) -> a + b) AS DOUBLE) / greatest(len(toks), 1), 6)
           AS avg_token_len
       FROM w ORDER BY doc_id""")),
+
+    // ---- C4-style line cleaning (TextAnalysis.lineClean): the
+    // Raffel et al. 2020 §2.2 rule battery — a line survives with ≥ 3
+    // words and terminal punctuation; lorem-ipsum / curly-brace pages
+    // are flagged for document-level rejection. Pure narrow map.
+    QueryDef("t_line_clean", (s, d) => {
+      TextAnalysis.lineClean(docs(s, d))
+        .withColumn("has_lorem", col("has_lorem").cast("long"))
+        .withColumn("has_brace", col("has_brace").cast("long"))
+        .withColumn("keep_doc", col("keep_doc").cast("long"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH d AS (SELECT doc_id, text,
+               string_split(text, chr(10)) AS lines FROM documents),
+      k AS (SELECT doc_id,
+              CAST(len(lines) AS BIGINT) AS n_lines,
+              list_filter(lines, l ->
+                len(string_split_regex(trim(l), '\s+')) >= 3
+                AND regexp_matches(trim(l), '[.!?"'']$')) AS kept,
+              contains(lower(text), 'lorem ipsum') AS has_lorem,
+              contains(text, '{') AS has_brace
+            FROM d)
+      SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
+        CAST(has_lorem AS BIGINT) AS has_lorem,
+        CAST(has_brace AS BIGINT) AS has_brace,
+        CAST((NOT has_lorem AND NOT has_brace AND len(kept) > 0)
+          AS BIGINT) AS keep_doc,
+        COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
+      FROM k ORDER BY doc_id""")),
 
     QueryDef("t_quality_score", (s, d) => {
       TextAnalysis.qualityScore(docs(s, d))

@@ -6,6 +6,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * equivalent ANSI SQL the driver runs in DuckDB over the same parquet
   * tables. `oracle == None` means the driver records a weaker rows-only
   * check (used for non-SQL-expressible ops: streaming, Word2Vec, ...).
+  *
+  * AUTHORING INVARIANT (bench hygiene contract): every gate must
+  * rebuild its frames from scratch on each `query(...)` call — no
+  * module-level cached/persisted/checkpointed DataFrame may be reused
+  * ACROSS calls. The bench harness unpersists every persistent RDD
+  * between runs (Bench.once), so a frame cached across reps whose
+  * lineage was truncated (eager localCheckpoint) would fail with
+  * missing-block instead of recomputing. Per-call internal persists
+  * (pinning a frame referenced by several branches of ONE plan) are
+  * fine and encouraged.
   */
 final case class QueryDef(
     name: String,

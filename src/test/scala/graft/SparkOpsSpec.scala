@@ -81,6 +81,45 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(out.toSet == Set((1L, 2L)))
   }
 
+  test("lineClean: C4 rules — short lines and unpunctuated lines drop, " +
+    "lorem-ipsum and brace pages are flagged, order preserved") {
+    val out = graft.ops.TextAnalysis.lineClean(docsDf(
+      1L -> ("This is a good line.\nshort\nAnother proper sentence " +
+        "here!\nno terminal punctuation at all"),
+      2L -> "Lorem Ipsum dolor sit amet.",
+      3L -> "some code here { x }.")).orderBy("doc_id").collect()
+    val d1 = out(0)
+    assert(d1.getLong(1) == 4L && d1.getLong(2) == 2L)
+    assert(!d1.getBoolean(3) && !d1.getBoolean(4) && d1.getBoolean(5))
+    assert(d1.getString(6) ==
+      "This is a good line.\nAnother proper sentence here!")
+    val d2 = out(1) // line itself survives but the PAGE flag rejects
+    assert(d2.getLong(2) == 1L && d2.getBoolean(3) && !d2.getBoolean(5))
+    val d3 = out(2)
+    assert(d3.getBoolean(4) && !d3.getBoolean(5))
+  }
+
+  test("lineDedup: a line in more than maxDocs distinct docs is struck " +
+    "from every doc; survivors keep original order; all-struck doc " +
+    "still emits") {
+    val banner = "Accept our cookies to continue."
+    val out = graft.ops.Dedup.lineDedup(docsDf(
+      1L -> s"Unique first line.\n$banner\nUnique third line.",
+      2L -> s"$banner\nAnother unique line.",
+      3L -> s"  $banner  ", // trims to the same key; becomes empty
+      4L -> "Totally unrelated document.").orderBy("doc_id"), 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 2L &&
+      out(0).getLong(3) == 1L)
+    assert(out(0).getString(4) ==
+      "Unique first line.\nUnique third line.")
+    assert(out(1).getLong(2) == 1L &&
+      out(1).getString(4) == "Another unique line.")
+    assert(out(2).getLong(2) == 0L && out(2).getLong(3) == 1L &&
+      out(2).getString(4) == "")
+    assert(out(3).getLong(3) == 0L)
+  }
+
   test("incrementalNearDup: increment docs collide with the prior " +
     "index, uniques don't, and prior docs emit no rows") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
