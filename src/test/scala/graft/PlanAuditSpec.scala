@@ -47,6 +47,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "m_mention_tfidf_scaled",
     "j_cross_grid", "j7_vocab_oov_broadcast", "w1_vocab_rank_band",
     "m_mapped_comentions", "o8_token_shards", "sim_topk_bruteforce",
+    // o19_source_interleave (r12): the same two-phase triangular
+    // offset joins — once over the ≤ numPartitions-row per-partition
+    // count table (globalOrdinal), once over the ≤ |sources|-row
+    // per-source count table
+    "o19_source_interleave",
     "sim_ivf_topk", "sim_ivf_kmeans_topk", "sim_ivfpq_topk",
     "a_exact_quantiles", "a_sample_quantiles", "agg_cms_counts",
     "t_unigram_nll",
