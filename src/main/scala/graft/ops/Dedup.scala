@@ -325,10 +325,12 @@ object Dedup {
     * WITHOUT re-banding it (the reference processes crawl increments
     * as separate runs; reference README:52-53). The prior corpus is
     * represented by its MinHash band-key INDEX (band, bkey,
-    * prior_doc) — built here in-plan from `prior`, but in production
-    * PERSISTED as parquet bucketed on (band, bkey) and appended per
-    * run, so the increment join is zero-exchange on the (huge) index
-    * side and only the (small) increment shuffles. The increment's
+    * prior_doc) — persisted to parquet and RELOADED when `indexPath`
+    * is given (the gate's mode: the joined state is the file a prior
+    * run left behind, not a live plan), in production bucketed on
+    * (band, bkey) and appended per run, so the increment join is
+    * zero-exchange on the (huge) index side and only the (small)
+    * increment shuffles. The increment's
     * band keys come from the SAME expressions ([[shingled]] →
     * [[minhashSignatures]] → [[bandKeys]]), so index rows written by
     * any previous run collide correctly with this run's keys.
@@ -347,11 +349,22 @@ object Dedup {
     * the prior corpus is touched only through its index.
     */
   def incrementalNearDup(prior: DataFrame, incr: DataFrame,
-      shingleN: Int = 3, k: Int = 8, bands: Int = 4, rows: Int = 2)
-      : DataFrame = {
-    val idx = bandKeys(minhashSignatures(shingled(prior, shingleN), k),
+      shingleN: Int = 3, k: Int = 8, bands: Int = 4, rows: Int = 2,
+      indexPath: Option[String] = None): DataFrame = {
+    val built = bandKeys(minhashSignatures(shingled(prior, shingleN), k),
       bands, rows)
       .select(col("band"), col("bkey"), col("doc_id").as("prior_doc"))
+    // `indexPath` makes the cross-RUN claim literal: the prior
+    // corpus's band index is WRITTEN to parquet and the increment
+    // joins against the RELOADED file — the state that run N+1 reads
+    // is exactly what run N persisted (and what successive runs
+    // APPEND to), not a live plan over the prior frame. Production
+    // layout: partition/bucket the index files by (band, bkey) so the
+    // increment join is zero-exchange on the (huge) index side.
+    val idx = indexPath.fold(built) { p =>
+      built.write.mode("overwrite").parquet(p)
+      built.sparkSession.read.parquet(p)
+    }
     val newKeys = bandKeys(minhashSignatures(shingled(incr, shingleN), k),
       bands, rows)
     newKeys.join(idx, Seq("band", "bkey"), "left")

@@ -400,7 +400,8 @@ object Pipeline extends QueryModule {
       val all = docs(s, d)
       Dedup.incrementalNearDup(
         all.filter(col("doc_id") % 2 === 0),
-        all.filter(col("doc_id") % 2 === 1))
+        all.filter(col("doc_id") % 2 === 1),
+        indexPath = Some(Scratch.dir("graft_neardup_idx") + "/idx"))
         .orderBy("doc_id")
     }, Some(s"""
       WITH $duckShingleCtes,
