@@ -1905,4 +1905,80 @@ object EventAnalytics {
       "exp(-0.5 * z * z))"
     s"case when z is not null then round(2.0 * $pdf * $poly, 6) end"
   }
+
+  /** DIFFERENCE-IN-DIFFERENCES readout — the observational-causal
+    * companion of [[abTest]]/[[cupedAdjust]]: where CUPED uses the
+    * pre-period to SHRINK variance around the same post-period
+    * contrast, DiD uses it to REMOVE time-invariant level differences:
+    *
+    *   DiD = (ȳ_B − x̄_B) − (ȳ_A − x̄_A)
+    *
+    * over per-user pre (x) / post (y) totals, arms from the same
+    * stable md5 membership as [[abTest]]. The parallel-trends SE is
+    * the four-cell Welch form SE² = Σ s²_cell/n_cell (each user
+    * contributes its pre and post values as separate cell
+    * observations — the classical 2×2 group-means regression SE).
+    *
+    * Returns one row (n_a, n_b, pre_diff, post_diff, did, se, z):
+    * pre_diff = x̄_B − x̄_A is the parallel-trends eyeball (≈0 under
+    * valid randomization), did the causal estimate.
+    *
+    * DETERMINISM: [[cupedAdjust]]'s exact machinery verbatim — per-
+    * user period sums accumulate round(,6) DECIMALs bound to
+    * DECIMAL(18,6); the ten per-arm moments (squares at
+    * DECIMAL(38,12)) are exact on any partitioning; DiD/SE/z are ONE
+    * mirrored IEEE chain. Degenerate cells (n ≤ 1) read null SE/z.
+    *
+    * SCALE SHAPE: one per-user hash aggregate, ONE scalar fold with
+    * conditional per-arm sums — nothing grows past |users|.
+    */
+  def didEstimate(events: DataFrame, valueCol: String, isPre: Column)
+      : DataFrame = {
+    Hashing.ensureRegistered(events)
+    val v = expr(s"cast(round(cast($valueCol as double), 6) " +
+      "as decimal(28,6))")
+    val perUser = events.filter(col(valueCol).isNotNull)
+      .groupBy("user_id")
+      .agg(
+        coalesce(sum(when(isPre, v)), lit(0).cast("decimal(28,6)"))
+          .cast("decimal(18,6)").as("x"),
+        coalesce(sum(when(!isPre, v)), lit(0).cast("decimal(28,6)"))
+          .cast("decimal(18,6)").as("y"))
+      .withColumn("variant", pmod(Hashing.md5Long(
+        concat(lit("ab:"), col("user_id").cast("string"))), lit(2L)))
+    def armSums(arm: Int, suffix: String) = Seq(
+      sum(when(col("variant") === arm, 1L).otherwise(0L))
+        .as(s"n_$suffix"),
+      sum(when(col("variant") === arm, col("x"))).cast("double")
+        .as(s"sx_$suffix"),
+      sum(when(col("variant") === arm,
+        (col("x") * col("x")).cast("decimal(38,12)"))).cast("double")
+        .as(s"sxx_$suffix"),
+      sum(when(col("variant") === arm, col("y"))).cast("double")
+        .as(s"sy_$suffix"),
+      sum(when(col("variant") === arm,
+        (col("y") * col("y")).cast("decimal(38,12)"))).cast("double")
+        .as(s"syy_$suffix"))
+    val folds = armSums(0, "a") ++ armSums(1, "b")
+    perUser.agg(folds.head, folds.tail: _*)
+      .withColumn("mxa", expr("sx_a / cast(n_a as double)"))
+      .withColumn("mya", expr("sy_a / cast(n_a as double)"))
+      .withColumn("mxb", expr("sx_b / cast(n_b as double)"))
+      .withColumn("myb", expr("sy_b / cast(n_b as double)"))
+      .withColumn("se2", expr(
+        "case when n_a > 1 and n_b > 1 then " +
+        "((sxx_a - sx_a * sx_a / n_a) / (cast(n_a as double) - 1.0D) + " +
+        "(syy_a - sy_a * sy_a / n_a) / (cast(n_a as double) - 1.0D)) / " +
+        "cast(n_a as double) + " +
+        "((sxx_b - sx_b * sx_b / n_b) / (cast(n_b as double) - 1.0D) + " +
+        "(syy_b - sy_b * sy_b / n_b) / (cast(n_b as double) - 1.0D)) / " +
+        "cast(n_b as double) end"))
+      .select(col("n_a"), col("n_b"),
+        round(expr("mxb - mxa"), 6).as("pre_diff"),
+        round(expr("myb - mya"), 6).as("post_diff"),
+        round(expr("(myb - mxb) - (mya - mxa)"), 6).as("did"),
+        round(expr("case when se2 > 0 then sqrt(se2) end"), 6).as("se"),
+        round(expr("case when se2 > 0 then " +
+          "((myb - mxb) - (mya - mxa)) / sqrt(se2) end"), 6).as("z"))
+  }
 }

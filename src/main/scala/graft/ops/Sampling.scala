@@ -264,6 +264,49 @@ object Sampling {
         "cast(2 * ns as double)"), 9).as("pos"),
         col("source"), col("id"))
   }
+
+  /** CURRICULUM ORDERING — the easy-to-hard training manifest
+    * (Bengio et al. 2009): documents are cut into `buckets` difficulty
+    * tiers at the EXACT difficulty quantiles, then laid out tier by
+    * tier with a deterministic md5 shuffle WITHIN each tier — the
+    * model sees all easy documents (shuffled) before any harder one,
+    * without the sorted-by-length pathology of a raw difficulty sort
+    * (adjacent batches stay decorrelated inside a tier). The
+    * complement of [[epochShuffle]] (pure shuffle) and
+    * [[Pack.sourceInterleave]] (source-proportional): here the ORDER
+    * carries the curriculum.
+    *
+    * DETERMINISM: tier cuts are [[Rank.exactQuantiles]] rank
+    * statistics of (difficulty, key); assignment is value comparison
+    * (ties land together); pos is the two-phase
+    * [[Rank.globalOrdinal]] over (bucket, md5('curr:' ‖ key), key).
+    * SCALE SHAPE: the score pass, one ordinal, a broadcast
+    * ≤ buckets-row cut frame — no per-tier single-task window.
+    * Returns (key, difficulty, bucket, pos) — pos is the global
+    * training position, 0-based.
+    */
+  def curriculumOrder(df: DataFrame, keyCol: String,
+      difficultyCol: String, buckets: Int = 4): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    Hashing.ensureRegistered(df)
+    val rows = df.filter(col(difficultyCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        col(difficultyCol).cast("double").as("difficulty"))
+      .localCheckpoint(false) // feeds the cuts AND the ordinal
+    val cuts = Rank.exactQuantiles(rows, "difficulty", Seq(col("key")),
+        (1 until buckets).map(_.toDouble / buckets))
+      .groupBy().agg(sort_array(collect_list(
+        struct(col("q"), col("difficulty")))).as("__cuts"))
+    val binned = rows.crossJoin(broadcast(cuts))
+      .withColumn("bucket", expr(
+        "size(filter(__cuts, c -> c.difficulty < difficulty))")
+        .cast("long"))
+    Rank.globalOrdinal(
+        binned.withColumn("__h", Hashing.md5Long(
+          concat(lit("curr:"), col("key").cast("string")))),
+        Seq(col("bucket"), col("__h"), col("key")), "pos")
+      .select(col("key"), col("difficulty"), col("bucket"), col("pos"))
+  }
 }
 
 /** Column-level data profiling — the data-quality pass an ingest runs

@@ -1949,4 +1949,726 @@ object Stats {
         round(expr("case when h > 0 then cast(n_top - 1 as double) / " +
           "cast(h as double) end"), 6).as("alpha"))
   }
+
+  /** Standardized EFFECT SIZES for the two-group comparison — the
+    * "how big, not just how significant" companion every test in this
+    * family lacks on its own: Cohen's d (pooled-SD mean difference),
+    * Hedges' g (d with the small-sample bias correction
+    * 1 − 3/(4(n_a+n_b) − 9)), and Cliff's delta
+    * δ = P(a > b) − P(a < b) — the nonparametric effect size, derived
+    * from the tie-half-credit Mann–Whitney U via δ = 2U/(n_a·n_b) − 1.
+    *
+    * MACHINERY: the moment side is [[twoSampleMoments]] verbatim
+    * (decimal-exact sums, the Welch chain); the rank side is
+    * [[mannWhitney]]'s doubled-rank-sum BIGINT encoding verbatim —
+    * the two 1-row folds broadcast-crossJoin into one readout row.
+    * Zero pooled variance reads null d/g rather than a blowup.
+    *
+    * SCALE SHAPE: one decimal hash aggregate + one distinct-value
+    * aggregate + the two-phase [[Rank.globalRunningSum]]; no
+    * unpartitioned window, two 1-row folds. Returns one row
+    * (n_a, n_b, cohens_d, hedges_g, cliffs_delta).
+    */
+  def effectSizes(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val mom = twoSampleMoments(df, groupCol, valueCol, groupA, groupB)
+      .select(col("n_a"), col("n_b"),
+        expr("case when n_a + n_b > 2 then " +
+          "((cast(n_a as double) - 1.0D) * v_a + " +
+          "(cast(n_b as double) - 1.0D) * v_b) / " +
+          "(cast(n_a as double) + cast(n_b as double) - 2.0D) end")
+          .as("sp2"),
+        expr("m_a - m_b").as("md"))
+    val rows = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+    val byVal = rows.groupBy("v").agg(
+      count(lit(1)).as("t"),
+      sum(when(col("g") === groupA, 1L).otherwise(0L)).as("na_v"))
+    val cum = Rank.globalRunningSum(byVal, Seq(col("v")), "t", "cum_t")
+      .withColumn("below", col("cum_t") - col("t"))
+    val u = cum.agg(
+        sum(col("na_v")).as("ru_na"),
+        sum(col("t")).as("ru_n"),
+        sum(expr("na_v * (2 * below + t + 1)")).as("ra2"))
+      .select(expr("cast(ra2 as double) / 2.0 - " +
+        "cast(ru_na as double) * (ru_na + 1) / 2.0").as("u"),
+        expr("cast(ru_na as double) * cast(ru_n - ru_na as double)")
+          .as("nanb"))
+    mom.crossJoin(broadcast(u))
+      .select(col("n_a"), col("n_b"),
+        round(expr("case when sp2 > 0 then md / sqrt(sp2) end"), 6)
+          .as("cohens_d"),
+        round(expr("case when sp2 > 0 then (md / sqrt(sp2)) * " +
+          "(1.0D - 3.0D / (4.0D * (cast(n_a as double) + " +
+          "cast(n_b as double)) - 9.0D)) end"), 6).as("hedges_g"),
+        round(expr("case when nanb > 0 then 2.0D * u / nanb - 1.0D end"),
+          6).as("cliffs_delta"))
+  }
+
+  /** WILCOXON SIGNED-RANK test for PAIRED samples — the within-subject
+    * twin of [[mannWhitney]] (which compares independent groups): each
+    * key contributes ONE pair (its exact per-key mean under condition A
+    * vs under condition B), zero differences drop (Wilcoxon's
+    * convention), |d| ranks with tie-averaged ranks, and the positive
+    * rank sum W⁺ tests symmetry around zero via the normal
+    * approximation   z = (W⁺ − n(n+1)/4) / σ,
+    * σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48.
+    *
+    * DETERMINISM: per-key means are exact DECIMAL sums round(,6) back
+    * into DECIMAL(18,6), so the differences d and keys |d| are EXACT
+    * decimals — the rank join never meets a float key. The doubled
+    * positive rank sum 2W⁺ = Σ npos(v)·(2·below(v) + t(v) + 1) is pure
+    * BIGINT ([[mannWhitney]]'s encoding); z is ONE mirrored IEEE
+    * expression. Degenerate n = 0 (all pairs tie) reads null z.
+    *
+    * SCALE SHAPE: one keyed hash aggregate (pairs), one distinct-|d|
+    * aggregate, the two-phase [[Rank.globalRunningSum]], one scalar
+    * fold. Returns one row (n_pairs, n_nonzero, w_plus, z).
+    */
+  def wilcoxonSignedRank(df: DataFrame, keyCol: String, groupCol: String,
+      valueCol: String, groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "groups must differ")
+    val pairs = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol).as("k"), col(groupCol).as("g"),
+        expr(s"cast(round(cast($valueCol as double), 6) " +
+          "as decimal(28,6))").as("v"))
+      .groupBy("k").agg(
+        sum(when(col("g") === groupA, col("v"))).as("sa"),
+        sum(when(col("g") === groupA, 1L).otherwise(0L)).as("na"),
+        sum(when(col("g") === groupB, col("v"))).as("sb"),
+        sum(when(col("g") === groupB, 1L).otherwise(0L)).as("nb"))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .select(expr("cast(round(cast(sa as double) / cast(na as double), " +
+        "6) as decimal(18,6)) - cast(round(cast(sb as double) / " +
+        "cast(nb as double), 6) as decimal(18,6))").as("dd"))
+    val nz = pairs.filter(col("dd") =!= lit(0))
+      .select((col("dd") > 0).as("pos"), abs(col("dd")).as("ad"))
+    val byVal = nz.groupBy("ad").agg(
+      count(lit(1)).as("t"),
+      sum(when(col("pos"), 1L).otherwise(0L)).as("npos_v"))
+    val cum = Rank.globalRunningSum(byVal, Seq(col("ad")), "t", "cum_t")
+      .withColumn("below", col("cum_t") - col("t"))
+    val fold = cum.agg(
+      sum(col("t")).as("n"),
+      sum(expr("npos_v * (2 * below + t + 1)")).as("wp2"),
+      sum(expr("t * t * t - t")).as("ties"))
+    val total = pairs.agg(count(lit(1)).as("n_pairs"))
+    total.crossJoin(broadcast(fold))
+      .select(col("n_pairs"), coalesce(col("n"), lit(0L)).as("n_nonzero"),
+        round(expr("cast(wp2 as double) / 2.0"), 6).as("w_plus"),
+        round(expr("case when n > 0 and " +
+          "n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0 > 0 then " +
+          "(cast(wp2 as double) / 2.0 - n * (n + 1) / 4.0) / " +
+          "sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0) end"),
+          6).as("z"))
+  }
+
+  /** HODGES–LEHMANN two-sample shift estimator — the robust "how far
+    * apart are these distributions" companion to [[mannWhitney]]'s
+    * verdict: the MEDIAN of all pairwise differences median{a − b},
+    * computed here over the two groups' per-key (daily) exact means so
+    * the pair frame is CALENDAR-BOUNDED (n_a·n_b ≈ days², thousands —
+    * the [[EventAnalytics]] Theil–Sen convention) rather than rows².
+    *
+    * DETERMINISM: per-key means are exact DECIMAL round(,6) values, so
+    * every pairwise difference is an exact DECIMAL; the median is the
+    * exact lower/upper-middle average located by cumulative counts on
+    * the distinct-difference table via [[Rank.globalRunningSum]] — no
+    * unpartitioned sort window, no float keys. Returns one row
+    * (n_a, n_b, n_pairs, hl_shift); empty sides read a null shift.
+    */
+  def hodgesLehmann(df: DataFrame, keyCol: Column, groupCol: String,
+      valueCol: String, groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "groups must differ")
+    val means = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .select(keyCol.as("k"), col(groupCol).as("g"),
+        expr(s"cast(round(cast($valueCol as double), 6) " +
+          "as decimal(28,6))").as("v"))
+      .groupBy("k", "g").agg(
+        expr("cast(round(cast(sum(v) as double) / count(1), 6) " +
+          "as decimal(18,6))").as("m"))
+    val a = means.filter(col("g") === groupA).select(col("m").as("ma"))
+    val b = means.filter(col("g") === groupB).select(col("m").as("mb"))
+    val diffs = a.crossJoin(b)
+      .select((col("ma") - col("mb")).as("dd"))
+      .groupBy("dd").agg(count(lit(1)).as("t"))
+    val cum = Rank.globalRunningSum(diffs, Seq(col("dd")), "t", "cum_t")
+      .localCheckpoint(false) // feeds the count fold AND the median probe
+    val n = cum.agg(sum(col("t")).as("np"))
+    val med = cum.crossJoin(broadcast(n))
+      // lower middle = rank ceil(np/2) = (np+1) div 2; upper = np div 2 + 1
+      .agg(
+        max(when(col("cum_t") - col("t") < expr("(np + 1) div 2") &&
+          col("cum_t") >= expr("(np + 1) div 2"), col("dd"))).as("lo"),
+        max(when(col("cum_t") - col("t") < expr("np div 2 + 1") &&
+          col("cum_t") >= expr("np div 2 + 1"), col("dd"))).as("hi"))
+    val sides = means.groupBy().agg(
+      sum(when(col("g") === groupA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("g") === groupB, 1L).otherwise(0L)).as("n_b"))
+    sides.crossJoin(broadcast(n)).crossJoin(broadcast(med))
+      .select(col("n_a"), col("n_b"),
+        coalesce(col("np"), lit(0L)).as("n_pairs"),
+        round(expr("(cast(lo as double) + cast(hi as double)) / 2.0"), 6)
+          .as("hl_shift"))
+  }
+
+  /** PRECISION–RECALL AUC (average precision, threshold granularity) —
+    * the class-imbalance-honest companion to [[rocAuc]]: where ROC AUC
+    * stays optimistic when negatives dominate, AP weights precision by
+    * recall GAINED at each distinct score threshold:
+    * AP = Σ_v ΔTP(v)·P(v) / n_pos with P(v) = cumTP(v)/cumN(v) over
+    * scores descending, ties resolved at threshold granularity (every
+    * row with the same score enters together — no within-tie order).
+    *
+    * DETERMINISM: cumTP/cumN are BIGINT cumulative counts off the
+    * distinct-score table ([[rocAuc]]'s machinery, descending); each
+    * threshold's term tp_v·cumTP/cumN rounds(,9) into DECIMAL(28,9)
+    * before the sum — order-free exact accumulation (the
+    * [[entropyProfile]] convention) — and only the final /n_pos and
+    * display rounds are IEEE. Returns one row
+    * (n_pos, n_neg, pr_auc, baseline) where baseline = n_pos/n is the
+    * no-skill AP.
+    *
+    * SCALE SHAPE: one distinct-score hash aggregate, the two-phase
+    * [[Rank.globalRunningSum]] (descending via negated key), one
+    * scalar fold. No unpartitioned window.
+    */
+  def prAuc(df: DataFrame, isPositive: Column, scoreCol: String)
+      : DataFrame = {
+    val rows = df.filter(col(scoreCol).isNotNull)
+      .select(isPositive.cast("boolean").as("pos"),
+        col(scoreCol).cast("double").as("v"))
+    val byVal = rows.groupBy("v").agg(
+      count(lit(1)).as("t"),
+      sum(when(col("pos"), 1L).otherwise(0L)).as("tp_v"))
+      .withColumn("nv", negate(col("v"))) // descending score order
+    val cum = Rank.globalRunningSum(byVal, Seq(col("nv")), "t", "cum_n")
+      .localCheckpoint(false) // feeds the tp running sum on ONE lineage
+    val cum2 = Rank.globalRunningSum(
+      cum.withColumnRenamed("tp_v", "tp_v2"),
+      Seq(col("nv")), "tp_v2", "cum_tp")
+    cum2.agg(
+        sum(col("t")).as("n"),
+        sum(col("tp_v2")).as("n_pos"),
+        sum(expr("cast(round(tp_v2 * cast(cum_tp as double) / " +
+          "cast(cum_n as double), 9) as decimal(28,9))")).as("ap_num"))
+      .select(col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
+        round(expr("case when n_pos > 0 then cast(ap_num as double) / " +
+          "cast(n_pos as double) end"), 6).as("pr_auc"),
+        round(expr("case when n > 0 then cast(n_pos as double) / " +
+          "cast(n as double) end"), 6).as("baseline"))
+  }
+
+  /** TWO-FEATURE RIDGE REGRESSION, closed form — the regularized
+    * sibling of [[olsRegression]]: solve (C + λI)β = c on the CENTERED
+    * 2×2 normal equations (intercept unpenalized, the standard
+    * convention), β by Cramer's rule, b0 = ȳ − β·x̄. λ > 0 keeps the
+    * solve well-posed under collinear features where OLS's determinant
+    * vanishes — the production guard this family lacked.
+    *
+    * DETERMINISM: inputs round(,`decScale`) into DECIMAL(18,·); the
+    * nine raw moments (n, Σx₁, Σx₂, Σy, Σx₁², Σx₂², Σx₁x₂, Σx₁y, Σx₂y)
+    * accumulate exactly; centered sums, determinant, β and R² derive
+    * through ONE fixed IEEE chain mirrored textually. det ≤ 0 (λ = 0
+    * on collinear data) reads null coefficients. ONE hash aggregate,
+    * one row out: (n, b0, b1, b2, r2).
+    */
+  def ridgeRegression(df: DataFrame, yCol: String, x1Col: String,
+      x2Col: String, lambda: Double, decScale: Int = 2): DataFrame = {
+    require(lambda >= 0, s"lambda must be >= 0, got $lambda")
+    val s2 = 2 * decScale
+    def d18(c: String) = col(c).cast(s"decimal(18,$decScale)")
+    df.filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
+        col(x2Col).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(d18(x1Col)).cast("double").as("s1"),
+        sum(d18(x2Col)).cast("double").as("s2c"),
+        sum(d18(yCol)).cast("double").as("sy"),
+        sum((d18(x1Col) * d18(x1Col)).cast(s"decimal(38,$s2)"))
+          .cast("double").as("s11"),
+        sum((d18(x2Col) * d18(x2Col)).cast(s"decimal(38,$s2)"))
+          .cast("double").as("s22"),
+        sum((d18(x1Col) * d18(x2Col)).cast(s"decimal(38,$s2)"))
+          .cast("double").as("s12"),
+        sum((d18(x1Col) * d18(yCol)).cast(s"decimal(38,$s2)"))
+          .cast("double").as("s1y"),
+        sum((d18(x2Col) * d18(yCol)).cast(s"decimal(38,$s2)"))
+          .cast("double").as("s2y"),
+        sum((d18(yCol) * d18(yCol)).cast(s"decimal(38,$s2)"))
+          .cast("double").as("syy"))
+      .withColumn("c11", expr(s"s11 - s1 * s1 / n + $lambda"))
+      .withColumn("c22", expr(s"s22 - s2c * s2c / n + $lambda"))
+      .withColumn("c12", expr("s12 - s1 * s2c / n"))
+      .withColumn("c1y", expr("s1y - s1 * sy / n"))
+      .withColumn("c2y", expr("s2y - s2c * sy / n"))
+      .withColumn("cyy", expr("syy - sy * sy / n"))
+      .withColumn("det", expr("c11 * c22 - c12 * c12"))
+      .withColumn("b1", expr("case when det > 0 then " +
+        "(c22 * c1y - c12 * c2y) / det end"))
+      .withColumn("b2", expr("case when det > 0 then " +
+        "(c11 * c2y - c12 * c1y) / det end"))
+      .select(col("n"),
+        round(expr("(sy - b1 * s1 - b2 * s2c) / n"), 6).as("b0"),
+        round(col("b1"), 6).as("b1"), round(col("b2"), 6).as("b2"),
+        round(expr("case when cyy > 0 then 1.0D - (cyy - 2.0D * " +
+          "(b1 * c1y + b2 * c2y) + b1 * b1 * (c11 - " + lambda +
+          ") + 2.0D * b1 * b2 * c12 + b2 * b2 * (c22 - " + lambda +
+          ")) / cyy end"), 6).as("r2"))
+  }
+
+  /** FRIEDMAN TEST (+ Kendall's W) — the BLOCKED-design companion of
+    * [[kruskalWallis]]: where KW ranks all observations in one pool,
+    * Friedman ranks the k treatments WITHIN each block (here: each
+    * complete calendar day ranks the treatments by their exact daily
+    * mean), removing between-block level differences the way a paired
+    * test removes between-subject ones. Tie-corrected statistic
+    *
+    *   Q = [12·Σ_j R_j²/(n·k·(k+1)) − 3·n·(k+1)] /
+    *       [1 − ΣT/(n·k·(k²−1))],   ΣT = Σ_blocks Σ_ties (t³−t),
+    *
+    * and Kendall's coefficient of concordance W = Q/(n·(k−1)) — the
+    * [0,1] "how much do the blocks agree on the treatment ordering".
+    * Only COMPLETE blocks (all k treatments present) enter, per the
+    * classical design.
+    *
+    * DETERMINISM: cell means are exact-DECIMAL round(,6) values, so
+    * within-block ranks are ranks of exact keys; the tie-averaged
+    * rank enters DOUBLED (2·r̄ = 2·(rank−1) + t + 1 — [[mannWhitney]]'s
+    * BIGINT encoding), so every rank sum R_j is exact BIGINT and
+    * Σ R_j² accumulates as exact DECIMAL(38,0); Q and W are ONE
+    * mirrored IEEE chain. All-tied-everywhere (C ≤ 0) reads null.
+    *
+    * SCALE SHAPE: one (block, treatment) hash aggregate; the rank
+    * windows partition by BLOCK (≤ k rows each — never a funnel);
+    * k-row and 1-row folds after that. Returns one row
+    * (n_blocks, k, chi2, w).
+    */
+  def friedmanTest(df: DataFrame, blockCol: Column, groupCol: String,
+      valueCol: String): DataFrame = {
+    val cells = df.filter(col(valueCol).isNotNull)
+      .select(blockCol.as("k"), col(groupCol).as("g"),
+        expr(s"cast(round(cast($valueCol as double), 6) " +
+          "as decimal(28,6))").as("v"))
+      .groupBy("k", "g")
+      .agg(expr("cast(round(cast(sum(v) as double) / count(1), 6) " +
+        "as decimal(18,6))").as("m"))
+    val kkF = cells.agg(countDistinct("g").as("kk"))
+    val comp = cells
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("k")))
+      .crossJoin(broadcast(kkF))
+      .filter(col("cnt") === col("kk"))
+      .localCheckpoint(false) // feeds ranks, ties AND the block count
+    val ranked = comp
+      .withColumn("rmin",
+        rank().over(Window.partitionBy("k").orderBy("m")))
+      .withColumn("t", count(lit(1)).over(Window.partitionBy("k", "m")))
+      .select(col("g"),
+        expr("cast(2 * (rmin - 1) + t + 1 as bigint)").as("avg2"))
+    val rj = ranked.groupBy("g").agg(sum(col("avg2")).as("r2j"))
+    val ssbn = rj.agg(sum((col("r2j").cast("decimal(19,0)") *
+      col("r2j").cast("decimal(19,0)")).cast("decimal(38,0)"))
+      .cast("double").as("ssbn4"))
+    val ties = comp.groupBy("k", "m").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr("t * t * t - t")), lit(0L)).as("tsum"))
+    val nb = comp.select("k").distinct().agg(count(lit(1)).as("n"))
+    nb.crossJoin(broadcast(kkF)).crossJoin(broadcast(ssbn))
+      .crossJoin(broadcast(ties))
+      .withColumn("q0", expr(
+        "case when n > 0 and kk > 1 then " +
+        "12.0D * (ssbn4 / 4.0D) / (cast(n as double) * " +
+        "cast(kk as double) * (cast(kk as double) + 1.0D)) - " +
+        "3.0D * cast(n as double) * (cast(kk as double) + 1.0D) end"))
+      .withColumn("c", expr(
+        "case when n > 0 and kk > 1 then 1.0D - cast(tsum as double) / " +
+        "(cast(n as double) * cast(kk as double) * " +
+        "(cast(kk as double) * cast(kk as double) - 1.0D)) end"))
+      .select(col("n").as("n_blocks"), col("kk").as("k"),
+        round(expr("case when c > 0 then q0 / c end"), 6).as("chi2"),
+        round(expr("case when c > 0 then (q0 / c) / " +
+          "(cast(n as double) * (cast(kk as double) - 1.0D)) end"), 6)
+          .as("w"))
+  }
+
+  /** BRIER SCORE with the MURPHY DECOMPOSITION — the proper-scoring
+    * companion of [[calibrationBins]]/[[hosmerLemeshow]]: the raw
+    * Brier score BS = mean((p − y)²) plus, over the SAME [[calBinned]]
+    * equal-width score-bin fold, its Murphy split
+    *
+    *   BS_binned = REL − RES + UNC,
+    *   REL = Σ_b n_b(p̄_b − ō_b)²/n  (calibration error — lower better),
+    *   RES = Σ_b n_b(ō_b − ō)²/n    (discrimination — higher better),
+    *   UNC = ō(1 − ō)               (irreducible base-rate variance),
+    *
+    * which says WHY a score is good or bad where the raw BS only says
+    * how much. (BS and the binned identity differ by the within-bin
+    * score variance — both are emitted; the identity holds exactly
+    * for the bin-averaged forecast.)
+    *
+    * DETERMINISM: scores round(,6) sum as exact DECIMALs (squares at
+    * DECIMAL(38,12)), outcomes as BIGINTs, in ONE fold; per-bin
+    * REL/RES terms round(,9) into DECIMAL before the ≤ bins-row fold
+    * (the [[hosmerLemeshow]] convention); final readout is ONE
+    * mirrored IEEE chain. Returns one row
+    * (n, brier, reliability, resolution, uncertainty).
+    */
+  def brierDecomposition(df: DataFrame, isPositive: Column,
+      scoreCol: String, bins: Int = 10): DataFrame = {
+    val raw = df.filter(col(scoreCol).isNotNull)
+      .select(isPositive.cast("boolean").as("pos"),
+        expr(s"cast(round(cast($scoreCol as double), 6) " +
+          "as decimal(28,6))").as("sc"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("sy"),
+        sum((col("sc") * col("sc")).cast("decimal(38,12)"))
+          .cast("double").as("spp"),
+        sum(when(col("pos"), col("sc"))).cast("double").as("spy"))
+    val binned = calBinned(df, isPositive, scoreCol, bins)
+    val binFold = binned
+      .crossJoin(broadcast(binned.agg(sum(col("npos")).as("tp"),
+        sum(col("n")).as("tn"))))
+      .select(
+        expr("cast(round(cast(n as double) * " +
+          "(cast(ssum as double) / cast(n as double) - " +
+          "cast(npos as double) / cast(n as double)) * " +
+          "(cast(ssum as double) / cast(n as double) - " +
+          "cast(npos as double) / cast(n as double)), 9) " +
+          "as decimal(28,9))").as("rel_t"),
+        expr("cast(round(cast(n as double) * " +
+          "(cast(npos as double) / cast(n as double) - " +
+          "cast(tp as double) / cast(tn as double)) * " +
+          "(cast(npos as double) / cast(n as double) - " +
+          "cast(tp as double) / cast(tn as double)), 9) " +
+          "as decimal(28,9))").as("res_t"))
+      .agg(sum(col("rel_t")).cast("double").as("rel_s"),
+        sum(col("res_t")).cast("double").as("res_s"))
+    raw.crossJoin(broadcast(binFold))
+      .select(col("n"),
+        round(expr("case when n > 0 then (spp - 2.0D * coalesce(spy, " +
+          "0.0D) + cast(sy as double)) / cast(n as double) end"), 6)
+          .as("brier"),
+        round(expr("case when n > 0 then rel_s / cast(n as double) " +
+          "end"), 6).as("reliability"),
+        round(expr("case when n > 0 then res_s / cast(n as double) " +
+          "end"), 6).as("resolution"),
+        round(expr("case when n > 0 then (cast(sy as double) / " +
+          "cast(n as double)) * (1.0D - cast(sy as double) / " +
+          "cast(n as double)) end"), 6).as("uncertainty"))
+  }
+
+  /** The ln-factorial expression text shared VERBATIM by
+    * [[fisherExact]] and its DuckDB oracle (the [[Hashing.duckMd5Long]]
+    * pattern): lnfact(m) = lnΓ(m+7) − ln((m+1)(m+2)…(m+6)) with lnΓ by
+    * Stirling's series at y = m+7 ≥ 7 (four correction terms —
+    * |truncation| < 1e-10, and identical in BOTH engines, so the only
+    * cross-engine drift is ln/exp ULP noise ~1e-15 — absorbed by the
+    * 1e-7 tie guard band and the display round). Multiplication chains
+    * are written out (no pow) so both engines run the same IEEE ops;
+    * ln(2π)/2 enters via a string cast per the [[EventAnalytics]]
+    * constant convention. `x` must be a simple BIGINT column
+    * reference.
+    */
+  private[graft] def lnFactSql(x: String): String = {
+    val y = s"(cast($x as double) + 7.0)"
+    val shift = s"ln((cast($x as double) + 1.0) * " +
+      s"(cast($x as double) + 2.0) * (cast($x as double) + 3.0) * " +
+      s"(cast($x as double) + 4.0) * (cast($x as double) + 5.0) * " +
+      s"(cast($x as double) + 6.0))"
+    s"(($y - 0.5) * ln($y) - $y + " +
+      "cast('0.9189385332046727' as double) + " +
+      s"1.0 / (12.0 * $y) - 1.0 / (360.0 * ($y * $y * $y)) + " +
+      s"1.0 / (1260.0 * ($y * $y * $y * $y * $y)) - " +
+      s"1.0 / (1680.0 * ($y * $y * $y * $y * $y * $y * $y)) - $shift)"
+  }
+
+  /** FISHER'S EXACT TEST (two-sided) on the 2×2 table
+    * (exposure × outcome) — the small-cell-safe companion of
+    * [[chiSquareIndependence]]: with margins fixed, cell a is
+    * hypergeometric, and p = Σ_k { P(k) : P(k) ≤ P(a)·(1+1e-7) } over
+    * the support — the standard "sum all tables as or more extreme"
+    * definition with scipy's relative guard band, which keeps
+    * mathematically-tied tables (whose COMPUTED pmfs differ only by
+    * ~1e-10 Stirling truncation) on the same side in both engines.
+    *
+    * SCALE SHAPE: the support is truncated to ±50σ around the
+    * hypergeometric mean (σ = O(√n), so the grid is O(√n) terms at ANY
+    * input size; excluded terms are < 1e-300 — zero at every emitted
+    * precision), widened to always include the observed a; the grid
+    * materializes as CHUNKED nested sequences (≤ 4096-element arrays,
+    * re-exploded after a repartition) so no single row ever holds the
+    * whole support, and the pmf arithmetic parallelizes.
+    *
+    * DETERMINISM: the four margins fold as exact BIGINTs; each pmf is
+    * exp of one [[lnFactSql]] chain (bit-identical text in both
+    * engines); kept terms round(,18) into DECIMAL(28,18) — an
+    * ORDER-FREE sum whose ≤ 1-ulp-per-term cross-engine drift is
+    * ~1e-15 total, absorbed by round(,6). Degenerate margins
+    * (n ≤ 1 or an empty support) read null p. Returns one row
+    * (n, r1, c1, a, odds_ratio, p_two_sided).
+    */
+  def fisherExact(df: DataFrame, exposure: Column, outcome: Column)
+      : DataFrame = {
+    val chunk = 4096L
+    val lconst = s"(${lnFactSql("r1")} + ${lnFactSql("rr2")} + " +
+      s"${lnFactSql("c1")} + ${lnFactSql("cc2")} - ${lnFactSql("n")})"
+    // lnFactSql needs simple refs: the caller projects bb/cc/dd columns
+    def lCell(k: String) =
+      s"(lconst - ${lnFactSql(k)} - ${lnFactSql("bb")} - " +
+        s"${lnFactSql("cc")} - ${lnFactSql("dd")})"
+    val fold = df.agg(
+        count(lit(1)).as("n"),
+        sum(when(exposure.cast("boolean"), 1L).otherwise(0L)).as("r1"),
+        sum(when(outcome.cast("boolean"), 1L).otherwise(0L)).as("c1"),
+        sum(when(exposure.cast("boolean") && outcome.cast("boolean"),
+          1L).otherwise(0L)).as("a"))
+      .withColumn("rr2", expr("n - r1"))
+      .withColumn("cc2", expr("n - c1"))
+      .withColumn("lb", expr("greatest(0L, r1 + c1 - n)"))
+      .withColumn("ub", expr("least(r1, c1)"))
+      .withColumn("valid", expr("n > 1 and ub >= lb"))
+      .withColumn("mu", expr("cast(c1 as double) * " +
+        "cast(r1 as double) / cast(n as double)"))
+      .withColumn("sig", expr("case when valid then " +
+        "sqrt(cast(r1 as double) * cast(rr2 as double) * " +
+        "cast(c1 as double) * cast(cc2 as double) / " +
+        "(cast(n as double) * cast(n as double) * " +
+        "(cast(n as double) - 1.0D))) end"))
+      .withColumn("lo", expr("case when valid then greatest(lb, " +
+        "least(cast(floor(mu - 50.0D * sig) as bigint), a)) " +
+        "else 0L end"))
+      .withColumn("hi", expr("case when valid then least(ub, " +
+        "greatest(cast(ceil(mu + 50.0D * sig) as bigint), a)) " +
+        "else 0L end"))
+      .withColumn("lconst", expr(lconst))
+      .withColumn("lpobs", expr {
+        // project the observed cells as simple refs for lnFactSql
+        val t = lCell("a")
+        t.replace("bb", "(r1 - a)").replace("cc", "(c1 - a)")
+          .replace("dd", "(n - r1 - c1 + a)")
+      })
+      .localCheckpoint(false) // 1 row; feeds the grid AND the readout
+    val grid = fold
+      .select(col("*"),
+        explode(expr(s"sequence(lo, hi, ${chunk}L)")).as("c0"))
+      .repartition(32)
+      .select(col("*"), explode(expr(
+        s"sequence(c0, least(c0 + ${chunk - 1}L, hi))")).as("kc"))
+      .withColumn("bb", expr("r1 - kc"))
+      .withColumn("cc", expr("c1 - kc"))
+      .withColumn("dd", expr("n - r1 - c1 + kc"))
+      .withColumn("term", expr(
+        s"case when valid and exp(${lCell("kc")}) <= " +
+        "exp(lpobs) * (1.0D + 1.0e-7D) then " +
+        s"cast(round(exp(${lCell("kc")}), 18) as decimal(28,18)) end"))
+      .agg(sum(col("term")).as("psum"))
+    fold.crossJoin(broadcast(grid))
+      .select(col("n"), col("r1"), col("c1"), col("a"),
+        round(expr("case when r1 - a > 0 and c1 - a > 0 then " +
+          "(cast(a as double) * cast(n - r1 - c1 + a as double)) / " +
+          "(cast(r1 - a as double) * cast(c1 - a as double)) end"), 6)
+          .as("odds_ratio"),
+        round(expr("case when valid then " +
+          "least(cast(psum as double), 1.0D) end"), 6)
+          .as("p_two_sided"))
+  }
+
+  /** DUNN'S POST-HOC TEST — the pairwise follow-up [[kruskalWallis]]
+    * lacks: KW says "SOME group differs"; Dunn says WHICH pairs do,
+    * using the SAME pooled global ranks (not per-pair re-ranks — the
+    * property that distinguishes Dunn from pairwise Mann–Whitney):
+    *
+    *   z_ij = (R̄_i − R̄_j) / √[(N(N+1)/12 − ΣT/(12(N−1)))·(1/nᵢ+1/nⱼ)]
+    *
+    * with the Bonferroni adjustment p_adj = min(1, p·k(k−1)/2) over
+    * the m = k(k−1)/2 comparisons.
+    *
+    * DETERMINISM: [[kruskalWallis]]'s machinery verbatim — doubled
+    * tie-averaged ranks off the two-phase [[Rank.globalRunningSum]]
+    * keep every group rank sum exact BIGINT (R̄ = s2/(2n)); z is ONE
+    * mirrored IEEE chain, p the shared [[EventAnalytics.pExprSql]]
+    * normal polynomial on the ROUND-6 z. Output ordered by
+    * (group_a, group_b) — exact string keys.
+    *
+    * SCALE SHAPE: one distinct-value aggregate + the two-phase
+    * running sum + one |groups|-row fold; the pair frame is the
+    * k²-bounded self-join of the GROUP table (k groups, never rows).
+    * Returns (group_a, group_b, n_a, n_b, z, p, p_adj) per pair.
+    */
+  def dunnPostHoc(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+    val byVal = rows.groupBy("v").agg(count(lit(1)).as("t"))
+    val ranks = Rank.globalRunningSum(byVal, Seq(col("v")), "t", "cum_t")
+      .select(col("v"),
+        (lit(2L) * (col("cum_t") - col("t")) + col("t") + 1L).as("r2"),
+        expr("t * t * t - t").as("tie"), col("t"))
+    val grp = rows.groupBy("g", "v").agg(count(lit(1)).as("n_gv"))
+      .join(ranks.select("v", "r2"), Seq("v"))
+      .groupBy("g")
+      .agg(sum(col("n_gv")).as("n_g"),
+        sum(col("n_gv") * col("r2")).as("s2"))
+    val tot = ranks.agg(sum(col("t")).as("n"), sum(col("tie")).as("ties"))
+    val kkF = grp.agg(count(lit(1)).as("k"))
+    val pairs = grp.select(col("g").as("group_a"), col("n_g").as("n_a"),
+        col("s2").as("s2a"))
+      .join(grp.select(col("g").as("group_b"), col("n_g").as("n_b"),
+        col("s2").as("s2b")), col("group_a") < col("group_b"))
+    pairs.crossJoin(broadcast(tot)).crossJoin(broadcast(kkF))
+      .withColumn("sig2", expr(
+        "case when n > 2 then (cast(n as double) * " +
+        "(cast(n as double) + 1.0D) / 12.0D - cast(ties as double) / " +
+        "(12.0D * (cast(n as double) - 1.0D))) * " +
+        "(1.0D / cast(n_a as double) + 1.0D / cast(n_b as double)) end"))
+      .withColumn("z", round(expr(
+        "case when sig2 > 0 then (cast(s2a as double) / " +
+        "(2.0D * cast(n_a as double)) - cast(s2b as double) / " +
+        "(2.0D * cast(n_b as double))) / sqrt(sig2) end"), 6))
+      .withColumn("p", expr(EventAnalytics.pExprSql))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("z"), col("p"),
+        round(expr("case when p is not null then least(1.0D, p * " +
+          "(cast(k as double) * (cast(k as double) - 1.0D) / 2.0D)) " +
+          "end"), 6).as("p_adj"))
+      .orderBy("group_a", "group_b")
+  }
+
+  /** The numerically-stable sigmoid / softplus expression texts shared
+    * VERBATIM by [[logisticIrls]] and its oracle: σ(η) branches on the
+    * sign so exp never overflows; ln(1+e^η) = max(η,0) + ln(1+e^−|η|).
+    */
+  private[graft] def sigmoidSql(eta: String): String =
+    s"(case when $eta >= 0.0 then 1.0 / (1.0 + exp(-($eta))) " +
+      s"else exp($eta) / (1.0 + exp($eta)) end)"
+  private[graft] def softplusSql(eta: String): String =
+    s"(greatest($eta, 0.0) + ln(1.0 + exp(-abs($eta))))"
+
+  /** The IRLS expression texts shared VERBATIM by [[logisticIrls]]
+    * and its unrolled-CTE oracle (over projected columns y/x1/x2 and
+    * the round's β columns b0/b1/b2; Cramer terms over the
+    * double-cast moment columns g0…h22).
+    */
+  private[graft] object Irls {
+    val eta = "(b0 + b1 * x1 + b2 * x2)"
+    val p: String = sigmoidSql(eta)
+    def t9(e: String) = s"cast(round($e, 9) as decimal(38,9))"
+    val moments: Seq[(String, String)] = Seq(
+      "sg0" -> s"(y - $p)", "sg1" -> s"((y - $p) * x1)",
+      "sg2" -> s"((y - $p) * x2)",
+      "sh00" -> s"($p * (1.0 - $p))",
+      "sh01" -> s"($p * (1.0 - $p) * x1)",
+      "sh02" -> s"($p * (1.0 - $p) * x2)",
+      "sh11" -> s"($p * (1.0 - $p) * x1 * x1)",
+      "sh12" -> s"($p * (1.0 - $p) * x1 * x2)",
+      "sh22" -> s"($p * (1.0 - $p) * x2 * x2)")
+    val det = "(h00 * (h11 * h22 - h12 * h12) - " +
+      "h01 * (h01 * h22 - h12 * h02) + h02 * (h01 * h12 - h11 * h02))"
+    val d0 = "(g0 * (h11 * h22 - h12 * h12) - " +
+      "h01 * (g1 * h22 - h12 * g2) + h02 * (g1 * h12 - h11 * g2))"
+    val d1 = "(h00 * (g1 * h22 - g2 * h12) - " +
+      "g0 * (h01 * h22 - h12 * h02) + h02 * (h01 * g2 - g1 * h02))"
+    val d2 = "(h00 * (h11 * g2 - h12 * g1) - " +
+      "h01 * (h01 * g2 - g1 * h02) + g0 * (h01 * h12 - h11 * h02))"
+    val ll: String = s"(${softplusSql(eta)} - y * $eta)"
+  }
+
+  /** TWO-FEATURE LOGISTIC REGRESSION by IRLS / Newton–Raphson — the
+    * MULTIVARIATE inference companion of [[logisticNewton]] (which
+    * fits ONE standardized feature and emits the β trajectory; this
+    * fits two raw features jointly — covariate-adjusted effects — and
+    * emits Wald standard errors and the fitted log-loss) and the
+    * classification member of the closed-form regression family
+    * ([[olsRegression]], [[ridgeRegression]]): `rounds` fixed Newton
+    * steps from β = 0, each ONE aggregate over the data computing the
+    * gradient g = Σ(y−p)·x and Hessian H = Σp(1−p)·xxᵀ (nine moments),
+    * then the explicit 3×3 Cramer solve β += H⁻¹g — no driver-side
+    * data, no per-row state; a final pass reads Wald standard errors
+    * √diag(H⁻¹) and the mean log-loss at the fitted β.
+    *
+    * DETERMINISM (the cross-engine contract for an ITERATED
+    * transcendental): per-row gradient/Hessian terms round(,9) into
+    * DECIMAL(38,9) — order-free exact sums whose ≤ 1-ulp-per-term
+    * cross-engine drift is ~1e-9 total; each round's β then rounds
+    * to 6 dp in BOTH engines, so drift cannot compound across rounds
+    * (the computed βs agree to ~1e-9 ≪ the 5e-7 rounding margin).
+    * σ and the softplus log-loss are the shared [[sigmoidSql]]/
+    * [[softplusSql]] texts; the oracle unrolls every round as CTEs
+    * generated from the SAME term strings.
+    *
+    * SCALE SHAPE: rounds+1 full scans (each a map-side-partial
+    * 9-moment fold), one broadcast 1-row β frame per round pinned
+    * with a lazy localCheckpoint (the [[Similarity]] PCA-loop
+    * convention — lineage stays flat). Singular H keeps the previous
+    * β. Returns one row
+    * (n, b0, b1, b2, se0, se1, se2, log_loss).
+    */
+  def logisticIrls(df: DataFrame, yCol: Column, x1Col: String,
+      x2Col: String, rounds: Int = 6): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    import Irls._
+    val spark = df.sparkSession
+    val rows = df.filter(col(x1Col).isNotNull && col(x2Col).isNotNull)
+      .select(when(yCol, 1.0).otherwise(0.0).as("y"),
+        col(x1Col).cast("double").as("x1"),
+        col(x2Col).cast("double").as("x2"))
+    var beta = spark.range(1).select(lit(0.0).as("b0"),
+      lit(0.0).as("b1"), lit(0.0).as("b2"))
+    for (_ <- 1 to rounds) {
+      val m = rows.crossJoin(broadcast(beta))
+        .agg(sum(expr(t9(moments.head._2))).as(moments.head._1),
+          moments.tail.map { case (n, e) =>
+            sum(expr(t9(e))).as(n) }: _*)
+        .crossJoin(broadcast(beta)) // global fold: 1 row even on empty
+        .select(col("b0"), col("b1"), col("b2"),
+          expr("cast(sg0 as double)").as("g0"),
+          expr("cast(sg1 as double)").as("g1"),
+          expr("cast(sg2 as double)").as("g2"),
+          expr("cast(sh00 as double)").as("h00"),
+          expr("cast(sh01 as double)").as("h01"),
+          expr("cast(sh02 as double)").as("h02"),
+          expr("cast(sh11 as double)").as("h11"),
+          expr("cast(sh12 as double)").as("h12"),
+          expr("cast(sh22 as double)").as("h22"))
+      beta = m.select(
+          round(expr(s"case when $det <> 0.0 then b0 + $d0 / $det " +
+            "else b0 end"), 6).as("b0"),
+          round(expr(s"case when $det <> 0.0 then b1 + $d1 / $det " +
+            "else b1 end"), 6).as("b1"),
+          round(expr(s"case when $det <> 0.0 then b2 + $d2 / $det " +
+            "else b2 end"), 6).as("b2"))
+        .localCheckpoint(false) // pin the round — lineage stays flat
+    }
+    val fin = rows.crossJoin(broadcast(beta))
+      .agg(count(lit(1)).as("n"),
+        sum(expr(t9(s"($p * (1.0 - $p))"))).as("sh00"),
+        sum(expr(t9(s"($p * (1.0 - $p) * x1)"))).as("sh01"),
+        sum(expr(t9(s"($p * (1.0 - $p) * x2)"))).as("sh02"),
+        sum(expr(t9(s"($p * (1.0 - $p) * x1 * x1)"))).as("sh11"),
+        sum(expr(t9(s"($p * (1.0 - $p) * x1 * x2)"))).as("sh12"),
+        sum(expr(t9(s"($p * (1.0 - $p) * x2 * x2)"))).as("sh22"),
+        sum(expr(t9(ll))).as("sll"))
+      .crossJoin(broadcast(beta))
+      .select(col("n"), col("b0"), col("b1"), col("b2"),
+        expr("cast(sh00 as double)").as("h00"),
+        expr("cast(sh01 as double)").as("h01"),
+        expr("cast(sh02 as double)").as("h02"),
+        expr("cast(sh11 as double)").as("h11"),
+        expr("cast(sh12 as double)").as("h12"),
+        expr("cast(sh22 as double)").as("h22"),
+        expr("cast(sll as double)").as("ll"))
+    fin.select(col("n"), col("b0"), col("b1"), col("b2"),
+      round(expr(s"case when $det > 0.0 then " +
+        s"sqrt((h11 * h22 - h12 * h12) / $det) end"), 6).as("se0"),
+      round(expr(s"case when $det > 0.0 then " +
+        s"sqrt((h00 * h22 - h02 * h02) / $det) end"), 6).as("se1"),
+      round(expr(s"case when $det > 0.0 then " +
+        s"sqrt((h00 * h11 - h01 * h01) / $det) end"), 6).as("se2"),
+      round(expr("case when n > 0 then ll / cast(n as double) end"), 6)
+        .as("log_loss"))
+  }
 }

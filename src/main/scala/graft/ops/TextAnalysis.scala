@@ -285,6 +285,65 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CCNET-STYLE PERPLEXITY BUCKETS (Wenzek et al. 2020 §4.3) — the
+    * head/middle/tail corpus partition every CCNet-descended pipeline
+    * ships: score EVERY document's mean NLL under the train-split
+    * Laplace unigram LM (the [[lmQualityFilter]] model — CCNet scores
+    * with a fixed reference LM, so train docs scoring under a model
+    * containing their own tokens is the standard regime), cut the
+    * score distribution at the EXACT terciles, and label documents
+    * head (lowest NLL — most reference-like), middle, or tail. Emits
+    * the bucket manifest a sampling stage consumes: per bucket
+    * (bucket, n_docs, n_tokens, bucket_mean_nll) plus the two
+    * cutpoints on every row.
+    *
+    * DETERMINISM: scores are the [[lmQualityFilter]] exact-DECIMAL
+    * chain; cutpoints are [[Rank.exactQuantiles]] rank statistics
+    * (rank ceil(q·n) of the (mean_nll, doc_id)-ordered corpus — no
+    * interpolation, no float targets); bucket assignment is value
+    * comparison against the cuts, so tied scores land together.
+    * SCALE SHAPE: the LM score chain + the two-phase ordinal + one
+    * |buckets|-row fold; cutpoints ride a broadcast 1-row frame.
+    */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    Hashing.ensureRegistered(docs)
+    val tagged = docs.select(col("doc_id"), expr(tokensSql).as("tk"),
+      (Hashing.md5Long(concat(lit("lmsplit:"),
+        col("doc_id").cast("string"))) % 5 =!= 0).as("is_train"))
+    val cnt = tagged.filter(col("is_train"))
+      .select(explode(col("tk")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val stats = cnt.agg(sum(col("cnt")).as("N"), count(lit(1)).as("V"))
+    val scored = tagged
+      .select(col("doc_id"), explode(col("tk")).as("tok"))
+      .join(cnt, Seq("tok"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), expr(
+        "cast(round(-ln(cast(coalesce(cnt, 0L) + 1 as double) / " +
+          "cast(N + V as double)), 6) as decimal(12,6))").as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6)
+          .as("mean_nll"))
+      .localCheckpoint(false) // feeds the cuts AND the bucket fold
+    val cuts = Rank.exactQuantiles(scored, "mean_nll",
+      Seq(col("doc_id")), Seq(1.0 / 3, 2.0 / 3))
+      .agg(max(when(col("q") < 0.5, col("mean_nll"))).as("cut_head"),
+        max(when(col("q") > 0.5, col("mean_nll"))).as("cut_middle"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bucket", expr(
+        "case when mean_nll <= cut_head then 'head' " +
+        "when mean_nll <= cut_middle then 'middle' else 'tail' end"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(sum(expr("cast(mean_nll as decimal(12,6))"))
+          .cast("double") / count(lit(1)), 6).as("bucket_mean_nll"),
+        max(col("cut_head")).as("cut_head"),
+        max(col("cut_middle")).as("cut_middle"))
+      .orderBy("bucket")
+  }
+
   /** C4-STYLE LINE-LEVEL CLEANING (Raffel et al. 2020 §2.2) — the
     * rule battery the C4/mC4 pipelines run on every crawled page
     * before any model sees it: a LINE survives iff it has at least

@@ -1757,6 +1757,714 @@ object Insights extends QueryModule {
         round(CASE WHEN p_total > 0 THEN CAST(n_pos AS DOUBLE) *
           CAST(nn AS DOUBLE) / (CAST(n AS DOUBLE) *
           CAST(p_total AS DOUBLE)) END, 6) AS lift
-      FROM w ORDER BY decile"""))
+      FROM w ORDER BY decile""")),
+
+    // ---- Standardized effect sizes for the click/view comparison
+    // (Stats.effectSizes): Cohen's d + Hedges' g off the Welch decimal
+    // moments, Cliff's delta off the Mann–Whitney doubled-rank BIGINT
+    // machinery — "how big", where a_welch_ttest/a_mann_whitney only
+    // say "how sure".
+    QueryDef("a_effect_sizes", (s, d) => {
+      graft.ops.Stats.effectSizes(Tables.events(s, d), "event_type",
+        "value", "click", "view")
+    }, Some("""
+      WITH r AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+               CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(28,6))
+                 AS vd
+             FROM events
+             WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+      mom AS (SELECT
+          CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_a,
+          SUM(CASE WHEN g = 'click' THEN vd END) AS s_a,
+          SUM(CASE WHEN g = 'click'
+            THEN CAST(vd * vd AS DECIMAL(38,12)) END) AS ss_a,
+          CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_b,
+          SUM(CASE WHEN g = 'view' THEN vd END) AS s_b,
+          SUM(CASE WHEN g = 'view'
+            THEN CAST(vd * vd AS DECIMAL(38,12)) END) AS ss_b
+        FROM r),
+      m2 AS (SELECT *,
+          CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS m_a,
+          CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS m_b,
+          (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) *
+            CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) /
+            (CAST(n_a AS DOUBLE) - 1.0) AS v_a,
+          (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) *
+            CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+            (CAST(n_b AS DOUBLE) - 1.0) AS v_b
+        FROM mom),
+      m3 AS (SELECT n_a, n_b, m_a - m_b AS md,
+          CASE WHEN n_a + n_b > 2 THEN
+            ((CAST(n_a AS DOUBLE) - 1.0) * v_a +
+             (CAST(n_b AS DOUBLE) - 1.0) * v_b) /
+            (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0) END AS sp2
+        FROM m2),
+      bv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS na_v
+             FROM r GROUP BY 1),
+      c AS (SELECT *, SUM(t) OVER (ORDER BY v
+              ROWS UNBOUNDED PRECEDING) - t AS below FROM bv),
+      uu AS (SELECT CAST(SUM(na_v * (2 * below + t + 1)) AS BIGINT)
+               AS ra2,
+               CAST(SUM(na_v) AS BIGINT) AS ru_na,
+               CAST(SUM(t) AS BIGINT) AS ru_n
+             FROM c),
+      u2 AS (SELECT CAST(ra2 AS DOUBLE) / 2.0 -
+               CAST(ru_na AS DOUBLE) * (ru_na + 1) / 2.0 AS u,
+               CAST(ru_na AS DOUBLE) * CAST(ru_n - ru_na AS DOUBLE)
+                 AS nanb
+             FROM uu)
+      SELECT n_a, n_b,
+        round(CASE WHEN sp2 > 0 THEN md / sqrt(sp2) END, 6) AS cohens_d,
+        round(CASE WHEN sp2 > 0 THEN (md / sqrt(sp2)) *
+          (1.0 - 3.0 / (4.0 * (CAST(n_a AS DOUBLE) +
+            CAST(n_b AS DOUBLE)) - 9.0)) END, 6) AS hedges_g,
+        round(CASE WHEN nanb > 0 THEN 2.0 * u / nanb - 1.0 END, 6)
+          AS cliffs_delta
+      FROM m3 CROSS JOIN u2""")),
+
+    // ---- Wilcoxon signed-rank (Stats.wilcoxonSignedRank): the PAIRED
+    // twin of a_mann_whitney — each user contributes one (mean click,
+    // mean view) pair; zero diffs drop, |d| ranks are tie-averaged
+    // through the doubled-BIGINT encoding, W+ tests symmetry.
+    QueryDef("a_wilcoxon_signed_rank", (s, d) => {
+      graft.ops.Stats.wilcoxonSignedRank(Tables.events(s, d), "user_id",
+        "event_type", "value", "click", "view")
+    }, Some("""
+      WITH r AS (SELECT user_id AS k, event_type AS g,
+               CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(28,6))
+                 AS v
+             FROM events
+             WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+               AND user_id IS NOT NULL),
+      p AS (SELECT k,
+              SUM(CASE WHEN g = 'click' THEN v END) AS sa,
+              CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS na,
+              SUM(CASE WHEN g = 'view' THEN v END) AS sb,
+              CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS nb
+            FROM r GROUP BY 1
+            HAVING SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) > 0
+               AND SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) > 0),
+      dd AS (SELECT
+          CAST(round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE), 6)
+            AS DECIMAL(18,6)) -
+          CAST(round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 6)
+            AS DECIMAL(18,6)) AS d FROM p),
+      nz AS (SELECT d > 0 AS pos, abs(d) AS ad FROM dd WHERE d <> 0),
+      bv AS (SELECT ad, CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                 AS npos_v
+             FROM nz GROUP BY 1),
+      c AS (SELECT *, SUM(t) OVER (ORDER BY ad
+              ROWS UNBOUNDED PRECEDING) - t AS below FROM bv),
+      f AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+              CAST(SUM(npos_v * (2 * below + t + 1)) AS BIGINT) AS wp2,
+              CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+            FROM c),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM dd)
+      SELECT n_pairs, COALESCE(n, 0) AS n_nonzero,
+        round(CAST(wp2 AS DOUBLE) / 2.0, 6) AS w_plus,
+        round(CASE WHEN n > 0 AND
+            n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0 > 0 THEN
+          (CAST(wp2 AS DOUBLE) / 2.0 - n * (n + 1) / 4.0) /
+          sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0) END, 6)
+          AS z
+      FROM tot CROSS JOIN f""")),
+
+    // ---- Hodges–Lehmann shift estimator (Stats.hodgesLehmann): the
+    // robust click-vs-view "how far apart" in value units — exact
+    // median of all pairwise differences of the groups' DAILY means
+    // (calendar-bounded pair frame, the e_theil_sen convention),
+    // located by cumulative counts — no unpartitioned sort.
+    QueryDef("a_hodges_lehmann", (s, d) => {
+      graft.ops.Stats.hodgesLehmann(Tables.events(s, d),
+        expr("ts_us div 86400000000"), "event_type", "value",
+        "click", "view")
+    }, Some("""
+      WITH r AS (SELECT epoch_us(ts) // 86400000000 AS k,
+               event_type AS g,
+               CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(28,6))
+                 AS v
+             FROM events
+             WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+      m AS (SELECT k, g,
+              CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6)
+                AS DECIMAL(18,6)) AS mv
+            FROM r GROUP BY 1, 2),
+      a AS (SELECT mv AS ma FROM m WHERE g = 'click'),
+      b AS (SELECT mv AS mb FROM m WHERE g = 'view'),
+      dif AS (SELECT ma - mb AS dd, CAST(COUNT(*) AS BIGINT) AS t
+              FROM a CROSS JOIN b GROUP BY 1),
+      c AS (SELECT *, CAST(SUM(t) OVER (ORDER BY dd
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_t FROM dif),
+      n AS (SELECT CAST(SUM(t) AS BIGINT) AS np FROM c),
+      med AS (SELECT
+          MAX(CASE WHEN cum_t - t < (np + 1) // 2
+            AND cum_t >= (np + 1) // 2 THEN dd END) AS lo,
+          MAX(CASE WHEN cum_t - t < np // 2 + 1
+            AND cum_t >= np // 2 + 1 THEN dd END) AS hi
+        FROM c CROSS JOIN n),
+      sides AS (SELECT
+          CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_a,
+          CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_b
+        FROM m)
+      SELECT n_a, n_b, COALESCE(np, 0) AS n_pairs,
+        round((CAST(lo AS DOUBLE) + CAST(hi AS DOUBLE)) / 2.0, 6)
+          AS hl_shift
+      FROM sides CROSS JOIN n CROSS JOIN med""")),
+
+    // ---- Precision–recall AUC (Stats.prAuc): average precision of
+    // value as a purchase score at threshold granularity — the
+    // class-imbalance-honest companion of a_roc_auc; per-threshold
+    // terms round(,9) into DECIMAL before the order-free sum.
+    QueryDef("m_pr_auc", (s, d) => {
+      graft.ops.Stats.prAuc(Tables.events(s, d),
+        col("event_type") === "purchase", "value")
+    }, Some("""
+      WITH r AS (SELECT CAST(value AS DOUBLE) AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                 AS pos
+             FROM events WHERE value IS NOT NULL),
+      bv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(SUM(pos) AS BIGINT) AS tp_v FROM r GROUP BY 1),
+      c AS (SELECT *,
+              CAST(SUM(t) OVER (ORDER BY v DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+              CAST(SUM(tp_v) OVER (ORDER BY v DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tp
+            FROM bv),
+      f AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+              CAST(SUM(tp_v) AS BIGINT) AS n_pos,
+              SUM(CAST(round(tp_v * CAST(cum_tp AS DOUBLE) /
+                CAST(cum_n AS DOUBLE), 9) AS DECIMAL(28,9))) AS ap_num
+            FROM c)
+      SELECT n_pos, n - n_pos AS n_neg,
+        round(CASE WHEN n_pos > 0 THEN CAST(ap_num AS DOUBLE) /
+          CAST(n_pos AS DOUBLE) END, 6) AS pr_auc,
+        round(CASE WHEN n > 0 THEN CAST(n_pos AS DOUBLE) /
+          CAST(n AS DOUBLE) END, 6) AS baseline
+      FROM f""")),
+
+    // ---- Two-feature ridge regression (Stats.ridgeRegression):
+    // l_extendedprice on (l_quantity, l_discount) at λ = 10 — the
+    // closed-form (C + λI)β = c solve on exact DECIMAL moments;
+    // intercept unpenalized, Cramer's-rule readout.
+    QueryDef("m_ridge_regression", (s, d) => {
+      graft.ops.Stats.ridgeRegression(Tables.tLight(s, d, "lineitem"),
+        "l_extendedprice", "l_quantity", "l_discount", 10.0)
+    }, Some("""
+      WITH r AS (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x1,
+               CAST(l_discount AS DECIMAL(18,2)) AS x2,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+             FROM lineitem
+             WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+               AND l_extendedprice IS NOT NULL),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(x1) AS DOUBLE) AS s1,
+              CAST(SUM(x2) AS DOUBLE) AS s2c,
+              CAST(SUM(y) AS DOUBLE) AS sy,
+              CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,4))) AS DOUBLE) AS s11,
+              CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,4))) AS DOUBLE) AS s22,
+              CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,4))) AS DOUBLE) AS s12,
+              CAST(SUM(CAST(x1 * y AS DECIMAL(38,4))) AS DOUBLE) AS s1y,
+              CAST(SUM(CAST(x2 * y AS DECIMAL(38,4))) AS DOUBLE) AS s2y,
+              CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS syy
+            FROM r),
+      d1 AS (SELECT *,
+          s11 - s1 * s1 / n + 10.0 AS c11,
+          s22 - s2c * s2c / n + 10.0 AS c22,
+          s12 - s1 * s2c / n AS c12,
+          s1y - s1 * sy / n AS c1y,
+          s2y - s2c * sy / n AS c2y,
+          syy - sy * sy / n AS cyy
+        FROM m),
+      d2 AS (SELECT *, c11 * c22 - c12 * c12 AS det FROM d1),
+      d3 AS (SELECT *,
+          CASE WHEN det > 0 THEN (c22 * c1y - c12 * c2y) / det END AS b1,
+          CASE WHEN det > 0 THEN (c11 * c2y - c12 * c1y) / det END AS b2
+        FROM d2)
+      SELECT n,
+        round((sy - b1 * s1 - b2 * s2c) / n, 6) AS b0,
+        round(b1, 6) AS b1, round(b2, 6) AS b2,
+        round(CASE WHEN cyy > 0 THEN 1.0 - (cyy - 2.0 *
+          (b1 * c1y + b2 * c2y) + b1 * b1 * (c11 - 10.0) +
+          2.0 * b1 * b2 * c12 + b2 * b2 * (c22 - 10.0)) / cyy END, 6)
+          AS r2
+      FROM d3""")),
+
+    // ---- Friedman test + Kendall's W (Stats.friedmanTest): each
+    // complete calendar day ranks the event types by exact daily mean
+    // value — the blocked-design companion of a_kruskal_wallis
+    // (between-day level shifts cancel); doubled tie-averaged ranks
+    // keep every rank sum exact BIGINT.
+    QueryDef("a_friedman", (s, d) => {
+      graft.ops.Stats.friedmanTest(Tables.events(s, d),
+        expr("ts_us div 86400000000"), "event_type", "value")
+    }, Some("""
+      WITH r AS (SELECT epoch_us(ts) // 86400000000 AS k,
+               event_type AS g,
+               CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(28,6))
+                 AS v
+             FROM events WHERE value IS NOT NULL),
+      cells AS (SELECT k, g,
+              CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6)
+                AS DECIMAL(18,6)) AS m
+            FROM r GROUP BY 1, 2),
+      kk AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS kk
+             FROM cells),
+      comp AS (SELECT c.k, c.g, c.m
+             FROM (SELECT *, COUNT(*) OVER (PARTITION BY k) AS cnt
+                   FROM cells) c CROSS JOIN kk
+             WHERE c.cnt = kk.kk),
+      rk AS (SELECT g, CAST(2 * (RANK() OVER (PARTITION BY k
+                 ORDER BY m) - 1) +
+               COUNT(*) OVER (PARTITION BY k, m) + 1 AS BIGINT) AS avg2
+             FROM comp),
+      av AS (SELECT g, CAST(SUM(avg2) AS BIGINT) AS r2j
+             FROM rk GROUP BY 1),
+      sb AS (SELECT CAST(SUM(CAST(r2j AS DECIMAL(19,0)) *
+               CAST(r2j AS DECIMAL(19,0))) AS DOUBLE) AS ssbn4
+             FROM av),
+      tt AS (SELECT COALESCE(CAST(SUM(t * t * t - t) AS BIGINT), 0)
+               AS tsum
+             FROM (SELECT k, m, CAST(COUNT(*) AS BIGINT) AS t
+                   FROM comp GROUP BY 1, 2)),
+      nb AS (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n FROM comp),
+      q AS (SELECT n, kk,
+          CASE WHEN n > 0 AND kk > 1 THEN
+            12.0 * (ssbn4 / 4.0) / (CAST(n AS DOUBLE) *
+              CAST(kk AS DOUBLE) * (CAST(kk AS DOUBLE) + 1.0)) -
+            3.0 * CAST(n AS DOUBLE) * (CAST(kk AS DOUBLE) + 1.0)
+            END AS q0,
+          CASE WHEN n > 0 AND kk > 1 THEN
+            1.0 - CAST(tsum AS DOUBLE) / (CAST(n AS DOUBLE) *
+              CAST(kk AS DOUBLE) * (CAST(kk AS DOUBLE) *
+              CAST(kk AS DOUBLE) - 1.0)) END AS c
+        FROM nb CROSS JOIN kk CROSS JOIN sb CROSS JOIN tt)
+      SELECT n AS n_blocks, kk AS k,
+        round(CASE WHEN c > 0 THEN q0 / c END, 6) AS chi2,
+        round(CASE WHEN c > 0 THEN (q0 / c) /
+          (CAST(n AS DOUBLE) * (CAST(kk AS DOUBLE) - 1.0)) END, 6)
+          AS w
+      FROM q""")),
+
+    // ---- Difference-in-differences (EventAnalytics.didEstimate):
+    // pre/post per-user value totals × the stable md5 arms — where
+    // e_cuped SHRINKS variance with the pre-period, DiD REMOVES
+    // time-invariant level differences; pre_diff is the
+    // parallel-trends eyeball, the four-cell Welch SE reads z.
+    QueryDef("e_did", (s, d) => {
+      val e = Tables.events(s, d)
+      val mid = e.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("__mid"))
+      graft.ops.EventAnalytics.didEstimate(e.crossJoin(broadcast(mid)),
+        "value", col("ts_us") < col("__mid"))
+    }, Some(s"""
+      WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+                   AS mid FROM events),
+      u0 AS (SELECT user_id,
+          CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) < mid THEN
+              CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(28,6))
+              END), 0) AS DECIMAL(18,6)) AS x,
+          CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) >= mid THEN
+              CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(28,6))
+              END), 0) AS DECIMAL(18,6)) AS y
+        FROM events CROSS JOIN b
+        WHERE value IS NOT NULL GROUP BY 1),
+      u AS (SELECT x, y,
+          (${graft.ops.Hashing.duckMd5Long(
+            "'ab:' || CAST(user_id AS VARCHAR)")}) % 2 AS variant
+        FROM u0),
+      f AS (SELECT
+          CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_a,
+          CAST(SUM(CASE WHEN variant = 0 THEN x END) AS DOUBLE) AS sx_a,
+          CAST(SUM(CASE WHEN variant = 0 THEN
+            CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))
+            END) AS DOUBLE) AS sxx_a,
+          CAST(SUM(CASE WHEN variant = 0 THEN y END) AS DOUBLE) AS sy_a,
+          CAST(SUM(CASE WHEN variant = 0 THEN
+            CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+            END) AS DOUBLE) AS syy_a,
+          CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_b,
+          CAST(SUM(CASE WHEN variant = 1 THEN x END) AS DOUBLE) AS sx_b,
+          CAST(SUM(CASE WHEN variant = 1 THEN
+            CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))
+            END) AS DOUBLE) AS sxx_b,
+          CAST(SUM(CASE WHEN variant = 1 THEN y END) AS DOUBLE) AS sy_b,
+          CAST(SUM(CASE WHEN variant = 1 THEN
+            CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+            END) AS DOUBLE) AS syy_b
+        FROM u),
+      g AS (SELECT *,
+          sx_a / CAST(n_a AS DOUBLE) AS mxa,
+          sy_a / CAST(n_a AS DOUBLE) AS mya,
+          sx_b / CAST(n_b AS DOUBLE) AS mxb,
+          sy_b / CAST(n_b AS DOUBLE) AS myb,
+          CASE WHEN n_a > 1 AND n_b > 1 THEN
+            ((sxx_a - sx_a * sx_a / n_a) / (CAST(n_a AS DOUBLE) - 1.0) +
+             (syy_a - sy_a * sy_a / n_a) / (CAST(n_a AS DOUBLE) - 1.0)) /
+            CAST(n_a AS DOUBLE) +
+            ((sxx_b - sx_b * sx_b / n_b) / (CAST(n_b AS DOUBLE) - 1.0) +
+             (syy_b - sy_b * sy_b / n_b) / (CAST(n_b AS DOUBLE) - 1.0)) /
+            CAST(n_b AS DOUBLE) END AS se2
+        FROM f)
+      SELECT n_a, n_b,
+        round(mxb - mxa, 6) AS pre_diff,
+        round(myb - mya, 6) AS post_diff,
+        round((myb - mxb) - (mya - mxa), 6) AS did,
+        round(CASE WHEN se2 > 0 THEN sqrt(se2) END, 6) AS se,
+        round(CASE WHEN se2 > 0 THEN
+          ((myb - mxb) - (mya - mxa)) / sqrt(se2) END, 6) AS z
+      FROM g""")),
+
+    // ---- Brier score + Murphy decomposition (Stats.
+    // brierDecomposition): the proper-scoring readout of the SAME
+    // hash-uniform score vs purchase fixture as m_calibration_bins —
+    // REL ≈ 0 (the uniform score is calibrated to nothing) and
+    // RES ≈ 0 (it discriminates nothing), so brier ≈ uncertainty:
+    // the known-answer fixture for the decomposition.
+    QueryDef("m_brier_decomposition", (s, d) => {
+      val e = Tables.events(s, d)
+      graft.ops.Hashing.ensureRegistered(e)
+      graft.ops.Stats.brierDecomposition(
+        e.withColumn("sc", pmod(graft.ops.Hashing.md5Long(
+          concat(lit("cal:"), col("event_id").cast("string"))),
+          lit(1000L)).cast("double") / 1000.0),
+        col("event_type") === "purchase", "sc", bins = 10)
+    }, Some(s"""
+      WITH r AS (SELECT
+               CAST((${graft.ops.Hashing.duckMd5Long(
+                 "'cal:' || CAST(event_id AS VARCHAR)")}) % 1000
+                 AS DOUBLE) / 1000.0 AS sc0,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+             FROM events),
+      raw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(p) AS BIGINT) AS sy,
+            CAST(SUM(CAST(CAST(round(sc0, 6) AS DECIMAL(28,6)) *
+              CAST(round(sc0, 6) AS DECIMAL(28,6)) AS DECIMAL(38,12)))
+              AS DOUBLE) AS spp,
+            CAST(SUM(CASE WHEN p = 1 THEN
+              CAST(round(sc0, 6) AS DECIMAL(28,6)) END) AS DOUBLE)
+              AS spy
+          FROM r),
+      b AS (SELECT LEAST(CAST(FLOOR(sc0 * 10.0) AS INT), 9) AS bin,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              SUM(CAST(round(sc0, 6) AS DECIMAL(28,6))) AS ssum,
+              CAST(SUM(p) AS BIGINT) AS npos
+            FROM r GROUP BY 1),
+      tot AS (SELECT CAST(SUM(npos) AS BIGINT) AS tp,
+                CAST(SUM(n) AS BIGINT) AS tn FROM b),
+      terms AS (SELECT
+          CAST(round(CAST(n AS DOUBLE) *
+            (CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) -
+             CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)) *
+            (CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) -
+             CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+            AS DECIMAL(28,9)) AS rel_t,
+          CAST(round(CAST(n AS DOUBLE) *
+            (CAST(npos AS DOUBLE) / CAST(n AS DOUBLE) -
+             CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)) *
+            (CAST(npos AS DOUBLE) / CAST(n AS DOUBLE) -
+             CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 9)
+            AS DECIMAL(28,9)) AS res_t
+        FROM b CROSS JOIN tot),
+      bf AS (SELECT CAST(SUM(rel_t) AS DOUBLE) AS rel_s,
+               CAST(SUM(res_t) AS DOUBLE) AS res_s FROM terms)
+      SELECT n,
+        round(CASE WHEN n > 0 THEN (spp - 2.0 * COALESCE(spy, 0.0) +
+          CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE) END, 6) AS brier,
+        round(CASE WHEN n > 0 THEN rel_s / CAST(n AS DOUBLE) END, 6)
+          AS reliability,
+        round(CASE WHEN n > 0 THEN res_s / CAST(n AS DOUBLE) END, 6)
+          AS resolution,
+        round(CASE WHEN n > 0 THEN (CAST(sy AS DOUBLE) /
+          CAST(n AS DOUBLE)) * (1.0 - CAST(sy AS DOUBLE) /
+          CAST(n AS DOUBLE)) END, 6) AS uncertainty
+      FROM raw CROSS JOIN bf""")),
+
+    // ---- Fisher's exact test (Stats.fisherExact): md5 arm ×
+    // purchase — the small-cell-safe companion of
+    // a_chi2_independence; ±50σ-truncated hypergeometric support
+    // (O(√n) terms at any scale), scipy's 1e-7 tie guard band, the
+    // shared lnFactSql Stirling chain VERBATIM in both engines.
+    QueryDef("a_fisher_exact", (s, d) => {
+      val e = Tables.events(s, d)
+      graft.ops.Hashing.ensureRegistered(e)
+      graft.ops.Stats.fisherExact(e,
+        pmod(graft.ops.Hashing.md5Long(
+          concat(lit("ab:"), col("user_id").cast("string"))),
+          lit(2L)) === 0,
+        col("event_type") === "purchase")
+    }, Some({
+      def lf(x: String) = graft.ops.Stats.lnFactSql(x)
+      val lcell = s"(lconst - ${lf("kc")} - ${lf("bb")} - " +
+        s"${lf("cc")} - ${lf("dd")})"
+      s"""
+      WITH r AS (SELECT
+          CASE WHEN (${graft.ops.Hashing.duckMd5Long(
+            "'ab:' || CAST(user_id AS VARCHAR)")}) % 2 = 0
+            THEN 1 ELSE 0 END AS ex,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS oc
+        FROM events),
+      f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(ex) AS BIGINT) AS r1,
+          CAST(SUM(oc) AS BIGINT) AS c1,
+          CAST(SUM(ex * oc) AS BIGINT) AS a
+        FROM r),
+      f2 AS (SELECT *, n - r1 AS rr2, n - c1 AS cc2,
+          greatest(0, r1 + c1 - n) AS lb, least(r1, c1) AS ub,
+          (n > 1 AND least(r1, c1) >= greatest(0, r1 + c1 - n))
+            AS valid,
+          CAST(c1 AS DOUBLE) * CAST(r1 AS DOUBLE) / CAST(n AS DOUBLE)
+            AS mu
+        FROM f),
+      f3 AS (SELECT *,
+          CASE WHEN valid THEN sqrt(CAST(r1 AS DOUBLE) *
+            CAST(rr2 AS DOUBLE) * CAST(c1 AS DOUBLE) *
+            CAST(cc2 AS DOUBLE) / (CAST(n AS DOUBLE) *
+            CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) END AS sig
+        FROM f2),
+      f4 AS (SELECT *,
+          CASE WHEN valid THEN greatest(lb,
+            least(CAST(floor(mu - 50.0 * sig) AS BIGINT), a))
+            ELSE 0 END AS lo,
+          CASE WHEN valid THEN least(ub,
+            greatest(CAST(ceil(mu + 50.0 * sig) AS BIGINT), a))
+            ELSE 0 END AS hi,
+          (${lf("r1")} + ${lf("rr2")} + ${lf("c1")} + ${lf("cc2")} -
+            ${lf("n")}) AS lconst
+        FROM f3),
+      f5 AS (SELECT *, (lconst - ${lf("a")} - ${lf("(r1 - a)")} -
+          ${lf("(c1 - a)")} - ${lf("(n - r1 - c1 + a)")}) AS lpobs
+        FROM f4),
+      g0 AS (SELECT valid, lconst, lpobs, r1 AS gr1, c1 AS gc1,
+               n AS gn, unnest(generate_series(lo, hi)) AS kc
+             FROM f5),
+      g1 AS (SELECT valid, lconst, lpobs, kc, gr1 - kc AS bb,
+               gc1 - kc AS cc, gn - gr1 - gc1 + kc AS dd
+             FROM g0),
+      g2 AS (SELECT CASE WHEN valid AND exp($lcell) <=
+               exp(lpobs) * (1.0 + 1e-7) THEN
+               CAST(round(exp($lcell), 18) AS DECIMAL(28,18)) END
+               AS term
+             FROM g1),
+      p AS (SELECT SUM(term) AS psum FROM g2)
+      SELECT n, r1, c1, a,
+        round(CASE WHEN r1 - a > 0 AND c1 - a > 0 THEN
+          (CAST(a AS DOUBLE) * CAST(n - r1 - c1 + a AS DOUBLE)) /
+          (CAST(r1 - a AS DOUBLE) * CAST(c1 - a AS DOUBLE)) END, 6)
+          AS odds_ratio,
+        round(CASE WHEN valid THEN
+          least(CAST(psum AS DOUBLE), 1.0) END, 6) AS p_two_sided
+      FROM f5 CROSS JOIN p"""
+    })),
+
+    // ---- Dunn's post-hoc test (Stats.dunnPostHoc): WHICH event-type
+    // pairs differ after a_kruskal_wallis says SOME do — pooled global
+    // ranks (not per-pair re-ranks), Bonferroni-adjusted p over the
+    // k(k-1)/2 comparisons; the shared pExprSql normal polynomial.
+    QueryDef("a_dunn_posthoc", (s, d) => {
+      graft.ops.Stats.dunnPostHoc(Tables.events(s, d),
+        "event_type", "value")
+    }, Some(s"""
+      WITH r AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+             FROM events WHERE value IS NOT NULL),
+      bv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM r GROUP BY 1),
+      c AS (SELECT *, SUM(t) OVER (ORDER BY v
+              ROWS UNBOUNDED PRECEDING) - t AS below FROM bv),
+      rk AS (SELECT v, CAST(2 * below + t + 1 AS BIGINT) AS r2 FROM c),
+      gr AS (SELECT g, CAST(SUM(n_gv) AS BIGINT) AS n_g,
+               CAST(SUM(n_gv * r2) AS BIGINT) AS s2
+             FROM (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS n_gv
+                   FROM r GROUP BY 1, 2) j JOIN rk USING (v)
+             GROUP BY 1),
+      tot AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+                CAST(SUM(t * t * t - t) AS BIGINT) AS ties FROM bv),
+      kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM gr),
+      pr AS (SELECT a.g AS group_a, b.g AS group_b, a.n_g AS n_a,
+               b.n_g AS n_b, a.s2 AS s2a, b.s2 AS s2b
+             FROM gr a JOIN gr b ON a.g < b.g),
+      zz AS (SELECT group_a, group_b, n_a, n_b,
+          round(CASE WHEN sig2 > 0 THEN
+            (CAST(s2a AS DOUBLE) / (2.0 * CAST(n_a AS DOUBLE)) -
+             CAST(s2b AS DOUBLE) / (2.0 * CAST(n_b AS DOUBLE))) /
+            sqrt(sig2) END, 6) AS z, k
+        FROM (SELECT pr.*, kk.k,
+            CASE WHEN n > 2 THEN (CAST(n AS DOUBLE) *
+              (CAST(n AS DOUBLE) + 1.0) / 12.0 -
+              CAST(ties AS DOUBLE) / (12.0 *
+              (CAST(n AS DOUBLE) - 1.0))) *
+              (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+              END AS sig2
+          FROM pr CROSS JOIN tot CROSS JOIN kk)),
+      pp AS (SELECT *, ${graft.ops.EventAnalytics.pExprSql} AS p
+             FROM zz)
+      SELECT group_a, group_b, n_a, n_b, z, p,
+        round(CASE WHEN p IS NOT NULL THEN least(1.0, p *
+          (CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0) / 2.0)) END,
+          6) AS p_adj
+      FROM pp ORDER BY group_a, group_b""")),
+
+    // ---- Two-feature logistic regression by IRLS (Stats.
+    // logisticIrls): P(l_returnflag = 'R' | l_quantity, l_discount) —
+    // 6 fixed Newton rounds, each ONE nine-moment fold; per-row terms
+    // round(,9) into DECIMAL and each round's β rounds to 6 dp in
+    // both engines so the iterated transcendental cannot drift; the
+    // oracle unrolls every round as CTEs generated from the SAME
+    // shared expression texts. Wald SEs off the final Hessian.
+    QueryDef("m_logistic_irls", (s, d) => {
+      graft.ops.Stats.logisticIrls(Tables.tLight(s, d, "lineitem"),
+        col("l_returnflag") === "R", "l_quantity", "l_discount", 6)
+    }, Some({
+      val I = graft.ops.Stats.Irls
+      val rounds = 6
+      val momSql = I.moments.map { case (n, e) =>
+        s"SUM(${I.t9(e)}) AS $n" }.mkString(",\n          ")
+      val castSql = Seq("sg0" -> "g0", "sg1" -> "g1", "sg2" -> "g2",
+        "sh00" -> "h00", "sh01" -> "h01", "sh02" -> "h02",
+        "sh11" -> "h11", "sh12" -> "h12", "sh22" -> "h22")
+        .map { case (s0, d0) => s"CAST($s0 AS DOUBLE) AS $d0" }
+        .mkString(", ")
+      val roundCtes = (1 to rounds).map { i =>
+        s"""m$i AS (SELECT b0, b1, b2, $castSql
+          FROM (SELECT b0, b1, b2,
+          $momSql
+          FROM r CROSS JOIN it${i - 1} GROUP BY 1, 2, 3)),
+      it$i AS (SELECT
+          round(CASE WHEN ${I.det} <> 0.0 THEN b0 + ${I.d0} / ${I.det}
+            ELSE b0 END, 6) AS b0,
+          round(CASE WHEN ${I.det} <> 0.0 THEN b1 + ${I.d1} / ${I.det}
+            ELSE b1 END, 6) AS b1,
+          round(CASE WHEN ${I.det} <> 0.0 THEN b2 + ${I.d2} / ${I.det}
+            ELSE b2 END, 6) AS b2
+        FROM m$i)"""
+      }.mkString(",\n      ")
+      val finMoms = I.moments.drop(3).map { case (n, e) =>
+        s"SUM(${I.t9(e)}) AS $n" }.mkString(",\n          ")
+      s"""
+      WITH r AS (SELECT
+          CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+          CAST(l_quantity AS DOUBLE) AS x1,
+          CAST(l_discount AS DOUBLE) AS x2
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+      it0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+      $roundCtes,
+      ff AS (SELECT n, b0, b1, b2,
+          CAST(sh00 AS DOUBLE) AS h00, CAST(sh01 AS DOUBLE) AS h01,
+          CAST(sh02 AS DOUBLE) AS h02, CAST(sh11 AS DOUBLE) AS h11,
+          CAST(sh12 AS DOUBLE) AS h12, CAST(sh22 AS DOUBLE) AS h22,
+          CAST(sll AS DOUBLE) AS ll
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n, b0, b1, b2,
+          $finMoms,
+          SUM(${I.t9(I.ll)}) AS sll
+          FROM r CROSS JOIN it$rounds GROUP BY 2, 3, 4))
+      SELECT n, b0, b1, b2,
+        round(CASE WHEN ${I.det} > 0.0 THEN
+          sqrt((h11 * h22 - h12 * h12) / ${I.det}) END, 6) AS se0,
+        round(CASE WHEN ${I.det} > 0.0 THEN
+          sqrt((h00 * h22 - h02 * h02) / ${I.det}) END, 6) AS se1,
+        round(CASE WHEN ${I.det} > 0.0 THEN
+          sqrt((h00 * h11 - h01 * h01) / ${I.det}) END, 6) AS se2,
+        round(CASE WHEN n > 0 THEN ll / CAST(n AS DOUBLE) END, 6)
+          AS log_loss
+      FROM ff"""
+    })),
+
+    // ---- CCNet-style perplexity buckets (TextAnalysis.pplBuckets):
+    // head/middle/tail partition of the corpus at the EXACT terciles
+    // of the train-split unigram-LM mean NLL — the bucket manifest a
+    // quality-aware sampling stage consumes; rank-statistic cuts
+    // (ceil(q·n), no interpolation), tied scores land together.
+    QueryDef("t_ppl_buckets", (s, d) => {
+      graft.ops.TextAnalysis.pplBuckets(t(s, d, "documents"))
+    }, Some(s"""
+      WITH tg AS (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS tk,
+               (${graft.ops.Hashing.duckMd5Long(
+                 "'lmsplit:' || CAST(doc_id AS VARCHAR)")})
+                 % 5 <> 0 AS is_train
+             FROM documents),
+      cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM (SELECT unnest(tk) AS tok FROM tg WHERE is_train)
+              GROUP BY 1),
+      st AS (SELECT CAST(SUM(cnt) AS BIGINT) AS N,
+               CAST(COUNT(*) AS BIGINT) AS V FROM cnt),
+      te AS (SELECT doc_id, unnest(tk) AS tok FROM tg),
+      sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               round(CAST(SUM(CAST(round(-ln(
+                   CAST(COALESCE(cnt, 0) + 1 AS DOUBLE) /
+                   CAST(N + V AS DOUBLE)), 6) AS DECIMAL(12,6)))
+                 AS DOUBLE) / COUNT(*), 6) AS mean_nll
+             FROM te LEFT JOIN cnt USING (tok) CROSS JOIN st
+             GROUP BY 1),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sc),
+      ranked AS (SELECT mean_nll,
+                   CAST(ROW_NUMBER() OVER (ORDER BY mean_nll, doc_id)
+                     AS BIGINT) AS ord
+                 FROM sc),
+      cuts AS (SELECT
+          MAX(CASE WHEN ord = CEIL(CAST(0.3333333333 AS DECIMAL(20,10))
+            * n) THEN mean_nll END) AS cut_head,
+          MAX(CASE WHEN ord = CEIL(CAST(0.6666666667 AS DECIMAL(20,10))
+            * n) THEN mean_nll END) AS cut_middle
+        FROM ranked CROSS JOIN nn)
+      SELECT CASE WHEN mean_nll <= cut_head THEN 'head'
+               WHEN mean_nll <= cut_middle THEN 'middle'
+               ELSE 'tail' END AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        round(CAST(SUM(CAST(mean_nll AS DECIMAL(12,6))) AS DOUBLE) /
+          COUNT(*), 6) AS bucket_mean_nll,
+        MAX(cut_head) AS cut_head, MAX(cut_middle) AS cut_middle
+      FROM sc CROSS JOIN cuts
+      GROUP BY 1 ORDER BY 1""")),
+
+    // ---- Curriculum ordering (Sampling.curriculumOrder): easy-to-hard
+    // training manifest — token-count difficulty cut at the exact
+    // quartiles, md5-shuffled WITHIN each tier (no sorted-by-length
+    // batch pathology), one two-phase ordinal for the global position.
+    QueryDef("o20_curriculum_order", (s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ops.Sampling.curriculumOrder(
+        docs.withColumn("difficulty", expr(
+          "size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))")),
+        "doc_id", "difficulty", buckets = 4)
+        .orderBy("pos")
+    }, Some(s"""
+      WITH sc AS (SELECT doc_id AS key,
+               CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                 AS DOUBLE) AS difficulty
+             FROM documents),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sc),
+      ranked AS (SELECT difficulty,
+                   CAST(ROW_NUMBER() OVER (ORDER BY difficulty, key)
+                     AS BIGINT) AS ord
+                 FROM sc),
+      cuts AS (SELECT difficulty AS cut
+               FROM ranked CROSS JOIN nn
+               WHERE ord = CEIL(CAST(0.25 AS DECIMAL(20,10)) * n)
+                  OR ord = CEIL(CAST(0.5 AS DECIMAL(20,10)) * n)
+                  OR ord = CEIL(CAST(0.75 AS DECIMAL(20,10)) * n)),
+      binned AS (SELECT s.key, s.difficulty,
+               CAST(COUNT(c.cut) AS BIGINT) AS bucket
+             FROM sc s LEFT JOIN cuts c ON c.cut < s.difficulty
+             GROUP BY 1, 2),
+      h AS (SELECT *,
+              (${graft.ops.Hashing.duckMd5Long(
+                "'curr:' || CAST(key AS VARCHAR)")}) AS hh
+            FROM binned)
+      SELECT key, difficulty, bucket,
+        CAST(ROW_NUMBER() OVER (ORDER BY bucket, hh, key) - 1
+          AS BIGINT) AS pos
+      FROM h ORDER BY pos"""))
   )
 }

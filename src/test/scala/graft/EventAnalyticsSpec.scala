@@ -854,4 +854,36 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(e2e.getString(0) === "a" && e2e.getLong(1) === 8L)
     assert(e2e.getDouble(5) === e2e.getDouble(2)) // pacf1 = rho1
   }
+
+  test("didEstimate: planted +10 arm-1 post effect over a common +5 " +
+    "trend reads did 10 exactly; zero-variance cells read null se") {
+    import org.apache.spark.sql.functions.col
+    def variant(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$id".getBytes("UTF-8"))
+      (BigInt(d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+        % 2).toLong
+    }
+    // pre = u, post = u + 5 (+10 iff arm 1): the +5 common trend and
+    // the per-user level u both cancel in the DiD, leaving exactly 10
+    val rows = (1L to 40L).flatMap { u =>
+      val lift = if (variant(u) == 1) 10.0 else 0.0
+      Seq((u, 2 * u, "view", 1L, u.toDouble),
+        (u, 2 * u + 1, "view", 100L, u.toDouble + 5.0 + lift))
+    }
+    val out = EventAnalytics.didEstimate(ev(rows: _*), "value",
+      col("ts_us") < 50L).collect().head
+    assert(out.getLong(0) + out.getLong(1) === 40L)
+    assert(out.getLong(0) > 0L && out.getLong(1) > 0L)
+    assert(out.getDouble(4) === 10.0)       // did
+    assert(out.getDouble(3) - out.getDouble(2) === 10.0) // post-pre
+    assert(out.getDouble(6) > 0.0)          // z follows the lift
+    // constant pre/post everywhere: did 0, se2 = 0 -> null se/z
+    val flat = (1L to 20L).flatMap { u =>
+      Seq((u, 2 * u, "view", 1L, 1.0), (u, 2 * u + 1, "view", 100L, 2.0))
+    }
+    val deg = EventAnalytics.didEstimate(ev(flat: _*), "value",
+      col("ts_us") < 50L).collect().head
+    assert(deg.getDouble(4) === 0.0 && deg.isNullAt(5) && deg.isNullAt(6))
+  }
 }

@@ -266,7 +266,52 @@ class PlanAuditSpec extends AnyFunSuite {
     // a_weighted_quantiles: the running-sum triangular offset join +
     // the broadcast |q|-row target table's non-equi interval pick
     // (the a_exact_quantiles shape)
-    "a_weighted_quantiles")
+    "a_weighted_quantiles",
+    // a_effect_sizes: the 1-row U/nanb frame crossed into the 1-row
+    // moment readout + the running-sum triangular offset join (the
+    // a_mann_whitney + a_welch_ttest shapes composed)
+    "a_effect_sizes",
+    // a_wilcoxon_signed_rank: the running-sum triangular offset join
+    // + the 1-row W+/tie fold crossed into the 1-row pair-count frame
+    "a_wilcoxon_signed_rank",
+    // a_hodges_lehmann: the CALENDAR-BOUNDED daily-mean pair cross
+    // (days_a x days_b rows — the e_theil_sen pair-frame convention,
+    // here as an explicit cross) + the 1-row np/median frames crossed
+    // into the 1-row readout, + the running-sum triangular join
+    "a_hodges_lehmann",
+    // m_pr_auc: the running-sum triangular offset join, twice over
+    // the SAME distinct-score table (the a_spearman shape)
+    "m_pr_auc",
+    // a_friedman: the broadcast 1-row k-count frame against the
+    // (block, treatment) cell table, then the 1-row n/kk/ssbn/ties
+    // frames crossed into the 1-row readout
+    "a_friedman",
+    // e_did: the broadcast 1-row mid-timestamp frame against events
+    // (the e_cuped boundary shape)
+    "e_did",
+    // m_brier_decomposition: the 1-row bin-totals frame against the
+    // ≤ bins-row bin table, then the 1-row raw/binned folds crossed
+    // into the readout (the m_hosmer_lemeshow family shape)
+    "m_brier_decomposition",
+    // a_fisher_exact: the 1-row margins frame fans out into the
+    // O(√n)-term chunked support grid, and the 1-row p-sum fold
+    // crosses back into the 1-row readout
+    "a_fisher_exact",
+    // a_dunn_posthoc: the k²-bounded GROUP-table self-join (inequality
+    // pair frame over k rows) + the broadcast 1-row N/ties/k frames
+    "a_dunn_posthoc",
+    // m_logistic_irls: each round's 1-row β frame broadcast against
+    // the data and the 1-row moment folds crossed back (the PCA-loop
+    // broadcast-scalar shape, 7 times)
+    "m_logistic_irls",
+    // t_ppl_buckets: the broadcast 1-row (N, V) LM-stats and cutpoint
+    // frames + the exact-quantile triangular offset join (the
+    // a_exact_quantiles shape over per-doc scores)
+    "t_ppl_buckets",
+    // o20_curriculum_order: the broadcast ≤ buckets-row cut frame +
+    // the two-phase ordinal's triangular offset join (the
+    // o17_epoch_shuffle shape)
+    "o20_curriculum_order")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -489,7 +534,31 @@ class PlanAuditSpec extends AnyFunSuite {
     "t_lm_filter",
     // a_weighted_quantiles: the 1-row total-weight fold (the
     // a_exact_quantiles N shape)
-    "a_weighted_quantiles")
+    "a_weighted_quantiles",
+    // a_effect_sizes / a_wilcoxon_signed_rank / m_pr_auc: the 1-row
+    // moment/rank-sum/AP folds over the two-phase running sum (the
+    // a_mann_whitney one-row-fold shape); a_hodges_lehmann: the 1-row
+    // np / median-probe / side-count folds over the calendar-bounded
+    // pair table; m_ridge_regression: the 1-row nine-moment fold (one
+    // bounded partial per partition — the a_welch_ttest shape)
+    "a_effect_sizes", "a_wilcoxon_signed_rank", "m_pr_auc",
+    "a_hodges_lehmann", "m_ridge_regression",
+    // a_friedman: the 1-row block-count / k-count / ssbn / tie folds
+    // (every one a bounded-partial combine over aggregate-sized
+    // inputs); e_did: the 1-row ten-moment fold (the e_cuped shape);
+    // m_brier_decomposition: the 1-row raw-moment and ≤ bins-row
+    // binned folds (the m_hosmer_lemeshow shape); a_fisher_exact: the
+    // 1-row margins fold and the 1-row p-sum fold over the bounded
+    // support grid
+    "a_friedman", "e_did", "m_brier_decomposition", "a_fisher_exact",
+    // a_dunn_posthoc: the 1-row N/ties/k folds over aggregate-sized
+    // inputs (the a_mann_whitney shape); m_logistic_irls: the per-round
+    // and final 1-row nine-moment folds (the a_welch_ttest shape, x7)
+    "a_dunn_posthoc", "m_logistic_irls",
+    // t_ppl_buckets: the 1-row LM-stats / n / cutpoint folds;
+    // o20_curriculum_order: the 1-row n fold (the a_exact_quantiles
+    // N shape)
+    "t_ppl_buckets", "o20_curriculum_order")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —

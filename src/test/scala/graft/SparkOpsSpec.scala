@@ -1076,4 +1076,55 @@ class WatermarkSpec extends org.scalatest.funsuite.AnyFunSuite {
     out.foreach { case (_, _, nll, keep) =>
       assert(keep === (nll <= 8.0)) }
   }
+
+  test("pplBuckets: buckets partition the corpus at the exact " +
+    "terciles; head NLL <= middle <= tail; tied docs land together") {
+    val s = spark; import s.implicits._
+    val base = "the cat sat on the mat"
+    // 12 docs: 0 (clean) / 1 (one OOV token) / 2 (two OOV tokens)
+    // gibberish per residue class -> three distinct NLL levels
+    val docs = (1L to 12L).map { i =>
+      val extra = (1L to i % 3).map(j => s"zzqx${i}x$j").mkString(" ")
+      (i, s"$base $extra".trim)
+    }.toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.pplBuckets(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toList
+    assert(out.map(_._1).toSet.subsetOf(Set("head", "middle", "tail")))
+    assert(out.map(_._2).sum === 12L)       // every doc in one bucket
+    val byB = out.map(t => t._1 -> t._4).toMap
+    for (Seq(a, b) <- Seq("head", "middle", "tail").filter(byB.contains)
+        .sliding(2) if a != b)
+      assert(byB(a) <= byB(b),
+        s"bucket mean NLL must be monotone: $out")
+    // deterministic under repartitioning
+    val again = graft.ops.TextAnalysis.pplBuckets(docs.repartition(5))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toList
+    assert(again === out)
+  }
+
+  test("curriculumOrder: quartile tiers fill in order, md5-shuffled " +
+    "within each tier; ties land in one tier") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 8L).map(i => (i, i.toDouble)).toDF("doc_id", "dif")
+    val out = graft.ops.Sampling.curriculumOrder(docs, "doc_id", "dif", 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3)))
+    // cuts at ranks 2/4/6 -> values 2/4/6: tiers {1,2},{3,4},{5,6},{7,8}
+    val tier = out.map(t => t._1 -> t._3).toMap
+    assert(tier(1L) === 0L && tier(2L) === 0L)
+    assert(tier(3L) === 1L && tier(4L) === 1L)
+    assert(tier(5L) === 2L && tier(6L) === 2L)
+    assert(tier(7L) === 3L && tier(8L) === 3L)
+    // positions are 0..7 and strictly tier-ordered
+    assert(out.map(_._4).sorted.toSeq === (0L to 7L))
+    for ((k, d, b, p) <- out; (k2, d2, b2, p2) <- out if b < b2)
+      assert(p < p2, s"tier $b must precede tier $b2: $out")
+    // all-tied difficulties collapse into one tier
+    val flat = (1L to 6L).map(i => (i, 1.0)).toDF("doc_id", "dif")
+    val one = graft.ops.Sampling.curriculumOrder(flat, "doc_id", "dif", 3)
+      .collect().map(_.getLong(2)).toSet
+    assert(one === Set(0L))
+  }
 }

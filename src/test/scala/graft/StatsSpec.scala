@@ -789,6 +789,215 @@ class StatsSpec extends AnyFunSuite {
       neg.getLong(3) === 4L)
     assert(neg.getDouble(4) === 0.666667 && neg.getDouble(5) === 0.8)
   }
+  test("effectSizes: hand-computed d/g/delta on a 3-vs-2 fixture " +
+    "with one cross-group tie") {
+    val s = spark; import s.implicits._
+    // a = [1,2,3], b = [2,4]: m_a=2, m_b=3, v_a=1, v_b=2,
+    // sp2 = (2*1 + 1*2)/3 = 4/3 -> d = -1/sqrt(4/3) = -0.866025,
+    // g = d*(1 - 3/11) = -0.629837; combined ranks [1, 2.5, 2.5, 4, 5]
+    // give R_a = 7.5, U = 1.5, delta = 2*1.5/6 - 1 = -0.5
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0),
+      ("b", 4.0)).toDF("g", "v")
+    val out = Stats.effectSizes(df, "g", "v", "a", "b").collect().head
+    assert(out.getLong(0) === 3L && out.getLong(1) === 2L)
+    assert(out.getDouble(2) === -0.866025)
+    assert(out.getDouble(3) === -0.629837)
+    assert(out.getDouble(4) === -0.5)
+  }
+
+  test("wilcoxonSignedRank: zero diffs drop, W+ over signed ranks, " +
+    "one-sided keys excluded") {
+    val s = spark; import s.implicits._
+    // pairs: k1 d=+2, k2 d=-1, k3 d=+3, k4 d=0 (drops), k5 a-only
+    // (excluded): |d| ranks 2,1,3 -> W+ = 5, n = 3,
+    // z = (5 - 3)/sqrt(3*4*7/24) = 2/sqrt(3.5) = 1.069045
+    val df = Seq(("k1", "a", 3.0), ("k1", "b", 1.0),
+      ("k2", "a", 1.0), ("k2", "b", 2.0),
+      ("k3", "a", 5.0), ("k3", "b", 2.0),
+      ("k4", "a", 2.0), ("k4", "b", 2.0),
+      ("k5", "a", 9.0)).toDF("k", "g", "v")
+    val out = Stats.wilcoxonSignedRank(df, "k", "g", "v", "a", "b")
+      .collect().head
+    assert(out.getLong(0) === 4L && out.getLong(1) === 3L)
+    assert(out.getDouble(2) === 5.0)
+    assert(out.getDouble(3) === 1.069045)
+  }
+
+  test("hodgesLehmann: even pair count averages the two middles; " +
+    "empty side reads null shift") {
+    val s = spark; import s.implicits._
+    // a daily means [1, 3], b daily means [2]: diffs [-1, 1] ->
+    // HL = ( -1 + 1 )/2 = 0
+    val df = Seq((1L, "a", 1.0), (2L, "a", 3.0), (1L, "b", 2.0))
+      .toDF("k", "g", "v")
+    val out = Stats.hodgesLehmann(df, col("k"), "g", "v", "a", "b")
+      .collect().head
+    assert(out.getLong(0) === 2L && out.getLong(1) === 1L)
+    assert(out.getLong(2) === 2L && out.getDouble(3) === 0.0)
+    val empty = Stats.hodgesLehmann(df, col("k"), "g", "v", "a", "zzz")
+      .collect().head
+    assert(empty.getLong(2) === 0L && empty.isNullAt(3))
+  }
+
+  test("prAuc: threshold-granular average precision with a tied " +
+    "score; perfect ranking reads 1") {
+    val s = spark; import s.implicits._
+    // desc thresholds: 0.9 (tp, P=1), 0.8 (fp), 0.7 {tp, fp} term
+    // = 1*(2/4) = 0.5, 0.6 (fp) -> AP = (1 + 0.5)/2 = 0.75
+    val df = Seq((0.9, 1), (0.8, 0), (0.7, 1), (0.7, 0), (0.6, 0))
+      .toDF("sc", "pos")
+    val out = Stats.prAuc(df, col("pos") === 1, "sc").collect().head
+    assert(out.getLong(0) === 2L && out.getLong(1) === 3L)
+    assert(out.getDouble(2) === 0.75 && out.getDouble(3) === 0.4)
+    val perfect = Stats.prAuc(
+      Seq((0.9, 1), (0.8, 1), (0.1, 0)).toDF("sc", "pos"),
+      col("pos") === 1, "sc").collect().head
+    assert(perfect.getDouble(2) === 1.0)
+  }
+
+  test("ridgeRegression: lambda=0 recovers an exact plane; " +
+    "collinear features read null at lambda=0") {
+    val s = spark; import s.implicits._
+    // y = 1 + 2*x1 - x2 exactly
+    val df = Seq((0.0, 0.0, 1.0), (1.0, 0.0, 3.0), (0.0, 1.0, 0.0),
+      (1.0, 1.0, 2.0), (2.0, 1.0, 4.0)).toDF("x1", "x2", "y")
+    val out = Stats.ridgeRegression(df, "y", "x1", "x2", 0.0)
+      .collect().head
+    assert(out.getLong(0) === 5L)
+    assert(out.getDouble(1) === 1.0 && out.getDouble(2) === 2.0 &&
+      out.getDouble(3) === -1.0 && out.getDouble(4) === 1.0)
+    // x2 = x1: det = 0 at lambda 0 -> null coefficients, no blowup
+    val col2 = Seq((1.0, 1.0, 1.0), (2.0, 2.0, 2.0), (3.0, 3.0, 3.0))
+      .toDF("x1", "x2", "y")
+    val degen = Stats.ridgeRegression(col2, "y", "x1", "x2", 0.0)
+      .collect().head
+    assert(degen.isNullAt(2) && degen.isNullAt(3))
+    // and the ridge solve at lambda > 0 is defined (shrunk toward 0)
+    val ridge = Stats.ridgeRegression(col2, "y", "x1", "x2", 1.0)
+      .collect().head
+    assert(!ridge.isNullAt(2) && math.abs(ridge.getDouble(2)) < 1.0)
+  }
+
+  test("friedmanTest: tie-corrected Q and Kendall's W on a 3x3 " +
+    "fixture; incomplete blocks drop") {
+    val s = spark; import s.implicits._
+    // blocks 1/2 rank a<b<c and a<c<b; block 3 ties b=c above a:
+    // R_a=3, R_b=7.5, R_c=7.5 -> sum R^2 = 121.5, Q0 = 4.5,
+    // ties = 2^3-2 = 6, C = 1 - 6/72 -> Q = 4.909091, W = 0.818182;
+    // block 4 has only 'a' -> incomplete, dropped
+    val df = Seq(
+      (1L, "a", 1.0), (1L, "b", 2.0), (1L, "c", 3.0),
+      (2L, "a", 1.0), (2L, "b", 3.0), (2L, "c", 2.0),
+      (3L, "a", 1.0), (3L, "b", 2.0), (3L, "c", 2.0),
+      (4L, "a", 9.0)).toDF("k", "g", "v")
+    val out = Stats.friedmanTest(df, col("k"), "g", "v").collect().head
+    assert(out.getLong(0) === 3L && out.getLong(1) === 3L)
+    assert(out.getDouble(2) === 4.909091)
+    assert(out.getDouble(3) === 0.818182)
+    // every block fully tied -> C = 0 -> null Q/W
+    val flat = Seq((1L, "a", 5.0), (1L, "b", 5.0),
+      (2L, "a", 7.0), (2L, "b", 7.0)).toDF("k", "g", "v")
+    val deg = Stats.friedmanTest(flat, col("k"), "g", "v")
+      .collect().head
+    assert(deg.isNullAt(2) && deg.isNullAt(3))
+  }
+
+  test("brierDecomposition: hand-computed Murphy split on 2 bins; " +
+    "identity REL - RES + UNC = binned BS") {
+    val s = spark; import s.implicits._
+    // scores .9/.7/.7 in bin1 (2 pos), .2/.1 in bin0 (0 pos):
+    // brier = 0.64/5 = 0.128; REL = (0.03+0.045)/5 = 0.015;
+    // RES = (0.213333+0.32)/5 = 0.106667; UNC = 0.4*0.6 = 0.24
+    val df = Seq((0.9, 1), (0.7, 1), (0.7, 0), (0.2, 0), (0.1, 0))
+      .toDF("sc", "pos")
+    val out = Stats.brierDecomposition(df, col("pos") === 1, "sc",
+      bins = 2).collect().head
+    assert(out.getLong(0) === 5L)
+    assert(out.getDouble(1) === 0.128)
+    assert(out.getDouble(2) === 0.015)
+    assert(out.getDouble(3) === 0.106667)
+    assert(out.getDouble(4) === 0.24)
+    // rel - res + unc = 0.148333 = the binned Brier (raw + within-bin
+    // variance): the decomposition identity at the emitted rounding
+    assert(math.abs(out.getDouble(2) - out.getDouble(3) +
+      out.getDouble(4) - 0.148333) < 1e-6)
+  }
+
+  test("fisherExact: exact two-sided p on the 4/4 margins table; " +
+    "single-support-point table reads p 1") {
+    val s = spark; import s.implicits._
+    // [[3,1],[1,3]]: support pmf = {1,16,36,16,1}/70; obs a=3 ->
+    // p = (1+16+16+1)/70 = 0.485714, OR = 9
+    val rows = Seq.fill(3)((true, true)) ++ Seq((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(3)((false, false))
+    val df = rows.toDF("ex", "oc")
+    val out = Stats.fisherExact(df, col("ex"), col("oc"))
+      .collect().head
+    assert(out.getLong(0) === 8L && out.getLong(1) === 4L &&
+      out.getLong(2) === 4L && out.getLong(3) === 3L)
+    assert(out.getDouble(4) === 9.0)
+    assert(out.getDouble(5) === 0.485714)
+    // every row positive: the support is one point -> p = 1
+    val one = Seq((true, true), (false, true), (true, true))
+      .toDF("ex", "oc")
+    val pOne = Stats.fisherExact(one, col("ex"), col("oc"))
+      .collect().head
+    assert(pOne.getDouble(5) === 1.0)
+  }
+
+  test("dunnPostHoc: pooled-rank pairwise z on three clean groups; " +
+    "Bonferroni triples the per-pair p") {
+    val s = spark; import s.implicits._
+    // a=[1,2], b=[3,4], c=[5,6]: global ranks 1..6, no ties ->
+    // mean ranks 1.5/3.5/5.5, sigma = sqrt(3.5 * (1/2+1/2)),
+    // z_ab = -2/1.8708287 = -1.069045, z_ac = -4/... = -2.13809
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 5.0), ("c", 6.0)).toDF("g", "v")
+    val out = Stats.dunnPostHoc(df, "g", "v").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(out(("a", "b"))._1 === -1.069045)
+    assert(out(("a", "c"))._1 === -2.13809)
+    assert(out(("b", "c"))._1 === -1.069045)
+    // k = 3 -> m = 3 comparisons; p_adj = round(min(1, 3p), 6)
+    out.values.foreach { case (_, p, pAdj) =>
+      assert(p > 0.0 && p < 1.0)
+      assert(pAdj === math.round(math.min(1.0, 3.0 * p) * 1e6) / 1e6)
+    }
+  }
+
+  test("logisticIrls: saturated 2x2x2 fixture recovers the exact " +
+    "closed-form MLE; independent outcome reads zero slopes") {
+    val s = spark; import s.implicits._
+    // P(y=1 | x1=0) = 1/4, P(y=1 | x1=1) = 3/4, x2 independent:
+    // MLE b0 = ln(1/3) = -1.098612, b1 = 2 ln 3 = 2.197225, b2 = 0
+    val rows = for {
+      x2 <- Seq(0.0, 1.0); x1 <- Seq(0.0, 1.0); i <- 1 to 4
+    } yield {
+      val y = if (x1 == 1.0) i <= 3 else i <= 1
+      (y, x1, x2)
+    }
+    val out = Stats.logisticIrls(rows.toDF("y", "x1", "x2"),
+      col("y"), "x1", "x2", 6).collect().head
+    assert(out.getLong(0) === 16L)
+    assert(out.getDouble(1) === -1.098612)
+    assert(out.getDouble(2) === 2.197225)
+    assert(out.getDouble(3) === 0.0)
+    assert(out.getDouble(4) > 0.0 && out.getDouble(5) > 0.0)
+    // log-loss beats the no-information ln 2
+    assert(out.getDouble(7) < 0.693147)
+    // y independent of both features: slopes 0, b0 = logit(1/2) = 0
+    val flat = (for {
+      x1 <- Seq(0.0, 1.0); x2 <- Seq(0.0, 1.0); y <- Seq(true, false)
+    } yield (y, x1, x2)).toDF("y", "x1", "x2")
+    val nul = Stats.logisticIrls(flat, col("y"), "x1", "x2", 6)
+      .collect().head
+    assert(nul.getDouble(1) === 0.0 && nul.getDouble(2) === 0.0 &&
+      nul.getDouble(3) === 0.0)
+    assert(nul.getDouble(7) === 0.693147) // ln 2
+  }
+
   test("weightedQuantiles: cumulative integer weights pick the run " +
     "containing ceil(q*W); weight-1 rows degrade to plain quantiles") {
     val s = spark; import s.implicits._
