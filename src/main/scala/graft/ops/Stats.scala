@@ -2556,7 +2556,21 @@ object Stats {
   private[graft] object Irls {
     val eta = "(b0 + b1 * x1 + b2 * x2)"
     val p: String = sigmoidSql(eta)
-    def t9(e: String) = s"cast(round($e, 9) as decimal(38,9))"
+    // round-half-up to 9 dp by INTEGER arithmetic: floor(t·1e9 + 0.5)
+    // with the sign unfolded (away-from-zero, the round() convention).
+    // ~12× cheaper per row than round()+DECIMAL(38,9) — Spark's Round
+    // on doubles allocates a BigDecimal per evaluation, and 9 moments
+    // × rounds × rows made that the gate's entire cost; the text is
+    // engine-neutral and shared VERBATIM with the oracle, so the only
+    // cross-engine exposure is the usual ulp-at-a-rounding-boundary
+    // class (≲1 flip per scan, 1e-9 each — absorbed by the round-6 β).
+    def s9(e: String): String =
+      s"cast(case when ($e) >= 0.0 then floor(($e) * 1.0e9 + 0.5) " +
+        s"else -floor(-($e) * 1.0e9 + 0.5) end as bigint)"
+    // the scaled terms sum as exact DECIMAL(38,0) (long-backed cast —
+    // no BigDecimal on the row path) and read back as /1e9 doubles
+    def sumS9(e: String) = s"cast(${s9(e)} as decimal(38,0))"
+    def undo(c: String) = s"(cast($c as double) / 1.0e9)"
     val moments: Seq[(String, String)] = Seq(
       "sg0" -> s"(y - $p)", "sg1" -> s"((y - $p) * x1)",
       "sg2" -> s"((y - $p) * x2)",
@@ -2591,8 +2605,10 @@ object Stats {
     * √diag(H⁻¹) and the mean log-loss at the fitted β.
     *
     * DETERMINISM (the cross-engine contract for an ITERATED
-    * transcendental): per-row gradient/Hessian terms round(,9) into
-    * DECIMAL(38,9) — order-free exact sums whose ≤ 1-ulp-per-term
+    * transcendental): per-row gradient/Hessian terms round-half-up to
+    * 9 dp by the INTEGER-scaled [[Irls.s9]] encoding (floor(t·1e9 +
+    * 0.5), sign unfolded — no per-row BigDecimal) and sum as exact
+    * DECIMAL(38,0) — order-free sums whose ≤ 1-ulp-per-term
     * cross-engine drift is ~1e-9 total; each round's β then rounds
     * to 6 dp in BOTH engines, so drift cannot compound across rounds
     * (the computed βs agree to ~1e-9 ≪ the 5e-7 rounding margin).
@@ -2618,22 +2634,31 @@ object Stats {
         col(x2Col).cast("double").as("x2"))
     var beta = spark.range(1).select(lit(0.0).as("b0"),
       lit(0.0).as("b1"), lit(0.0).as("b2"))
+    // σ(η) is projected ONCE per row as `pp` and the moment terms read
+    // the column — bit-identical values to the inline texts the oracle
+    // evaluates (same IEEE expression, computed once instead of ~20
+    // times), and the generated aggregate code stays small enough for
+    // whole-stage codegen (the inlined form blew the method limit and
+    // fell back to interpreted evaluation — measured ~20× slower)
+    def colTerm(e: String) = e.replace(p, "pp")
     for (_ <- 1 to rounds) {
       val m = rows.crossJoin(broadcast(beta))
-        .agg(sum(expr(t9(moments.head._2))).as(moments.head._1),
+        .withColumn("pp", expr(p))
+        .agg(sum(expr(sumS9(colTerm(moments.head._2))))
+            .as(moments.head._1),
           moments.tail.map { case (n, e) =>
-            sum(expr(t9(e))).as(n) }: _*)
+            sum(expr(sumS9(colTerm(e)))).as(n) }: _*)
         .crossJoin(broadcast(beta)) // global fold: 1 row even on empty
         .select(col("b0"), col("b1"), col("b2"),
-          expr("cast(sg0 as double)").as("g0"),
-          expr("cast(sg1 as double)").as("g1"),
-          expr("cast(sg2 as double)").as("g2"),
-          expr("cast(sh00 as double)").as("h00"),
-          expr("cast(sh01 as double)").as("h01"),
-          expr("cast(sh02 as double)").as("h02"),
-          expr("cast(sh11 as double)").as("h11"),
-          expr("cast(sh12 as double)").as("h12"),
-          expr("cast(sh22 as double)").as("h22"))
+          expr(undo("sg0")).as("g0"),
+          expr(undo("sg1")).as("g1"),
+          expr(undo("sg2")).as("g2"),
+          expr(undo("sh00")).as("h00"),
+          expr(undo("sh01")).as("h01"),
+          expr(undo("sh02")).as("h02"),
+          expr(undo("sh11")).as("h11"),
+          expr(undo("sh12")).as("h12"),
+          expr(undo("sh22")).as("h22"))
       beta = m.select(
           round(expr(s"case when $det <> 0.0 then b0 + $d0 / $det " +
             "else b0 end"), 6).as("b0"),
@@ -2644,23 +2669,28 @@ object Stats {
         .localCheckpoint(false) // pin the round — lineage stays flat
     }
     val fin = rows.crossJoin(broadcast(beta))
+      .withColumn("pp", expr(p))
+      .withColumn("ee", expr(eta))
       .agg(count(lit(1)).as("n"),
-        sum(expr(t9(s"($p * (1.0 - $p))"))).as("sh00"),
-        sum(expr(t9(s"($p * (1.0 - $p) * x1)"))).as("sh01"),
-        sum(expr(t9(s"($p * (1.0 - $p) * x2)"))).as("sh02"),
-        sum(expr(t9(s"($p * (1.0 - $p) * x1 * x1)"))).as("sh11"),
-        sum(expr(t9(s"($p * (1.0 - $p) * x1 * x2)"))).as("sh12"),
-        sum(expr(t9(s"($p * (1.0 - $p) * x2 * x2)"))).as("sh22"),
-        sum(expr(t9(ll))).as("sll"))
+        sum(expr(sumS9(colTerm(s"($p * (1.0 - $p))")))).as("sh00"),
+        sum(expr(sumS9(colTerm(s"($p * (1.0 - $p) * x1)")))).as("sh01"),
+        sum(expr(sumS9(colTerm(s"($p * (1.0 - $p) * x2)")))).as("sh02"),
+        sum(expr(sumS9(colTerm(s"($p * (1.0 - $p) * x1 * x1)"))))
+          .as("sh11"),
+        sum(expr(sumS9(colTerm(s"($p * (1.0 - $p) * x1 * x2)"))))
+          .as("sh12"),
+        sum(expr(sumS9(colTerm(s"($p * (1.0 - $p) * x2 * x2)"))))
+          .as("sh22"),
+        sum(expr(sumS9(ll.replace(eta, "ee")))).as("sll"))
       .crossJoin(broadcast(beta))
       .select(col("n"), col("b0"), col("b1"), col("b2"),
-        expr("cast(sh00 as double)").as("h00"),
-        expr("cast(sh01 as double)").as("h01"),
-        expr("cast(sh02 as double)").as("h02"),
-        expr("cast(sh11 as double)").as("h11"),
-        expr("cast(sh12 as double)").as("h12"),
-        expr("cast(sh22 as double)").as("h22"),
-        expr("cast(sll as double)").as("ll"))
+        expr(undo("sh00")).as("h00"),
+        expr(undo("sh01")).as("h01"),
+        expr(undo("sh02")).as("h02"),
+        expr(undo("sh11")).as("h11"),
+        expr(undo("sh12")).as("h12"),
+        expr(undo("sh22")).as("h22"),
+        expr(undo("sll")).as("ll"))
     fin.select(col("n"), col("b0"), col("b1"), col("b2"),
       round(expr(s"case when $det > 0.0 then " +
         s"sqrt((h11 * h22 - h12 * h12) / $det) end"), 6).as("se0"),

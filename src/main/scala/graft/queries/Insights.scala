@@ -2327,11 +2327,11 @@ object Insights extends QueryModule {
       val I = graft.ops.Stats.Irls
       val rounds = 6
       val momSql = I.moments.map { case (n, e) =>
-        s"SUM(${I.t9(e)}) AS $n" }.mkString(",\n          ")
+        s"SUM(${I.sumS9(e)}) AS $n" }.mkString(",\n          ")
       val castSql = Seq("sg0" -> "g0", "sg1" -> "g1", "sg2" -> "g2",
         "sh00" -> "h00", "sh01" -> "h01", "sh02" -> "h02",
         "sh11" -> "h11", "sh12" -> "h12", "sh22" -> "h22")
-        .map { case (s0, d0) => s"CAST($s0 AS DOUBLE) AS $d0" }
+        .map { case (s0, d0) => s"${I.undo(s0)} AS $d0" }
         .mkString(", ")
       val roundCtes = (1 to rounds).map { i =>
         s"""m$i AS (SELECT b0, b1, b2, $castSql
@@ -2348,7 +2348,7 @@ object Insights extends QueryModule {
         FROM m$i)"""
       }.mkString(",\n      ")
       val finMoms = I.moments.drop(3).map { case (n, e) =>
-        s"SUM(${I.t9(e)}) AS $n" }.mkString(",\n          ")
+        s"SUM(${I.sumS9(e)}) AS $n" }.mkString(",\n          ")
       s"""
       WITH r AS (SELECT
           CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
@@ -2359,13 +2359,13 @@ object Insights extends QueryModule {
       it0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
       $roundCtes,
       ff AS (SELECT n, b0, b1, b2,
-          CAST(sh00 AS DOUBLE) AS h00, CAST(sh01 AS DOUBLE) AS h01,
-          CAST(sh02 AS DOUBLE) AS h02, CAST(sh11 AS DOUBLE) AS h11,
-          CAST(sh12 AS DOUBLE) AS h12, CAST(sh22 AS DOUBLE) AS h22,
-          CAST(sll AS DOUBLE) AS ll
+          ${I.undo("sh00")} AS h00, ${I.undo("sh01")} AS h01,
+          ${I.undo("sh02")} AS h02, ${I.undo("sh11")} AS h11,
+          ${I.undo("sh12")} AS h12, ${I.undo("sh22")} AS h22,
+          ${I.undo("sll")} AS ll
         FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n, b0, b1, b2,
           $finMoms,
-          SUM(${I.t9(I.ll)}) AS sll
+          SUM(${I.sumS9(I.ll)}) AS sll
           FROM r CROSS JOIN it$rounds GROUP BY 2, 3, 4))
       SELECT n, b0, b1, b2,
         round(CASE WHEN ${I.det} > 0.0 THEN

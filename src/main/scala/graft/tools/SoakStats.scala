@@ -29,7 +29,14 @@ import org.apache.spark.sql.functions._
   *    IDENTICAL at every scale while the per-round cross covers
   *    ×scale vectors;
   *  - PCA power iteration: replication leaves the mean and the
-  *    normalized direction unchanged — loadings IDENTICAL, λ ×scale.
+  *    normalized direction unchanged — loadings IDENTICAL, λ ×scale;
+  *  - logistic IRLS (r12, two-feature): plain self-union multiplies
+  *    g and H by ×scale, cancelling in the 3×3 solve — round-6 β and
+  *    mean log-loss IDENTICAL at every scale (SEs shrink ~1/√scale,
+  *    deliberately unasserted);
+  *  - Fisher exact (r12): unoffset copies scale all four 2×2 cells
+  *    exactly ×scale; the truncated support widens only ~√scale (the
+  *    op's scale claim) and p sharpens monotonically.
   *
   * Usage: runMain graft.tools.SoakStats [scale ...] (default 1 10 50;
   * SPARK_GRAFT_SF_DIR selects the base dir, default sf0.1).
@@ -68,6 +75,8 @@ object SoakStats {
       .select("vec_id", "embedding")
 
     var lgBase: Option[Seq[(Long, Double, Double)]] = None
+    var irBase: Option[(Long, Double, Double, Double, Double)] = None
+    var fxBase: Option[((Long, Long, Long, Long), Double)] = None
     var ktBase: Option[Seq[(String, Long, Long, Long, Long, Double)]] = None
     var tsBase: Option[Seq[(String, Long, Long, Double)]] = None
     var acBase: Option[Map[(String, Long), Double]] = None
@@ -95,6 +104,56 @@ object SoakStats {
         case Some(b) => assert(lgRows == b,
           s"logistic trajectory not scale-invariant at $scale:\n" +
             s"$lgRows\nvs baseline\n$b")
+      }
+
+      // --- logistic IRLS (two-feature): plain self-union multiplies
+      // every gradient AND Hessian moment by exactly ×scale, which
+      // cancels in the 3×3 Cramer solve — the round-6 β AND the mean
+      // log-loss must be IDENTICAL at every scale while each of the
+      // 7 passes covers ×scale rows (SEs shrink ~1/√scale: not
+      // asserted, they are supposed to move)
+      val li0 = graft.queries.Tables.tLight(spark, sfDir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_discount")
+      val sli = (0 until scale).map(_ => li0).reduce(_ unionByName _)
+      val (irRow, irSec) = timed {
+        graft.ops.Stats.logisticIrls(sli,
+          col("l_returnflag") === "R", "l_quantity", "l_discount", 6)
+          .collect().head
+      }
+      emit("m_logistic_irls", scale, irSec,
+        "b1" -> irRow.getDouble(2).toString)
+      val irKey = (irRow.getLong(0) / scale, irRow.getDouble(1),
+        irRow.getDouble(2), irRow.getDouble(3), irRow.getDouble(7))
+      irBase match {
+        case None => irBase = Some(irKey)
+        case Some(b) => assert(irKey == b,
+          s"IRLS β/log-loss not scale-invariant at $scale: $irKey vs $b")
+      }
+
+      // --- Fisher exact: unoffset copies multiply all four 2×2 cells
+      // by exactly ×scale (same md5 arms per copy); the ±50σ support
+      // widens only ~√scale — the op's entire scale claim — and the
+      // sharper table drives p monotonically toward 0
+      val fev = (0 until scale).map(_ => ev0).reduce(_ unionByName _)
+      graft.ops.Hashing.ensureRegistered(fev)
+      val (fRow, fSec) = timed {
+        graft.ops.Stats.fisherExact(fev,
+          pmod(graft.ops.Hashing.md5Long(
+            concat(lit("ab:"), col("user_id").cast("string"))),
+            lit(2L)) === 0,
+          col("event_type") === "purchase").collect().head
+      }
+      emit("a_fisher_exact", scale, fSec,
+        "p" -> fRow.getDouble(5).toString)
+      val fKey = (fRow.getLong(0) / scale, fRow.getLong(1) / scale,
+        fRow.getLong(2) / scale, fRow.getLong(3) / scale)
+      fxBase match {
+        case None => fxBase = Some((fKey, fRow.getDouble(5)))
+        case Some((bk, bp)) =>
+          assert(fKey == bk,
+            s"Fisher margins not exactly ×scale at $scale: $fKey vs $bk")
+          assert(fRow.getDouble(5) <= bp + 1e-9,
+            s"Fisher p must sharpen with scale: ${fRow.getDouble(5)} > $bp")
       }
 
       // --- Kendall τ over the daily frame: every pairwise sign
