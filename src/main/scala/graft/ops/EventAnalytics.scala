@@ -1981,4 +1981,75 @@ object EventAnalytics {
         round(expr("case when se2 > 0 then " +
           "((myb - mxb) - (mya - mxa)) / sqrt(se2) end"), 6).as("z"))
   }
+
+  /** INTERRUPTED TIME-SERIES readout — the third causal lens beside
+    * [[didEstimate]] (needs a control arm) and [[cupedAdjust]] (needs
+    * randomization): when an intervention hits EVERYONE at one moment,
+    * fit separate OLS lines to the pre- and post-period DAILY metric
+    * series and read the discontinuity:
+    *
+    *   level_change = (b0_post + s_post·t₀) − (b0_pre + s_pre·t₀)
+    *   slope_change = s_post − s_pre
+    *
+    * at t₀ = the first post-period day — the segmented-regression ITS
+    * estimator (two-segment form).
+    *
+    * DETERMINISM: daily means are exact-DECIMAL round(,6) values; the
+    * per-segment OLS moments (Σt, Σt², Σy, Σty — t the integer epoch
+    * day) accumulate exactly (t·y at DECIMAL(38,6)); slopes/levels
+    * derive through ONE mirrored IEEE chain; a segment with < 2 days
+    * (or zero variance in t) reads null. SCALE SHAPE: one keyed daily
+    * aggregate (calendar-bounded), one 1-row conditional-moment fold,
+    * broadcast 1-row boundary frame. Returns one row
+    * (n_pre, n_post, slope_pre, slope_post, slope_change,
+    * level_change).
+    */
+  def interruptedTimeSeries(events: DataFrame, valueCol: String,
+      isPre: Column): DataFrame = {
+    val v = expr(s"cast(round(cast($valueCol as double), 6) " +
+      "as decimal(28,6))")
+    val daily = events.filter(col(valueCol).isNotNull)
+      .select(expr("ts_us div 86400000000").as("t"),
+        isPre.as("pre"), v.as("vv"))
+      .groupBy("t", "pre")
+      .agg(expr("cast(round(cast(sum(vv) as double) / count(1), 6) " +
+        "as decimal(18,6))").as("y"))
+    val t0F = daily.filter(!col("pre")).agg(min(col("t")).as("t0"))
+    def seg(pre: Boolean, s: String) = Seq(
+      sum(when(col("pre") === pre, 1L).otherwise(0L)).as(s"n_$s"),
+      sum(when(col("pre") === pre, col("t"))).as(s"st_$s"),
+      sum(when(col("pre") === pre, col("t") * col("t"))).as(s"stt_$s"),
+      sum(when(col("pre") === pre, col("y"))).cast("double")
+        .as(s"sy_$s"),
+      sum(when(col("pre") === pre,
+        (col("t").cast("decimal(20,0)") * col("y"))
+          .cast("decimal(38,6)"))).cast("double").as(s"sty_$s"))
+    val folds = seg(true, "pre") ++ seg(false, "post")
+    def line(s: String) = {
+      val det = s"(cast(n_$s as double) * cast(stt_$s as double) - " +
+        s"cast(st_$s as double) * cast(st_$s as double))"
+      (s"case when n_$s > 1 and $det <> 0.0 then " +
+        s"(cast(n_$s as double) * sty_$s - cast(st_$s as double) * " +
+        s"sy_$s) / $det end",
+       s"case when n_$s > 1 and $det <> 0.0 then " +
+        s"(sy_$s - ((cast(n_$s as double) * sty_$s - " +
+        s"cast(st_$s as double) * sy_$s) / $det) * " +
+        s"cast(st_$s as double)) / cast(n_$s as double) end")
+    }
+    val (slPre, b0Pre) = line("pre")
+    val (slPost, b0Post) = line("post")
+    daily.agg(folds.head, folds.tail: _*)
+      .crossJoin(broadcast(t0F))
+      .withColumn("s_pre", expr(slPre))
+      .withColumn("s_post", expr(slPost))
+      .withColumn("i_pre", expr(b0Pre))
+      .withColumn("i_post", expr(b0Post))
+      .select(col("n_pre"), col("n_post"),
+        round(col("s_pre"), 6).as("slope_pre"),
+        round(col("s_post"), 6).as("slope_post"),
+        round(expr("s_post - s_pre"), 6).as("slope_change"),
+        round(expr("(i_post + s_post * cast(t0 as double)) - " +
+          "(i_pre + s_pre * cast(t0 as double))"), 6)
+          .as("level_change"))
+  }
 }

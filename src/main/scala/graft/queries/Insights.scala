@@ -2379,6 +2379,83 @@ object Insights extends QueryModule {
       FROM ff"""
     })),
 
+    // ---- Interrupted time series (EventAnalytics.
+    // interruptedTimeSeries): the third causal lens beside e_did
+    // (needs a control arm) and e_cuped (needs randomization) — the
+    // intervention hits everyone at the temporal midpoint, separate
+    // OLS lines fit the pre/post DAILY series, and the readout is the
+    // discontinuity (level + slope change) at the first post day.
+    QueryDef("e_its", (s, d) => {
+      val e = Tables.events(s, d)
+      val mid = e.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("__mid"))
+      graft.ops.EventAnalytics.interruptedTimeSeries(
+        e.crossJoin(broadcast(mid)), "value",
+        col("ts_us") < col("__mid"))
+    }, Some("""
+      WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+                   AS mid FROM events),
+      r AS (SELECT epoch_us(ts) // 86400000000 AS t,
+              epoch_us(ts) < mid AS pre,
+              CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(28,6))
+                AS vv
+            FROM events CROSS JOIN b WHERE value IS NOT NULL),
+      d AS (SELECT t, pre,
+              CAST(round(CAST(SUM(vv) AS DOUBLE) / COUNT(*), 6)
+                AS DECIMAL(18,6)) AS y
+            FROM r GROUP BY 1, 2),
+      tz AS (SELECT CAST(MIN(t) AS BIGINT) AS t0 FROM d WHERE NOT pre),
+      m AS (SELECT
+          CAST(SUM(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+          CAST(SUM(CASE WHEN pre THEN t END) AS BIGINT) AS st_pre,
+          CAST(SUM(CASE WHEN pre THEN t * t END) AS BIGINT) AS stt_pre,
+          CAST(SUM(CASE WHEN pre THEN y END) AS DOUBLE) AS sy_pre,
+          CAST(SUM(CASE WHEN pre THEN
+            CAST(CAST(t AS DECIMAL(20,0)) * y AS DECIMAL(38,6)) END)
+            AS DOUBLE) AS sty_pre,
+          CAST(SUM(CASE WHEN NOT pre THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_post,
+          CAST(SUM(CASE WHEN NOT pre THEN t END) AS BIGINT) AS st_post,
+          CAST(SUM(CASE WHEN NOT pre THEN t * t END) AS BIGINT)
+            AS stt_post,
+          CAST(SUM(CASE WHEN NOT pre THEN y END) AS DOUBLE) AS sy_post,
+          CAST(SUM(CASE WHEN NOT pre THEN
+            CAST(CAST(t AS DECIMAL(20,0)) * y AS DECIMAL(38,6)) END)
+            AS DOUBLE) AS sty_post
+        FROM d),
+      g AS (SELECT *,
+          CASE WHEN n_pre > 1 AND (CAST(n_pre AS DOUBLE) *
+              CAST(stt_pre AS DOUBLE) - CAST(st_pre AS DOUBLE) *
+              CAST(st_pre AS DOUBLE)) <> 0.0 THEN
+            (CAST(n_pre AS DOUBLE) * sty_pre -
+             CAST(st_pre AS DOUBLE) * sy_pre) /
+            (CAST(n_pre AS DOUBLE) * CAST(stt_pre AS DOUBLE) -
+             CAST(st_pre AS DOUBLE) * CAST(st_pre AS DOUBLE)) END
+            AS s_pre,
+          CASE WHEN n_post > 1 AND (CAST(n_post AS DOUBLE) *
+              CAST(stt_post AS DOUBLE) - CAST(st_post AS DOUBLE) *
+              CAST(st_post AS DOUBLE)) <> 0.0 THEN
+            (CAST(n_post AS DOUBLE) * sty_post -
+             CAST(st_post AS DOUBLE) * sy_post) /
+            (CAST(n_post AS DOUBLE) * CAST(stt_post AS DOUBLE) -
+             CAST(st_post AS DOUBLE) * CAST(st_post AS DOUBLE)) END
+            AS s_post
+        FROM m),
+      g2 AS (SELECT *,
+          CASE WHEN s_pre IS NOT NULL THEN
+            (sy_pre - s_pre * CAST(st_pre AS DOUBLE)) /
+            CAST(n_pre AS DOUBLE) END AS i_pre,
+          CASE WHEN s_post IS NOT NULL THEN
+            (sy_post - s_post * CAST(st_post AS DOUBLE)) /
+            CAST(n_post AS DOUBLE) END AS i_post
+        FROM g)
+      SELECT n_pre, n_post,
+        round(s_pre, 6) AS slope_pre,
+        round(s_post, 6) AS slope_post,
+        round(s_post - s_pre, 6) AS slope_change,
+        round((i_post + s_post * CAST(t0 AS DOUBLE)) -
+          (i_pre + s_pre * CAST(t0 AS DOUBLE)), 6) AS level_change
+      FROM g2 CROSS JOIN tz""")),
+
     // ---- CCNet-style perplexity buckets (TextAnalysis.pplBuckets):
     // head/middle/tail partition of the corpus at the EXACT terciles
     // of the train-split unigram-LM mean NLL — the bucket manifest a

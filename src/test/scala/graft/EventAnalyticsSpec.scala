@@ -886,4 +886,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
       col("ts_us") < 50L).collect().head
     assert(deg.getDouble(4) === 0.0 && deg.isNullAt(5) && deg.isNullAt(6))
   }
+
+  test("interruptedTimeSeries: exact two-segment lines read the " +
+    "planted level and slope discontinuity; one-day segment reads null") {
+    import org.apache.spark.sql.functions.col
+    val day = 86400000000L
+    // pre days 1..3: y = 9 + t (slope 1); post days 4..6:
+    // y = 14 + 1.5 t (slope 1.5); t0 = 4 -> level 13 vs 20, change 7
+    val rows = Seq(
+      (1L, 1L, "m", 1 * day, 10.0), (1L, 2L, "m", 2 * day, 11.0),
+      (1L, 3L, "m", 3 * day, 12.0), (1L, 4L, "m", 4 * day, 20.0),
+      (1L, 5L, "m", 5 * day, 21.5), (1L, 6L, "m", 6 * day, 23.0))
+    val out = EventAnalytics.interruptedTimeSeries(ev(rows: _*),
+      "value", col("ts_us") < 4 * day).collect().head
+    assert(out.getLong(0) === 3L && out.getLong(1) === 3L)
+    assert(out.getDouble(2) === 1.0 && out.getDouble(3) === 1.5)
+    assert(out.getDouble(4) === 0.5)
+    assert(out.getDouble(5) === 7.0)
+    // a single post day cannot fit a line -> null post slope/changes
+    val one = EventAnalytics.interruptedTimeSeries(
+      ev(rows.take(4): _*), "value", col("ts_us") < 4 * day)
+      .collect().head
+    assert(one.getLong(1) === 1L && one.isNullAt(3) && one.isNullAt(4) &&
+      one.isNullAt(5))
+  }
 }

@@ -311,7 +311,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // o20_curriculum_order: the broadcast ≤ buckets-row cut frame +
     // the two-phase ordinal's triangular offset join (the
     // o17_epoch_shuffle shape)
-    "o20_curriculum_order")
+    "o20_curriculum_order",
+    // e_its: the broadcast 1-row midpoint and first-post-day frames
+    // (the e_cuped boundary shape)
+    "e_its")
 
   // Single-partition exchanges feeding a GLOBAL scalar aggregate (the
   // final combine of partial aggregates over ≤ #partitions rows) or a
@@ -558,7 +561,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // t_ppl_buckets: the 1-row LM-stats / n / cutpoint folds;
     // o20_curriculum_order: the 1-row n fold (the a_exact_quantiles
     // N shape)
-    "t_ppl_buckets", "o20_curriculum_order")
+    "t_ppl_buckets", "o20_curriculum_order",
+    // e_its: the 1-row ten-moment fold and the 1-row t0 min fold
+    // (the a_welch_ttest / e_ewma_forecast shapes)
+    "e_its")
 
   // Queries that do real work at plan-BUILD time (Word2Vec training, a
   // vocab count action, the eagerly-materialized near-dup operator) —
