@@ -163,12 +163,18 @@ object Bench {
       case "none" => Seq.empty[String]
       case "full" => names
       case _ =>
-        // + the one gate with an outsized first-execution codegen bill
-        // (triple-BM25 machinery: 18 s cold vs 3.6 s warm in the r12
-        // capture — the only cold/warm gap the median of 3 can't hide)
+        // + the gates with an outsized first-execution codegen/JIT
+        // bill the median of 3 can't hide: m_prf_expansion
+        // (triple-BM25 machinery, 18 s cold vs 3.6 s warm in the r12
+        // capture) and a_bootstrap_ci (the 120 M-row replicate
+        // expansion JIT-compiles early in the sweep — rep vectors
+        // [46.5, 87.1, 3.8] / [48.3, 38.0, 6.65] in two r12 captures
+        // vs 4-7 s isolated; warming its own path moves that bill
+        // into the untimed pass)
         (names.groupBy(n => n.split("_")(0).takeWhile(!_.isDigit))
           .values.map(_.head).toSeq ++
-          Seq("m_prf_expansion").filter(names.contains)).distinct.sorted
+          Seq("m_prf_expansion", "a_bootstrap_ci")
+            .filter(names.contains)).distinct.sorted
     }
     warmupNames.foreach(n => once(n, SparkEntry.queries(n)))
 
