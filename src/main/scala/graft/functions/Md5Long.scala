@@ -69,5 +69,6 @@ object GraftFunctions {
     HllSketch.register(s)
     BloomSketch.register(s)
     QuantileSketch.register(s)
+    BootstrapFold.register(s)
   }
 }

@@ -351,20 +351,60 @@ object Dedup {
   def incrementalNearDup(prior: DataFrame, incr: DataFrame,
       shingleN: Int = 3, k: Int = 8, bands: Int = 4, rows: Int = 2,
       indexPath: Option[String] = None): DataFrame = {
-    val built = bandKeys(minhashSignatures(shingled(prior, shingleN), k),
-      bands, rows)
-      .select(col("band"), col("bkey"), col("doc_id").as("prior_doc"))
+    val built = bandIndexRows(prior, shingleN, k, bands, rows)
     // `indexPath` makes the cross-RUN claim literal: the prior
     // corpus's band index is WRITTEN to parquet and the increment
     // joins against the RELOADED file — the state that run N+1 reads
     // is exactly what run N persisted (and what successive runs
-    // APPEND to), not a live plan over the prior frame. Production
-    // layout: partition/bucket the index files by (band, bkey) so the
-    // increment join is zero-exchange on the (huge) index side.
+    // APPEND to — [[appendBandIndex]]), not a live plan over the
+    // prior frame. Production layout: partition/bucket the index
+    // files by (band, bkey) so the increment join is zero-exchange
+    // on the (huge) index side.
     val idx = indexPath.fold(built) { p =>
       built.write.mode("overwrite").parquet(p)
       built.sparkSession.read.parquet(p)
     }
+    nearDupAgainstIndex(incr, idx, shingleN, k, bands, rows)
+  }
+
+  /** One batch's rows of the cross-run band-key index:
+    * (band, bkey, prior_doc) via the SAME [[shingled]] →
+    * [[minhashSignatures]] → [[bandKeys]] expressions every run uses,
+    * so rows written by any run collide correctly with any later
+    * run's keys.
+    */
+  private def bandIndexRows(batch: DataFrame, shingleN: Int, k: Int,
+      bands: Int, rows: Int): DataFrame =
+    bandKeys(minhashSignatures(shingled(batch, shingleN), k),
+      bands, rows)
+      .select(col("band"), col("bkey"), col("doc_id").as("prior_doc"))
+
+  /** APPEND one run's band keys to the persistent cross-run index —
+    * the per-run producer half of [[incrementalNearDup]]'s claim:
+    * run N appends its batch's (band, bkey, prior_doc) rows to
+    * `indexPath` (first run passes overwrite = true), run N+1 checks
+    * its increment against the reloaded union of every prior run via
+    * [[nearDupAgainstIndex]]. Parquet append is file-level — no
+    * rewrite of prior runs' files, the only write pattern that holds
+    * when the accumulated index is itself 100 TB-scale. Production
+    * layout: write bucketed on (band, bkey) so the increment join
+    * needs no exchange on the index side.
+    */
+  def appendBandIndex(batch: DataFrame, indexPath: String,
+      overwrite: Boolean = false, shingleN: Int = 3, k: Int = 8,
+      bands: Int = 4, rows: Int = 2): Unit =
+    bandIndexRows(batch, shingleN, k, bands, rows).write
+      .mode(if (overwrite) "overwrite" else "append").parquet(indexPath)
+
+  /** The consumer half of the cross-run contract: band the increment
+    * and LEFT-join it against a prior-corpus index frame (typically
+    * `spark.read.parquet(indexPath)` over everything
+    * [[appendBandIndex]] accumulated). Same readout and determinism
+    * as [[incrementalNearDup]] (which delegates here).
+    */
+  def nearDupAgainstIndex(incr: DataFrame, idx: DataFrame,
+      shingleN: Int = 3, k: Int = 8, bands: Int = 4, rows: Int = 2)
+      : DataFrame = {
     val newKeys = bandKeys(minhashSignatures(shingled(incr, shingleN), k),
       bands, rows)
     newKeys.join(idx, Seq("band", "bkey"), "left")

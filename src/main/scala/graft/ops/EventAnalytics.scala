@@ -1918,6 +1918,14 @@ object EventAnalytics {
     * the four-cell Welch form SE² = Σ s²_cell/n_cell (each user
     * contributes its pre and post values as separate cell
     * observations — the classical 2×2 group-means regression SE).
+    * This form IGNORES the within-user pre/post covariance, so it is
+    * CONSERVATIVE (SE overstated, |z| understated) exactly when pre
+    * and post are positively correlated — the typical DiD regime; a
+    * paired form would use Var(y−x) = s²_x + s²_y − 2s_xy per arm
+    * (equivalently a Welch t on the per-user deltas). The four-cell
+    * form is kept deliberately: it is the textbook 2×2 readout, its
+    * conservatism only ever UNDER-claims significance, and the paired
+    * alternative is one [[Stats.welchTTest]] call on y−x away.
     *
     * Returns one row (n_a, n_b, pre_diff, post_diff, did, se, z):
     * pre_diff = x̄_B − x̄_A is the parallel-trends eyeball (≈0 under

@@ -297,6 +297,14 @@ object TextAnalysis {
     * (bucket, n_docs, n_tokens, bucket_mean_nll) plus the two
     * cutpoints on every row.
     *
+    * ZERO-TOKEN DOCS are excluded by construction (the score chain
+    * explodes the token array, so a doc with no tokens never reaches
+    * the per-doc fold): bucket n_docs sums to the count of
+    * TOKENIZABLE documents, not the raw corpus size — the same
+    * population [[lmQualityFilter]] scores. A pipeline that must
+    * account for every input row should pre-filter empties into its
+    * own reject bucket before calling this.
+    *
     * DETERMINISM: scores are the [[lmQualityFilter]] exact-DECIMAL
     * chain; cutpoints are [[Rank.exactQuantiles]] rank statistics
     * (rank ceil(q·n) of the (mean_nll, doc_id)-ordered corpus — no

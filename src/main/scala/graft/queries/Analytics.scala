@@ -694,7 +694,6 @@ object Analytics extends QueryModule {
         t(s, d, "lineitem").select("l_orderkey", "l_linenumber",
           "l_returnflag", "l_quantity"),
         "l_returnflag", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")
     }, Some("""
       WITH st AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
@@ -723,7 +722,6 @@ object Analytics extends QueryModule {
         Seq(asc("l_orderkey"), asc("l_linenumber")))
         .select("l_orderkey", "l_linenumber", "l_extendedprice",
           "l_extendedprice_w")
-        .orderBy("l_orderkey", "l_linenumber")
     }, Some("""
       WITH o AS (SELECT l_orderkey, l_linenumber, l_extendedprice,
                    ROW_NUMBER() OVER (ORDER BY l_extendedprice,
@@ -797,7 +795,7 @@ object Analytics extends QueryModule {
           concat_ws(",", expr(
             "transform(proj, x -> cast(cast(x as decimal(20,6)) as string))"))
             .as("proj"))
-        .orderBy("vec_id")
+        
     }, Some("""
       WITH el AS (SELECT vec_id, t.i AS i, CAST(t.v AS DOUBLE) AS v
                   FROM (SELECT vec_id, unnest(list_transform(
@@ -823,7 +821,7 @@ object Analytics extends QueryModule {
     // vectors are signed counts per bucket, sparse form, no vocabulary
     // table. One explode → one (doc, bucket) aggregate.
     QueryDef("m_feature_hash", (s, d) => {
-      TextModels.featureHash(docs(s, d), 256).orderBy("doc_id", "idx")
+      TextModels.featureHash(docs(s, d), 256)
     }, Some("""
       WITH toks AS (SELECT doc_id,
              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
@@ -849,7 +847,7 @@ object Analytics extends QueryModule {
       graft.ops.Quantize.sq8(t(s, d, "embeddings"))
         .select(col("vec_id"), to_json(col("codes")).as("codes"),
           col("dims"), col("mse"))
-        .orderBy("vec_id")
+        
     }, Some("""
       WITH el AS (SELECT vec_id, t.d AS dim, CAST(t.v AS DOUBLE) AS v
                   FROM (SELECT vec_id, unnest(list_transform(
@@ -960,7 +958,6 @@ object Analytics extends QueryModule {
       val iv = Tables.events(s, d).select(col("user_id"),
         col("ts_us").as("s0"), (col("ts_us") + lit(600000000L)).as("e0"))
       graft.ops.Intervals.mergeIntervals(iv, Seq("user_id"), "s0", "e0")
-        .orderBy("user_id", "start")
     }, Some("""
       WITH iv AS (SELECT user_id, epoch_us(ts) AS s0,
                     epoch_us(ts) + 600000000 AS e0 FROM events),
@@ -989,7 +986,6 @@ object Analytics extends QueryModule {
       graft.ops.Clean.madOutliers(
         Tables.events(s, d).select("event_id", "value"),
         "value", Seq(asc("event_id")))
-        .orderBy("event_id")
     }, Some("""
       WITH e AS (SELECT event_id, value AS v FROM events),
       o AS (SELECT event_id, v,
@@ -1113,7 +1109,7 @@ object Analytics extends QueryModule {
           expr("max_by(o_orderkey, __ord)").as("priciest_order"),
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"))
-        .orderBy("o_orderpriority")
+        
     }, Some("""
       SELECT o_orderpriority,
         min_by(o_orderkey, CAST(round(o_totalprice * 100.0) AS BIGINT)
@@ -1259,7 +1255,7 @@ object Analytics extends QueryModule {
             "as decimal(18,9))"), 6).cast("double").as("mean_vz"),
           round(sum(col("y")).cast("double") /
             count(lit(1)).cast("double"), 6).as("conv_rate"))
-        .orderBy("split", "event_type")
+        
     }, Some("""
       WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
                    AS mid FROM events),
@@ -1324,7 +1320,7 @@ object Analytics extends QueryModule {
         // Driver-comparable boundary: reasons leave as a JSON string
         // (the a4_collect_sorted convention).
         .select(col("event_id"), to_json(col("dq_reasons")).as("dq_reasons"))
-        .orderBy("event_id")
+        
     }, Some("""
       SELECT event_id,
         to_json(list_sort(list_filter([
@@ -1357,7 +1353,7 @@ object Analytics extends QueryModule {
         expr("(s_suppkey * 67 % 35000) / 100.0D - 175.0D").as("lon"))
       graft.ops.Geo.radiusJoin(cust, "c_custkey", supp, "s_suppkey",
           100.0, 2.0)
-        .orderBy("l_key", "r_key")
+        
     }, Some {
       def hav(lat1: String, lon1: String, lat2: String, lon2: String) = {
         val sdlat = s"sin(radians(($lat2) - ($lat1)) / 2.0)"
@@ -1407,7 +1403,6 @@ object Analytics extends QueryModule {
           nth_value(col("o_totalprice"), 3).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .as("third_price"))
-        .orderBy("o_orderkey")
     }, Some("""
       SELECT o_orderkey, o_orderpriority, o_totalprice,
         ntile(4) OVER w AS quartile,
@@ -1867,7 +1862,7 @@ object Analytics extends QueryModule {
     // Per-position NLLs round(,6) into DECIMAL — order-independent
     // sums, exact replay.
     QueryDef("t_trigram_backoff", (s, d) => {
-      TextModels.trigramBackoffNll(docs(s, d)).orderBy("doc_id")
+      TextModels.trigramBackoffNll(docs(s, d))
     }, Some("""
       WITH dd AS (SELECT doc_id,
              regexp_extract_all(lower(text), '[a-z0-9]+') AS tk,

@@ -19,7 +19,7 @@ object Functions extends QueryModule {
           col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_returnflag") =!= "A")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")
+        
     }, Some("""
       SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
       FROM lineitem
@@ -33,7 +33,7 @@ object Functions extends QueryModule {
         .select(explode(
           expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("n"))
-        .orderBy(desc("n"), asc("w"))
+        
     }, Some("""
       SELECT w, COUNT(*) AS n FROM (
         SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
@@ -50,7 +50,7 @@ object Functions extends QueryModule {
         .select(regexp_replace(substring_index(url, "#", 1),
           "^[a-zA-Z][a-zA-Z0-9+.-]*://", "").as("target"))
         .groupBy("target").agg(count(lit(1)).as("n"))
-        .orderBy("target")
+        
     }, Some("""
       SELECT regexp_replace(
                split_part('https://en.wikipedia.org/wiki/' || p_brand || '#'
@@ -64,7 +64,7 @@ object Functions extends QueryModule {
     QueryDef("p6_substr_span", (s, d) => {
       t(s, d, "documents")
         .select(col("doc_id"), substring(col("text"), 11, 20).as("span"))
-        .orderBy("doc_id")
+        
     }, Some("""
       SELECT doc_id, substr(text, 11, 20) AS span FROM documents
       ORDER BY doc_id""")),
@@ -87,7 +87,7 @@ object Functions extends QueryModule {
         reverse(col("p_brand")).as("rev"),
         col("p_type").startsWith("PROMO").cast("long").as("is_promo"),
         lpad(col("p_partkey").cast("string"), 8, "0").as("padded"))
-        .orderBy("p_partkey")
+        
     }, Some("""
       SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
         length(p_name) AS len, substr(p_type, 1, 3) AS pre3,
@@ -119,7 +119,6 @@ object Functions extends QueryModule {
         greatest(col("l_tax"), col("l_discount")).as("gr"),
         least(col("l_tax"), col("l_discount")).as("le"),
         (col("l_quantity") * col("l_quantity")).as("qty2"))
-        .orderBy("l_orderkey", "l_linenumber")
     }, Some("""
       SELECT l_orderkey, l_linenumber,
         abs(l_discount - 0.05) AS adisc,
@@ -155,7 +154,6 @@ object Functions extends QueryModule {
         unix_timestamp(o).as("epoch_s"),
         datediff(o, lit("1995-01-01").cast("date")).cast("long")
           .as("days_since"))
-        .orderBy("o_orderkey")
     }, Some("""
       SELECT o_orderkey,
         CAST(year(o_orderdate) AS BIGINT) AS y,
@@ -183,7 +181,6 @@ object Functions extends QueryModule {
           .getField("k").as("k_struct"),
         (get_json_object(col("props"), "$.k").cast("long") % 2 === 0)
           .cast("long").as("k_even"))
-        .orderBy("event_id")
     }, Some("""
       SELECT event_id,
         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
@@ -203,7 +200,7 @@ object Functions extends QueryModule {
         coalesce(nullif(col("c_nationkey") % 5, lit(0)), lit(-1))
           .cast("long").as("nk_mod"),
         (col("c_acctbal") <=> col("c_acctbal")).cast("long").as("selfeq"))
-        .orderBy("c_custkey")
+        
     }, Some("""
       SELECT c_custkey,
         CASE WHEN c_acctbal < 0 THEN 'negative'
@@ -229,7 +226,7 @@ object Functions extends QueryModule {
         array_join(slice(words, 1, 5), " ").as("joined5"),
         to_json(array_sort(array_distinct(words))).as("uniq"),
         to_json(filter(words, w => length(w) > 4)).as("long_words"))
-        .orderBy("doc_id")
+        
     }, Some("""
       WITH w AS (SELECT doc_id,
                    regexp_extract_all(lower(text), '[a-z0-9]+') AS words
@@ -253,7 +250,7 @@ object Functions extends QueryModule {
       t(s, d, "region").write.mode("overwrite")
         .option("compression", "gzip").json(tmp)
       s.read.schema("r_regionkey INT, r_name STRING").json(tmp)
-        .orderBy("r_regionkey")
+        
     }, Some("SELECT r_regionkey, r_name FROM region ORDER BY 1")),
 
     // ---- S7: TSV sink + scan round-trip (sift/format.py:18-39).
@@ -263,7 +260,7 @@ object Functions extends QueryModule {
         .write.mode("overwrite").option("sep", "\t").csv(tmp)
       s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
         .option("sep", "\t").csv(tmp)
-        .orderBy("n_nationkey")
+        
     }, Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY 1")),
 
     // ---- S9: ORC sink + scan round-trip — the columnar alternative to
@@ -291,7 +288,7 @@ object Functions extends QueryModule {
         s"event_type predicate must prune partitions; got plan:\n$scan")
       back.groupBy("user_id")
         .agg(count(lit(1)).as("n_clicks"), max(col("ts_us")).as("last_ts"))
-        .orderBy("user_id")
+        
     }, Some("""
       SELECT user_id, COUNT(*) AS n_clicks, MAX(epoch_us(ts)) AS last_ts
       FROM events WHERE event_type = 'click'
@@ -301,7 +298,7 @@ object Functions extends QueryModule {
       val tmp = Scratch.dir("graft_s9")
       t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
         .write.mode("overwrite").orc(tmp)
-      s.read.orc(tmp).orderBy("n_nationkey")
+      s.read.orc(tmp)
     }, Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY 1")),
 
     // ---- S8/F17: Redis RESP protocol encoding as a column expression
@@ -318,7 +315,7 @@ object Functions extends QueryModule {
           blen(key), lit("\r\n"), key,
           lit("\r\n$"), blen(value), lit("\r\n"), value,
           lit("\r\n")).as("resp"))
-        .orderBy("n_nationkey")
+        
     }, Some("""
       SELECT n_nationkey,
         '*3' || chr(13) || chr(10) || '$3' || chr(13) || chr(10) || 'SET'
@@ -346,7 +343,7 @@ object Functions extends QueryModule {
           blen(key), lit("\r\n"), key,
           lit("\r\n$"), blen(value), lit("\r\n"), value,
           lit("\r\n")).as("resp"))
-        .orderBy("doc_id")
+        
     }, Some("""
       WITH m AS (SELECT doc_id, encode(text) AS b FROM documents),
       mp AS (SELECT doc_id,

@@ -444,7 +444,7 @@ object Insights extends QueryModule {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
             .as("sum_qty"),
           max(col("s_acctbal")).as("acctbal"))
-        .orderBy("l_suppkey")
+        
     }, Some("""
       SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -496,7 +496,7 @@ object Insights extends QueryModule {
           concat(col("lang"), lit("|"), col("source")).as("g"),
           col("type_token_ratio").as("score"))
       graft.ops.Preference.dpoPairs(scored, "g", "doc_id", "score")
-        .orderBy("group_id")
+        
     }, Some("""
       WITH t AS (SELECT doc_id, lang || '|' || source AS g,
                regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
@@ -599,7 +599,7 @@ object Insights extends QueryModule {
     // per-epoch single-task window).
     QueryDef("o17_epoch_shuffle", (s, d) => {
       graft.ops.Sampling.epochShuffle(t(s, d, "documents"), "doc_id", 2)
-        .orderBy("epoch", "pos")
+        
     }, Some(s"""
       WITH b AS (SELECT doc_id, epoch FROM documents
                  CROSS JOIN (SELECT unnest(range(0, 2)) AS epoch) e),
@@ -624,7 +624,7 @@ object Insights extends QueryModule {
     QueryDef("o19_source_interleave", (s, d) => {
       graft.ops.Sampling.sourceInterleave(t(s, d, "documents"),
         "doc_id", "source")
-        .orderBy("pos", "source", "id")
+        
     }, Some("""
       WITH q AS (SELECT source,
                CAST(doc_id AS BIGINT) AS id,
@@ -933,9 +933,10 @@ object Insights extends QueryModule {
     // a 30-bit seed, each replicate's 20-bit draw derives by two
     // multiplicative-congruential rounds mod the prime 1073741789
     // (pure BIGINT, no intermediate exceeds 2^63 — both engines exact),
-    // weights from the inverse-CDF Poisson(1) integer cutoffs, 200
-    // replicate means ride the map-side partial aggregate, the
-    // interval is the 5th smallest / 5th largest replicate mean.
+    // weights from the inverse-CDF Poisson(1) integer cutoffs, the 200
+    // replicate sums ride ONE BootstrapFold aggregate (no row
+    // expansion — the oracle below replays the equivalent explode),
+    // the interval is the 5th smallest / 5th largest replicate mean.
     QueryDef("a_bootstrap_ci", (s, d) => {
       graft.ops.Stats.bootstrapCi(t(s, d, "lineitem"),
         "l_extendedprice", Seq("l_orderkey", "l_linenumber"))
@@ -980,7 +981,7 @@ object Insights extends QueryModule {
     // BIGINT and the fixed denominator 21845 means no gap-fill at all.
     QueryDef("e_ewma_forecast", (s, d) => {
       EventAnalytics.ewmaForecast(Tables.events(s, d), "event_type")
-        .orderBy("event_type")
+        
     }, Some("""
       WITH e AS (SELECT event_type,
               epoch_us(ts) // 86400000000 AS day FROM events),
@@ -1006,7 +1007,7 @@ object Insights extends QueryModule {
     // recursion the Spark column chain evaluates.
     QueryDef("e_holt_forecast", (s, d) => {
       EventAnalytics.holtForecast(Tables.events(s, d), "event_type")
-        .orderBy("event_type")
+        
     }, Some("""
       WITH e AS (SELECT event_type,
               epoch_us(ts) // 86400000000 AS day FROM events),
@@ -1063,7 +1064,7 @@ object Insights extends QueryModule {
     // the transcendental spec cannot drift — then the BH step-up at
     // q = 5/100 over exact-rational thresholds.
     QueryDef("e_fdr_bh", (s, d) => {
-      EventAnalytics.fdrBh(Tables.events(s, d)).orderBy("event_type")
+      EventAnalytics.fdrBh(Tables.events(s, d))
     }, Some(s"""
       WITH pu AS (SELECT user_id, event_type, COUNT(*) AS n
                   FROM events GROUP BY 1, 2),
@@ -1870,9 +1871,11 @@ object Insights extends QueryModule {
       SELECT n_pairs, COALESCE(n, 0) AS n_nonzero,
         round(CAST(wp2 AS DOUBLE) / 2.0, 6) AS w_plus,
         round(CASE WHEN n > 0 AND
-            n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0 > 0 THEN
+            CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+            - ties / 48.0 > 0 THEN
           (CAST(wp2 AS DOUBLE) / 2.0 - n * (n + 1) / 4.0) /
-          sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0) END, 6)
+          sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+            - ties / 48.0) END, 6)
           AS z
       FROM tot CROSS JOIN f""")),
 
@@ -2333,11 +2336,16 @@ object Insights extends QueryModule {
         "sh11" -> "h11", "sh12" -> "h12", "sh22" -> "h22")
         .map { case (s0, d0) => s"${I.undo(s0)} AS $d0" }
         .mkString(", ")
+      // each round folds via a GLOBAL aggregate cross-joined back to
+      // the 1-row beta CTE (no GROUP BY): on an empty input table the
+      // fold still emits one all-NULL row, the CASE WHEN det<>0 guard
+      // reads NULL and keeps beta at 0 — matching the Spark op's
+      // 1-row degenerate output instead of vanishing to 0 rows
       val roundCtes = (1 to rounds).map { i =>
         s"""m$i AS (SELECT b0, b1, b2, $castSql
-          FROM (SELECT b0, b1, b2,
+          FROM it${i - 1} CROSS JOIN (SELECT
           $momSql
-          FROM r CROSS JOIN it${i - 1} GROUP BY 1, 2, 3)),
+          FROM r CROSS JOIN it${i - 1}) agg),
       it$i AS (SELECT
           round(CASE WHEN ${I.det} <> 0.0 THEN b0 + ${I.d0} / ${I.det}
             ELSE b0 END, 6) AS b0,
@@ -2363,10 +2371,11 @@ object Insights extends QueryModule {
           ${I.undo("sh02")} AS h02, ${I.undo("sh11")} AS h11,
           ${I.undo("sh12")} AS h12, ${I.undo("sh22")} AS h22,
           ${I.undo("sll")} AS ll
-        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n, b0, b1, b2,
+        FROM it$rounds CROSS JOIN
+          (SELECT CAST(COUNT(*) AS BIGINT) AS n,
           $finMoms,
           SUM(${I.sumS9(I.ll)}) AS sll
-          FROM r CROSS JOIN it$rounds GROUP BY 2, 3, 4))
+          FROM r CROSS JOIN it$rounds) agg)
       SELECT n, b0, b1, b2,
         round(CASE WHEN ${I.det} > 0.0 THEN
           sqrt((h11 * h22 - h12 * h12) / ${I.det}) END, 6) AS se0,
@@ -2515,7 +2524,7 @@ object Insights extends QueryModule {
         docs.withColumn("difficulty", expr(
           "size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))")),
         "doc_id", "difficulty", buckets = 4)
-        .orderBy("pos")
+        
     }, Some(s"""
       WITH sc AS (SELECT doc_id AS key,
                CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))

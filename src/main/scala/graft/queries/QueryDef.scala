@@ -16,6 +16,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * missing-block instead of recomputing. Per-call internal persists
   * (pinning a frame referenced by several branches of ONE plan) are
   * fine and encouraged.
+  *
+  * OUTPUT ORDER: the driver's comparator canonicalizes BOTH sides
+  * before hashing (columns sorted by name, then rows sorted on every
+  * column), so a trailing ORDER BY on the Spark side buys nothing —
+  * it is a pure determinism tax in the timed bench span (measured:
+  * the 600k-row f_math_battery noop costs 2.85 s sorted vs 0.80 s
+  * unsorted). Gates therefore do NOT sort their final output unless
+  * the sort is SEMANTIC (inside a limit/top-k, a window frame, an
+  * ordinal) — large-output gates had their cosmetic trailing sorts
+  * removed in round 13 (judge r12 item 6); the oracle SQL keeps its
+  * ORDER BY for human-readable replay, which the comparator ignores.
   */
 final case class QueryDef(
     name: String,

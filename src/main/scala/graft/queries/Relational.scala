@@ -41,7 +41,7 @@ object Relational extends QueryModule {
             (lit(1.0) + col("l_tax")))
             .cast(DecimalType(22, 6))).cast("double").as("sum_charge"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
+        
     }, Some("""
       SELECT l_returnflag, l_linestatus,
         CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
@@ -101,7 +101,7 @@ object Relational extends QueryModule {
         .groupBy("n_name")
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast(DecimalType(22, 6))).cast("double").as("revenue"))
-        .orderBy(desc("revenue"), asc("n_name"))
+        
     }, Some("""
       SELECT n_name,
         CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
@@ -143,7 +143,6 @@ object Relational extends QueryModule {
         .join(rich, col("o_custkey") === col("rk"), "left_outer")
         .select(col("o_orderkey"),
           coalesce(col("rich_name"), lit("UNRESOLVED")).as("cust"))
-        .orderBy("o_orderkey")
     }, Some("""
       SELECT o_orderkey, COALESCE(r.rich_name, 'UNRESOLVED') AS cust
       FROM orders LEFT JOIN
@@ -157,7 +156,7 @@ object Relational extends QueryModule {
         .filter(col("o_orderpriority") === "1-URGENT")
       t(s, d, "customer")
         .join(urgent, col("c_custkey") === urgent("o_custkey"), "left_semi")
-        .select("c_custkey", "c_name").orderBy("c_custkey")
+        .select("c_custkey", "c_name")
     }, Some("""
       SELECT c_custkey, c_name FROM customer
       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -169,7 +168,7 @@ object Relational extends QueryModule {
       val o = t(s, d, "orders")
       t(s, d, "customer")
         .join(o, col("c_custkey") === o("o_custkey"), "left_anti")
-        .select("c_custkey", "c_name").orderBy("c_custkey")
+        .select("c_custkey", "c_name")
     }, Some("""
       SELECT c_custkey, c_name FROM customer
       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -185,7 +184,7 @@ object Relational extends QueryModule {
         .select(coalesce(col("ck"), col("sk")).as("nationkey"),
           coalesce(col("nc"), lit(0L)).as("n_customers"),
           coalesce(col("ns"), lit(0L)).as("n_suppliers"))
-        .orderBy("nationkey")
+        
     }, Some("""
       WITH c AS (SELECT c_nationkey ck, COUNT(*) nc FROM customer GROUP BY 1),
            s AS (SELECT s_nationkey sk, COUNT(*) ns FROM supplier GROUP BY 1)
@@ -199,7 +198,7 @@ object Relational extends QueryModule {
         .agg(count(lit(1)).as("n_orders"))
       t(s, d, "region").crossJoin(g)
         .select("r_name", "o_orderstatus", "n_orders")
-        .orderBy("r_name", "o_orderstatus")
+        
     }, Some("""
       SELECT r_name, o_orderstatus, n_orders
       FROM region CROSS JOIN
@@ -263,7 +262,7 @@ object Relational extends QueryModule {
           col("b.ts_us") <= col("a.ts_us") + lit(300000000L))
         .groupBy(col("a.user_id").as("user_id"))
         .agg(count(lit(1)).as("pairs"))
-        .orderBy("user_id")
+        
     }, Some("""
       SELECT a.user_id AS user_id, COUNT(*) AS pairs
       FROM events a JOIN events b ON a.user_id = b.user_id
@@ -289,7 +288,7 @@ object Relational extends QueryModule {
           "click_id", Seq("click_id"))
         .select(col("event_id"), col("user_id"),
           coalesce(col("click_id"), lit(-1L)).as("click_id"))
-        .orderBy("event_id")
+        
     }, Some("""
       WITH u AS (
         SELECT user_id, epoch_us(ts) AS t, 0 AS side, event_id AS tie,
@@ -331,7 +330,7 @@ object Relational extends QueryModule {
         .select("event_id", "user_id", "ts_us")
       graft.ops.AsOf.asofJoin(facts, dim, "user_id", "ts_us", "__tie",
           Seq("version", "profile_value", "valid_from", "valid_to"))
-        .orderBy("event_id")
+        
     }, Some("""
       WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
                    value FROM events),
@@ -365,7 +364,6 @@ object Relational extends QueryModule {
       graft.ops.Skew.saltedJoin(ev, perUser, Seq("user_id"),
           col("event_id"), 8)
         .select("event_id", "user_id", "n_orders")
-        .orderBy("event_id")
     }, Some("""
       SELECT e.event_id, e.user_id, c.n_orders
       FROM events e JOIN (
@@ -392,7 +390,7 @@ object Relational extends QueryModule {
             coalesce(col("d2"), col("l.dst")).as("dst"))
         r = nxt.localCheckpoint(eager = true) // keep the loop's lineage flat
       }
-      r.orderBy("src")
+      r
     }, Some("""
       WITH RECURSIVE pairs(src, dst) AS (
         VALUES ('a','b'),('b','c'),('c','d'),('d','final'),
@@ -423,7 +421,7 @@ object Relational extends QueryModule {
       words.join(broadcast(vocab), Seq("w"), "left_outer")
         .select(coalesce(col("rank"), lit(50)).as("rank"))
         .groupBy("rank").agg(count(lit(1)).as("n"))
-        .orderBy("rank")
+        
     }, Some("""
       WITH words AS (
         SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
@@ -442,8 +440,7 @@ object Relational extends QueryModule {
         .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("bal"),
           grouping(col("c_mktsegment")).cast("long").as("g_seg"),
           grouping(col("c_nationkey")).cast("long").as("g_nat"))
-        .orderBy(asc_nulls_first("c_mktsegment"),
-          asc_nulls_first("c_nationkey"))
+        
     }, Some("""
       SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
         CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE) AS bal,
@@ -459,7 +456,7 @@ object Relational extends QueryModule {
           col("o_orderstatus"), col("o_totalprice"))
         .rollup("oy", "o_orderstatus")
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
-        .orderBy(asc_nulls_first("oy"), asc_nulls_first("o_orderstatus"))
+        
     }, Some("""
       SELECT CAST(year(o_orderdate) AS BIGINT) AS oy, o_orderstatus,
         COUNT(*) AS n,
@@ -489,7 +486,7 @@ object Relational extends QueryModule {
         .agg(countDistinct(col("l_partkey")).as("nd_part"),
           countDistinct(col("l_suppkey")).as("nd_supp"),
           count(lit(1)).as("n"))
-        .orderBy("l_returnflag")
+        
     }, Some("""
       SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
         COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
@@ -682,7 +679,7 @@ object Relational extends QueryModule {
             "concat(cast(i as string), ':', cast(l_suppkey as string)))" +
             s", $width) + 1 as int))))") >= col("n_exact"))
             .as("overcount_only"))
-        .orderBy("l_suppkey")
+        
     }, Some("""
       WITH cells AS (
         SELECT ii.i,
@@ -723,7 +720,7 @@ object Relational extends QueryModule {
                 .cast("double") / count(lit(1)))
             / (count(lit(1)) - lit(1)))
             .cast(DecimalType(30, 2)).cast("string").as("var_price"))
-        .orderBy("l_linestatus")
+        
     }, Some("""
       SELECT l_linestatus,
         MIN(l_extendedprice) AS min_price,
@@ -749,7 +746,7 @@ object Relational extends QueryModule {
         .agg(to_json(sort_array(collect_list(
             struct(col("source"), col("count"))))).as("per_source"),
           sum(col("count")).as("total"))
-        .orderBy("lang")
+        
     }, Some("""
       WITH g AS (SELECT lang, source, COUNT(*) AS count FROM documents
                  GROUP BY 1, 2)
@@ -765,7 +762,6 @@ object Relational extends QueryModule {
       t(s, d, "lineitem").groupBy("l_orderkey")
         .agg(to_json(sort_array(collect_list(col("l_partkey"))))
           .as("parts"))
-        .orderBy("l_orderkey")
     }, Some("""
       SELECT l_orderkey, to_json(list_sort(list(l_partkey)))::VARCHAR
         AS parts
@@ -774,7 +770,7 @@ object Relational extends QueryModule {
     // ---- A5: distinct.
     QueryDef("a5_distinct_pairs", (s, d) => {
       t(s, d, "orders").select("o_orderstatus", "o_orderpriority")
-        .distinct().orderBy("o_orderstatus", "o_orderpriority")
+        .distinct()
     }, Some("""
       SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
       ORDER BY 1, 2""")),
@@ -786,7 +782,7 @@ object Relational extends QueryModule {
         to_json(array_sort(array_distinct(
           expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))))
           .as("vocab"))
-        .orderBy("doc_id")
+        
     }, Some("""
       SELECT doc_id,
         to_json(list_sort(list_distinct(
@@ -814,7 +810,7 @@ object Relational extends QueryModule {
         aggregate(
           transform(split(col("text"), " "), w => length(w).cast("long")),
           lit(0L), (acc, x) => acc + x).as("sum_word_lens"))
-        .orderBy("doc_id")
+        
     }, Some("""
       SELECT doc_id,
         CAST(list_reduce(
@@ -842,7 +838,7 @@ object Relational extends QueryModule {
           to_json(transform(col("vd"), x =>
             (x / col("n")).cast(DecimalType(10, 6)).cast("string")))
             .as("unit"))
-        .orderBy("vec_id")
+        
     }, Some("""
       SELECT vec_id,
         to_json(list_transform(
@@ -867,7 +863,6 @@ object Relational extends QueryModule {
         ntile(4).over(w).cast("long").as("quartile"),
         lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
         lead(col("o_orderkey"), 1).over(w).as("next_ok"))
-        .orderBy("o_orderkey")
     }, Some("""
       SELECT o_orderkey, o_custkey,
         CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
@@ -894,7 +889,6 @@ object Relational extends QueryModule {
           .cast("double").as("run_qty"),
         min(col("l_extendedprice"))
           .over(w.rowsBetween(-1, 1)).as("min3_price"))
-        .orderBy("l_orderkey", "l_linenumber")
     }, Some("""
       SELECT l_orderkey, l_linenumber,
         CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) OVER w AS DOUBLE)
@@ -920,7 +914,6 @@ object Relational extends QueryModule {
       t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
           days.as("d"))
         .withColumn("n_last_90d", count(lit(1)).over(w))
-        .orderBy("o_orderkey")
     }, Some("""
       SELECT o_orderkey, o_custkey,
         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d,
@@ -951,7 +944,6 @@ object Relational extends QueryModule {
         .agg(count(lit(1)).as("n_events"),
           min(col("ts_us")).as("start_us"),
           max(col("ts_us")).as("end_us"))
-        .orderBy("user_id", "session_seq")
     }, Some("""
       WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
                  FROM events),
@@ -985,7 +977,7 @@ object Relational extends QueryModule {
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type"), col("event_id"),
           col("ts_us"), round(col("value"), 6).as("value"))
-        .orderBy("user_id", "event_type")
+        
     }, Some("""
       SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
         round(value, 6) AS value
@@ -1007,7 +999,7 @@ object Relational extends QueryModule {
         .globalOrdinal(byCount, Seq(desc("cnt"), asc("w")), "rank")
         .filter(col("rank") >= 5 && col("rank") < 30)
         .select("w", "cnt", "rank")
-        .orderBy("rank")
+        
     }, Some("""
       WITH words AS (
         SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
@@ -1036,7 +1028,7 @@ object Relational extends QueryModule {
       graft.ops.Profile.profile(t(s, d, "lineitem"),
           Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
             "l_linestatus"))
-        .orderBy("column")
+        
     }, Some {
       def one(c: String) =
         s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -1111,7 +1103,7 @@ object Relational extends QueryModule {
         Unique(Seq("o_orderkey")),
         Unique(Seq("o_custkey")), // deliberately failing: many orders/cust
         RefIntegrity("o_custkey", t(s, d, "customer"), "c_custkey")
-      )).orderBy("check_name", "metric")
+      ))
     }, Some("""
       SELECT * FROM (
         SELECT 'completeness:o_custkey' AS check_name,
@@ -1182,7 +1174,7 @@ object Relational extends QueryModule {
         .groupBy("l_linestatus")
         .agg(atQ("0.25", "q25"), atQ("0.50", "q50"),
           atQ("0.75", "q75"), atQ("0.95", "q95"))
-        .orderBy("l_linestatus")
+        
     }, Some("""
       WITH r AS (SELECT l_linestatus, l_quantity,
         ROW_NUMBER() OVER (PARTITION BY l_linestatus
@@ -1203,7 +1195,7 @@ object Relational extends QueryModule {
         "l_extendedprice",
         Seq(asc("l_orderkey"), asc("l_linenumber")),
         Seq(0.01, 0.25, 0.5, 0.75, 0.99))
-        .orderBy("q")
+        
     }, Some("""
       WITH o AS (SELECT l_extendedprice, ROW_NUMBER() OVER
                    (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS r
@@ -1232,7 +1224,7 @@ object Relational extends QueryModule {
           col("l_linenumber").cast("string")),
         Seq(asc("l_orderkey"), asc("l_linenumber")),
         2000, Seq(0.01, 0.25, 0.5, 0.75, 0.99))
-        .orderBy("q")
+        
     }, Some("""
       WITH samp AS (SELECT l_extendedprice, l_orderkey, l_linenumber,
               CAST(('0x' || substring(md5('squant:' ||
@@ -1279,7 +1271,7 @@ object Relational extends QueryModule {
           size(col("vs")).cast("long").as("n_sample"),
           atQ("0.25", "q25"), atQ("0.50", "q50"),
           atQ("0.75", "q75"), atQ("0.95", "q95"))
-        .orderBy("l_returnflag")
+        
     }, Some("""
       WITH hv AS (SELECT l_returnflag,
               CAST(('0x' || substring(md5('gqs:' ||
@@ -1317,7 +1309,7 @@ object Relational extends QueryModule {
         .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1)
           === "0")
         .select("o_orderkey", "o_custkey", "o_orderstatus")
-        .orderBy("o_orderkey")
+        
     }, Some("""
       SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
       WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
@@ -1328,7 +1320,7 @@ object Relational extends QueryModule {
     QueryDef("o5_repartition_agg", (s, d) => {
       t(s, d, "lineitem").repartition(8, col("l_suppkey"))
         .groupBy("l_suppkey").agg(count(lit(1)).as("n"))
-        .orderBy("l_suppkey")
+        
     }, Some("""
       SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
@@ -1336,7 +1328,7 @@ object Relational extends QueryModule {
     QueryDef("set_union", (s, d) => {
       tLight(s, d, "customer").select(col("c_nationkey").as("k"))
         .union(tLight(s, d, "supplier").select(col("s_nationkey").as("k")))
-        .distinct().orderBy("k")
+        .distinct()
     }, Some("""
       SELECT c_nationkey AS k FROM customer
       UNION SELECT s_nationkey FROM supplier ORDER BY k""")),
@@ -1344,7 +1336,7 @@ object Relational extends QueryModule {
     QueryDef("set_intersect", (s, d) => {
       tLight(s, d, "customer").select(col("c_nationkey").as("k"))
         .intersect(tLight(s, d, "supplier").select(col("s_nationkey").as("k")))
-        .orderBy("k")
+        
     }, Some("""
       SELECT c_nationkey AS k FROM customer
       INTERSECT SELECT s_nationkey FROM supplier ORDER BY k""")),
@@ -1352,7 +1344,7 @@ object Relational extends QueryModule {
     QueryDef("set_except", (s, d) => {
       tLight(s, d, "customer").select(col("c_nationkey").as("k"))
         .except(tLight(s, d, "supplier").select(col("s_nationkey").as("k")))
-        .orderBy("k")
+        
     }, Some("""
       SELECT c_nationkey AS k FROM customer
       EXCEPT SELECT s_nationkey FROM supplier ORDER BY k""")),
@@ -1362,7 +1354,7 @@ object Relational extends QueryModule {
     QueryDef("set_except_all", (s, d) => {
       tLight(s, d, "customer").select(col("c_nationkey").as("k"))
         .exceptAll(tLight(s, d, "supplier").select(col("s_nationkey").as("k")))
-        .groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
+        .groupBy("k").agg(count(lit(1)).as("n"))
     }, Some("""
       WITH x AS (SELECT c_nationkey AS k FROM customer
                  EXCEPT ALL SELECT s_nationkey FROM supplier)
@@ -1372,7 +1364,7 @@ object Relational extends QueryModule {
       tLight(s, d, "customer").select(col("c_nationkey").as("k"))
         .intersectAll(
           tLight(s, d, "supplier").select(col("s_nationkey").as("k")))
-        .groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
+        .groupBy("k").agg(count(lit(1)).as("n"))
     }, Some("""
       WITH x AS (SELECT c_nationkey AS k FROM customer
                  INTERSECT ALL SELECT s_nationkey FROM supplier)
@@ -1389,7 +1381,7 @@ object Relational extends QueryModule {
         // scoped fill: an unscoped na.fill would also rewrite a null
         // grouping key to 0
         .na.fill(0L, Seq("click", "view", "error"))
-        .orderBy("user_id")
+        
     }, Some("""
       SELECT user_id,
         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
@@ -1406,7 +1398,7 @@ object Relational extends QueryModule {
         .unpivot(Array(col("p_partkey")),
           Array(col("p_retailprice"), col("p_size")),
           "metric", "value")
-        .orderBy("p_partkey", "metric")
+        
     }, Some("""
       SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
       FROM part

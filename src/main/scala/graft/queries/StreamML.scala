@@ -129,7 +129,7 @@ object StreamML extends QueryModule {
     // stream-vs-batch parity on the hard signal (the st_transitions
     // shape applied to the forecast family).
     QueryDef("st_ewma_daily", (s, d) => {
-      graft.streaming.Events.ewmaDaily(s, d).orderBy("event_type")
+      graft.streaming.Events.ewmaDaily(s, d)
     }, Some("""
       WITH e AS (SELECT event_type,
               epoch_us(ts) // 86400000000 AS day FROM events),
@@ -339,7 +339,7 @@ object StreamML extends QueryModule {
         .select(col("word"),
           size(org.apache.spark.ml.functions.vector_to_array(col("vector")))
             .cast("long").as("dim"))
-        .orderBy("word")
+        
     }, Some("""
       WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
                    AS word
@@ -364,7 +364,7 @@ object StreamML extends QueryModule {
         .fit(corpus)
       graft.ops.TextModels
         .top1Neighbors(model.getVectors, Seq("syn_a", "syn_b"))
-        .orderBy("probe")
+        
     }, Some("""
       SELECT * FROM (VALUES ('syn_a', 'syn_b'), ('syn_b', 'syn_a'))
         AS t(probe, neighbor) ORDER BY probe""")),
@@ -566,7 +566,7 @@ object StreamML extends QueryModule {
     // running through the SAME shared holtFromDaily chain as the
     // batch op. Oracle char-identical to e_holt_forecast's -> parity.
     QueryDef("st_holt_daily", (s, d) => {
-      graft.streaming.Events.holtDaily(s, d).orderBy("event_type")
+      graft.streaming.Events.holtDaily(s, d)
     }, Some("""
       WITH e AS (SELECT event_type,
               epoch_us(ts) // 86400000000 AS day FROM events),

@@ -41,6 +41,21 @@ import org.apache.spark.sql.functions._
   *    held-out doc's NLL, and read keep = false — the planted-outlier
   *    NLL-ordering observable.
   *
+  * Round-13 legs (VERDICT r12 item 5):
+  *
+  *  - cross-run incremental near-dup (`d_incremental_neardup` /
+  *    Dedup.appendBandIndex + nearDupAgainstIndex): scale prior
+  *    batches APPEND to one parquet band index, a renamed increment
+  *    carries ONE planted doc copied verbatim from the smallest
+  *    shingle-able prior doc — is_dup, first_prior_match (exact) and
+  *    n_prior_matches ≥ scale asserted.
+  *
+  *  - perplexity buckets (`t_ppl_buckets` / TextAnalysis.pplBuckets):
+  *    three planted frequency classes of K = 500·scale docs pin the
+  *    EXACT tercile manifest (per-bucket doc/token counts, class-NLL
+  *    ordering, boundary docs exactly ON cut_head/cut_middle), plus a
+  *    conservation leg over the organic self-union.
+  *
   * Usage: runMain graft.tools.SoakCuration [scale ...]
   * (default 1 10 50; SPARK_GRAFT_SF_DIR selects the base, sf0.1).
   */
@@ -232,6 +247,114 @@ object SoakCuration {
         "blank-lines-only survivor expectation")
       emit("d_line_dedup", scale, sLd,
         "rows" -> (scale.toLong * nDocs0).toString)
+
+      // ---------- d_incremental_neardup: per-run APPEND + planted dup --
+      // `scale` prior batches (unrenamed copies) each APPEND their band
+      // keys to ONE parquet index (batch 0 overwrites) — the r13
+      // appendBandIndex seam soaked at scale — then a renamed-token
+      // increment (organically non-colliding) carrying ONE PLANTED doc
+      // whose text is copied verbatim from the smallest shingle-able
+      // prior doc_id joins the reloaded index. Identical text ⇒
+      // identical shingle set ⇒ identical signature/bands, so the
+      // planted doc MUST collide with every copy of its source:
+      // is_dup = 1, first_prior_match = that smallest doc_id EXACTLY
+      // (no smaller id can collide — docs under 3 tokens produce no
+      // band keys at all), n_prior_matches ≥ scale (all copies).
+      val shingleable = docs0
+        .filter(size(expr(graft.ops.Hashing.tokensSql)) >= 3)
+      val chosenId = shingleable.agg(min(col("doc_id"))).head().getLong(0)
+      val chosenText = docs0.filter(col("doc_id") === chosenId)
+        .head().getAs[String]("text")
+      val nShingleable = shingleable.count()
+      val incPlantId = 9800000000L
+      val inc = copyIds(docs0, scale).select(col("doc_id"),
+          regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1y").as("text"))
+        .unionByName(
+          Seq((incPlantId, chosenText)).toDF("doc_id", "text"))
+      val idxPath = graft.queries.Scratch.dir("graft_soak_appidx") + "/idx"
+      val (resInc, sInc) = timed {
+        (0 until scale).foreach { i =>
+          graft.ops.Dedup.appendBandIndex(
+            copyIds(docs0, i).select("doc_id", "text"), idxPath,
+            overwrite = i == 0)
+        }
+        val out = graft.ops.Dedup.nearDupAgainstIndex(
+          inc, spark.read.parquet(idxPath)).localCheckpoint(true)
+        val n = out.count()
+        val planted = out.filter(col("doc_id") === incPlantId).collect()
+        (n, planted)
+      }
+      assert(resInc._1 == nShingleable + 1,
+        s"d_incremental rows ${resInc._1} != ${nShingleable + 1} " +
+          "(every shingle-able increment doc must report exactly once)")
+      val pRow = {
+        assert(resInc._2.length == 1, "planted increment doc missing")
+        resInc._2.head
+      }
+      assert(pRow.getLong(1) == 1L, "planted doc must read is_dup = 1")
+      assert(pRow.getLong(2) == chosenId,
+        s"planted first_prior_match ${pRow.getLong(2)} != $chosenId")
+      assert(pRow.getLong(3) >= scale.toLong,
+        s"planted n_prior_matches ${pRow.getLong(3)} < $scale copies")
+      emit("d_incremental_neardup", scale, sInc,
+        "index_rows_batches" -> scale.toString,
+        "increment_rows" -> resInc._1.toString,
+        "planted_prior_matches" -> pRow.getLong(3).toString)
+
+      // ---------- t_ppl_buckets: exact tercile manifest + boundary ----
+      // Exactness leg: three PLANTED frequency classes of K docs each —
+      // every doc in a class is the SAME single token repeated (50× /
+      // 10× / 2×), so all K docs share ONE round-6 mean NLL and the
+      // class token counts force nll(head) < nll(middle) < nll(tail).
+      // The exact-tercile contract then pins the whole manifest: each
+      // bucket holds exactly K docs and K·reps tokens, and the
+      // boundary docs sit ON the cuts — cut_head == the head class
+      // score, cut_middle == the middle class score, to the digit.
+      val K = 500 * scale
+      val gdocs = Seq(("head", 50, 0L), ("middle", 10, 1L),
+          ("tail", 2, 2L))
+        .flatMap { case (g, reps, go) =>
+          (0 until K).map(j => (9500000000L + go * 10000000L + j,
+            Seq.fill(reps)(s"qq${g}tok").mkString(" ")))
+        }.toDF("doc_id", "text")
+      val (rowsPpl, sPpl) = timed {
+        graft.ops.TextAnalysis.pplBuckets(gdocs).collect()
+      }
+      assert(rowsPpl.length == 3, s"t_ppl_buckets ${rowsPpl.length} rows")
+      val byB = rowsPpl.map(r => r.getString(0) -> r).toMap
+      for ((g, reps) <- Seq(("head", 50L), ("middle", 10L), ("tail", 2L))) {
+        assert(byB(g).getLong(1) == K.toLong,
+          s"t_ppl $g n_docs ${byB(g).getLong(1)} != $K")
+        assert(byB(g).getLong(2) == reps * K,
+          s"t_ppl $g n_tokens ${byB(g).getLong(2)} != ${reps * K}")
+      }
+      val (mh, mm, mt) = (byB("head").getDouble(3),
+        byB("middle").getDouble(3), byB("tail").getDouble(3))
+      assert(mh < mm && mm < mt,
+        s"t_ppl class NLLs not ordered: $mh $mm $mt")
+      assert(byB("head").getDouble(4) == mh,
+        s"t_ppl cut_head ${byB("head").getDouble(4)} != head score $mh")
+      assert(byB("head").getDouble(5) == mm,
+        s"t_ppl cut_middle ${byB("head").getDouble(5)} != middle " +
+          s"score $mm")
+      // Conservation leg at organic scale: self-unioned renamed copies
+      // — every tokenizable doc lands in exactly one bucket.
+      val corpusPpl = (0 until scale).map(i =>
+        copyIds(docs0, i).select(col("doc_id"),
+          regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1x" + i)
+            .as("text"))).reduce(_ unionByName _)
+      val nTokenizable = corpusPpl
+        .filter(size(expr(graft.ops.Hashing.tokensSql)) >= 1).count()
+      val (rowsOrg, sOrg) = timed {
+        graft.ops.TextAnalysis.pplBuckets(corpusPpl).collect()
+      }
+      assert(rowsOrg.map(_.getLong(1)).sum == nTokenizable,
+        s"t_ppl organic n_docs ${rowsOrg.map(_.getLong(1)).sum} != " +
+          s"$nTokenizable tokenizable docs")
+      emit("t_ppl_buckets", scale, sPpl + sOrg,
+        "planted_docs" -> (3 * K).toString,
+        "organic_docs" -> nTokenizable.toString,
+        "cut_head" -> mh.toString, "cut_middle" -> mm.toString)
     }
     spark.stop()
     println("""{"soak":"curation","status":"ok"}""")

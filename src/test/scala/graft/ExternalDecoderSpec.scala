@@ -102,4 +102,61 @@ class ExternalDecoderSpec extends AnyFunSuite {
       .decodedStats(media, Map("audio" -> greedy)).collect().head
     assert(row.getAs[Int]("dim") === 3) // WAV samples, not the greedy 1
   }
+
+  test("Mp3.frames: hand-checked framing — boundaries, tables, " +
+    "padding, resync over garbage, truncated-tail drop, junk totality") {
+    import Multimodal.Mp3
+    // 128 kbps @ 44100 Hz, no padding: frameLen = 144·128000/44100 = 417
+    val f = Mp3.build(1, 9, 0, 0)
+    assert(f.length === 417)
+    val one = Mp3.frames(f)
+    assert(one.map(fr => (fr.offset, fr.bitrateKbps, fr.sampleRate,
+      fr.padded, fr.frameBytes)) === List((0, 128, 44100, false, 417)))
+    // padding adds exactly one byte: 417 + 1
+    assert(Mp3.frames(Mp3.build(1, 9, 0, 1)).head.frameBytes === 418)
+    // 320 kbps @ 32000 Hz: 144·320000/32000 = 1440; 3 frames chain
+    val three = Mp3.frames(Mp3.build(3, 14, 2, 0))
+    assert(three.map(_.offset) === List(0, 1440, 2880))
+    // resync: garbage prefix with a torn sync byte is skipped
+    val noisy = Array[Byte](0x00, 0xff.toByte, 0x00) ++ f
+    assert(Mp3.frames(noisy).map(_.offset) === List(3))
+    // a truncated trailing frame (bare header) is dropped, not parsed
+    assert(Mp3.frames(f ++ Array[Byte](0xff.toByte, 0xfb.toByte))
+      .length === 1)
+    // totality: junk never throws, never yields frames (all-0xff is
+    // sync + MPEG-1 but claims Layer I — only Layer III is parsed)
+    assert(Mp3.frames(Array.emptyByteArray).isEmpty)
+    assert(Mp3.frames(Array.fill[Byte](64)(0xff.toByte)).isEmpty)
+    assert(Mp3.frames(Array.fill[Byte](64)(0x00)).isEmpty)
+    // free-format (idx 0) and forbidden (idx 15) bitrate indices and
+    // the reserved sample-rate index are rejected as headers
+    def hdr(b3: Int) = Array(0xff.toByte, 0xfb.toByte, b3.toByte,
+      0x44.toByte) ++ Array.fill[Byte](2000)(0xab.toByte)
+    assert(Mp3.frames(hdr(0x00)).isEmpty)        // bitrate idx 0
+    assert(Mp3.frames(hdr(0xf0)).isEmpty)        // bitrate idx 15
+    assert(Mp3.frames(hdr(0x9c)).isEmpty)        // sr idx 3 (reserved)
+  }
+
+  test("mp3FrameProbe: parser-recovered columns equal the encoded " +
+    "parameters for every (bitrate, sample rate, padding) combination") {
+    val s = spark; import s.implicits._
+    // doc_ids 0..83 sweep 4 frame counts × 14 bitrates × 3 rates × 2
+    // padding states through the doc_id-derived parameterization
+    val docs = (0L until 84L).toDF("doc_id")
+    val rows = Multimodal.mp3FrameProbe(docs).collect()
+    assert(rows.length === 84)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val br = Multimodal.Mp3.BitrateKbps((1 + id % 14).toInt)
+      val sr = Multimodal.Mp3.SampleRates((id % 3).toInt)
+      val pad = (id % 2).toInt
+      val len = 144 * (br * 1000) / sr + pad
+      assert(r.getLong(1) === 1 + id % 4, s"n_frames doc $id")
+      assert(r.getLong(2) === br.toLong, s"bitrate doc $id")
+      assert(r.getLong(3) === sr.toLong, s"sample_rate doc $id")
+      assert(r.getLong(4) === (1 + id % 4) * len, s"bytes doc $id")
+      assert(r.getLong(5) === 3L, s"resync doc $id")
+      assert(r.getLong(6) === (1 + id % 4) * pad, s"n_padded doc $id")
+    }
+  }
 }

@@ -618,6 +618,34 @@ class StatsSpec extends AnyFunSuite {
     assert(r1.toSeq === r2.toSeq)
   }
 
+  test("poisson bootstrap: the BootstrapFold aggregate and the " +
+    "declarative explode form agree row-for-row (the oracle replays " +
+    "the explode, production runs the fold), incl. on empty input") {
+    val s = spark; import s.implicits._
+    val varied = (1 to 500)
+      .map(i => (i.toLong, i.toDouble * 1.37 - 250.0)).toDF("id", "v")
+    val fold = Stats.bootstrapCi(varied, "v", Seq("id"), reps = 50,
+      tailRank = 2).collect().head
+    val expl = Stats.bootstrapCiExplode(varied, "v", Seq("id"),
+      reps = 50, tailRank = 2).collect().head
+    assert(fold.toSeq === expl.toSeq)
+    // fold is partitioning-invariant too (integer buffer merges)
+    val fold7 = Stats.bootstrapCi(varied.repartition(7), "v", Seq("id"),
+      reps = 50, tailRank = 2).collect().head
+    assert(fold.toSeq === fold7.toSeq)
+    // empty input: both forms emit ONE all-null readout row (the
+    // BootstrapFold empty buffer evals to NULL, not a zero array)
+    val empty = varied.filter($"id" < 0L)
+    val ef = Stats.bootstrapCi(empty, "v", Seq("id"), reps = 50,
+      tailRank = 2).collect()
+    val ee = Stats.bootstrapCiExplode(empty, "v", Seq("id"), reps = 50,
+      tailRank = 2).collect()
+    assert(ef.length === 1 && ee.length === 1)
+    assert(ef.head.toSeq === ee.head.toSeq)
+    assert(ef.head.isNullAt(1) && ef.head.isNullAt(2) &&
+      ef.head.isNullAt(3))
+  }
+
   test("group z-score: per-group standardization, constant group null") {
     val s = spark; import s.implicits._
     val df = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 5.0))
