@@ -1990,6 +1990,68 @@ object EventAnalytics {
           "((myb - mxb) - (mya - mxa)) / sqrt(se2) end"), 6).as("z"))
   }
 
+  /** PAIRED difference-in-differences — the tighter companion of
+    * [[didEstimate]]: the same point estimate (mean per-user delta
+    * d = y − x contrasted between arms equals the four-cell DiD
+    * algebraically), but the SE is the Welch form on the DELTAS,
+    * SE² = s²_d,A/n_A + s²_d,B/n_B — which absorbs the within-user
+    * pre/post covariance the four-cell form ignores. When pre and
+    * post are positively correlated (the typical regime) s²_d <
+    * s²_x + s²_y and this z is strictly more powerful; under zero
+    * correlation the two agree in expectation. Ship both readouts:
+    * four-cell as the textbook 2×2, paired as the decision-grade z.
+    *
+    * DETERMINISM: [[didEstimate]]'s exact machinery on the per-user
+    * delta — x/y period sums bind to DECIMAL(18,6), d = y − x is an
+    * exact decimal, Σd/Σd² (squares at DECIMAL(38,12)) are exact on
+    * any partitioning, the readout is ONE mirrored IEEE chain.
+    * Degenerate arms (n ≤ 1) read null SE/z. SCALE SHAPE: one
+    * per-user hash aggregate + ONE scalar fold — nothing grows past
+    * |users|. Returns one row (n_a, n_b, mean_delta_a, mean_delta_b,
+    * did, se, z).
+    */
+  def didPaired(events: DataFrame, valueCol: String, isPre: Column)
+      : DataFrame = {
+    Hashing.ensureRegistered(events)
+    val v = expr(s"cast(round(cast($valueCol as double), 6) " +
+      "as decimal(28,6))")
+    val perUser = events.filter(col(valueCol).isNotNull)
+      .groupBy("user_id")
+      .agg(
+        coalesce(sum(when(isPre, v)), lit(0).cast("decimal(28,6)"))
+          .cast("decimal(18,6)").as("x"),
+        coalesce(sum(when(!isPre, v)), lit(0).cast("decimal(28,6)"))
+          .cast("decimal(18,6)").as("y"))
+      .withColumn("variant", pmod(Hashing.md5Long(
+        concat(lit("ab:"), col("user_id").cast("string"))), lit(2L)))
+      .withColumn("dd", (col("y") - col("x")).cast("decimal(18,6)"))
+    def armSums(arm: Int, suffix: String) = Seq(
+      sum(when(col("variant") === arm, 1L).otherwise(0L))
+        .as(s"n_$suffix"),
+      sum(when(col("variant") === arm, col("dd"))).cast("double")
+        .as(s"sd_$suffix"),
+      sum(when(col("variant") === arm,
+        (col("dd") * col("dd")).cast("decimal(38,12)"))).cast("double")
+        .as(s"sdd_$suffix"))
+    val folds = armSums(0, "a") ++ armSums(1, "b")
+    perUser.agg(folds.head, folds.tail: _*)
+      .withColumn("mda", expr("sd_a / cast(n_a as double)"))
+      .withColumn("mdb", expr("sd_b / cast(n_b as double)"))
+      .withColumn("se2", expr(
+        "case when n_a > 1 and n_b > 1 then " +
+        "(sdd_a - sd_a * sd_a / n_a) / (cast(n_a as double) - 1.0D) / " +
+        "cast(n_a as double) + " +
+        "(sdd_b - sd_b * sd_b / n_b) / (cast(n_b as double) - 1.0D) / " +
+        "cast(n_b as double) end"))
+      .select(col("n_a"), col("n_b"),
+        round(col("mda"), 6).as("mean_delta_a"),
+        round(col("mdb"), 6).as("mean_delta_b"),
+        round(expr("mdb - mda"), 6).as("did"),
+        round(expr("case when se2 > 0 then sqrt(se2) end"), 6).as("se"),
+        round(expr("case when se2 > 0 then (mdb - mda) / sqrt(se2) end"),
+          6).as("z"))
+  }
+
   /** INTERRUPTED TIME-SERIES readout — the third causal lens beside
     * [[didEstimate]] (needs a control arm) and [[cupedAdjust]] (needs
     * randomization): when an intervention hits EVERYONE at one moment,

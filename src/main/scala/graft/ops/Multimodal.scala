@@ -432,10 +432,11 @@ object Multimodal {
     * index, padding bit; MPEG-1 Layer III frame length =
     * 144·bitrate/sample_rate + padding bytes.
     *
-    * The parser walks sync words with single-byte RESYNC on garbage
-    * (leading junk, ID3 tags, torn bytes all skip forward) and ignores
-    * a truncated trailing frame — the tolerant posture batch ingestion
-    * needs. It does NOT decode samples: the Huffman/IMDCT/synthesis
+    * The parser skips a leading ID3v2 tag by its declared syncsafe
+    * size (never scanning tag bytes, which may embed false syncs),
+    * walks sync words with single-byte RESYNC on other garbage and
+    * ignores a truncated trailing frame — the tolerant posture batch
+    * ingestion needs. It does NOT decode samples: the Huffman/IMDCT/synthesis
     * sample path has no public pure-JVM implementation in the JDK and
     * stays behind the [[ExternalDecoder]] boundary (re-affirmed, judge
     * r12 item 7 — framing is now REAL, sample decode remains the
@@ -455,12 +456,27 @@ object Multimodal {
         sampleRate: Int, padded: Boolean, frameBytes: Int)
 
     /** All well-formed MPEG-1 Layer III frames in `bytes`, in stream
-      * order. Never throws: malformed regions resync byte-by-byte, a
-      * frame running past the buffer end is dropped as truncated.
+      * order. Never throws: a leading ID3v2 tag is skipped by its
+      * declared syncsafe size (tag BODIES may contain 0xFF-E* byte
+      * pairs that would false-sync a byte scan — the header's
+      * 4×7-bit size field exists precisely so parsers can jump it),
+      * malformed regions resync byte-by-byte, and a frame running
+      * past the buffer end is dropped as truncated.
       */
     def frames(bytes: Array[Byte]): List[Frame] = {
       val out = List.newBuilder[Frame]
       var i = 0
+      // ID3v2 header: "ID3", 2 version bytes, 1 flag byte, 4 syncsafe
+      // size bytes (high bit clear) counting the tag body AFTER the
+      // 10-byte header
+      if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+          bytes(2) == '3' && (bytes(6) & 0x80) == 0 &&
+          (bytes(7) & 0x80) == 0 && (bytes(8) & 0x80) == 0 &&
+          (bytes(9) & 0x80) == 0) {
+        val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+          ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+        i = math.min(10 + size, bytes.length)
+      }
       while (i + 4 <= bytes.length) {
         val b1 = bytes(i) & 0xff
         val b2 = bytes(i + 1) & 0xff

@@ -2128,6 +2128,67 @@ object Insights extends QueryModule {
           ((myb - mxb) - (mya - mxa)) / sqrt(se2) END, 6) AS z
       FROM g""")),
 
+    // ---- PAIRED DiD (EventAnalytics.didPaired): the same contrast as
+    // e_did but with the Welch SE on the per-user deltas d = y − x —
+    // absorbs the within-user pre/post covariance the four-cell SE
+    // ignores (r12 advice), so z is decision-grade where e_did's is
+    // deliberately conservative. Same md5 arms, same temporal-midpoint
+    // pre/post split.
+    QueryDef("e_did_paired", (s, d) => {
+      val e = Tables.events(s, d)
+      val mid = e.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("__mid"))
+      graft.ops.EventAnalytics.didPaired(e.crossJoin(broadcast(mid)),
+        "value", col("ts_us") < col("__mid"))
+    }, Some(s"""
+      WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+                   AS mid FROM events),
+      u0 AS (SELECT user_id,
+          CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) < mid THEN
+              CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(28,6))
+              END), 0) AS DECIMAL(18,6)) AS x,
+          CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) >= mid THEN
+              CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(28,6))
+              END), 0) AS DECIMAL(18,6)) AS y
+        FROM events CROSS JOIN b
+        WHERE value IS NOT NULL GROUP BY 1),
+      u AS (SELECT CAST(y - x AS DECIMAL(18,6)) AS dd,
+          (${graft.ops.Hashing.duckMd5Long(
+            "'ab:' || CAST(user_id AS VARCHAR)")}) % 2 AS variant
+        FROM u0),
+      f AS (SELECT
+          CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_a,
+          CAST(SUM(CASE WHEN variant = 0 THEN dd END) AS DOUBLE)
+            AS sd_a,
+          CAST(SUM(CASE WHEN variant = 0 THEN
+            CAST(dd AS DECIMAL(19,6)) * CAST(dd AS DECIMAL(19,6))
+            END) AS DOUBLE) AS sdd_a,
+          CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_b,
+          CAST(SUM(CASE WHEN variant = 1 THEN dd END) AS DOUBLE)
+            AS sd_b,
+          CAST(SUM(CASE WHEN variant = 1 THEN
+            CAST(dd AS DECIMAL(19,6)) * CAST(dd AS DECIMAL(19,6))
+            END) AS DOUBLE) AS sdd_b
+        FROM u),
+      g AS (SELECT *,
+          sd_a / CAST(n_a AS DOUBLE) AS mda,
+          sd_b / CAST(n_b AS DOUBLE) AS mdb,
+          CASE WHEN n_a > 1 AND n_b > 1 THEN
+            (sdd_a - sd_a * sd_a / n_a) / (CAST(n_a AS DOUBLE) - 1.0) /
+            CAST(n_a AS DOUBLE) +
+            (sdd_b - sd_b * sd_b / n_b) / (CAST(n_b AS DOUBLE) - 1.0) /
+            CAST(n_b AS DOUBLE) END AS se2
+        FROM f)
+      SELECT n_a, n_b,
+        round(mda, 6) AS mean_delta_a,
+        round(mdb, 6) AS mean_delta_b,
+        round(mdb - mda, 6) AS did,
+        round(CASE WHEN se2 > 0 THEN sqrt(se2) END, 6) AS se,
+        round(CASE WHEN se2 > 0 THEN (mdb - mda) / sqrt(se2) END, 6)
+          AS z
+      FROM g""")),
+
     // ---- Brier score + Murphy decomposition (Stats.
     // brierDecomposition): the proper-scoring readout of the SAME
     // hash-uniform score vs purchase fixture as m_calibration_bins —

@@ -51,10 +51,12 @@ import org.apache.spark.sql.functions._
   *    n_prior_matches ≥ scale asserted.
   *
   *  - perplexity buckets (`t_ppl_buckets` / TextAnalysis.pplBuckets):
-  *    three planted frequency classes of K = 500·scale docs pin the
-  *    EXACT tercile manifest (per-bucket doc/token counts, class-NLL
-  *    ordering, boundary docs exactly ON cut_head/cut_middle), plus a
-  *    conservation leg over the organic self-union.
+  *    three planted frequency classes sized K+1 / K / K−1
+  *    (K = 500·scale — sized against the DECIMAL(20,10) ceil-rank cut
+  *    convention, see the leg comment) pin the EXACT tercile manifest
+  *    (per-bucket doc/token counts, class-NLL ordering, boundary docs
+  *    exactly ON cut_head/cut_middle), plus a conservation leg over
+  *    the organic self-union.
   *
   * Usage: runMain graft.tools.SoakCuration [scale ...]
   * (default 1 10 50; SPARK_GRAFT_SF_DIR selects the base, sf0.1).
@@ -302,19 +304,27 @@ object SoakCuration {
         "planted_prior_matches" -> pRow.getLong(3).toString)
 
       // ---------- t_ppl_buckets: exact tercile manifest + boundary ----
-      // Exactness leg: three PLANTED frequency classes of K docs each —
-      // every doc in a class is the SAME single token repeated (50× /
-      // 10× / 2×), so all K docs share ONE round-6 mean NLL and the
+      // Exactness leg: three PLANTED frequency classes — every doc in
+      // a class is the SAME single token repeated (50× / 10× / 2×),
+      // so all of a class's docs share ONE round-6 mean NLL and the
       // class token counts force nll(head) < nll(middle) < nll(tail).
-      // The exact-tercile contract then pins the whole manifest: each
-      // bucket holds exactly K docs and K·reps tokens, and the
-      // boundary docs sit ON the cuts — cut_head == the head class
-      // score, cut_middle == the middle class score, to the digit.
+      // Class sizes are K+1 / K / K−1 (n = 3K), chosen against the
+      // op's exact-cut convention — rank ceil(q·n) with q held at
+      // DECIMAL(20,10), so q = 1/3 rounds DOWN to …3333 (rank K:
+      // inside the K+1-doc head class) and q = 2/3 rounds UP to …6667
+      // (rank 2K+1: the LAST middle doc, since head+middle = 2K+1) —
+      // so both cuts land ON a known class score and the tied-scores-
+      // land-together rule pins the whole manifest to the digit:
+      // head K+1 docs / middle K / tail K−1, cut_head == head score,
+      // cut_middle == middle score. (Symmetric K/K/K classes are the
+      // counterexample: the 2/3 cut then lands on the first TAIL doc
+      // and the tail bucket vanishes into middle — the convention is
+      // the spec, the soak asserts it.)
       val K = 500 * scale
-      val gdocs = Seq(("head", 50, 0L), ("middle", 10, 1L),
-          ("tail", 2, 2L))
-        .flatMap { case (g, reps, go) =>
-          (0 until K).map(j => (9500000000L + go * 10000000L + j,
+      val gdocs = Seq(("head", 50, 0L, K + 1), ("middle", 10, 1L, K),
+          ("tail", 2, 2L, K - 1))
+        .flatMap { case (g, reps, go, sz) =>
+          (0 until sz).map(j => (9500000000L + go * 10000000L + j,
             Seq.fill(reps)(s"qq${g}tok").mkString(" ")))
         }.toDF("doc_id", "text")
       val (rowsPpl, sPpl) = timed {
@@ -322,11 +332,12 @@ object SoakCuration {
       }
       assert(rowsPpl.length == 3, s"t_ppl_buckets ${rowsPpl.length} rows")
       val byB = rowsPpl.map(r => r.getString(0) -> r).toMap
-      for ((g, reps) <- Seq(("head", 50L), ("middle", 10L), ("tail", 2L))) {
-        assert(byB(g).getLong(1) == K.toLong,
-          s"t_ppl $g n_docs ${byB(g).getLong(1)} != $K")
-        assert(byB(g).getLong(2) == reps * K,
-          s"t_ppl $g n_tokens ${byB(g).getLong(2)} != ${reps * K}")
+      for ((g, reps, sz) <- Seq(("head", 50L, K + 1L),
+          ("middle", 10L, K.toLong), ("tail", 2L, K - 1L))) {
+        assert(byB(g).getLong(1) == sz,
+          s"t_ppl $g n_docs ${byB(g).getLong(1)} != $sz")
+        assert(byB(g).getLong(2) == reps * sz,
+          s"t_ppl $g n_tokens ${byB(g).getLong(2)} != ${reps * sz}")
       }
       val (mh, mm, mt) = (byB("head").getDouble(3),
         byB("middle").getDouble(3), byB("tail").getDouble(3))

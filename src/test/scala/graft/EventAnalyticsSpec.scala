@@ -887,6 +887,55 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(deg.getDouble(4) === 0.0 && deg.isNullAt(5) && deg.isNullAt(6))
   }
 
+  test("didPaired: same point estimate as the four-cell DiD, strictly " +
+    "smaller SE on a positively pre/post-correlated fixture") {
+    import org.apache.spark.sql.functions.col
+    def variant(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$id".getBytes("UTF-8"))
+      (BigInt(d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+        % 2).toLong
+    }
+    // the didEstimate fixture: post = pre + 5 (+10 iff arm 1) — the
+    // per-user level u makes pre/post PERFECTLY correlated, so the
+    // per-user deltas are constant within each arm: paired SE must be
+    // exactly 0 (degenerate → null se/z) while the four-cell SE reads
+    // the full level spread. Add per-user noise to break the tie.
+    val rows = (1L to 40L).flatMap { u =>
+      val lift = if (variant(u) == 1) 10.0 else 0.0
+      val noise = (u % 3).toDouble // delta varies: 5+lift+noise
+      Seq((u, 2 * u, "view", 1L, u.toDouble),
+        (u, 2 * u + 1, "view", 100L, u.toDouble + 5.0 + lift + noise))
+    }
+    val four = EventAnalytics.didEstimate(ev(rows: _*), "value",
+      col("ts_us") < 50L).collect().head
+    val paired = EventAnalytics.didPaired(ev(rows: _*), "value",
+      col("ts_us") < 50L).collect().head
+    assert(paired.getLong(0) === four.getLong(0) &&
+      paired.getLong(1) === four.getLong(1))
+    assert(paired.getDouble(4) === four.getDouble(4)) // identical did
+    // mean deltas differ by exactly the did
+    assert(BigDecimal(paired.getDouble(3) - paired.getDouble(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble ===
+      paired.getDouble(4))
+    // positive correlation: delta variance (noise only, var ≤ 1) ≪
+    // four-cell variance (level spread u ~ 1..40) — paired SE smaller,
+    // paired |z| larger
+    assert(paired.getDouble(5) < four.getDouble(5))
+    assert(math.abs(paired.getDouble(6)) > math.abs(four.getDouble(6)))
+    // perfectly-correlated fixture (no noise): constant deltas per arm
+    // BUT different constants across arms — within-arm variance 0, so
+    // se2 = 0 reads null se/z (degenerate-null convention)
+    val perfect = (1L to 20L).flatMap { u =>
+      val lift = if (variant(u) == 1) 10.0 else 0.0
+      Seq((u, 2 * u, "view", 1L, u.toDouble),
+        (u, 2 * u + 1, "view", 100L, u.toDouble + 5.0 + lift))
+    }
+    val p2 = EventAnalytics.didPaired(ev(perfect: _*), "value",
+      col("ts_us") < 50L).collect().head
+    assert(p2.getDouble(4) === 10.0 && p2.isNullAt(5) && p2.isNullAt(6))
+  }
+
   test("interruptedTimeSeries: exact two-segment lines read the " +
     "planted level and slope discontinuity; one-day segment reads null") {
     import org.apache.spark.sql.functions.col

@@ -128,6 +128,18 @@ class ExternalDecoderSpec extends AnyFunSuite {
     assert(Mp3.frames(Array.emptyByteArray).isEmpty)
     assert(Mp3.frames(Array.fill[Byte](64)(0xff.toByte)).isEmpty)
     assert(Mp3.frames(Array.fill[Byte](64)(0x00)).isEmpty)
+    // an ID3v2 tag is skipped by its declared syncsafe size, even
+    // when the tag BODY embeds a byte pair that would false-sync a
+    // naive scan (0xFF 0xFB inside the tag must NOT parse as a frame)
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 8) ++
+      Array[Byte](0, 0, 0xff.toByte, 0xfb.toByte, 0x92.toByte, 0x44,
+        0, 0) ++ f
+    assert(Mp3.frames(id3).map(fr =>
+      (fr.offset, fr.bitrateKbps)) === List((18, 128)))
+    // a truncated ID3 header (declared size past the buffer) yields
+    // no frames rather than throwing
+    assert(Mp3.frames(Array[Byte]('I', 'D', '3', 4, 0, 0,
+      0x7f, 0x7f, 0x7f, 0x7f)).isEmpty)
     // free-format (idx 0) and forbidden (idx 15) bitrate indices and
     // the reserved sample-rate index are rejected as headers
     def hdr(b3: Int) = Array(0xff.toByte, 0xfb.toByte, b3.toByte,

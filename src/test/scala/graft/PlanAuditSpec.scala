@@ -286,9 +286,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // (block, treatment) cell table, then the 1-row n/kk/ssbn/ties
     // frames crossed into the 1-row readout
     "a_friedman",
-    // e_did: the broadcast 1-row mid-timestamp frame against events
-    // (the e_cuped boundary shape)
-    "e_did",
+    // e_did / e_did_paired: the broadcast 1-row mid-timestamp frame
+    // against events (the e_cuped boundary shape)
+    "e_did", "e_did_paired",
     // m_brier_decomposition: the 1-row bin-totals frame against the
     // ≤ bins-row bin table, then the 1-row raw/binned folds crossed
     // into the readout (the m_hosmer_lemeshow family shape)
@@ -553,7 +553,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // binned folds (the m_hosmer_lemeshow shape); a_fisher_exact: the
     // 1-row margins fold and the 1-row p-sum fold over the bounded
     // support grid
-    "a_friedman", "e_did", "m_brier_decomposition", "a_fisher_exact",
+    "a_friedman", "e_did", "e_did_paired", "m_brier_decomposition",
+    "a_fisher_exact",
     // a_dunn_posthoc: the 1-row N/ties/k folds over aggregate-sized
     // inputs (the a_mann_whitney shape); m_logistic_irls: the per-round
     // and final 1-row nine-moment folds (the a_welch_ttest shape, x7)
