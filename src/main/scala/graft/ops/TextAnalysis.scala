@@ -157,6 +157,100 @@ object TextAnalysis {
           col("stopword_ratio") >= 0.01)
   }
 
+  /** GOPHER QUALITY RULES (Rae et al. 2021, Table A1) — the specific
+    * rule battery the Gopher/MassiveText curation pipeline applies to
+    * every crawled page, beside the generic [[qualityScore]] ratios:
+    *
+    *   1. 50 ≤ word count ≤ 100 000
+    *   2. 3 ≤ mean word length ≤ 10
+    *   3. symbol-to-word ratio ≤ 0.1  (symbols: '#' and ellipsis)
+    *   4. ≤ 90% of lines start with a bullet ('•', '-', '*')
+    *   5. ≤ 30% of lines end with an ellipsis
+    *   6. ≥ 80% of words contain ≥ 1 alphabetic character
+    *   7. ≥ 2 of the 8 required English stop words present
+    *      (the, be, to, of, and, that, have, with)
+    *
+    * Emits the measured signals, one boolean per rule, and the
+    * conjunction `keep` — the manifest a filter stage consumes and an
+    * auditor reads rule-by-rule (why was this doc dropped?).
+    *
+    * DETERMINISM: every signal is a per-row integer count (words are
+    * \S+ runs, so Σ word length == non-whitespace char count — no
+    * per-word fold needed); fractions round(,6) BEFORE the threshold
+    * comparisons, so both engines compare identical fixed-point
+    * values; line fractions divide by max(nonblank lines, 1) (a
+    * blank doc reads 0, and fails on word count anyway); rule
+    * booleans are null-proofed to false. SCALE SHAPE: embarrassingly
+    * parallel narrow map riding the scan — like [[lineClean]], this
+    * runs FIRST in a 100 TB pipeline.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val words = "regexp_extract_all(text, '\\\\S+', 0)"
+    val lines = "filter(split(text, '\n'), l -> length(trim(l)) > 0)"
+    docs.select(col("doc_id"),
+        expr(s"size($words)").cast("long").as("n_words"),
+        expr(s"length(regexp_replace(text, '\\\\s', ''))").cast("long")
+          .as("n_word_chars"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "#", ""))).cast("long")
+          .as("n_hash"),
+        expr("size(regexp_extract_all(text, '(\\\\.\\\\.\\\\.|…)', 0))")
+          .cast("long").as("n_ellipsis"),
+        expr(s"size(filter($words, w -> w rlike '[A-Za-z]'))")
+          .cast("long").as("n_alpha_words"),
+        expr(s"size($lines)").cast("long").as("n_lines"),
+        expr(s"size(filter($lines, l -> startswith(ltrim(l), '•') or " +
+          "startswith(ltrim(l), '-') or startswith(ltrim(l), '*')))")
+          .cast("long").as("n_bullet_lines"),
+        expr(s"size(filter($lines, l -> endswith(rtrim(l), '...') or " +
+          "endswith(rtrim(l), '…')))").cast("long").as("n_ellipsis_lines"),
+        // let-bound tokens array (the [[shingled]] trick) so the 8
+        // membership probes share ONE tokenizer pass
+        expr("element_at(transform(array(" + tokensSql + "), tk -> " +
+          GopherStops.map(s =>
+            s"(case when array_contains(tk, '$s') then 1 else 0 end)")
+            .mkString(" + ") + "), 1)")
+          .cast("long").as("n_required_stops"))
+      .withColumn("mean_word_len", round(expr("case when n_words > 0 " +
+        "then cast(n_word_chars as double) / cast(n_words as double) " +
+        "end"), 6))
+      .withColumn("symbol_word_ratio", round(expr(
+        "case when n_words > 0 then cast(n_hash + n_ellipsis as " +
+          "double) / cast(n_words as double) end"), 6))
+      .withColumn("bullet_line_frac", round(expr(
+        "cast(n_bullet_lines as double) / " +
+          "cast(greatest(n_lines, 1) as double)"), 6))
+      .withColumn("ellipsis_line_frac", round(expr(
+        "cast(n_ellipsis_lines as double) / " +
+          "cast(greatest(n_lines, 1) as double)"), 6))
+      .withColumn("alpha_word_frac", round(expr(
+        "case when n_words > 0 then cast(n_alpha_words as double) / " +
+          "cast(n_words as double) end"), 6))
+      .withColumn("r_word_count",
+        col("n_words") >= 50L && col("n_words") <= 100000L)
+      .withColumn("r_word_len", coalesce(
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0,
+        lit(false)))
+      .withColumn("r_symbol", coalesce(
+        col("symbol_word_ratio") <= 0.1, lit(false)))
+      .withColumn("r_bullets", col("bullet_line_frac") <= 0.9)
+      .withColumn("r_ellipsis", col("ellipsis_line_frac") <= 0.3)
+      .withColumn("r_alpha", coalesce(
+        col("alpha_word_frac") >= 0.8, lit(false)))
+      .withColumn("r_stops", col("n_required_stops") >= 2L)
+      .withColumn("keep",
+        col("r_word_count") && col("r_word_len") && col("r_symbol") &&
+          col("r_bullets") && col("r_ellipsis") && col("r_alpha") &&
+          col("r_stops"))
+      .drop("n_word_chars", "n_hash", "n_ellipsis")
+  }
+
+  /** The 8 required stop words of Gopher rule 7 (Rae et al. 2021
+    * Table A1) — shared with the oracle text.
+    */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Per-SOURCE curation rollup — the crawl-curation table a corpus
     * triage pass produces (which origins to keep, cap, or drop): doc
     * count, quality-pass count, total chars, and mean type-token /

@@ -2713,6 +2713,84 @@ object Pipeline extends QueryModule {
       FROM w ORDER BY doc_id"""
     }),
 
+    // ---- Gopher quality-rule battery (TextAnalysis.gopherRules, Rae
+    // et al. 2021 Table A1): the 7-rule MassiveText page filter —
+    // word-count bounds, mean word length, symbol-to-word ratio,
+    // bullet/ellipsis line fractions, alpha-word fraction, required
+    // stop words — with per-rule booleans and the conjunction `keep`,
+    // so an auditor reads WHY each doc was dropped. Fractions round
+    // to 6 dp before every threshold comparison, so both engines
+    // compare identical fixed-point values.
+    QueryDef("t_gopher_rules", (s, d) => {
+      TextAnalysis.gopherRules(docs(s, d))
+    }, Some {
+      val stopSum = graft.ops.TextAnalysis.GopherStops.map(w =>
+        s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""
+      WITH w AS (SELECT doc_id, text,
+                   regexp_extract_all(text, '\\S+') AS words,
+                   list_filter(string_split(text, chr(10)),
+                     l -> length(trim(l)) > 0) AS lines,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                 FROM documents),
+      c AS (SELECT doc_id,
+          CAST(len(words) AS BIGINT) AS n_words,
+          CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+            AS n_word_chars,
+          CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+            AS n_hash,
+          CAST(len(regexp_extract_all(text, '(\\.\\.\\.|…)')) AS BIGINT)
+            AS n_ellipsis,
+          CAST(len(list_filter(words, w2 ->
+            regexp_matches(w2, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+          CAST(len(lines) AS BIGINT) AS n_lines,
+          CAST(len(list_filter(lines, l ->
+            starts_with(ltrim(l), '•') OR
+            starts_with(ltrim(l), '-') OR
+            starts_with(ltrim(l), '*'))) AS BIGINT)
+            AS n_bullet_lines,
+          CAST(len(list_filter(lines, l ->
+            ends_with(rtrim(l), '...') OR
+            ends_with(rtrim(l), '…'))) AS BIGINT)
+            AS n_ellipsis_lines,
+          CAST($stopSum AS BIGINT) AS n_required_stops
+        FROM w),
+      f AS (SELECT *,
+          round(CASE WHEN n_words > 0 THEN CAST(n_word_chars AS DOUBLE)
+            / CAST(n_words AS DOUBLE) END, 6) AS mean_word_len,
+          round(CASE WHEN n_words > 0 THEN
+            CAST(n_hash + n_ellipsis AS DOUBLE)
+            / CAST(n_words AS DOUBLE) END, 6) AS symbol_word_ratio,
+          round(CAST(n_bullet_lines AS DOUBLE)
+            / CAST(greatest(n_lines, 1) AS DOUBLE), 6)
+            AS bullet_line_frac,
+          round(CAST(n_ellipsis_lines AS DOUBLE)
+            / CAST(greatest(n_lines, 1) AS DOUBLE), 6)
+            AS ellipsis_line_frac,
+          round(CASE WHEN n_words > 0 THEN CAST(n_alpha_words AS DOUBLE)
+            / CAST(n_words AS DOUBLE) END, 6) AS alpha_word_frac
+        FROM c),
+      r AS (SELECT *,
+          n_words >= 50 AND n_words <= 100000 AS r_word_count,
+          COALESCE(mean_word_len >= 3.0 AND mean_word_len <= 10.0,
+            FALSE) AS r_word_len,
+          COALESCE(symbol_word_ratio <= 0.1, FALSE) AS r_symbol,
+          bullet_line_frac <= 0.9 AS r_bullets,
+          ellipsis_line_frac <= 0.3 AS r_ellipsis,
+          COALESCE(alpha_word_frac >= 0.8, FALSE) AS r_alpha,
+          n_required_stops >= 2 AS r_stops
+        FROM f)
+      SELECT doc_id, n_words, n_alpha_words, n_lines, n_bullet_lines,
+        n_ellipsis_lines, n_required_stops, mean_word_len,
+        symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
+        alpha_word_frac, r_word_count, r_word_len, r_symbol, r_bullets,
+        r_ellipsis, r_alpha, r_stops,
+        r_word_count AND r_word_len AND r_symbol AND r_bullets
+          AND r_ellipsis AND r_alpha AND r_stops AS keep
+      FROM r ORDER BY doc_id"""
+    }),
+
     // ---- RAKE keyword extraction (TextAnalysis.rakeKeywords): top-3
     // key phrases per doc from stopword-boundary candidates, word
     // score degree/freq round-6 into DECIMAL before the phrase sum.
