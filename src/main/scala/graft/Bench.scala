@@ -17,17 +17,32 @@ import org.apache.spark.sql.SparkSession
   * driver's 60-minute kill because of it (rc=124, BENCH_r11).
   *
   * DEADLINE AWARENESS: SPARK_GRAFT_BENCH_BUDGET_SEC (default 2700 s)
-  * is a soft wall-clock budget. Past 2/3 of it remaining gates drop
-  * to reps=2, past the full budget to reps=1 — the sweep always
+  * is a soft wall-clock budget. Rep degradation is PROJECTION-BASED
+  * and burst-robust (r13 judge item 3 — the old elapsed-threshold
+  * rule reacted to a mid-sweep burst and never recovered, leaving 76
+  * gates at reps=2 in a sweep that finished at wall 2243 s < 2700):
+  * a gate runs full reps unless elapsed + meanRecentRep·reps·remaining
+  * projects past 90% of budget; the recent-window mean falls when a
+  * burst ends, so reps RE-PROMOTE automatically. Any headroom left at
+  * sweep end is then spent on TAIL RE-RUNS of still-degraded gates
+  * until they reach full reps or 95% of budget. The sweep always
   * FINISHES, and the emitted "reps_used" map says exactly which
   * protocol produced each number, so degraded captures stay honest.
   *
-  * CONTENTION CANARY: /proc/loadavg and a 0.5-s single-thread md5
-  * calibration loop are sampled before and after the sweep and
-  * emitted in bench.json — a capture taken on a contended machine is
-  * self-evident (calibration rate halves) instead of needing a
-  * post-mortem from one gate's inflation (r11: a_bootstrap_ci read
-  * 314 s under contention vs 6.9 s isolated).
+  * CONTENTION CANARY (widened per r13 judge item 2 — the pre-only
+  * canary let an official capture with a 47× mid-sweep burst read
+  * contended_capture:false): /proc/loadavg and a 0.5-s single-thread
+  * md5 calibration loop are sampled before AND after the sweep, plus
+  * a mid-sweep calibration sample every 30 gates; the verdict also
+  * reads two burst residues computed from the sweep itself — the
+  * count of gates whose reps spread > 4× (floor 0.5 s; committed
+  * clean captures hold 0, weather-y draws 3–7, threshold ≥ 10) and
+  * the fraction of gates the deadline projection degraded despite the
+  * sweep finishing inside budget. The calibration REFERENCE is no
+  * longer one machine's hardcoded rate (r13 advice item 3): it
+  * resolves SPARK_GRAFT_BENCH_CALIB_REF, else the host-local
+  * best-ever file .bench_calib_ref (maintained by this main), else
+  * the absolute-calibration clauses are skipped for that run.
   *
   * Calibration (sf0.1 f_math_battery, 600k × 14 cols): `count()`
   * 0.13 s (prunes every projection — what the round-2 bench
@@ -56,9 +71,45 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg")).trim.split(" ")(0)
     catch { case _: Throwable => "-1" }
 
+  /** The PURE contention verdict over every canary input — extracted
+    * so the r13-official burst shape is unit-testable
+    * (BenchCanarySpec): that capture read contended_capture:false
+    * from the pre-only clauses despite a 47× mid-sweep burst that
+    * degraded 76 of 345 gates in a sweep finishing at wall
+    * 2243 s < budget 2700 s. Each clause returns a human-readable
+    * evidence string; an empty result is a clean verdict.
+    */
+  def contentionReasons(loadPre: Double, loadPost: Double, cores: Int,
+      calibPre: Long, calibMid: Seq[Long], calibPost: Long,
+      calibRef: Option[Long], spreadGates: Int, nGates: Int,
+      degradedMain: Int, wallSec: Long, budgetSec: Long): Seq[String] =
+    (if (loadPre > cores / 4.0)
+      Seq(s"loadavg_pre $loadPre > cores/4 ${cores / 4.0}") else Nil) ++
+    (if (loadPost > cores / 2.0)
+      Seq(s"loadavg_post $loadPost > cores/2 ${cores / 2.0}")
+    else Nil) ++
+    calibRef.toSeq.flatMap { ref =>
+      val lo = ref * 7L / 10L
+      (if (calibPre < lo)
+        Seq(s"calib_pre $calibPre < 70% of ref $ref") else Nil) ++
+      (if (calibPost < lo)
+        Seq(s"calib_post $calibPost < 70% of ref $ref") else Nil) ++
+      (if (calibMid.nonEmpty && calibMid.min < lo)
+        Seq(s"calib_mid_min ${calibMid.min} < 70% of ref $ref")
+      else Nil)
+    } ++
+    (if (spreadGates >= 10)
+      Seq(s"rep_spread_gates $spreadGates >= 10 (>4x spread, min>0.5s)")
+    else Nil) ++
+    (if (degradedMain > nGates / 10 && wallSec < budgetSec)
+      Seq(s"degraded_main $degradedMain > 10% of $nGates gates " +
+        s"despite wall $wallSec < budget $budgetSec") else Nil)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // r13 advice: default to the actual host, not a hardcoded 32
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -179,15 +230,64 @@ object Bench {
     }
     warmupNames.foreach(n => once(n, SparkEntry.queries(n)))
 
-    val runs = names.map { n =>
-      // deadline-aware degradation: never blow the driver's kill
-      // budget for protocol purity — finish the sweep with fewer reps
-      // and SAY SO per-gate. Even rep counts average the two middle
-      // samples (the upper-middle order statistic alone biases high).
+    // deadline-aware degradation, PROJECTION-based (r13 judge item 3):
+    // a gate runs full reps unless the projected finish — elapsed +
+    // meanRecentRep · r · remainingGates — lands past 90% of budget
+    // (95% for the reps=2 fallback). The mean over the last 60 rep
+    // times falls back down when a transient burst ends, so later
+    // gates RE-PROMOTE to full reps instead of staying degraded for
+    // the rest of the sweep (the r13 official capture degraded 76
+    // gates yet finished at wall 2243 s < 2700 under the old
+    // elapsed-threshold rule). The hard floor stays: past the full
+    // budget everything runs once.
+    val repTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val calibMid = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val gateRuns = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    var degradedMain = 0
+    names.zipWithIndex.foreach { case (n, idx) =>
+      // mid-sweep calibration sample every 30 gates (~0.5 s each):
+      // the canary input that catches a burst the pre/post samples
+      // straddle without seeing (r13 judge item 2)
+      if (idx > 0 && idx % 30 == 0) calibMid += calibMd5PerSec()
+      val remaining = names.length - idx
+      val recent = repTimes.takeRight(60)
+      val meanRep = if (recent.isEmpty) 0.0 else recent.sum / recent.size
+      def projected(r: Int): Double = elapsedSec + meanRep * r * remaining
       val r = if (elapsedSec >= budgetSec) 1
-              else if (elapsedSec >= budgetSec * 2 / 3) math.min(2, reps)
-              else reps
-      (n, (1 to r).map(_ => once(n, SparkEntry.queries(n))), r)
+              else if (projected(reps) <= budgetSec * 0.90) reps
+              else if (projected(2) <= budgetSec * 0.95) math.min(2, reps)
+              else 1
+      if (r < reps) degradedMain += 1
+      val ts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (1 to r).foreach { _ =>
+        val t = once(n, SparkEntry.queries(n))
+        ts += t
+        if (t >= 0) repTimes += t
+      }
+      gateRuns(n) = ts
+    }
+    // tail re-runs: spend recovered headroom restoring degraded gates
+    // to full reps (r13 judge item 3's second half) — one extra rep
+    // per pass per still-short gate, while the gate's own mean rep
+    // cost (×1.5 safety) fits under 95% of budget
+    var tailReruns = 0
+    var tailAdded = true
+    while (tailAdded) {
+      tailAdded = false
+      gateRuns.foreach { case (n, ts) =>
+        val est = math.max(ts.sum / ts.length, 0.05)
+        if (ts.length < reps && !ts.exists(_ < 0) &&
+            elapsedSec + est * 1.5 < budgetSec * 0.95) {
+          val t = once(n, SparkEntry.queries(n))
+          ts += t
+          tailReruns += 1
+          tailAdded = true
+        }
+      }
+    }
+    val runs = gateRuns.toSeq.map { case (n, ts) =>
+      (n, ts.toSeq, ts.length)
     }
     val results = runs.map { case (n, ts, _) =>
       // any failed rep poisons the query (-1): a median over a mix of
@@ -201,23 +301,50 @@ object Bench {
     }
     val loadPost = loadavg()
     val calibPost = calibMd5PerSec()
-    // Self-asserting contention verdict (r12 judge item 8): the r12
-    // canary fields made a loaded-box capture diagnosable after the
-    // fact; this field says it up front so downstream graders read
-    // the number with the right prior. Contended iff the PRE-sweep
-    // loadavg already exceeds cores/4 (the r12 official capture read
-    // 10.09 on 32 cores before the suite added its own load) or the
-    // single-thread md5 calibration runs under 70% of the committed
-    // clean capture's rate (bench_r12_final.json: 5.39 M digests/s;
-    // override via SPARK_GRAFT_BENCH_CALIB_REF on other hardware).
-    val calibRef = sys.env
-      .getOrElse("SPARK_GRAFT_BENCH_CALIB_REF", "5390000").toLong
-    val loadThresh = cpus.toDouble / 4.0
-    val contReasons =
-      (if (loadPre.toDouble > loadThresh)
-        Seq(s"loadavg_pre $loadPre > cores/4 $loadThresh") else Nil) ++
-      (if (calibPre < calibRef * 7L / 10L)
-        Seq(s"calib_pre $calibPre < 70% of ref $calibRef") else Nil)
+    // Self-asserting contention verdict, WIDENED to mid/post-sweep
+    // signals (r13 judge item 2: the pre-only canary read
+    // contended_capture:false on an official capture whose mid-sweep
+    // burst put a_brown_forsythe at 47× its clean time and degraded
+    // 76 gates). Inputs:
+    //  - loadavg_pre > cores/4 (pre-existing; the box was already busy)
+    //  - loadavg_post > cores/2 (the 1-min average at sweep end blends
+    //    the suite's own residue — clean captures read 7–13 on 32
+    //    cores — so only a clearly-foreign level fires)
+    //  - single-thread md5 calibration under 70% of the host reference
+    //    at ANY sample point: pre, the every-30-gates mid-sweep
+    //    samples, or post
+    //  - rep-spread residue: ≥ 10 gates whose successful reps (min
+    //    > 0.5 s) spread > 4× — committed clean captures hold 0, the
+    //    weather-y r13 draws 3–7
+    //  - projection residue: the deadline projection degraded > 10%
+    //    of gates yet the sweep finished inside budget — only a
+    //    transient mid-sweep slowdown produces that combination
+    // The calibration reference resolves env override → host-local
+    // best-ever file → (absent) skip the absolute clauses, instead of
+    // hardcoding one machine's rate (r13 advice item 3); the file is
+    // re-stamped with the best rate observed this run.
+    val calibRefFile = java.nio.file.Paths.get(".bench_calib_ref")
+    val calibRefOpt: Option[Long] =
+      sys.env.get("SPARK_GRAFT_BENCH_CALIB_REF").map(_.toLong)
+        .orElse(
+          try {
+            if (java.nio.file.Files.exists(calibRefFile))
+              Some(java.nio.file.Files.readString(calibRefFile)
+                .trim.toLong)
+            else None
+          } catch { case _: Throwable => None })
+    val calibBest = (Seq(calibPre, calibPost) ++ calibMid).max
+    try java.nio.file.Files.writeString(calibRefFile,
+      math.max(calibBest, calibRefOpt.getOrElse(0L)).toString + "\n")
+    catch { case _: Throwable => () }
+    val spreadGates = runs.count { case (_, ts, _) =>
+      val ok = ts.filter(_ >= 0)
+      ok.length >= 2 && ok.min > 0.5 && ok.max / ok.min > 4.0
+    }
+    val contReasons = contentionReasons(loadPre.toDouble,
+      loadPost.toDouble, cpus.toInt, calibPre, calibMid.toSeq, calibPost,
+      calibRefOpt, spreadGates, names.length, degradedMain, elapsedSec,
+      budgetSec)
     val contended = contReasons.nonEmpty
     def json(fmt: Double => String, withRuns: Boolean): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -237,6 +364,11 @@ object Bench {
         s""","loadavg_pre":$loadPre,"loadavg_post":$loadPost""" +
         s""","calib_md5_per_sec_pre":$calibPre""" +
         s""","calib_md5_per_sec_post":$calibPost""" +
+        s""","calib_md5_per_sec_mid":[${calibMid.mkString(",")}]""" +
+        s""","calib_ref":${calibRefOpt.map(_.toString)
+          .getOrElse("null")}""" +
+        s""","degraded_main":$degradedMain,"tail_reruns":$tailReruns""" +
+        s""","rep_spread_gates":$spreadGates""" +
         s""","contended_capture":$contended""" +
         s""","contention_reasons":[${contReasons
           .map("\"" + _ + "\"").mkString(",")}]"""

@@ -32,12 +32,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DataTypes, Decimal,
   * aggregate; the per-row cost is reps iterations of six integer ops.
   *
   * DETERMINISM: the buffer is pure integer state — Σw BIGINT and
-  * Σw·x as the EXACT unscaled BIGINT of the input DECIMAL (overflow
-  * throws via addExact/multiplyExact rather than wrapping: exact to
-  * Σ|w·x_unscaled| < 2⁶³ ≈ 9.2·10¹⁸, i.e. ~10¹² rows of scale-2
-  * values ≤ 10⁵ at mean weight 1 — beyond that, shard and merge).
+  * Σw·x as an EXACT SIGNED 128-BIT accumulator (hi/lo long pair) over
+  * the input DECIMAL's unscaled value. The per-row product w·x_unscaled
+  * always fits a long (w ≤ 7 by the Poisson cutoffs, |x_unscaled| <
+  * 10¹⁸ by the precision-≤18 input contract); the 128-bit cell add
+  * never loses a bit below Σ|w·x_unscaled| < 2¹²⁷ ≈ 1.7·10³⁸ — i.e.
+  * the fold stays exact through the FULL DECIMAL(38) output headroom,
+  * matching how the exploded `SUM(x·w)` it replaces degraded (r13
+  * advice: the earlier addExact form threw at 2⁶³ where the explode
+  * form still had 10¹⁹ of headroom). Past DECIMAL(38) the eval-side
+  * Decimal re-wrap raises, exactly like ANSI SUM overflow.
   * Order- and partitioning-free by commutativity of integer addition;
-  * merge is cell-wise addExact. eval re-wraps Σw·x as
+  * merge is cell-wise 128-bit add. eval re-wraps Σw·x as
   * DECIMAL(38, s) with the input's scale, so the downstream
   * `cast(sx AS DOUBLE)` is the identical correctly-rounded
   * decimal→double conversion the exploded `SUM(x·w)` produced — the
@@ -107,9 +113,27 @@ case class BootstrapFold(
   override def nullable: Boolean = true
   override def prettyName: String = "graft_boot_fold"
 
-  // layout: [sx_0 .. sx_{reps-1} | sw_0 .. sw_{reps-1} | n_rows]
+  // layout: [sxHi_0 .. sxHi_{reps-1} | sxLo_0 .. sxLo_{reps-1} |
+  //          sw_0 .. sw_{reps-1} | n_rows]
+  // sx cells are a signed 128-bit accumulator: lo is the unsigned low
+  // word, hi carries the sign — exact to 2¹²⁷, i.e. through the full
+  // DECIMAL(38) output range (r13 advice: the 2-long-per-cell form
+  // replaces addExact, whose 2⁶³ throw undercut the explode form's
+  // DECIMAL(38) degradation headroom at extreme scale).
   override def createAggregationBuffer(): Array[Long] =
-    new Array[Long](2 * reps + 1)
+    new Array[Long](3 * reps + 1)
+
+  /** 128-bit += of a SIGNED long addend into the (hi, lo) cell pair at
+    * (buf(i), buf(reps + i)): lo adds with unsigned carry-out, hi adds
+    * the addend's sign extension plus the carry.
+    */
+  private def add128(buf: Array[Long], i: Int, v: Long): Unit = {
+    val lo = buf(reps + i)
+    val lo2 = lo + v
+    val carry = ((lo & v) | ((lo | v) & ~lo2)) >>> 63
+    buf(reps + i) = lo2
+    buf(i) = buf(i) + (v >> 63) + carry
+  }
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val kv = first.eval(input)
@@ -126,30 +150,46 @@ case class BootstrapFold(
         var c = 0
         while (c < Cuts.length && u >= Cuts(c)) { w += 1L; c += 1 }
         if (w > 0L) {
-          buf(b) = Math.addExact(buf(b), Math.multiplyExact(w, xu))
-          buf(reps + b) = Math.addExact(buf(reps + b), w)
+          // w ≤ 7 and |xu| < 10¹⁸ (precision ≤ 18): the product is
+          // always < 2⁶³ — only the ACCUMULATION needs 128 bits
+          add128(buf, b, w * xu)
+          buf(2 * reps + b) = Math.addExact(buf(2 * reps + b), w)
         }
         b += 1
       }
-      buf(2 * reps) += 1L
+      buf(3 * reps) += 1L
     }
     buf
   }
 
   override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
-    var i = 0
-    while (i < buf.length) {
-      buf(i) = Math.addExact(buf(i), other(i)); i += 1
+    var b = 0
+    while (b < reps) {
+      // 128-bit cell-wise add: lo words add with unsigned carry into
+      // the hi words (both sides' hi already carry their signs)
+      val lo1 = buf(reps + b)
+      val lo2 = other(reps + b)
+      val lo = lo1 + lo2
+      val carry = ((lo1 & lo2) | ((lo1 | lo2) & ~lo)) >>> 63
+      buf(reps + b) = lo
+      buf(b) = buf(b) + other(b) + carry
+      buf(2 * reps + b) =
+        Math.addExact(buf(2 * reps + b), other(2 * reps + b))
+      b += 1
     }
+    buf(3 * reps) = Math.addExact(buf(3 * reps), other(3 * reps))
     buf
   }
 
   override def eval(buf: Array[Long]): Any =
-    if (buf(2 * reps) == 0L) null
+    if (buf(3 * reps) == 0L) null
     else new GenericArrayData(Array.tabulate[Any](reps) { b =>
-      InternalRow(
-        Decimal(java.math.BigDecimal.valueOf(buf(b), xScale), 38, xScale),
-        buf(reps + b))
+      // two's-complement reconstruction: 16 big-endian bytes hi:lo
+      val bb = ByteBuffer.allocate(16)
+      bb.putLong(buf(b)); bb.putLong(buf(reps + b))
+      val sx = new java.math.BigDecimal(
+        new java.math.BigInteger(bb.array()), xScale)
+      InternalRow(Decimal(sx, 38, xScale), buf(2 * reps + b))
     })
 
   override def serialize(buf: Array[Long]): Array[Byte] = {

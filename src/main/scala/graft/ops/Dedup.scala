@@ -362,6 +362,7 @@ object Dedup {
     // on the (huge) index side.
     val idx = indexPath.fold(built) { p =>
       built.write.mode("overwrite").parquet(p)
+      writeLshParams(built, p, shingleN, k, bands, rows)
       built.sparkSession.read.parquet(p)
     }
     nearDupAgainstIndex(incr, idx, shingleN, k, bands, rows)
@@ -379,6 +380,60 @@ object Dedup {
       bands, rows)
       .select(col("band"), col("bkey"), col("doc_id").as("prior_doc"))
 
+  /** The LSH-parameter sidecar guarding the persistent cross-run index
+    * (r13 advice item 2): (shingleN, k, bands, rows) determine every
+    * band key, so an append or query with different values would
+    * silently produce wrong dup verdicts — incompatible keys never
+    * collide, they just never match. The writer persists
+    * `_graft_lsh_params` next to the parquet files (underscore prefix:
+    * invisible to parquet directory scans, the `_SUCCESS` convention);
+    * appends and path-addressed queries validate against it and FAIL
+    * FAST on mismatch.
+    */
+  private def lshParams(shingleN: Int, k: Int, bands: Int,
+      rows: Int): String =
+    s"shingle_n=$shingleN\nk=$k\nbands=$bands\nrows=$rows\n"
+
+  private def paramsSidecar(df: DataFrame, indexPath: String) = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, "_graft_lsh_params")
+    (p.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def writeLshParams(df: DataFrame, indexPath: String,
+      shingleN: Int, k: Int, bands: Int, rows: Int): Unit = {
+    val (fs, p) = paramsSidecar(df, indexPath)
+    val out = fs.create(p, true)
+    try out.write(lshParams(shingleN, k, bands, rows)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Validate `indexPath`'s sidecar against this call's parameters.
+    * `adopt`: a legacy index without a sidecar gets one stamped with
+    * the caller's values (appends adopt — the parameters are
+    * unverifiable either way, and stamping makes every SUBSEQUENT
+    * mismatch fail fast); read-only queries never write (adopt=false).
+    */
+  private def requireLshParams(df: DataFrame, indexPath: String,
+      shingleN: Int, k: Int, bands: Int, rows: Int,
+      adopt: Boolean): Unit = {
+    val (fs, p) = paramsSidecar(df, indexPath)
+    if (!fs.exists(p)) {
+      if (adopt) writeLshParams(df, indexPath, shingleN, k, bands, rows)
+    } else {
+      val in = fs.open(p)
+      val got = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val want = lshParams(shingleN, k, bands, rows)
+      if (got != want) throw new IllegalArgumentException(
+        s"LSH band index at $indexPath was built with " +
+          s"[${got.trim.replace('\n', ' ')}] but this call passed " +
+          s"[${want.trim.replace('\n', ' ')}]: mixed parameters never " +
+          "collide correctly — rebuild the index or match its parameters")
+    }
+  }
+
   /** APPEND one run's band keys to the persistent cross-run index —
     * the per-run producer half of [[incrementalNearDup]]'s claim:
     * run N appends its batch's (band, bkey, prior_doc) rows to
@@ -389,12 +444,25 @@ object Dedup {
     * when the accumulated index is itself 100 TB-scale. Production
     * layout: write bucketed on (band, bkey) so the increment join
     * needs no exchange on the index side.
+    *
+    * The LSH parameters are persisted in a `_graft_lsh_params` sidecar
+    * on the first (overwrite) run; every append validates against it
+    * and throws on mismatch (r13 advice: mixed parameters would
+    * silently yield wrong verdicts, never an error).
     */
   def appendBandIndex(batch: DataFrame, indexPath: String,
       overwrite: Boolean = false, shingleN: Int = 3, k: Int = 8,
-      bands: Int = 4, rows: Int = 2): Unit =
+      bands: Int = 4, rows: Int = 2): Unit = {
+    if (!overwrite)
+      requireLshParams(batch, indexPath, shingleN, k, bands, rows,
+        adopt = true)
     bandIndexRows(batch, shingleN, k, bands, rows).write
       .mode(if (overwrite) "overwrite" else "append").parquet(indexPath)
+    // after the parquet write: overwrite mode deletes the directory,
+    // sidecar included — re-stamp it
+    if (overwrite)
+      writeLshParams(batch, indexPath, shingleN, k, bands, rows)
+  }
 
   /** The consumer half of the cross-run contract: band the increment
     * and LEFT-join it against a prior-corpus index frame (typically
@@ -413,6 +481,21 @@ object Dedup {
           .as("is_dup"),
         min(col("prior_doc")).as("first_prior_match"),
         countDistinct(col("prior_doc")).as("n_prior_matches"))
+  }
+
+  /** Path-addressed [[nearDupAgainstIndex]]: loads the accumulated
+    * index from `indexPath` AND validates this call's LSH parameters
+    * against the index's `_graft_lsh_params` sidecar first (read-only:
+    * a legacy sidecar-less index is tolerated, never stamped) — the
+    * production entry point for run N+1's increment check.
+    */
+  def nearDupAgainstIndexPath(incr: DataFrame, indexPath: String,
+      shingleN: Int = 3, k: Int = 8, bands: Int = 4, rows: Int = 2)
+      : DataFrame = {
+    requireLshParams(incr, indexPath, shingleN, k, bands, rows,
+      adopt = false)
+    nearDupAgainstIndex(incr,
+      incr.sparkSession.read.parquet(indexPath), shingleN, k, bands, rows)
   }
 
   /** LSH candidate pairs: band the signature (`bands` × `rows` = k), hash

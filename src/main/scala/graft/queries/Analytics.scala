@@ -795,7 +795,6 @@ object Analytics extends QueryModule {
           concat_ws(",", expr(
             "transform(proj, x -> cast(cast(x as decimal(20,6)) as string))"))
             .as("proj"))
-        
     }, Some("""
       WITH el AS (SELECT vec_id, t.i AS i, CAST(t.v AS DOUBLE) AS v
                   FROM (SELECT vec_id, unnest(list_transform(
@@ -847,7 +846,6 @@ object Analytics extends QueryModule {
       graft.ops.Quantize.sq8(t(s, d, "embeddings"))
         .select(col("vec_id"), to_json(col("codes")).as("codes"),
           col("dims"), col("mse"))
-        
     }, Some("""
       WITH el AS (SELECT vec_id, t.d AS dim, CAST(t.v AS DOUBLE) AS v
                   FROM (SELECT vec_id, unnest(list_transform(
@@ -1109,7 +1107,6 @@ object Analytics extends QueryModule {
           expr("max_by(o_orderkey, __ord)").as("priciest_order"),
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"))
-        
     }, Some("""
       SELECT o_orderpriority,
         min_by(o_orderkey, CAST(round(o_totalprice * 100.0) AS BIGINT)
@@ -1255,7 +1252,6 @@ object Analytics extends QueryModule {
             "as decimal(18,9))"), 6).cast("double").as("mean_vz"),
           round(sum(col("y")).cast("double") /
             count(lit(1)).cast("double"), 6).as("conv_rate"))
-        
     }, Some("""
       WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
                    AS mid FROM events),
@@ -1320,7 +1316,6 @@ object Analytics extends QueryModule {
         // Driver-comparable boundary: reasons leave as a JSON string
         // (the a4_collect_sorted convention).
         .select(col("event_id"), to_json(col("dq_reasons")).as("dq_reasons"))
-        
     }, Some("""
       SELECT event_id,
         to_json(list_sort(list_filter([
@@ -1353,7 +1348,6 @@ object Analytics extends QueryModule {
         expr("(s_suppkey * 67 % 35000) / 100.0D - 175.0D").as("lon"))
       graft.ops.Geo.radiusJoin(cust, "c_custkey", supp, "s_suppkey",
           100.0, 2.0)
-        
     }, Some {
       def hav(lat1: String, lon1: String, lat2: String, lon2: String) = {
         val sdlat = s"sin(radians(($lat2) - ($lat1)) / 2.0)"

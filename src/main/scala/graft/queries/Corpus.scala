@@ -68,7 +68,6 @@ object Corpus extends QueryModule {
           col("redirect"),
           coalesce(length(col("content")), lit(-1)).cast("long")
             .as("n_content"))
-        
     }, Some("""
       SELECT * FROM (VALUES
       ('en.wikipedia.org/wiki/Anarchism', '0', CAST(12 AS BIGINT), NULL, CAST(557 AS BIGINT)),
@@ -82,7 +81,6 @@ object Corpus extends QueryModule {
     QueryDef("s3_wiki_documents", (s, d) => {
       Wiki.documents(s, FixtureWiki)
         .select(col("doc_id"), col("text"), to_json(col("links")).as("links"))
-        
     }, Some("""
       SELECT * FROM (VALUES
       ('en.wikipedia.org/wiki/Anarchism', 'Anarchism is a political philosophy that rejects hierarchies. It overlaps with libertarian socialism. ' || chr(10) || '' || chr(10) || 'History' || chr(10) || 'Early forms appear in Taoist texts. Tolstoy & Godwin wrote about peace. See  the archive for the letter A and the formula  aside.' || chr(10) || '' || chr(10) || 'The anarchist black flag.', '[{"target":"en.wikipedia.org/wiki/Anarchism","start":0,"stop":9},{"target":"en.wikipedia.org/wiki/Political_philosophy","start":15,"stop":35},{"target":"en.wikipedia.org/wiki/Hierarchy","start":49,"stop":60},{"target":"en.wikipedia.org/wiki/Libertarian_socialism","start":79,"stop":100},{"target":"en.wikipedia.org/wiki/Taoism","start":134,"stop":140},{"target":"example.org/archive","start":188,"stop":200}]'),
@@ -93,7 +91,6 @@ object Corpus extends QueryModule {
     QueryDef("s4_warc_documents", (s, d) => {
       WarcSource.documents(s, FixtureWarc)
         .select(col("doc_id"), col("text"), to_json(col("links")).as("links"))
-        
     }, Some("""
       SELECT * FROM (VALUES
       ('http://example.org/page1', 'Clusters' || chr(10) || 'Example page about Apache Spark clusters.' || chr(10) || 'It also covers Flink briefly.', '[{"target":"http://example.org/spark","start":28,"stop":40},{"target":"http://example.org/flink","start":66,"stop":71}]'),
@@ -106,7 +103,6 @@ object Corpus extends QueryModule {
         .select(col("target"), col("source"), col("text"),
           col("start").cast("long").as("start"),
           col("stop").cast("long").as("stop"))
-        
     }, Some("""
       SELECT * FROM (VALUES
       ('en.wikipedia.org/wiki/Anarchism', 'en.wikipedia.org/wiki/Anarchism', 'Anarchism is a political philosophy that rejects hierarchies.', CAST(0 AS BIGINT), CAST(9 AS BIGINT)),
@@ -131,7 +127,6 @@ object Corpus extends QueryModule {
             .as("enwiki_title"),
           coalesce(size(map_keys(col("claims"))).cast("long"), lit(0L))
             .as("n_claims"))
-        
     }, Some("""
       SELECT * FROM (VALUES
       ('P144', 'based on', NULL, CAST(0 AS BIGINT)),
@@ -148,7 +143,6 @@ object Corpus extends QueryModule {
     QueryDef("s5_wikidata_relations", (s, d) => {
       Wikidata.relations(s, FixtureWikidata)
         .select(col("eid"), to_json(col("relations")).as("relations"))
-        
     }, Some("""
       SELECT * FROM (VALUES
       ('Douglas Adams', '[{"predicate":"date of birth","value":"+1952-03-11T00:00:00Z"},{"predicate":"instance of","value":"human"},{"predicate":"official website","value":"http://douglasadams.com"}]'),
@@ -159,7 +153,6 @@ object Corpus extends QueryModule {
     // fixture documents.
     QueryDef("m_entity_counts", (s, d) => {
       LinkModels.entityCounts(Wiki.documents(s, FixtureWiki), minCount = 0)
-        
     }, Some("""
       SELECT * FROM (VALUES
       ('en.wikipedia.org/wiki/Anarchism', CAST(3 AS BIGINT)),
@@ -178,7 +171,6 @@ object Corpus extends QueryModule {
     // the same unrolled integer recurrence as g_textrank.
     QueryDef("m_entity_pagerank", (s, d) => {
       graft.ops.Graph.entityRank(Wiki.documents(s, FixtureWiki), 5)
-        
     }, Some(s"""
       WITH $duckFixtureMentions,
       e AS (SELECT source AS src, target AS dst,
@@ -197,7 +189,6 @@ object Corpus extends QueryModule {
       LinkModels.entityNameCounts(Wiki.documents(s, FixtureWiki))
         .select(col("anchor"), to_json(col("counts")).as("counts"),
           col("total"))
-        
     }, Some("""
       SELECT * FROM (VALUES
       ('Anarchism', '[{"target":"en.wikipedia.org/wiki/Anarchism","n":1}]', CAST(1 AS BIGINT)),
@@ -215,7 +206,6 @@ object Corpus extends QueryModule {
     QueryDef("m_name_part_counts", (s, d) => {
       LinkModels.namePartCounts(Wiki.documents(s, FixtureWiki))
         .select(col("term"), to_json(col("counts")).as("counts"))
-        
     }, Some("""
       SELECT * FROM (VALUES
       ('anarchist', '[{"pos":"B","n":1},{"pos":"O","n":2}]'),
@@ -228,7 +218,6 @@ object Corpus extends QueryModule {
     QueryDef("m_entity_inlinks", (s, d) => {
       LinkModels.entityInlinks(Wiki.documents(s, FixtureWiki))
         .select(col("target"), to_json(col("inlinks")).as("inlinks"))
-        
     }, Some("""
       SELECT * FROM (VALUES
       ('en.wikipedia.org/wiki/Anarchism', '["en.wikipedia.org/wiki/Anarchism","en.wikipedia.org/wiki/Political_philosophy"]'),
@@ -243,7 +232,6 @@ object Corpus extends QueryModule {
     QueryDef("m_entity_comentions", (s, d) => {
       LinkModels.entityComentions(Wiki.documents(s, FixtureWiki))
         .select(col("doc_id"), to_json(col("entities")).as("entities"))
-        
     }, Some("""
       SELECT * FROM (VALUES
       ('en.wikipedia.org/wiki/Anarchism', '["en.wikipedia.org/wiki/Anarchism","en.wikipedia.org/wiki/Political_philosophy","en.wikipedia.org/wiki/Hierarchy","en.wikipedia.org/wiki/Libertarian_socialism","en.wikipedia.org/wiki/Taoism","example.org/archive"]'),
@@ -266,7 +254,6 @@ object Corpus extends QueryModule {
         .select(col("target"), col("source"),
           to_json(col("sequence")).as("sequence"),
           col("seq_start"), col("seq_stop"))
-        
     }, Some("""
       SELECT * FROM (VALUES
       ('en.wikipedia.org/wiki/Anarchism', 'en.wikipedia.org/wiki/Anarchism', '[8,26,1,6,5,43,36,23]', CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
@@ -291,7 +278,6 @@ object Corpus extends QueryModule {
       val to = Seq("a" -> "c", "q" -> "r", "y" -> "z")
         .toDF("source", "target")
       graft.ops.Redirects.mapRedirects(from, to)
-        
     }, Some("""
       SELECT * FROM (VALUES
       ('a', 'c'), ('b', 'c'), ('q', 'r'), ('x', 'z'), ('y', 'z')
@@ -308,7 +294,6 @@ object Corpus extends QueryModule {
       graft.ops.Redirects
         .redirectDocuments(Wiki.documents(s, FixtureWiki), extra)
         .select(col("doc_id"), to_json(col("links")).as("links"))
-        
     }, Some("""
       SELECT * FROM (VALUES
       ('en.wikipedia.org/wiki/Anarchism', '[{"target":"en.wikipedia.org/wiki/Anarchism","start":0,"stop":9},{"target":"en.wikipedia.org/wiki/Political_philosophy","start":15,"stop":35},{"target":"en.wikipedia.org/wiki/Hierarchy","start":49,"stop":60},{"target":"en.wikipedia.org/wiki/Libertarian_socialism","start":79,"stop":100},{"target":"en.wikipedia.org/wiki/Taoism_(updated)","start":134,"stop":140},{"target":"example.org/archive","start":188,"stop":200}]'),
@@ -327,7 +312,6 @@ object Corpus extends QueryModule {
       // web-scale default floor of 2 would empty it)
       val idfs = graft.ops.TextModels.termIdfs(docs, minDf = 0)
       graft.ops.TextModels.entityMentionTermFrequency(mentions, idfs)
-        
     }, Some {
       val norm = "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
         "list_transform(es, e2 -> e2.wt * e2.wt)), (a, b) -> a + b))"
@@ -367,7 +351,6 @@ object Corpus extends QueryModule {
       graft.ops.TextModels
         .entityTrainingSentences(mentions, "en.wikipedia.org/wiki/")
         .select(col("target"), to_json(col("sentence")).as("sentence"))
-        
     }, Some(s"""
       WITH $duckFixtureMentions
       SELECT target, to_json($duckSkipgramToks)::VARCHAR AS sentence
@@ -399,7 +382,6 @@ object Corpus extends QueryModule {
         .select(col("word"),
           size(org.apache.spark.ml.functions.vector_to_array(col("vector")))
             .cast("long").as("dim"))
-        
     }, Some(s"""
       WITH $duckFixtureMentions,
       sent AS (SELECT $duckSkipgramToks AS toks FROM mentions
@@ -421,7 +403,6 @@ object Corpus extends QueryModule {
         numPartitions = 8)
       LinkModels.mappedEntityComentions(docs, vocab)
         .select(col("doc_id"), to_json(col("entities")).as("entities"))
-        
     }, Some("""
       SELECT * FROM (VALUES
       ('en.wikipedia.org/wiki/Anarchism', '[0,1,3,4,5]'),

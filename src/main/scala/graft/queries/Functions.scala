@@ -19,7 +19,6 @@ object Functions extends QueryModule {
           col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_returnflag") =!= "A")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-        
     }, Some("""
       SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
       FROM lineitem
@@ -33,7 +32,6 @@ object Functions extends QueryModule {
         .select(explode(
           expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("n"))
-        
     }, Some("""
       SELECT w, COUNT(*) AS n FROM (
         SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
@@ -50,7 +48,6 @@ object Functions extends QueryModule {
         .select(regexp_replace(substring_index(url, "#", 1),
           "^[a-zA-Z][a-zA-Z0-9+.-]*://", "").as("target"))
         .groupBy("target").agg(count(lit(1)).as("n"))
-        
     }, Some("""
       SELECT regexp_replace(
                split_part('https://en.wikipedia.org/wiki/' || p_brand || '#'
@@ -64,7 +61,6 @@ object Functions extends QueryModule {
     QueryDef("p6_substr_span", (s, d) => {
       t(s, d, "documents")
         .select(col("doc_id"), substring(col("text"), 11, 20).as("span"))
-        
     }, Some("""
       SELECT doc_id, substr(text, 11, 20) AS span FROM documents
       ORDER BY doc_id""")),
@@ -87,7 +83,6 @@ object Functions extends QueryModule {
         reverse(col("p_brand")).as("rev"),
         col("p_type").startsWith("PROMO").cast("long").as("is_promo"),
         lpad(col("p_partkey").cast("string"), 8, "0").as("padded"))
-        
     }, Some("""
       SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
         length(p_name) AS len, substr(p_type, 1, 3) AS pre3,
@@ -200,7 +195,6 @@ object Functions extends QueryModule {
         coalesce(nullif(col("c_nationkey") % 5, lit(0)), lit(-1))
           .cast("long").as("nk_mod"),
         (col("c_acctbal") <=> col("c_acctbal")).cast("long").as("selfeq"))
-        
     }, Some("""
       SELECT c_custkey,
         CASE WHEN c_acctbal < 0 THEN 'negative'
@@ -226,7 +220,6 @@ object Functions extends QueryModule {
         array_join(slice(words, 1, 5), " ").as("joined5"),
         to_json(array_sort(array_distinct(words))).as("uniq"),
         to_json(filter(words, w => length(w) > 4)).as("long_words"))
-        
     }, Some("""
       WITH w AS (SELECT doc_id,
                    regexp_extract_all(lower(text), '[a-z0-9]+') AS words
@@ -250,7 +243,6 @@ object Functions extends QueryModule {
       t(s, d, "region").write.mode("overwrite")
         .option("compression", "gzip").json(tmp)
       s.read.schema("r_regionkey INT, r_name STRING").json(tmp)
-        
     }, Some("SELECT r_regionkey, r_name FROM region ORDER BY 1")),
 
     // ---- S7: TSV sink + scan round-trip (sift/format.py:18-39).
@@ -260,7 +252,6 @@ object Functions extends QueryModule {
         .write.mode("overwrite").option("sep", "\t").csv(tmp)
       s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
         .option("sep", "\t").csv(tmp)
-        
     }, Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY 1")),
 
     // ---- S9: ORC sink + scan round-trip — the columnar alternative to
@@ -288,7 +279,6 @@ object Functions extends QueryModule {
         s"event_type predicate must prune partitions; got plan:\n$scan")
       back.groupBy("user_id")
         .agg(count(lit(1)).as("n_clicks"), max(col("ts_us")).as("last_ts"))
-        
     }, Some("""
       SELECT user_id, COUNT(*) AS n_clicks, MAX(epoch_us(ts)) AS last_ts
       FROM events WHERE event_type = 'click'
@@ -315,7 +305,6 @@ object Functions extends QueryModule {
           blen(key), lit("\r\n"), key,
           lit("\r\n$"), blen(value), lit("\r\n"), value,
           lit("\r\n")).as("resp"))
-        
     }, Some("""
       SELECT n_nationkey,
         '*3' || chr(13) || chr(10) || '$3' || chr(13) || chr(10) || 'SET'
@@ -343,7 +332,6 @@ object Functions extends QueryModule {
           blen(key), lit("\r\n"), key,
           lit("\r\n$"), blen(value), lit("\r\n"), value,
           lit("\r\n")).as("resp"))
-        
     }, Some("""
       WITH m AS (SELECT doc_id, encode(text) AS b FROM documents),
       mp AS (SELECT doc_id,

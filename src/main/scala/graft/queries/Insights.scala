@@ -444,7 +444,6 @@ object Insights extends QueryModule {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
             .as("sum_qty"),
           max(col("s_acctbal")).as("acctbal"))
-        
     }, Some("""
       SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -496,7 +495,6 @@ object Insights extends QueryModule {
           concat(col("lang"), lit("|"), col("source")).as("g"),
           col("type_token_ratio").as("score"))
       graft.ops.Preference.dpoPairs(scored, "g", "doc_id", "score")
-        
     }, Some("""
       WITH t AS (SELECT doc_id, lang || '|' || source AS g,
                regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
@@ -599,7 +597,6 @@ object Insights extends QueryModule {
     // per-epoch single-task window).
     QueryDef("o17_epoch_shuffle", (s, d) => {
       graft.ops.Sampling.epochShuffle(t(s, d, "documents"), "doc_id", 2)
-        
     }, Some(s"""
       WITH b AS (SELECT doc_id, epoch FROM documents
                  CROSS JOIN (SELECT unnest(range(0, 2)) AS epoch) e),
@@ -624,7 +621,6 @@ object Insights extends QueryModule {
     QueryDef("o19_source_interleave", (s, d) => {
       graft.ops.Sampling.sourceInterleave(t(s, d, "documents"),
         "doc_id", "source")
-        
     }, Some("""
       WITH q AS (SELECT source,
                CAST(doc_id AS BIGINT) AS id,
@@ -981,7 +977,6 @@ object Insights extends QueryModule {
     // BIGINT and the fixed denominator 21845 means no gap-fill at all.
     QueryDef("e_ewma_forecast", (s, d) => {
       EventAnalytics.ewmaForecast(Tables.events(s, d), "event_type")
-        
     }, Some("""
       WITH e AS (SELECT event_type,
               epoch_us(ts) // 86400000000 AS day FROM events),
@@ -1007,7 +1002,6 @@ object Insights extends QueryModule {
     // recursion the Spark column chain evaluates.
     QueryDef("e_holt_forecast", (s, d) => {
       EventAnalytics.holtForecast(Tables.events(s, d), "event_type")
-        
     }, Some("""
       WITH e AS (SELECT event_type,
               epoch_us(ts) // 86400000000 AS day FROM events),
@@ -2585,7 +2579,6 @@ object Insights extends QueryModule {
         docs.withColumn("difficulty", expr(
           "size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))")),
         "doc_id", "difficulty", buckets = 4)
-        
     }, Some(s"""
       WITH sc AS (SELECT doc_id AS key,
                CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))

@@ -41,7 +41,6 @@ object Relational extends QueryModule {
             (lit(1.0) + col("l_tax")))
             .cast(DecimalType(22, 6))).cast("double").as("sum_charge"),
           count(lit(1)).as("count_order"))
-        
     }, Some("""
       SELECT l_returnflag, l_linestatus,
         CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
@@ -101,7 +100,6 @@ object Relational extends QueryModule {
         .groupBy("n_name")
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast(DecimalType(22, 6))).cast("double").as("revenue"))
-        
     }, Some("""
       SELECT n_name,
         CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
@@ -184,7 +182,6 @@ object Relational extends QueryModule {
         .select(coalesce(col("ck"), col("sk")).as("nationkey"),
           coalesce(col("nc"), lit(0L)).as("n_customers"),
           coalesce(col("ns"), lit(0L)).as("n_suppliers"))
-        
     }, Some("""
       WITH c AS (SELECT c_nationkey ck, COUNT(*) nc FROM customer GROUP BY 1),
            s AS (SELECT s_nationkey sk, COUNT(*) ns FROM supplier GROUP BY 1)
@@ -198,7 +195,6 @@ object Relational extends QueryModule {
         .agg(count(lit(1)).as("n_orders"))
       t(s, d, "region").crossJoin(g)
         .select("r_name", "o_orderstatus", "n_orders")
-        
     }, Some("""
       SELECT r_name, o_orderstatus, n_orders
       FROM region CROSS JOIN
@@ -262,7 +258,6 @@ object Relational extends QueryModule {
           col("b.ts_us") <= col("a.ts_us") + lit(300000000L))
         .groupBy(col("a.user_id").as("user_id"))
         .agg(count(lit(1)).as("pairs"))
-        
     }, Some("""
       SELECT a.user_id AS user_id, COUNT(*) AS pairs
       FROM events a JOIN events b ON a.user_id = b.user_id
@@ -288,7 +283,6 @@ object Relational extends QueryModule {
           "click_id", Seq("click_id"))
         .select(col("event_id"), col("user_id"),
           coalesce(col("click_id"), lit(-1L)).as("click_id"))
-        
     }, Some("""
       WITH u AS (
         SELECT user_id, epoch_us(ts) AS t, 0 AS side, event_id AS tie,
@@ -330,7 +324,6 @@ object Relational extends QueryModule {
         .select("event_id", "user_id", "ts_us")
       graft.ops.AsOf.asofJoin(facts, dim, "user_id", "ts_us", "__tie",
           Seq("version", "profile_value", "valid_from", "valid_to"))
-        
     }, Some("""
       WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
                    value FROM events),
@@ -421,7 +414,6 @@ object Relational extends QueryModule {
       words.join(broadcast(vocab), Seq("w"), "left_outer")
         .select(coalesce(col("rank"), lit(50)).as("rank"))
         .groupBy("rank").agg(count(lit(1)).as("n"))
-        
     }, Some("""
       WITH words AS (
         SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
@@ -440,7 +432,6 @@ object Relational extends QueryModule {
         .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("bal"),
           grouping(col("c_mktsegment")).cast("long").as("g_seg"),
           grouping(col("c_nationkey")).cast("long").as("g_nat"))
-        
     }, Some("""
       SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
         CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE) AS bal,
@@ -456,7 +447,6 @@ object Relational extends QueryModule {
           col("o_orderstatus"), col("o_totalprice"))
         .rollup("oy", "o_orderstatus")
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
-        
     }, Some("""
       SELECT CAST(year(o_orderdate) AS BIGINT) AS oy, o_orderstatus,
         COUNT(*) AS n,
@@ -486,7 +476,6 @@ object Relational extends QueryModule {
         .agg(countDistinct(col("l_partkey")).as("nd_part"),
           countDistinct(col("l_suppkey")).as("nd_supp"),
           count(lit(1)).as("n"))
-        
     }, Some("""
       SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
         COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
@@ -679,7 +668,6 @@ object Relational extends QueryModule {
             "concat(cast(i as string), ':', cast(l_suppkey as string)))" +
             s", $width) + 1 as int))))") >= col("n_exact"))
             .as("overcount_only"))
-        
     }, Some("""
       WITH cells AS (
         SELECT ii.i,
@@ -720,7 +708,6 @@ object Relational extends QueryModule {
                 .cast("double") / count(lit(1)))
             / (count(lit(1)) - lit(1)))
             .cast(DecimalType(30, 2)).cast("string").as("var_price"))
-        
     }, Some("""
       SELECT l_linestatus,
         MIN(l_extendedprice) AS min_price,
@@ -746,7 +733,6 @@ object Relational extends QueryModule {
         .agg(to_json(sort_array(collect_list(
             struct(col("source"), col("count"))))).as("per_source"),
           sum(col("count")).as("total"))
-        
     }, Some("""
       WITH g AS (SELECT lang, source, COUNT(*) AS count FROM documents
                  GROUP BY 1, 2)
@@ -782,7 +768,6 @@ object Relational extends QueryModule {
         to_json(array_sort(array_distinct(
           expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))))
           .as("vocab"))
-        
     }, Some("""
       SELECT doc_id,
         to_json(list_sort(list_distinct(
@@ -810,7 +795,6 @@ object Relational extends QueryModule {
         aggregate(
           transform(split(col("text"), " "), w => length(w).cast("long")),
           lit(0L), (acc, x) => acc + x).as("sum_word_lens"))
-        
     }, Some("""
       SELECT doc_id,
         CAST(list_reduce(
@@ -838,7 +822,6 @@ object Relational extends QueryModule {
           to_json(transform(col("vd"), x =>
             (x / col("n")).cast(DecimalType(10, 6)).cast("string")))
             .as("unit"))
-        
     }, Some("""
       SELECT vec_id,
         to_json(list_transform(
@@ -977,7 +960,6 @@ object Relational extends QueryModule {
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type"), col("event_id"),
           col("ts_us"), round(col("value"), 6).as("value"))
-        
     }, Some("""
       SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
         round(value, 6) AS value
@@ -999,7 +981,6 @@ object Relational extends QueryModule {
         .globalOrdinal(byCount, Seq(desc("cnt"), asc("w")), "rank")
         .filter(col("rank") >= 5 && col("rank") < 30)
         .select("w", "cnt", "rank")
-        
     }, Some("""
       WITH words AS (
         SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
@@ -1028,7 +1009,6 @@ object Relational extends QueryModule {
       graft.ops.Profile.profile(t(s, d, "lineitem"),
           Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
             "l_linestatus"))
-        
     }, Some {
       def one(c: String) =
         s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -1174,7 +1154,6 @@ object Relational extends QueryModule {
         .groupBy("l_linestatus")
         .agg(atQ("0.25", "q25"), atQ("0.50", "q50"),
           atQ("0.75", "q75"), atQ("0.95", "q95"))
-        
     }, Some("""
       WITH r AS (SELECT l_linestatus, l_quantity,
         ROW_NUMBER() OVER (PARTITION BY l_linestatus
@@ -1195,7 +1174,6 @@ object Relational extends QueryModule {
         "l_extendedprice",
         Seq(asc("l_orderkey"), asc("l_linenumber")),
         Seq(0.01, 0.25, 0.5, 0.75, 0.99))
-        
     }, Some("""
       WITH o AS (SELECT l_extendedprice, ROW_NUMBER() OVER
                    (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS r
@@ -1224,7 +1202,6 @@ object Relational extends QueryModule {
           col("l_linenumber").cast("string")),
         Seq(asc("l_orderkey"), asc("l_linenumber")),
         2000, Seq(0.01, 0.25, 0.5, 0.75, 0.99))
-        
     }, Some("""
       WITH samp AS (SELECT l_extendedprice, l_orderkey, l_linenumber,
               CAST(('0x' || substring(md5('squant:' ||
@@ -1271,7 +1248,6 @@ object Relational extends QueryModule {
           size(col("vs")).cast("long").as("n_sample"),
           atQ("0.25", "q25"), atQ("0.50", "q50"),
           atQ("0.75", "q75"), atQ("0.95", "q95"))
-        
     }, Some("""
       WITH hv AS (SELECT l_returnflag,
               CAST(('0x' || substring(md5('gqs:' ||
@@ -1309,7 +1285,6 @@ object Relational extends QueryModule {
         .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1)
           === "0")
         .select("o_orderkey", "o_custkey", "o_orderstatus")
-        
     }, Some("""
       SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
       WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
@@ -1320,7 +1295,6 @@ object Relational extends QueryModule {
     QueryDef("o5_repartition_agg", (s, d) => {
       t(s, d, "lineitem").repartition(8, col("l_suppkey"))
         .groupBy("l_suppkey").agg(count(lit(1)).as("n"))
-        
     }, Some("""
       SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
@@ -1336,7 +1310,6 @@ object Relational extends QueryModule {
     QueryDef("set_intersect", (s, d) => {
       tLight(s, d, "customer").select(col("c_nationkey").as("k"))
         .intersect(tLight(s, d, "supplier").select(col("s_nationkey").as("k")))
-        
     }, Some("""
       SELECT c_nationkey AS k FROM customer
       INTERSECT SELECT s_nationkey FROM supplier ORDER BY k""")),
@@ -1344,7 +1317,6 @@ object Relational extends QueryModule {
     QueryDef("set_except", (s, d) => {
       tLight(s, d, "customer").select(col("c_nationkey").as("k"))
         .except(tLight(s, d, "supplier").select(col("s_nationkey").as("k")))
-        
     }, Some("""
       SELECT c_nationkey AS k FROM customer
       EXCEPT SELECT s_nationkey FROM supplier ORDER BY k""")),
@@ -1381,7 +1353,6 @@ object Relational extends QueryModule {
         // scoped fill: an unscoped na.fill would also rewrite a null
         // grouping key to 0
         .na.fill(0L, Seq("click", "view", "error"))
-        
     }, Some("""
       SELECT user_id,
         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
@@ -1398,7 +1369,6 @@ object Relational extends QueryModule {
         .unpivot(Array(col("p_partkey")),
           Array(col("p_retailprice"), col("p_size")),
           "metric", "value")
-        
     }, Some("""
       SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
       FROM part

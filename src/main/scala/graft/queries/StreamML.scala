@@ -339,7 +339,6 @@ object StreamML extends QueryModule {
         .select(col("word"),
           size(org.apache.spark.ml.functions.vector_to_array(col("vector")))
             .cast("long").as("dim"))
-        
     }, Some("""
       WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
                    AS word
@@ -364,7 +363,6 @@ object StreamML extends QueryModule {
         .fit(corpus)
       graft.ops.TextModels
         .top1Neighbors(model.getVectors, Seq("syn_a", "syn_b"))
-        
     }, Some("""
       SELECT * FROM (VALUES ('syn_a', 'syn_b'), ('syn_b', 'syn_a'))
         AS t(probe, neighbor) ORDER BY probe""")),

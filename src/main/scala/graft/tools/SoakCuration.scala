@@ -366,6 +366,81 @@ object SoakCuration {
         "planted_docs" -> (3 * K).toString,
         "organic_docs" -> nTokenizable.toString,
         "cut_head" -> mh.toString, "cut_middle" -> mm.toString)
+
+      // ---------- t_gopher_rules: rule-boundary plants at scale ----
+      // (VERDICT r13 item 5.) Five PLANTED docs sit exactly ON or one
+      // step OFF the Gopher thresholds, so every per-rule boolean and
+      // the keep conjunction is pinned to the digit while the rule
+      // battery chews `scale` self-unioned organic copies:
+      //  - w50: exactly 50 words (25 'the' + 25 'and') — word-count
+      //    lower bound, mean word length exactly 3.0 (rule-2 lower
+      //    bound) AND exactly 2 distinct required stops (rule-7
+      //    bound): a triple-boundary KEEP
+      //  - w49: the 49-word twin — fails ONLY r_word_count
+      //  - stop1: 25 'the' + 25 'cat' — 1 distinct stop, fails ONLY
+      //    r_stops
+      //  - bul9: 9 of 10 nonblank lines bulleted — bullet_line_frac
+      //    exactly 0.9 (rule-4 bound), KEEP
+      //  - bul10: all 10 bulleted — 1.0, fails ONLY r_bullets
+      val bline = "- that have word word word word"
+      val pline = "that have word word word word"
+      val gPlants = Seq(
+        (9900000000L, (Seq.fill(25)("the") ++ Seq.fill(25)("and"))
+          .mkString(" ")),
+        (9900000001L, (Seq.fill(25)("the") ++ Seq.fill(24)("and"))
+          .mkString(" ")),
+        (9900000002L, (Seq.fill(25)("the") ++ Seq.fill(25)("cat"))
+          .mkString(" ")),
+        (9900000003L, (Seq.fill(9)(bline) :+ pline).mkString("\n")),
+        (9900000004L, Seq.fill(10)(bline).mkString("\n")))
+        .toDF("doc_id", "text")
+      val gCorpus = (0 until scale).map(i => copyIds(docs0, i))
+        .reduce(_ unionByName _).select("doc_id", "text")
+        .unionByName(gPlants)
+      val nGopherIn = nDocs0 * scale + 5
+      val (gRes, sGopher) = timed {
+        val out = graft.ops.TextAnalysis.gopherRules(gCorpus)
+          .localCheckpoint(true)
+        val n = out.count()
+        val planted = out.filter(col("doc_id") >= 9900000000L)
+          .collect().map(r => r.getLong(0) -> r).toMap
+        (n, planted)
+      }
+      assert(gRes._1 == nGopherIn,
+        s"t_gopher rows ${gRes._1} != $nGopherIn (narrow map must " +
+          "conserve docs)")
+      def gCheck(id: Long, nWords: Long, meanLen: Double,
+          bulletFrac: Double, stops: Long, expect: Map[String, Boolean])
+          : Unit = {
+        val r = gRes._2(id)
+        assert(r.getAs[Long]("n_words") == nWords,
+          s"doc $id n_words ${r.getAs[Long]("n_words")} != $nWords")
+        assert(r.getAs[Double]("mean_word_len") == meanLen,
+          s"doc $id mean_word_len ${r.getAs[Double]("mean_word_len")}")
+        assert(r.getAs[Double]("bullet_line_frac") == bulletFrac,
+          s"doc $id bullet_frac ${r.getAs[Double]("bullet_line_frac")}")
+        assert(r.getAs[Long]("n_required_stops") == stops,
+          s"doc $id stops ${r.getAs[Long]("n_required_stops")}")
+        expect.foreach { case (c, v) =>
+          assert(r.getAs[Boolean](c) == v, s"doc $id $c != $v")
+        }
+      }
+      val allPass = Seq("r_word_count", "r_word_len", "r_symbol",
+        "r_bullets", "r_ellipsis", "r_alpha", "r_stops", "keep")
+        .map(_ -> true).toMap
+      gCheck(9900000000L, 50L, 3.0, 0.0, 2L, allPass)
+      gCheck(9900000001L, 49L, 3.0, 0.0, 2L,
+        allPass + ("r_word_count" -> false) + ("keep" -> false))
+      gCheck(9900000002L, 50L, 3.0, 0.0, 1L,
+        allPass + ("r_stops" -> false) + ("keep" -> false))
+      // bul9: 69 words (9 bullets + 60 alpha), 249 non-ws chars ->
+      // mean 249/69 = 3.608696; alpha 60/69 = 0.869565 >= 0.8
+      gCheck(9900000003L, 69L, 3.608696, 0.9, 2L, allPass)
+      gCheck(9900000004L, 70L, 3.571429, 1.0, 2L,
+        allPass + ("r_bullets" -> false) + ("keep" -> false))
+      emit("t_gopher_rules", scale, sGopher,
+        "docs" -> nGopherIn.toString,
+        "planted_boundary_docs" -> "5")
     }
     spark.stop()
     println("""{"soak":"curation","status":"ok"}""")

@@ -147,6 +147,20 @@ class ExternalDecoderSpec extends AnyFunSuite {
     assert(Mp3.frames(hdr(0x00)).isEmpty)        // bitrate idx 0
     assert(Mp3.frames(hdr(0xf0)).isEmpty)        // bitrate idx 15
     assert(Mp3.frames(hdr(0x9c)).isEmpty)        // sr idx 3 (reserved)
+    // overrun resync (r13 advice): a false sync whose declared length
+    // runs past the buffer must not abort the scan — the real frame
+    // after it is still recovered. False header: 320 kbps @ 32000 Hz
+    // claims 1440 bytes; only 20 junk bytes follow, then a real
+    // 417-byte frame the parser must find at offset 24.
+    val falseSync = Array(0xff.toByte, 0xfb.toByte, 0xe8.toByte,
+      0x44.toByte) ++ Array.fill[Byte](20)(0x00) ++ f
+    assert(Mp3.frames(falseSync).map(fr =>
+      (fr.offset, fr.bitrateKbps)) === List((24, 128)))
+    // and a genuinely truncated final frame is still dropped: a full
+    // frame followed by a header + partial 0xAB payload yields only
+    // the full frame (the partial payload contains no valid headers)
+    val truncated = f ++ f.take(100)
+    assert(Mp3.frames(truncated).map(_.offset) === List(0))
   }
 
   test("mp3FrameProbe: parser-recovered columns equal the encoded " +
@@ -169,6 +183,89 @@ class ExternalDecoderSpec extends AnyFunSuite {
       assert(r.getLong(4) === (1 + id % 4) * len, s"bytes doc $id")
       assert(r.getLong(5) === 3L, s"resync doc $id")
       assert(r.getLong(6) === (1 + id % 4) * pad, s"n_padded doc $id")
+    }
+  }
+
+  test("H264.nalUnits: hand-checked Annex-B framing — start codes " +
+    "(3- and 4-byte), header fields, EPB stripping, trailing-zero " +
+    "padding, forbidden-bit units, garbage totality") {
+    import Multimodal.H264
+    // one SPS (ref 3, type 7) behind a 4-byte start code; payload
+    // embeds an escaped start-code alias 00 00 03 01 → RBSP 00 00 01
+    val one = Array[Byte](0, 0, 0, 1, 0x67, 0x11, 0, 0, 3, 1, 0x22)
+    val n1 = H264.nalUnits(one)
+    assert(n1.map(n => (n.offset, n.refIdc, n.unitType, n.forbidden,
+      n.payloadBytes, n.rbspBytes, n.epb)) ===
+      List((1, 3, 7, false, 7, 5, 1)))
+    // two units, 3-byte codes, trailing zeros between them are padding
+    val two = Array[Byte](0, 0, 1, 0x65, 0x33, 0x44, 0, 0) ++
+      Array[Byte](0, 0, 1, 0x41, 0x55)
+    val n2 = H264.nalUnits(two)
+    assert(n2.map(n => (n.unitType, n.refIdc, n.payloadBytes)) ===
+      List((5, 3, 3), (1, 2, 2)))
+    // forbidden bit: unit is marked and its payload is NOT counted
+    val bad = Array[Byte](0, 0, 1, 0x81.toByte, 0x10, 0x20)
+    val nb = H264.nalUnits(bad)
+    assert(nb.head.forbidden && nb.head.rbspBytes === 0 &&
+      nb.head.epb === 0)
+    // garbage before the first start code is skipped; junk never
+    // throws and yields nothing
+    assert(H264.nalUnits(Array[Byte](0x77, 0x12, 0, 0, 1, 0x09, 0x50))
+      .head.offset === 2)
+    assert(H264.nalUnits(Array.emptyByteArray).isEmpty)
+    assert(H264.nalUnits(Array.fill[Byte](64)(0x00)).isEmpty)
+    assert(H264.nalUnits(Array.fill[Byte](64)(0x77)).isEmpty)
+    // a start code at EOF (empty unit) is dropped
+    assert(H264.nalUnits(Array[Byte](0, 0, 1)).isEmpty)
+  }
+
+  test("H264.escapeRbsp inverts through nalUnits' strip for every " +
+    "zero-run shape, incl. 4-zero runs and 00 00 03 content") {
+    import Multimodal.H264
+    val shapes = Seq(
+      Array[Byte](0, 0, 0),          // plain triple
+      Array[Byte](0, 0, 1, 0, 0, 2), // both start-code aliases
+      Array[Byte](0, 0, 3),          // content that aliases the EPB
+      Array[Byte](0, 0, 0, 0, 0),    // long zero run
+      Array[Byte](0, 0),             // trailing double zero
+      Array.tabulate[Byte](50)(j => if (j % 3 == 0) 0 else j.toByte))
+    shapes.foreach { raw =>
+      val esc = H264.escapeRbsp(raw)
+      // escaped payload can never alias a start code
+      assert(!esc.sliding(3).exists(w =>
+        w.length == 3 && w(0) == 0 && w(1) == 0 && (w(2) & 0xff) <= 2))
+      // a raw payload ending in zeros would be trimmed as Annex-B
+      // padding by the stream parser — cap with a stop byte (real
+      // RBSPs end with rbsp_trailing_bits 0x80) before framing
+      val capped = raw :+ 0x80.toByte
+      val stream = Array[Byte](0, 0, 1, 0x67) ++ H264.escapeRbsp(capped)
+      val nal = H264.nalUnits(stream).head
+      assert(nal.rbspBytes === capped.length,
+        s"rbsp len for ${raw.mkString(",")}")
+      assert(nal.epb === H264.escapeRbsp(capped).length - capped.length)
+    }
+  }
+
+  test("h264NalProbe: parser-recovered columns equal the encoded " +
+    "shape across the doc_id parameterization sweep") {
+    val s = spark; import s.implicits._
+    val docs = (0L until 48L).toDF("doc_id") // 6 shape classes × 8
+    val rows = Multimodal.h264NalProbe(docs).collect()
+    assert(rows.length === 48)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val nSlices = 1 + id % 3
+      val idr = id % 2 == 0
+      assert(r.getLong(1) === 4 + nSlices, s"n_nal doc $id")
+      assert(r.getLong(2) === 1L, s"n_forbidden doc $id")
+      assert(r.getLong(3) === (if (idr) nSlices else 0L), s"n_idr $id")
+      assert(r.getLong(4) === (if (idr) 0L else nSlices), s"n_nonidr $id")
+      val rbsp = 38 + id % 8 + 40 * nSlices +
+        (0L until nSlices).map(i => (id + i) % 32).sum
+      assert(r.getLong(5) === rbsp, s"total_rbsp_bytes doc $id")
+      assert(r.getLong(6) === 1 + nSlices, s"n_epb doc $id")
+      assert(r.getLong(7) === 9L, s"first_type doc $id")
+      assert(r.getLong(8) === 3L, s"max_ref_idc doc $id")
     }
   }
 }

@@ -141,6 +141,40 @@ class SparkOpsSpec extends AnyFunSuite {
       uniq.getLong(3) == 0L)
   }
 
+  test("band-index LSH-params sidecar: appends and path-addressed " +
+    "queries with mismatched parameters fail fast; matched ones work; " +
+    "a legacy index is adopted on append") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lsh_params").toString
+    val idxPath = dir + "/idx"
+    Dedup.appendBandIndex(docsDf(2L -> base), idxPath, overwrite = true)
+    // matched append + matched path query: fine
+    Dedup.appendBandIndex(docsDf(4L -> ("other prior corpus text " +
+      "entirely unrelated to anything")), idxPath)
+    val out = Dedup.nearDupAgainstIndexPath(docsDf(1L -> base), idxPath)
+      .collect()
+    assert(out.length == 1 && out.head.getLong(1) == 1L)
+    // mismatched append (different bands) and mismatched query throw
+    val eAppend = intercept[IllegalArgumentException] {
+      Dedup.appendBandIndex(docsDf(6L -> base), idxPath, bands = 8,
+        rows = 1)
+    }
+    assert(eAppend.getMessage.contains("bands=8"))
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupAgainstIndexPath(docsDf(1L -> base), idxPath,
+        shingleN = 5)
+    }
+    // legacy adoption: delete the sidecar; append stamps a fresh one,
+    // after which a mismatched append fails again
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(idxPath, "_graft_lsh_params"))
+    Dedup.appendBandIndex(docsDf(8L -> base), idxPath)
+    intercept[IllegalArgumentException] {
+      Dedup.appendBandIndex(docsDf(10L -> base), idxPath, k = 4)
+    }
+  }
+
   test("jaccardAllPairs agrees with hand-computed Jaccard") {
     // doc1: shingles {a b c, b c d}; doc2: {a b c, b c e}; inter=1 union=3
     val out = Dedup.jaccardAllPairs(docsDf(

@@ -646,6 +646,53 @@ class StatsSpec extends AnyFunSuite {
       ef.head.isNullAt(3))
   }
 
+  test("BootstrapFold 128-bit accumulation: per-cell sums past 2^63 " +
+    "stay exact (vs the r13 addExact throw) incl. through merge and " +
+    "negative values") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    import org.apache.spark.sql.types.Decimal
+    import graft.functions.BootstrapFold
+    val agg = BootstrapFold(
+      BoundReference(0, LongType, nullable = true),
+      BoundReference(1, DecimalType(18, 0), nullable = true),
+      Literal(1))
+    // replay the draw chain to know each seed's Poisson weight at b=0
+    def weight(kseed: Long): Long = {
+      val u = ((kseed % BootstrapFold.P) * 2654435761L % BootstrapFold.P *
+        997919L % BootstrapFold.P) % 1048576L
+      BootstrapFold.Cuts.count(u >= _).toLong
+    }
+    val xu = 999999999999999999L // 10^18 - 1: max precision-18 unscaled
+    def feed(buf: Array[Long], seeds: Range, x: Long): Unit =
+      seeds.foreach { s =>
+        agg.update(buf, InternalRow(s.toLong, Decimal(x)))
+      }
+    // two partial buffers, 40 max-magnitude rows each: expected cell
+    // sum ≈ 40 · 10¹⁸ ≈ 4·10¹⁹ > 2⁶³ ≈ 9.2·10¹⁸ — the old addExact
+    // form throws inside this loop
+    val b1 = agg.createAggregationBuffer()
+    val b2 = agg.createAggregationBuffer()
+    feed(b1, 1 to 40, xu)
+    feed(b2, 41 to 70, xu)
+    feed(b2, 71 to 80, -xu) // sign handling through the carry logic
+    agg.merge(b1, b2)
+    val expW = ((1 to 70).map(s => weight(s)).sum
+      - (71 to 80).map(s => weight(s)).sum)
+    val expSum = java.math.BigInteger.valueOf(xu)
+      .multiply(java.math.BigInteger.valueOf(expW))
+    val cell = agg.eval(b1).asInstanceOf[ArrayData].getStruct(0, 2)
+    assert(cell.getDecimal(0, 38, 0).toJavaBigDecimal
+      .unscaledValue() === expSum)
+    assert(cell.getLong(1) ===
+      (1 to 80).map(s => weight(s)).sum)
+    // sanity: the magnitude really crossed 2^63 (the regression guard
+    // is meaningless if the fixture shrank below the old throw point)
+    assert(expSum.abs.bitLength > 63)
+  }
+
   test("group z-score: per-group standardization, constant group null") {
     val s = spark; import s.implicits._
     val df = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 5.0))

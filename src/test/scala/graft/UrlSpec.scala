@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Url
+
+/** Hand-checked canonicalizations, one per [[graft.ops.Url]] rule,
+  * plus the host-stats aggregate on a fixture with known dup mass.
+  */
+class UrlSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.session
+
+  private def canon(urls: String*): Seq[(String, String)] = {
+    val s = spark; import s.implicits._
+    Url.withCanonical(urls.toDF("url"), "url")
+      .select("canon_url", "host").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+
+  test("each rule, hand-checked") {
+    assert(canon(
+      // case-fold + www + default port + fragment + tracking +
+      // param sort + trailing slash, all at once
+      "HTTP://WWW.EXAMPLE3.COM:80/a/7/?b=2&utm_source=x&a=1#frag",
+      // https default port
+      "https://example0.com:443/a/1",
+      // non-default port KEPT
+      "http://example1.com:8080/a/2?z=9&y=8",
+      // mixed-case host tail + trailing slash on non-root
+      "HTTPS://www.example2.Com/b/3/",
+      // duplicate param keys sort as full strings; fbclid dropped
+      "http://example4.com/b/4?a=1&a=0&fbclid=zz",
+      // bare root path stays '/'; empty path becomes '/'
+      "https://example5.com/",
+      "https://example6.com",
+      // gclid dropped; query left empty -> no '?'
+      "http://example0.com/x?gclid=1") ===
+      Seq(
+        ("http://example3.com/a/7?a=1&b=2", "example3.com"),
+        ("https://example0.com/a/1", "example0.com"),
+        ("http://example1.com:8080/a/2?y=8&z=9", "example1.com"),
+        ("https://example2.com/b/3", "example2.com"),
+        ("http://example4.com/b/4?a=0&a=1", "example4.com"),
+        ("https://example5.com/", "example5.com"),
+        ("https://example6.com/", "example6.com"),
+        ("http://example0.com/x", "example0.com")))
+  }
+
+  test("hostStats: folded dup mass and per-host features") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      // three variants of ONE resource on host a
+      (1L, 10L, "en", "http://a.com/p?x=1&y=2"),
+      (2L, 20L, "en", "HTTP://WWW.A.COM:80/p?y=2&x=1"),
+      (3L, 30L, "de", "http://a.com/p/?utm_source=s&x=1&y=2"),
+      // two distinct resources on host b
+      (4L, 40L, "en", "https://b.com/q"),
+      (5L, 50L, "en", "https://b.com/r"))
+      .toDF("doc_id", "n_chars", "lang", "url")
+    val out = Url.hostStats(Url.withCanonical(df, "url"))
+      .orderBy("host").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a.com", "b.com"))
+    val a = out(0)
+    assert(a.getLong(1) === 3L && a.getLong(2) === 1L &&
+      a.getLong(3) === 2L)
+    assert(a.getDouble(4) === 20.0 && a.getLong(5) === 2L)
+    val b = out(1)
+    assert(b.getLong(1) === 2L && b.getLong(2) === 2L &&
+      b.getLong(3) === 0L && b.getLong(5) === 1L)
+  }
+}
