@@ -692,6 +692,242 @@ object Multimodal {
     }
   }
 
+  /** FLAC FRAME-HEADER PARSER (RFC 9639 §9.1 / the xiph format spec —
+    * public layout; third instance of the framing pattern beside
+    * [[Mp3]] and [[H264]], and the first with a CHECKSUM-gated sync:
+    * FLAC headers carry a CRC-8, so candidate validation is
+    * cryptographic-grade rather than table-plausibility). Recovers
+    * per-frame blocking strategy, block size (including the
+    * end-of-header 8-bit "uncommon" form), sample rate, channel
+    * count, bit depth and the UTF-8-style coded frame/sample number.
+    * Subframe SAMPLE decode (rice/LPC) stays behind
+    * [[ExternalDecoder]], same split as MP3/H.264.
+    *
+    * Header layout used (all RFC 9639): 14-bit sync 0b11111111111110 +
+    * 1 reserved bit + 1 blocking-strategy bit; 4-bit block-size code
+    * (0 reserved; 1 = 192; 2–5 = 576·2ⁿ⁻²; 6 = 8-bit size−1 at header
+    * end; 7 = 16-bit size−1; 8–15 = 256·2ⁿ⁻⁸); 4-bit sample-rate code
+    * (0 = streaminfo, 1–11 = table, 12–14 = end-of-header forms, 15
+    * invalid); 4-bit channel assignment (≤ 10); 3-bit bit-depth code
+    * (3 reserved); 1 reserved bit (0); then the coded number —
+    * UTF-8-style, 1–7 bytes, 36-bit max; then any end-of-header
+    * size/rate bytes; then CRC-8 (poly x⁸+x²+x+1, init 0) over every
+    * header byte before it.
+    */
+  object Flac {
+    /** Sample-rate table for codes 1–11 (code index 0 unused here). */
+    val SampleRates: Array[Int] = Array(0, 88200, 176400, 192000, 8000,
+      16000, 22050, 24000, 32000, 44100, 48000, 96000)
+
+    /** Bit depths by 3-bit code (0 = streaminfo, 3 = reserved). */
+    val BitDepths: Array[Int] = Array(0, 8, 12, -1, 16, 20, 24, 32)
+
+    final case class Frame(offset: Int, blocking: Int, blockSize: Int,
+        sampleRate: Int, channels: Int, bits: Int, number: Long,
+        crcOk: Boolean, headerBytes: Int)
+
+    /** CRC-8, polynomial 0x07, init 0 — the FLAC frame-header CRC. */
+    def crc8(bytes: Array[Byte], from: Int, until: Int): Int = {
+      var crc = 0
+      var i = from
+      while (i < until) {
+        crc ^= (bytes(i) & 0xff)
+        var k = 0
+        while (k < 8) {
+          crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff
+                else (crc << 1) & 0xff
+          k += 1
+        }
+        i += 1
+      }
+      crc
+    }
+
+    /** UTF-8-style coded-number ENCODE (RFC 9639 §9.1.5; 36-bit max,
+      * 1–7 bytes — plain UTF-8 extended by 0xFE for 36 bits).
+      */
+    def encodeNumber(v: Long): Array[Byte] = {
+      require(v >= 0 && v < (1L << 36), s"coded number out of range: $v")
+      val bounds = Seq(7, 11, 16, 21, 26, 31, 36)
+      val nBytes = bounds.indexWhere(b => v < (1L << b)) + 1
+      if (nBytes == 1) Array(v.toByte)
+      else {
+        val lead = (0xff << (8 - nBytes)) & 0xff // 0xC0, 0xE0, … 0xFE
+        val out = new Array[Byte](nBytes)
+        out(0) = (lead | (v >> (6 * (nBytes - 1))).toInt).toByte
+        var i = 1
+        while (i < nBytes) {
+          out(i) = (0x80 |
+            ((v >> (6 * (nBytes - 1 - i))) & 0x3f).toInt).toByte
+          i += 1
+        }
+        out
+      }
+    }
+
+    /** Coded-number DECODE from `bytes` at `at`: (value, byteLen), or
+      * null on malformed coding (bad lead byte / continuation).
+      */
+    private def decodeNumber(bytes: Array[Byte], at: Int): (Long, Int) = {
+      if (at >= bytes.length) return null
+      val b0 = bytes(at) & 0xff
+      if ((b0 & 0x80) == 0) return ((b0.toLong, 1))
+      // count leading ones: 2..7 for multi-byte, else malformed
+      var n = 0
+      while (n < 8 && (b0 & (0x80 >> n)) != 0) n += 1
+      if (n < 2 || n > 7 || at + n > bytes.length) return null
+      var v = (b0 & (0x7f >> n)).toLong
+      var i = 1
+      while (i < n) {
+        val c = bytes(at + i) & 0xff
+        if ((c & 0xc0) != 0x80) return null
+        v = (v << 6) | (c & 0x3f)
+        i += 1
+      }
+      (v, n)
+    }
+
+    /** All FLAC frame-header candidates in stream order: sync-scan →
+      * field validation → coded-number decode → end-of-header sizes →
+      * CRC-8 gate. A candidate whose fields parse but whose CRC
+      * mismatches is emitted with crcOk = false (the corrupt-frame
+      * triage signal) and the scan RESYNCS from the next byte; a
+      * valid frame advances past its header (frame bodies carry no
+      * length — real FLAC seeking scans for the next checksummed
+      * sync exactly like this). Never throws on garbage.
+      */
+    def frames(bytes: Array[Byte]): List[Frame] = {
+      val out = List.newBuilder[Frame]
+      var i = 0
+      while (i + 5 <= bytes.length) {
+        val ok = (bytes(i) & 0xff) == 0xff &&
+          ((bytes(i + 1) & 0xff) & 0xfe) == 0xf8
+        var advanced = false
+        if (ok) {
+          val blocking = bytes(i + 1) & 1
+          val bsCode = (bytes(i + 2) >> 4) & 15
+          val srCode = bytes(i + 2) & 15
+          val chCode = (bytes(i + 3) >> 4) & 15
+          val ssCode = (bytes(i + 3) >> 1) & 7
+          val resv = bytes(i + 3) & 1
+          if (bsCode != 0 && srCode != 15 && chCode <= 10 &&
+              ssCode != 3 && resv == 0) {
+            val dn = decodeNumber(bytes, i + 4)
+            if (dn != null) {
+              var p = i + 4 + dn._2
+              // end-of-header block size / sample rate forms
+              var bs = bsCode match {
+                case 1 => 192
+                case c if c >= 2 && c <= 5 => 576 << (c - 2)
+                case c if c >= 8 => 256 << (c - 8)
+                case _ => -2 // 6/7: read below
+              }
+              var sr = if (srCode <= 11) SampleRates(srCode) else -2
+              var fieldsOk = true
+              if (bsCode == 6) {
+                if (p < bytes.length) { bs = (bytes(p) & 0xff) + 1; p += 1 }
+                else fieldsOk = false
+              } else if (bsCode == 7) {
+                if (p + 1 < bytes.length) {
+                  bs = (((bytes(p) & 0xff) << 8) |
+                    (bytes(p + 1) & 0xff)) + 1
+                  p += 2
+                } else fieldsOk = false
+              }
+              if (srCode == 12) {
+                if (p < bytes.length) { sr = (bytes(p) & 0xff) * 1000; p += 1 }
+                else fieldsOk = false
+              } else if (srCode == 13 || srCode == 14) {
+                if (p + 1 < bytes.length) {
+                  sr = (((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)) *
+                    (if (srCode == 14) 10 else 1)
+                  p += 2
+                } else fieldsOk = false
+              }
+              if (fieldsOk && p < bytes.length) {
+                val crcOk = crc8(bytes, i, p) == (bytes(p) & 0xff)
+                out += Frame(i, blocking, bs, sr, chCode + 1,
+                  BitDepths(ssCode), dn._1, crcOk, p + 1 - i)
+                if (crcOk) { i = p + 1; advanced = true }
+                // CRC fail: resync from i + 1 (a false sync must not
+                // swallow real frames — the Mp3 overrun lesson)
+              }
+            }
+          }
+        }
+        if (!advanced) i += 1
+      }
+      out.result()
+    }
+
+    /** Build one well-formed frame header (+ 0xAB body filler, which
+      * can never false-sync): blocking ∈ {0,1}, bsCode per the spec
+      * table (6 → explicit 8-bit size), srCode 1–11, chCode 0–7,
+      * ssCode ∈ {1,2,4,5,6}, coded `number`. `corruptCrc` flips the
+      * CRC byte — the planted triage fixture.
+      */
+    def build(blocking: Int, bsCode: Int, explicitBs: Int, srCode: Int,
+        chCode: Int, ssCode: Int, number: Long, bodyLen: Int,
+        corruptCrc: Boolean = false): Array[Byte] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      out += 0xff.toByte
+      out += (0xf8 | (blocking & 1)).toByte
+      out += (((bsCode & 15) << 4) | (srCode & 15)).toByte
+      out += (((chCode & 15) << 4) | ((ssCode & 7) << 1)).toByte
+      out ++= encodeNumber(number)
+      if (bsCode == 6) out += ((explicitBs - 1) & 0xff).toByte
+      val crc = crc8(out.toArray, 0, out.length)
+      out += (if (corruptCrc) crc ^ 0x55 else crc).toByte
+      out ++= Array.fill[Byte](bodyLen)(0xab.toByte)
+      out.toArray
+    }
+  }
+
+  /** FLAC framing probe — the `mm_flac_frames` gate body: per doc a
+    * real multi-frame FLAC stream is built from doc_id-derived
+    * parameters (both blocking strategies, common and explicit-8-bit
+    * block sizes, all table sample rates 8–96 kHz, 1–8 channels,
+    * every standard bit depth, multi-byte coded numbers) behind a
+    * torn-sync garbage prefix and ahead of ONE corrupt-CRC header the
+    * parser must reject-and-count; the oracle recomputes every column
+    * arithmetically from doc_id. A hash-match proves sync scanning,
+    * the spec tables, the UTF-8-style number coding AND the CRC-8
+    * gate recover exactly the encoded framing. Record-local typed map
+    * like [[mp3FrameProbe]].
+    */
+  def flacFrameProbe(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val nFrames = (1 + id % 3).toInt
+        val blocking = (id % 2).toInt
+        val bsCode = if (id % 5 == 0) 6 else (2 + id % 4).toInt
+        val explicitBs = (100 + id % 100).toInt
+        val srCode = (4 + id % 8).toInt
+        val chCode = (id % 8).toInt
+        val ssCode = Seq(1, 2, 4, 5, 6)((id % 5).toInt)
+        val base = id % 1000000L
+        val stream = Array[Byte](0xff.toByte, 0x00) ++
+          (0 until nFrames).flatMap(i => Flac.build(blocking, bsCode,
+            explicitBs, srCode, chCode, ssCode, base + i,
+            bodyLen = (20 + id % 10).toInt)) ++
+          Flac.build(blocking, bsCode, explicitBs, srCode, chCode,
+            ssCode, base + nFrames, bodyLen = 0, corruptCrc = true)
+        val fs = Flac.frames(stream)
+        val okF = fs.filter(_.crcOk)
+        if (okF.isEmpty) throw new IllegalStateException(
+          s"flac parser found no valid frames on doc $id")
+        (id, okF.length.toLong, fs.count(!_.crcOk).toLong,
+          okF.head.blocking.toLong, okF.head.blockSize.toLong,
+          okF.head.sampleRate.toLong, okF.head.channels.toLong,
+          okF.head.bits.toLong, okF.head.number, okF.last.number)
+      }
+      .toDF("doc_id", "n_frames", "n_crc_rejects", "blocking_strategy",
+        "block_size", "sample_rate", "n_channels", "bits_per_sample",
+        "first_number", "last_number")
+  }
+
   /** H.264 framing probe — the `mm_h264_nal` gate body (the r13
     * judge's "extend the framing pattern" item): per doc, manufacture
     * a REAL Annex-B access unit whose shape derives from doc_id —

@@ -3373,6 +3373,43 @@ object Pipeline extends QueryModule {
         CAST(3 AS BIGINT) AS max_ref_idc
       FROM p ORDER BY doc_id""")),
 
+    // ---- FLAC framing probe (Multimodal.flacFrameProbe /
+    // Flac.frames): third instance of the framing pattern and the
+    // first with a CHECKSUM-gated sync — FLAC headers carry a CRC-8,
+    // so candidate validation is cryptographic, not table-plausible.
+    // Per doc a real multi-frame stream is built from doc_id-derived
+    // parameters (both blocking strategies, common + explicit-8-bit
+    // block sizes, all table sample rates, 1-8 channels, every
+    // standard bit depth, multi-byte UTF-8-style coded numbers)
+    // behind a torn-sync prefix and ahead of ONE corrupt-CRC header
+    // the parser must reject-and-count; the oracle recomputes every
+    // column arithmetically from doc_id. Rice/LPC sample decode stays
+    // behind ExternalDecoder, like MP3/H.264.
+    QueryDef("mm_flac_frames", (s, d) => {
+      Multimodal.flacFrameProbe(docs(s, d))
+    }, Some("""
+      WITH p AS (SELECT doc_id,
+          CAST(1 + doc_id % 3 AS BIGINT) AS n_frames,
+          CAST(doc_id % 2 AS BIGINT) AS blocking,
+          CAST(CASE WHEN doc_id % 5 = 0 THEN 100 + doc_id % 100
+            ELSE CASE doc_id % 4 WHEN 0 THEN 576 WHEN 1 THEN 1152
+                 WHEN 2 THEN 2304 ELSE 4608 END END AS BIGINT) AS bs,
+          CAST(CASE doc_id % 8 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+            WHEN 2 THEN 22050 WHEN 3 THEN 24000 WHEN 4 THEN 32000
+            WHEN 5 THEN 44100 WHEN 6 THEN 48000 ELSE 96000 END
+            AS BIGINT) AS sr,
+          CAST(1 + doc_id % 8 AS BIGINT) AS ch,
+          CAST(CASE doc_id % 5 WHEN 0 THEN 8 WHEN 1 THEN 12
+            WHEN 2 THEN 16 WHEN 3 THEN 20 ELSE 24 END AS BIGINT)
+            AS bits,
+          CAST(doc_id % 1000000 AS BIGINT) AS fn
+        FROM documents)
+      SELECT doc_id, n_frames, CAST(1 AS BIGINT) AS n_crc_rejects,
+        blocking AS blocking_strategy, bs AS block_size,
+        sr AS sample_rate, ch AS n_channels, bits AS bits_per_sample,
+        fn AS first_number, fn + n_frames - 1 AS last_number
+      FROM p ORDER BY doc_id""")),
+
     // ---- URL canonicalization (ops/Url — r13 judge item 7): per doc
     // a messy URL variant is synthesized from doc_id (uppercase
     // scheme/host, www. prefix, default and non-default ports,

@@ -246,6 +246,84 @@ class ExternalDecoderSpec extends AnyFunSuite {
     }
   }
 
+  test("Flac.crc8 + coded numbers: hand-checked primitives — CRC-8 " +
+    "known vectors, UTF-8-style encode/decode round trip at every " +
+    "byte-length boundary, malformed codings rejected") {
+    import Multimodal.Flac
+    // CRC-8 poly 0x07 known vector: "123456789" -> 0xF4 (the standard
+    // SMBUS/ATM check string for this polynomial)
+    assert(Flac.crc8("123456789".getBytes("US-ASCII"), 0, 9) === 0xf4)
+    assert(Flac.crc8(Array[Byte](0), 0, 1) === 0x00)
+    // round trip at the 1/2/3/4/7-byte boundaries (2^7, 2^11, 2^16,
+    // 2^21, 2^36-1)
+    for (v <- Seq(0L, 127L, 128L, 2047L, 2048L, 65535L, 65536L,
+        999999L, (1L << 21) - 1, (1L << 36) - 1)) {
+      val enc = Flac.encodeNumber(v)
+      // decode through a minimal header is overkill here — build a
+      // full frame and read the number back instead
+      val frame = Flac.build(0, 2, 0, 9, 1, 4, v, bodyLen = 0)
+      val fs = Flac.frames(frame)
+      assert(fs.length === 1 && fs.head.number === v &&
+        fs.head.crcOk, s"coded number $v (${enc.length} bytes)")
+    }
+    intercept[IllegalArgumentException] {
+      Flac.encodeNumber(1L << 36)
+    }
+  }
+
+  test("Flac.frames: framing recovery — tables, explicit block size, " +
+    "CRC gate, torn-sync resync, junk totality") {
+    import Multimodal.Flac
+    // fixed-blocking, bsCode 3 (1152), 44.1 kHz, stereo, 16-bit
+    val f = Flac.build(0, 3, 0, 9, 1, 4, 7L, bodyLen = 12)
+    val one = Flac.frames(f)
+    assert(one.map(fr => (fr.offset, fr.blocking, fr.blockSize,
+      fr.sampleRate, fr.channels, fr.bits, fr.number, fr.crcOk)) ===
+      List((0, 0, 1152, 44100, 2, 16, 7L, true)))
+    // explicit 8-bit block size (code 6): 100 stored as 99
+    assert(Flac.frames(Flac.build(1, 6, 100, 4, 0, 1, 0L, 0))
+      .head.blockSize === 100)
+    // a corrupt CRC is emitted as a reject, not silently dropped,
+    // and real frames after it are still found (resync)
+    val noisy = Flac.build(0, 3, 0, 9, 1, 4, 1L, 0, corruptCrc = true) ++ f
+    val ns = Flac.frames(noisy)
+    assert(ns.count(!_.crcOk) === 1 && ns.count(_.crcOk) === 1)
+    assert(ns.filter(_.crcOk).head.number === 7L)
+    // garbage prefix with a torn sync is skipped; junk never yields
+    val torn = Array[Byte](0xff.toByte, 0x00) ++ f
+    assert(Flac.frames(torn).head.offset === 2)
+    assert(Flac.frames(Array.emptyByteArray).isEmpty)
+    assert(Flac.frames(Array.fill[Byte](64)(0xab.toByte)).isEmpty)
+    // all-0xFF: byte 0 syncs but byte 1 must read 0xF8/0xF9
+    // (14-bit sync + reserved 0), so 0xFF never forms a candidate
+    assert(Flac.frames(Array.fill[Byte](64)(0xff.toByte)).isEmpty)
+  }
+
+  test("flacFrameProbe: parser-recovered columns equal the encoded " +
+    "parameters across the doc_id sweep") {
+    val s = spark; import s.implicits._
+    val docs = (0L until 120L).toDF("doc_id")
+    val rows = Multimodal.flacFrameProbe(docs).collect()
+    assert(rows.length === 120)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === 1 + id % 3, s"n_frames doc $id")
+      assert(r.getLong(2) === 1L, s"n_crc_rejects doc $id")
+      assert(r.getLong(3) === id % 2, s"blocking doc $id")
+      val bs = if (id % 5 == 0) 100 + id % 100
+               else 576L << ((id % 4).toInt)
+      assert(r.getLong(4) === bs, s"block_size doc $id")
+      val sr = Seq(8000L, 16000L, 22050L, 24000L, 32000L, 44100L,
+        48000L, 96000L)((id % 8).toInt)
+      assert(r.getLong(5) === sr, s"sample_rate doc $id")
+      assert(r.getLong(6) === 1 + id % 8, s"n_channels doc $id")
+      assert(r.getLong(7) === Seq(8L, 12L, 16L, 20L, 24L)((id % 5).toInt),
+        s"bits doc $id")
+      assert(r.getLong(8) === id % 1000000L, s"first_number doc $id")
+      assert(r.getLong(9) === id % 1000000L + id % 3, s"last doc $id")
+    }
+  }
+
   test("h264NalProbe: parser-recovered columns equal the encoded " +
     "shape across the doc_id parameterization sweep") {
     val s = spark; import s.implicits._
