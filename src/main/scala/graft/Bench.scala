@@ -199,6 +199,20 @@ object Bench {
       .max(1)
     val budgetSec = sys.env
       .getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2700").toLong.max(60L)
+    // Calibration reference resolved UP FRONT (not at verdict time) so
+    // the retry-on-contended pass below can evaluate the same clauses
+    // the final verdict will: env override → host-local best-ever file
+    // → (absent) skip the absolute-calibration clauses.
+    val calibRefFile = java.nio.file.Paths.get(".bench_calib_ref")
+    val calibRefOpt: Option[Long] =
+      sys.env.get("SPARK_GRAFT_BENCH_CALIB_REF").map(_.toLong)
+        .orElse(
+          try {
+            if (java.nio.file.Files.exists(calibRefFile))
+              Some(java.nio.file.Files.readString(calibRefFile)
+                .trim.toLong)
+            else None
+          } catch { case _: Throwable => None })
     val loadPre = loadavg()
     val calibPre = calibMd5PerSec()
     val suiteT0 = System.nanoTime()
@@ -280,9 +294,40 @@ object Bench {
         if (ts.length < reps && !ts.exists(_ < 0) &&
             elapsedSec + est * 1.5 < budgetSec * 0.95) {
           val t = once(n, SparkEntry.queries(n))
-          ts += t
-          tailReruns += 1
-          tailAdded = true
+          // A FAILED tail re-run is dropped, not appended (r14 advice):
+          // appending -1 here would poison a gate whose main-sweep reps
+          // were all clean — the headroom-spending pass must never
+          // retroactively invalidate a good measurement. (A main-sweep
+          // failure still poisons the gate, by design.)
+          if (t >= 0) { ts += t; tailReruns += 1; tailAdded = true }
+        }
+      }
+    }
+    // RETRY-ON-CONTENDED (r14 judge item 2): if the sweep's own canary
+    // inputs already self-label this capture contended and at least
+    // half the budget remains, spend one extra rep on each
+    // worst-spread gate so its median can shed the burst sample. The
+    // rep_spread_gates residue in the final verdict still counts the
+    // burst samples (the sweep WAS disturbed — the label stays
+    // honest); what the retry buys is per-gate medians measured on
+    // calmer weather, and the cont_retry_reps field documents exactly
+    // how many extra reps that took.
+    var contRetryReps = 0
+    if (elapsedSec < budgetSec / 2) {
+      def spreadNames = gateRuns.toSeq.filter { case (_, ts) =>
+        val ok = ts.filter(_ >= 0).toSeq
+        ok.length >= 2 && ok.min > 0.5 && ok.max / ok.min > 4.0
+      }.map(_._1)
+      val calibNow = calibMd5PerSec()
+      calibMid += calibNow
+      val prov = contentionReasons(loadPre.toDouble,
+        loadavg().toDouble, cpus.toInt, calibPre, calibMid.toSeq,
+        calibNow, calibRefOpt, spreadNames.size, names.length,
+        degradedMain, elapsedSec, budgetSec)
+      if (prov.nonEmpty) spreadNames.foreach { n =>
+        if (elapsedSec < budgetSec * 0.95) {
+          val t = once(n, SparkEntry.queries(n))
+          if (t >= 0) { gateRuns(n) += t; contRetryReps += 1 }
         }
       }
     }
@@ -319,20 +364,8 @@ object Bench {
     //  - projection residue: the deadline projection degraded > 10%
     //    of gates yet the sweep finished inside budget — only a
     //    transient mid-sweep slowdown produces that combination
-    // The calibration reference resolves env override → host-local
-    // best-ever file → (absent) skip the absolute clauses, instead of
-    // hardcoding one machine's rate (r13 advice item 3); the file is
-    // re-stamped with the best rate observed this run.
-    val calibRefFile = java.nio.file.Paths.get(".bench_calib_ref")
-    val calibRefOpt: Option[Long] =
-      sys.env.get("SPARK_GRAFT_BENCH_CALIB_REF").map(_.toLong)
-        .orElse(
-          try {
-            if (java.nio.file.Files.exists(calibRefFile))
-              Some(java.nio.file.Files.readString(calibRefFile)
-                .trim.toLong)
-            else None
-          } catch { case _: Throwable => None })
+    // The calibration reference (resolved up front, before the sweep)
+    // is re-stamped with the best rate observed this run.
     val calibBest = (Seq(calibPre, calibPost) ++ calibMid).max
     try java.nio.file.Files.writeString(calibRefFile,
       math.max(calibBest, calibRefOpt.getOrElse(0L)).toString + "\n")
@@ -368,6 +401,7 @@ object Bench {
         s""","calib_ref":${calibRefOpt.map(_.toString)
           .getOrElse("null")}""" +
         s""","degraded_main":$degradedMain,"tail_reruns":$tailReruns""" +
+        s""","cont_retry_reps":$contRetryReps""" +
         s""","rep_spread_gates":$spreadGates""" +
         s""","contended_capture":$contended""" +
         s""","contention_reasons":[${contReasons

@@ -400,13 +400,42 @@ object Dedup {
       df.sparkSession.sparkContext.hadoopConfiguration), p)
   }
 
+  /** SIBLING of the index directory (so a `mode("overwrite")` parquet
+    * write — which deletes the directory, sidecar included — cannot
+    * touch it): the crash-recovery copy of the parameters, written
+    * BEFORE the overwrite and deleted after the in-directory sidecar
+    * is re-stamped (r14 advice: a crash between the parquet write and
+    * the re-stamp used to leave a sidecar-less index the next append
+    * silently adopted, defeating the fail-fast guard).
+    */
+  private def pendingSidecar(df: DataFrame, indexPath: String) = {
+    val dir = new org.apache.hadoop.fs.Path(indexPath)
+    val p = new org.apache.hadoop.fs.Path(
+      Option(dir.getParent).getOrElse(dir),
+      "." + dir.getName + "._graft_lsh_params.pending")
+    (p.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def writeParamsFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readParamsFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+  }
+
   private def writeLshParams(df: DataFrame, indexPath: String,
       shingleN: Int, k: Int, bands: Int, rows: Int): Unit = {
     val (fs, p) = paramsSidecar(df, indexPath)
-    val out = fs.create(p, true)
-    try out.write(lshParams(shingleN, k, bands, rows)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    writeParamsFile(fs, p, lshParams(shingleN, k, bands, rows))
   }
 
   /** Validate `indexPath`'s sidecar against this call's parameters.
@@ -419,18 +448,36 @@ object Dedup {
       shingleN: Int, k: Int, bands: Int, rows: Int,
       adopt: Boolean): Unit = {
     val (fs, p) = paramsSidecar(df, indexPath)
-    if (!fs.exists(p)) {
-      if (adopt) writeLshParams(df, indexPath, shingleN, k, bands, rows)
-    } else {
-      val in = fs.open(p)
-      val got = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      val want = lshParams(shingleN, k, bands, rows)
-      if (got != want) throw new IllegalArgumentException(
+    val want = lshParams(shingleN, k, bands, rows)
+    def failMismatch(got: String, src: String): Nothing =
+      throw new IllegalArgumentException(
         s"LSH band index at $indexPath was built with " +
-          s"[${got.trim.replace('\n', ' ')}] but this call passed " +
-          s"[${want.trim.replace('\n', ' ')}]: mixed parameters never " +
-          "collide correctly — rebuild the index or match its parameters")
+          s"[${got.trim.replace('\n', ' ')}] ($src) but this call " +
+          s"passed [${want.trim.replace('\n', ' ')}]: mixed parameters " +
+          "never collide correctly — rebuild the index or match its " +
+          "parameters")
+    if (!fs.exists(p)) {
+      // a crash-interrupted overwrite leaves the parameters in the
+      // sibling pending file — recover them instead of adopting
+      val (pfs, pp) = pendingSidecar(df, indexPath)
+      if (pfs.exists(pp)) {
+        val got = readParamsFile(pfs, pp)
+        if (got != want) failMismatch(got, "recovered from pending file")
+        if (adopt) {
+          writeLshParams(df, indexPath, shingleN, k, bands, rows)
+          pfs.delete(pp, false)
+        }
+      } else if (adopt) {
+        // true legacy index: parameters unverifiable — adopt (so every
+        // SUBSEQUENT mismatch fails fast), but never silently
+        System.err.println(s"[graft] WARN: band index at $indexPath " +
+          "has no _graft_lsh_params sidecar; adopting this call's " +
+          s"parameters [${want.trim.replace('\n', ' ')}] unverified")
+        writeLshParams(df, indexPath, shingleN, k, bands, rows)
+      }
+    } else {
+      val got = readParamsFile(fs, p)
+      if (got != want) failMismatch(got, "sidecar")
     }
   }
 
@@ -456,12 +503,21 @@ object Dedup {
     if (!overwrite)
       requireLshParams(batch, indexPath, shingleN, k, bands, rows,
         adopt = true)
+    else {
+      // overwrite deletes the directory (sidecar included) — park the
+      // parameters in the sibling pending file FIRST so a crash
+      // before the re-stamp below is recoverable, not silently
+      // adoptable (r14 advice)
+      val (pfs, pp) = pendingSidecar(batch, indexPath)
+      writeParamsFile(pfs, pp, lshParams(shingleN, k, bands, rows))
+    }
     bandIndexRows(batch, shingleN, k, bands, rows).write
       .mode(if (overwrite) "overwrite" else "append").parquet(indexPath)
-    // after the parquet write: overwrite mode deletes the directory,
-    // sidecar included — re-stamp it
-    if (overwrite)
+    if (overwrite) {
       writeLshParams(batch, indexPath, shingleN, k, bands, rows)
+      val (pfs, pp) = pendingSidecar(batch, indexPath)
+      pfs.delete(pp, false)
+    }
   }
 
   /** The consumer half of the cross-run contract: band the increment

@@ -846,7 +846,11 @@ object Multimodal {
               }
               if (fieldsOk && p < bytes.length) {
                 val crcOk = crc8(bytes, i, p) == (bytes(p) & 0xff)
-                out += Frame(i, blocking, bs, sr, chCode + 1,
+                // chCode 0-7 = (channels-1); 8-10 are the stereo
+                // decorrelation assignments (left/side, right/side,
+                // mid/side — RFC 9639 §9.1.4), all 2-channel streams
+                val nCh = if (chCode <= 7) chCode + 1 else 2
+                out += Frame(i, blocking, bs, sr, nCh,
                   BitDepths(ssCode), dn._1, crcOk, p + 1 - i)
                 if (crcOk) { i = p + 1; advanced = true }
                 // CRC fail: resync from i + 1 (a false sync must not

@@ -112,6 +112,17 @@ object Pq {
     (books, assign(sv, books))
   }
 
+  /** Assign a corpus against ALREADY-TRAINED codebooks (no Lloyd
+    * rounds) — the encode path for an increment joining a persisted
+    * index ([[AnnIndex.appendPqIncrement]]): only the increment is
+    * scanned, the codebooks broadcast.
+    */
+  def assignTo(corpus: DataFrame, books: DataFrame, dims: Int,
+      m: Int): DataFrame = {
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    assign(subvectors(corpus, dims, m), books)
+  }
+
   /** Compressed corpus: (vec_id, codes ARRAY<BIGINT>), codes[s] = cell of
     * subspace s — the only per-vector state ADC search needs.
     */
@@ -165,8 +176,23 @@ object Pq {
     */
   def ivfAdcTopK(queries: DataFrame, books: DataFrame, asg: DataFrame,
       corpusCells: DataFrame, dims: Int, m: Int, nprobe: Int,
-      k: Int): DataFrame = {
-    val cents = Similarity.centroids(corpusCells, "cell")
+      k: Int): DataFrame =
+    ivfAdcTopKLoaded(queries, books, asg,
+      corpusCells.select(col("vec_id"), col("cell")),
+      Similarity.centroids(corpusCells, "cell"), dims, m, nprobe, k)
+
+  /** [[ivfAdcTopK]] against PRECOMPUTED coarse state — the probe
+    * centroids and the (vec_id, cell) assignment as separate frames,
+    * exactly what [[AnnIndex.loadIvfPq]] reloads from parquet (the
+    * in-train path above derives both from the kmeansCells frame; a
+    * persisted index must not re-derive means it already stored).
+    */
+  def ivfAdcTopKLoaded(queries: DataFrame, books: DataFrame,
+      asg: DataFrame, cellAsg: DataFrame, cents: DataFrame, dims: Int,
+      m: Int, nprobe: Int, k: Int): DataFrame = {
+    // the probe's cosineSql needs graft_dot — the in-train path gets
+    // registration from kmeansCells, a reload-only session has not
+    graft.functions.GraftFunctions.registerAll(queries.sparkSession)
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qe"))
     val probeW = Window.partitionBy("query_id")
@@ -178,7 +204,7 @@ object Pq {
       .filter(col("pr") <= nprobe)
       .select("query_id", "cell")
     val cand = probed
-      .join(corpusCells.select(col("vec_id"), col("cell")), Seq("cell"))
+      .join(cellAsg.select(col("vec_id"), col("cell")), Seq("cell"))
       .select("query_id", "vec_id")
     adcTopK(queries, books, asg, dims, m, k, Some(cand))
   }

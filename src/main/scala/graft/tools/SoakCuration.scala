@@ -441,6 +441,100 @@ object SoakCuration {
       emit("t_gopher_rules", scale, sGopher,
         "docs" -> nGopherIn.toString,
         "planted_boundary_docs" -> "5")
+
+      // ---------- sim_pq_append: persisted ANN index + increment ----
+      // (VERDICT r14 item 5 — the d_incremental_neardup economics in
+      // embedding space, soaked.) `scale` identical-embedding copies
+      // of the base vectors train ONE persisted PQ index
+      // (AnnIndex.savePq); an increment carrying one more copy of the
+      // corpus plus ONE PLANTED vector copied VERBATIM from the
+      // smallest base vec_id is appended through the sidecar-validated
+      // appendPqIncrement (encode against the SAVED codebooks, no
+      // retrain); the reloaded index then serves the planted
+      // embedding as a query. Exact observables:
+      //  - codes parquet row count = (scale + 1) · n_base + 1 (append
+      //    holds exactly both batches);
+      //  - the planted vector's reloaded codes EQUAL its source's
+      //    (verbatim copy ⇒ identical subvectors ⇒ identical argmin
+      //    cells — byte-exact quantization);
+      //  - ADC top-k: every one of the scale + 1 identical copies of
+      //    the source reports adist EQUAL to rank 1's adist — the
+      //    per-subspace argmin bound makes that the global minimum,
+      //    so no vector can rank strictly above any copy;
+      //  - fail-fast: an append with foreign (m, k) THROWS.
+      val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val nEmb = embBase.count()
+      def copyVecs(i: Int): DataFrame = embBase
+        .withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+      val annPlantId = 9700000000L
+      val chosenVec = embBase.agg(min(col("vec_id"))).head().getLong(0)
+      val chosenEmb = embBase.filter(col("vec_id") === chosenVec)
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+      val annPath = graft.queries.Scratch.dir("graft_soak_annidx") + "/idx"
+      val dims = 64; val mSub = 4; val kCells = 8; val itersPq = 2
+      val (annRes, sAnn) = timed {
+        val trainCorpus = (0 until scale).map(copyVecs)
+          .reduce(_ unionByName _)
+        val (books, asg) =
+          graft.ops.Pq.train(trainCorpus, dims, mSub, kCells, itersPq)
+        graft.ops.AnnIndex.savePq(books, graft.ops.Pq.encode(asg),
+          annPath, dims, mSub, kCells, itersPq)
+        val incr = copyVecs(scale).unionByName(
+          Seq((annPlantId, chosenEmb)).toDF("vec_id", "embedding"))
+        graft.ops.AnnIndex.appendPqIncrement(incr, annPath,
+          dims, mSub, kCells, itersPq)
+        val (b2, a2) = graft.ops.AnnIndex.loadPq(spark, annPath,
+          dims, mSub, kCells, itersPq)
+        val codesDf = spark.read.parquet(s"$annPath/codes")
+        val nCodes = codesDf.count()
+        val codePair = codesDf
+          .filter(col("vec_id").isin(annPlantId, chosenVec))
+          .collect().map(r => r.getLong(0) ->
+            r.getAs[scala.collection.Seq[Long]]("codes").toList).toMap
+        // other vectors may share the source's exact code word (m·k
+        // gives 4096 combos) and tie at the minimum adist — size k to
+        // hold EVERY tied candidate so the tie-break can never crowd
+        // a copy out of the returned window
+        val nTied = codesDf.filter(col("codes") ===
+          array(codePair(chosenVec).map(lit): _*)).count().toInt
+        val topk = graft.ops.Pq.adcTopK(
+          Seq((annPlantId, chosenEmb)).toDF("vec_id", "embedding"),
+          b2, a2, dims, mSub, nTied + 5).collect()
+          .sortBy(_.getAs[Int]("rank"))
+        (nCodes, codePair, topk)
+      }
+      val (nCodes, codePair, topk) = annRes
+      assert(nCodes == (scale + 1).toLong * nEmb + 1L,
+        s"sim_pq_append codes $nCodes != ${(scale + 1) * nEmb + 1}")
+      assert(codePair(annPlantId) == codePair(chosenVec),
+        s"planted codes ${codePair(annPlantId)} != source " +
+          s"${codePair(chosenVec)} — verbatim copy must quantize " +
+          "identically against the persisted codebooks")
+      val copyIdsExpected = (0 to scale)
+        .map(i => chosenVec + i * 10000000L).toSet
+      val minAdist = topk.head.getAs[Double]("adist")
+      val copyRows = topk.filter(r =>
+        copyIdsExpected(r.getAs[Long]("neighbor_id")))
+      assert(copyRows.length == scale + 1,
+        s"sim_pq_append top-k holds ${copyRows.length} of " +
+          s"${scale + 1} identical copies")
+      copyRows.foreach { r =>
+        assert(r.getAs[Double]("adist") == minAdist,
+          s"copy ${r.getAs[Long]("neighbor_id")} adist " +
+            s"${r.getAs[Double]("adist")} != min $minAdist")
+      }
+      val annThrew =
+        try {
+          graft.ops.AnnIndex.appendPqIncrement(copyVecs(scale + 1),
+            annPath, dims, mSub, kCells + 8, itersPq)
+          false
+        } catch { case _: IllegalArgumentException => true }
+      assert(annThrew, "sim_pq_append: foreign-parameter append must " +
+        "fail fast on the _graft_ann_params sidecar")
+      emit("sim_pq_append", scale, sAnn,
+        "index_vectors" -> nCodes.toString,
+        "copies_at_min_adist" -> copyRows.length.toString)
     }
     spark.stop()
     println("""{"soak":"curation","status":"ok"}""")

@@ -283,6 +283,12 @@ class ExternalDecoderSpec extends AnyFunSuite {
     // explicit 8-bit block size (code 6): 100 stored as 99
     assert(Flac.frames(Flac.build(1, 6, 100, 4, 0, 1, 0L, 0))
       .head.blockSize === 100)
+    // stereo-decorrelation channel assignments (RFC 9639 §9.1.4):
+    // codes 8/9/10 (left/side, right/side, mid/side) are 2-channel
+    // streams, not 9/10/11 channels
+    for (cc <- 8 to 10)
+      assert(Flac.frames(Flac.build(0, 3, 0, 9, cc, 4, 0L, 0))
+        .head.channels === 2, s"chCode $cc")
     // a corrupt CRC is emitted as a reject, not silently dropped,
     // and real frames after it are still found (resync)
     val noisy = Flac.build(0, 3, 0, 9, 1, 4, 1L, 0, corruptCrc = true) ++ f

@@ -53,6 +53,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // per-source count table
     "o19_source_interleave",
     "sim_ivf_topk", "sim_ivf_kmeans_topk", "sim_ivfpq_topk",
+    // sim_ivfpq_persisted: identical probe shape to sim_ivfpq_topk —
+    // the RELOADED ≤ k-row centroid table broadcast against the query
+    // set (the persistence round trip must not change the plan class)
+    "sim_ivfpq_persisted",
     "a_exact_quantiles", "a_sample_quantiles", "agg_cms_counts",
     "t_unigram_nll",
     "m_bigram_pmi", "d_bloom_decontaminate", "o11_sequence_pack",
@@ -339,7 +343,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private val allowSinglePartition = Set(
     "a7_corpus_stats", "m2_term_idfs", "m2_tfidf_vectors",
     "m_entity_mention_tfidf", "m_mention_tfidf_scaled",
-    "sim_ivf_kmeans_topk", "sim_ivfpq_topk", "agg_kmv_distinct",
+    "sim_ivf_kmeans_topk", "sim_ivfpq_topk", "sim_ivfpq_persisted",
+    "agg_kmv_distinct",
     "agg_cms_counts", "agg_hll_distinct", "a_exact_quantiles",
     "a_sample_quantiles", "g_triangles", "t_unigram_nll", "m_bigram_pmi",
     "q_profile_lineitem", "q_profile_sketch", "d_bloom_decontaminate",
