@@ -630,25 +630,33 @@ object Dedup {
     (result, cleanup)
   }
 
-  /** Exact Jaccard for given pairs, via a relational shingle equi-join
-    * (|A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|). `sh` as produced by
-    * [[shingled]].
+  /** Exact Jaccard for given pairs (|A∪B| = |A|+|B|−|A∩B|). `sh` as
+    * produced by [[shingled]].
+    *
+    * r15 optimization (guide §2.3 — shuffle fewer bytes / rows): the
+    * previous form exploded BOTH sides' shingle sets through a
+    * three-way equi-join and a (doc_a, doc_b) groupBy — the pair list
+    * expanded to |pairs| × |shingles/doc| rows before the count. The
+    * shingle sets are per-doc ARRAYS already, so |A∩B| is a ROW-LOCAL
+    * `array_intersect` after two hash joins that attach each side's
+    * array to the (output-bound) pair list: no explode, no count
+    * shuffle. Identical output: [[shingled]] arrays are distinct, so
+    * size(array_intersect) is exactly the old join-count, and pairs
+    * sharing NO shingle drop here exactly as the old inner join
+    * dropped them.
     */
-  def verifyJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-    val inter = pairs
-      .join(ex.as("ea"), col("doc_a") === col("ea.doc_id"))
-      .join(ex.as("eb"), col("doc_b") === col("eb.doc_id") &&
-        col("ea.sh") === col("eb.sh"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+  def verifyJaccard(pairs: DataFrame, sh: DataFrame): DataFrame =
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"),
+        col("shingles").as("__sha")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"),
+        col("shingles").as("__shb")), Seq("doc_b"))
+      .withColumn("__i", size(array_intersect(col("__sha"), col("__shb"))))
+      .filter(col("__i") >= 1)
       .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") /
-          (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
-  }
+        (col("__i").cast("double") /
+          (size(col("__sha")) + size(col("__shb")) - col("__i")))
+          .as("jaccard"))
 
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket
     * join → exact verify at `threshold`. LAZY — the persisted shingle

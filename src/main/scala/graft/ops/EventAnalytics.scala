@@ -547,29 +547,73 @@ object EventAnalytics {
     val gmax = events.agg(max(col("ts_us")).as("gmax"))
     val u = perUser.crossJoin(broadcast(gmax))
       .withColumn("recency_us", col("gmax") - col("last_ts"))
-    val ordered = Rank.globalOrdinal(
-      Rank.globalOrdinal(
-        Rank.globalOrdinal(u,
-          Seq(col("recency_us").desc, col("user_id")), "__ro"),
-        Seq(col("freq"), col("user_id")), "__fo"),
-      Seq(col("mon"), col("user_id")), "__mo")
+    // r15 optimization (guide §2.4 — remove shuffles outright): the
+    // three quintile orderings were three NESTED Rank.globalOrdinal
+    // passes — three range exchanges of the ever-wider user frame,
+    // three exchange-pinning checkpoints, three count/offset passes.
+    // The three orderings are independent, so they fuse into ONE
+    // two-phase ordinal over the union of three NARROW
+    // (metric, value, user_id) projections: one range exchange on
+    // (metric, value, user_id) — metric leads the key, so each
+    // metric's rows form a contiguous globally ordered run — one
+    // per-(metric, partition) count/offset table (the same triangular
+    // join, now keyed by metric too), one checkpoint. Ordinals are
+    // per-metric identical to the nested form (the range boundaries
+    // only move WHERE partitions split, never the total order), so the
+    // NTILE arithmetic and the grid are value-identical. The DESC
+    // recency ordering rides as a negated value; all three metrics
+    // widen losslessly to DECIMAL(38,6) so one column carries them.
+    val mdec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val metrics = u.select(lit("r").as("__m"),
+        (-col("recency_us")).cast(mdec).as("__v"), col("user_id"))
+      .unionByName(u.select(lit("f").as("__m"),
+        col("freq").cast(mdec).as("__v"), col("user_id")))
+      .unionByName(u.select(lit("m").as("__m"),
+        col("mon").cast(mdec).as("__v"), col("user_id")))
+    val par = events.sparkSession.sessionState.conf.numShufflePartitions
+    // exchange-pinning localCheckpoint: same contract as
+    // Rank.globalOrdinal (offsets and ranks must see ONE partitioning)
+    val local = metrics
+      .repartitionByRange(par, col("__m"), col("__v"), col("user_id"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("__pid", "__m")
+          .orderBy(col("__v"), col("user_id"))))
+      .localCheckpoint()
+    val counts = local.groupBy("__m", "__pid")
+      .agg(count(lit(1)).as("__n"))
+    val offsets = counts.as("a")
+      .join(counts.select(col("__m").as("__m2"), col("__pid").as("__p2"),
+        col("__n").as("__n2")).as("b"),
+        col("__m2") === col("__m") && col("__p2") < col("__pid"),
+        "left_outer")
+      .groupBy("__m", "__pid")
+      .agg(coalesce(sum("__n2"), lit(0L)).as("__offset"))
+    val ranked = local.join(broadcast(offsets), Seq("__m", "__pid"))
+      .withColumn("__ord",
+        (col("__offset") + col("__lrank") - 1).cast("long"))
     val n = perUser.agg(count(lit(1)).as("__n"))
     // NTILE(5) arithmetic on the 0-based ordinal (exactly
     // Rank.equiDepthHistogram's assignment): score = bucket + 1
-    def score(ord: String): Column = {
+    val score = {
       val q = "(__n div 5)"
       val r = "(__n % 5)"
-      expr(s"cast(case when $ord < $r * ($q + 1) " +
-        s"then $ord div ($q + 1) " +
-        s"else $r + ($ord - $r * ($q + 1)) div $q end + 1 as int)")
+      expr(s"cast(case when __ord < $r * ($q + 1) " +
+        s"then __ord div ($q + 1) " +
+        s"else $r + (__ord - $r * ($q + 1)) div $q end + 1 as int)")
     }
-    ordered.crossJoin(broadcast(n))
-      .select(col("user_id"), col("mon"),
-        score("__ro").as("r_score"), score("__fo").as("f_score"),
-        score("__mo").as("m_score"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("__score", score)
+      .groupBy("user_id")
+      .agg(
+        max(when(col("__m") === "r", col("__score"))).as("r_score"),
+        max(when(col("__m") === "f", col("__score"))).as("f_score"),
+        max(when(col("__m") === "m", col("__score"))).as("m_score"),
+        max(when(col("__m") === "m", col("__v"))).as("__mon"))
       .groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_users"),
-        round(sum(col("mon")).cast("double"), 4).as("total_monetary"))
+        round(sum(col("__mon")).cast("double"), 4).as("total_monetary"))
       .orderBy("r_score", "f_score", "m_score")
   }
 
@@ -1064,13 +1108,22 @@ object EventAnalytics {
         lit(Unit_).as("p"))
     for (_ <- 1 to iters)
       // p derives from se after round 1 — renamed join keys keep the
-      // self-join unambiguous
-      p = se.join(p.select(col("scenario").as("__ps"),
-          col("node").as("__pn"), col("p")),
+      // self-join unambiguous. r15: p is aggregate-sized
+      // (|scenarios|·|states| rows), so it rides BROADCAST into each
+      // round's join — the checkpointed se side then never re-shuffles
+      // and each iteration costs one broadcast + the groupBy exchange
+      // instead of two sort-merge exchanges (guide §3.1).
+      p = se.join(broadcast(p.select(col("scenario").as("__ps"),
+          col("node").as("__pn"), col("p"))),
           col("scenario") === col("__ps") && col("src") === col("__pn"))
         .select(col("scenario"), col("dst").as("node"),
           expr("(p * w) div ow").as("c"))
         .groupBy("scenario", "node").agg(sum(col("c")).as("p"))
+        // r15: pin each round (lazy — aggregate-sized frame). Without
+        // the cut all 12 rounds fuse into ONE mega-plan (222 Exchange
+        // nodes in plans/r15/e_attribution_markov_before.txt) that AQE
+        // must plan and schedule as a single query.
+        .localCheckpoint(false)
     val convMass = p.filter(col("node") === "__conv__")
       .select(col("scenario"), col("p"))
     val pFull = convMass.filter(col("scenario") === "__full__")

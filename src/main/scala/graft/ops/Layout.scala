@@ -64,7 +64,7 @@ object Layout {
     * `tieCols` complete the total order behind equal z-values.
     */
   def zOrderBuckets(df: DataFrame, a: String, b: String,
-      tieCols: Seq[Column], k: Int, numPartitions: Int = 32): DataFrame = {
+      tieCols: Seq[Column], k: Int, numPartitions: Int = 0): DataFrame = {
     require(k > 0, s"bucket count must be positive, got $k")
     val z = df.withColumn("__z", zValue(col(a), col(b)))
     val ranked = Rank.globalOrdinal(z, col("__z") +: tieCols, "__r",
@@ -105,7 +105,7 @@ object Layout {
     */
   def compactionPlan(files: DataFrame, sizeCol: String,
       orderCols: Seq[Column], keyCol: String, targetSize: Long,
-      numPartitions: Int = 32): DataFrame = {
+      numPartitions: Int = 0): DataFrame = {
     require(targetSize > 0, s"targetSize must be positive, got $targetSize")
     val cum = Rank.globalRunningSum(files, orderCols, sizeCol, "__cum",
       numPartitions)

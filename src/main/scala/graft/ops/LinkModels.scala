@@ -139,7 +139,7 @@ object LinkModels {
     * shuffle-order-dependent.
     */
   def entityVocab(docs: DataFrame, minCount: Long = 0, minRank: Long = 0,
-      maxRank: Long = 10000, numPartitions: Int = 32): DataFrame =
+      maxRank: Long = 10000, numPartitions: Int = 0): DataFrame =
     Rank.globalOrdinal(entityCounts(docs, minCount),
         Seq(desc("count"), asc("target")), "rank", numPartitions)
       .filter(col("rank") >= minRank && col("rank") < maxRank)

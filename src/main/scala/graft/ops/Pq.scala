@@ -62,6 +62,15 @@ object Pq {
 
   /** Nearest codebook cell per (vec_id, sub): squared-L2 argmin, ties to
     * the smaller cell. Codebooks broadcast.
+    *
+    * (r15 note: a min(struct(d2, cell, sv)) hash-aggregate formulation
+    * was tried — it shuffles k× fewer rows — but Min over a struct is
+    * not hash-aggregable in Spark 4: the plan degrades to a
+    * non-codegen SortAggregate and measured SLOWER than this window
+    * (sim_ivfpq_topk 6.1 s → 8.0 s), which Spark 4 executes as a
+    * partial-mode WindowGroupLimit: per-partition top-1 rows drop
+    * BEFORE the exchange, so the shuffle is already ~n·m rows. Kept
+    * the window.)
     */
   private def assign(sv: DataFrame, books: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id", "sub")
@@ -107,8 +116,14 @@ object Pq {
       .select("vec_id", "cell")
     var books = sv.join(seedIds, "vec_id")
       .select(col("sub"), col("cell"), col("sv").as("centroid"))
+    // r15: pin each Lloyd round's m·k-row codebook (lazy
+    // localCheckpoint) — the returned (books, assignment) pair
+    // otherwise inlines the whole training chain TWICE into every
+    // consumer (adcTopK references both), and each round's plan
+    // contains all previous rounds (the kmeansCentroids lesson;
+    // sim_ivfpq_topk's audited plan: 128 Exchanges → ~40).
     for (_ <- 1 to iters)
-      books = means(assign(sv, books))
+      books = means(assign(sv, books)).localCheckpoint(false)
     (books, assign(sv, books))
   }
 
@@ -176,10 +191,16 @@ object Pq {
     */
   def ivfAdcTopK(queries: DataFrame, books: DataFrame, asg: DataFrame,
       corpusCells: DataFrame, dims: Int, m: Int, nprobe: Int,
-      k: Int): DataFrame =
+      k: Int): DataFrame = {
+    // r15: the cell assignment feeds BOTH the candidate equi-join and
+    // the probe-centroid derivation — pin one materialization (lazy:
+    // no job at plan build, the PlanAuditSpec ANN contract) so the
+    // coarse quantizer's assignment window does not execute twice.
+    val cells = corpusCells.localCheckpoint(false)
     ivfAdcTopKLoaded(queries, books, asg,
-      corpusCells.select(col("vec_id"), col("cell")),
-      Similarity.centroids(corpusCells, "cell"), dims, m, nprobe, k)
+      cells.select(col("vec_id"), col("cell")),
+      Similarity.centroids(cells, "cell"), dims, m, nprobe, k)
+  }
 
   /** [[ivfAdcTopK]] against PRECOMPUTED coarse state — the probe
     * centroids and the (vec_id, cell) assignment as separate frames,

@@ -18,12 +18,24 @@ import org.apache.spark.sql.expressions.Window
   */
 object Rank {
 
+  /** Resolve a caller partition count: 0 (the default everywhere) means
+    * the session's `spark.sql.shuffle.partitions` — the same knob every
+    * other exchange in the plan obeys — so the two-phase rank scales
+    * with the deployment instead of pinning a constant chosen for one
+    * machine (r15; guide §2 "make partitioning scale-adaptive"). The
+    * ordinal itself is partitioning-independent (total order), so this
+    * changes no result anywhere.
+    */
+  private[ops] def resolveParts(df: DataFrame, numPartitions: Int): Int =
+    if (numPartitions > 0) numPartitions
+    else df.sparkSession.sessionState.conf.numShufflePartitions
+
   /** 0-based dense global ordinal by `sortCols` as column `out`.
     * `sortCols` must define a TOTAL order (tie-broken) — required for the
     * rank to be deterministic under any partitioning.
     */
   def globalOrdinal(df: DataFrame, sortCols: Seq[Column], out: String,
-      numPartitions: Int = 32): DataFrame = {
+      numPartitions: Int = 0): DataFrame = {
     // localCheckpoint PINS one materialization of the range exchange.
     // Without it, the per-partition count pass and the final rank pass
     // are two executions of the same exchange, and repartitionByRange's
@@ -60,8 +72,8 @@ object Rank {
     * The sim_neardup_pairs Plan-variant pattern.
     */
   def ordinalLocalPlan(df: DataFrame, sortCols: Seq[Column],
-      numPartitions: Int = 32): DataFrame =
-    df.repartitionByRange(numPartitions, sortCols: _*)
+      numPartitions: Int = 0): DataFrame =
+    df.repartitionByRange(resolveParts(df, numPartitions), sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__lrank", row_number().over(
         Window.partitionBy("__pid").orderBy(sortCols: _*)))
@@ -73,7 +85,7 @@ object Rank {
     * operator funnels the data through one task.
     */
   def globalRunningSum(df: DataFrame, sortCols: Seq[Column],
-      valueCol: String, out: String, numPartitions: Int = 32): DataFrame = {
+      valueCol: String, out: String, numPartitions: Int = 0): DataFrame = {
     // same exchange-pinning localCheckpoint as [[globalOrdinal]] — the
     // totals pass and the final join must see ONE partitioning
     val local = runningSumLocalPlan(df, sortCols, valueCol, numPartitions)
@@ -94,8 +106,8 @@ object Rank {
     * audit — see [[ordinalLocalPlan]].
     */
   def runningSumLocalPlan(df: DataFrame, sortCols: Seq[Column],
-      valueCol: String, numPartitions: Int = 32): DataFrame =
-    df.repartitionByRange(numPartitions, sortCols: _*)
+      valueCol: String, numPartitions: Int = 0): DataFrame =
+    df.repartitionByRange(resolveParts(df, numPartitions), sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__lsum", sum(col(valueCol)).over(
         Window.partitionBy("__pid").orderBy(sortCols: _*)
@@ -119,7 +131,7 @@ object Rank {
     * instead of the 7th. Returns (q DOUBLE, value).
     */
   def exactQuantiles(df: DataFrame, valueCol: String, tieCols: Seq[Column],
-      qs: Seq[Double], numPartitions: Int = 32): DataFrame = {
+      qs: Seq[Double], numPartitions: Int = 0): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantiles must lie in (0, 1], got $qs")
     val spark = df.sparkSession
@@ -193,7 +205,7 @@ object Rank {
     * then unreachable, since every rank < r·1 = N).
     */
   def equiDepthHistogram(df: DataFrame, valueCol: String,
-      tieCols: Seq[Column], k: Int, numPartitions: Int = 32): DataFrame = {
+      tieCols: Seq[Column], k: Int, numPartitions: Int = 0): DataFrame = {
     require(k > 0, s"bucket count must be positive, got $k")
     val ranked = globalOrdinal(df, col(valueCol) +: tieCols, "__r",
       numPartitions)

@@ -127,32 +127,47 @@ object Similarity {
   def mmrRerank(cands: DataFrame, m: Int, lamNum: Int = 7,
       lamDen: Int = 3): DataFrame = {
     ensureRegistered(cands)
-    val base = cands
-      .select(col("query_id"), col("cand_id"), col("rel"), col("emb"))
+    // r15 optimization (guide §1.2 step 1 — same incremental form as
+    // [[kCenterCoreset]]): the previous loop recomputed, every round,
+    // each candidate's max cosine against the WHOLE selected set
+    // (base × |sel| join + groupBy per round, O(q·k·m²) cosines
+    // total), then a left_anti + left join + per-query window. Carry
+    // the running max `mx` forward instead and fold in only the
+    // newest selection: greatest(mx, cos(·, newest)) over rounds is
+    // value-identical to max over the selected set (both over the
+    // same independently round(,6)-ed cosines), and the per-query
+    // argmax max(struct(score, −cand_id)) reproduces the
+    // (score desc, cand_id asc) window tie-break exactly.
+    var pool = cands
+      .select(col("query_id"), col("cand_id"), col("rel"), col("emb"),
+        lit(null).cast("double").as("mx"))
       .localCheckpoint() // referenced every round (fan-in hazard)
-    var sel = base.limit(0)
-      .select(col("query_id"), col("cand_id"), col("emb"),
+    var sel = pool.limit(0)
+      .select(col("query_id"), col("cand_id"),
         lit(0).as("rank"), lit(0.0).as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("score"), asc("cand_id"))
     for (r <- 1 to m) {
-      val mx = base
-        .join(sel.select(col("query_id"), col("emb").as("se")),
-          Seq("query_id"))
-        .groupBy("query_id", "cand_id")
-        .agg(max(round(expr(cosineSql("emb", "se")), 6)).as("mx"))
-      val pick = base
-        .join(sel.select("query_id", "cand_id"),
-          Seq("query_id", "cand_id"), "left_anti")
-        .join(mx, Seq("query_id", "cand_id"), "left")
+      val pick = pool
         .withColumn("score", round(expr(
           s"(${lamNum}D * rel - ${lamDen}D * coalesce(mx, 0.0D)) " +
             "/ 10.0D"), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("cand_id"), col("emb"),
-          lit(r).as("rank"), col("score"))
-      sel = sel.unionByName(pick).localCheckpoint()
+        .groupBy("query_id")
+        .agg(max(struct(col("score"), (-col("cand_id")).as("ncid"),
+          col("emb").as("e"))).as("s"))
+        .select(col("query_id"), (-col("s.ncid")).as("cand_id"),
+          col("s.score").as("score"), col("s.e").as("emb"))
+        .localCheckpoint() // ≤q rows; pins the round (fan-in hazard)
+      sel = sel.unionByName(pick
+        .select(col("query_id"), col("cand_id"), lit(r).as("rank"),
+          col("score")))
+      pool = pool
+        .join(broadcast(pick.select(col("query_id"),
+          col("cand_id").as("pcid"), col("emb").as("se"))),
+          Seq("query_id"))
+        .filter(col("cand_id") =!= col("pcid"))
+        .select(col("query_id"), col("cand_id"), col("rel"), col("emb"),
+          greatest(col("mx"), round(expr(cosineSql("emb", "se")), 6))
+            .as("mx"))
+        .localCheckpoint(false)
     }
     sel.select(col("query_id"), col("rank").cast("long").as("rank"),
         col("cand_id"), col("score"))
@@ -185,31 +200,61 @@ object Similarity {
   def kCenterCoreset(corpus: DataFrame, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     ensureRegistered(corpus)
+    // r15 optimization (guide §1.2 step 1 — fix the distributed
+    // algorithm): the previous loop recomputed every candidate's
+    // distance to the WHOLE selected set each round (corpus × |sel|
+    // cross per round — O(n·k²) total pairwise cosines), plus a
+    // global-max fold, an argmax filter pass, and a re-join against
+    // the corpus to fetch the winner's embedding. This is the classic
+    // incremental farthest-point form: carry each candidate's dmin
+    // (min distance to the selected set) forward and fold in ONLY the
+    // newest center per round — O(n·k) total, one narrow map + one
+    // max(struct) fold per round, no recompute joins. Value-identical:
+    // min over a set of independently round(,6)-ed pairwise distances
+    // is order-free, and max(struct(dmin, −vec_id)) reproduces the
+    // (dmin desc, vec_id asc) argmax tie-break exactly.
     val base = corpus.select(col("vec_id"), col("embedding"))
       .localCheckpoint() // referenced every round (fan-in hazard)
     val seed = base.agg(min(col("vec_id")).as("vec_id"))
-    var sel = base.join(broadcast(seed), Seq("vec_id"))
-      .select(col("vec_id"), col("embedding"), lit(1L).as("rank"),
-        lit(null).cast("double").as("dmin"))
+    val seedRow = base.join(broadcast(seed), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"))
       .localCheckpoint()
+    var sel = seedRow
+      .select(col("vec_id"), lit(1L).as("rank"),
+        lit(null).cast("double").as("dmin"))
+    // candidates with their running distance-to-selected minimum
+    var pts = base
+      .join(broadcast(seedRow.select(col("vec_id"))), Seq("vec_id"),
+        "left_anti")
+      .crossJoin(broadcast(seedRow.select(col("embedding").as("se"))))
+      .select(col("vec_id"), col("embedding"),
+        round(expr(s"1.0 - (${cosineSql("embedding", "se")})"), 6)
+          .as("dmin"))
+      .localCheckpoint(false)
     for (r <- 2 to k) {
-      val dmin = base
-        .join(broadcast(sel.select(col("vec_id"))), Seq("vec_id"),
-          "left_anti")
-        .crossJoin(broadcast(sel.select(col("embedding").as("se"))))
-        .groupBy("vec_id")
-        .agg(min(round(expr(s"1.0 - (${cosineSql("embedding", "se")})"),
-          6)).as("dmin"))
-      val mx = dmin.agg(max(col("dmin")).as("mx"))
-      val pick = dmin.crossJoin(broadcast(mx))
-        .filter(col("dmin") === col("mx"))
-        .agg(min(col("vec_id")).as("vec_id"), max(col("mx")).as("dmin"))
-      sel = sel.unionByName(
-        base.join(broadcast(pick.select(col("vec_id"))), Seq("vec_id"))
-          .crossJoin(broadcast(pick.select(col("dmin"))))
-          .select(col("vec_id"), col("embedding"),
-            lit(r.toLong).as("rank"), col("dmin")))
-        .localCheckpoint()
+      // one fold picks the round's center AND carries its embedding
+      // (vec_id is unique, so the comparison never reaches the array)
+      val pick = pts
+        .agg(max(struct(col("dmin"), (-col("vec_id")).as("nid"),
+          col("embedding").as("e"))).as("s"))
+        .select((-col("s.nid")).as("vec_id"), col("s.dmin").as("dmin"),
+          col("s.e").as("embedding"))
+        // empty candidate set (k > n): the old argmax-join emitted no
+        // row — the null-struct fold result must not either
+        .where(col("vec_id").isNotNull)
+        .localCheckpoint() // ≤1 row; pins the round (fan-in hazard)
+      sel = sel.unionByName(pick
+        .select(col("vec_id"), lit(r.toLong).as("rank"), col("dmin")))
+      pts = pts
+        .crossJoin(broadcast(
+          pick.select(col("vec_id").as("pid"),
+            col("embedding").as("se"))))
+        .filter(col("vec_id") =!= col("pid"))
+        .select(col("vec_id"), col("embedding"),
+          least(col("dmin"),
+            round(expr(s"1.0 - (${cosineSql("embedding", "se")})"), 6))
+            .as("dmin"))
+        .localCheckpoint(false)
     }
     sel.select(col("rank"), col("vec_id"), col("dmin")).orderBy("rank")
   }
@@ -243,63 +288,93 @@ object Similarity {
     * norm (the Rayleigh eigenvalue estimate once v is unit).
     */
   def pcaPower(corpus: DataFrame, rounds: Int = 6): DataFrame = {
-    val (_, v, lam) = pcaTopComponent(corpus, rounds)
-    v.crossJoin(broadcast(lam))
+    val (_, vRow, lam) = pcaTopComponent(corpus, rounds)
+    vRow.select(posexplode(col("v")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"), col("v"))
+      .crossJoin(broadcast(lam))
       .select(col("dim"), round(col("v").cast("double"), 6).as("loading"),
         round(col("nrm").cast("double"), 6).as("lambda"))
       .orderBy("dim")
   }
 
-  /** The power-iteration core shared by [[pcaPower]] and
-    * [[pcaDebias]]: returns (centered long frame (vec_id, dim, c),
-    * component frame (dim, v DECIMAL(18,6)), 1-row norm frame (nrm)).
+  /** The power-iteration core shared by [[pcaPower]] and [[pcaDebias]],
+    * in WIDE (one array row per vector) form: returns (centered wide
+    * frame (vec_id, c ARRAY<DECIMAL(18,9)>), 1-row component frame
+    * (v ARRAY<DECIMAL(18,6)>), 1-row norm frame (nrm)).
+    *
+    * r15 optimization (guide §2.3/§2.4 — aggregate before you shuffle /
+    * remove shuffles outright): the previous long (vec_id, dim, c) form
+    * paid, EVERY round, one broadcast join against the d-row component,
+    * one groupBy(vec_id) over rows×dims rows, one full shuffle join of
+    * cx with the per-vector dots, and one groupBy(dim) — two shuffles
+    * of the whole centered corpus per round. In wide form the per-
+    * vector dot d = Σ c·v is a ROW-LOCAL ordered decimal fold (exact,
+    * so regrouping is value-identical to the old per-group decimal
+    * Sum), and only the d-sized recombination w = Σ c·d crosses the
+    * wire (posexplode → partial-aggregated groupBy(dim): the shuffle
+    * carries ≤ dims·partitions rows, not rows×dims). Measured at
+    * sf0.1: sim_pca_debias 10.8 s → see OPTIMIZATION_r15.md; plan
+    * drops from 2 full-data exchanges per round to 0.
     */
   private def pcaTopComponent(corpus: DataFrame, rounds: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     require(rounds > 0 && rounds <= 20, "rounds in 1..20")
-    val xs = corpus
+    // null embeddings drop exactly as the long form's posexplode
+    // dropped them (no rows → no vec_id in cx)
+    val xw = corpus.filter(col("embedding").isNotNull)
       .select(col("vec_id"),
-        posexplode(expr("cast(embedding as array<double>)")))
-      .toDF("vec_id", "dim", "xr")
-      .select(col("vec_id"), col("dim").cast("long").as("dim"),
-        expr("cast(round(xr, 6) as decimal(18,6))").as("x"))
-    val mu = xs.groupBy("dim")
-      .agg(expr("cast(round(cast(sum(x) as double) / " +
+        expr("transform(cast(embedding as array<double>), " +
+          "xr -> cast(round(xr, 6) as decimal(18,6)))").as("x"))
+    // per-dim means as ONE array row (dim-sorted), exactly the old
+    // per-dim decimal aggregate
+    val muRow = xw
+      .select(posexplode(col("x")).as(Seq("dim", "xv")))
+      .groupBy("dim")
+      .agg(expr("cast(round(cast(sum(xv) as double) / " +
         "cast(count(1) as double), 9) as decimal(18,9))").as("mu"))
-    val cx = xs.join(broadcast(mu), Seq("dim"))
-      .select(col("vec_id"), col("dim"),
-        expr("cast(x - mu as decimal(18,9))").as("c"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, mu))), " +
+        "s -> s.mu)").as("mu"))
+    val cx = xw.crossJoin(broadcast(muRow))
+      .select(col("vec_id"),
+        expr("zip_with(x, mu, (xv, m) -> cast(xv - m as decimal(18,9)))")
+          .as("c"))
       .localCheckpoint(false) // one materialization feeds every round
-    var v = mu.select(col("dim"),
-      expr("cast(1 as decimal(18,6))").as("v"))
+    var v = muRow
+      .select(expr("transform(mu, m -> cast(1 as decimal(18,6)))").as("v"))
     var lam: DataFrame = null
     for (_ <- 1 to rounds) {
-      val dots = cx.join(broadcast(v), Seq("dim"))
-        .groupBy("vec_id")
-        .agg(expr("cast(round(cast(sum(cast(c * v as decimal(38,15))) " +
-          "as double), 9) as decimal(18,9))").as("d"))
-      val w = cx.join(dots, Seq("vec_id"))
+      // ONE pass over cx per round: d is row-local; the explode feeds a
+      // map-side-combined groupBy(dim) (dims keys); the final
+      // collect_list/fold run on dims rows. Pin the 1-row result (lazy
+      // localCheckpoint, the cx discipline): without the cut, round r's
+      // broadcast(v) carries the full unmaterialized lineage of rounds
+      // 1..r−1 and the loop re-executes O(rounds²) passes over cx —
+      // the r10 driver capture's 16–24 s PCA gates were exactly this.
+      val wRow = cx.crossJoin(broadcast(v))
+        .select(expr("cast(round(cast(aggregate(zip_with(c, v, " +
+          "(ci, vi) -> cast(ci * vi as decimal(28,15))), " +
+          "cast(0 as decimal(28,15)), " +
+          "(a, s) -> cast(a + s as decimal(28,15))) as double), 9) " +
+          "as decimal(18,9))").as("d"), col("c"))
+        .select(posexplode(
+          expr("transform(c, ci -> cast(ci * d as decimal(38,18)))"))
+          .as(Seq("dim", "cd")))
         .groupBy("dim")
-        .agg(expr("cast(round(cast(sum(cast(c * d as decimal(38,18))) " +
-          "as double), 9) as decimal(18,9))").as("w"))
-      val nrm = w.agg(expr("cast(round(sqrt(cast(sum(cast(w * w as " +
-        "decimal(38,18))) as double)), 9) as decimal(18,9))").as("nrm"))
-      // Pin EACH round's d-row result (lazy localCheckpoint, the cx
-      // discipline): without the cut, round r's broadcast(v) carries
-      // the full unmaterialized lineage of rounds 1..r−1 and the loop
-      // re-executes rounds(rounds+1)/2 ≈ 21 aggregate passes over cx
-      // instead of 6 — the r10 driver capture's 16–24 s PCA gates were
-      // exactly this. nrm rides in the same tiny frame so the final
-      // λ readout doesn't replay the last round's chain either.
-      val vn = w.crossJoin(broadcast(nrm))
-        .select(col("dim"),
-          expr("case when nrm > 0 then cast(round(cast(w as double) / " +
-            "cast(nrm as double), 6) as decimal(18,6)) " +
-            "else cast(1 as decimal(18,6)) end").as("v"),
-          col("nrm"))
+        .agg(expr("cast(round(cast(sum(cd) as double), 9) " +
+          "as decimal(18,9))").as("w"))
+        .agg(expr("transform(sort_array(collect_list(struct(dim, w))), " +
+          "s -> s.w)").as("w"))
+        .select(col("w"),
+          expr("cast(round(sqrt(cast(aggregate(transform(w, " +
+            "wi -> cast(wi * wi as decimal(30,18))), " +
+            "cast(0 as decimal(30,18)), " +
+            "(a, s) -> cast(a + s as decimal(30,18))) as double)), 9) " +
+            "as decimal(18,9))").as("nrm"))
         .localCheckpoint(false)
-      v = vn.select(col("dim"), col("v"))
-      lam = vn.agg(min(col("nrm")).as("nrm")) // constant across dims
+      v = wRow.select(expr("transform(w, wi -> case when nrm > 0 then " +
+        "cast(round(cast(wi as double) / cast(nrm as double), 6) " +
+        "as decimal(18,6)) else cast(1 as decimal(18,6)) end)").as("v"))
+      lam = wRow.select(col("nrm"))
     }
     (cx, v, lam)
   }
@@ -322,22 +397,33 @@ object Similarity {
     * removed_frac) ordered by vec_id.
     */
   def pcaDebias(corpus: DataFrame, rounds: Int = 6): DataFrame = {
-    val (cx, v, _) = pcaTopComponent(corpus, rounds)
+    val (cx, vRow, _) = pcaTopComponent(corpus, rounds)
     // p rounds(,6) so p·v has exactly 12 decimals and c − p·v is an
     // EXACT decimal with no mid-cast rounding anywhere (a round-9 p
     // would force a 15-decimal product through a rounding cast — an
-    // engine-divergence hazard on cast-rounding ties)
-    val p = cx.join(broadcast(v), Seq("dim"))
-      .groupBy("vec_id")
-      .agg(expr("cast(round(cast(sum(cast(c * v as decimal(38,15))) " +
-        "as double), 6) as decimal(18,6))").as("p"))
-    cx.join(p, Seq("vec_id")).join(broadcast(v), Seq("dim"))
-      .groupBy("vec_id")
-      .agg(
-        expr("sum(cast(c * c as decimal(38,18)))").as("ss"),
-        expr("sum(cast(cast(c - p * v as decimal(18,12)) * " +
-          "cast(c - p * v as decimal(18,12)) as decimal(38,24)))")
-          .as("rr"))
+    // engine-divergence hazard on cast-rounding ties).
+    // r15: in wide form p, ss and rr are ALL row-local decimal folds —
+    // the old form's groupBy(vec_id) + full shuffle join of cx with
+    // the per-vector p table (two more whole-corpus exchanges) are
+    // gone; the only remaining exchange is the output ORDER BY. The
+    // folds are exact decimal sums, so the regrouping is value-
+    // identical to the old per-group decimal Sum.
+    cx.crossJoin(broadcast(vRow))
+      .select(col("vec_id"), col("c"), col("v"),
+        expr("cast(round(cast(aggregate(zip_with(c, v, " +
+          "(ci, vi) -> cast(ci * vi as decimal(28,15))), " +
+          "cast(0 as decimal(28,15)), " +
+          "(a, s) -> cast(a + s as decimal(28,15))) as double), 6) " +
+          "as decimal(18,6))").as("p"))
+      .select(col("vec_id"),
+        expr("aggregate(transform(c, ci -> " +
+          "cast(ci * ci as decimal(30,18))), cast(0 as decimal(30,18)), " +
+          "(a, s) -> cast(a + s as decimal(30,18)))").as("ss"),
+        expr("aggregate(zip_with(c, v, (ci, vi) -> " +
+          "cast(cast(ci - p * vi as decimal(18,12)) * " +
+          "cast(ci - p * vi as decimal(18,12)) as decimal(34,24))), " +
+          "cast(0 as decimal(34,24)), " +
+          "(a, s) -> cast(a + s as decimal(34,24)))").as("rr"))
       .select(col("vec_id"),
         round(expr("sqrt(cast(ss as double))"), 6).as("norm"),
         round(expr("sqrt(cast(rr as double))"), 6).as("resid_norm"),
@@ -437,6 +523,11 @@ object Similarity {
     * the corpus is touched once per call.
     */
   private def assignByCosine(corpus: DataFrame, cent: DataFrame): DataFrame = {
+    // (r15 note: a max(struct(ccos, −cell)) hash-aggregate argmax was
+    // tried; Min/Max over a struct is not hash-aggregable in Spark 4 —
+    // the plan degrades to a non-codegen SortAggregate and measured
+    // slower than this window, which executes as a partial-mode
+    // WindowGroupLimit: top-1 rows drop before the exchange. Kept.)
     val w = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cell"))
     corpus.select(col("vec_id"), col("embedding"))
       .join(broadcast(cent))
@@ -480,8 +571,17 @@ object Similarity {
           .cast("long"))
       .select(col("cell"),
         expr("transform(embedding, x -> cast(x as double))").as("centroid"))
+    // r15: pin each Lloyd round's k-row centroid frame (lazy
+    // localCheckpoint — no job at plan build, the PlanAuditSpec
+    // contract). Without the cut the training chain INLINES into every
+    // downstream reference — sim_davies_bouldin's audited plan carried
+    // 322 Exchange nodes because cent appears in the scatter join, the
+    // k×k pair grid AND the assignment, each replaying the full
+    // retrain; with per-round cuts the consumers all read one k-row
+    // RDD leaf (plan: 322 → ~30 Exchanges, see plans/r15).
     for (_ <- 1 to iters)
       cent = centroids(assignByCosine(corpus, cent), "cell")
+        .localCheckpoint(false)
     cent
   }
 

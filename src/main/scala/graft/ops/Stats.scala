@@ -2512,7 +2512,9 @@ object Stats {
     val grid = fold
       .select(col("*"),
         explode(expr(s"sequence(lo, hi, ${chunk}L)")).as("c0"))
-      .repartition(32)
+      // spread the 1-row-derived chunk spine across the session's
+      // cores, not a hardcoded 32 (r15 scale-adaptive sweep)
+      .repartition(fold.sparkSession.sparkContext.defaultParallelism)
       .select(col("*"), explode(expr(
         s"sequence(c0, least(c0 + ${chunk - 1}L, hi))")).as("kc"))
       .withColumn("bb", expr("r1 - kc"))
@@ -2689,6 +2691,10 @@ object Stats {
       .select(when(yCol, 1.0).otherwise(0.0).as("y"),
         col(x1Col).cast("double").as("x1"),
         col(x2Col).cast("double").as("x2"))
+      // r15: one materialization feeds all 6 IRLS rounds + the final
+      // readout pass (the logisticNewton `data` discipline) — without
+      // the pin each round re-runs the scan + filter + projection
+      .localCheckpoint(false)
     var beta = spark.range(1).select(lit(0.0).as("b0"),
       lit(0.0).as("b1"), lit(0.0).as("b2"))
     // σ(η) is projected ONCE per row as `pp` and the moment terms read

@@ -459,8 +459,13 @@ object TextModels {
       mTerms: Int = 5, k: Int = 10): DataFrame = {
     val seeds = seedTerms.distinct.sorted
     val feedback = bm25TopK(docs, seeds, nDocs).select("doc_id")
+    // r15: the exploded token table feeds THREE consumers (nd, dfAll,
+    // fbTf) — pin one materialization (lazy) so the tokenize+explode
+    // subtree runs once, not three times (the jaccard shingle-table
+    // discipline)
     val allTk = docs.select(col("doc_id"),
       explode(expr(Hashing.tokensSql)).as("tok"))
+      .localCheckpoint(false)
     val nd = allTk.select("doc_id").distinct()
       .agg(count(lit(1)).as("nd"))
     val dfAll = allTk.select("doc_id", "tok").distinct()
@@ -722,11 +727,16 @@ object TextModels {
     */
   def naiveBayes(docs: DataFrame, labelCol: String): DataFrame = {
     Hashing.ensureRegistered(docs)
+    // r15: the tokenized+hashed frame feeds SIX plan paths (train's
+    // count table, label totals, priors, V/N scalars, test tokens,
+    // test spine) — pin one materialization (lazy) so the
+    // tokenize+md5 subtree runs once, not six times
     val labeled = docs.filter(col(labelCol).isNotNull)
       .select(col("doc_id"), col(labelCol).as("lbl"),
         expr(Hashing.tokensSql).as("tk"))
       .withColumn("par",
         pmod(Hashing.md5Long(col("doc_id").cast("string")), lit(2L)))
+      .localCheckpoint(false)
     val train = labeled.filter(col("par") === 0)
     val test = labeled.filter(col("par") === 1)
 
