@@ -95,7 +95,12 @@ object AnnIndex {
       dims: Int, m: Int, k: Int, iters: Int): Unit = {
     val spark = books.sparkSession
     deleteSidecar(spark, indexPath)
-    books.write.mode("overwrite").parquet(s"$indexPath/codebooks")
+    // codebooks are m·k rows by construction (the broadcast side) —
+    // one file, not one near-empty file per shuffle partition (r15;
+    // guide §6 output sizing). codes are the O(corpus) artifact and
+    // keep their partitioning.
+    books.coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexPath/codebooks")
     codes.write.mode("overwrite").parquet(s"$indexPath/codes")
     writeSidecar(spark, indexPath, annParams(dims, m, k, iters, None))
   }
@@ -129,11 +134,20 @@ object AnnIndex {
       ivfCells: Int, ivfIters: Int): Unit = {
     val spark = books.sparkSession
     deleteSidecar(spark, indexPath)
-    books.write.mode("overwrite").parquet(s"$indexPath/codebooks")
+    // r15: the cell assignment feeds BOTH the centroid derivation and
+    // the assignment write — pin one materialization so the coarse
+    // quantizer's assignment pass does not execute twice (the
+    // ivfAdcTopK discipline)
+    val pinned = cells.localCheckpoint(false)
+    // bounded frames (m·k codebooks, `cells` centroids) write as one
+    // file each; codes/ivf_cells are the O(corpus) artifacts and keep
+    // their partitioning (guide §6 output sizing)
+    books.coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexPath/codebooks")
     codes.write.mode("overwrite").parquet(s"$indexPath/codes")
-    Similarity.centroids(cells, "cell").write.mode("overwrite")
-      .parquet(s"$indexPath/ivf_centroids")
-    cells.select("vec_id", "cell").write.mode("overwrite")
+    Similarity.centroids(pinned, "cell").coalesce(1).write
+      .mode("overwrite").parquet(s"$indexPath/ivf_centroids")
+    pinned.select("vec_id", "cell").write.mode("overwrite")
       .parquet(s"$indexPath/ivf_cells")
     writeSidecar(spark, indexPath,
       annParams(dims, m, k, iters, Some((ivfCells, ivfIters))))
