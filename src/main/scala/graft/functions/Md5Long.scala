@@ -63,6 +63,7 @@ object Md5Long {
 object GraftFunctions {
   def registerAll(s: SparkSession): Unit = {
     DotProduct.register(s)
+    L2Distance.register(s)
     Md5Long.register(s)
     KmvSketch.register(s)
     CmsSketch.register(s)

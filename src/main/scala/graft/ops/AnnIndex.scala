@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Pins.PinSyntax
 
 /** PERSISTENT ANN INDEX — the `_graft_lsh_params` sidecar pattern
   * ([[Dedup.appendBandIndex]]) applied to the IVF/PQ family (r14
@@ -106,22 +107,19 @@ object AnnIndex {
   }
 
   /** Reload a PQ index saved by [[savePq]], validating the sidecar.
-    * Returns (codebooks, assignment): the assignment is the codes
-    * frame decoded back to (vec_id, sub, cell) — exactly what
-    * [[Pq.adcTopK]] consumes, so reload→query and train→query are
-    * plan-for-plan interchangeable (the `sim_pq_persisted` gate
-    * hash-proves the results equal).
+    * Returns (codebooks, codes): the stored WIDE codes frame (vec_id,
+    * codes ARRAY<BIGINT>) exactly as [[Pq.adcTopKCodes]] consumes it
+    * (r16: the old decode-to-long posexplode + the ADC-side re-group
+    * cancelled each other — the stored layout IS the query layout), so
+    * reload→query and train→query stay value-identical (the
+    * `sim_pq_persisted` gate hash-proves it).
     */
   def loadPq(spark: SparkSession, indexPath: String, dims: Int,
       m: Int, k: Int, iters: Int): (DataFrame, DataFrame) = {
     requireSidecar(spark, indexPath, annParams(dims, m, k, iters, None))
     val books = spark.read.parquet(s"$indexPath/codebooks")
-    val asg = spark.read.parquet(s"$indexPath/codes")
-      .select(col("vec_id"),
-        posexplode(col("codes")).as(Seq("sub", "cell")))
-      .select(col("vec_id"), col("sub").cast("int").as("sub"),
-        col("cell"))
-    (books, asg)
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    (books, codes)
   }
 
   /** Persist the full IVFADC layout: the PQ halves plus the coarse
@@ -138,7 +136,7 @@ object AnnIndex {
     // the assignment write — pin one materialization so the coarse
     // quantizer's assignment pass does not execute twice (the
     // ivfAdcTopK discipline)
-    val pinned = cells.localCheckpoint(false)
+    val pinned = cells.pin(false)
     // bounded frames (m·k codebooks, `cells` centroids) write as one
     // file each; codes/ivf_cells are the O(corpus) artifacts and keep
     // their partitioning (guide §6 output sizing)
@@ -154,7 +152,8 @@ object AnnIndex {
   }
 
   /** Reload an IVFADC index saved by [[saveIvfPq]]. Returns (books,
-    * asg, cellAsg, centroids) — feed to [[Pq.ivfAdcTopKLoaded]].
+    * codes, cellAsg, centroids) — feed to [[Pq.ivfAdcTopKLoaded]]
+    * (codes stay WIDE, the stored layout; see [[loadPq]]).
     */
   def loadIvfPq(spark: SparkSession, indexPath: String, dims: Int,
       m: Int, k: Int, iters: Int, ivfCells: Int, ivfIters: Int)
@@ -162,14 +161,10 @@ object AnnIndex {
     requireSidecar(spark, indexPath,
       annParams(dims, m, k, iters, Some((ivfCells, ivfIters))))
     val books = spark.read.parquet(s"$indexPath/codebooks")
-    val asg = spark.read.parquet(s"$indexPath/codes")
-      .select(col("vec_id"),
-        posexplode(col("codes")).as(Seq("sub", "cell")))
-      .select(col("vec_id"), col("sub").cast("int").as("sub"),
-        col("cell"))
+    val codes = spark.read.parquet(s"$indexPath/codes")
     val cellAsg = spark.read.parquet(s"$indexPath/ivf_cells")
     val cents = spark.read.parquet(s"$indexPath/ivf_centroids")
-    (books, asg, cellAsg, cents)
+    (books, codes, cellAsg, cents)
   }
 
   /** Encode an INCREMENT against a loaded index's codebooks and

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Pins.PinSyntax
 
 /** Large-corpus deduplication operators (the LLM-training-pipeline surface;
   * north-star requirement beyond the reference, which only has exact
@@ -157,7 +158,7 @@ object Dedup {
   def semanticDedup(corpus: DataFrame, k: Int, iters: Int,
       threshold: Double): DataFrame = {
     val clustered = Similarity.kmeansCells(corpus, k, iters)
-      .localCheckpoint(true) // both sides of the self-join read it
+      .pin(true) // both sides of the self-join read it
     val a = clustered.select(col("cell"), col("vec_id").as("u"),
       col("embedding").as("ue"))
     val b = clustered.select(col("cell"), col("vec_id").as("v"),
@@ -581,7 +582,7 @@ object Dedup {
         maxBucket)
       // truncate lineage so the persisted band table can be unpersisted
       // HERE instead of lingering until session end / LRU eviction
-      val out = result.localCheckpoint(true)
+      val out = result.pin(true)
       cleanup()
       out
     }
@@ -674,7 +675,7 @@ object Dedup {
       // LOGGED (no silent caps) and the persisted intermediates freed
       val (r, cleanup) = minhashLshPlan(docs, shingleN, k, bands,
         threshold, maxBucket)
-      val out = r.localCheckpoint(true)
+      val out = r.pin(true)
       cleanup()
       out
     }
@@ -759,7 +760,8 @@ object Dedup {
     * shingles happen to be hot are not biased low).
     */
   def jaccardAllPairs(docs: DataFrame, shingleN: Int, threshold: Double,
-      maxShingleDf: Long = 10000L): DataFrame = {
+      maxShingleDf: Long = 10000L,
+      bDocs: Option[DataFrame] = None): DataFrame = {
     val sh = shingled(docs, shingleN)
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val kept = {
@@ -773,8 +775,17 @@ object Dedup {
       // the exploded shingle set is computed once, not three times
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // r16 (guide §2.3 — filter before the exchange): when the caller
+    // only consumes pairs whose doc_b lies in a known id set (the
+    // incremental-refresh shape: "which ADDED docs near-dup anything"),
+    // restricting the b side BEFORE the shingle self-join is
+    // output-identical to filtering afterwards — doc_a stays
+    // unrestricted, df cap and set sizes stay corpus-wide — while the
+    // join's right side shrinks from |corpus| to |bDocs| documents.
+    val rhs = bDocs.fold(kept)(b => kept.join(
+      b.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi"))
     val inter = kept.as("a")
-      .join(kept.as("b"), col("a.sh") === col("b.sh") &&
+      .join(rhs.as("b"), col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
@@ -822,6 +833,13 @@ object Dedup {
     val ex = sh.select(col("doc_id"), size(col("shingles")).as("__n"),
       explode(col("shingles")).as("sh"))
     val dfs = ex.groupBy("sh").agg(count(lit(1)).as("__df"))
+    // (r16 note: a collect_list + row-local array_sort + slice form of
+    // this prefix cut — removing the window's full sort — was tried
+    // and measured 2× SLOWER (4.2 → 8.0 s isolated at sf0.1): with
+    // thousands of doc groups per partition the ObjectHashAggregate
+    // falls back to SORT-based aggregation past
+    // objectHashAggregate.sortBased.fallbackThreshold, paying the same
+    // sort plus per-group array allocation. The window stays.)
     val pre = ex.join(dfs, "sh")
       .withColumn("__pos", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
@@ -947,7 +965,7 @@ object Dedup {
     pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(
         pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+      .pin(true)
 
   /** One materialization job per round: the stepped label frame carries a
     * `chg` flag and is LAZILY local-checkpointed, so the `sum(chg)`
@@ -961,7 +979,7 @@ object Dedup {
       .withColumn("chg", when(col("cluster") =!= col("old"), 1L)
         .otherwise(0L))
       .select("doc_id", "cluster", "chg")
-      .localCheckpoint(false)
+      .pin(false)
     // coalesce: sum over an empty label table (no pairs at all) is null
     val changed = next.agg(coalesce(sum("chg"), lit(0L))).head().getLong(0)
     (next.select("doc_id", "cluster"), changed)
@@ -1019,14 +1037,14 @@ object Dedup {
     val edges = pinnedEdges(pairs)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
-      .localCheckpoint(true)
+      .pin(true)
     var changed = -1L
     var round = 0
     while (changed != 0L && round < maxRounds) {
       // lazy checkpoint: the shortcut self-join below consumes the hop
       // frame TWICE — without this the hop join+aggregate runs twice per
       // round (exchange reuse covers the shuffle, not the aggregation)
-      val hop = minLabelHop(edges, labels).localCheckpoint(false)
+      val hop = minLabelHop(edges, labels).pin(false)
       // shortcut: follow the (fresher) hop labels one more step — the
       // mapping side is the hop result keyed by ITS doc_id, so a node
       // whose label points at node m adopts m's own new label. Left
@@ -1069,7 +1087,7 @@ object Dedup {
     val edges = pinnedEdges(pairs)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
-      .localCheckpoint(true)
+      .pin(true)
     var changed = -1L
     var round = 0
     while (changed != 0L && round < hops + 1) {

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Pins.PinSyntax
 
 /** Event-stream product analytics: funnel progression, retention
   * cohorts, calendar gap-fill, and rolling-window anomaly flags —
@@ -545,8 +546,12 @@ object EventAnalytics {
       sum(expr("cast(round(coalesce(value, 0.0D), 6) as decimal(28,6))"))
         .as("mon"))
     val gmax = events.agg(max(col("ts_us")).as("gmax"))
+    // r16 (r15 advice): u fans into the three metric projections below
+    // — pin it (lazy) so the per-user events aggregate runs once, not
+    // three times inside the ordinal checkpoint job.
     val u = perUser.crossJoin(broadcast(gmax))
       .withColumn("recency_us", col("gmax") - col("last_ts"))
+      .pin(false)
     // r15 optimization (guide §2.4 — remove shuffles outright): the
     // three quintile orderings were three NESTED Rank.globalOrdinal
     // passes — three range exchanges of the ever-wider user frame,
@@ -580,7 +585,7 @@ object EventAnalytics {
         org.apache.spark.sql.expressions.Window
           .partitionBy("__pid", "__m")
           .orderBy(col("__v"), col("user_id"))))
-      .localCheckpoint()
+      .pin()
     val counts = local.groupBy("__m", "__pid")
       .agg(count(lit(1)).as("__n"))
     val offsets = counts.as("a")
@@ -593,7 +598,9 @@ object EventAnalytics {
     val ranked = local.join(broadcast(offsets), Seq("__m", "__pid"))
       .withColumn("__ord",
         (col("__offset") + col("__lrank") - 1).cast("long"))
-    val n = perUser.agg(count(lit(1)).as("__n"))
+    // count users off the pinned frame (same rows as perUser) — the
+    // unpinned form re-ran the whole events aggregate a fourth time
+    val n = u.agg(count(lit(1)).as("__n"))
     // NTILE(5) arithmetic on the 0-based ordinal (exactly
     // Rank.equiDepthHistogram's assignment): score = bucket + 1
     val score = {
@@ -1102,7 +1109,7 @@ object EventAnalytics {
       .groupBy("scenario", "src", "dst")
       .agg(sum(col("w")).as("w"), max(col("ow")).as("ow"))
       .unionByName(scenarios.crossJoin(absorbing))
-      .localCheckpoint(true)
+      .pin(true)
     var p = se.select(col("scenario")).distinct()
       .select(col("scenario"), lit("__start__").as("node"),
         lit(Unit_).as("p"))
@@ -1123,7 +1130,7 @@ object EventAnalytics {
         // the cut all 12 rounds fuse into ONE mega-plan (222 Exchange
         // nodes in plans/r15/e_attribution_markov_before.txt) that AQE
         // must plan and schedule as a single query.
-        .localCheckpoint(false)
+        .pin(false)
     val convMass = p.filter(col("node") === "__conv__")
       .select(col("scenario"), col("p"))
     val pFull = convMass.filter(col("scenario") === "__full__")

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Pins.PinSyntax
 
 /** Graph analytics over edge lists — the natural extension of the
   * reference's entity-popularity model (inlink counts,
@@ -52,13 +53,13 @@ object Graph {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(damp >= 0 && damp <= 100, s"damp must be in [0,100], got $damp")
     val ew = pinnedEdges(edges)
-    val ns = nodes.select(col("node")).localCheckpoint(true)
+    val ns = nodes.select(col("node")).pin(true)
     val teleport = (100L - damp) * 10000L
     var r = ns.select(col("node"), lit(1000000L).as("rank"))
     for (i <- 1 to iters) {
       r = oneRound(ns, ew, r, damp, teleport)
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
-        r = r.localCheckpoint(true)
+        r = r.pin(true)
     }
     r
   }
@@ -95,7 +96,7 @@ object Graph {
           "'pageRank edge weight must be positive, got ', " +
           "cast(w as string))) else w end").as("w"),
         col("ow"))
-      .localCheckpoint(true)
+      .pin(true)
   }
 
   /** PageRank run to DETECTED convergence — the production form for
@@ -116,10 +117,10 @@ object Graph {
       damp: Int = 85, tol: Long = 16L, maxRounds: Int = 512): DataFrame = {
     require(tol >= 1, s"tol must be >= 1 micro-unit, got $tol")
     val ew = pinnedEdges(edges)
-    val ns = nodes.select(col("node")).localCheckpoint(true)
+    val ns = nodes.select(col("node")).pin(true)
     val teleport = (100L - damp) * 10000L
     var r = ns.select(col("node"), lit(1000000L).as("rank"))
-      .localCheckpoint(true)
+      .pin(true)
     var changed = -1L
     var round = 0
     while (changed != 0L && round < maxRounds) {
@@ -129,7 +130,7 @@ object Graph {
         .select(col("node"), col("nrank").as("rank"),
           when(abs(col("nrank") - col("old")) > tol, 1L)
             .otherwise(0L).as("chg"))
-        .localCheckpoint(false)
+        .pin(false)
       changed = next.agg(coalesce(sum("chg"), lit(0L))).head().getLong(0)
       r = next.select("node", "rank")
       round += 1
@@ -174,7 +175,7 @@ object Graph {
       .join(seeds.select(col("node"), lit(1L).as("__seed")).distinct(),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("__seed"), lit(0L)).as("is_seed"))
-      .localCheckpoint(true)
+      .pin(true)
     val teleport = (100L - damp) * 10000L
     var r = ns.select(col("node"),
       (col("is_seed") * 1000000L).as("rank"))
@@ -187,7 +188,7 @@ object Graph {
           (col("is_seed") * teleport +
             expr(s"($damp * coalesce(s, 0L)) div 100")).as("rank"))
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
-        r = r.localCheckpoint(true)
+        r = r.pin(true)
     }
     r
   }
@@ -313,7 +314,7 @@ object Graph {
     val ew = pinnedEdges(edges)
     val nodes = ew.select(col("src").as("node"))
       .unionByName(ew.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().pin(true)
     var r = nodes.select(col("node"), lit(1000000L).as("rank"))
     for (_ <- 1 to rounds) {
       val contrib = ew.join(r, ew("src") === r("node"))
@@ -333,10 +334,10 @@ object Graph {
         expr("case when w <= 0L then raise_error(concat(" +
           "'hits edge weight must be positive, got ', " +
           "cast(w as string))) else w end").as("w"))
-      .localCheckpoint(true)
+      .pin(true)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().pin(true)
     def normalized(contrib0: DataFrame, out: String): DataFrame = {
       // the contribution table is read TWICE (its max, then the
       // rescale join) — without this cut each half-round re-executes
@@ -345,7 +346,7 @@ object Graph {
       // fan-in lesson, §14; measured here: 4.2 s → ~1 s at 3 rounds).
       // Also bounds plan depth, so no separate per-k checkpoint cadence
       // is needed.
-      val contrib = contrib0.localCheckpoint(true)
+      val contrib = contrib0.pin(true)
       val mx = contrib.agg(max("s").as("mx"))
       nodes.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(mx))
@@ -439,7 +440,7 @@ object Graph {
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .pin()
     for (_ <- 1 to rounds) {
       val deg = und.select(col("u").as("n"))
         .unionAll(und.select(col("v").as("n")))
@@ -448,7 +449,7 @@ object Graph {
       und = und
         .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
-        .localCheckpoint()
+        .pin()
     }
     und.select(col("u").as("node")).unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -480,9 +481,9 @@ object Graph {
       .filter(col("u") =!= col("v")).distinct()
     val adj = und.select(col("u").as("a"), col("v").as("b"))
       .unionAll(und.select(col("v").as("a"), col("u").as("b")))
-      .localCheckpoint()
+      .pin()
     var settled = sources.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+      .withColumn("dist", lit(0L)).pin()
     var frontier = settled
     for (r <- 1 to rounds) {
       val nxt = adj
@@ -490,9 +491,9 @@ object Graph {
         .select(col("b").as("node")).distinct()
         .join(settled.select("node"), Seq("node"), "left_anti")
         .withColumn("dist", lit(r.toLong))
-        .localCheckpoint()
+        .pin()
       frontier = nxt
-      settled = settled.unionAll(nxt).localCheckpoint()
+      settled = settled.unionAll(nxt).pin()
     }
     settled
   }
@@ -523,7 +524,7 @@ object Graph {
       .filter(col("u") =!= col("v")).distinct()
     val adj = und.select(col("u").as("a"), col("v").as("b"))
       .unionAll(und.select(col("v").as("a"), col("u").as("b")))
-      .localCheckpoint()
+      .pin()
     var labels = adj.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
     val w = Window.partitionBy("a").orderBy(desc("cnt"), asc("lbl"))
@@ -534,7 +535,7 @@ object Graph {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("a").as("node"), col("lbl"))
-        .localCheckpoint()
+        .pin()
     labels
   }
 

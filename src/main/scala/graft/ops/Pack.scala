@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ops.Pins.PinSyntax
 
 /** Training-sequence PACKING: concatenate a corpus in stable document
   * order and cut it into fixed-length token sequences ("chunks"), the
@@ -114,7 +115,7 @@ object Pack {
         counts.select(col(idCol), col(nCol),
           col(scoreCol).cast("decimal(18,6)").as("__score")),
         Seq(col("__score").desc, col(idCol).asc), nCol, "__cum")
-      .localCheckpoint(false) // feeds the totals fold + the selection
+      .pin(false) // feeds the totals fold + the selection
     val tot = cum.agg(count(lit(1)).as("n_docs"),
       coalesce(max(col("__cum")), lit(0L)).as("total_tokens"))
     // the boundary doc: the LAST selected row in the (score desc, id

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.ops.Pins.PinSyntax
 
 /** Product Quantization (PQ) for embedding compression + ANN search
   * (Jégou, Douze, Schmid 2011): split each `dims`-dim vector into `m`
@@ -34,11 +35,15 @@ import org.apache.spark.sql.types.DecimalType
 object Pq {
 
   /** Squared L2 distance as a sequential left fold — the bit-replayable
-    * form (`zip_with` keeps element order; `aggregate` folds left).
+    * form, via the codegen'd [[graft.functions.L2Distance]] expression
+    * (identical fold order to the previous `aggregate(zip_with(...))`
+    * formulation — higher-order functions are CodegenFallback, and this
+    * is the hottest expression of the ANN family: n·m·k interpreted
+    * evaluations per Lloyd assignment pass). Callers must register
+    * ([[Hashing.ensureRegistered]]).
     */
   private def l2Sql(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
-      s"cast(0 as double), (acc, v) -> acc + v)"
+    s"graft_l2($a, $b)"
 
   /** Corpus exploded to (vec_id, sub, sv): subvector `sub` (0-based) is
     * dims/m doubles starting at sub·(dims/m). A ragged or null embedding
@@ -106,7 +111,7 @@ object Pq {
     // pinned: consumed by every Lloyd round's assign + means (and the
     // final assignment) — without this each round re-scans the source
     // and re-slices the subvectors.
-    val sv = subvectors(corpus, dims, m).localCheckpoint(true)
+    val sv = subvectors(corpus, dims, m).pin(true)
     val seedW = Window.orderBy(asc("h"), asc("vec_id"))
     val seedIds = corpus
       .select(col("vec_id"),
@@ -123,7 +128,7 @@ object Pq {
     // contains all previous rounds (the kmeansCentroids lesson;
     // sim_ivfpq_topk's audited plan: 128 Exchanges → ~40).
     for (_ <- 1 to iters)
-      books = means(assign(sv, books)).localCheckpoint(false)
+      books = means(assign(sv, books)).pin(false)
     (books, assign(sv, books))
   }
 
@@ -146,16 +151,40 @@ object Pq {
       .agg(expr("transform(array_sort(collect_list(struct(sub, cell))), " +
         "s -> s.cell)").as("codes"))
 
-  /** ADC top-k: per query an m·k distance table to the (broadcast)
-    * codebooks, joined to the corpus assignment on (sub, cell); the
-    * per-vector total is an ordered fold over subspaces. Returns
-    * (query_id, rank, neighbor_id, adist). `candidates` (query_id,
-    * vec_id) restricts the scan per query — the hook [[ivfAdcTopK]]
-    * uses to prune by IVF cell.
+  /** ADC top-k over the LONG assignment frame (vec_id, sub, cell) —
+    * convenience wrapper: encodes to wide codes and delegates to
+    * [[adcTopKCodes]] (value-identical; see the equivalence note
+    * there). Returns (query_id, rank, neighbor_id, adist).
     */
   def adcTopK(queries: DataFrame, books: DataFrame, asg: DataFrame,
       dims: Int, m: Int, k: Int,
+      candidates: Option[DataFrame] = None): DataFrame =
+    adcTopKCodes(queries, books, encode(asg), dims, m, k, candidates)
+
+  /** ADC top-k over WIDE codes (vec_id, codes ARRAY<BIGINT>) — the
+    * stored index layout, consumed directly. `candidates` (query_id,
+    * vec_id) restricts the scan per query — the hook [[ivfAdcTopK]]
+    * uses to prune by IVF cell.
+    *
+    * r16 restructure (guide §2.3 "aggregate before you shuffle" /
+    * §2.4): the previous form joined the per-query m·k distance table
+    * to the LONG assignment on (sub, cell) — shuffling |q|·n·m rows
+    * through a (query, vec) groupBy whose ordered collect_list fold
+    * re-derived exactly the m entries the codes array already lists.
+    * Now the m·k distances fold to ONE (query_id, dmat) row — dmat[s]
+    * a cell→distance map — broadcast against the codes frame, and the
+    * per-vector total is a STATIC left-associated sum over the m
+    * subspaces: adist = ((0 + dmat[0][codes[0]]) + …) — the identical
+    * IEEE addition order of the old sub-sorted fold (each d value is
+    * the same l2 of the same (query-subvector, centroid) pair), so
+    * results are bit-equal while the corpus-sized shuffle disappears
+    * outright: the only n-row exchange left is the top-k window, whose
+    * WindowGroupLimit prunes to ~k rows per partition pre-exchange.
+    */
+  def adcTopKCodes(queries: DataFrame, books: DataFrame,
+      codes: DataFrame, dims: Int, m: Int, k: Int,
       candidates: Option[DataFrame] = None): DataFrame = {
+    Hashing.ensureRegistered(queries)
     val qsv = subvectors(
       queries.select(col("vec_id"), col("embedding")), dims, m)
       .select(col("vec_id").as("query_id"), col("sub"),
@@ -163,16 +192,35 @@ object Pq {
     val dtable = qsv.join(broadcast(books), "sub")
       .select(col("query_id"), col("sub"), col("cell"),
         expr(l2Sql("qv", "centroid")).as("d"))
-    val base = dtable
-      .join(asg.select("vec_id", "sub", "cell"), Seq("sub", "cell"))
+    // nested maps, not sorted arrays: lookups are keyed, so no
+    // collect-order dependence exists to sort away ((sub, cell) is
+    // unique per query — map_from_entries never sees a duplicate key)
+    val dmat = dtable
+      .groupBy("query_id", "sub")
+      .agg(expr("map_from_entries(collect_list(struct(cell, d)))")
+        .as("ds"))
+      .groupBy("query_id")
+      .agg(expr("map_from_entries(collect_list(struct(sub, ds)))")
+        .as("__dmat"))
+    val pairs = candidates match {
+      case Some(c) => c.select("query_id", "vec_id")
+        .join(codes, Seq("vec_id"))
+        .join(broadcast(dmat), Seq("query_id"))
+      case None => codes.crossJoin(broadcast(dmat))
+    }
+    // static left-assoc sum — same fold order as the old
+    // aggregate(sort-by-sub) and whole-stage-codegen-friendly (no
+    // higher-order lambda in the scan). element_at is 1-based; a
+    // missing map key THROWS under ANSI — codes cells are produced
+    // against these books by construction, so that is the loud path.
+    val adistSql = (0 until m)
+      .map(s => s"element_at(element_at(__dmat, $s), " +
+        s"element_at(codes, ${s + 1}))")
+      .foldLeft("cast(0 as double)")((acc, t) => s"($acc + $t)")
+    val scored = pairs
       .filter(col("query_id") =!= col("vec_id"))
-    val restricted = candidates.fold(base)(c =>
-      base.join(c, Seq("query_id", "vec_id"), "left_semi"))
-    val scored = restricted
-      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg(expr("aggregate(transform(array_sort(collect_list(" +
-        "struct(sub, d))), s -> s.d), cast(0 as double), " +
-        "(acc, v) -> acc + v)").as("adist"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr(adistSql).as("adist"))
     val w = Window.partitionBy("query_id")
       .orderBy(asc("adist"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -196,20 +244,26 @@ object Pq {
     // the probe-centroid derivation — pin one materialization (lazy:
     // no job at plan build, the PlanAuditSpec ANN contract) so the
     // coarse quantizer's assignment window does not execute twice.
-    val cells = corpusCells.localCheckpoint(false)
-    ivfAdcTopKLoaded(queries, books, asg,
+    // (r15 advice: the pin is O(corpus) state per call and, in `local`
+    // pin mode, unreplicated/unrecoverable on executor loss — repeated
+    // top-k calls should either go through [[ivfAdcTopKLoaded]], where
+    // the caller controls materialization, or set
+    // spark.graft.pins.mode=reliable; see [[Pins]].)
+    val cells = corpusCells.pin(false)
+    ivfAdcTopKLoaded(queries, books, encode(asg),
       cells.select(col("vec_id"), col("cell")),
       Similarity.centroids(cells, "cell"), dims, m, nprobe, k)
   }
 
   /** [[ivfAdcTopK]] against PRECOMPUTED coarse state — the probe
-    * centroids and the (vec_id, cell) assignment as separate frames,
-    * exactly what [[AnnIndex.loadIvfPq]] reloads from parquet (the
-    * in-train path above derives both from the kmeansCells frame; a
-    * persisted index must not re-derive means it already stored).
+    * centroids, the (vec_id, cell) assignment, and the WIDE codes
+    * frame, exactly what [[AnnIndex.loadIvfPq]] reloads from parquet
+    * (the in-train path above derives them from the kmeansCells frame;
+    * a persisted index must not re-derive means it already stored, nor
+    * explode codes [[adcTopKCodes]] consumes wide).
     */
   def ivfAdcTopKLoaded(queries: DataFrame, books: DataFrame,
-      asg: DataFrame, cellAsg: DataFrame, cents: DataFrame, dims: Int,
+      codes: DataFrame, cellAsg: DataFrame, cents: DataFrame, dims: Int,
       m: Int, nprobe: Int, k: Int): DataFrame = {
     // the probe's cosineSql needs graft_dot — the in-train path gets
     // registration from kmeansCells, a reload-only session has not
@@ -227,6 +281,6 @@ object Pq {
     val cand = probed
       .join(cellAsg.select(col("vec_id"), col("cell")), Seq("cell"))
       .select("query_id", "vec_id")
-    adcTopK(queries, books, asg, dims, m, k, Some(cand))
+    adcTopKCodes(queries, books, codes, dims, m, k, Some(cand))
   }
 }

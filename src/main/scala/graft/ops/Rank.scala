@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.ops.Pins.PinSyntax
 
 /** Scalable global ordinal ranking (SURVEY.md §2.5 W1; ref zipWithIndex
   * ranking, sift/models/text.py:135-147).
@@ -48,7 +49,7 @@ object Rank {
     // multi-executor deployment that must survive executor loss would
     // use persist(MEMORY_AND_DISK) instead.
     val local = ordinalLocalPlan(df, sortCols, numPartitions)
-      .localCheckpoint()
+      .pin()
     // Offsets: one row per partition; offset(p) = Σ counts of partitions
     // before p. Computed with a triangular self-join over the
     // numPartitions-row count table (O(P²) rows — trivial) instead of an
@@ -89,7 +90,7 @@ object Rank {
     // same exchange-pinning localCheckpoint as [[globalOrdinal]] — the
     // totals pass and the final join must see ONE partitioning
     val local = runningSumLocalPlan(df, sortCols, valueCol, numPartitions)
-      .localCheckpoint()
+      .pin()
     val totals = local.groupBy("__pid")
       .agg(sum(col(valueCol)).as("__t"))
     val offsets = totals.as("a")

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Pins.PinSyntax
 
 /** Deterministic sampling/splitting for training-data pipelines. RNG
   * sampling (`df.sample`, `stat.sampleBy`) is seed- and partitioning-
@@ -292,7 +293,7 @@ object Sampling {
     val rows = df.filter(col(difficultyCol).isNotNull)
       .select(col(keyCol).as("key"),
         col(difficultyCol).cast("double").as("difficulty"))
-      .localCheckpoint(false) // feeds the cuts AND the ordinal
+      .pin(false) // feeds the cuts AND the ordinal
     val cuts = Rank.exactQuantiles(rows, "difficulty", Seq(col("key")),
         (1 until buckets).map(_.toDouble / buckets))
       .groupBy().agg(sort_array(collect_list(

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.ops.Pins.PinSyntax
 
 /** Similarity search over an embedding column (`ARRAY<FLOAT>`) — the ANN
   * surface a training-data pipeline needs (north-star requirement; the
@@ -141,7 +142,7 @@ object Similarity {
     var pool = cands
       .select(col("query_id"), col("cand_id"), col("rel"), col("emb"),
         lit(null).cast("double").as("mx"))
-      .localCheckpoint() // referenced every round (fan-in hazard)
+      .pin() // referenced every round (fan-in hazard)
     var sel = pool.limit(0)
       .select(col("query_id"), col("cand_id"),
         lit(0).as("rank"), lit(0.0).as("score"))
@@ -155,7 +156,7 @@ object Similarity {
           col("emb").as("e"))).as("s"))
         .select(col("query_id"), (-col("s.ncid")).as("cand_id"),
           col("s.score").as("score"), col("s.e").as("emb"))
-        .localCheckpoint() // ≤q rows; pins the round (fan-in hazard)
+        .pin() // ≤q rows; pins the round (fan-in hazard)
       sel = sel.unionByName(pick
         .select(col("query_id"), col("cand_id"), lit(r).as("rank"),
           col("score")))
@@ -167,7 +168,7 @@ object Similarity {
         .select(col("query_id"), col("cand_id"), col("rel"), col("emb"),
           greatest(col("mx"), round(expr(cosineSql("emb", "se")), 6))
             .as("mx"))
-        .localCheckpoint(false)
+        .pin(false)
     }
     sel.select(col("query_id"), col("rank").cast("long").as("rank"),
         col("cand_id"), col("score"))
@@ -214,11 +215,11 @@ object Similarity {
     // is order-free, and max(struct(dmin, −vec_id)) reproduces the
     // (dmin desc, vec_id asc) argmax tie-break exactly.
     val base = corpus.select(col("vec_id"), col("embedding"))
-      .localCheckpoint() // referenced every round (fan-in hazard)
+      .pin() // referenced every round (fan-in hazard)
     val seed = base.agg(min(col("vec_id")).as("vec_id"))
     val seedRow = base.join(broadcast(seed), Seq("vec_id"))
       .select(col("vec_id"), col("embedding"))
-      .localCheckpoint()
+      .pin()
     var sel = seedRow
       .select(col("vec_id"), lit(1L).as("rank"),
         lit(null).cast("double").as("dmin"))
@@ -230,7 +231,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         round(expr(s"1.0 - (${cosineSql("embedding", "se")})"), 6)
           .as("dmin"))
-      .localCheckpoint(false)
+      .pin(false)
     for (r <- 2 to k) {
       // one fold picks the round's center AND carries its embedding
       // (vec_id is unique, so the comparison never reaches the array)
@@ -240,9 +241,12 @@ object Similarity {
         .select((-col("s.nid")).as("vec_id"), col("s.dmin").as("dmin"),
           col("s.e").as("embedding"))
         // empty candidate set (k > n): the old argmax-join emitted no
-        // row — the null-struct fold result must not either
-        .where(col("vec_id").isNotNull)
-        .localCheckpoint() // ≤1 row; pins the round (fan-in hazard)
+        // row — the null-struct fold result must not either. Same for
+        // an all-null-dmin candidate set (degenerate/null embeddings
+        // make the cosine null): the struct max would still surface a
+        // row where the old dmin === mx join emitted none (r15 advice)
+        .where(col("vec_id").isNotNull && col("dmin").isNotNull)
+        .pin() // ≤1 row; pins the round (fan-in hazard)
       sel = sel.unionByName(pick
         .select(col("vec_id"), lit(r.toLong).as("rank"), col("dmin")))
       pts = pts
@@ -254,7 +258,7 @@ object Similarity {
           least(col("dmin"),
             round(expr(s"1.0 - (${cosineSql("embedding", "se")})"), 6))
             .as("dmin"))
-        .localCheckpoint(false)
+        .pin(false)
     }
     sel.select(col("rank"), col("vec_id"), col("dmin")).orderBy("rank")
   }
@@ -338,23 +342,35 @@ object Similarity {
       .select(col("vec_id"),
         expr("zip_with(x, mu, (xv, m) -> cast(xv - m as decimal(18,9)))")
           .as("c"))
-      .localCheckpoint(false) // one materialization feeds every round
+      .pin(false) // one materialization feeds every round
     var v = muRow
       .select(expr("transform(mu, m -> cast(1 as decimal(18,6)))").as("v"))
     var lam: DataFrame = null
     for (_ <- 1 to rounds) {
       // ONE pass over cx per round: d is row-local; the explode feeds a
       // map-side-combined groupBy(dim) (dims keys); the final
-      // collect_list/fold run on dims rows. Pin the 1-row result (lazy
+      // collect_list/fold run on dims rows.
+      // FOLD PRECISION (r16, advice item): the fold types are the MAX
+      // that keeps every add exact — an accumulator at p38 would make
+      // Spark's decimal Add adjust the result scale down one digit (a
+      // silent rounding the old aggregate Sum never did), so elements
+      // sit at the exact product type and the accumulator one digit
+      // wider (p37): dot (37,15) covers every legal |ci| < 1e9 given
+      // |vi| ≤ 1 + 1e-6 by construction; the squared-sum folds
+      // (37,18)/(37,24) overflow-THROW (ANSI) only past a per-dim RMS
+      // of ~4e8 of the 1e9 representation cap — ~3000x the headroom of
+      // the r15 (28,15)/(30,18)/(34,24) types, at identical values
+      // everywhere the narrow types did not already throw.
+      // Pin the 1-row result (lazy
       // localCheckpoint, the cx discipline): without the cut, round r's
       // broadcast(v) carries the full unmaterialized lineage of rounds
       // 1..r−1 and the loop re-executes O(rounds²) passes over cx —
       // the r10 driver capture's 16–24 s PCA gates were exactly this.
       val wRow = cx.crossJoin(broadcast(v))
         .select(expr("cast(round(cast(aggregate(zip_with(c, v, " +
-          "(ci, vi) -> cast(ci * vi as decimal(28,15))), " +
-          "cast(0 as decimal(28,15)), " +
-          "(a, s) -> cast(a + s as decimal(28,15))) as double), 9) " +
+          "(ci, vi) -> cast(ci * vi as decimal(37,15))), " +
+          "cast(0 as decimal(37,15)), " +
+          "(a, s) -> cast(a + s as decimal(37,15))) as double), 9) " +
           "as decimal(18,9))").as("d"), col("c"))
         .select(posexplode(
           expr("transform(c, ci -> cast(ci * d as decimal(38,18)))"))
@@ -366,11 +382,11 @@ object Similarity {
           "s -> s.w)").as("w"))
         .select(col("w"),
           expr("cast(round(sqrt(cast(aggregate(transform(w, " +
-            "wi -> cast(wi * wi as decimal(30,18))), " +
-            "cast(0 as decimal(30,18)), " +
-            "(a, s) -> cast(a + s as decimal(30,18))) as double)), 9) " +
+            "wi -> cast(wi * wi as decimal(36,18))), " +
+            "cast(0 as decimal(37,18)), " +
+            "(a, s) -> cast(a + s as decimal(37,18))) as double)), 9) " +
             "as decimal(18,9))").as("nrm"))
-        .localCheckpoint(false)
+        .pin(false)
       v = wRow.select(expr("transform(w, wi -> case when nrm > 0 then " +
         "cast(round(cast(wi as double) / cast(nrm as double), 6) " +
         "as decimal(18,6)) else cast(1 as decimal(18,6)) end)").as("v"))
@@ -411,19 +427,19 @@ object Similarity {
     cx.crossJoin(broadcast(vRow))
       .select(col("vec_id"), col("c"), col("v"),
         expr("cast(round(cast(aggregate(zip_with(c, v, " +
-          "(ci, vi) -> cast(ci * vi as decimal(28,15))), " +
-          "cast(0 as decimal(28,15)), " +
-          "(a, s) -> cast(a + s as decimal(28,15))) as double), 6) " +
+          "(ci, vi) -> cast(ci * vi as decimal(37,15))), " +
+          "cast(0 as decimal(37,15)), " +
+          "(a, s) -> cast(a + s as decimal(37,15))) as double), 6) " +
           "as decimal(18,6))").as("p"))
       .select(col("vec_id"),
         expr("aggregate(transform(c, ci -> " +
-          "cast(ci * ci as decimal(30,18))), cast(0 as decimal(30,18)), " +
-          "(a, s) -> cast(a + s as decimal(30,18)))").as("ss"),
+          "cast(ci * ci as decimal(36,18))), cast(0 as decimal(37,18)), " +
+          "(a, s) -> cast(a + s as decimal(37,18)))").as("ss"),
         expr("aggregate(zip_with(c, v, (ci, vi) -> " +
           "cast(cast(ci - p * vi as decimal(18,12)) * " +
-          "cast(ci - p * vi as decimal(18,12)) as decimal(34,24))), " +
-          "cast(0 as decimal(34,24)), " +
-          "(a, s) -> cast(a + s as decimal(34,24)))").as("rr"))
+          "cast(ci - p * vi as decimal(18,12)) as decimal(37,24))), " +
+          "cast(0 as decimal(37,24)), " +
+          "(a, s) -> cast(a + s as decimal(37,24)))").as("rr"))
       .select(col("vec_id"),
         round(expr("sqrt(cast(ss as double))"), 6).as("norm"),
         round(expr("sqrt(cast(rr as double))"), 6).as("resid_norm"),
@@ -581,7 +597,7 @@ object Similarity {
     // RDD leaf (plan: 322 → ~30 Exchanges, see plans/r15).
     for (_ <- 1 to iters)
       cent = centroids(assignByCosine(corpus, cent), "cell")
-        .localCheckpoint(false)
+        .pin(false)
     cent
   }
 
@@ -915,7 +931,7 @@ object Similarity {
     // intermediates can be dropped HERE instead of lingering until
     // session end / LRU eviction — a long-lived session issuing many
     // near-dup jobs must not accumulate MEMORY_AND_DISK residue
-    val out = result.localCheckpoint(true)
+    val out = result.pin(true)
     cleanup()
     out
   }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Pins.PinSyntax
 
 /** Distribution-profiling statistics beyond the per-column profiles in
   * [[Sampling.Profile]]: fixed-bin histograms, exact Pearson
@@ -591,7 +592,7 @@ object Stats {
         expr("case when sd > 0 then cast(round((cast(xr as double) - " +
           "cast(mu as double)) / cast(sd as double), 6) " +
           "as decimal(18,6)) else cast(0 as decimal(18,6)) end").as("x"))
-      .localCheckpoint(false) // one materialization feeds every round
+      .pin(false) // one materialization feeds every round
     var beta = df.sparkSession.range(1).select(
       expr("cast(0 as decimal(18,9))").as("b0"),
       expr("cast(0 as decimal(18,9))").as("b1"))
@@ -631,7 +632,7 @@ object Stats {
         // 1..r−1 and the trail union executes rounds(rounds+1)/2
         // aggregate passes over the checkpointed data instead of one
         // per round (the pcaTopComponent lesson)
-        .localCheckpoint(false)
+        .pin(false)
       trail += beta.select(lit(r.toLong).as("round"),
         round(col("b0").cast("double"), 6).as("b0"),
         round(col("b1").cast("double"), 6).as("b1"))
@@ -1651,7 +1652,7 @@ object Stats {
     val byVal = rows.groupBy("v").agg(count(lit(1)).as("t"))
     val cum = Rank.globalRunningSum(byVal, Seq(col("v")), "t", "cum_t")
       .withColumn("below", col("cum_t") - col("t"))
-      .localCheckpoint(false) // feeds the totals fold + 2 order stats
+      .pin(false) // feeds the totals fold + 2 order stats
     val bounds = cum.agg(max(col("cum_t")).as("n"))
       .select(col("n"),
         expr(s"cast(floor(n * cast($trimFrac as decimal(10,6))) " +
@@ -1708,7 +1709,7 @@ object Stats {
       .groupBy("v").agg(sum(col("w")).as("w"))
     val cum = Rank.globalRunningSum(byVal, Seq(col("v")), "w", "cum_w")
       .withColumn("below", col("cum_w") - col("w"))
-      .localCheckpoint(false) // feeds the total fold AND the pick join
+      .pin(false) // feeds the total fold AND the pick join
     val tot = cum.agg(max(col("cum_w")).as("W"))
     val targets = df.sparkSession
       .createDataFrame(qs.map(Tuple1(_))).toDF("q")
@@ -1985,7 +1986,7 @@ object Stats {
     val top = df.filter(col(valueCol).isNotNull && col(valueCol) > 0)
       .select(col(valueCol).cast("decimal(18,6)").as("v"))
       .orderBy(desc("v")).limit(k + 1)
-      .localCheckpoint(false) // feeds the threshold fold + the terms
+      .pin(false) // feeds the threshold fold + the terms
     val thr = top.agg(min(col("v")).as("x_min"),
       count(lit(1)).as("n_top"))
     top.crossJoin(broadcast(thr))
@@ -2156,7 +2157,7 @@ object Stats {
       .select((col("ma") - col("mb")).as("dd"))
       .groupBy("dd").agg(count(lit(1)).as("t"))
     val cum = Rank.globalRunningSum(diffs, Seq(col("dd")), "t", "cum_t")
-      .localCheckpoint(false) // feeds the count fold AND the median probe
+      .pin(false) // feeds the count fold AND the median probe
     val n = cum.agg(sum(col("t")).as("np"))
     val med = cum.crossJoin(broadcast(n))
       // lower middle = rank ceil(np/2) = (np+1) div 2; upper = np div 2 + 1
@@ -2206,7 +2207,7 @@ object Stats {
       sum(when(col("pos"), 1L).otherwise(0L)).as("tp_v"))
       .withColumn("nv", negate(col("v"))) // descending score order
     val cum = Rank.globalRunningSum(byVal, Seq(col("nv")), "t", "cum_n")
-      .localCheckpoint(false) // feeds the tp running sum on ONE lineage
+      .pin(false) // feeds the tp running sum on ONE lineage
     val cum2 = Rank.globalRunningSum(
       cum.withColumnRenamed("tp_v", "tp_v2"),
       Seq(col("nv")), "tp_v2", "cum_tp")
@@ -2320,7 +2321,7 @@ object Stats {
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy("k")))
       .crossJoin(broadcast(kkF))
       .filter(col("cnt") === col("kk"))
-      .localCheckpoint(false) // feeds ranks, ties AND the block count
+      .pin(false) // feeds ranks, ties AND the block count
     val ranked = comp
       .withColumn("rmin",
         rank().over(Window.partitionBy("k").orderBy("m")))
@@ -2508,7 +2509,7 @@ object Stats {
         t.replace("bb", "(r1 - a)").replace("cc", "(c1 - a)")
           .replace("dd", "(n - r1 - c1 + a)")
       })
-      .localCheckpoint(false) // 1 row; feeds the grid AND the readout
+      .pin(false) // 1 row; feeds the grid AND the readout
     val grid = fold
       .select(col("*"),
         explode(expr(s"sequence(lo, hi, ${chunk}L)")).as("c0"))
@@ -2694,7 +2695,7 @@ object Stats {
       // r15: one materialization feeds all 6 IRLS rounds + the final
       // readout pass (the logisticNewton `data` discipline) — without
       // the pin each round re-runs the scan + filter + projection
-      .localCheckpoint(false)
+      .pin(false)
     var beta = spark.range(1).select(lit(0.0).as("b0"),
       lit(0.0).as("b1"), lit(0.0).as("b2"))
     // σ(η) is projected ONCE per row as `pp` and the moment terms read
@@ -2729,7 +2730,7 @@ object Stats {
             "else b1 end"), 6).as("b1"),
           round(expr(s"case when $det <> 0.0 then b2 + $d2 / $det " +
             "else b2 end"), 6).as("b2"))
-        .localCheckpoint(false) // pin the round — lineage stays flat
+        .pin(false) // pin the round — lineage stays flat
     }
     val fin = rows.crossJoin(broadcast(beta))
       .withColumn("pp", expr(p))

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Pins.PinSyntax
 
 /** Kaplan–Meier survival estimation over an event log — the standard
   * right-censored retention/churn curve (Kaplan & Meier 1958), the
@@ -117,7 +118,7 @@ object Survival {
       .select(expr(s"(__last - __first) div ${unitUs}L").as("t"),
         (col("__last") < col("__end") - lit(censorLagUnits * unitUs))
           .cast("int").as("__dead"), col("__ga"))
-      .localCheckpoint(false) // feeds the risk table AND the n/n_a fold
+      .pin(false) // feeds the risk table AND the n/n_a fold
     val byT = lifetimes.groupBy("t").agg(
       sum("__dead").cast("long").as("d"),
       sum(col("__ga") * col("__dead")).cast("long").as("da"),

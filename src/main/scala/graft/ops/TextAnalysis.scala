@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Pins.PinSyntax
 
 /** Corpus text-analysis operators (LLM-pipeline north star): token
   * counting, quality scoring, language identification and document
@@ -427,7 +428,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(col("nll")).cast("double") / count(lit(1)), 6)
           .as("mean_nll"))
-      .localCheckpoint(false) // feeds the cuts AND the bucket fold
+      .pin(false) // feeds the cuts AND the bucket fold
     val cuts = Rank.exactQuantiles(scored, "mean_nll",
       Seq(col("doc_id")), Seq(1.0 / 3, 2.0 / 3))
       .agg(max(when(col("q") < 0.5, col("mean_nll"))).as("cut_head"),

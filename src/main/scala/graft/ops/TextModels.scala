@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Pins.PinSyntax
 
 /** Text-model family over mention contexts (ref sift/models/text.py and
   * sift/models/embeddings.py): corpus idf, the per-entity mention TF-IDF
@@ -465,7 +466,7 @@ object TextModels {
     // discipline)
     val allTk = docs.select(col("doc_id"),
       explode(expr(Hashing.tokensSql)).as("tok"))
-      .localCheckpoint(false)
+      .pin(false)
     val nd = allTk.select("doc_id").distinct()
       .agg(count(lit(1)).as("nd"))
     val dfAll = allTk.select("doc_id", "tok").distinct()
@@ -736,7 +737,7 @@ object TextModels {
         expr(Hashing.tokensSql).as("tk"))
       .withColumn("par",
         pmod(Hashing.md5Long(col("doc_id").cast("string")), lit(2L)))
-      .localCheckpoint(false)
+      .pin(false)
     val train = labeled.filter(col("par") === 0)
     val test = labeled.filter(col("par") === 1)
 

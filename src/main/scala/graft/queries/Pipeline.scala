@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Fuzzy, Similarity, TextAnalysis, Hashing, Multimodal, Url}
+import graft.ops.Pins.PinSyntax
 
 /** Gate coverage for the LLM-data-pipeline operator layer (`graft.ops`):
   * deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity
@@ -1040,7 +1041,7 @@ object Pipeline extends QueryModule {
       // pipe_llm_corpus fan-in lesson); lazy so plan BUILD stays
       // job-free (PlanAuditSpec audits this gate).
       val old = docs(s, d).select("doc_id", "text")
-        .localCheckpoint(false)
+        .pin(false)
       val kept = old.filter(col("doc_id") % 41 =!= 0)
         .select(col("doc_id"),
           when(col("doc_id") % 31 === 0,
@@ -1052,7 +1053,7 @@ object Pipeline extends QueryModule {
         .unionByName(old.filter(col("doc_id") >= 10 && col("doc_id") < 20)
           .select((col("doc_id") + 600000).as("doc_id"),
             expr(s"concat_ws(' ', reverse($tokensSql))").as("text")))
-        .localCheckpoint(false) // same fan-in cut for the new snapshot
+        .pin(false) // same fan-in cut for the new snapshot
       // 1. snapshot diff (d_snapshot_diff shape)
       val of = old.select(col("doc_id"),
         md5(col("text").cast("binary")).as("fp_old"))
@@ -1074,10 +1075,15 @@ object Pipeline extends QueryModule {
       // when it near-dups a retained doc or a smaller-id added doc
       // (keep-first). Added ids sort above all retained ids, so every
       // such pair has the added doc as doc_b.
-      val pairs = Dedup.jaccardAllPairs(neu, 3, 0.5, maxShingleDf = 50)
-      val dropIds = pairs
-        .join(addedIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
-        .select(col("doc_b").as("doc_id")).distinct()
+      // r16: only pairs ENDING in an added doc are consumed (added ids
+      // sort above all retained ids, so such a pair always has the
+      // added doc as doc_b) — push that restriction into the pair
+      // generator's b side (guide §2.3) instead of generating all
+      // corpus pairs and filtering after. Output-identical: addedIds
+      // is unique per doc_id, so the old inner join was a semi-join.
+      val pairs = Dedup.jaccardAllPairs(neu, 3, 0.5, maxShingleDf = 50,
+        bDocs = Some(addedIds))
+      val dropIds = pairs.select(col("doc_b").as("doc_id")).distinct()
       val survivingAdds = neu.join(addedIds, Seq("doc_id"))
         .join(dropIds, Seq("doc_id"), "left_anti")
       // 3. model refresh from the delta only
@@ -1202,7 +1208,7 @@ object Pipeline extends QueryModule {
       val decon = Dedup.bloomDecontaminate(
         deduped.filter(col("doc_id") % 37 =!= 0),
         deduped.filter(col("doc_id") % 37 === 0), 3, m = 8192, k = 4)
-        .localCheckpoint()
+        .pin()
       // 4. per-doc quality gate
       val quality = TextAnalysis.qualityScore(decon, Seq("source", "lang"))
         .filter(col("passes_quality"))
@@ -1214,7 +1220,7 @@ object Pipeline extends QueryModule {
       val labeled = graft.ops.Sampling
         .hashSplit(sampled, "source", 80, 0, salt = "gsplit:")
         .join(decon.select("doc_id", "text"), Seq("doc_id"))
-        .localCheckpoint() // cut #2: split corpus feeds BPE train + occ
+        .pin() // cut #2: split corpus feeds BPE train + occ
       // 7. BPE merges from the train split only (bounded driver state:
       // the 4 merge rows — the same shape m_bpe_merges gates solo)
       val merges = graft.ops.Bpe
@@ -1232,7 +1238,7 @@ object Pipeline extends QueryModule {
       val docTok = occ.join(wsym, Seq("w"))
         .groupBy("doc_id", "split")
         .agg(sum(col("c") * col("n_sym")).as("n_bpe"))
-        .localCheckpoint() // cut #3: three rollups read it below
+        .pin() // cut #3: three rollups read it below
       // 9. pack each split separately (chunk ids are per-split)
       def packed(sp: String): DataFrame =
         graft.ops.Pack.packSummary(
@@ -2403,7 +2409,7 @@ object Pipeline extends QueryModule {
       graft.ops.AnnIndex.savePq(books, graft.ops.Pq.encode(asg), p,
         embDims, 4, 8, 2)
       val (b2, a2) = graft.ops.AnnIndex.loadPq(s, p, embDims, 4, 8, 2)
-      graft.ops.Pq.adcTopK(e.filter(col("vec_id") < 5), b2, a2,
+      graft.ops.Pq.adcTopKCodes(e.filter(col("vec_id") < 5), b2, a2,
           embDims, 4, 5)
         .withColumn("rank", col("rank").cast("long"))
         .withColumn("adist", round(col("adist"), 6))
@@ -2428,7 +2434,7 @@ object Pipeline extends QueryModule {
       graft.ops.AnnIndex.appendPqIncrement(
         e.filter(col("vec_id") % 2 === 1), p, embDims, 4, 8, 2)
       val (b2, a2) = graft.ops.AnnIndex.loadPq(s, p, embDims, 4, 8, 2)
-      graft.ops.Pq.adcTopK(e.filter(col("vec_id") < 5), b2, a2,
+      graft.ops.Pq.adcTopKCodes(e.filter(col("vec_id") < 5), b2, a2,
           embDims, 4, 5)
         .withColumn("rank", col("rank").cast("long"))
         .withColumn("adist", round(col("adist"), 6))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
+import graft.ops.Pins.PinSyntax
 
 /** Relational operator coverage (SURVEY.md §2.3-§2.7): the full join
   * surface, aggregation forms (incl. cube/rollup/grouping sets), window
@@ -236,7 +237,7 @@ object Relational extends QueryModule {
       val plan = j.queryExecution.executedPlan.toString
       require(!plan.contains("hashpartitioning"),
         s"bucketed join must not hash-shuffle; got plan:\n$plan")
-      val out = j.orderBy("c_custkey").localCheckpoint(true)
+      val out = j.orderBy("c_custkey").pin(true)
       s.sql(s"DROP TABLE IF EXISTS $ordersTbl")
       s.sql(s"DROP TABLE IF EXISTS $custTbl")
       Scratch.deleteTree(java.nio.file.Paths.get(tmp))
@@ -381,7 +382,7 @@ object Relational extends QueryModule {
             col("l.dst") === col("s2"), "left_outer")
           .select(col("l.src").as("src"),
             coalesce(col("d2"), col("l.dst")).as("dst"))
-        r = nxt.localCheckpoint(eager = true) // keep the loop's lineage flat
+        r = nxt.pin(eager = true) // keep the loop's lineage flat
       }
       r
     }, Some("""

@@ -498,7 +498,7 @@ object SoakCuration {
         // a copy out of the returned window
         val nTied = codesDf.filter(col("codes") ===
           array(codePair(chosenVec).map(lit): _*)).count().toInt
-        val topk = graft.ops.Pq.adcTopK(
+        val topk = graft.ops.Pq.adcTopKCodes(
           Seq((annPlantId, chosenEmb)).toDF("vec_id", "embedding"),
           b2, a2, dims, mSub, nTied + 5).collect()
           .sortBy(_.getAs[Int]("rank"))

@@ -34,19 +34,23 @@ class AnnIndexSpec extends AnyFunSuite {
     AnnIndex.savePq(books, Pq.encode(asg), p, dims, m, k, iters)
     val (b2, a2) = AnnIndex.loadPq(spark, p, dims, m, k, iters)
     assert(b2.count() == books.count())
-    // decoded assignment matches the trained one on (vec_id, sub, cell)
+    // loaded WIDE codes match the trained assignment on
+    // (vec_id, sub, cell) — r16: loadPq returns the stored codes frame
+    // as-is (what adcTopKCodes consumes) instead of decoding to long
     val trained = asg.select("vec_id", "sub", "cell").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    val loaded = a2.collect()
+    val loaded = a2.select(col("vec_id"),
+        posexplode(col("codes")).as(Seq("sub", "cell"))).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(loaded == trained)
     val q = vecs(1L)
-    def run(bb: org.apache.spark.sql.DataFrame,
-        aa: org.apache.spark.sql.DataFrame) =
-      Pq.adcTopK(q, bb, aa, dims, m, 3).collect()
-        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
-          r.getAs[Long]("neighbor_id"), r.getAs[Double]("adist"))).toSeq
-    assert(run(b2, a2) == run(books, asg))
+    val fromTrain = Pq.adcTopK(q, books, asg, dims, m, 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("adist"))).toSeq
+    val fromLoad = Pq.adcTopKCodes(q, b2, a2, dims, m, 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("adist"))).toSeq
+    assert(fromLoad == fromTrain)
   }
 
   test("sidecar fail-fast: mismatched parameters throw on load and " +
