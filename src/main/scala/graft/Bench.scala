@@ -66,6 +66,36 @@ object Bench {
     n * 2
   }
 
+  /** ~0.25-s single-thread sequential sweep over a 64 MB long array →
+    * bytes/sec. The canary input the md5 loop cannot see: md5 hashing
+    * is register/ALU-bound and keeps reading full rate under a
+    * memory-bandwidth or IO-heavy neighbor, which is exactly the
+    * contention class behind the r15 "78.9 s vs 48.7 s minutes apart
+    * with contended_capture:false" burst (OPTIMIZATION_r15.md
+    * measurement notes). The array is allocated once per JVM; the xor
+    * fold defeats dead-code elimination.
+    */
+  private lazy val bwArr: Array[Long] = {
+    val a = new Array[Long](8 * 1024 * 1024) // 64 MB
+    java.util.Arrays.fill(a, 0x9e3779b97f4a7c15L)
+    a
+  }
+  private var bwSink = 0L
+  private def calibMemBwBytesPerSec(): Long = {
+    val a = bwArr
+    var acc = 0L
+    var passes = 0L
+    val t0 = System.nanoTime()
+    while (System.nanoTime() - t0 < 250000000L) {
+      var i = 0
+      while (i < a.length) { acc ^= a(i); i += 1 }
+      passes += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    bwSink ^= acc
+    (passes * a.length.toLong * 8L / sec).toLong
+  }
+
   private def loadavg(): String =
     try java.nio.file.Files.readString(
       java.nio.file.Paths.get("/proc/loadavg")).trim.split(" ")(0)
@@ -82,7 +112,24 @@ object Bench {
   def contentionReasons(loadPre: Double, loadPost: Double, cores: Int,
       calibPre: Long, calibMid: Seq[Long], calibPost: Long,
       calibRef: Option[Long], spreadGates: Int, nGates: Int,
-      degradedMain: Int, wallSec: Long, budgetSec: Long): Seq[String] =
+      degradedMain: Int, wallSec: Long, budgetSec: Long,
+      bwPre: Long = -1L, bwMid: Seq[Long] = Nil, bwPost: Long = -1L,
+      bwRef: Option[Long] = None): Seq[String] =
+    bwRef.toSeq.flatMap { ref =>
+      // r16 (r15 measurement notes / judge item 6): the md5 loop
+      // under-detects memory-bandwidth/IO neighbors — a bandwidth
+      // sample under 70% of the host reference flags the capture even
+      // when every md5 sample reads clean. Samples < 0 mean "not
+      // taken" (the unit-replay path) and are skipped.
+      val lo = ref * 7L / 10L
+      (if (bwPre >= 0 && bwPre < lo)
+        Seq(s"membw_pre $bwPre < 70% of ref $ref") else Nil) ++
+      (if (bwPost >= 0 && bwPost < lo)
+        Seq(s"membw_post $bwPost < 70% of ref $ref") else Nil) ++
+      (if (bwMid.nonEmpty && bwMid.min < lo)
+        Seq(s"membw_mid_min ${bwMid.min} < 70% of ref $ref")
+      else Nil)
+    } ++
     (if (loadPre > cores / 4.0)
       Seq(s"loadavg_pre $loadPre > cores/4 ${cores / 4.0}") else Nil) ++
     (if (loadPost > cores / 2.0)
@@ -204,17 +251,25 @@ object Bench {
     // the final verdict will: env override → host-local best-ever file
     // → (absent) skip the absolute-calibration clauses.
     val calibRefFile = java.nio.file.Paths.get(".bench_calib_ref")
+    // file format: line 1 = best-ever md5 digests/sec (the r13 field,
+    // unchanged), line 2 (optional, r16) = best-ever memory-bandwidth
+    // bytes/sec — old single-line files parse as md5-only
+    val refTokens: Seq[Long] =
+      try {
+        if (java.nio.file.Files.exists(calibRefFile))
+          java.nio.file.Files.readString(calibRefFile)
+            .split("\\s+").toSeq.filter(_.nonEmpty).map(_.toLong)
+        else Seq.empty
+      } catch { case _: Throwable => Seq.empty }
     val calibRefOpt: Option[Long] =
       sys.env.get("SPARK_GRAFT_BENCH_CALIB_REF").map(_.toLong)
-        .orElse(
-          try {
-            if (java.nio.file.Files.exists(calibRefFile))
-              Some(java.nio.file.Files.readString(calibRefFile)
-                .trim.toLong)
-            else None
-          } catch { case _: Throwable => None })
+        .orElse(refTokens.headOption)
+    val bwRefOpt: Option[Long] =
+      sys.env.get("SPARK_GRAFT_BENCH_MEMBW_REF").map(_.toLong)
+        .orElse(refTokens.drop(1).headOption)
     val loadPre = loadavg()
     val calibPre = calibMd5PerSec()
+    val bwPre = calibMemBwBytesPerSec()
     val suiteT0 = System.nanoTime()
     def elapsedSec: Long = (System.nanoTime() - suiteT0) / 1000000000L
 
@@ -256,6 +311,7 @@ object Bench {
     // budget everything runs once.
     val repTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val calibMid = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val bwMid = scala.collection.mutable.ArrayBuffer.empty[Long]
     val gateRuns = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
     var degradedMain = 0
@@ -263,7 +319,10 @@ object Bench {
       // mid-sweep calibration sample every 30 gates (~0.5 s each):
       // the canary input that catches a burst the pre/post samples
       // straddle without seeing (r13 judge item 2)
-      if (idx > 0 && idx % 30 == 0) calibMid += calibMd5PerSec()
+      if (idx > 0 && idx % 30 == 0) {
+        calibMid += calibMd5PerSec()
+        bwMid += calibMemBwBytesPerSec()
+      }
       val remaining = names.length - idx
       val recent = repTimes.takeRight(60)
       val meanRep = if (recent.isEmpty) 0.0 else recent.sum / recent.size
@@ -320,10 +379,13 @@ object Bench {
       }.map(_._1)
       val calibNow = calibMd5PerSec()
       calibMid += calibNow
+      val bwNow = calibMemBwBytesPerSec()
+      bwMid += bwNow
       val prov = contentionReasons(loadPre.toDouble,
         loadavg().toDouble, cpus.toInt, calibPre, calibMid.toSeq,
         calibNow, calibRefOpt, spreadNames.size, names.length,
-        degradedMain, elapsedSec, budgetSec)
+        degradedMain, elapsedSec, budgetSec,
+        bwPre, bwMid.toSeq, bwNow, bwRefOpt)
       if (prov.nonEmpty) spreadNames.foreach { n =>
         if (elapsedSec < budgetSec * 0.95) {
           val t = once(n, SparkEntry.queries(n))
@@ -346,6 +408,7 @@ object Bench {
     }
     val loadPost = loadavg()
     val calibPost = calibMd5PerSec()
+    val bwPost = calibMemBwBytesPerSec()
     // Self-asserting contention verdict, WIDENED to mid/post-sweep
     // signals (r13 judge item 2: the pre-only canary read
     // contended_capture:false on an official capture whose mid-sweep
@@ -367,8 +430,10 @@ object Bench {
     // The calibration reference (resolved up front, before the sweep)
     // is re-stamped with the best rate observed this run.
     val calibBest = (Seq(calibPre, calibPost) ++ calibMid).max
+    val bwBest = (Seq(bwPre, bwPost) ++ bwMid).max
     try java.nio.file.Files.writeString(calibRefFile,
-      math.max(calibBest, calibRefOpt.getOrElse(0L)).toString + "\n")
+      math.max(calibBest, calibRefOpt.getOrElse(0L)).toString + "\n" +
+        math.max(bwBest, bwRefOpt.getOrElse(0L)).toString + "\n")
     catch { case _: Throwable => () }
     val spreadGates = runs.count { case (_, ts, _) =>
       val ok = ts.filter(_ >= 0)
@@ -377,7 +442,7 @@ object Bench {
     val contReasons = contentionReasons(loadPre.toDouble,
       loadPost.toDouble, cpus.toInt, calibPre, calibMid.toSeq, calibPost,
       calibRefOpt, spreadGates, names.length, degradedMain, elapsedSec,
-      budgetSec)
+      budgetSec, bwPre, bwMid.toSeq, bwPost, bwRefOpt)
     val contended = contReasons.nonEmpty
     def json(fmt: Double => String, withRuns: Boolean): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -399,6 +464,10 @@ object Bench {
         s""","calib_md5_per_sec_post":$calibPost""" +
         s""","calib_md5_per_sec_mid":[${calibMid.mkString(",")}]""" +
         s""","calib_ref":${calibRefOpt.map(_.toString)
+          .getOrElse("null")}""" +
+        s""","membw_pre":$bwPre,"membw_post":$bwPost""" +
+        s""","membw_mid":[${bwMid.mkString(",")}]""" +
+        s""","membw_ref":${bwRefOpt.map(_.toString)
           .getOrElse("null")}""" +
         s""","degraded_main":$degradedMain,"tail_reruns":$tailReruns""" +
         s""","cont_retry_reps":$contRetryReps""" +

@@ -190,10 +190,14 @@ object Stats {
     * value key, one scalar fold. Returns one row (n, rho).
     */
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    // r16: rows fans into BOTH per-column rank pipelines AND the final
+    // moment join — pin one materialization (lazy) so the source scan+
+    // filter+projection runs once, not three times
     val rows = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).cast("double").as("x"),
         col(yCol).cast("double").as("y"))
+      .pin(false)
     def doubledRanks(c: String) = {
       val byVal = rows.groupBy(col(c).as("v"))
         .agg(count(lit(1)).as("t"))
@@ -2561,8 +2565,12 @@ object Stats {
     */
   def dunnPostHoc(df: DataFrame, groupCol: String, valueCol: String)
       : DataFrame = {
+    // r16: rows fans into the distinct-value rank pipeline AND the
+    // per-(group, value) aggregate — pin (lazy) so the source scan runs
+    // once, not twice (the a_spearman fan-in shape)
     val rows = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+      .pin(false)
     val byVal = rows.groupBy("v").agg(count(lit(1)).as("t"))
     val ranks = Rank.globalRunningSum(byVal, Seq(col("v")), "t", "cum_t")
       .select(col("v"),

@@ -84,6 +84,31 @@ class BenchCanarySpec extends AnyFunSuite {
     assert(rs.exists(_.startsWith("degraded_main")))
   }
 
+  test("memory-bandwidth sag fires even when every md5 sample reads " +
+    "clean (the r15 78.9s-vs-48.7s burst shape: calibration at 86% of " +
+    "reference — above the 70% clause — while a bandwidth/IO neighbor " +
+    "owned the box)") {
+    val rs = Bench.contentionReasons(loadPre = 1.0, loadPost = 8.0,
+      cores = 32, calibPre = 5056000L, calibMid = Seq(5056000L),
+      calibPost = 5100000L, calibRef = hostRef, spreadGates = 3,
+      nGates = 353, degradedMain = 0, wallSec = 1600, budgetSec = 2700,
+      bwPre = 11000000000L, bwMid = Seq(5400000000L),
+      bwPost = 10800000000L, bwRef = Some(11500000000L))
+    assert(rs.exists(_.startsWith("membw_mid_min 5400000000")),
+      rs.mkString("; "))
+    assert(!rs.exists(_.contains("calib")))
+    // and a clean-bandwidth run with the same md5 shape stays clean
+    assert(Bench.contentionReasons(1.0, 8.0, 32, 5056000L,
+      Seq(5056000L), 5100000L, hostRef, 3, 353, 0, 1600, 2700,
+      11000000000L, Seq(11200000000L), 10800000000L,
+      Some(11500000000L)).isEmpty)
+    // absent bandwidth reference (old single-line ref file, new host):
+    // the bandwidth clauses are skipped, like the md5 clauses
+    assert(Bench.contentionReasons(1.0, 8.0, 32, 5056000L, Seq.empty,
+      5100000L, hostRef, 0, 353, 0, 1600, 2700,
+      5400000000L, Seq(5400000000L), 5400000000L, None).isEmpty)
+  }
+
   test("degradation from a genuinely tight budget (wall >= budget) is " +
     "protocol, not contention") {
     val rs = Bench.contentionReasons(1.0, 8.0, 32, 5200000L, Seq.empty,
