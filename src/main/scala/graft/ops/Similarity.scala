@@ -804,10 +804,11 @@ object Similarity {
         .headOption.map(_.getInt(0)).getOrElse(0)
     val w = Array.tabulate(nTables, nPlanes, nd)(
       (t, p, j) => planeWeight(t * nPlanes + p, j))
+    ensureRegistered(df)
     df.withColumn("__planes", typedlit(w))
       .withColumn(outCol, expr(
         // a ragged or null row fails loudly: a row longer than the
-        // declared dims would otherwise zip_with null weights and
+        // declared dims would otherwise project against short weights and
         // silently fold the extra dimensions to 0-bits (and a null vector
         // would silently yield a null bucket), desyncing from the
         // per-row-size md5 form and the oracle
@@ -815,6 +816,11 @@ object Similarity {
         // column, essential when $vecCol is a computed vector — unbound,
         // its pipeline would be inlined into the per-table/per-plane
         // lambdas and re-run nTables x nPlanes times per row
+        // r16 (guide §4): the per-plane projection is graft_dot — the
+        // same sequential fold as the old aggregate(zip_with(cast(x as
+        // double) * w)) lambda, bit-identical doubles, but a compiled
+        // primitive loop instead of dims interpreted lambda evaluations
+        // per (table, plane)
         s"element_at(transform(array($vecCol), __v -> " +
           s"case when __v is null or size(__v) != $nd then " +
           s"raise_error(concat('ragged or null embedding column $vecCol: " +
@@ -823,9 +829,8 @@ object Similarity {
           s"else " +
           s"transform(sequence(0, ${nTables - 1}), tt -> " +
           s"aggregate(transform(sequence(0, ${nPlanes - 1}), p -> " +
-          s"case when aggregate(zip_with(__v, __planes[tt][p], " +
-          s"(x, w) -> cast(x as double) * w), cast(0.0 as double), " +
-          s"(acc, v) -> acc + v) >= 0 " +
+          s"case when graft_dot(cast(__v as array<double>), " +
+          s"__planes[tt][p]) >= 0 " +
           s"then shiftleft(cast(1 as bigint), p) " +
           s"else cast(0 as bigint) end), " +
           s"cast(0 as bigint), (acc, v) -> acc + v)) " +

@@ -258,12 +258,16 @@ object TextModels {
     * only wide op is the single per-doc aggregate.
     */
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      tokens: Option[DataFrame] = None): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val terms = queryTerms.distinct.sorted
     val idx = terms.indices
-    val tk = docs.select(col("doc_id"),
-      explode(expr(Hashing.tokensSql)).as("tok"))
+    // r16 (guide §2.3): callers composing several retrieval passes over
+    // ONE corpus (prfExpand) hand in their pinned exploded token frame
+    // so the corpus is tokenized once, not once per pass
+    val tk = tokens.getOrElse(docs.select(col("doc_id"),
+      explode(expr(Hashing.tokensSql)).as("tok")))
     val perDocAggs = count(lit(1)).as("len") +: idx.map(i =>
       sum(when(col("tok") === terms(i), 1L).otherwise(0L)).as(s"tf_$i"))
     val perDoc = tk.groupBy("doc_id")
@@ -362,9 +366,11 @@ object TextModels {
     * token — identical to [[bm25TopK]]'s population.
     */
   def bm25Join(docs: DataFrame, terms: DataFrame, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tk = docs.select(col("doc_id"),
-      explode(expr(Hashing.tokensSql)).as("tok"))
+      k1: Double = 1.2, b: Double = 0.75,
+      tokens: Option[DataFrame] = None): DataFrame = {
+    // see bm25TopK: shared pre-exploded token frame for composed passes
+    val tk = tokens.getOrElse(docs.select(col("doc_id"),
+      explode(expr(Hashing.tokensSql)).as("tok")))
     val lens = tk.groupBy("doc_id").agg(count(lit(1)).as("len"))
     val stats = lens.agg(sum(col("len")).as("sl"), count(lit(1)).as("nd"))
     val tf = tk.join(broadcast(terms.select(col("term").as("tok"))
@@ -459,14 +465,18 @@ object TextModels {
   def prfExpand(docs: DataFrame, seedTerms: Seq[String], nDocs: Int = 5,
       mTerms: Int = 5, k: Int = 10): DataFrame = {
     val seeds = seedTerms.distinct.sorted
-    val feedback = bm25TopK(docs, seeds, nDocs).select("doc_id")
     // r15: the exploded token table feeds THREE consumers (nd, dfAll,
     // fbTf) — pin one materialization (lazy) so the tokenize+explode
     // subtree runs once, not three times (the jaccard shingle-table
-    // discipline)
+    // discipline). r16: the feedback retrieval and the final expanded
+    // retrieval read the SAME pinned frame — previously bm25TopK and
+    // bm25Join each re-tokenized the whole corpus (3 tokenize passes
+    // per call; now 1).
     val allTk = docs.select(col("doc_id"),
       explode(expr(Hashing.tokensSql)).as("tok"))
       .pin(false)
+    val feedback = bm25TopK(docs, seeds, nDocs, tokens = Some(allTk))
+      .select("doc_id")
     val nd = allTk.select("doc_id").distinct()
       .agg(count(lit(1)).as("nd"))
     val dfAll = allTk.select("doc_id", "tok").distinct()
@@ -486,7 +496,7 @@ object TextModels {
     val terms = expansion.unionByName(
       docs.sparkSession.createDataFrame(seeds.map(Tuple1(_)))
         .toDF("term"))
-    bm25Join(docs, terms, k)
+    bm25Join(docs, terms, k, tokens = Some(allTk))
   }
 
   /** Feature-hashing vectorization (the "hashing trick", Weinberger et
