@@ -118,16 +118,24 @@ object Bench {
     bwRef.toSeq.flatMap { ref =>
       // r16 (r15 measurement notes / judge item 6): the md5 loop
       // under-detects memory-bandwidth/IO neighbors — a bandwidth
-      // sample under 70% of the host reference flags the capture even
-      // when every md5 sample reads clean. Samples < 0 mean "not
-      // taken" (the unit-replay path) and are skipped.
-      val lo = ref * 7L / 10L
+      // sample under 40% of the host best-ever flags the capture even
+      // when every md5 sample reads clean. 40%, not the md5 clauses'
+      // 70%: the best-ever reference accumulates idle-box peaks
+      // (~13 GB/s here) while samples taken INSIDE a clean sweep read
+      // 55–63% of that from the suite's own warm-heap residue (the
+      // first instrumented draw measured pre 63% / mid-min 55% / post
+      // 100% with zero degraded gates and zero rep spread) — the
+      // threshold must sit below the self-residue floor and above a
+      // genuine neighbor collapse (the r15 incident inflated CPU-bound
+      // gates 1.6x, consistent with a multi-x bandwidth cut). Samples
+      // < 0 mean "not taken" (the unit-replay path) and are skipped.
+      val lo = ref * 2L / 5L
       (if (bwPre >= 0 && bwPre < lo)
-        Seq(s"membw_pre $bwPre < 70% of ref $ref") else Nil) ++
+        Seq(s"membw_pre $bwPre < 40% of ref $ref") else Nil) ++
       (if (bwPost >= 0 && bwPost < lo)
-        Seq(s"membw_post $bwPost < 70% of ref $ref") else Nil) ++
+        Seq(s"membw_post $bwPost < 40% of ref $ref") else Nil) ++
       (if (bwMid.nonEmpty && bwMid.min < lo)
-        Seq(s"membw_mid_min ${bwMid.min} < 70% of ref $ref")
+        Seq(s"membw_mid_min ${bwMid.min} < 40% of ref $ref")
       else Nil)
     } ++
     (if (loadPre > cores / 4.0)

@@ -92,11 +92,19 @@ class BenchCanarySpec extends AnyFunSuite {
       cores = 32, calibPre = 5056000L, calibMid = Seq(5056000L),
       calibPost = 5100000L, calibRef = hostRef, spreadGates = 3,
       nGates = 353, degradedMain = 0, wallSec = 1600, budgetSec = 2700,
-      bwPre = 11000000000L, bwMid = Seq(5400000000L),
+      bwPre = 11000000000L, bwMid = Seq(4200000000L),
       bwPost = 10800000000L, bwRef = Some(11500000000L))
-    assert(rs.exists(_.startsWith("membw_mid_min 5400000000")),
+    assert(rs.exists(_.startsWith("membw_mid_min 4200000000")),
       rs.mkString("; "))
     assert(!rs.exists(_.contains("calib")))
+    // a clean sweep's own warm-heap residue (in-sweep samples at
+    // 55-63% of the idle best-ever — the first instrumented draw's
+    // exact shape) must NOT fire: the threshold sits below the
+    // self-residue floor
+    assert(Bench.contentionReasons(1.0, 8.0, 32, 5056000L,
+      Seq(5056000L), 5100000L, hostRef, 0, 353, 0, 1618, 2700,
+      7231655135L, Seq(6382752245L), 12979173398L,
+      Some(11534408437L)).isEmpty)
     // and a clean-bandwidth run with the same md5 shape stays clean
     assert(Bench.contentionReasons(1.0, 8.0, 32, 5056000L,
       Seq(5056000L), 5100000L, hostRef, 3, 353, 0, 1600, 2700,

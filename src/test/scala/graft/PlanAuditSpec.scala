@@ -53,6 +53,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // per-source count table
     "o19_source_interleave",
     "sim_ivf_topk", "sim_ivf_kmeans_topk", "sim_ivfpq_topk",
+    // sim_pq_topk / _persisted / _append (r16): adcTopKCodes scores the
+    // corpus codes against the BROADCAST per-query distance-matrix
+    // frame (|queries| rows — the sim_topk_bruteforce class); the
+    // filter is query_id =!= vec_id, so the join is deliberately the
+    // broadcast-nested-loop "every code row meets every query row"
+    // scan, bounded by the query-set size, never corpus × corpus
+    "sim_pq_topk", "sim_pq_persisted", "sim_pq_append",
     // sim_ivfpq_persisted: identical probe shape to sim_ivfpq_topk —
     // the RELOADED ≤ k-row centroid table broadcast against the query
     // set (the persistence round trip must not change the plan class)
